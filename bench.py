@@ -1,0 +1,85 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is measured end-to-end per query: full plan execution with a
+noop-format write for large results (no driver collect bottleneck) and
+collect() for small aggregates.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from haensel_ams_data_engineer_challenge_spark.registry import registry
+from haensel_ams_data_engineer_challenge_spark.session import get_spark
+
+#: headline set: flagship attribution pipeline + analytic core.
+#: name -> small_result (True = collect, False = noop write)
+HEADLINE: dict[str, bool] = {
+    "q1_pricing_summary": True,
+    "q3_top_orders": True,
+    "join_broadcast_dims": True,
+    "window_topn_orders": False,
+    "window_tumbling_hour": False,
+    "json_extract_props": True,
+    "journey_asof_join": False,
+    "ihc_attribute": False,
+    "agg_channel_report": True,
+    "report_metrics": True,
+}
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    name = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    reg = registry()
+
+    # Warm up the JVM + parquet footer caches with a trivial action.
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    extras = {name: small for name, small in HEADLINE.items() if name in reg}
+    for name, small in extras.items():
+        fn = reg[name][0]
+        start = time.perf_counter()
+        df = fn(spark, sf_dir)
+        if small:
+            df.collect()
+        else:
+            df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(sf_dir),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

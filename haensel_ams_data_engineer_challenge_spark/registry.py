@@ -1,0 +1,498 @@
+"""Operator registry: every engine op from SURVEY.md §2 as a
+(spark_fn, oracle_sql) pair.
+
+``queries()[name](spark, sf_dir)`` returns the operator's DataFrame;
+``oracle_sql()[name]`` is an independently written DuckDB query over
+the same parquet tables (pre-registered views). The driver hash-compares
+the two at sf0.01; ``tools/paritycheck.py`` runs the identical gate
+locally.
+
+Float parity discipline (see functions.scalars.dsum): grouped SUMs over
+doubles go through DECIMAL(25,6) on both sides so results are
+order-independent and bit-identical; per-row arithmetic uses the same
+operation order on both sides; double literals in DuckDB SQL are
+CAST(... AS DOUBLE) because DuckDB types bare ``0.3`` as DECIMAL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .attribution import model as M
+from .attribution.model import ORACLE_PRELUDE
+from .functions.scalars import dsum, dsum_sql, safe_div, ts_concat
+from .operators.asof import journey_asof_join
+from .operators.ihc import (
+    attribution_sum_violations,
+    flag_conversion_session,
+    ihc_attribute,
+)
+from .plans.report import channel_report, report_metrics, report_totals
+from .sources import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# ---------------------------------------------------------------------------
+# Query constants (fixed so Spark and oracle agree byte-for-byte)
+# ---------------------------------------------------------------------------
+DATE_START, DATE_END = "2024-01-05", "2024-01-25"
+REPORT_START, REPORT_END = "2024-01-03", "2024-01-28"
+USER_LIST = ("1", "2", "3", "5", "8", "13", "21", "34")
+BEFORE_TS = "2024-01-20 00:00:00"
+Q1_CUTOFF = "1998-09-02 00:00:00"
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1996-01-01 00:00:00"
+
+# ---------------------------------------------------------------------------
+# Shared oracle CTEs (journey closed form + native IHC model)
+# ---------------------------------------------------------------------------
+JOURNEYS_CTE = """
+journeys AS (
+    SELECT session_id, user_id, ts, event_date, event_time, channel_name,
+           holder_engagement, closer_engagement, impression_interaction,
+           conv_id, conv_ts, revenue
+    FROM (
+        SELECT s.*, c.conv_id, c.conv_ts, c.revenue,
+               ROW_NUMBER() OVER (PARTITION BY s.session_id
+                                  ORDER BY c.conv_ts, c.conv_id) AS __rn
+        FROM sessions s
+        JOIN conversions c
+          ON s.user_id = c.user_id AND s.ts < c.conv_ts
+    ) t
+    WHERE __rn = 1
+)
+"""
+
+SCORED_CTE = """
+scored AS (
+    SELECT conv_id, session_id, ts, event_date, channel_name, holder_engagement,
+           CAST(0.3 AS DOUBLE) * CAST(__rn_asc = 1 AS INT)
+         + CAST(0.3 AS DOUBLE) * CAST(__rn_desc = 1 AS INT)
+         + CAST(0.4 AS DOUBLE) * (CASE WHEN __h > 0
+               THEN CAST(holder_engagement AS DOUBLE) / CAST(__h AS DOUBLE)
+               ELSE CAST(1.0 AS DOUBLE) / CAST(__n AS DOUBLE) END) AS ihc
+    FROM (
+        SELECT j.*,
+               ROW_NUMBER() OVER (PARTITION BY conv_id
+                                  ORDER BY ts, session_id) AS __rn_asc,
+               ROW_NUMBER() OVER (PARTITION BY conv_id
+                                  ORDER BY ts DESC, session_id DESC) AS __rn_desc,
+               SUM(holder_engagement) OVER (PARTITION BY conv_id) AS __h,
+               COUNT(*) OVER (PARTITION BY conv_id) AS __n
+        FROM journeys j
+    ) t
+)
+"""
+
+REPORT_CTE = f"""
+report AS (
+    SELECT s.channel_name, s.event_date AS date,
+           {dsum_sql("COALESCE(co.cost, CAST(0.0 AS DOUBLE))", "cost")},
+           {dsum_sql("a.ihc", "ihc")},
+           {dsum_sql("a.ihc * c.revenue", "ihc_revenue")}
+    FROM sessions s
+    LEFT JOIN costs co ON co.session_id = s.session_id
+    JOIN scored a ON a.session_id = s.session_id
+    JOIN conversions c ON c.conv_id = a.conv_id
+    WHERE s.event_date >= '{REPORT_START}' AND s.event_date <= '{REPORT_END}'
+    GROUP BY s.channel_name, s.event_date
+)
+"""
+
+
+def _pipeline_prelude(*extra: str) -> str:
+    return ORACLE_PRELUDE.rstrip() + "".join("," + cte for cte in extra)
+
+
+# ---------------------------------------------------------------------------
+# Spark-side helpers
+# ---------------------------------------------------------------------------
+
+def _journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return journey_asof_join(M.sessions(spark, sf_dir), M.conversions(spark, sf_dir))
+
+
+def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ihc_attribute(_journeys(spark, sf_dir))
+
+
+def _report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return channel_report(
+        M.sessions(spark, sf_dir),
+        M.costs(spark, sf_dir),
+        _scored(spark, sf_dir),
+        M.conversions(spark, sf_dir),
+        REPORT_START,
+        REPORT_END,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry: name -> (spark_fn, oracle_sql | None)
+# ---------------------------------------------------------------------------
+
+def _attribution_entries() -> dict[str, tuple[QueryFn, str | None]]:
+    e: dict[str, tuple[QueryFn, str | None]] = {}
+
+    # S1 + F1: scan with date-range predicate (db_utils.py:67-103)
+    e["scan_conversions"] = (
+        lambda spark, sf: M.conversions(spark, sf).filter(
+            F.col("conv_date").between(DATE_START, DATE_END)
+        ),
+        _pipeline_prelude()
+        + f"SELECT * FROM conversions WHERE conv_date >= '{DATE_START}' AND conv_date <= '{DATE_END}'",
+    )
+
+    # S2 + J1: sessions LEFT JOIN costs + date range (db_utils.py:105-145)
+    e["scan_sessions_with_cost"] = (
+        lambda spark, sf: M.sessions_with_cost(spark, sf).filter(
+            F.col("event_date").between(DATE_START, DATE_END)
+        ),
+        _pipeline_prelude()
+        + f"SELECT * FROM sessions_with_cost WHERE event_date >= '{DATE_START}' AND event_date <= '{DATE_END}'",
+    )
+
+    # S3 + F2 + F3: IN-list + strict before-timestamp (db_utils.py:147-183)
+    e["scan_sessions_for_users"] = (
+        lambda spark, sf: M.sessions_with_cost(spark, sf)
+        .filter(F.col("user_id").isin(*USER_LIST))
+        .filter(F.col("ts") < F.lit(BEFORE_TS).cast("timestamp_ntz")),
+        _pipeline_prelude()
+        + "SELECT * FROM sessions_with_cost WHERE user_id IN ("
+        + ",".join(f"'{u}'" for u in USER_LIST)
+        + f") AND ts < TIMESTAMP '{BEFORE_TS}'",
+    )
+
+    # S9 + W5: deterministic LIMIT sample (extracted_training_data.py:10-14)
+    e["scan_limit"] = (
+        lambda spark, sf: M.conversions(spark, sf)
+        .orderBy(F.col("conv_id").cast("long"))
+        .limit(20),
+        _pipeline_prelude()
+        + "SELECT * FROM conversions ORDER BY CAST(conv_id AS BIGINT) LIMIT 20",
+    )
+
+    # F5 + C1: API-shape projection with renames + int casts
+    # (journey_builder.py:168-177)
+    e["project_rename"] = (
+        lambda spark, sf: M.sessions(spark, sf).select(
+            F.col("session_id"),
+            F.concat_ws(" ", "event_date", "event_time").alias("timestamp"),
+            F.col("channel_name").alias("channel_label"),
+            F.col("holder_engagement").cast("int").alias("holder_engagement"),
+            F.col("closer_engagement").cast("int").alias("closer_engagement"),
+            F.col("impression_interaction").cast("int").alias("impression_interaction"),
+        ),
+        _pipeline_prelude()
+        + """SELECT session_id,
+                    event_date || ' ' || event_time AS timestamp,
+                    channel_name AS channel_label,
+                    CAST(holder_engagement AS INT) AS holder_engagement,
+                    CAST(closer_engagement AS INT) AS closer_engagement,
+                    CAST(impression_interaction AS INT) AS impression_interaction
+             FROM sessions""",
+    )
+
+    # J4: flagship reverse as-of join (journey_builder.py:26-115)
+    e["journey_asof_join"] = (
+        lambda spark, sf: _journeys(spark, sf),
+        _pipeline_prelude(JOURNEYS_CTE) + "SELECT * FROM journeys",
+    )
+
+    # W3: exactly-one conversion flag per journey (journey_builder.py:136-156)
+    e["flag_conversion_session"] = (
+        lambda spark, sf: flag_conversion_session(_journeys(spark, sf)),
+        _pipeline_prelude(JOURNEYS_CTE)
+        + """SELECT j.*,
+                    CAST(ROW_NUMBER() OVER (PARTITION BY conv_id
+                         ORDER BY ts DESC, session_id DESC) = 1 AS INT) AS conversion
+             FROM journeys j""",
+    )
+
+    # §2.9: native IHC scoring (api_utils.py:68-167 semantics)
+    e["ihc_attribute"] = (
+        lambda spark, sf: _scored(spark, sf).select("conv_id", "session_id", "ihc"),
+        _pipeline_prelude(JOURNEYS_CTE, SCORED_CTE)
+        + "SELECT conv_id, session_id, ihc FROM scored",
+    )
+
+    # A2: sum-to-1 invariant check (db_utils.py:227-258)
+    e["agg_attribution_sum_check"] = (
+        lambda spark, sf: attribution_sum_violations(_scored(spark, sf)).agg(
+            F.count(F.lit(1)).alias("violations")
+        ),
+        _pipeline_prelude(JOURNEYS_CTE, SCORED_CTE)
+        + """SELECT COUNT(*) AS violations FROM (
+                 SELECT conv_id, SUM(ihc) AS s FROM scored GROUP BY conv_id
+                 HAVING ABS(s - CAST(1.0 AS DOUBLE)) > CAST(0.001 AS DOUBLE)) v""",
+    )
+
+    # A3: distinct ids (db_utils.py:282-285)
+    e["distinct_ids"] = (
+        lambda spark, sf: _journeys(spark, sf).select("conv_id").distinct(),
+        _pipeline_prelude(JOURNEYS_CTE) + "SELECT DISTINCT conv_id FROM journeys",
+    )
+
+    # A4: journey statistics (journey_builder.py:298-336)
+    e["agg_journey_stats"] = (
+        lambda spark, sf: _journeys(spark, sf)
+        .groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.count(F.lit(1)).alias("num_journeys"),
+            F.sum("cnt").alias("total_sessions"),
+            (F.sum("cnt").cast("double") / F.count(F.lit(1))).alias("avg_sessions"),
+            F.min("cnt").alias("min_sessions"),
+            F.max("cnt").alias("max_sessions"),
+        ),
+        _pipeline_prelude(JOURNEYS_CTE)
+        + """SELECT COUNT(*) AS num_journeys,
+                    CAST(SUM(cnt) AS BIGINT) AS total_sessions,
+                    CAST(SUM(cnt) AS DOUBLE) / COUNT(*) AS avg_sessions,
+                    MIN(cnt) AS min_sessions,
+                    MAX(cnt) AS max_sessions
+             FROM (SELECT conv_id, COUNT(*) AS cnt FROM journeys GROUP BY conv_id) g""",
+    )
+
+    # J5: semi join — conversions that have journey sessions
+    # (db_utils.check_attribution_exists:260-302)
+    e["semi_existing_attribution"] = (
+        lambda spark, sf: M.conversions(spark, sf).join(
+            _journeys(spark, sf).select("conv_id"), "conv_id", "left_semi"
+        ),
+        _pipeline_prelude(JOURNEYS_CTE)
+        + """SELECT c.* FROM conversions c
+             WHERE EXISTS (SELECT 1 FROM journeys j WHERE j.conv_id = c.conv_id)""",
+    )
+
+    # J6: anti join — conversions with zero prior sessions, the
+    # incremental-processing primitive (db_utils.py:292, main.py:332-353)
+    e["anti_missing_attribution"] = (
+        lambda spark, sf: M.conversions(spark, sf).join(
+            _journeys(spark, sf).select("conv_id"), "conv_id", "left_anti"
+        ),
+        _pipeline_prelude(JOURNEYS_CTE)
+        + """SELECT c.* FROM conversions c
+             WHERE NOT EXISTS (SELECT 1 FROM journeys j WHERE j.conv_id = c.conv_id)""",
+    )
+
+    # A1: channel-level report (reporting.py:53-91)
+    e["agg_channel_report"] = (
+        lambda spark, sf: _report(spark, sf),
+        _pipeline_prelude(JOURNEYS_CTE, SCORED_CTE, REPORT_CTE)
+        + "SELECT * FROM report",
+    )
+
+    # C6/C7 + W4: CPO/ROAS metrics with NULL-on-zero (reporting.py:146-161)
+    e["report_metrics"] = (
+        lambda spark, sf: report_metrics(_report(spark, sf)),
+        _pipeline_prelude(JOURNEYS_CTE, SCORED_CTE, REPORT_CTE)
+        + """SELECT r.*,
+                    CASE WHEN ihc <> CAST(0.0 AS DOUBLE) THEN cost / ihc END AS CPO,
+                    CASE WHEN cost <> CAST(0.0 AS DOUBLE) THEN ihc_revenue / cost END AS ROAS
+             FROM report r""",
+    )
+
+    # A5: grand totals + overall ROAS (reporting.py:171-179)
+    e["agg_report_totals"] = (
+        lambda spark, sf: report_totals(_report(spark, sf)),
+        _pipeline_prelude(JOURNEYS_CTE, SCORED_CTE, REPORT_CTE)
+        + f"""SELECT total_cost, total_ihc_revenue,
+                     CASE WHEN total_cost <> CAST(0.0 AS DOUBLE)
+                          THEN total_ihc_revenue / total_cost END AS overall_roas
+              FROM (SELECT {dsum_sql("cost", "total_cost")},
+                           {dsum_sql("ihc_revenue", "total_ihc_revenue")}
+                    FROM report) t""",
+    )
+
+    # A6: row count (reporting.py:95-96)
+    e["count_rows"] = (
+        lambda spark, sf: _report(spark, sf).agg(F.count(F.lit(1)).alias("n")),
+        _pipeline_prelude(JOURNEYS_CTE, SCORED_CTE, REPORT_CTE)
+        + "SELECT COUNT(*) AS n FROM report",
+    )
+
+    return e
+
+
+def _tpch_entries() -> dict[str, tuple[QueryFn, str | None]]:
+    """Analytic queries over the TPC-H-ish tables: the generic join/agg
+    surface (J1-J3/A1-class ops) exercised on a second schema."""
+    e: dict[str, tuple[QueryFn, str | None]] = {}
+
+    # TPC-H Q1-style pricing summary: wide aggregate, map-side combine.
+    def q1(spark: SparkSession, sf: str) -> DataFrame:
+        li = load_table(spark, sf, "lineitem").filter(
+            F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp_ntz")
+        )
+        disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+        return (
+            li.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                dsum("l_quantity", "sum_qty"),
+                dsum("l_extendedprice", "sum_base_price"),
+                dsum(disc_price, "sum_disc_price"),
+                dsum(charge, "sum_charge"),
+                (dsum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+                (dsum("l_extendedprice") / F.count(F.lit(1))).alias("avg_price"),
+                (dsum("l_discount") / F.count(F.lit(1))).alias("avg_disc"),
+                F.count(F.lit(1)).alias("count_order"),
+            )
+        )
+
+    e["q1_pricing_summary"] = (
+        q1,
+        f"""SELECT l_returnflag, l_linestatus,
+                   {dsum_sql("l_quantity", "sum_qty")},
+                   {dsum_sql("l_extendedprice", "sum_base_price")},
+                   {dsum_sql("l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)", "sum_disc_price")},
+                   {dsum_sql("l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) * (CAST(1.0 AS DOUBLE) + l_tax)", "sum_charge")},
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+                   CAST(SUM(CAST(l_discount AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}'
+            GROUP BY l_returnflag, l_linestatus""",
+    )
+
+    # TPC-H Q3-style: 3-way join, grouped revenue, deterministic top-10.
+    def q3(spark: SparkSession, sf: str) -> DataFrame:
+        cust = load_table(spark, sf, "customer").filter(
+            F.col("c_mktsegment") == Q3_SEGMENT
+        )
+        orders = load_table(spark, sf, "orders").filter(
+            F.col("o_orderdate") < F.lit(Q3_DATE).cast("timestamp_ntz")
+        )
+        li = load_table(spark, sf, "lineitem").filter(
+            F.col("l_shipdate") > F.lit(Q3_DATE).cast("timestamp_ntz")
+        )
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(
+                dsum(
+                    F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                    "revenue",
+                )
+            )
+            .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+            .limit(10)
+        )
+
+    e["q3_top_orders"] = (
+        q3,
+        f"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   {dsum_sql("l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)", "revenue")}
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = '{Q3_SEGMENT}'
+              AND o_orderdate < TIMESTAMP '{Q3_DATE}'
+              AND l_shipdate  > TIMESTAMP '{Q3_DATE}'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10""",
+    )
+
+    # Broadcast dim chain: customer ⋈ nation ⋈ region rollup.
+    def dims(spark: SparkSession, sf: str) -> DataFrame:
+        cust = load_table(spark, sf, "customer")
+        nation = load_table(spark, sf, "nation")
+        region = load_table(spark, sf, "region")
+        return (
+            cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+            .groupBy("r_name")
+            .agg(
+                F.count(F.lit(1)).alias("customers"),
+                dsum("c_acctbal", "total_acctbal"),
+            )
+        )
+
+    e["join_broadcast_dims"] = (
+        dims,
+        f"""SELECT r_name, COUNT(*) AS customers,
+                   {dsum_sql("c_acctbal", "total_acctbal")}
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name""",
+    )
+
+    # W2/W6-class window: latest 3 orders per customer.
+    def topn(spark: SparkSession, sf: str) -> DataFrame:
+        orders = load_table(spark, sf, "orders")
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+        )
+        return (
+            orders.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "rn")
+        )
+
+    e["window_topn_orders"] = (
+        topn,
+        """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice, rn
+           FROM (SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+                        ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+                 FROM orders) t
+           WHERE rn <= 3""",
+    )
+
+    # C11: JSON extraction from events.props (driver extension surface).
+    def jsonx(spark: SparkSession, sf: str) -> DataFrame:
+        ev = load_table(spark, sf, "events")
+        k = F.get_json_object("props", "$.k").cast("long")
+        return ev.groupBy("event_type").agg(
+            F.sum(k).alias("sum_k"),
+            F.count(k).alias("n_with_k"),
+        )
+
+    e["json_extract_props"] = (
+        jsonx,
+        """SELECT event_type,
+                  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                  COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k
+           FROM events
+           GROUP BY event_type""",
+    )
+
+    # Tumbling event-time window (batch form of the streaming surface).
+    def tumbling(spark: SparkSession, sf: str) -> DataFrame:
+        ev = load_table(spark, sf, "events")
+        return (
+            ev.groupBy(
+                F.date_trunc("hour", F.col("ts")).alias("window_start"),
+                "event_type",
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+        )
+
+    e["window_tumbling_hour"] = (
+        tumbling,
+        f"""SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   COUNT(*) AS n_events,
+                   {dsum_sql("value", "total_value")}
+            FROM events
+            GROUP BY date_trunc('hour', ts), event_type""",
+    )
+
+    return e
+
+
+def registry() -> dict[str, tuple[QueryFn, str | None]]:
+    """All engine ops: name -> (spark_fn, oracle_sql | None)."""
+    e: dict[str, tuple[QueryFn, str | None]] = {}
+    e.update(_attribution_entries())
+    e.update(_tpch_entries())
+    from .extensions.registry import extension_entries  # late import, heavier deps
+
+    e.update(extension_entries())
+    return e

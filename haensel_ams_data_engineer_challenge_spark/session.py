@@ -1,0 +1,75 @@
+"""SparkSession factory and engine configuration.
+
+Scale posture (SURVEY.md §7 M6): AQE handles runtime re-planning,
+partition coalescing and skew-join splitting; dynamic partition
+overwrite gives idempotent date-partitioned report rebuilds
+(reference delete-and-replace semantics, reporting.py:36-50); UTC
+session timezone keeps timestamp semantics deterministic across
+engines; Arrow speeds the few pandas boundaries (grouped-map UDFs).
+
+``spark.sql.legacy.parquet.nanosAsLong`` is required because the
+driver testdata stores ``events.ts`` as parquet TIMESTAMP(NANOS),
+which Spark otherwise refuses to read; ``sources.tables`` converts
+the raw nanos to microsecond ``timestamp_ntz`` (exactly what DuckDB
+does when reading the same file).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Confs that are runtime-settable (SQLConf) — safe to apply to an
+#: externally created session (the verify driver builds its own).
+ENGINE_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # dims up to 64 MiB broadcast: at 100 TB the fact side dwarfs every
+    # dimension table; broadcasting avoids shuffling the fact table.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+}
+
+
+def default_parallelism() -> int:
+    try:
+        return int(os.environ.get("SPARK_GRAFT_CPUS", "") or 0) or (os.cpu_count() or 8)
+    except ValueError:
+        return os.cpu_count() or 8
+
+
+def get_spark(app_name: str = "haensel-ams-spark", master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's configuration."""
+    if master is None:
+        master = f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = default_parallelism()
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for k, v in ENGINE_CONFS.items():
+        builder = builder.config(k, v)
+    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    builder = builder.config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    spark = builder.getOrCreate()
+    return spark
+
+
+def ensure_engine_confs(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine confs to a session we did not build.
+
+    The correctness driver passes its own SparkSession into
+    ``__spark_entry__.entry/queries``; without ``nanosAsLong`` reading
+    ``events.parquet`` raises PARQUET_TYPE_ILLEGAL, so loaders call this
+    defensively before every read.
+    """
+    for k, v in ENGINE_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - static conf on some builds
+            pass
+    return spark

@@ -1,0 +1,55 @@
+"""Parquet sources for the driver testdata.
+
+Reference parity: the reference scans SQLite tables into pandas
+(db_utils.py:67-183); here every table is a parquet-backed DataFrame so
+Catalyst gets predicate pushdown + column pruning at the scan
+(db_utils.py builds WHERE strings by hand — PushDownPredicates does the
+same automatically, SURVEY.md §4).
+
+``events.ts`` is stored as parquet TIMESTAMP(NANOS): Spark reads it as
+a nanosecond ``bigint`` (with ``spark.sql.legacy.parquet.nanosAsLong``)
+and we convert with integer division to microsecond ``timestamp_ntz`` —
+bit-identical to DuckDB's read of the same file, which truncates
+nanos to micros.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..session import ensure_engine_confs
+
+TESTDATA_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+#: columns persisted as TIMESTAMP(NANOS) that surface as bigint nanos.
+_NANOS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table with normalized timestamp types."""
+    ensure_engine_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    dtypes = dict(df.dtypes)
+    for col in _NANOS_COLS.get(name, ()):
+        if dtypes.get(col) == "bigint":
+            # integer `div` keeps exact microseconds (a double division
+            # would lose low bits at ~1.7e18 ns); cast ltz->ntz is the
+            # identity under the UTC session timezone.
+            df = df.withColumn(
+                col,
+                F.expr(f"cast(timestamp_micros({col} div 1000) as timestamp_ntz)"),
+            )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql use."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

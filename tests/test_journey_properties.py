@@ -1,0 +1,106 @@
+"""Property tests for the journey/attribution core (SURVEY.md §5).
+
+These encode the reference's runtime validation contract:
+- exclusivity: each session belongs to at most one journey
+  (journey_builder.py:92-107);
+- strict membership: no journey session at/after its conversion
+  (journey_builder.py:84);
+- earliest-first: a session is claimed by the EARLIEST qualifying
+  conversion of its user (closed form of journey_builder.py:48-52);
+- exactly one conversion-flagged session per journey
+  (journey_builder.py:288-294);
+- ihc in [0,1] (api_utils.py:270-271) and per-conversion sum = 1 ± 1e-3
+  (db_utils.check_attribution_sums:227-258).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from haensel_ams_data_engineer_challenge_spark.attribution import model as M
+from haensel_ams_data_engineer_challenge_spark.operators.asof import (
+    asof_join,
+    journey_asof_join,
+)
+from haensel_ams_data_engineer_challenge_spark.operators.ihc import (
+    attribution_sum_violations,
+    flag_conversion_session,
+    ihc_attribute,
+)
+
+
+@pytest.fixture(scope="module")
+def journeys(spark, sf_dir):
+    df = journey_asof_join(M.sessions(spark, sf_dir), M.conversions(spark, sf_dir))
+    df.cache().count()
+    yield df
+    df.unpersist()
+
+
+def test_session_exclusivity(journeys):
+    dup = journeys.groupBy("session_id").count().filter(F.col("count") > 1)
+    assert dup.count() == 0
+
+
+def test_strict_membership(journeys):
+    assert journeys.filter(F.col("ts") >= F.col("conv_ts")).count() == 0
+
+
+def test_earliest_qualifying_conversion(spark, sf_dir, journeys):
+    """Recompute the claimed conversion independently with a plain
+    min-aggregate and check it matches the window formulation."""
+    s = M.sessions(spark, sf_dir).select("session_id", "user_id", "ts")
+    c = M.conversions(spark, sf_dir).select("user_id", "conv_id", "conv_ts")
+    expected = (
+        s.join(c, "user_id")
+        .filter(F.col("ts") < F.col("conv_ts"))
+        .groupBy("session_id")
+        .agg(F.min(F.struct("conv_ts", "conv_id")).alias("m"))
+        .select("session_id", F.col("m.conv_id").alias("conv_id_expected"))
+    )
+    got = journeys.select("session_id", "conv_id")
+    mismatches = got.join(expected, "session_id").filter(
+        F.col("conv_id") != F.col("conv_id_expected")
+    )
+    assert mismatches.count() == 0
+    assert got.count() == expected.count()
+
+
+def test_exactly_one_flag_per_journey(journeys):
+    flagged = flag_conversion_session(journeys)
+    per_conv = flagged.groupBy("conv_id").agg(F.sum("conversion").alias("nflags"))
+    assert per_conv.filter(F.col("nflags") != 1).count() == 0
+
+
+def test_ihc_range_and_sum(journeys):
+    scored = ihc_attribute(journeys)
+    out_of_range = scored.filter((F.col("ihc") < 0) | (F.col("ihc") > 1))
+    assert out_of_range.count() == 0
+    assert attribution_sum_violations(scored).count() == 0
+
+
+def test_single_session_journey_gets_full_credit(journeys):
+    scored = ihc_attribute(journeys)
+    singles = (
+        scored.groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("ihc").alias("ihc"))
+        .filter(F.col("n") == 1)
+    )
+    assert singles.filter(F.abs(F.col("ihc") - 1.0) > 1e-9).count() == 0
+
+
+def test_asof_backward_and_left(spark):
+    """Generic asof_join: backward direction + left outer semantics."""
+    left = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("b", 3, 10)], "k string, id int, ts int"
+    )
+    right = spark.createDataFrame(
+        [("a", 5), ("a", 15), ("c", 1)], "k string, rts int"
+    )
+    out = asof_join(
+        left, right, by=["k"], left_on="ts", right_on="rts",
+        left_key=["id"], direction="backward", how="left",
+    ).collect()
+    by_id = {r["id"]: r["rts"] for r in out}
+    assert by_id == {1: 5, 2: 15, 3: None}
