@@ -35,6 +35,16 @@ HEADLINE: dict[str, bool] = {
     "ihc_attribute": False,
     "agg_channel_report": True,
     "report_metrics": True,
+    "dedup_exact": False,
+    "dedup_minhash_lsh": False,
+    "dedup_ngram_jaccard": False,
+    "dedup_simhash": False,
+    "ann_topk_bruteforce": False,
+    "ann_topk_lsh": False,
+    "text_token_stats": False,
+    "text_quality_score": False,
+    "doc_fingerprint": False,
+    "pack_groups": False,
 }
 
 

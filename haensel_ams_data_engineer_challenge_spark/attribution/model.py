@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..operators.asof import journey_asof_join
+from ..operators.ihc import ihc_attribute
 from ..sources import load_table
 
 HOLDER_TYPES = ("view", "click")
@@ -88,6 +90,17 @@ def sessions_with_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions(spark, sf_dir).join(costs(spark, sf_dir), "session_id", "left")
 
 
+def journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 journey rows: sessions claimed by their earliest following
+    conversion (closed form of journey_builder.py:26-115)."""
+    return journey_asof_join(sessions(spark, sf_dir), conversions(spark, sf_dir))
+
+
+def scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Journey rows + native IHC scores (operators/ihc.py)."""
+    return ihc_attribute(journeys(spark, sf_dir))
+
+
 #: DuckDB CTE prelude reproducing exactly the mapping above.
 #: Double literals are CAST(... AS DOUBLE) so DuckDB's decimal literal
 #: typing can't diverge from Spark's double arithmetic.
@@ -124,3 +137,48 @@ sessions_with_cost AS (
     FROM sessions s LEFT JOIN costs c USING (session_id)
 )
 """
+
+#: J4 closed form as a DuckDB CTE (appended to ORACLE_PRELUDE).
+JOURNEYS_CTE = """
+journeys AS (
+    SELECT session_id, user_id, ts, event_date, event_time, channel_name,
+           holder_engagement, closer_engagement, impression_interaction,
+           conv_id, conv_ts, revenue
+    FROM (
+        SELECT s.*, c.conv_id, c.conv_ts, c.revenue,
+               ROW_NUMBER() OVER (PARTITION BY s.session_id
+                                  ORDER BY c.conv_ts, c.conv_id) AS __rn
+        FROM sessions s
+        JOIN conversions c
+          ON s.user_id = c.user_id AND s.ts < c.conv_ts
+    ) t
+    WHERE __rn = 1
+)
+"""
+
+#: native IHC model as a DuckDB CTE (operators/ihc.py docstring).
+SCORED_CTE = """
+scored AS (
+    SELECT conv_id, session_id, ts, event_date, channel_name, holder_engagement,
+           CAST(0.3 AS DOUBLE) * CAST(__rn_asc = 1 AS INT)
+         + CAST(0.3 AS DOUBLE) * CAST(__rn_desc = 1 AS INT)
+         + CAST(0.4 AS DOUBLE) * (CASE WHEN __h > 0
+               THEN CAST(holder_engagement AS DOUBLE) / CAST(__h AS DOUBLE)
+               ELSE CAST(1.0 AS DOUBLE) / CAST(__n AS DOUBLE) END) AS ihc
+    FROM (
+        SELECT j.*,
+               ROW_NUMBER() OVER (PARTITION BY conv_id
+                                  ORDER BY ts, session_id) AS __rn_asc,
+               ROW_NUMBER() OVER (PARTITION BY conv_id
+                                  ORDER BY ts DESC, session_id DESC) AS __rn_desc,
+               SUM(holder_engagement) OVER (PARTITION BY conv_id) AS __h,
+               COUNT(*) OVER (PARTITION BY conv_id) AS __n
+        FROM journeys j
+    ) t
+)
+"""
+
+
+def oracle_with(*extra_ctes: str) -> str:
+    """ORACLE_PRELUDE + extra CTEs, ready to prefix a SELECT."""
+    return ORACLE_PRELUDE.rstrip() + "".join("," + cte for cte in extra_ctes)

@@ -1,18 +1,334 @@
 """LLM-training-data pipeline extension operators (BASELINE.json
-north star): dedup, similarity search, text analysis, multimodal.
+north star): dedup, similarity search, text analysis, multimodal,
+chunk packing.
 
-Filled in milestone M5; each entry follows the same
-(spark_fn, oracle_sql | None) contract as the core registry.
+Oracle strategy: the hash-based ops (minhash LSH, simhash, LSH
+buckets) use md5 — identical in Spark, DuckDB and Python — so even
+the "custom" operators have bit-exact SQL twins. The SQL is generated
+from the same Python constants as the Spark plans (seeds, band
+layout, hyperplane weights), keeping the two sides structurally
+locked together.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions import text as T
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..operators.pack import pack_groups_cumsum, pack_groups_greedy
+from ..sources import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+JACCARD_THRESHOLD = 0.8
+COSINE_DUP_THRESHOLD = 0.45
+ANN_K = 5
+ANN_LSH_K = 3
+N_QUERIES = 10  # query vectors: vec_id < 10
+
+# ---------------------------------------------------------------------------
+# Shared oracle CTEs (tokenization contract of functions/text.py)
+# ---------------------------------------------------------------------------
+BPE_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+DOC_SHINGLES_CTE = r"""
+doc_shingles AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len(toks) >= 3
+               THEN list_transform(range(1, len(toks) - 1),
+                                   i -> array_to_string(toks[i:i+2], ' '))
+               ELSE []::VARCHAR[] END) AS sh
+    FROM (SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\s+') AS toks
+          FROM documents) t
+)
+"""
+
+SHINGLE_EXPLODE_CTE = """
+sh_ex AS (
+    SELECT doc_id, unnest(sh) AS s FROM doc_shingles
+)
+"""
+
+
+def _minhash_sig_cte() -> str:
+    cols = ",\n           ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}|' || s))) AS h{i}"
+        for i in range(D.MINHASH_K)
+    )
+    return f"""
+sigs AS (
+    SELECT doc_id,
+           {cols}
+    FROM doc_shingles
+    WHERE len(sh) > 0
+)
+"""
+
+
+def _minhash_bands_cte() -> str:
+    n_bands = D.MINHASH_K // D.MINHASH_BAND_SIZE
+    selects = []
+    for b in range(n_bands):
+        hs = " || ".join(f"h{i}" for i in range(b * D.MINHASH_BAND_SIZE, (b + 1) * D.MINHASH_BAND_SIZE))
+        selects.append(
+            f"SELECT doc_id, {b} AS band, md5('{b}|' || {hs}) AS band_key FROM sigs"
+        )
+    return "\nbands AS (\n    " + "\n    UNION ALL ".join(selects) + "\n)\n"
+
+
+def _docs(spark: SparkSession, sf: str) -> DataFrame:
+    return load_table(spark, sf, "documents")
+
+
+def _vecs(spark: SparkSession, sf: str) -> DataFrame:
+    return load_table(spark, sf, "embeddings")
+
 
 def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
-    return {}
+    e: dict[str, tuple[QueryFn, str | None]] = {}
+    prelude = "WITH " + DOC_SHINGLES_CTE.strip()
+
+    # ---- dedup -----------------------------------------------------------
+    e["dedup_exact"] = (
+        lambda spark, sf: D.dedup_exact(_docs(spark, sf)),
+        r"""SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS text_hash,
+                   min(doc_id) AS keep_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY 1""",
+    )
+
+    e["dedup_minhash_lsh"] = (
+        lambda spark, sf: D.dedup_minhash_lsh(_docs(spark, sf)),
+        prelude + "," + _minhash_sig_cte().strip() + "," + _minhash_bands_cte().strip()
+        + """
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a
+        JOIN bands b ON a.band_key = b.band_key AND a.band = b.band
+                    AND a.doc_id < b.doc_id""",
+    )
+
+    e["dedup_ngram_jaccard"] = (
+        lambda spark, sf: D.ngram_jaccard_pairs(
+            _docs(spark, sf), threshold=JACCARD_THRESHOLD
+        ),
+        prelude + "," + SHINGLE_EXPLODE_CTE.strip() + f""",
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh_ex GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+            FROM sh_ex a JOIN sh_ex b
+              ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE)
+              >= CAST({JACCARD_THRESHOLD} AS DOUBLE)""",
+    )
+
+    votes_cols = []
+    for b in range(32):
+        nibble = f"CAST('0x' || substr(h, {b // 4 + 1}, 1) AS INT)"
+        mask = 8 >> (b % 4)
+        votes_cols.append(
+            f"CAST(SUM(CASE WHEN ({nibble} & {mask}) > 0 THEN 1 ELSE -1 END) AS BIGINT) AS v{b}"
+        )
+    simhash_fp = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)" for b in range(32)
+    )
+    e["dedup_simhash"] = (
+        lambda spark, sf: D.simhash32(_docs(spark, sf)),
+        prelude + "," + SHINGLE_EXPLODE_CTE.strip() + f""",
+        hashed AS (SELECT doc_id, md5(s) AS h FROM sh_ex),
+        votes AS (SELECT doc_id, {', '.join(votes_cols)} FROM hashed GROUP BY doc_id)
+        SELECT doc_id, CAST({simhash_fp} AS BIGINT) AS simhash FROM votes""",
+    )
+
+    # ---- similarity search ----------------------------------------------
+    cos = S.cosine_sql("q.embedding", "c.embedding")
+    e["ann_topk_bruteforce"] = (
+        lambda spark, sf: S.ann_topk_brute(
+            _vecs(spark, sf),
+            _vecs(spark, sf).filter(F.col("vec_id") < N_QUERIES),
+            k=ANN_K,
+        ),
+        f"""WITH scored AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       {cos} AS cosine
+                FROM embeddings q, embeddings c
+                WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+            )
+            SELECT query_id, neighbor_id, cosine, rank
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id) AS rank
+                  FROM scored) t
+            WHERE rank <= {ANN_K}""",
+    )
+
+    hp = S.hyperplanes()
+    bucket = S.bucket_sql("embedding", hp)
+    e["ann_topk_lsh"] = (
+        lambda spark, sf: S.ann_topk_lsh(
+            _vecs(spark, sf),
+            _vecs(spark, sf).filter(F.col("vec_id") < N_QUERIES),
+            k=ANN_LSH_K,
+        ),
+        f"""WITH wb AS (
+                SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+            ),
+            scored AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       {cos} AS cosine
+                FROM wb q JOIN wb c ON q.bucket = c.bucket
+                WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+            )
+            SELECT query_id, neighbor_id, cosine, rank
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id) AS rank
+                  FROM scored) t
+            WHERE rank <= {ANN_LSH_K}""",
+    )
+
+    cos_ab = S.cosine_sql("a.embedding", "b.embedding")
+    e["dedup_embedding_cosine"] = (
+        lambda spark, sf: S.embedding_dup_pairs(
+            _vecs(spark, sf), threshold=COSINE_DUP_THRESHOLD
+        ),
+        f"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos_ab} AS cosine
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND {cos_ab} >= CAST({COSINE_DUP_THRESHOLD} AS DOUBLE)""",
+    )
+
+    # ---- text analysis ---------------------------------------------------
+    e["text_token_stats"] = (
+        lambda spark, sf: _docs(spark, sf).select(
+            "doc_id",
+            T.token_count("text").cast("long").alias("token_count"),
+            T.bpe_ish_count("text").cast("long").alias("bpe_ish_count"),
+            F.length("text").cast("long").alias("char_count"),
+        ),
+        rf"""SELECT doc_id,
+                   len(string_split_regex(trim(lower(text)), '\s+')) AS token_count,
+                   len(regexp_extract_all(text, '{BPE_SQL}')) AS bpe_ish_count,
+                   length(text) AS char_count
+            FROM documents""",
+    )
+
+    stop_list = ", ".join(f"'{w}'" for w in T.EN_STOPWORDS)
+    e["text_quality_score"] = (
+        lambda spark, sf: _docs(spark, sf)
+        .withColumn("punct_ratio", T.punct_ratio("text"))
+        .withColumn("stopword_ratio", T.stopword_ratio("text"))
+        .select(
+            "doc_id",
+            "punct_ratio",
+            "stopword_ratio",
+            (
+                F.lit(0.5) * F.col("stopword_ratio")
+                + F.lit(0.3) * (F.lit(1.0) - F.col("punct_ratio"))
+                + F.lit(0.2)
+                * F.least(
+                    F.lit(1.0),
+                    T.token_count("text").cast("double") / F.lit(100.0),
+                )
+            ).alias("quality_score"),
+        ),
+        rf"""WITH base AS (
+                SELECT doc_id,
+                       CASE WHEN length(text) > 0
+                            THEN CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+                                 / CAST(length(text) AS DOUBLE)
+                            ELSE CAST(0.0 AS DOUBLE) END AS punct_ratio,
+                       CASE WHEN len(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) > 0
+                            THEN CAST(len(list_intersect(
+                                     list_distinct(string_split_regex(trim(lower(text)), '\s+')),
+                                     [{stop_list}])) AS DOUBLE)
+                                 / CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS DOUBLE)
+                            ELSE CAST(0.0 AS DOUBLE) END AS stopword_ratio,
+                       CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) AS ntok
+                FROM documents)
+            SELECT doc_id, punct_ratio, stopword_ratio,
+                   CAST(0.5 AS DOUBLE) * stopword_ratio
+                 + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - punct_ratio)
+                 + CAST(0.2 AS DOUBLE) * least(CAST(1.0 AS DOUBLE), ntok / CAST(100.0 AS DOUBLE))
+                   AS quality_score
+            FROM base""",
+    )
+
+    lang_scores_sql = ",\n".join(
+        f"len(list_intersect(t, [{', '.join(repr(w) for w in words)}])) AS s_{lang}"
+        for lang, words in sorted(T.LANG_STOPWORDS.items())
+    )
+    langs = sorted(T.LANG_STOPWORDS)
+    best_sql = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    pred_sql = (
+        "CASE "
+        + " ".join(f"WHEN s_{lang} = best THEN '{lang}'" for lang in langs)
+        + " ELSE 'und' END"
+    )
+    e["text_langid"] = (
+        lambda spark, sf: _docs(spark, sf).select(
+            "doc_id",
+            F.col("lang").alias("actual"),
+            T.langid("text").alias("pred_lang"),
+        ),
+        rf"""WITH dt AS (
+                SELECT doc_id, lang,
+                       list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS t
+                FROM documents),
+            sc AS (SELECT doc_id, lang, {lang_scores_sql} FROM dt)
+            SELECT doc_id, lang AS actual,
+                   CASE WHEN best > 0 THEN {pred_sql} ELSE 'und' END AS pred_lang
+            FROM (SELECT *, {best_sql} AS best FROM sc) x""",
+    )
+
+    e["doc_fingerprint"] = (
+        lambda spark, sf: _docs(spark, sf)
+        .filter(F.length("text") >= 8)
+        .select(
+            "doc_id",
+            F.substring(
+                F.array_min(F.transform(T.char_shingles("text", 8), F.md5)), 1, 16
+            ).alias("fingerprint"),
+        ),
+        r"""SELECT doc_id,
+                  substr(list_min(list_transform(
+                      list_distinct(list_transform(range(1, length(text) - 6),
+                                                   i -> substr(text, i, 8))),
+                      s -> md5(s))), 1, 16) AS fingerprint
+           FROM documents
+           WHERE length(text) >= 8""",
+    )
+
+    # ---- multimodal (binary-column plumbing) ----------------------------
+    e["multimodal_binary_metadata"] = (
+        lambda spark, sf: _docs(spark, sf).select(
+            "doc_id",
+            F.length(F.encode(F.col("text"), "UTF-8")).cast("long").alias("n_bytes"),
+            F.md5(F.col("text")).alias("content_hash"),
+        ),
+        """SELECT doc_id,
+                  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                  md5(text) AS content_hash
+           FROM documents""",
+    )
+
+    from ..multimodal.binary import decode_stub_query
+
+    e["multimodal_decode_stub"] = (decode_stub_query, None)  # rows-only: mapInPandas path
+
+    # ---- chunk packing (P2) ---------------------------------------------
+    from ..operators.pack import PACK_CUMSUM_SQL
+
+    e["pack_groups"] = (pack_groups_cumsum, PACK_CUMSUM_SQL)
+    e["pack_groups_greedy"] = (pack_groups_greedy, None)  # rows-only: sequential semantics
+
+    return e

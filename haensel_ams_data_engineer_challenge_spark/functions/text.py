@@ -1,0 +1,113 @@
+"""Text-analysis column functions (LLM-data-pipeline tier).
+
+All JVM-side built-ins (split/transform/aggregate/regexp) — no Python
+UDFs in the hot path. Every function has a documented DuckDB twin used
+by the oracle queries; the pair must stay semantically identical.
+
+Tokenization contract (shared with oracles):
+  tokens(text)    = regexp-split of trim(lower(text)) on \\s+
+  word shingles   = space-joined sliding n-grams over tokens
+  char shingles   = sliding n-char substrings of the raw text
+Empty/short inputs yield empty shingle arrays (guarded — Spark's
+``sequence(1, 0)`` counts *down*, unlike DuckDB's ``range``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+#: BPE-ish token pattern: letter runs, digit runs, single punctuation.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: tiny deterministic stopword lists for the language-ID heuristic.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "en": ("the", "a", "and", "of", "to", "is", "in"),
+    "es": ("el", "los", "y", "que", "en", "una", "es"),
+    "fr": ("le", "la", "et", "les", "des", "un", "est"),
+    "zh": ("de", "le", "shi", "bu", "wo", "zai", "you"),
+}
+
+EN_STOPWORDS = LANG_STOPWORDS["en"]
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of lower-cased text.
+    DuckDB twin: string_split_regex(trim(lower(x)), '\\s+')."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(F.lower(c)), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_count(col: Column | str) -> Column:
+    """Token count under the BPE-ish regex.
+    DuckDB twin: len(regexp_extract_all(x, pattern))."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0))
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct space-joined word n-grams.
+    DuckDB twin: list_distinct(list_transform(range(1,
+    greatest(len(toks)-n+1,0)+1), i -> array_to_string(toks[i:i+n-1],' ')))."""
+    t = tokens(col)
+    grams = F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def char_shingles(col: Column | str, n: int = 8) -> Column:
+    """Distinct sliding n-char substrings of the raw text.
+    DuckDB twin: list_distinct(list_transform(range(1,
+    greatest(length(x)-n+1,0)+1), i -> substr(x, i, n)))."""
+    c = F.col(col) if isinstance(col, str) else col
+    grams = F.when(
+        F.length(c) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(c) - (n - 1)),
+            lambda i: F.substring(c, i, n),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Punctuation chars / total chars (0 for empty text)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_punct = F.length(F.regexp_replace(c, r"[^.!?,;:]", ""))
+    return F.when(F.length(c) > 0, n_punct.cast("double") / F.length(c).cast("double")).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    """Distinct stopwords present / distinct tokens (0 for empty)."""
+    t = F.array_distinct(tokens(col))
+    hits = F.size(F.array_intersect(t, F.array(*[F.lit(s) for s in stopwords])))
+    return F.when(F.size(t) > 0, hits.cast("double") / F.size(t).cast("double")).otherwise(F.lit(0.0))
+
+
+def langid_scores(col: Column | str) -> dict[str, Column]:
+    """Distinct-stopword hit count per language."""
+    t = F.array_distinct(tokens(col))
+    return {
+        lang: F.size(F.array_intersect(t, F.array(*[F.lit(s) for s in words])))
+        for lang, words in sorted(LANG_STOPWORDS.items())
+    }
+
+
+def langid(col: Column | str) -> Column:
+    """Argmax language with deterministic alphabetical tie-break."""
+    scores = langid_scores(col)
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # reversed: earlier alphabetical language wins ties
+    for lang in sorted(scores, reverse=True):
+        expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
+    return F.when(best > 0, expr).otherwise(F.lit("und"))

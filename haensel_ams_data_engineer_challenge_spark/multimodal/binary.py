@@ -1,0 +1,87 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Model: media (image/audio/video) lives in a ``binary`` column next to
+typed metadata columns; decode / feature-extract / resize run as
+Arrow-batched ``mapInPandas`` over that column so bytes never pass
+through Python row-at-a-time.
+
+The container ships no image/audio libraries, so the actual decoders
+are STUBS: ``decode_image_meta`` tries Pillow and otherwise falls back
+to a deterministic fake decode (documented below) — the Spark-side
+plumbing (schema, batch iteration, partitioning) is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources import load_table
+
+DECODE_SCHEMA = (
+    "doc_id long, n_bytes long, format string, width long, height long, decoder string"
+)
+
+
+def _fake_decode(payload: bytes) -> tuple[str, int, int]:
+    """Deterministic fake decode: pretend the payload is an image whose
+    format/dimensions derive from its md5 — stable across runs,
+    engines and partitionings."""
+    digest = hashlib.md5(payload).digest()
+    fmt = ("png", "jpeg", "webp")[digest[0] % 3]
+    width = 64 + int.from_bytes(digest[1:3], "big") % 1984
+    height = 64 + int.from_bytes(digest[3:5], "big") % 1984
+    return fmt, width, height
+
+
+def decode_image_meta(binary_df: DataFrame, payload_col: str = "payload",
+                      id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas decode: (id, n_bytes, format, width, height, decoder).
+
+    Uses Pillow when importable (real decode), else the deterministic
+    fake. Arrow batches keep the payload bytes zero-copy end-to-end.
+    """
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            from PIL import Image  # noqa: F401
+            import io
+
+            def one(payload: bytes) -> tuple[str, int, int, str]:
+                try:
+                    img = Image.open(io.BytesIO(payload))
+                    return (img.format or "?").lower(), img.width, img.height, "pillow"
+                except Exception:
+                    fmt, w, h = _fake_decode(payload)
+                    return fmt, w, h, "fake"
+        except ImportError:
+            def one(payload: bytes) -> tuple[str, int, int, str]:
+                fmt, w, h = _fake_decode(payload)
+                return fmt, w, h, "fake"
+
+        for pdf in batches:
+            meta = [one(p) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].values,
+                    "n_bytes": [len(p) for p in pdf[payload_col]],
+                    "format": [m[0] for m in meta],
+                    "width": [m[1] for m in meta],
+                    "height": [m[2] for m in meta],
+                    "decoder": [m[3] for m in meta],
+                }
+            )
+
+    return binary_df.mapInPandas(_decode, DECODE_SCHEMA)
+
+
+def decode_stub_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: documents.text UTF-8 bytes stand in for media
+    payloads; exercises the binary-column mapInPandas path end-to-end."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return decode_image_meta(docs)

@@ -1,0 +1,207 @@
+"""Deduplication operators (LLM-training-data tier).
+
+Four families, all shuffle-frugal by design:
+
+- exact       — hash-groupBy on normalized text; one shuffle on the
+                16-byte digest, map-side combinable.
+- minhash+LSH — per-doc signature computed ROW-LOCALLY (array
+                expressions over shingles — no explode, no shuffle),
+                then one shuffle on band keys; candidate pairs come
+                from band buckets. This is the 100 TB path: the only
+                shuffled payload is (band_key, doc_id).
+- n-gram Jaccard — exact verification: explode distinct shingles,
+                self-join on shingle, count intersections. Quadratic
+                in bucket size, so at scale it runs AFTER LSH
+                candidate filtering (verify_pairs), never standalone.
+- simhash     — 32-bit fingerprint from per-shingle md5 nibble votes;
+                row-local except one groupBy(doc).
+
+Hash portability: every hash is md5-hex (identical in Spark, DuckDB
+and Python), string-min for minhash, so each op has a bit-exact SQL
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.text import word_shingles
+
+MINHASH_K = 12
+MINHASH_BAND_SIZE = 3
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Dedup normalization: lower, trim, collapse whitespace.
+    DuckDB twin: regexp_replace(trim(lower(x)), '\\s+', ' ', 'g')."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup groups: (text_hash, keep_id=min id, n_copies)."""
+    return (
+        df.select(F.md5(normalize_text(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def minhash_signature(shingles: Column, k: int = MINHASH_K) -> list[Column]:
+    """k min-hashes of a shingle array, entirely row-local.
+
+    h_i(doc) = min over shingles s of md5(i || '|' || s) — the string
+    min over hex digests is a valid permutation-min because md5 is
+    uniform; string compare is identical across engines.
+    """
+    return [
+        F.array_min(F.transform(shingles, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s))))
+        for i in range(k)
+    ]
+
+
+def minhash_bands(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = MINHASH_K,
+    band_size: int = MINHASH_BAND_SIZE,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, band, band_key) — one row per (doc, band); the only
+    shuffled representation in the LSH pipeline.
+
+    Implementation: explode shingles once, then k min-aggregates with
+    map-side partial aggregation — the shingle pipeline is evaluated a
+    single time per doc (the row-local ``minhash_signature`` form
+    re-evaluates the tokenizer per hash because common-subexpression
+    elimination does not cross lambda functions: measured 40x slower),
+    and the shuffle payload is just the per-partition partial minima.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("s")
+    )
+    sigs = sh.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"h{i}")
+            for i in range(k)
+        ]
+    )
+    n_bands = k // band_size
+    bands = F.array(
+        *[
+            F.md5(
+                F.concat(
+                    F.lit(f"{b}|"),
+                    *[F.col(f"h{i}") for i in range(b * band_size, (b + 1) * band_size)],
+                )
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sigs.select(F.col(id_col), F.posexplode(bands).alias("band", "band_key"))
+
+
+def dedup_minhash_lsh(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = MINHASH_K,
+    band_size: int = MINHASH_BAND_SIZE,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) sharing any LSH band.
+
+    Scale note: the band self-join degenerates only if a band bucket
+    is huge (near-identical boilerplate floods one bucket); mitigate
+    upstream with normalize_text + a bucket-size cap before pairing.
+    """
+    bands = minhash_bands(df, text_col, id_col, k, band_size, shingle_n)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard over distinct word n-gram shingles for every pair
+    sharing at least one shingle; keeps pairs with jaccard >= threshold.
+
+    Output: (id_a, id_b, jaccard). At 100 TB this runs on LSH
+    candidates only (see dedup_minhash_lsh); the standalone form here
+    doubles as the oracle-checked exact verifier.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("s")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash32(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_n: int = 3
+) -> DataFrame:
+    """32-bit simhash fingerprint per document.
+
+    For bit b (0..31): every shingle votes +1/-1 according to bit b of
+    its md5 (nibble ``b // 4``, mask ``8 >> (b % 4)``); the fingerprint
+    sets bit b iff the vote total is positive. Integer-only output —
+    no float parity concerns. One explode + one groupBy(doc).
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("s")
+    ).select(F.col(id_col), F.md5("s").alias("h"))
+    votes = []
+    for b in range(32):
+        nibble = F.conv(F.substring("h", b // 4 + 1, 1), 16, 10).cast("int")
+        mask = 8 >> (b % 4)
+        bit_set = (nibble.bitwiseAND(F.lit(mask)) > 0).cast("int")
+        votes.append(F.sum(bit_set * 2 - 1).alias(f"v{b}"))
+    voted = sh.groupBy(id_col).agg(*votes)
+    fp = None
+    for b in range(32):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
+        fp = term if fp is None else (fp + term)
+    return voted.select(F.col(id_col), fp.alias("simhash"))

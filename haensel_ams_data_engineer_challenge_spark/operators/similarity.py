@@ -1,0 +1,211 @@
+"""Similarity search over embedding columns (array<float>).
+
+Float-parity design: the cosine is built as an EXPLICIT left-associated
+sum of 64 per-dimension products over double-cast arrays, generated
+once in Python and rendered both as a Spark Column tree and as DuckDB
+SQL — the identical IEEE operation order makes scores bit-equal across
+engines (library dot-products like DuckDB's list_dot_product accumulate
+in a different order and are NOT portable).
+
+Scale design (100 TB):
+- brute force is two-stage: per-partition local top-k (the window key
+  includes spark_partition_id so no single reducer sees all candidates)
+  then a final top-k over <= k * n_partitions survivors — the classic
+  distributed TopK, no skewed single-key shuffle.
+- the LSH variant buckets vectors by the sign pattern of dot products
+  with deterministic pseudo-random hyperplanes (constants derived from
+  md5 in plain Python, inlined into both engines), so candidate sets
+  shrink by ~2^planes and only same-bucket pairs are scored.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+EMBEDDING_DIM = 64
+LSH_PLANES = 6
+
+
+def _el(col: str, i: int) -> Column:
+    # element_at is 1-based, matching DuckDB's list indexing
+    return F.element_at(F.col(col), i).cast("double")
+
+
+def dot_expr(col_a: str, col_b: str, dim: int = EMBEDDING_DIM) -> Column:
+    """Explicit left-assoc dot product (see module docstring)."""
+    return reduce(lambda acc, i: acc + _el(col_a, i) * _el(col_b, i),
+                  range(2, dim + 1), _el(col_a, 1) * _el(col_b, 1))
+
+
+def dot_sql(col_a: str, col_b: str, dim: int = EMBEDDING_DIM) -> str:
+    """DuckDB twin of ``dot_expr`` — same association order."""
+    terms = [f"CAST({col_a}[{i}] AS DOUBLE) * CAST({col_b}[{i}] AS DOUBLE)"
+             for i in range(1, dim + 1)]
+    return "(" + " + ".join(terms) + ")"
+
+
+def norm_expr(col: str, dim: int = EMBEDDING_DIM) -> Column:
+    return F.sqrt(reduce(lambda acc, i: acc + _el(col, i) * _el(col, i),
+                         range(2, dim + 1), _el(col, 1) * _el(col, 1)))
+
+
+def norm_sql(col: str, dim: int = EMBEDDING_DIM) -> str:
+    terms = [f"CAST({col}[{i}] AS DOUBLE) * CAST({col}[{i}] AS DOUBLE)"
+             for i in range(1, dim + 1)]
+    return "sqrt(" + " + ".join(terms) + ")"
+
+
+def cosine_expr(col_a: str, col_b: str, dim: int = EMBEDDING_DIM) -> Column:
+    return dot_expr(col_a, col_b, dim) / (norm_expr(col_a, dim) * norm_expr(col_b, dim))
+
+
+def cosine_sql(col_a: str, col_b: str, dim: int = EMBEDDING_DIM) -> str:
+    return f"{dot_sql(col_a, col_b, dim)} / ({norm_sql(col_a, dim)} * {norm_sql(col_b, dim)})"
+
+
+def hyperplanes(planes: int = LSH_PLANES, dim: int = EMBEDDING_DIM) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1]^dim.
+
+    Component (p, i) comes from the first 6 hex digits of
+    md5(f"{p}|{i}") — reproducible in any engine/language, no RNG
+    state to ship.
+    """
+    out = []
+    for p in range(planes):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"{p}|{i}".encode()).hexdigest()[:6]
+            row.append(round(int(h, 16) / 0xFFFFFF * 2.0 - 1.0, 6))
+        out.append(row)
+    return out
+
+
+def bucket_expr(col: str, planes: list[list[float]]) -> Column:
+    """LSH bucket id: bit p set iff dot(vec, plane_p) > 0."""
+    total = None
+    for p, plane in enumerate(planes):
+        dot = reduce(
+            lambda acc, i: acc + _el(col, i + 1) * F.lit(plane[i]),
+            range(1, len(plane)),
+            _el(col, 1) * F.lit(plane[0]),
+        )
+        term = F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
+        total = term if total is None else (total + term)
+    return total
+
+
+def bucket_sql(col: str, planes: list[list[float]]) -> str:
+    parts = []
+    for p, plane in enumerate(planes):
+        terms = " + ".join(
+            f"CAST({col}[{i + 1}] AS DOUBLE) * CAST({w!r} AS DOUBLE)"
+            for i, w in enumerate(plane)
+        )
+        parts.append(
+            f"CASE WHEN ({terms}) > CAST(0.0 AS DOUBLE) THEN {1 << p} ELSE 0 END"
+        )
+    return "CAST(" + " + ".join(parts) + " AS BIGINT)"
+
+
+def ann_topk_brute(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query, two-stage distributed.
+
+    ``queries`` (small) is broadcast against every candidate; stage 1
+    keeps k survivors per (query, input partition), stage 2 ranks the
+    survivors. Output: (query_id, neighbor_id, cosine).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    c = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_expr("__qvec", "__cvec"))
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    local = Window.partitionBy("query_id", "__pid").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    survivors = (
+        scored.withColumn("__lrn", F.row_number().over(local))
+        .filter(F.col("__lrn") <= k)
+    )
+    final = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(final))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ann_topk_lsh(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = LSH_PLANES,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket. Output: (query_id, neighbor_id, cosine, rank)."""
+    hp = hyperplanes(planes)
+    with_bucket = vectors.withColumn("__bucket", bucket_expr(vec_col, hp))
+    q = with_bucket.join(
+        queries.select(id_col), id_col, "left_semi"
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        F.col("__bucket"),
+    )
+    c = with_bucket.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        F.col("__bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "__bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_expr("__qvec", "__cvec"))
+    )
+    final = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(final))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def embedding_dup_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs by cosine >= threshold (id_a < id_b).
+
+    Brute all-pairs — correct at any SF but quadratic; the 100 TB path
+    first buckets by ``bucket_expr`` and only scores same-bucket pairs
+    (same trade as dedup_minhash_lsh)."""
+    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_expr("__va", "__vb"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

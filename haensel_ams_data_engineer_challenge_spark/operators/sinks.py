@@ -1,0 +1,132 @@
+"""Write-side operators (SURVEY.md §2.1 S4-S8).
+
+The reference's write-side contract:
+- DDL bootstrap + schema verification (create_db.py:4-44)          -> S4
+- INSERT OR IGNORE primary-key upsert (db_utils.py:185-225)        -> S5
+- DELETE + INSERT date-range rebuild (reporting.py:34-98)          -> S6
+- CSV / JSON export (reporting.py:164-168, api_utils.py:215-244)   -> S7/S8
+
+Spark has no PK enforcement or row-level DELETE on plain parquet, so:
+- S5 = dropDuplicates(keys) + left_anti against the current sink
+  contents + append — exactly INSERT OR IGNORE semantics, idempotent
+  under re-runs (the reference's incremental story, main.py:332-353).
+- S6 = dynamic partition overwrite (partitionOverwriteMode=dynamic is
+  set by the session factory): writing a date-subset replaces exactly
+  those date partitions, the reference's delete-and-replace.
+
+Scale: both are metadata-bounded — the anti-join touches only the keys
+column of the existing sink (column pruning), partition overwrite
+rewrites only affected partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StructType
+
+from ..session import ensure_engine_confs
+
+#: the five attribution tables (challenge_db_create.sql:1-43).
+ATTRIBUTION_DDL: dict[str, str] = {
+    "conversions": "conv_id string, user_id string, conv_date string, conv_time string, revenue double",
+    "session_costs": "session_id string, cost double",
+    "session_sources": (
+        "session_id string, user_id string, event_date string, event_time string, "
+        "channel_name string, holder_engagement int, closer_engagement int, "
+        "impression_interaction int"
+    ),
+    "attribution_customer_journey": "conv_id string, session_id string, ihc double",
+    "channel_reporting": "channel_name string, date string, cost double, ihc double, ihc_revenue double",
+}
+
+
+def create_tables(spark: SparkSession, base_path: str) -> None:
+    """S4: DDL bootstrap — empty parquet datasets with declared schemas
+    (CREATE TABLE IF NOT EXISTS semantics: existing data is kept)."""
+    ensure_engine_confs(spark)
+    for name, ddl in ATTRIBUTION_DDL.items():
+        path = f"{base_path}/{name}"
+        try:
+            spark.read.parquet(path).limit(0).collect()
+            continue  # exists -> IF NOT EXISTS no-op
+        except Exception:
+            pass
+        empty = spark.createDataFrame([], StructType.fromDDL(ddl))
+        empty.write.mode("overwrite").parquet(path)
+
+
+def verify_tables(spark: SparkSession, base_path: str) -> dict[str, str]:
+    """S4 check (create_db.py:19-44): table -> schema DDL actually on disk;
+    raises if any expected table is missing or mis-typed."""
+    out = {}
+    for name, ddl in ATTRIBUTION_DDL.items():
+        schema = spark.read.parquet(f"{base_path}/{name}").schema
+        expected = StructType.fromDDL(ddl)
+        if [f.dataType for f in schema] != [f.dataType for f in expected] or [
+            f.name for f in schema
+        ] != [f.name for f in expected]:
+            raise ValueError(f"{name}: schema {schema.simpleString()} != {expected.simpleString()}")
+        out[name] = schema.simpleString()
+    return out
+
+
+def insert_if_absent(
+    spark: SparkSession, df: DataFrame, path: str, keys: list[str]
+) -> int:
+    """S5: INSERT OR IGNORE — append rows whose key is not already
+    present; duplicate keys within ``df`` keep one arbitrary-but-
+    deterministic row (first by the remaining columns). Returns the
+    number of rows appended."""
+    fresh = df.dropDuplicates(keys)
+    try:
+        existing = spark.read.parquet(path).select(*keys)
+        fresh = fresh.join(existing, keys, "left_anti")
+    except Exception:
+        pass  # sink does not exist yet -> everything is fresh
+    n = fresh.count()
+    if n:
+        fresh.write.mode("append").parquet(path)
+    return n
+
+
+def overwrite_partitions(df: DataFrame, path: str, partition_col: str) -> None:
+    """S6: delete-and-replace by partition — dynamic partition
+    overwrite rewrites exactly the partitions present in ``df``."""
+    df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+
+
+def export_csv(df: DataFrame, path: str) -> None:
+    """S7: single-file CSV with header (small-report sink; the
+    coalesce(1) is the documented non-scalable tail of the plan —
+    reports are a few hundred rows)."""
+    df.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+
+
+def export_json(df: DataFrame, path: str) -> None:
+    """S8: JSON-lines export (training-journey dumps)."""
+    df.write.mode("overwrite").json(path)
+
+
+def journeys_as_api_payload(journeys_flagged: DataFrame) -> DataFrame:
+    """C11: journeys grouped into the IHC API wire shape
+    (journey_builder.py:168-177): one row per conversion with the
+    session array as JSON."""
+    record = F.struct(
+        F.col("conv_id").alias("conversion_id"),
+        F.col("session_id"),
+        F.concat_ws(" ", "event_date", "event_time").alias("timestamp"),
+        F.col("channel_name").alias("channel_label"),
+        F.col("holder_engagement"),
+        F.col("closer_engagement"),
+        F.col("conversion"),
+        F.col("impression_interaction"),
+    )
+    return (
+        journeys_flagged.withColumn("__r", record)
+        .groupBy("conv_id")
+        .agg(F.sort_array(F.collect_list(F.struct(F.col("ts"), F.col("__r")))).alias("__rs"))
+        .select(
+            "conv_id",
+            F.to_json(F.transform("__rs", lambda x: x["__r"])).alias("journey_json"),
+        )
+    )

@@ -21,14 +21,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .attribution import model as M
-from .attribution.model import ORACLE_PRELUDE
-from .functions.scalars import dsum, dsum_sql, safe_div, ts_concat
-from .operators.asof import journey_asof_join
-from .operators.ihc import (
-    attribution_sum_violations,
-    flag_conversion_session,
-    ihc_attribute,
-)
+from .attribution.model import JOURNEYS_CTE, ORACLE_PRELUDE, SCORED_CTE
+from .functions.scalars import dsum, dsum_sql
+from .operators.ihc import attribution_sum_violations, flag_conversion_session
 from .plans.report import channel_report, report_metrics, report_totals
 from .sources import load_table
 
@@ -44,47 +39,6 @@ BEFORE_TS = "2024-01-20 00:00:00"
 Q1_CUTOFF = "1998-09-02 00:00:00"
 Q3_SEGMENT = "BUILDING"
 Q3_DATE = "1996-01-01 00:00:00"
-
-# ---------------------------------------------------------------------------
-# Shared oracle CTEs (journey closed form + native IHC model)
-# ---------------------------------------------------------------------------
-JOURNEYS_CTE = """
-journeys AS (
-    SELECT session_id, user_id, ts, event_date, event_time, channel_name,
-           holder_engagement, closer_engagement, impression_interaction,
-           conv_id, conv_ts, revenue
-    FROM (
-        SELECT s.*, c.conv_id, c.conv_ts, c.revenue,
-               ROW_NUMBER() OVER (PARTITION BY s.session_id
-                                  ORDER BY c.conv_ts, c.conv_id) AS __rn
-        FROM sessions s
-        JOIN conversions c
-          ON s.user_id = c.user_id AND s.ts < c.conv_ts
-    ) t
-    WHERE __rn = 1
-)
-"""
-
-SCORED_CTE = """
-scored AS (
-    SELECT conv_id, session_id, ts, event_date, channel_name, holder_engagement,
-           CAST(0.3 AS DOUBLE) * CAST(__rn_asc = 1 AS INT)
-         + CAST(0.3 AS DOUBLE) * CAST(__rn_desc = 1 AS INT)
-         + CAST(0.4 AS DOUBLE) * (CASE WHEN __h > 0
-               THEN CAST(holder_engagement AS DOUBLE) / CAST(__h AS DOUBLE)
-               ELSE CAST(1.0 AS DOUBLE) / CAST(__n AS DOUBLE) END) AS ihc
-    FROM (
-        SELECT j.*,
-               ROW_NUMBER() OVER (PARTITION BY conv_id
-                                  ORDER BY ts, session_id) AS __rn_asc,
-               ROW_NUMBER() OVER (PARTITION BY conv_id
-                                  ORDER BY ts DESC, session_id DESC) AS __rn_desc,
-               SUM(holder_engagement) OVER (PARTITION BY conv_id) AS __h,
-               COUNT(*) OVER (PARTITION BY conv_id) AS __n
-        FROM journeys j
-    ) t
-)
-"""
 
 REPORT_CTE = f"""
 report AS (
@@ -102,20 +56,9 @@ report AS (
 """
 
 
-def _pipeline_prelude(*extra: str) -> str:
-    return ORACLE_PRELUDE.rstrip() + "".join("," + cte for cte in extra)
-
-
-# ---------------------------------------------------------------------------
-# Spark-side helpers
-# ---------------------------------------------------------------------------
-
-def _journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return journey_asof_join(M.sessions(spark, sf_dir), M.conversions(spark, sf_dir))
-
-
-def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ihc_attribute(_journeys(spark, sf_dir))
+_pipeline_prelude = M.oracle_with
+_journeys = M.journeys
+_scored = M.scored
 
 
 def _report(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,142 @@
+"""Behavioral tests for the LLM-data-pipeline tier: the oracle gate
+proves Spark==DuckDB; these prove the operators do the RIGHT thing
+(find the planted near-dups, rank neighbors correctly, pack within
+caps...)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from haensel_ams_data_engineer_challenge_spark.operators import dedup as D
+from haensel_ams_data_engineer_challenge_spark.operators import similarity as S
+from haensel_ams_data_engineer_challenge_spark.operators.pack import (
+    greedy_pack,
+    pack_cumsum,
+    pack_greedy,
+)
+from haensel_ams_data_engineer_challenge_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    df = load_table(spark, sf_dir, "documents")
+    df.cache().count()
+    yield df
+    df.unpersist()
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark, docs):
+    """The testdata plants ~0.99-Jaccard pairs; LSH candidates must
+    cover every pair the exact verifier confirms at >= 0.8."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    candidates = {(r.id_a, r.id_b) for r in D.dedup_minhash_lsh(docs).collect()}
+    assert exact, "testdata should contain planted near-duplicates"
+    missed = exact - candidates
+    assert not missed, f"LSH missed high-similarity pairs: {missed}"
+
+
+def test_simhash_near_dups_have_small_hamming(spark, docs):
+    """Planted near-dup pairs should land within small Hamming distance
+    of each other; random pairs should not, on average."""
+    fp = D.simhash32(docs)
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.9).select("id_a", "id_b")
+    a = fp.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("fa"))
+    b = fp.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("fb"))
+    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    dup_ham = (
+        pairs.join(a, "id_a").join(b, "id_b").agg(F.avg(ham)).first()[0]
+    )
+    rand_ham = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .limit(2000)
+        .agg(F.avg(ham))
+        .first()[0]
+    )
+    assert dup_ham < rand_ham / 2, (dup_ham, rand_ham)
+
+
+def test_ann_brute_matches_naive_topk(spark, sf_dir):
+    vecs = load_table(spark, sf_dir, "embeddings")
+    queries = vecs.filter(F.col("vec_id") < 3)
+    got = S.ann_topk_brute(vecs, queries, k=4).collect()
+    # naive recompute driver-side
+    import numpy as np
+
+    data = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in vecs.collect()}
+    for qid in (0, 1, 2):
+        q = data[qid]
+        scores = sorted(
+            (
+                (float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v))), nid)
+                for nid, v in data.items()
+                if nid != qid
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )[:4]
+        expected = [nid for _, nid in scores]
+        mine = [r.neighbor_id for r in sorted(got, key=lambda r: r.rank) if r.query_id == qid]
+        assert mine == expected, f"query {qid}: {mine} != {expected}"
+
+
+def test_ann_lsh_neighbors_share_bucket_and_rank_correctly(spark, sf_dir):
+    vecs = load_table(spark, sf_dir, "embeddings")
+    queries = vecs.filter(F.col("vec_id") < 10)
+    out = S.ann_topk_lsh(vecs, queries, k=3)
+    # ranks are 1..k without gaps per query, cosine non-increasing
+    rows = sorted(out.collect(), key=lambda r: (r.query_id, r.rank))
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rs in by_q.items():
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        cosines = [r.cosine for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_pack_greedy_matches_reference_semantics(spark):
+    sizes = [(str(i), (i * 37) % 90 + 1) for i in range(500)]
+    expected = greedy_pack(sizes, max_journeys=10, max_sessions=150)
+    df = spark.createDataFrame(sizes, "conv_id string, n_sessions long")
+    got = sorted(
+        pack_greedy(df, max_journeys=10, max_sessions=150).collect(),
+        key=lambda r: int(r.conv_id),
+    )
+    # NB: greedy_pack input order is conv_id-as-int order
+    expected_sorted = sorted(expected, key=lambda t: int(t[0]))
+    assert [(r.conv_id, r.n_sessions, r.chunk_id) for r in got] != []
+    # compare against the python reference applied in the same order
+    ordered = sorted(sizes, key=lambda t: int(t[0]))
+    expected2 = {t[0]: t[2] for t in greedy_pack(ordered, 10, 150)}
+    for r in got:
+        assert r.chunk_id == expected2[r.conv_id]
+
+
+def test_pack_caps_hold(spark):
+    sizes = [(str(i), (i * 13) % 40 + 1) for i in range(400)]
+    df = spark.createDataFrame(sizes, "conv_id string, n_sessions long")
+    for packed in (
+        pack_greedy(df, max_journeys=25, max_sessions=300),
+        pack_cumsum(df, max_journeys=25, max_sessions=300),
+    ):
+        per_chunk = (
+            packed.groupBy("chunk_id")
+            .agg(F.count(F.lit(1)).alias("nj"), F.sum("n_sessions").alias("ns"))
+            .collect()
+        )
+        assert all(r.nj <= 25 for r in per_chunk)
+
+
+def test_multimodal_decode_deterministic(spark, sf_dir):
+    from haensel_ams_data_engineer_challenge_spark.multimodal.binary import (
+        decode_stub_query,
+    )
+
+    a = {r.doc_id: (r.n_bytes, r.format, r.width, r.height) for r in decode_stub_query(spark, sf_dir).collect()}
+    b = {r.doc_id: (r.n_bytes, r.format, r.width, r.height) for r in decode_stub_query(spark, sf_dir).collect()}
+    assert a == b and len(a) > 0
+    assert all(64 <= w < 2048 and 64 <= h < 2048 for (_, _, w, h) in a.values())

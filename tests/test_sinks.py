@@ -1,0 +1,98 @@
+"""S4-S8 write-side semantics (SURVEY.md §2.1)."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from haensel_ams_data_engineer_challenge_spark.operators import sinks
+
+
+def test_create_and_verify_tables(spark, tmp_path):
+    base = str(tmp_path / "warehouse")
+    sinks.create_tables(spark, base)
+    schemas = sinks.verify_tables(spark, base)
+    assert set(schemas) == set(sinks.ATTRIBUTION_DDL)
+    # IF NOT EXISTS: a second run must not clobber data
+    df = spark.createDataFrame([("c1", "s1", 0.5)], "conv_id string, session_id string, ihc double")
+    df.write.mode("append").parquet(f"{base}/attribution_customer_journey")
+    sinks.create_tables(spark, base)
+    assert spark.read.parquet(f"{base}/attribution_customer_journey").count() == 1
+
+
+def test_insert_if_absent_is_insert_or_ignore(spark, tmp_path):
+    path = str(tmp_path / "acj")
+    rows1 = spark.createDataFrame(
+        [("c1", "s1", 0.4), ("c1", "s2", 0.6)],
+        "conv_id string, session_id string, ihc double",
+    )
+    assert sinks.insert_if_absent(spark, rows1, path, ["conv_id", "session_id"]) == 2
+    # re-run with overlap + one new row: only the new row lands
+    rows2 = spark.createDataFrame(
+        [("c1", "s1", 9.9), ("c2", "s3", 1.0)],
+        "conv_id string, session_id string, ihc double",
+    )
+    assert sinks.insert_if_absent(spark, rows2, path, ["conv_id", "session_id"]) == 1
+    got = {(r.conv_id, r.session_id): r.ihc for r in spark.read.parquet(path).collect()}
+    assert got[("c1", "s1")] == 0.4  # original kept, duplicate ignored
+    assert len(got) == 3
+
+
+def test_overwrite_partitions_is_delete_and_replace(spark, tmp_path):
+    path = str(tmp_path / "report")
+    v1 = spark.createDataFrame(
+        [("d1", "a", 1.0), ("d2", "b", 2.0)], "date string, ch string, v double"
+    )
+    sinks.overwrite_partitions(v1, path, "date")
+    # rebuild only d2 with new content; d1 must survive
+    v2 = spark.createDataFrame([("d2", "b", 9.0)], "date string, ch string, v double")
+    sinks.overwrite_partitions(v2, path, "date")
+    got = {(r.date, r.ch): r.v for r in spark.read.parquet(path).collect()}
+    assert got == {("d1", "a"): 1.0, ("d2", "b"): 9.0}
+
+
+def test_export_csv_single_file_with_header(spark, tmp_path):
+    path = str(tmp_path / "out_csv")
+    df = spark.createDataFrame([("x", 1.5)], "channel_name string, cost double")
+    sinks.export_csv(df, path)
+    files = list(Path(path).glob("*.csv"))
+    assert len(files) == 1
+    lines = files[0].read_text().strip().splitlines()
+    assert lines[0] == "channel_name,cost"
+    assert lines[1] == "x,1.5"
+
+
+def test_export_json_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "out_json")
+    df = spark.createDataFrame([("c1", 0.25)], "conv_id string, ihc double")
+    sinks.export_json(df, path)
+    rows = [
+        json.loads(line)
+        for f in Path(path).glob("*.json")
+        for line in f.read_text().strip().splitlines()
+    ]
+    assert rows == [{"conv_id": "c1", "ihc": 0.25}]
+
+
+def test_journeys_as_api_payload_shape(spark, sf_dir):
+    from haensel_ams_data_engineer_challenge_spark.attribution import model as M
+    from haensel_ams_data_engineer_challenge_spark.operators.ihc import (
+        flag_conversion_session,
+    )
+
+    flagged = flag_conversion_session(M.journeys(spark, sf_dir))
+    payload = sinks.journeys_as_api_payload(flagged).limit(5).collect()
+    for row in payload:
+        records = json.loads(row.journey_json)
+        assert all(r["conversion_id"] == row.conv_id for r in records)
+        assert sum(r["conversion"] for r in records) == 1  # exactly one flag
+        ts = [r["timestamp"] for r in records]
+        assert ts == sorted(ts)  # journey order (db_utils.py:176)
+        assert set(records[0]) == {
+            "conversion_id", "session_id", "timestamp", "channel_label",
+            "holder_engagement", "closer_engagement", "conversion",
+            "impression_interaction",
+        }
