@@ -1,0 +1,127 @@
+"""End-to-end attribution pipeline (reference main.run_pipeline:299-378
+as one lazy DataFrame graph + two writes).
+
+Reference lifecycle -> engine stage:
+1. validate dates        (main.py:74-112)   -> validate_date
+2. DDL bootstrap         (main.py:114-135)  -> sinks.create_tables
+3. extract + journeys    (main.py:137-192)  -> attribution.model + asof
+4. incremental skip      (main.py:331-353)  -> left_anti vs sink (J6)
+5. score                 (main.py:194-242)  -> operators.ihc (native)
+6. load + report         (main.py:244-297)  -> insert_if_absent (S5),
+                                               sum check (A2),
+                                               partition overwrite (S6),
+                                               CSV export (S7)
+
+The reference runs 6 eager SQLite round-trips; here stages 3-5 are one
+logical plan (Catalyst sees scan->join->window->score end to end) and
+the only actions are the two writes + the invariant check.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..attribution import model as M
+from ..operators.asof import journey_asof_join
+from ..operators.ihc import attribution_sum_violations, ihc_attribute
+from ..operators.sinks import export_csv, insert_if_absent, overwrite_partitions
+from .report import channel_report, report_metrics
+
+
+def validate_date(value: str | None, name: str) -> None:
+    """main.validate_dates:74-112 — YYYY-MM-DD or None."""
+    if value is None:
+        return
+    try:
+        datetime.strptime(value, "%Y-%m-%d")
+    except ValueError as exc:
+        raise ValueError(f"{name} must be YYYY-MM-DD, got {value!r}") from exc
+
+
+@dataclass
+class PipelineResult:
+    conversions_total: int
+    conversions_scored: int
+    attribution_rows_written: int
+    sum_violations: int
+    report_rows: int
+
+
+def run_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    attribution_path: str,
+    report_path: str,
+    start_date: str | None = None,
+    end_date: str | None = None,
+    report_csv_path: str | None = None,
+) -> PipelineResult:
+    """Run extract -> journeys -> score -> upsert -> report.
+
+    Incremental semantics match the reference: conversions already
+    present in the attribution sink are skipped (J6 anti-join,
+    main.py:332-353); the report is rebuilt with delete-and-replace
+    partition semantics for the covered dates (reporting.py:36-50).
+    Re-running the same range is a no-op on the attribution sink and
+    an identical rewrite of the report partitions.
+    """
+    validate_date(start_date, "start_date")
+    validate_date(end_date, "end_date")
+
+    conversions = M.conversions(spark, sf_dir)
+    if start_date:
+        conversions = conversions.filter(F.col("conv_date") >= start_date)
+    if end_date:
+        conversions = conversions.filter(F.col("conv_date") <= end_date)
+    conversions_total = conversions.count()
+
+    # 4. incremental skip (J5/J6): only conversions not yet scored
+    try:
+        existing = spark.read.parquet(attribution_path).select("conv_id").distinct()
+        todo = conversions.join(existing, "conv_id", "left_anti")
+    except Exception:
+        todo = conversions
+
+    # 3+5. journeys + native scoring — one lazy graph
+    journeys = journey_asof_join(M.sessions(spark, sf_dir), todo)
+    scored = ihc_attribute(journeys).select("conv_id", "session_id", "ihc")
+    conversions_scored = scored.select("conv_id").distinct().count()
+
+    # 6a. INSERT OR IGNORE upsert (S5)
+    written = insert_if_absent(spark, scored, attribution_path, ["conv_id", "session_id"])
+
+    # 6b. invariant check (A2) — warn-only in the reference (main.py:272-274)
+    all_attribution = spark.read.parquet(attribution_path)
+    sum_violations = attribution_sum_violations(all_attribution).count()
+
+    # 6c. channel report rebuild (S6 partition overwrite) + metrics
+    report = channel_report(
+        M.sessions(spark, sf_dir),
+        M.costs(spark, sf_dir),
+        all_attribution,
+        M.conversions(spark, sf_dir),
+        start_date,
+        end_date,
+    )
+    overwrite_partitions(report, report_path, "date")
+    # partitionBy moves the partition column last on read-back; restore
+    # the reference's column order (channel_reporting.csv header)
+    report_df = report_metrics(spark.read.parquet(report_path)).select(
+        "channel_name", "date", "cost", "ihc", "ihc_revenue", "CPO", "ROAS"
+    )
+    report_rows = report_df.count()
+
+    # 6d. CSV export (S7) — the reference's final artifact
+    if report_csv_path:
+        export_csv(report_df, report_csv_path)
+
+    return PipelineResult(
+        conversions_total=conversions_total,
+        conversions_scored=conversions_scored,
+        attribution_rows_written=written,
+        sum_violations=sum_violations,
+        report_rows=report_rows,
+    )

@@ -1,0 +1,159 @@
+"""Structured Streaming surface.
+
+The reference has no streams — its incremental story is batch
+date-range re-runs (main.py:47-56) plus skip-already-scored
+(db_utils.check_attribution_exists:260-302). Sessions are naturally an
+append-only event stream, so the engine exposes:
+
+- ``stream_events``          — file-source stream over the events
+  table (the session feed), with the same nanos->timestamp
+  normalization as the batch reader;
+- ``hourly_event_stats``     — watermarked tumbling-window aggregate,
+  the streaming twin of the batch ``window_tumbling_hour`` query;
+- ``run_streaming_attribution`` — incremental attribution: each
+  micro-batch of conversions is journey-built against the session
+  store, IHC-scored, and upserted with INSERT OR IGNORE semantics
+  (operators/sinks.insert_if_absent), i.e. the reference's
+  incremental pipeline expressed as a stream.
+
+foreachBatch deliberately reuses the BATCH operators — one codepath
+for semantics, streaming only handles arrival. Exactly-once story:
+the idempotent key-based upsert makes micro-batch replays harmless
+(at-least-once delivery + idempotent sink = effectively-once).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..operators.asof import journey_asof_join
+from ..operators.ihc import ihc_attribute
+from ..operators.sinks import insert_if_absent
+from ..session import ensure_engine_confs
+
+#: raw parquet schema of the events table (ts = nanos as long).
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (one file per SF in
+    the testdata; in production this is a directory the feed appends
+    to). Normalizes nanos -> timestamp_ntz exactly like the batch
+    reader (sources/tables.py)."""
+    ensure_engine_confs(spark)
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        # file-stream sources take a directory; filter to the events
+        # table (in production: the directory the feed appends into)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    # ltz (plain TIMESTAMP), not ntz: Spark watermarks only accept
+    # TIMESTAMP event-time columns; wall values are identical under the
+    # UTC session timezone.
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def hourly_event_stats(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window aggregate (streaming twin of the
+    batch ``window_tumbling_hour`` registry query). Late events beyond
+    the watermark are dropped; state is bounded by watermark horizon."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def _sessions_from_events(events: DataFrame) -> DataFrame:
+    # mirror of attribution.model.sessions on an arbitrary events frame
+    return events.select(
+        F.col("event_id").cast("string").alias("session_id"),
+        F.col("user_id").cast("string").alias("user_id"),
+        F.col("ts"),
+        F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+        F.date_format("ts", "HH:mm:ss").alias("event_time"),
+        F.col("event_type").alias("channel_name"),
+        F.col("event_type").isin("view", "click").cast("int").alias("holder_engagement"),
+        F.col("event_type").isin("click", "signup").cast("int").alias("closer_engagement"),
+        (F.col("event_type") == "view").cast("int").alias("impression_interaction"),
+    )
+
+
+def run_streaming_attribution(
+    spark: SparkSession,
+    sf_dir: str,
+    sink_path: str,
+    checkpoint_dir: str,
+) -> None:
+    """Incremental attribution as a stream (availableNow trigger —
+    processes everything currently in the source, then stops).
+
+    Each micro-batch carries new conversion events; journeys are built
+    against the full session table (stream-static pattern: the session
+    store is the batch side), scored natively, and appended with
+    INSERT OR IGNORE semantics so replays and overlapping batches
+    cannot double-write (conv_id, session_id) rows.
+    """
+    from ..attribution import model as M
+
+    static_sessions = M.sessions(spark, sf_dir)
+
+    conv_stream = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").cast("string").alias("conv_id"),
+            F.col("user_id").cast("string").alias("user_id"),
+            # back to ntz so the as-of comparison against the batch
+            # session store is same-typed (identity cast under UTC)
+            F.col("ts").cast("timestamp_ntz").alias("conv_ts"),
+            F.col("value").alias("revenue"),
+        )
+    )
+
+    def score_batch(batch: DataFrame, batch_id: int) -> None:
+        sess = static_sessions
+        try:
+            # F4 across batches: sessions already claimed by earlier
+            # micro-batches stay claimed (the reference's
+            # assigned_session_ids set, journey_builder.py:92-107,
+            # persisted in the sink instead of driver memory).
+            assigned = batch.sparkSession.read.parquet(sink_path).select("session_id")
+            sess = sess.join(assigned, "session_id", "left_anti")
+        except Exception:
+            pass  # first batch: nothing assigned yet
+        journeys = journey_asof_join(sess, batch)
+        scored = ihc_attribute(journeys).select("conv_id", "session_id", "ihc")
+        insert_if_absent(batch.sparkSession, scored, sink_path, ["conv_id", "session_id"])
+
+    (
+        conv_stream.writeStream.foreachBatch(score_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -1,0 +1,65 @@
+"""End-to-end pipeline: full run, incremental re-run, date-range
+extension — the reference's operational lifecycle (main.py:299-378)."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+
+from haensel_ams_data_engineer_challenge_spark.attribution import model as M
+from haensel_ams_data_engineer_challenge_spark.plans.pipeline import (
+    run_pipeline,
+    validate_date,
+)
+
+
+def test_validate_date():
+    validate_date(None, "x")
+    validate_date("2024-01-31", "x")
+    with pytest.raises(ValueError):
+        validate_date("31-01-2024", "x")
+    with pytest.raises(ValueError):
+        validate_date("2024-13-01", "x")
+
+
+def test_full_run_then_incremental_rerun(spark, sf_dir, tmp_path):
+    acj = str(tmp_path / "acj")
+    rep = str(tmp_path / "report")
+    csv = str(tmp_path / "report_csv")
+
+    r1 = run_pipeline(spark, sf_dir, acj, rep, report_csv_path=csv)
+    assert r1.conversions_total > 0
+    assert r1.attribution_rows_written > 0
+    assert r1.sum_violations == 0
+    assert r1.report_rows > 0
+    # the full scored set landed
+    expected = M.scored(spark, sf_dir).count()
+    assert spark.read.parquet(acj).count() == expected
+    # CSV artifact exists with the reference's header shape
+    header = next(Path(csv).glob("*.csv")).read_text().splitlines()[0]
+    assert header == "channel_name,date,cost,ihc,ihc_revenue,CPO,ROAS"
+
+    # re-run: everything already scored -> nothing written, same report
+    r2 = run_pipeline(spark, sf_dir, acj, rep)
+    assert r2.conversions_scored == 0
+    assert r2.attribution_rows_written == 0
+    assert r2.report_rows == r1.report_rows
+    assert spark.read.parquet(acj).count() == expected
+
+
+def test_date_range_runs_accumulate(spark, sf_dir, tmp_path):
+    acj = str(tmp_path / "acj")
+    rep = str(tmp_path / "report")
+    r1 = run_pipeline(spark, sf_dir, acj, rep, start_date="2024-01-01", end_date="2024-01-10")
+    n1 = spark.read.parquet(acj).count()
+    assert r1.conversions_scored > 0 and n1 > 0
+    # extend the range: only the new window's conversions get scored
+    r2 = run_pipeline(spark, sf_dir, acj, rep, start_date="2024-01-01", end_date="2024-01-20")
+    n2 = spark.read.parquet(acj).count()
+    assert r2.conversions_scored > 0
+    assert n2 > n1
+    # re-run of the extended range is a no-op
+    r3 = run_pipeline(spark, sf_dir, acj, rep, start_date="2024-01-01", end_date="2024-01-20")
+    assert r3.attribution_rows_written == 0
+    assert spark.read.parquet(acj).count() == n2

@@ -1,0 +1,63 @@
+"""Structured Streaming surface: streaming results must converge to
+the batch results on the same data (one-codepath principle)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from haensel_ams_data_engineer_challenge_spark.attribution import model as M
+from haensel_ams_data_engineer_challenge_spark.sources import load_table
+from haensel_ams_data_engineer_challenge_spark.streaming import (
+    hourly_event_stats,
+    run_streaming_attribution,
+    stream_events,
+)
+
+
+def test_streaming_hourly_stats_match_batch(spark, sf_dir, tmp_path):
+    stats = hourly_event_stats(stream_events(spark, sf_dir))
+    q = (
+        stats.writeStream.format("memory")
+        .queryName("hourly")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.window_start, r.event_type): (r.n_events, round(r.total_value, 6))
+        for r in spark.sql("SELECT * FROM hourly").collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    expected = {
+        (r.window_start, r.event_type): (r.n_events, round(r.total_value, 6))
+        for r in ev.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .collect()
+    }
+    assert got == expected
+
+
+def test_streaming_attribution_converges_to_batch(spark, sf_dir, tmp_path):
+    sink = str(tmp_path / "acj")
+    run_streaming_attribution(
+        spark, sf_dir, sink, checkpoint_dir=str(tmp_path / "ckpt2")
+    )
+    got = {
+        (r.conv_id, r.session_id): round(r.ihc, 9)
+        for r in spark.read.parquet(sink).collect()
+    }
+    expected = {
+        (r.conv_id, r.session_id): round(r.ihc, 9)
+        for r in M.scored(spark, sf_dir).select("conv_id", "session_id", "ihc").collect()
+    }
+    assert got == expected
+    # idempotency: re-running with a fresh checkpoint must not duplicate
+    run_streaming_attribution(
+        spark, sf_dir, sink, checkpoint_dir=str(tmp_path / "ckpt3")
+    )
+    assert spark.read.parquet(sink).count() == len(expected)
