@@ -82,7 +82,7 @@ def _minhash_bands_cte() -> str:
 
 
 def _docs(spark: SparkSession, sf: str) -> DataFrame:
-    return load_table(spark, sf, "documents")
+    return load_table(spark, sf, "documents")  # loader spreads (single row group)
 
 
 def _vecs(spark: SparkSession, sf: str) -> DataFrame:

@@ -86,7 +86,7 @@ def asof_join(
 
 
 def journey_asof_join(sessions: DataFrame, conversions: DataFrame) -> DataFrame:
-    """J4: build journey rows (SURVEY.md §2.3).
+    """J4: build journey rows (SURVEY.md §2.3) — merged-stream form.
 
     Output: one row per (conv_id, session_id) — every session of the
     journey of the conversion that claimed it, carrying session
@@ -96,7 +96,78 @@ def journey_asof_join(sessions: DataFrame, conversions: DataFrame) -> DataFrame:
     conv_ts break on conv_id (reference processes earliest-first and
     pandas sort is stable; conv_id gives Spark a deterministic total
     order).
+
+    Instead of the generic join+window (which materializes
+    |sessions x later-conversions| intermediate rows — measured ~7x
+    the input at sf0.1 and growing with conversions-per-user), union
+    the two streams and scan each user's timeline once, latest-first,
+    carrying the running "earliest conversion seen so far":
+
+    - order: ts DESC, sessions-before-conversions on ties (so a
+      conversion at the exact session ts is invisible -> strict <,
+      journey_builder.py:84), conv_id DESC (so the running value ends
+      at the MIN conv_id for equal conv_ts);
+    - ``last(conv_id, ignorenulls)`` over unbounded-preceding..current
+      is then exactly "earliest conversion strictly after this
+      session".
+
+    Cost: one shuffle+sort of |sessions|+|conversions| rows on
+    user_id — linear, no fan-out. Per-user timelines are bounded in
+    practice; a pathological hot user is a single sorted partition
+    (same bound as any per-entity sessionization).
     """
+    s = sessions.select(
+        "session_id", "user_id", "ts", "event_date", "event_time",
+        "channel_name", "holder_engagement", "closer_engagement",
+        "impression_interaction",
+        F.lit(0).alias("__is_conv"),
+        F.lit(None).cast("string").alias("conv_id"),
+        F.lit(None).cast(dict(conversions.dtypes)["conv_ts"]).alias("conv_ts"),
+        F.lit(None).cast("double").alias("revenue"),
+    )
+    c = conversions.select(
+        F.lit(None).cast("string").alias("session_id"),
+        "user_id",
+        F.col("conv_ts").alias("ts"),
+        F.lit(None).cast("string").alias("event_date"),
+        F.lit(None).cast("string").alias("event_time"),
+        F.lit(None).cast("string").alias("channel_name"),
+        F.lit(None).cast("int").alias("holder_engagement"),
+        F.lit(None).cast("int").alias("closer_engagement"),
+        F.lit(None).cast("int").alias("impression_interaction"),
+        F.lit(1).alias("__is_conv"),
+        "conv_id",
+        "conv_ts",
+        "revenue",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("__is_conv").asc(), F.col("conv_id").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = s.unionByName(c).select(
+        "*",
+        F.last("conv_id", ignorenulls=True).over(w).alias("__next_conv"),
+        F.last("conv_ts", ignorenulls=True).over(w).alias("__next_conv_ts"),
+        F.last("revenue", ignorenulls=True).over(w).alias("__next_revenue"),
+    )
+    return (
+        merged.filter((F.col("__is_conv") == 0) & F.col("__next_conv").isNotNull())
+        .select(
+            "session_id", "user_id", "ts", "event_date", "event_time",
+            "channel_name", "holder_engagement", "closer_engagement",
+            "impression_interaction",
+            F.col("__next_conv").alias("conv_id"),
+            F.col("__next_conv_ts").alias("conv_ts"),
+            F.col("__next_revenue").alias("revenue"),
+        )
+    )
+
+
+def journey_asof_join_naive(sessions: DataFrame, conversions: DataFrame) -> DataFrame:
+    """J4 via the generic join+window closed form — kept as the
+    independent cross-check for the merged-stream implementation
+    (tests assert both produce identical assignments)."""
     return asof_join(
         sessions,
         conversions.select("conv_id", "user_id", "conv_ts", "revenue"),

@@ -193,13 +193,22 @@ def simhash32(
     sh = df.select(
         F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("s")
     ).select(F.col(id_col), F.md5("s").alias("h"))
+    # project the 8 hex nibbles to ints ONCE, then 32 cheap bit-mask
+    # aggregates — the conv() parse per bit (4x redundant) dominated
+    # the runtime otherwise.
+    nibbles = sh.select(
+        F.col(id_col),
+        *[
+            F.conv(F.substring("h", i + 1, 1), 16, 10).cast("int").alias(f"n{i}")
+            for i in range(8)
+        ],
+    )
     votes = []
     for b in range(32):
-        nibble = F.conv(F.substring("h", b // 4 + 1, 1), 16, 10).cast("int")
         mask = 8 >> (b % 4)
-        bit_set = (nibble.bitwiseAND(F.lit(mask)) > 0).cast("int")
+        bit_set = (F.col(f"n{b // 4}").bitwiseAND(F.lit(mask)) > 0).cast("int")
         votes.append(F.sum(bit_set * 2 - 1).alias(f"v{b}"))
-    voted = sh.groupBy(id_col).agg(*votes)
+    voted = nibbles.groupBy(id_col).agg(*votes)
     fp = None
     for b in range(32):
         term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")

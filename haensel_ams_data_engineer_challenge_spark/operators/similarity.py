@@ -21,7 +21,6 @@ Scale design (100 TB):
 from __future__ import annotations
 
 import hashlib
-from functools import reduce
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
@@ -29,15 +28,26 @@ EMBEDDING_DIM = 64
 LSH_PLANES = 6
 
 
-def _el(col: str, i: int) -> Column:
-    # element_at is 1-based, matching DuckDB's list indexing
-    return F.element_at(F.col(col), i).cast("double")
+def _d(col: str) -> Column:
+    return F.col(col).cast("array<double>")
 
 
 def dot_expr(col_a: str, col_b: str, dim: int = EMBEDDING_DIM) -> Column:
-    """Explicit left-assoc dot product (see module docstring)."""
-    return reduce(lambda acc, i: acc + _el(col_a, i) * _el(col_b, i),
-                  range(2, dim + 1), _el(col_a, 1) * _el(col_b, 1))
+    """Left-assoc dot product as an array fold.
+
+    ``aggregate(zip_with(a, b, *), 0.0, +)`` adds terms in index order
+    starting from +0.0 — bit-identical to the oracle's explicit
+    ``t1 + t2 + ...`` chain because ``0.0 + x == x`` in IEEE for every
+    x (only -0.0 maps to +0.0, which cannot change a later sum). The
+    fold form keeps whole-stage codegen small (a loop, not dim
+    unrolled expression nodes — the unrolled form spent seconds in
+    Janino at dim=64).
+    """
+    return F.aggregate(
+        F.zip_with(_d(col_a), _d(col_b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
 
 
 def dot_sql(col_a: str, col_b: str, dim: int = EMBEDDING_DIM) -> str:
@@ -48,8 +58,7 @@ def dot_sql(col_a: str, col_b: str, dim: int = EMBEDDING_DIM) -> str:
 
 
 def norm_expr(col: str, dim: int = EMBEDDING_DIM) -> Column:
-    return F.sqrt(reduce(lambda acc, i: acc + _el(col, i) * _el(col, i),
-                         range(2, dim + 1), _el(col, 1) * _el(col, 1)))
+    return F.sqrt(dot_expr(col, col, dim))
 
 
 def norm_sql(col: str, dim: int = EMBEDDING_DIM) -> str:
@@ -87,10 +96,10 @@ def bucket_expr(col: str, planes: list[list[float]]) -> Column:
     """LSH bucket id: bit p set iff dot(vec, plane_p) > 0."""
     total = None
     for p, plane in enumerate(planes):
-        dot = reduce(
-            lambda acc, i: acc + _el(col, i + 1) * F.lit(plane[i]),
-            range(1, len(plane)),
-            _el(col, 1) * F.lit(plane[0]),
+        dot = F.aggregate(
+            F.zip_with(_d(col), F.lit(plane), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
         term = F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
         total = term if total is None else (total + term)

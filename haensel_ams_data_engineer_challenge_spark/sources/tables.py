@@ -27,8 +27,22 @@ TESTDATA_TABLES = (
 #: columns persisted as TIMESTAMP(NANOS) that surface as bigint nanos.
 _NANOS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
+#: tables worth spreading: the testdata parquet files are a SINGLE row
+#: group each, so a bare scan is one task no matter the cluster size —
+#: an immediate round-robin repartition turns the scan stage into a
+#: cheap raw-byte shuffle and runs every downstream computation at
+#: full parallelism. Worth it ONLY where downstream work is CPU-heavy
+#: per row (the md5/shingle/vector pipelines over documents and
+#: embeddings — measured 2-4x); for the relational tables the extra
+#: shuffle costs more than it buys (measured), so they stay unspread.
+#: On a real multi-file dataset this is unnecessary — it is scan-layout
+#: repair, not query logic.
+_SPREAD_TABLES = {"documents", "embeddings"}
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool | None = None
+) -> DataFrame:
     """Load one testdata table with normalized timestamp types."""
     ensure_engine_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -42,6 +56,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 col,
                 F.expr(f"cast(timestamp_micros({col} div 1000) as timestamp_ntz)"),
             )
+    if spread is None:
+        spread = name in _SPREAD_TABLES
+    if spread:
+        from ..session import default_parallelism
+
+        df = df.repartition(default_parallelism())
     return df
 
 

@@ -22,6 +22,7 @@ from haensel_ams_data_engineer_challenge_spark.attribution import model as M
 from haensel_ams_data_engineer_challenge_spark.operators.asof import (
     asof_join,
     journey_asof_join,
+    journey_asof_join_naive,
 )
 from haensel_ams_data_engineer_challenge_spark.operators.ihc import (
     attribution_sum_violations,
@@ -65,6 +66,18 @@ def test_earliest_qualifying_conversion(spark, sf_dir, journeys):
     )
     assert mismatches.count() == 0
     assert got.count() == expected.count()
+
+
+def test_merged_stream_matches_naive_join_form(spark, sf_dir, journeys):
+    """The O(n log n) merged-stream implementation and the generic
+    join+window closed form must produce identical journey rows."""
+    naive = journey_asof_join_naive(
+        M.sessions(spark, sf_dir), M.conversions(spark, sf_dir)
+    )
+    cols = journeys.columns
+    a = {tuple(r) for r in journeys.select(*cols).collect()}
+    b = {tuple(r) for r in naive.select(*cols).collect()}
+    assert a == b
 
 
 def test_exactly_one_flag_per_journey(journeys):
