@@ -133,6 +133,46 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
               >= CAST({JACCARD_THRESHOLD} AS DOUBLE)""",
     )
 
+    # composed 100 TB path: LSH candidates -> exact Jaccard verify.
+    # The oracle restricts the quadratic verifier to candidate docs the
+    # same way the Spark plan does.
+    VERIFY_THRESHOLD = 0.5
+    e["dedup_verify_candidates"] = (
+        lambda spark, sf: D.verify_candidates(
+            _docs(spark, sf), threshold=VERIFY_THRESHOLD
+        ),
+        prelude + "," + _minhash_sig_cte().strip() + "," + _minhash_bands_cte().strip()
+        + f""",
+        cand_pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a
+            JOIN bands b ON a.band_key = b.band_key AND a.band = b.band
+                        AND a.doc_id < b.doc_id
+        ),
+        cand_ids AS (
+            SELECT id_a AS doc_id FROM cand_pairs
+            UNION SELECT id_b FROM cand_pairs
+        ),
+        sh_ex AS (
+            SELECT doc_id, unnest(sh) AS s FROM doc_shingles
+            WHERE doc_id IN (SELECT doc_id FROM cand_ids)
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh_ex GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+            FROM sh_ex a JOIN sh_ex b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT i.id_a, i.id_b,
+               CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
+        FROM inter i
+        JOIN cand_pairs p ON p.id_a = i.id_a AND p.id_b = i.id_b
+        JOIN sizes sa ON sa.doc_id = i.id_a
+        JOIN sizes sb ON sb.doc_id = i.id_b
+        WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE)
+              >= CAST({VERIFY_THRESHOLD} AS DOUBLE)""",
+    )
+
     votes_cols = []
     for b in range(32):
         nibble = f"CAST('0x' || substr(h, {b // 4 + 1}, 1) AS INT)"

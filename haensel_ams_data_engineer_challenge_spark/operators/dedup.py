@@ -180,6 +180,33 @@ def ngram_jaccard_pairs(
     )
 
 
+def verify_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    k: int = MINHASH_K,
+    band_size: int = MINHASH_BAND_SIZE,
+) -> DataFrame:
+    """The composed 100 TB near-dup path: LSH candidate pairs, then
+    exact Jaccard verification restricted to candidate documents only.
+
+    Output: (id_a, id_b, jaccard) for candidates with
+    jaccard >= threshold. The quadratic exact verifier runs on the
+    (tiny) candidate universe, never the corpus.
+    """
+    pairs = dedup_minhash_lsh(df, text_col, id_col, k, band_size, shingle_n)
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    cand_docs = df.join(cand_ids, id_col, "left_semi")
+    verified = ngram_jaccard_pairs(cand_docs, text_col, id_col, shingle_n, threshold)
+    return verified.join(pairs, ["id_a", "id_b"], "inner")
+
+
 def simhash32(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_n: int = 3
 ) -> DataFrame:

@@ -221,6 +221,36 @@ def _attribution_entries() -> dict[str, tuple[QueryFn, str | None]]:
              WHERE NOT EXISTS (SELECT 1 FROM journeys j WHERE j.conv_id = c.conv_id)""",
     )
 
+    # generic as-of, backward direction: last-touch attribution — for
+    # each conversion, the latest session strictly before it.
+    def last_touch(spark: SparkSession, sf: str) -> DataFrame:
+        from .operators.asof import asof_join
+
+        return asof_join(
+            M.conversions(spark, sf),
+            M.sessions(spark, sf).select("user_id", "session_id", "ts", "channel_name"),
+            by=["user_id"],
+            left_on="conv_ts",
+            right_on="ts",
+            left_key=["conv_id"],
+            direction="backward",
+            tie_cols=["session_id"],
+        )
+
+    e["asof_backward_last_touch"] = (
+        last_touch,
+        _pipeline_prelude()
+        + """SELECT conv_id, user_id, conv_ts, conv_date, conv_time, revenue,
+                    session_id, ts, channel_name
+             FROM (
+                 SELECT c.*, s.session_id, s.ts, s.channel_name,
+                        ROW_NUMBER() OVER (PARTITION BY c.conv_id
+                                           ORDER BY s.ts DESC, s.session_id DESC) AS rn
+                 FROM conversions c
+                 JOIN sessions s ON s.user_id = c.user_id AND s.ts < c.conv_ts
+             ) t WHERE rn = 1""",
+    )
+
     # A1: channel-level report (reporting.py:53-91)
     e["agg_channel_report"] = (
         lambda spark, sf: _report(spark, sf),
@@ -425,6 +455,88 @@ def _tpch_entries() -> dict[str, tuple[QueryFn, str | None]]:
                    {dsum_sql("value", "total_value")}
             FROM events
             GROUP BY date_trunc('hour', ts), event_type""",
+    )
+
+    # gap-based sessionization (lag + running boundary sum)
+    def sessionized(spark: SparkSession, sf: str) -> DataFrame:
+        from .operators.sessionize import sessionize
+
+        ev = load_table(spark, sf, "events").select("event_id", "user_id", "ts")
+        return sessionize(ev)
+
+    def sessionize_cte(cols: str) -> str:
+        return f"""
+    sessionized AS (
+        SELECT {cols},
+               CAST(user_id AS VARCHAR) || '-' || CAST(
+                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS VARCHAR)
+               AS session_key
+        FROM (
+            SELECT {cols},
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) IS NULL
+                             OR (CAST(epoch(ts) AS BIGINT)
+                                 - CAST(epoch(lag(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)) AS BIGINT)) > 1800
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+        ) b
+    )
+    """
+
+    e["events_sessionize"] = (
+        sessionized,
+        "WITH " + sessionize_cte("event_id, user_id, ts").strip()
+        + " SELECT * FROM sessionized",
+    )
+
+    def sess_stats(spark: SparkSession, sf: str) -> DataFrame:
+        from .operators.sessionize import session_stats, sessionize
+
+        ev = load_table(spark, sf, "events").select("event_id", "user_id", "ts", "value")
+        return session_stats(sessionize(ev))
+
+    e["sessionize_stats"] = (
+        sess_stats,
+        "WITH " + sessionize_cte("event_id, user_id, ts, value").strip()
+        + f"""
+        SELECT session_key, user_id, COUNT(*) AS n_events,
+               MIN(ts) AS session_start, MAX(ts) AS session_end,
+               {dsum_sql("value", "total_value")}
+        FROM sessionized
+        GROUP BY session_key, user_id""",
+    )
+
+    # §2.6 set operations over two event windows
+    def _users(spark: SparkSession, sf: str, lo: str, hi: str) -> DataFrame:
+        ev = load_table(spark, sf, "events")
+        return (
+            ev.filter(F.to_date("ts").between(lo, hi))
+            .select("user_id")
+            .distinct()
+        )
+
+    # single-day windows: multi-day windows cover every user (low user
+    # cardinality), which would make the EXCEPT result trivially empty
+    W_A = ("2024-01-03", "2024-01-03")
+    W_B = ("2024-01-17", "2024-01-17")
+    USERS_SQL = (
+        "SELECT DISTINCT user_id FROM events "
+        "WHERE CAST(ts AS DATE) >= '{lo}' AND CAST(ts AS DATE) <= '{hi}'"
+    )
+    ua, ub = USERS_SQL.format(lo=W_A[0], hi=W_A[1]), USERS_SQL.format(lo=W_B[0], hi=W_B[1])
+    e["set_union_users"] = (
+        lambda spark, sf: _users(spark, sf, *W_A).union(_users(spark, sf, *W_B)).distinct(),
+        f"({ua}) UNION ({ub})",
+    )
+    e["set_intersect_users"] = (
+        lambda spark, sf: _users(spark, sf, *W_A).intersect(_users(spark, sf, *W_B)),
+        f"({ua}) INTERSECT ({ub})",
+    )
+    e["set_except_users"] = (
+        lambda spark, sf: _users(spark, sf, *W_A).subtract(_users(spark, sf, *W_B)),
+        f"({ua}) EXCEPT ({ub})",
     )
 
     return e

@@ -131,6 +131,37 @@ def test_pack_caps_hold(spark):
         assert all(r.nj <= 25 for r in per_chunk)
 
 
+def test_sessionize_gap_semantics(spark):
+    from datetime import datetime
+
+    from haensel_ams_data_engineer_challenge_spark.operators.sessionize import (
+        sessionize,
+    )
+
+    rows = [
+        (1, 10, datetime(2024, 1, 1, 10, 0, 0)),
+        (2, 10, datetime(2024, 1, 1, 10, 20, 0)),   # 20 min gap -> same session
+        (3, 10, datetime(2024, 1, 1, 11, 0, 0)),    # 40 min gap -> new session
+        (4, 10, datetime(2024, 1, 1, 11, 30, 0)),   # exactly 30 min -> same (strict >)
+        (5, 11, datetime(2024, 1, 1, 10, 0, 0)),    # other user -> own session
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp_ntz")
+    got = {r.event_id: r.session_key for r in sessionize(df).collect()}
+    assert got == {1: "10-1", 2: "10-1", 3: "10-2", 4: "10-2", 5: "11-1"}
+
+
+def test_verify_candidates_subset_of_exact(spark, docs):
+    from haensel_ams_data_engineer_challenge_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        verify_candidates,
+    )
+
+    verified = {(r.id_a, r.id_b) for r in verify_candidates(docs, threshold=0.8).collect()}
+    exact = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()}
+    assert verified, "planted near-dups should survive verification"
+    assert verified <= exact  # verification can only keep true pairs
+
+
 def test_multimodal_decode_deterministic(spark, sf_dir):
     from haensel_ams_data_engineer_challenge_spark.multimodal.binary import (
         decode_stub_query,
