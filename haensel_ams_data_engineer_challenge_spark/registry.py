@@ -457,6 +457,98 @@ def _tpch_entries() -> dict[str, tuple[QueryFn, str | None]]:
             GROUP BY date_trunc('hour', ts), event_type""",
     )
 
+    # TPC-H Q5-style: 6-table join, revenue by nation within a region.
+    def q5(spark: SparkSession, sf: str) -> DataFrame:
+        li = load_table(spark, sf, "lineitem")
+        orders = load_table(spark, sf, "orders").filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+        )
+        cust = load_table(spark, sf, "customer")
+        supp = load_table(spark, sf, "supplier")
+        nation = load_table(spark, sf, "nation")
+        region = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(
+                F.broadcast(supp),
+                (li.l_suppkey == supp.s_suppkey)
+                & (cust.c_nationkey == supp.s_nationkey),
+            )
+            .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+            .groupBy("n_name")
+            .agg(
+                dsum(
+                    F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                    "revenue",
+                )
+            )
+        )
+
+    e["q5_region_revenue"] = (
+        q5,
+        f"""SELECT n_name,
+                   {dsum_sql("l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)", "revenue")}
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY n_name""",
+    )
+
+    # ROLLUP: hierarchical subtotals (event_type, day) -> type -> grand
+    def rollup_q(spark: SparkSession, sf: str) -> DataFrame:
+        ev = load_table(spark, sf, "events")
+        return (
+            ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+            .rollup("event_type", "day")
+            .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+        )
+
+    e["rollup_type_day"] = (
+        rollup_q,
+        f"""SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                   COUNT(*) AS n_events,
+                   {dsum_sql("value", "total_value")}
+            FROM events
+            GROUP BY ROLLUP (event_type, strftime(ts, '%Y-%m-%d'))""",
+    )
+
+    # manual pivot: one column per event type (portable CASE aggregation)
+    EVENT_TYPES = ("view", "click", "signup", "purchase", "error")
+
+    def pivot_q(spark: SparkSession, sf: str) -> DataFrame:
+        ev = load_table(spark, sf, "events")
+        return ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+            *[
+                dsum(
+                    F.when(F.col("event_type") == t, F.col("value")).otherwise(F.lit(0.0)),
+                    f"{t}_value",
+                )
+                for t in EVENT_TYPES
+            ]
+        )
+
+    pivot_cols = ",\n".join(
+        dsum_sql(
+            f"CASE WHEN event_type = '{t}' THEN value ELSE CAST(0.0 AS DOUBLE) END",
+            f"{t}_value",
+        )
+        for t in EVENT_TYPES
+    )
+    e["pivot_value_by_type"] = (
+        pivot_q,
+        f"""SELECT strftime(ts, '%Y-%m-%d') AS day, {pivot_cols}
+            FROM events GROUP BY strftime(ts, '%Y-%m-%d')""",
+    )
+
     # gap-based sessionization (lag + running boundary sum)
     def sessionized(spark: SparkSession, sf: str) -> DataFrame:
         from .operators.sessionize import sessionize

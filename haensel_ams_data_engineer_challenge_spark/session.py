@@ -55,6 +55,15 @@ def get_spark(app_name: str = "haensel-ams-spark", master: str | None = None,
         builder = builder.config(k, v)
     builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     builder = builder.config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    # static conf: catalog tables (bucketed layouts) land here, not in cwd
+    import tempfile
+
+    builder = builder.config(
+        "spark.sql.warehouse.dir",
+        os.environ.get(
+            "SPARK_WAREHOUSE_DIR", f"{tempfile.gettempdir()}/spark-warehouse-{os.getpid()}"
+        ),
+    )
     spark = builder.getOrCreate()
     return spark
 

@@ -1,0 +1,89 @@
+"""Physical-plan assertions: guard the properties that make the
+engine scale (SURVEY.md §7 M6). A correctness-preserving change that
+silently drops a broadcast or adds a shuffle should fail HERE, not in
+a 100 TB run.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from haensel_ams_data_engineer_challenge_spark.attribution import model as M
+from haensel_ams_data_engineer_challenge_spark.registry import registry
+from haensel_ams_data_engineer_challenge_spark.sources import load_table
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_conversion_filter_reaches_scan(spark, sf_dir):
+    """The event_type predicate must be pushed into the parquet scan."""
+    df = M.conversions(spark, sf_dir)
+    plan = plan_of(df)
+    assert "PushedFilters" in plan
+    assert "EqualTo(event_type,purchase)" in plan
+
+
+def test_column_pruning_reads_only_needed_columns(spark, sf_dir):
+    """A 2-column projection must not read the whole events schema."""
+    df = M.conversions(spark, sf_dir).select("conv_id", "revenue")
+    plan = plan_of(df)
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "props" not in read_schema and "user_id" not in read_schema
+
+
+def test_report_uses_broadcast_joins(spark, sf_dir):
+    """Costs/conversions sides of the report join must broadcast —
+    shuffling the session fact table on a dim join is the 100 TB
+    failure mode."""
+    fn, _sql = registry()["agg_channel_report"]
+    plan = plan_of(fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q3_broadcasts_customer_dim(spark, sf_dir):
+    fn, _sql = registry()["q3_top_orders"]
+    plan = plan_of(fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q1_single_shuffle(spark, sf_dir):
+    """Partial+final hash aggregation: exactly one exchange."""
+    fn, _sql = registry()["q1_pricing_summary"]
+    plan = plan_of(fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_merged_stream_single_user_shuffle(spark, sf_dir):
+    """The merged-stream as-of join must shuffle ONCE (on user_id) —
+    no join fan-out exchange."""
+    df = M.journeys(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_whole_stage_codegen_in_hot_paths(spark, sf_dir):
+    """Codegen spans only materialize in the AQE final plan — execute
+    first, then inspect."""
+    for name in ("q1_pricing_summary", "agg_channel_report", "text_token_stats"):
+        fn, _sql = registry()[name]
+        df = fn(spark, sf_dir)
+        df.collect()
+        # codegen spans print as "*(n) Operator" in the final plan
+        assert "*(1)" in plan_of(df), name
+
+
+def test_no_cartesian_anywhere_in_registry(spark, sf_dir):
+    """Nested-loop joins are only legal against a broadcast side (the
+    ANN query-vector joins); never a plain cartesian product."""
+    for name, (fn, _sql) in registry().items():
+        plan = plan_of(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name

@@ -61,3 +61,28 @@ def test_streaming_attribution_converges_to_batch(spark, sf_dir, tmp_path):
         spark, sf_dir, sink, checkpoint_dir=str(tmp_path / "ckpt3")
     )
     assert spark.read.parquet(sink).count() == len(expected)
+
+
+def test_stateful_streaming_sessionize_matches_batch(spark, sf_dir, tmp_path):
+    from haensel_ams_data_engineer_challenge_spark.operators.sessionize import (
+        sessionize,
+    )
+    from haensel_ams_data_engineer_challenge_spark.sources import load_table
+    from haensel_ams_data_engineer_challenge_spark.streaming.sessionize import (
+        streaming_sessionize,
+    )
+
+    out = streaming_sessionize(stream_events(spark, sf_dir))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.event_id: r.session_key for r in spark.sql("SELECT * FROM sess").collect()}
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    expected = {r.event_id: r.session_key for r in sessionize(ev).collect()}
+    assert got == expected
