@@ -21,7 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .attribution import model as M
-from .attribution.model import JOURNEYS_CTE, ORACLE_PRELUDE, SCORED_CTE
+from .attribution.model import JOURNEYS_CTE, SCORED_CTE
 from .functions.scalars import dsum, dsum_sql
 from .operators.ihc import attribution_sum_violations, flag_conversion_session
 from .plans.report import channel_report, report_metrics, report_totals

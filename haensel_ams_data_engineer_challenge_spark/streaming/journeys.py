@@ -135,17 +135,19 @@ def run_streaming_attribution(
         )
     )
 
+    import os
+
     def score_batch(batch: DataFrame, batch_id: int) -> None:
         sess = static_sessions
-        try:
-            # F4 across batches: sessions already claimed by earlier
-            # micro-batches stay claimed (the reference's
-            # assigned_session_ids set, journey_builder.py:92-107,
-            # persisted in the sink instead of driver memory).
+        # F4 across batches: sessions already claimed by earlier
+        # micro-batches stay claimed (the reference's
+        # assigned_session_ids set, journey_builder.py:92-107,
+        # persisted in the sink instead of driver memory). The
+        # existence check (not try/read) keeps the first batch from
+        # logging a scary AnalysisException stack.
+        if os.path.isdir(sink_path):
             assigned = batch.sparkSession.read.parquet(sink_path).select("session_id")
             sess = sess.join(assigned, "session_id", "left_anti")
-        except Exception:
-            pass  # first batch: nothing assigned yet
         journeys = journey_asof_join(sess, batch)
         scored = ihc_attribute(journeys).select("conv_id", "session_id", "ihc")
         insert_if_absent(batch.sparkSession, scored, sink_path, ["conv_id", "session_id"])

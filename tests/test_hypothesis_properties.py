@@ -1,0 +1,117 @@
+"""Hypothesis property tests: the distributed operators against
+tiny pure-Python reference implementations on adversarial inputs
+(duplicate timestamps, empty sides, single users, boundary gaps).
+
+Examples are kept small and few — each example round-trips through
+Spark. The value is input shapes the sf-testdata never produces.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from haensel_ams_data_engineer_challenge_spark.operators.asof import (
+    journey_asof_join,
+)
+from haensel_ams_data_engineer_challenge_spark.operators.sessionize import sessionize
+
+BASE = datetime(2024, 1, 1)
+
+# few users + coarse offsets force collisions: same-ts ties, shared users
+_user = st.integers(0, 2)
+_offset = st.integers(0, 40)
+
+_events = st.lists(
+    st.tuples(_user, _offset, st.booleans()),  # (user, minutes, is_purchase)
+    min_size=0,
+    max_size=25,
+)
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+def _python_asof(events):
+    """Reference: session -> earliest purchase of same user strictly
+    after it (ties on conv_ts -> min conv_id)."""
+    sessions = [(i, u, m) for i, (u, m, _) in enumerate(events)]
+    convs = [(i, u, m) for i, (u, m, p) in enumerate(events) if p]
+    out = {}
+    for sid, su, sm in sessions:
+        cands = [(cm, cid) for cid, cu, cm in convs if cu == su and cm > sm]
+        if cands:
+            out[str(sid)] = str(min(cands)[1])
+    return out
+
+
+@given(_events)
+@SETTINGS
+def test_asof_matches_python_reference(spark, events):
+    if not events:
+        return
+    sess_rows = [
+        (str(i), str(u), BASE + timedelta(minutes=m)) for i, (u, m, _) in enumerate(events)
+    ]
+    conv_rows = [
+        (str(i), str(u), BASE + timedelta(minutes=m), 1.0)
+        for i, (u, m, p) in enumerate(events)
+        if p
+    ]
+    sessions = spark.createDataFrame(
+        sess_rows, "session_id string, user_id string, ts timestamp_ntz"
+    ).selectExpr(
+        "session_id", "user_id", "ts",
+        "date_format(ts, 'yyyy-MM-dd') as event_date",
+        "date_format(ts, 'HH:mm:ss') as event_time",
+        "'x' as channel_name",
+        "0 as holder_engagement", "0 as closer_engagement",
+        "0 as impression_interaction",
+    )
+    if conv_rows:
+        convs = spark.createDataFrame(
+            conv_rows, "conv_id string, user_id string, conv_ts timestamp_ntz, revenue double"
+        )
+    else:
+        convs = spark.createDataFrame(
+            [], "conv_id string, user_id string, conv_ts timestamp_ntz, revenue double"
+        )
+    got = {
+        r.session_id: r.conv_id
+        for r in journey_asof_join(sessions, convs).collect()
+    }
+    assert got == _python_asof(events)
+
+
+def _python_sessionize(rows, gap=1800):
+    out, state = {}, {}
+    for eid, uid, ts in sorted(rows, key=lambda r: (r[1], r[2], r[0])):
+        ep = int(ts.timestamp())
+        last, n = state.get(uid, (None, 0))
+        if last is None or ep - last > gap:
+            n += 1
+        state[uid] = (ep, n)
+        out[eid] = f"{uid}-{n}"
+    return out
+
+
+@given(
+    st.lists(
+        st.tuples(_user, st.integers(0, 7200)),  # (user, seconds offset)
+        min_size=1,
+        max_size=25,
+    )
+)
+@SETTINGS
+def test_sessionize_matches_python_reference(spark, rows):
+    data = [
+        (i, u, BASE + timedelta(seconds=s)) for i, (u, s) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "event_id long, user_id long, ts timestamp_ntz")
+    got = {r.event_id: r.session_key for r in sessionize(df).collect()}
+    assert got == _python_sessionize(data)
