@@ -1,0 +1,104 @@
+"""CLI — the reference's three entry points on Spark.
+
+    python -m haensel_ams_data_engineer_challenge_spark pipeline \
+        --sf-dir /root/testdata/sf0.001 --work-dir /tmp/attr \
+        [--start-date YYYY-MM-DD] [--end-date YYYY-MM-DD]
+    python -m haensel_ams_data_engineer_challenge_spark create-db \
+        --work-dir /tmp/attr
+    python -m haensel_ams_data_engineer_challenge_spark training-sample \
+        --sf-dir /root/testdata/sf0.001 --work-dir /tmp/attr [--limit 20]
+
+Mirrors reference main.py:23-72 (argument surface), create_db.py
+(DDL + verification) and extracted_training_data.py (LIMIT-N journey
+sample as API-format JSON). Exit code 0/1 like main.py:389-394.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="haensel_ams_data_engineer_challenge_spark")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    run = sub.add_parser("pipeline", help="extract -> journeys -> score -> report")
+    run.add_argument("--sf-dir", required=True)
+    run.add_argument("--work-dir", required=True)
+    run.add_argument("--start-date", default=None)
+    run.add_argument("--end-date", default=None)
+
+    db = sub.add_parser("create-db", help="DDL bootstrap + schema verification")
+    db.add_argument("--work-dir", required=True)
+
+    ts = sub.add_parser("training-sample", help="journey sample as API JSON")
+    ts.add_argument("--sf-dir", required=True)
+    ts.add_argument("--work-dir", required=True)
+    ts.add_argument("--limit", type=int, default=20)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _parser().parse_args(argv)
+    from .session import get_spark
+
+    spark = get_spark("haensel-ams-cli")
+    try:
+        if args.command == "pipeline":
+            from .plans.pipeline import run_pipeline
+
+            result = run_pipeline(
+                spark,
+                args.sf_dir,
+                f"{args.work_dir}/attribution_customer_journey",
+                f"{args.work_dir}/channel_reporting",
+                start_date=args.start_date,
+                end_date=args.end_date,
+                report_csv_path=f"{args.work_dir}/channel_reporting_csv",
+            )
+            print(
+                f"conversions={result.conversions_total} "
+                f"scored={result.conversions_scored} "
+                f"written={result.attribution_rows_written} "
+                f"sum_violations={result.sum_violations} "
+                f"report_rows={result.report_rows}"
+            )
+            return 0 if result.sum_violations == 0 else 1
+
+        if args.command == "create-db":
+            from .operators.sinks import create_tables, verify_tables
+
+            create_tables(spark, args.work_dir)
+            for name, schema in verify_tables(spark, args.work_dir).items():
+                print(f"{name}: {schema}")
+            return 0
+
+        if args.command == "training-sample":
+            from pyspark.sql import functions as F
+
+            from .attribution import model as M
+            from .operators.ihc import flag_conversion_session
+            from .operators.sinks import export_json, journeys_as_api_payload
+
+            journeys = M.journeys(spark, args.sf_dir)
+            sample_convs = (
+                journeys.select("conv_id").distinct()
+                .orderBy(F.col("conv_id").cast("long"))
+                .limit(args.limit)
+            )
+            sample = journeys.join(sample_convs, "conv_id", "left_semi")
+            payload = journeys_as_api_payload(flag_conversion_session(sample))
+            out = f"{args.work_dir}/training_sample_json"
+            export_json(payload, out)
+            print(f"journeys={payload.count()} -> {out}")
+            return 0
+
+        raise AssertionError(f"unknown command {args.command}")
+    except Exception as exc:  # mirror main.py:389-394 exit discipline
+        print(f"error: {exc}", file=sys.stderr)
+        return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -549,6 +549,33 @@ def _tpch_entries() -> dict[str, tuple[QueryFn, str | None]]:
             FROM events GROUP BY strftime(ts, '%Y-%m-%d')""",
     )
 
+    # ordered-statistics aggregate: exact interpolated percentiles
+    # (Spark `percentile` and DuckDB `quantile_cont` share the
+    # (1-g)*lo + g*hi interpolation — verified bit-exact by the gate)
+    def percentiles(spark: SparkSession, sf: str) -> DataFrame:
+        ev = load_table(spark, sf, "events")
+        return ev.groupBy("event_type").agg(
+            F.percentile("value", 0.5).alias("median_value"),
+            F.percentile("value", 0.9).alias("p90_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+
+    e["agg_percentiles"] = (
+        percentiles,
+        """SELECT event_type,
+                  quantile_cont(value, 0.5) AS median_value,
+                  quantile_cont(value, 0.9) AS p90_value,
+                  min(value) AS min_value,
+                  max(value) AS max_value
+           FROM events GROUP BY event_type""",
+    )
+
+    # approximate distinct: algorithms differ across engines by design,
+    # so the oracle checks the EXACT distinct count while the Spark
+    # side must land within the documented HLL error (rows-only would
+    # hide a broken sketch; a pytest asserts the tolerance instead).
+
     # gap-based sessionization (lag + running boundary sum)
     def sessionized(spark: SparkSession, sf: str) -> DataFrame:
         from .operators.sessionize import sessionize

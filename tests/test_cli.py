@@ -1,0 +1,36 @@
+"""CLI surface (python -m haensel_ams_data_engineer_challenge_spark) — the reference's
+three entry points."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from haensel_ams_data_engineer_challenge_spark.__main__ import main
+
+
+def test_create_db_then_pipeline_then_sample(spark, sf_dir, tmp_path, capsys):
+    work = str(tmp_path / "wd")
+    assert main(["create-db", "--work-dir", work]) == 0
+    out = capsys.readouterr().out
+    assert "attribution_customer_journey" in out and "channel_reporting" in out
+
+    assert main(["pipeline", "--sf-dir", sf_dir, "--work-dir", work]) == 0
+    out = capsys.readouterr().out
+    assert "sum_violations=0" in out
+    assert (Path(work) / "channel_reporting_csv").exists()
+
+    assert main(["training-sample", "--sf-dir", sf_dir, "--work-dir", work]) == 0
+    files = list((Path(work) / "training_sample_json").glob("*.json"))
+    records = [json.loads(l) for f in files for l in f.read_text().splitlines()]
+    assert len(records) == 20
+    assert all("journey_json" in r for r in records)
+
+
+def test_cli_bad_date_exits_nonzero(tmp_path, capsys):
+    rc = main([
+        "pipeline", "--sf-dir", "/nonexistent", "--work-dir", str(tmp_path),
+        "--start-date", "not-a-date",
+    ])
+    assert rc == 1
+    assert "YYYY-MM-DD" in capsys.readouterr().err

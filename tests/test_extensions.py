@@ -171,3 +171,12 @@ def test_multimodal_decode_deterministic(spark, sf_dir):
     b = {r.doc_id: (r.n_bytes, r.format, r.width, r.height) for r in decode_stub_query(spark, sf_dir).collect()}
     assert a == b and len(a) > 0
     assert all(64 <= w < 2048 and 64 <= h < 2048 for (_, _, w, h) in a.values())
+
+
+def test_approx_count_distinct_within_tolerance(spark, sf_dir):
+    """HLL sketches differ across engines, so this is tolerance-tested
+    rather than oracle-hashed (see registry comment)."""
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.select("user_id").distinct().count()
+    approx = ev.agg(F.approx_count_distinct("user_id", rsd=0.02)).first()[0]
+    assert abs(approx - exact) / exact < 0.1
