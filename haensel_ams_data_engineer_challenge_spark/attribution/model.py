@@ -159,9 +159,11 @@ journeys AS (
 #: native IHC model as a DuckDB CTE (operators/ihc.py docstring).
 SCORED_CTE = """
 scored AS (
+    -- __rn_desc = __n - __rn_asc + 1: (ts, session_id) is a total
+    -- order, mirrored in operators/ihc.py (one window sort, not two)
     SELECT conv_id, session_id, ts, event_date, channel_name, holder_engagement,
            CAST(0.3 AS DOUBLE) * CAST(__rn_asc = 1 AS INT)
-         + CAST(0.3 AS DOUBLE) * CAST(__rn_desc = 1 AS INT)
+         + CAST(0.3 AS DOUBLE) * CAST((__n - __rn_asc + 1) = 1 AS INT)
          + CAST(0.4 AS DOUBLE) * (CASE WHEN __h > 0
                THEN CAST(holder_engagement AS DOUBLE) / CAST(__h AS DOUBLE)
                ELSE CAST(1.0 AS DOUBLE) / CAST(__n AS DOUBLE) END) AS ihc
@@ -169,8 +171,6 @@ scored AS (
         SELECT j.*,
                ROW_NUMBER() OVER (PARTITION BY conv_id
                                   ORDER BY ts, session_id) AS __rn_asc,
-               ROW_NUMBER() OVER (PARTITION BY conv_id
-                                  ORDER BY ts DESC, session_id DESC) AS __rn_desc,
                SUM(holder_engagement) OVER (PARTITION BY conv_id) AS __h,
                COUNT(*) OVER (PARTITION BY conv_id) AS __n
         FROM journeys j

@@ -74,11 +74,14 @@ def ihc_attribute(
     Input: one row per (conv_id, session_id) as produced by
     ``journey_asof_join``. Output: input columns + ``ihc`` double.
     """
-    by_conv, asc, desc = _journey_windows(conv_col, ts_col, session_col)
+    by_conv, asc, _desc = _journey_windows(conv_col, ts_col, session_col)
     rn_asc = F.row_number().over(asc)
-    rn_desc = F.row_number().over(desc)
     holder_sum = F.sum(holder_col).over(by_conv)
     n = F.count(F.lit(1)).over(by_conv)
+    # (ts, session_id) is a total order within a journey, so the
+    # descending rank is derivable: one window SORT instead of two
+    # (the unordered aggregates share the same exchange regardless).
+    rn_desc = n - rn_asc + 1
     holder_share = F.when(
         holder_sum > 0, F.col(holder_col).cast("double") / holder_sum.cast("double")
     ).otherwise(F.lit(1.0) / n.cast("double"))
