@@ -78,6 +78,78 @@ def decode_image_meta(binary_df: DataFrame, payload_col: str = "payload",
     return binary_df.mapInPandas(_decode, DECODE_SCHEMA)
 
 
+RESIZE_SCHEMA = "doc_id long, width long, height long, scale double"
+
+
+def resize_image_meta(
+    binary_df: DataFrame, max_side: int = 256,
+    payload_col: str = "payload", id_col: str = "doc_id",
+) -> DataFrame:
+    """Resize stub: computes the post-resize geometry (aspect-preserving
+    fit into max_side). With Pillow absent the source dims come from
+    the deterministic fake decode; the batch plumbing (Arrow in/out,
+    schema, scale factor) is the real part."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                _fmt, w, h = _fake_decode(payload)
+                scale = min(max_side / w, max_side / h, 1.0)
+                rows.append((doc_id, int(w * scale), int(h * scale), scale))
+            yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "scale"])
+
+    return binary_df.mapInPandas(_resize, RESIZE_SCHEMA)
+
+
+FRAMES_SCHEMA = "doc_id long, frame_idx long, frame_offset long"
+
+
+def frame_sample(
+    binary_df: DataFrame, n_frames: int = 4,
+    payload_col: str = "payload", id_col: str = "doc_id",
+) -> DataFrame:
+    """Frame-sampling stub for video payloads: emits n_frames evenly
+    spaced byte offsets per payload (one output row per frame — the
+    explode-shaped mapInPandas contract a real decoder would use)."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                n = len(payload)
+                for i in range(n_frames):
+                    rows.append((doc_id, i, (i * n) // n_frames))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_offset"])
+
+    return binary_df.mapInPandas(_frames, FRAMES_SCHEMA)
+
+
+FEATURES_SCHEMA = "doc_id long, features array<float>"
+FEATURE_DIM = 8
+
+
+def feature_extract(
+    binary_df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Feature-extraction stub: a deterministic FEATURE_DIM-float vector
+    from the payload md5 (each pair of digest bytes -> [0,1)). Stands
+    in for an embedding model; schema/batching match the real thing."""
+
+    def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf[payload_col]:
+                digest = hashlib.md5(payload).digest()
+                feats.append(
+                    [int.from_bytes(digest[2 * i : 2 * i + 2], "big") / 65536.0
+                     for i in range(FEATURE_DIM)]
+                )
+            yield pd.DataFrame({"doc_id": pdf[id_col].values, "features": feats})
+
+    return binary_df.mapInPandas(_features, FEATURES_SCHEMA)
+
+
 def decode_stub_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: documents.text UTF-8 bytes stand in for media
     payloads; exercises the binary-column mapInPandas path end-to-end."""

@@ -180,3 +180,32 @@ def test_approx_count_distinct_within_tolerance(spark, sf_dir):
     exact = ev.select("user_id").distinct().count()
     approx = ev.agg(F.approx_count_distinct("user_id", rsd=0.02)).first()[0]
     assert abs(approx - exact) / exact < 0.1
+
+
+def test_multimodal_resize_frames_features(spark, sf_dir):
+    from pyspark.sql import functions as SF
+
+    from haensel_ams_data_engineer_challenge_spark.multimodal.binary import (
+        FEATURE_DIM,
+        feature_extract,
+        frame_sample,
+        resize_image_meta,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(50).select(
+        "doc_id", SF.encode(SF.col("text"), "UTF-8").alias("payload")
+    )
+    resized = resize_image_meta(docs, max_side=256).collect()
+    assert all(max(r.width, r.height) <= 256 and 0 < r.scale <= 1.0 for r in resized)
+
+    frames = frame_sample(docs, n_frames=4)
+    per_doc = frames.groupBy("doc_id").count().collect()
+    assert all(r["count"] == 4 for r in per_doc)
+    assert frames.filter(SF.col("frame_offset") < 0).count() == 0
+
+    feats = feature_extract(docs).collect()
+    assert all(len(r.features) == FEATURE_DIM for r in feats)
+    assert all(0.0 <= v < 1.0 for r in feats for v in r.features)
+    # deterministic across runs
+    again = {r.doc_id: r.features for r in feature_extract(docs).collect()}
+    assert all(again[r.doc_id] == r.features for r in feats)

@@ -86,3 +86,34 @@ def test_stateful_streaming_sessionize_matches_batch(spark, sf_dir, tmp_path):
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     expected = {r.event_id: r.session_key for r in sessionize(ev).collect()}
     assert got == expected
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path):
+    """Streaming exact dedup: duplicate user_id events within the
+    watermark horizon are dropped (the streaming twin of dedup_exact's
+    key-based semantics)."""
+    from pyspark.sql import functions as SF
+
+    events = stream_events(spark, sf_dir).select("user_id", "ts")
+    deduped = events.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["user_id"]
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dd")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT count(*) AS n, count(DISTINCT user_id) AS u FROM dd").first()
+    total_users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr("count(DISTINCT user_id) AS u")
+        .first()
+        .u
+    )
+    # every user appears at least once; far fewer rows than raw events
+    assert got.u == total_users
+    assert got.n < spark.read.parquet(f"{sf_dir}/events.parquet").count()
