@@ -39,6 +39,7 @@ def asof_join(
     allow_exact: bool = False,
     tie_cols: Sequence[str] = (),
     how: str = "inner",
+    strategy: str = "stream",
 ) -> DataFrame:
     """Generic distributed as-of join.
 
@@ -46,11 +47,29 @@ def asof_join(
     keys) whose ``right_on`` is nearest to ``left_on`` in ``direction``:
     ``forward`` -> earliest right with right_on > left_on (>= when
     ``allow_exact``), ``backward`` -> latest right with right_on <
-    left_on. ``left_key`` must uniquely identify left rows (the window
-    partition). ``how='left'`` keeps unmatched left rows with NULLs.
+    left_on. Ties among right rows at the same ``right_on`` resolve to
+    the min ``tie_cols`` (forward) / max (backward). ``how='left'``
+    keeps unmatched left rows with NULLs.
+
+    strategy:
+    - ``"stream"`` (default): union both inputs, one sort per ``by``
+      group, carry the nearest right row as a running value — linear,
+      single shuffle, no fan-out (module docstring). Right payload
+      column names must not collide with left columns.
+    - ``"join"``: non-equi join + pick-first window — materializes
+      |left x qualifying-right| intermediate rows; kept as the
+      independent cross-check and for inputs where a name collision
+      makes the union awkward. ``left_key`` must uniquely identify
+      left rows (only used here).
     """
     if direction not in ("forward", "backward"):
         raise ValueError(f"direction must be forward|backward, got {direction!r}")
+    if strategy == "stream":
+        return _asof_stream(
+            left, right, by, left_on, right_on, direction, allow_exact, tie_cols, how
+        )
+    if strategy != "join":
+        raise ValueError(f"strategy must be stream|join, got {strategy!r}")
     l, r = left.alias("l"), right.alias("r")
     cond: Column | None = None
     for k in by:
@@ -85,6 +104,82 @@ def asof_join(
     return out
 
 
+def _asof_stream(
+    left: DataFrame,
+    right: DataFrame,
+    by: Sequence[str],
+    left_on: str,
+    right_on: str,
+    direction: str,
+    allow_exact: bool,
+    tie_cols: Sequence[str],
+    how: str,
+) -> DataFrame:
+    """Merged-stream as-of (see asof_join docstring).
+
+    Scan order encodes the semantics: forward scans latest-first so the
+    running value is the *earliest later* right row; at equal ordinate
+    left rows come first under strict comparison (the co-timed right
+    row stays invisible) and right rows first under ``allow_exact``.
+    The right payload rides in ONE struct so the carried row is atomic
+    (per-column ``last(ignorenulls)`` could mix rows when a payload
+    field is legitimately NULL).
+    """
+    right_payload = [c for c in right.columns if c not in by]
+    clash = set(right_payload) & set(left.columns)
+    if clash:
+        raise ValueError(f"right payload columns collide with left: {sorted(clash)}")
+    rdt, ldt = dict(right.dtypes), dict(left.dtypes)
+    left_payload = [c for c in left.columns if c not in by]
+
+    l2 = left.select(
+        *by,
+        *left_payload,
+        F.col(left_on).alias("__on"),
+        F.lit(0).alias("__is_r"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"{c}:{rdt[c]}" for c in right_payload) + ">"
+        ).alias("__rpay"),
+        *[F.lit(None).cast(rdt[c]).alias(f"__tie_{c}") for c in tie_cols],
+    )
+    r2 = right.select(
+        *by,
+        *[F.lit(None).cast(ldt[c]).alias(c) for c in left_payload],
+        F.col(right_on).alias("__on"),
+        F.lit(1).alias("__is_r"),
+        F.struct(*[F.col(c) for c in right_payload]).alias("__rpay"),
+        *[F.col(c).alias(f"__tie_{c}") for c in tie_cols],
+    )
+    merged = l2.unionByName(r2)
+
+    if direction == "forward":
+        on_order = F.col("__on").desc()
+        # last-written wins -> ties sorted DESC leave the MIN tie value
+        tie_order = [F.col(f"__tie_{c}").desc() for c in tie_cols]
+    else:
+        on_order = F.col("__on").asc()
+        tie_order = [F.col(f"__tie_{c}").asc() for c in tie_cols]
+    flag_order = F.col("__is_r").desc() if allow_exact else F.col("__is_r").asc()
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(on_order, flag_order, *tie_order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.withColumn(
+        "__match", F.last("__rpay", ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("__is_r") == 0)
+    if how == "inner":
+        out = out.filter(F.col("__match").isNotNull())
+    elif how != "left":
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    return out.select(
+        *by,
+        *left_payload,
+        *[F.col(f"__match.{c}").alias(c) for c in right_payload],
+    )
+
+
 def journey_asof_join(sessions: DataFrame, conversions: DataFrame) -> DataFrame:
     """J4: build journey rows (SURVEY.md §2.3) — merged-stream form.
 
@@ -116,51 +211,17 @@ def journey_asof_join(sessions: DataFrame, conversions: DataFrame) -> DataFrame:
     practice; a pathological hot user is a single sorted partition
     (same bound as any per-entity sessionization).
     """
-    s = sessions.select(
-        "session_id", "user_id", "ts", "event_date", "event_time",
-        "channel_name", "holder_engagement", "closer_engagement",
-        "impression_interaction",
-        F.lit(0).alias("__is_conv"),
-        F.lit(None).cast("string").alias("conv_id"),
-        F.lit(None).cast(dict(conversions.dtypes)["conv_ts"]).alias("conv_ts"),
-        F.lit(None).cast("double").alias("revenue"),
-    )
-    c = conversions.select(
-        F.lit(None).cast("string").alias("session_id"),
-        "user_id",
-        F.col("conv_ts").alias("ts"),
-        F.lit(None).cast("string").alias("event_date"),
-        F.lit(None).cast("string").alias("event_time"),
-        F.lit(None).cast("string").alias("channel_name"),
-        F.lit(None).cast("int").alias("holder_engagement"),
-        F.lit(None).cast("int").alias("closer_engagement"),
-        F.lit(None).cast("int").alias("impression_interaction"),
-        F.lit(1).alias("__is_conv"),
-        "conv_id",
-        "conv_ts",
-        "revenue",
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.col("ts").desc(), F.col("__is_conv").asc(), F.col("conv_id").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    merged = s.unionByName(c).select(
-        "*",
-        F.last("conv_id", ignorenulls=True).over(w).alias("__next_conv"),
-        F.last("conv_ts", ignorenulls=True).over(w).alias("__next_conv_ts"),
-        F.last("revenue", ignorenulls=True).over(w).alias("__next_revenue"),
-    )
-    return (
-        merged.filter((F.col("__is_conv") == 0) & F.col("__next_conv").isNotNull())
-        .select(
-            "session_id", "user_id", "ts", "event_date", "event_time",
-            "channel_name", "holder_engagement", "closer_engagement",
-            "impression_interaction",
-            F.col("__next_conv").alias("conv_id"),
-            F.col("__next_conv_ts").alias("conv_ts"),
-            F.col("__next_revenue").alias("revenue"),
-        )
+    return asof_join(
+        sessions,
+        conversions.select("user_id", "conv_id", "conv_ts", "revenue"),
+        by=["user_id"],
+        left_on="ts",
+        right_on="conv_ts",
+        left_key=["session_id"],
+        direction="forward",
+        allow_exact=False,  # strict <, journey_builder.py:84
+        tie_cols=["conv_id"],
+        strategy="stream",
     )
 
 
@@ -178,4 +239,5 @@ def journey_asof_join_naive(sessions: DataFrame, conversions: DataFrame) -> Data
         direction="forward",
         allow_exact=False,  # strict <, journey_builder.py:84
         tie_cols=["conv_id"],
+        strategy="join",
     )

@@ -117,3 +117,34 @@ def test_asof_backward_and_left(spark):
     ).collect()
     by_id = {r["id"]: r["rts"] for r in out}
     assert by_id == {1: 5, 2: 15, 3: None}
+
+
+@pytest.mark.parametrize("direction,allow_exact,how", [
+    ("forward", False, "inner"),
+    ("forward", True, "inner"),
+    ("backward", False, "left"),
+    ("backward", True, "inner"),
+])
+def test_generic_asof_stream_matches_join_strategy(spark, direction, allow_exact, how):
+    """Both strategies must agree on every (direction, exactness, how)
+    combination, including payload NULLs and co-timed rows."""
+    left = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("a", 3, 20), ("b", 4, 5), ("c", 5, 7)],
+        "k string, id int, ts int",
+    )
+    right = spark.createDataFrame(
+        [("a", 100, 10, 1.0), ("a", 101, 20, None), ("a", 102, 25, 3.0),
+         ("b", 103, 5, 4.0), ("d", 104, 1, 5.0)],
+        "k string, rid int, rts int, payload double",
+    )
+    kw = dict(
+        by=["k"], left_on="ts", right_on="rts", left_key=["id"],
+        direction=direction, allow_exact=allow_exact,
+        tie_cols=["rid"], how=how,
+    )
+    stream = asof_join(left, right, strategy="stream", **kw)
+    join = asof_join(left, right, strategy="join", **kw)
+    key = lambda r: r["id"]
+    s = sorted(({c: r[c] for c in stream.columns} for r in stream.collect()), key=key)
+    j = sorted(({c: r[c] for c in stream.columns} for r in join.collect()), key=key)
+    assert s == j
