@@ -521,6 +521,24 @@ def _tpch_entries() -> dict[str, tuple[QueryFn, str | None]]:
             GROUP BY ROLLUP (event_type, strftime(ts, '%Y-%m-%d'))""",
     )
 
+    # CUBE: all grouping-set combinations (rollup's sibling)
+    def cube_q(spark: SparkSession, sf: str) -> DataFrame:
+        ev = load_table(spark, sf, "events")
+        return (
+            ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+            .cube("event_type", "day")
+            .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+        )
+
+    e["cube_type_day"] = (
+        cube_q,
+        f"""SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                   COUNT(*) AS n_events,
+                   {dsum_sql("value", "total_value")}
+            FROM events
+            GROUP BY CUBE (event_type, strftime(ts, '%Y-%m-%d'))""",
+    )
+
     # manual pivot: one column per event type (portable CASE aggregation)
     EVENT_TYPES = ("view", "click", "signup", "purchase", "error")
 

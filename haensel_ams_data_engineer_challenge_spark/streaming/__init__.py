@@ -1,7 +1,15 @@
+from .joins import clicks_to_purchases
 from .journeys import (
     hourly_event_stats,
     run_streaming_attribution,
     stream_events,
 )
+from .sessionize import streaming_sessionize
 
-__all__ = ["hourly_event_stats", "run_streaming_attribution", "stream_events"]
+__all__ = [
+    "clicks_to_purchases",
+    "hourly_event_stats",
+    "run_streaming_attribution",
+    "stream_events",
+    "streaming_sessionize",
+]

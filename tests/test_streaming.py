@@ -117,3 +117,32 @@ def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path):
     # every user appears at least once; far fewer rows than raw events
     assert got.u == total_users
     assert got.n < spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    from haensel_ams_data_engineer_challenge_spark.sources import load_table
+    from haensel_ams_data_engineer_challenge_spark.streaming.joins import (
+        clicks_to_purchases,
+    )
+
+    out = clicks_to_purchases(stream_events(spark, sf_dir))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.click_id, r.purchase_id)
+        for r in spark.sql("SELECT * FROM ssj").collect()
+    }
+    # batch twin: same function over the batch frame (ntz ts is fine there)
+    ev = load_table(spark, sf_dir, "events")
+    expected = {
+        (r.click_id, r.purchase_id)
+        for r in clicks_to_purchases(ev).collect()
+    }
+    assert got == expected and len(got) > 0
