@@ -162,6 +162,7 @@ scored AS (
     -- __rn_desc = __n - __rn_asc + 1: (ts, session_id) is a total
     -- order, mirrored in operators/ihc.py (one window sort, not two)
     SELECT conv_id, session_id, ts, event_date, channel_name, holder_engagement,
+           revenue,
            CAST(0.3 AS DOUBLE) * CAST(__rn_asc = 1 AS INT)
          + CAST(0.3 AS DOUBLE) * CAST((__n - __rn_asc + 1) = 1 AS INT)
          + CAST(0.4 AS DOUBLE) * (CASE WHEN __h > 0

@@ -51,6 +51,34 @@ def channel_report(
     )
 
 
+def channel_report_fused(
+    scored_journeys: DataFrame,
+    costs: DataFrame,
+    start_date: str | None = None,
+    end_date: str | None = None,
+) -> DataFrame:
+    """A1, fused form: scored journey rows already carry channel_name /
+    event_date / revenue (the as-of join brought them along), so only
+    the cost side needs a join — two event scans and two joins fewer
+    than the generic form. Used when scoring and reporting run in one
+    plan; the generic ``channel_report`` remains for reporting over an
+    attribution SINK (which stores only conv_id/session_id/ihc)."""
+    a = scored_journeys
+    if start_date:
+        a = a.filter(F.col("event_date") >= start_date)
+    if end_date:
+        a = a.filter(F.col("event_date") <= end_date)
+    return (
+        a.join(costs, "session_id", "left")
+        .groupBy("channel_name", F.col("event_date").alias("date"))
+        .agg(
+            dsum(F.coalesce(F.col("cost"), F.lit(0.0)), "cost"),
+            dsum("ihc", "ihc"),
+            dsum(F.col("ihc") * F.col("revenue"), "ihc_revenue"),
+        )
+    )
+
+
 def report_metrics(report: DataFrame) -> DataFrame:
     """C6/C7 + W4: CPO/ROAS with NULL on zero divisor, sorted output
     (reporting.py:146-161)."""

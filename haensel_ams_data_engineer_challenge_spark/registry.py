@@ -24,7 +24,12 @@ from .attribution import model as M
 from .attribution.model import JOURNEYS_CTE, SCORED_CTE
 from .functions.scalars import dsum, dsum_sql
 from .operators.ihc import attribution_sum_violations, flag_conversion_session
-from .plans.report import channel_report, report_metrics, report_totals
+from .plans.report import (
+    channel_report,
+    channel_report_fused,
+    report_metrics,
+    report_totals,
+)
 from .sources import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -42,16 +47,18 @@ Q3_DATE = "1996-01-01 00:00:00"
 
 REPORT_CTE = f"""
 report AS (
-    SELECT s.channel_name, s.event_date AS date,
+    -- fused form: scored journey rows already carry channel/date/
+    -- revenue, so only the cost side joins back (the explicit 4-table
+    -- join is exercised separately by `join_attribution_detail` and by
+    -- the pipeline's sink-readback path)
+    SELECT a.channel_name, a.event_date AS date,
            {dsum_sql("COALESCE(co.cost, CAST(0.0 AS DOUBLE))", "cost")},
            {dsum_sql("a.ihc", "ihc")},
-           {dsum_sql("a.ihc * c.revenue", "ihc_revenue")}
-    FROM sessions s
-    LEFT JOIN costs co ON co.session_id = s.session_id
-    JOIN scored a ON a.session_id = s.session_id
-    JOIN conversions c ON c.conv_id = a.conv_id
-    WHERE s.event_date >= '{REPORT_START}' AND s.event_date <= '{REPORT_END}'
-    GROUP BY s.channel_name, s.event_date
+           {dsum_sql("a.ihc * a.revenue", "ihc_revenue")}
+    FROM scored a
+    LEFT JOIN costs co ON co.session_id = a.session_id
+    WHERE a.event_date >= '{REPORT_START}' AND a.event_date <= '{REPORT_END}'
+    GROUP BY a.channel_name, a.event_date
 )
 """
 
@@ -62,11 +69,9 @@ _scored = M.scored
 
 
 def _report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return channel_report(
-        M.sessions(spark, sf_dir),
-        M.costs(spark, sf_dir),
+    return channel_report_fused(
         _scored(spark, sf_dir),
-        M.conversions(spark, sf_dir),
+        M.costs(spark, sf_dir),
         REPORT_START,
         REPORT_END,
     )
@@ -249,6 +254,37 @@ def _attribution_entries() -> dict[str, tuple[QueryFn, str | None]]:
                  FROM conversions c
                  JOIN sessions s ON s.user_id = c.user_id AND s.ts < c.conv_ts
              ) t WHERE rn = 1""",
+    )
+
+    # J1+J2+J3: the explicit 4-table join of reporting.py:67-75 as
+    # detail rows — the shape the reference joins when the attribution
+    # table comes from the SINK (only conv_id/session_id/ihc stored).
+    def attribution_detail(spark: SparkSession, sf: str) -> DataFrame:
+        acj = _scored(spark, sf).select("conv_id", "session_id", "ihc")
+        return (
+            M.sessions(spark, sf)
+            .join(M.costs(spark, sf), "session_id", "left")
+            .join(acj, "session_id", "inner")
+            .join(
+                M.conversions(spark, sf).select("conv_id", "revenue"),
+                "conv_id",
+                "inner",
+            )
+            .select(
+                "conv_id", "session_id", "channel_name", "event_date",
+                "cost", "ihc", "revenue",
+            )
+        )
+
+    e["join_attribution_detail"] = (
+        attribution_detail,
+        _pipeline_prelude(JOURNEYS_CTE, SCORED_CTE)
+        + """SELECT a.conv_id, s.session_id, s.channel_name, s.event_date,
+                    co.cost, a.ihc, c.revenue
+             FROM sessions s
+             LEFT JOIN costs co ON co.session_id = s.session_id
+             JOIN scored a ON a.session_id = s.session_id
+             JOIN conversions c ON c.conv_id = a.conv_id""",
     )
 
     # A1: channel-level report (reporting.py:53-91)
