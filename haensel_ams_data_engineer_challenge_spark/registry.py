@@ -304,6 +304,49 @@ def _attribution_entries() -> dict[str, tuple[QueryFn, str | None]]:
              FROM report r""",
     )
 
+    # gap-fill: dense (channel x day) grid over the report range —
+    # days with no attributed sessions appear with zeroed measures
+    # (time-series completion; the reference report simply omits them)
+    def report_gapfill(spark: SparkSession, sf: str) -> DataFrame:
+        rep = _report(spark, sf)
+        channels = rep.select("channel_name").distinct()
+        days = spark.range(1).select(
+            F.explode(
+                F.sequence(
+                    F.lit(REPORT_START).cast("date"),
+                    F.lit(REPORT_END).cast("date"),
+                    F.expr("interval 1 day"),
+                )
+            ).alias("d")
+        ).select(F.date_format("d", "yyyy-MM-dd").alias("date"))
+        grid = channels.crossJoin(days)
+        return grid.join(rep, ["channel_name", "date"], "left").select(
+            "channel_name",
+            "date",
+            F.coalesce("cost", F.lit(0.0)).alias("cost"),
+            F.coalesce("ihc", F.lit(0.0)).alias("ihc"),
+            F.coalesce("ihc_revenue", F.lit(0.0)).alias("ihc_revenue"),
+        )
+
+    e["report_gapfill"] = (
+        report_gapfill,
+        _pipeline_prelude(JOURNEYS_CTE, SCORED_CTE, REPORT_CTE)
+        + f"""SELECT g.channel_name, g.date,
+                     COALESCE(r.cost, CAST(0.0 AS DOUBLE)) AS cost,
+                     COALESCE(r.ihc, CAST(0.0 AS DOUBLE)) AS ihc,
+                     COALESCE(r.ihc_revenue, CAST(0.0 AS DOUBLE)) AS ihc_revenue
+              FROM (
+                  SELECT c.channel_name, strftime(d, '%Y-%m-%d') AS date
+                  FROM (SELECT DISTINCT channel_name FROM report) c
+                  CROSS JOIN (
+                      SELECT unnest(generate_series(DATE '{REPORT_START}',
+                                                    DATE '{REPORT_END}',
+                                                    INTERVAL 1 DAY)) AS d) days
+              ) g
+              LEFT JOIN report r
+                ON r.channel_name = g.channel_name AND r.date = g.date""",
+    )
+
     # A5: grand totals + overall ROAS (reporting.py:171-179)
     e["agg_report_totals"] = (
         lambda spark, sf: report_totals(_report(spark, sf)),
