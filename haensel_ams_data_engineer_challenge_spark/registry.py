@@ -143,6 +143,43 @@ def _attribution_entries() -> dict[str, tuple[QueryFn, str | None]]:
              FROM sessions""",
     )
 
+    # F6 + C3: row-level validation as violation counts
+    # (journey_builder.validate_journey_data:241-296 — required fields,
+    # flags in {0,1}, parseable timestamps; one row of rule counters)
+    def validate_sessions(spark: SparkSession, sf: str) -> DataFrame:
+        s = M.sessions(spark, sf)
+        ts_ok = F.to_timestamp(
+            F.concat_ws(" ", "event_date", "event_time"), "yyyy-MM-dd HH:mm:ss"
+        ).isNotNull()
+        return s.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                (F.col("session_id").isNull() | F.col("user_id").isNull()).cast("int")
+            ).alias("null_key_violations"),
+            F.sum((~F.col("holder_engagement").isin(0, 1)).cast("int")).alias(
+                "holder_flag_violations"
+            ),
+            F.sum((~F.col("closer_engagement").isin(0, 1)).cast("int")).alias(
+                "closer_flag_violations"
+            ),
+            F.sum((~F.col("impression_interaction").isin(0, 1)).cast("int")).alias(
+                "impression_flag_violations"
+            ),
+            F.sum((~ts_ok).cast("int")).alias("timestamp_violations"),
+        )
+
+    e["validate_sessions"] = (
+        validate_sessions,
+        _pipeline_prelude()
+        + """SELECT COUNT(*) AS n_rows,
+                    CAST(SUM(CAST(session_id IS NULL OR user_id IS NULL AS INT)) AS BIGINT) AS null_key_violations,
+                    CAST(SUM(CAST(holder_engagement NOT IN (0,1) AS INT)) AS BIGINT) AS holder_flag_violations,
+                    CAST(SUM(CAST(closer_engagement NOT IN (0,1) AS INT)) AS BIGINT) AS closer_flag_violations,
+                    CAST(SUM(CAST(impression_interaction NOT IN (0,1) AS INT)) AS BIGINT) AS impression_flag_violations,
+                    CAST(SUM(CAST(try_strptime(event_date || ' ' || event_time, '%Y-%m-%d %H:%M:%S') IS NULL AS INT)) AS BIGINT) AS timestamp_violations
+             FROM sessions""",
+    )
+
     # J4: flagship reverse as-of join (journey_builder.py:26-115)
     e["journey_asof_join"] = (
         lambda spark, sf: _journeys(spark, sf),
