@@ -47,19 +47,6 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def minhash_signature(shingles: Column, k: int = MINHASH_K) -> list[Column]:
-    """k min-hashes of a shingle array, entirely row-local.
-
-    h_i(doc) = min over shingles s of md5(i || '|' || s) — the string
-    min over hex digests is a valid permutation-min because md5 is
-    uniform; string compare is identical across engines.
-    """
-    return [
-        F.array_min(F.transform(shingles, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s))))
-        for i in range(k)
-    ]
-
-
 def minhash_bands(
     df: DataFrame,
     text_col: str = "text",
@@ -71,9 +58,13 @@ def minhash_bands(
     """(id, band, band_key) — one row per (doc, band); the only
     shuffled representation in the LSH pipeline.
 
+    h_i(doc) = min over shingles s of md5(i || '|' || s) — a string
+    min over hex digests is a valid permutation-min because md5 is
+    uniform, and string compare is identical across engines.
+
     Implementation: explode shingles once, then k min-aggregates with
     map-side partial aggregation — the shingle pipeline is evaluated a
-    single time per doc (the row-local ``minhash_signature`` form
+    single time per doc (a row-local array_min(transform(...)) form
     re-evaluates the tokenizer per hash because common-subexpression
     elimination does not cross lambda functions: measured 40x slower),
     and the shuffle payload is just the per-partition partial minima.
