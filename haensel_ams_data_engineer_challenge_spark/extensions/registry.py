@@ -236,6 +236,50 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
             WHERE rank <= {ANN_LSH_K}""",
     )
 
+    # IVF: nearest-centroid coarse quantizer + in-cell exact scoring.
+    # Centroid dims use the decimal-sum discipline so the "trained"
+    # structure itself is bit-identical across engines.
+    cos_qc = S.cosine_sql("q.embedding", "c.cvec")
+    cos_qn = S.cosine_sql("a.__qvec", "n.embedding")
+    e["ann_topk_ivf"] = (
+        lambda spark, sf: S.ann_topk_ivf(
+            _vecs(spark, sf),
+            _vecs(spark, sf).filter(F.col("vec_id") < N_QUERIES),
+            k=ANN_LSH_K,
+        ),
+        f"""WITH cent_dims AS (
+                SELECT label AS cell, i,
+                       CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE)
+                       / COUNT(*) AS c
+                FROM embeddings, (SELECT unnest(range(1, 65)) AS i) dims
+                GROUP BY label, i
+            ),
+            centroids AS (
+                SELECT cell, list(c ORDER BY i) AS cvec FROM cent_dims GROUP BY cell
+            ),
+            assigned AS (
+                SELECT query_id, cell, __qvec FROM (
+                    SELECT q.vec_id AS query_id, c.cell, q.embedding AS __qvec,
+                           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                              ORDER BY {cos_qc} DESC, c.cell) AS rn
+                    FROM embeddings q, centroids c
+                    WHERE q.vec_id < {N_QUERIES}
+                ) t WHERE rn = 1
+            ),
+            scored AS (
+                SELECT a.query_id, a.cell, n.vec_id AS neighbor_id,
+                       {cos_qn} AS cosine
+                FROM assigned a
+                JOIN embeddings n ON n.label = a.cell
+                WHERE n.vec_id <> a.query_id
+            )
+            SELECT query_id, cell, neighbor_id, cosine, rank
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id) AS rank
+                  FROM scored) t
+            WHERE rank <= {ANN_LSH_K}""",
+    )
+
     cos_ab = S.cosine_sql("a.embedding", "b.embedding")
     e["dedup_embedding_cosine"] = (
         lambda spark, sf: S.embedding_dup_pairs(

@@ -24,6 +24,8 @@ import hashlib
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from ..functions.scalars import dsum
+
 EMBEDDING_DIM = 64
 LSH_PLANES = 6
 
@@ -196,6 +198,99 @@ def ann_topk_lsh(
         scored.withColumn("rank", F.row_number().over(final))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ivf_centroids(
+    vectors: DataFrame,
+    cell_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cell centroids: (cell, cvec array<double>).
+
+    Per-dimension mean via posexplode + decimal-routed sum/count —
+    order-independent, so the centroid is bit-identical to the oracle's
+    regardless of partitioning (the parity requirement extends to the
+    trained structure, not just the query results).
+    """
+    per_dim = (
+        vectors.select(
+            F.col(cell_col).alias("cell"),
+            F.posexplode(_d(vec_col)).alias("pos", "v"),
+        )
+        .groupBy("cell", "pos")
+        .agg((dsum("v") / F.count(F.lit(1))).alias("c"))
+    )
+    return per_dim.groupBy("cell").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "c"))), lambda x: x["c"]
+        ).alias("cvec")
+    )
+
+
+def ann_topk_ivf(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """IVF-style ANN: assign each query to its nearest cell centroid,
+    then search only that cell's inverted list.
+
+    The testdata's ``label`` column provides the cell assignment a
+    k-means training job would produce; centroids are computed (not
+    assumed), so the operator is the full IVF query path: train-side
+    statistics -> coarse quantizer -> in-cell exact scoring. Output:
+    (query_id, cell, neighbor_id, cosine, rank).
+    """
+    cents = ivf_centroids(vectors, cell_col, vec_col)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
+    # coarse quantizer: nearest centroid by cosine (ties -> min cell)
+    qc = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "__cos_c",
+            F.aggregate(
+                F.zip_with(_d("__qvec"), F.col("cvec"), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / (norm_expr("__qvec") * F.sqrt(
+                F.aggregate(
+                    F.zip_with(F.col("cvec"), F.col("cvec"), lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )),
+        )
+    )
+    w_assign = Window.partitionBy("query_id").orderBy(
+        F.col("__cos_c").desc(), F.col("cell").asc()
+    )
+    assigned = (
+        qc.withColumn("__rn", F.row_number().over(w_assign))
+        .filter(F.col("__rn") == 1)
+        .select("query_id", "__qvec", "cell")
+    )
+    inverted = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec2"),
+        F.col(cell_col).alias("cell"),
+    )
+    scored = (
+        inverted.join(F.broadcast(assigned), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_expr("__qvec", "__cvec2"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cell", "neighbor_id", "cosine", "rank")
     )
 
 

@@ -209,3 +209,22 @@ def test_multimodal_resize_frames_features(spark, sf_dir):
     # deterministic across runs
     again = {r.doc_id: r.features for r in feature_extract(docs).collect()}
     assert all(again[r.doc_id] == r.features for r in feats)
+
+
+def test_ann_ivf_cell_locality_and_ranks(spark, sf_dir):
+    from haensel_ams_data_engineer_challenge_spark.operators.similarity import (
+        ann_topk_ivf,
+    )
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    out = ann_topk_ivf(vecs, vecs.filter(F.col("vec_id") < 10), k=3)
+    rows = out.collect()
+    assert rows
+    cells = {r.vec_id: r.label for r in vecs.select("vec_id", "label").collect()}
+    for r in rows:
+        # every neighbor comes from the assigned cell's inverted list
+        assert cells[r.neighbor_id] == r.cell
+    by_q = {}
+    for r in sorted(rows, key=lambda r: (r.query_id, r.rank)):
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(ranks == list(range(1, len(ranks) + 1)) for ranks in by_q.values())
