@@ -45,6 +45,9 @@ HEADLINE: dict[str, bool] = {
     "text_quality_score": False,
     "doc_fingerprint": False,
     "pack_groups": False,
+    "q5_region_revenue": True,
+    "events_sessionize": False,
+    "ann_topk_ivf": False,
 }
 
 
