@@ -761,6 +761,39 @@ def _tpch_entries() -> dict[str, tuple[QueryFn, str | None]]:
         GROUP BY session_key, user_id""",
     )
 
+    # full outer join: daily click totals vs daily BIG-purchase totals
+    # (value >= 180 keeps the purchase side sparse at every SF, so days
+    # with a NULL side actually occur and the outer semantics are
+    # exercised — an unfiltered version covered all days trivially)
+    def full_outer(spark: SparkSession, sf: str) -> DataFrame:
+        ev = load_table(spark, sf, "events")
+        clicks = (
+            ev.filter(F.col("event_type") == "click")
+            .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+            .agg(dsum("value", "click_value"))
+        )
+        big_purchases = (
+            ev.filter((F.col("event_type") == "purchase") & (F.col("value") >= 180.0))
+            .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+            .agg(dsum("value", "purchase_value"))
+        )
+        return clicks.join(big_purchases, "day", "full_outer")
+
+    e["join_full_outer_daily"] = (
+        full_outer,
+        f"""SELECT COALESCE(c.day, p.day) AS day, c.click_value, p.purchase_value
+            FROM (SELECT strftime(ts, '%Y-%m-%d') AS day,
+                         {dsum_sql("value", "click_value")}
+                  FROM events WHERE event_type = 'click' GROUP BY 1) c
+            FULL OUTER JOIN
+                 (SELECT strftime(ts, '%Y-%m-%d') AS day,
+                         {dsum_sql("value", "purchase_value")}
+                  FROM events
+                  WHERE event_type = 'purchase' AND value >= CAST(180.0 AS DOUBLE)
+                  GROUP BY 1) p
+              ON c.day = p.day""",
+    )
+
     # §2.6 set operations over two event windows
     def _users(spark: SparkSession, sf: str, lo: str, hi: str) -> DataFrame:
         ev = load_table(spark, sf, "events")
