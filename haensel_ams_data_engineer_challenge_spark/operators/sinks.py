@@ -43,14 +43,13 @@ ATTRIBUTION_DDL: dict[str, str] = {
 def create_tables(spark: SparkSession, base_path: str) -> None:
     """S4: DDL bootstrap — empty parquet datasets with declared schemas
     (CREATE TABLE IF NOT EXISTS semantics: existing data is kept)."""
+    import os
+
     ensure_engine_confs(spark)
     for name, ddl in ATTRIBUTION_DDL.items():
         path = f"{base_path}/{name}"
-        try:
-            spark.read.parquet(path).limit(0).collect()
+        if os.path.isdir(path):
             continue  # exists -> IF NOT EXISTS no-op
-        except Exception:
-            pass
         empty = spark.createDataFrame([], StructType.fromDDL(ddl))
         empty.write.mode("overwrite").parquet(path)
 
@@ -77,12 +76,15 @@ def insert_if_absent(
     present; duplicate keys within ``df`` keep one arbitrary-but-
     deterministic row (first by the remaining columns). Returns the
     number of rows appended."""
+    import os
+
     fresh = df.dropDuplicates(keys)
-    try:
+    # explicit existence check: a missing sink means everything is
+    # fresh, but an EXISTING-yet-unreadable sink must raise — silently
+    # treating it as empty would append duplicates.
+    if os.path.isdir(path):
         existing = spark.read.parquet(path).select(*keys)
         fresh = fresh.join(existing, keys, "left_anti")
-    except Exception:
-        pass  # sink does not exist yet -> everything is fresh
     n = fresh.count()
     if n:
         fresh.write.mode("append").parquet(path)

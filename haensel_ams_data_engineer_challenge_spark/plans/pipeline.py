@@ -78,11 +78,15 @@ def run_pipeline(
         conversions = conversions.filter(F.col("conv_date") <= end_date)
     conversions_total = conversions.count()
 
-    # 4. incremental skip (J5/J6): only conversions not yet scored
-    try:
+    # 4. incremental skip (J5/J6): only conversions not yet scored.
+    # Existence check, not try/except: an unreadable existing sink must
+    # raise rather than silently re-score everything.
+    import os
+
+    if os.path.isdir(attribution_path):
         existing = spark.read.parquet(attribution_path).select("conv_id").distinct()
         todo = conversions.join(existing, "conv_id", "left_anti")
-    except Exception:
+    else:
         todo = conversions
 
     # 3+5. journeys + native scoring — one lazy graph

@@ -148,3 +148,36 @@ def test_generic_asof_stream_matches_join_strategy(spark, direction, allow_exact
     s = sorted(({c: r[c] for c in stream.columns} for r in stream.collect()), key=key)
     j = sorted(({c: r[c] for c in stream.columns} for r in join.collect()), key=key)
     assert s == j
+
+
+def test_asof_hot_user_partition(spark):
+    """A pathological hot user (one user owning most of the timeline)
+    must still produce exact earliest-following assignments — the
+    merged-stream form funnels that user through one sorted partition."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    sessions = [(str(i), "hot", base + timedelta(seconds=i)) for i in range(5000)]
+    sessions += [(str(9000 + i), f"u{i}", base + timedelta(seconds=i)) for i in range(50)]
+    convs = [(f"c{j}", "hot", base + timedelta(seconds=j * 100), 1.0) for j in range(1, 50)]
+    s_df = spark.createDataFrame(
+        sessions, "session_id string, user_id string, ts timestamp_ntz"
+    ).selectExpr(
+        "session_id", "user_id", "ts",
+        "date_format(ts,'yyyy-MM-dd') as event_date",
+        "date_format(ts,'HH:mm:ss') as event_time",
+        "'x' as channel_name", "0 as holder_engagement",
+        "0 as closer_engagement", "0 as impression_interaction",
+    )
+    c_df = spark.createDataFrame(
+        convs, "conv_id string, user_id string, conv_ts timestamp_ntz, revenue double"
+    )
+    got = {r.session_id: r.conv_id for r in journey_asof_join(s_df, c_df).collect()}
+    # expected: session at second i -> conversion at the next multiple of 100
+    import math
+
+    for i in range(5000):
+        nxt = (i // 100) + 1
+        expected = f"c{nxt}" if nxt <= 49 else None
+        assert got.get(str(i)) == expected, (i, got.get(str(i)), expected)
+    assert not any(k.startswith("9") and len(k) == 4 for k in got)  # other users unmatched
