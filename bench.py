@@ -80,6 +80,23 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 3)
 
+    # the number directly comparable to the reference's runtime: the
+    # whole pipeline (journeys -> native scoring -> idempotent upsert ->
+    # invariant check -> partition-overwrite report -> CSV), cold sinks.
+    import shutil
+    import tempfile
+
+    from haensel_ams_data_engineer_challenge_spark.plans.pipeline import run_pipeline
+
+    work = tempfile.mkdtemp(prefix="bench_pipeline_")
+    start = time.perf_counter()
+    run_pipeline(
+        spark, sf_dir, f"{work}/acj", f"{work}/report",
+        report_csv_path=f"{work}/csv",
+    )
+    timings["pipeline_e2e"] = round(time.perf_counter() - start, 3)
+    shutil.rmtree(work, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
