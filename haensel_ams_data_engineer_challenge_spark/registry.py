@@ -384,6 +384,53 @@ def _attribution_entries() -> dict[str, tuple[QueryFn, str | None]]:
                 ON r.channel_name = g.channel_name AND r.date = g.date""",
     )
 
+    # rolling window over the dense grid: 7-day moving ihc_revenue per
+    # channel (ROWS frame is exact on the gap-filled daily series —
+    # bounded-frame window coverage)
+    def rolling(spark: SparkSession, sf: str) -> DataFrame:
+        from pyspark.sql import Window as W
+
+        grid = e["report_gapfill"][0](spark, sf)
+        w7 = (
+            W.partitionBy("channel_name")
+            .orderBy("date")
+            .rowsBetween(-6, W.currentRow)
+        )
+        return grid.select(
+            "channel_name",
+            "date",
+            "ihc_revenue",
+            F.sum(F.col("ihc_revenue").cast("decimal(25,6)"))
+            .over(w7)
+            .cast("double")
+            .alias("ihc_revenue_7d"),
+        )
+
+    e["report_rolling_7d"] = (
+        rolling,
+        _pipeline_prelude(JOURNEYS_CTE, SCORED_CTE, REPORT_CTE)
+        + f""", grid AS (
+                  SELECT g.channel_name, g.date,
+                         COALESCE(r.ihc_revenue, CAST(0.0 AS DOUBLE)) AS ihc_revenue
+                  FROM (
+                      SELECT c.channel_name, strftime(d, '%Y-%m-%d') AS date
+                      FROM (SELECT DISTINCT channel_name FROM report) c
+                      CROSS JOIN (
+                          SELECT unnest(generate_series(DATE '{REPORT_START}',
+                                                        DATE '{REPORT_END}',
+                                                        INTERVAL 1 DAY)) AS d) days
+                  ) g
+                  LEFT JOIN report r
+                    ON r.channel_name = g.channel_name AND r.date = g.date
+              )
+              SELECT channel_name, date, ihc_revenue,
+                     CAST(SUM(CAST(ihc_revenue AS DECIMAL(25,6))) OVER (
+                          PARTITION BY channel_name ORDER BY date
+                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                     AS ihc_revenue_7d
+              FROM grid""",
+    )
+
     # A5: grand totals + overall ROAS (reporting.py:171-179)
     e["agg_report_totals"] = (
         lambda spark, sf: report_totals(_report(spark, sf)),
