@@ -4,23 +4,33 @@ The reference packs journeys into chunks of <= 100 journeys AND <= 200
 sessions, never splitting a journey across chunks, by a sequential
 greedy loop. Two engine forms:
 
-- ``pack_groups_cumsum`` — deterministic CLOSED FORM: running
-  journey/session counts over a total order, chunk id =
-  greatest(cum_journeys div J, cum_sessions div S). Guarantees
-  <= J journeys per chunk and bounds sessions to < S + max journey
-  size (a single oversized journey still gets its own chunk, like the
-  reference). Fully window-expressible -> has a SQL oracle. The
-  single-partition window is inherently sequential — at scale you pack
-  WITHIN a date/tenant partition (add it to the partitionBy), which is
-  also what an API-request packer would want.
+- ``pack_cumsum`` — deterministic CLOSED FORM: running journey/session
+  counts over a total order, provisional chunk id =
+  greatest(cum_journeys div J, cum_sessions div S), then a second
+  window pass re-splits any provisional chunk holding more than J
+  journeys (a single oversized journey can inflate the session cumsum
+  and pull extra journeys into one provisional chunk — counterexample
+  J=2, S=10, sizes [20,1,1,1]).  After the split pass the journey cap
+  is strict: <= J journeys per chunk; sessions are bounded by
+  < S + max journey size (an oversized journey still gets its own
+  chunk, like the reference).  Both passes share one
+  partition+order, so the whole op is a single shuffle.
 
-- ``pack_groups_greedy`` — EXACT reference semantics (close the chunk
-  when adding the next journey would exceed either cap) via a plain
-  Python greedy inside one ``applyInPandas`` group; verified in
+- ``pack_greedy`` — EXACT reference semantics (close the chunk when
+  adding the next journey would exceed either cap) via a plain Python
+  greedy inside ``applyInPandas`` groups; verified in
   tests/test_pack.py against an independent in-memory implementation.
+
+Scale design: both forms take ``partition_by`` — at 100 TB you pack
+WITHIN a date/tenant partition (chunks model API requests, and an API
+request packer is naturally partition-scoped), so no global
+single-partition window appears in the registered plan.  The
+registered entries pack within ``conv_date``.
 """
 
 from __future__ import annotations
+
+from collections.abc import Sequence
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
@@ -31,56 +41,118 @@ MAX_JOURNEYS = 100
 MAX_SESSIONS = 200
 
 
-def journey_sizes(journeys: DataFrame) -> DataFrame:
-    return journeys.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_sessions"))
+def journey_sizes(
+    journeys: DataFrame, partition_by: Sequence[str] = ()
+) -> DataFrame:
+    """One row per journey: (partition cols..., conv_id, n_sessions)."""
+    return journeys.groupBy(*partition_by, "conv_id").agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
 
 
 def pack_cumsum(
     sizes: DataFrame,
     max_journeys: int = MAX_JOURNEYS,
     max_sessions: int = MAX_SESSIONS,
+    partition_by: Sequence[str] = (),
 ) -> DataFrame:
-    """Closed-form chunk assignment over (conv_id, n_sessions)."""
+    """Closed-form chunk assignment over (conv_id, n_sessions), packed
+    within ``partition_by`` (chunk_id restarts per partition)."""
     order = F.col("conv_id").cast("long")
-    w_all = Window.orderBy(order)
+    w_all = (
+        Window.partitionBy(*partition_by).orderBy(order)
+        if partition_by
+        else Window.orderBy(order)
+    )
     w_prev = w_all.rowsBetween(Window.unboundedPreceding, -1)
-    return (
+    provisional = (
         sizes.withColumn("__idx", F.row_number().over(w_all) - 1)
         .withColumn(
             "__cum_prev", F.coalesce(F.sum("n_sessions").over(w_prev), F.lit(0))
         )
-        .select(
-            "conv_id",
-            "n_sessions",
+        .withColumn(
+            "__prov",
             F.greatest(
                 F.expr(f"__idx div {max_journeys}"),
                 F.expr(f"__cum_prev div {max_sessions}"),
-            ).alias("chunk_id"),
+            ),
         )
+    )
+    # strict-journey-cap pass: within a provisional chunk, every block
+    # of max_journeys rows becomes its own chunk; dense_rank over
+    # (provisional, block) renumbers contiguously. Same partition+order
+    # as the first pass -> still one shuffle.
+    w_chunk = (
+        Window.partitionBy(*partition_by, "__prov").orderBy(order)
+        if partition_by
+        else Window.partitionBy("__prov").orderBy(order)
+    )
+    w_rank = (
+        Window.partitionBy(*partition_by).orderBy("__prov", "__sub")
+        if partition_by
+        else Window.orderBy("__prov", "__sub")
+    )
+    return (
+        provisional.withColumn("__sub", F.row_number().over(w_chunk) - 1)
+        .withColumn("__sub", F.expr(f"__sub div {max_journeys}"))
+        .withColumn("chunk_id", F.dense_rank().over(w_rank) - 1)
+        .select(*partition_by, "conv_id", "n_sessions", "chunk_id")
     )
 
 
+def pack_cumsum_sql(
+    max_journeys: int = MAX_JOURNEYS,
+    max_sessions: int = MAX_SESSIONS,
+    partition_by: Sequence[str] = (),
+) -> str:
+    """DuckDB twin of ``pack_cumsum`` over a ``jsz`` CTE with columns
+    (partition cols..., conv_id, n_sessions)."""
+    part = ", ".join(partition_by)
+    p_clause = f"PARTITION BY {part} " if partition_by else ""
+    p_cols = f"{part}, " if partition_by else ""
+    return f"""
+    ordered AS (
+        SELECT {p_cols}conv_id, n_sessions,
+               ROW_NUMBER() OVER ({p_clause}ORDER BY CAST(conv_id AS BIGINT)) - 1 AS idx,
+               CAST(COALESCE(SUM(n_sessions) OVER (
+                   {p_clause}ORDER BY CAST(conv_id AS BIGINT)
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_prev
+        FROM jsz),
+    provisional AS (
+        SELECT *, greatest(idx // {max_journeys}, cum_prev // {max_sessions}) AS prov
+        FROM ordered),
+    split AS (
+        SELECT *,
+               (ROW_NUMBER() OVER (PARTITION BY {p_cols}prov
+                                   ORDER BY CAST(conv_id AS BIGINT)) - 1)
+               // {max_journeys} AS sub
+        FROM provisional)
+    SELECT {p_cols}conv_id, n_sessions,
+           DENSE_RANK() OVER ({p_clause}ORDER BY prov, sub) - 1 AS chunk_id
+    FROM split"""
+
+
 def pack_groups_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return pack_cumsum(journey_sizes(M.journeys(spark, sf_dir)))
+    """Registered form: pack within conv_date partitions (the shape an
+    API-request packer wants, and no global single-partition window)."""
+    j = M.journeys(spark, sf_dir).withColumn(
+        "conv_date", F.date_format("conv_ts", "yyyy-MM-dd")
+    )
+    return pack_cumsum(
+        journey_sizes(j, ["conv_date"]), partition_by=["conv_date"]
+    )
 
 
 PACK_CUMSUM_SQL = (
     M.ORACLE_PRELUDE.rstrip()
     + ","
     + M.JOURNEYS_CTE.strip()
-    + f""",
-    jsz AS (SELECT conv_id, COUNT(*) AS n_sessions FROM journeys GROUP BY conv_id),
-    ordered AS (
-        SELECT conv_id, n_sessions,
-               ROW_NUMBER() OVER (ORDER BY CAST(conv_id AS BIGINT)) - 1 AS idx,
-               CAST(COALESCE(SUM(n_sessions) OVER (
-                   ORDER BY CAST(conv_id AS BIGINT)
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-               AS cum_prev
-        FROM jsz)
-    SELECT conv_id, n_sessions,
-           greatest(idx // {MAX_JOURNEYS}, cum_prev // {MAX_SESSIONS}) AS chunk_id
-    FROM ordered"""
+    + """,
+    jsz AS (SELECT strftime(conv_ts, '%Y-%m-%d') AS conv_date,
+                   conv_id, COUNT(*) AS n_sessions
+            FROM journeys GROUP BY 1, 2),"""
+    + pack_cumsum_sql(partition_by=["conv_date"])
 )
 
 
@@ -102,31 +174,43 @@ def pack_greedy(
     sizes: DataFrame,
     max_journeys: int = MAX_JOURNEYS,
     max_sessions: int = MAX_SESSIONS,
+    partition_by: Sequence[str] = (),
 ) -> DataFrame:
-    """Exact greedy packing via a single applyInPandas group.
+    """Exact greedy packing via ``applyInPandas`` per partition group.
 
-    Sequential by nature (each decision depends on all prior ones), so
-    the whole size list flows through one task — acceptable because
-    the input is one row per *journey* (already aggregated), orders of
-    magnitude smaller than the session data. At 100 TB, pack within
-    date partitions by grouping on a partition column instead of the
-    constant key.
+    Sequential by nature (each decision depends on all prior ones)
+    WITHIN a partition; distinct partitions pack in parallel. The
+    input is one row per *journey* (already aggregated), orders of
+    magnitude smaller than the session data, and partition groups
+    (date/tenant) bound each sequential task.  With no
+    ``partition_by`` the whole list flows through one task — only
+    acceptable for small inputs.
     """
+    part_cols = list(partition_by)
+    schema_prefix = "".join(f"{c} string, " for c in part_cols)
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("__ord").reset_index(drop=True)
         packed = greedy_pack(
             list(zip(pdf["conv_id"], pdf["n_sessions"])), max_journeys, max_sessions
         )
-        return pd.DataFrame(packed, columns=["conv_id", "n_sessions", "chunk_id"])
+        out = pd.DataFrame(packed, columns=["conv_id", "n_sessions", "chunk_id"])
+        for c in part_cols:
+            out.insert(0, c, pdf[c].iloc[0])
+        return out
 
-    return (
-        sizes.withColumn("__ord", F.col("conv_id").cast("long"))
-        .withColumn("__g", F.lit(0))
-        .groupBy("__g")
-        .applyInPandas(_pack, "conv_id string, n_sessions long, chunk_id long")
+    keyed = sizes.withColumn("__ord", F.col("conv_id").cast("long"))
+    group = part_cols if part_cols else [F.lit(0)]
+    return keyed.groupBy(*group).applyInPandas(
+        _pack, schema_prefix + "conv_id string, n_sessions long, chunk_id long"
     )
 
 
 def pack_groups_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return pack_greedy(journey_sizes(M.journeys(spark, sf_dir)))
+    """Registered form: exact greedy within conv_date partitions."""
+    j = M.journeys(spark, sf_dir).withColumn(
+        "conv_date", F.date_format("conv_ts", "yyyy-MM-dd")
+    )
+    return pack_greedy(
+        journey_sizes(j, ["conv_date"]), partition_by=["conv_date"]
+    )
