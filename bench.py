@@ -35,14 +35,16 @@ HEADLINE: dict[str, bool] = {
     "ihc_attribute": False,
     "agg_channel_report": True,
     "report_metrics": True,
+    "ihc_redistributed": False,
     "dedup_exact": False,
     "dedup_minhash_lsh": False,
-    "dedup_ngram_jaccard": False,
+    # composed LSH->exact-verify near-dup is the headline path; the
+    # standalone quadratic n-gram Jaccard is a pytest-only verifier
+    "dedup_verify_candidates": False,
     "dedup_simhash": False,
     "ann_topk_bruteforce": False,
     "ann_topk_lsh": False,
-    "text_token_stats": False,
-    "text_quality_score": False,
+    "text_stats": False,
     "doc_fingerprint": False,
     "pack_groups": False,
     "q5_region_revenue": True,

@@ -78,7 +78,17 @@ def _minhash_bands_cte() -> str:
         selects.append(
             f"SELECT doc_id, {b} AS band, md5('{b}|' || {hs}) AS band_key FROM sigs"
         )
-    return "\nbands AS (\n    " + "\n    UNION ALL ".join(selects) + "\n)\n"
+    # mirrors dedup.MAX_BAND_BUCKET: flooded band buckets are dropped
+    # before pairing on both engines
+    return (
+        "\nbands_all AS (\n    " + "\n    UNION ALL ".join(selects) + "\n),\n"
+        "bands AS (\n"
+        "    SELECT doc_id, band, band_key FROM (\n"
+        "        SELECT *, COUNT(*) OVER (PARTITION BY band, band_key) AS __bsz\n"
+        "        FROM bands_all) t\n"
+        f"    WHERE __bsz <= {D.MAX_BAND_BUCKET}\n"
+        ")\n"
+    )
 
 
 def _docs(spark: SparkSession, sf: str) -> DataFrame:
@@ -112,26 +122,10 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
                     AND a.doc_id < b.doc_id""",
     )
 
-    e["dedup_ngram_jaccard"] = (
-        lambda spark, sf: D.ngram_jaccard_pairs(
-            _docs(spark, sf), threshold=JACCARD_THRESHOLD
-        ),
-        prelude + "," + SHINGLE_EXPLODE_CTE.strip() + f""",
-        sizes AS (SELECT doc_id, count(*) AS n FROM sh_ex GROUP BY doc_id),
-        inter AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-            FROM sh_ex a JOIN sh_ex b
-              ON a.s = b.s AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
-        )
-        SELECT id_a, id_b,
-               CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
-        FROM inter
-        JOIN sizes sa ON sa.doc_id = id_a
-        JOIN sizes sb ON sb.doc_id = id_b
-        WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE)
-              >= CAST({JACCARD_THRESHOLD} AS DOUBLE)""",
-    )
+    # standalone exact n-gram Jaccard (quadratic in shared-shingle
+    # pairs) is deliberately NOT registered: it is the verifier inside
+    # `dedup_verify_candidates` below, and its standalone form stays
+    # pytest-covered (tests/test_dedup.py) — never the headline path.
 
     # composed 100 TB path: LSH candidates -> exact Jaccard verify.
     # The oracle restricts the quadratic verifier to candidate docs the
@@ -280,39 +274,39 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
             WHERE rank <= {ANN_LSH_K}""",
     )
 
+    # banded-LSH candidates + exact cosine verify — the 100 TB shape
+    # (similarity.embedding_dup_pairs_lsh docstring has the recall
+    # math; the all-pairs form stays as the pytest recall cross-check)
     cos_ab = S.cosine_sql("a.embedding", "b.embedding")
     e["dedup_embedding_cosine"] = (
-        lambda spark, sf: S.embedding_dup_pairs(
+        lambda spark, sf: S.embedding_dup_pairs_lsh(
             _vecs(spark, sf), threshold=COSINE_DUP_THRESHOLD
         ),
-        f"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos_ab} AS cosine
-            FROM embeddings a, embeddings b
-            WHERE a.vec_id < b.vec_id
-              AND {cos_ab} >= CAST({COSINE_DUP_THRESHOLD} AS DOUBLE)""",
+        f"""WITH wb AS ({S.banded_buckets_sql("embedding")}),
+            cand AS (
+                SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+                FROM wb x JOIN wb y ON x.band = y.band AND x.bucket = y.bucket
+                                   AND x.vec_id < y.vec_id)
+            SELECT id_a, id_b, {cos_ab} AS cosine
+            FROM cand
+            JOIN embeddings a ON a.vec_id = id_a
+            JOIN embeddings b ON b.vec_id = id_b
+            WHERE {cos_ab} >= CAST({COSINE_DUP_THRESHOLD} AS DOUBLE)""",
     )
 
     # ---- text analysis ---------------------------------------------------
-    e["text_token_stats"] = (
-        lambda spark, sf: _docs(spark, sf).select(
-            "doc_id",
-            T.token_count("text").cast("long").alias("token_count"),
-            T.bpe_ish_count("text").cast("long").alias("bpe_ish_count"),
-            F.length("text").cast("long").alias("char_count"),
-        ),
-        rf"""SELECT doc_id,
-                   len(string_split_regex(trim(lower(text)), '\s+')) AS token_count,
-                   len(regexp_extract_all(text, '{BPE_SQL}')) AS bpe_ish_count,
-                   length(text) AS char_count
-            FROM documents""",
-    )
-
+    # token stats + quality scoring fused into one projection (one
+    # registry slot, one driver row, same JVM-built-in column tree)
     stop_list = ", ".join(f"'{w}'" for w in T.EN_STOPWORDS)
-    e["text_quality_score"] = (
+    e["text_stats"] = (
         lambda spark, sf: _docs(spark, sf)
         .withColumn("punct_ratio", T.punct_ratio("text"))
         .withColumn("stopword_ratio", T.stopword_ratio("text"))
         .select(
             "doc_id",
+            T.token_count("text").cast("long").alias("token_count"),
+            T.bpe_ish_count("text").cast("long").alias("bpe_ish_count"),
+            F.length("text").cast("long").alias("char_count"),
             "punct_ratio",
             "stopword_ratio",
             (
@@ -327,6 +321,9 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
         ),
         rf"""WITH base AS (
                 SELECT doc_id,
+                       len(string_split_regex(trim(lower(text)), '\s+')) AS token_count,
+                       len(regexp_extract_all(text, '{BPE_SQL}')) AS bpe_ish_count,
+                       length(text) AS char_count,
                        CASE WHEN length(text) > 0
                             THEN CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
                                  / CAST(length(text) AS DOUBLE)
@@ -339,7 +336,8 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
                             ELSE CAST(0.0 AS DOUBLE) END AS stopword_ratio,
                        CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) AS ntok
                 FROM documents)
-            SELECT doc_id, punct_ratio, stopword_ratio,
+            SELECT doc_id, token_count, bpe_ish_count, char_count,
+                   punct_ratio, stopword_ratio,
                    CAST(0.5 AS DOUBLE) * stopword_ratio
                  + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - punct_ratio)
                  + CAST(0.2 AS DOUBLE) * least(CAST(1.0 AS DOUBLE), ntok / CAST(100.0 AS DOUBLE))

@@ -23,12 +23,19 @@ oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ..functions.text import word_shingles
 
 MINHASH_K = 12
 MINHASH_BAND_SIZE = 3
+#: Band buckets holding more docs than this are dropped before pairing:
+#: a flooded bucket (boilerplate text hashing identically in one band)
+#: is non-discriminative, and pairing it re-creates the quadratic
+#: blow-up LSH exists to avoid. True near-dup pairs agree in several
+#: bands, so dropping one flooded band rarely loses a pair; the cap
+#: bounds worst-case pair count to B * n/cap * cap^2 = B*n*cap.
+MAX_BAND_BUCKET = 32
 
 
 def normalize_text(col: Column | str) -> Column:
@@ -100,14 +107,25 @@ def dedup_minhash_lsh(
     k: int = MINHASH_K,
     band_size: int = MINHASH_BAND_SIZE,
     shingle_n: int = 3,
+    max_bucket_size: int | None = MAX_BAND_BUCKET,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing any LSH band.
 
     Scale note: the band self-join degenerates only if a band bucket
-    is huge (near-identical boilerplate floods one bucket); mitigate
-    upstream with normalize_text + a bucket-size cap before pairing.
+    is huge (near-identical boilerplate floods one bucket), so buckets
+    above ``max_bucket_size`` docs are dropped before pairing (see
+    MAX_BAND_BUCKET).  The bucket-size window partitions on the same
+    (band, band_key) the self-join shuffles on, so the cap reuses that
+    exchange instead of adding one.
     """
     bands = minhash_bands(df, text_col, id_col, k, band_size, shingle_n)
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "band_key")
+        bands = (
+            bands.withColumn("__bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
     a = bands.alias("a")
     b = bands.alias("b")
     return (

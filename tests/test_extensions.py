@@ -228,3 +228,149 @@ def test_ann_ivf_cell_locality_and_ranks(spark, sf_dir):
     for r in sorted(rows, key=lambda r: (r.query_id, r.rank)):
         by_q.setdefault(r.query_id, []).append(r.rank)
     assert all(ranks == list(range(1, len(ranks) + 1)) for ranks in by_q.values())
+
+
+# ---------------------------------------------------------------------------
+# round 2: bucket cap, banded embedding dedup, partitioned packing
+# ---------------------------------------------------------------------------
+
+def test_lsh_bucket_cap_bounds_flooded_corpus(spark):
+    """A corpus of identical boilerplate floods one bucket per band;
+    the cap must drop those buckets (bounded pair count) while leaving
+    a normal corpus's output unchanged."""
+    import pandas as pd
+
+    n = 3 * D.MAX_BAND_BUCKET  # well above the cap
+    flooded = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [f"d{i}" for i in range(n)],
+                "text": ["the same boilerplate text repeated verbatim here"] * n,
+            }
+        )
+    )
+    capped = D.dedup_minhash_lsh(flooded).count()
+    uncapped = D.dedup_minhash_lsh(flooded, max_bucket_size=None).count()
+    assert uncapped == n * (n - 1) // 2  # quadratic blow-up without cap
+    assert capped == 0  # flooded buckets dropped entirely
+
+    # sub-cap duplicate groups are untouched by the cap
+    small = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [f"s{i}" for i in range(6)],
+                "text": ["a perfectly ordinary duplicated sentence"] * 6,
+            }
+        )
+    )
+    assert (
+        D.dedup_minhash_lsh(small).count()
+        == D.dedup_minhash_lsh(small, max_bucket_size=None).count()
+        == 15
+    )
+
+
+def test_lsh_bucket_cap_no_change_on_testdata(spark, docs):
+    """The registered corpus has no flooded bucket, so the cap must be
+    a no-op there (oracle parity then holds trivially)."""
+    capped = {(r.id_a, r.id_b) for r in D.dedup_minhash_lsh(docs).collect()}
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in D.dedup_minhash_lsh(docs, max_bucket_size=None).collect()
+    }
+    assert capped == uncapped
+
+
+@pytest.fixture(scope="module")
+def vecs(spark, sf_dir):
+    df = load_table(spark, sf_dir, "embeddings")
+    df.cache().count()
+    yield df
+    df.unpersist()
+
+
+def test_embedding_dup_lsh_subset_and_recall(spark, vecs):
+    """Banded-LSH pairs are exactly the brute pairs that share a band
+    bucket (no false positives; recall measured against all-pairs)."""
+    brute = {
+        (r.id_a, r.id_b): r.cosine
+        for r in S.embedding_dup_pairs(vecs, threshold=0.45).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.cosine
+        for r in S.embedding_dup_pairs_lsh(vecs, threshold=0.45).collect()
+    }
+    assert set(lsh) <= set(brute)
+    for pair, cos in lsh.items():
+        assert cos == brute[pair]  # exact cosine, bit-identical
+    # the synthetic corpus has only moderate-similarity pairs
+    # (cosine 0.45-0.6), where banded recall is theoretically ~0.9;
+    # assert a conservative floor so data drift fails loudly
+    assert len(lsh) / len(brute) >= 0.5
+
+
+def test_embedding_dup_lsh_full_recall_on_planted_near_dups(spark):
+    """In the regime near-dup dedup targets (cosine >= 0.9) the banded
+    scheme must find every planted pair: B=8 bands of r=3 planes give
+    per-pair miss probability (1 - p^3)^8 with p = 1 - arccos(c)/pi
+    ~= 0.0004 at c = 0.99."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, S.EMBEDDING_DIM))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((f"v{i}a", (v / np.linalg.norm(v)).tolist()))
+        w = v + rng.normal(scale=0.02, size=S.EMBEDDING_DIM)  # ~0.999 cosine
+        rows.append((f"v{i}b", (w / np.linalg.norm(w)).tolist()))
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [r[0] for r in rows],
+                      "embedding": [r[1] for r in rows]})
+    )
+    found = {
+        (r.id_a, r.id_b)
+        for r in S.embedding_dup_pairs_lsh(df, threshold=0.9).collect()
+    }
+    planted = {(f"v{i}a", f"v{i}b") for i in range(40)}
+    assert planted <= found
+
+
+def test_pack_cumsum_strict_journey_cap(spark):
+    """ADVICE r01 counterexample: an oversized journey inflating the
+    session cumsum must not pull >max_journeys journeys into a chunk
+    (J=2, S=10, sizes [20,1,1,1] previously put 3 journeys in one)."""
+    import pandas as pd
+    from collections import Counter
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"conv_id": ["1", "2", "3", "4"],
+                      "n_sessions": [20, 1, 1, 1]})
+    )
+    out = pack_cumsum(df, max_journeys=2, max_sessions=10).collect()
+    per_chunk = Counter(r.chunk_id for r in out)
+    assert max(per_chunk.values()) <= 2
+
+
+def test_pack_partitioned_restarts_per_partition(spark):
+    """Partition-scoped packing: chunk ids restart within each
+    partition value and journeys never cross partitions."""
+    import pandas as pd
+
+    rows = [("d1", str(i), 5) for i in range(30)] + [
+        ("d2", str(100 + i), 5) for i in range(7)
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["day", "conv_id", "n_sessions"])
+    )
+    for packed in (
+        pack_cumsum(df, max_journeys=10, max_sessions=1000, partition_by=["day"]),
+        pack_greedy(df, max_journeys=10, max_sessions=1000, partition_by=["day"]),
+    ):
+        out = packed.collect()
+        by_day: dict[str, list] = {}
+        for r in out:
+            by_day.setdefault(r.day, []).append(r)
+        assert sorted(by_day) == ["d1", "d2"]
+        assert {r.chunk_id for r in by_day["d1"]} == {0, 1, 2}  # 30 / 10
+        assert {r.chunk_id for r in by_day["d2"]} == {0}  # restarts at 0

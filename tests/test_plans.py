@@ -73,7 +73,7 @@ def test_asof_merged_stream_single_user_shuffle(spark, sf_dir):
 def test_whole_stage_codegen_in_hot_paths(spark, sf_dir):
     """Codegen spans only materialize in the AQE final plan — execute
     first, then inspect."""
-    for name in ("q1_pricing_summary", "agg_channel_report", "text_token_stats"):
+    for name in ("q1_pricing_summary", "agg_channel_report", "text_stats"):
         fn, _sql = registry()[name]
         df = fn(spark, sf_dir)
         df.collect()
