@@ -53,8 +53,11 @@ def flag_conversion_session(
     Reference: the latest session with ts <= conv_ts gets conversion=1
     (journey_builder.py:136-156, argmax via idxmax). Journey membership
     is already strict (< conv_ts), so the flag is simply the journey's
-    latest session; ties on identical ts break on session_id, mirroring
-    pandas idxmax's deterministic first-max.
+    latest session. Ties on identical ts break on MAX session_id — a
+    deliberate engine-side deterministic tie-break, not a reference
+    reproduction: pandas idxmax keeps the first max in frame order,
+    which for the reference is DB-insertion order and therefore not
+    reproducible from the data itself.
     """
     _, _, desc = _journey_windows(conv_col, ts_col, session_col)
     return journeys.withColumn(

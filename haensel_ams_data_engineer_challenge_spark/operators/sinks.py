@@ -75,20 +75,34 @@ def insert_if_absent(
     """S5: INSERT OR IGNORE — append rows whose key is not already
     present; duplicate keys within ``df`` keep one arbitrary-but-
     deterministic row (first by the remaining columns). Returns the
-    number of rows appended."""
+    number of rows appended.
+
+    Rows with a NULL in any key column are REJECTED (filtered out):
+    the key models the reference's PRIMARY KEY (challenge_db_create.
+    sql:29-34), and a NULL key can never match a left_anti condition,
+    so keeping such rows would re-append them on every run — breaking
+    the idempotence this sink exists to provide.
+
+    The appended count comes from an ``Observation`` on the single
+    write action — the plan (scan + anti-join included) executes once,
+    not once for count() and again for the write.
+    """
     import os
 
+    from pyspark.sql import Observation
+
     fresh = df.dropDuplicates(keys)
+    for k in keys:
+        fresh = fresh.filter(F.col(k).isNotNull())
     # explicit existence check: a missing sink means everything is
     # fresh, but an EXISTING-yet-unreadable sink must raise — silently
     # treating it as empty would append duplicates.
     if os.path.isdir(path):
         existing = spark.read.parquet(path).select(*keys)
         fresh = fresh.join(existing, keys, "left_anti")
-    n = fresh.count()
-    if n:
-        fresh.write.mode("append").parquet(path)
-    return n
+    obs = Observation()
+    fresh.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("append").parquet(path)
+    return int(obs.get["n"])
 
 
 def overwrite_partitions(df: DataFrame, path: str, partition_col: str) -> None:

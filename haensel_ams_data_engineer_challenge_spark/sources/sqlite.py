@@ -31,9 +31,35 @@ _TYPE_MAP = {
 }
 
 
+def _validate_table(conn: sqlite3.Connection, table: str) -> None:
+    """Reject table names that are not actual tables/views in the
+    database — names are interpolated into SQL (sqlite3 cannot
+    parameterize identifiers), so unvalidated input would be an
+    injection vector."""
+    names = {
+        r[0]
+        for r in conn.execute(
+            "SELECT name FROM sqlite_master WHERE type IN ('table', 'view')"
+        )
+    }
+    if table not in names:
+        raise ValueError(f"table {table!r} not found; available: {sorted(names)}")
+
+
+def _has_rowid(conn: sqlite3.Connection, table: str) -> bool:
+    """False for WITHOUT ROWID tables (their PK replaces the implicit
+    rowid, so rowid-range scans would fail)."""
+    try:
+        conn.execute(f"SELECT rowid FROM {table} LIMIT 1").fetchall()
+        return True
+    except sqlite3.OperationalError:
+        return False
+
+
 def sqlite_schema(db_path: str, table: str) -> list[tuple[str, str]]:
     """[(column, spark_type)] from PRAGMA table_info."""
     with sqlite3.connect(f"file:{db_path}?mode=ro", uri=True) as conn:
+        _validate_table(conn, table)
         info = conn.execute(f"PRAGMA table_info({table})").fetchall()
     if not info:
         raise ValueError(f"table {table!r} not found in {db_path}")
@@ -56,29 +82,55 @@ def read_sqlite(
     cols = [name for name, _ in schema]
 
     with sqlite3.connect(f"file:{db_path}?mode=ro", uri=True) as conn:
-        row = conn.execute(f"SELECT min(rowid), max(rowid) FROM {table}").fetchone()
-    lo, hi = row if row else (None, None)
-    if lo is None:
-        return spark.createDataFrame([], ddl)
-
-    span = hi - lo + 1
-    n = max(1, min(num_partitions, span))
-    step = (span + n - 1) // n
-    ranges = [(lo + i * step, min(hi, lo + (i + 1) * step - 1)) for i in range(n)]
+        _validate_table(conn, table)
+        if not _has_rowid(conn, table):
+            # WITHOUT ROWID table: no implicit rowid to slice on —
+            # fall back to a single full scan (PK-range partitioning
+            # would need type-aware PK bucketing; these tables are
+            # small PK-lookup tables in practice)
+            lo = hi = None
+            rowid_ok = False
+        else:
+            rowid_ok = True
+            row = conn.execute(
+                f"SELECT min(rowid), max(rowid) FROM {table}"
+            ).fetchone()
+            lo, hi = row if row else (None, None)
+            if lo is None and rowid_ok:
+                return spark.createDataFrame([], ddl)
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for r_lo, r_hi in zip(pdf["lo"], pdf["hi"]):
                 with sqlite3.connect(f"file:{db_path}?mode=ro", uri=True) as conn:
-                    out = pd.read_sql_query(
-                        f"SELECT {', '.join(cols)} FROM {table} "
-                        f"WHERE rowid BETWEEN ? AND ?",
-                        conn,
-                        params=(int(r_lo), int(r_hi)),
-                    )
+                    if int(r_lo) < 0:  # full-scan sentinel (no rowid)
+                        out = pd.read_sql_query(
+                            f"SELECT {', '.join(cols)} FROM {table}", conn
+                        )
+                    else:
+                        out = pd.read_sql_query(
+                            f"SELECT {', '.join(cols)} FROM {table} "
+                            f"WHERE rowid BETWEEN ? AND ?",
+                            conn,
+                            params=(int(r_lo), int(r_hi)),
+                        )
                 yield out
 
-    ranges_df = spark.createDataFrame(ranges, "lo long, hi long").repartition(n, "lo")
+    if not rowid_ok:
+        ranges = [(-1, -1)]
+        n = 1
+    else:
+        span = hi - lo + 1
+        n = max(1, min(num_partitions, span))
+        step = (span + n - 1) // n
+        ranges = [(lo + i * step, min(hi, lo + (i + 1) * step - 1)) for i in range(n)]
+
+    # repartitionByRange on the slice start gives exactly one contiguous
+    # slice per task — hash repartition could land several slices in one
+    # task (and leave others empty), silently losing scan parallelism
+    ranges_df = spark.createDataFrame(
+        ranges, "lo long, hi long"
+    ).repartitionByRange(n, "lo")
     return ranges_df.mapInPandas(scan, ddl)
 
 
@@ -93,6 +145,7 @@ def write_sqlite_insert_or_ignore(
     sql = f"INSERT OR IGNORE INTO {table} ({', '.join(cols)}) VALUES ({placeholders})"
     inserted = 0
     with sqlite3.connect(db_path) as conn:
+        _validate_table(conn, table)
         before = conn.execute(f"SELECT count(*) FROM {table}").fetchone()[0]
         batch: list[tuple] = []
         for row in df.toLocalIterator():

@@ -19,7 +19,11 @@ append-only event stream, so the engine exposes:
 foreachBatch deliberately reuses the BATCH operators — one codepath
 for semantics, streaming only handles arrival. Exactly-once story:
 the idempotent key-based upsert makes micro-batch replays harmless
-(at-least-once delivery + idempotent sink = effectively-once).
+(at-least-once delivery + idempotent sink = effectively-once), and a
+replayed conversion is always rescored over its WHOLE journey — the
+claimed-session exclusion skips the replaying batch's own conv_ids, so
+a partially persisted previous attempt can never truncate the journey
+and break the per-conversion sum-to-1 invariant (see score_batch).
 """
 
 from __future__ import annotations
@@ -146,7 +150,20 @@ def run_streaming_attribution(
         # existence check (not try/read) keeps the first batch from
         # logging a scary AnalysisException stack.
         if os.path.isdir(sink_path):
-            assigned = batch.sparkSession.read.parquet(sink_path).select("session_id")
+            # replay soundness: rows of THIS batch's conversions that a
+            # partially-visible earlier attempt already persisted must
+            # NOT truncate their own journeys — exclude only sessions
+            # claimed by OTHER conversions, recompute this batch's
+            # journeys whole, and let the idempotent upsert drop the
+            # already-present (conv_id, session_id) rows. Journeys are
+            # deterministic given the prior batches' claims, so the
+            # replay writes exactly the missing remainder and the
+            # per-conversion sum-to-1 invariant survives partial writes.
+            assigned = (
+                batch.sparkSession.read.parquet(sink_path)
+                .join(batch.select("conv_id"), "conv_id", "left_anti")
+                .select("session_id")
+            )
             sess = sess.join(assigned, "session_id", "left_anti")
         journeys = journey_asof_join(sess, batch)
         scored = ihc_attribute(journeys).select("conv_id", "session_id", "ihc")

@@ -135,3 +135,33 @@ def test_full_cycle_with_insert_or_ignore_writeback(spark, ref_db):
     assert by_ch["Paid Search Brand"].ROAS is None          # 0 cost -> NULL
     assert by_ch["Newsletter & Email"].CPO is not None
     assert "Direct Traffic" not in by_ch                    # s3 unattributed
+
+
+def test_sqlite_rejects_unknown_table(spark, ref_db):
+    """Table names are interpolated into SQL — unknown names must raise
+    before reaching the engine (injection guard, ADVICE r01)."""
+    import pytest
+
+    from haensel_ams_data_engineer_challenge_spark.sources.sqlite import read_sqlite
+
+    with pytest.raises(ValueError, match="not found"):
+        read_sqlite(spark, ref_db, "conversions; DROP TABLE conversions")
+
+
+def test_sqlite_without_rowid_falls_back_to_single_scan(spark, tmp_path):
+    """WITHOUT ROWID tables have no implicit rowid to slice on; the
+    reader must detect that and fall back instead of erroring."""
+    import sqlite3
+
+    from haensel_ams_data_engineer_challenge_spark.sources.sqlite import read_sqlite
+
+    db = str(tmp_path / "wr.db")
+    with sqlite3.connect(db) as conn:
+        conn.execute(
+            "CREATE TABLE kv (k TEXT PRIMARY KEY, v REAL) WITHOUT ROWID"
+        )
+        conn.executemany(
+            "INSERT INTO kv VALUES (?, ?)", [(f"k{i}", float(i)) for i in range(25)]
+        )
+    rows = read_sqlite(spark, db, "kv", num_partitions=4).collect()
+    assert {(r.k, r.v) for r in rows} == {(f"k{i}", float(i)) for i in range(25)}

@@ -96,3 +96,42 @@ def test_journeys_as_api_payload_shape(spark, sf_dir):
             "holder_engagement", "closer_engagement", "conversion",
             "impression_interaction",
         }
+
+
+def test_insert_if_absent_rejects_null_keys(spark, tmp_path):
+    """NULL-key rows can never match a left_anti condition, so keeping
+    them would re-append on every run — they are rejected instead and
+    the sink stays idempotent (ADVICE r01)."""
+    path = str(tmp_path / "acj_null")
+    rows = spark.createDataFrame(
+        [("c1", "s1", 0.4), (None, "s2", 0.6), ("c2", None, 1.0)],
+        "conv_id string, session_id string, ihc double",
+    )
+    assert sinks.insert_if_absent(spark, rows, path, ["conv_id", "session_id"]) == 1
+    # replay: nothing new, NULL rows not re-appended
+    assert sinks.insert_if_absent(spark, rows, path, ["conv_id", "session_id"]) == 0
+    assert spark.read.parquet(path).count() == 1
+
+
+def test_export_csv_golden_cells_null_metrics_empty(spark, tmp_path):
+    """Reference fidelity: NULL CPO/ROAS render as EMPTY cells exactly
+    like channel_reporting.csv rows 2-4 (e.g.
+    'Affiliate & Partnerships,2023-08-29,11.795,0.0,0.0,,0.0') —
+    asserted on the written CSV text, not parsed values."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("Affiliate & Partnerships", "2023-08-29", 11.795, 0.0, 0.0)],
+        "channel_name string, date string, cost double, ihc double, ihc_revenue double",
+    ).select(
+        "*",
+        F.when(F.col("ihc") != 0.0, F.col("cost") / F.col("ihc")).alias("CPO"),
+        F.when(F.col("cost") != 0.0, F.col("ihc_revenue") / F.col("cost")).alias("ROAS"),
+    )
+    path = str(tmp_path / "golden_csv")
+    sinks.export_csv(df, path)
+    [f] = list(Path(path).glob("*.csv"))
+    lines = f.read_text().strip().splitlines()
+    assert lines[0] == "channel_name,date,cost,ihc,ihc_revenue,CPO,ROAS"
+    # byte-identical to channel_reporting.csv line 2
+    assert lines[1] == "Affiliate & Partnerships,2023-08-29,11.795,0.0,0.0,,0.0"
