@@ -87,3 +87,43 @@ def test_no_cartesian_anywhere_in_registry(spark, sf_dir):
     for name, (fn, _sql) in registry().items():
         plan = plan_of(fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, name
+
+
+def test_embedding_dedup_is_bucket_equijoin_not_theta(spark, sf_dir):
+    """The registered near-dup op must generate candidates through the
+    (band, bucket) EQUI-join — a BroadcastNestedLoopJoin/theta-join on
+    id_a < id_b would be the all-pairs quadratic shape this op exists
+    to avoid (round-1 finding)."""
+    fn, _sql = registry()["dedup_embedding_cosine"]
+    plan = plan_of(fn(spark, sf_dir))
+    assert "band" in plan and "bucket" in plan
+    joins = [l for l in plan.splitlines() if "Join" in l]
+    assert any("band" in l and "bucket" in l for l in joins), joins
+    # the only non-equi condition is the id ordering INSIDE the
+    # equi-join, never a standalone nested-loop pairing
+    assert "CartesianProduct" not in plan
+
+
+def test_pack_groups_no_global_single_partition_window(spark, sf_dir):
+    """Registered packing must window within conv_date partitions —
+    a global Window.orderBy puts every journey through one task."""
+    fn, _sql = registry()["pack_groups"]
+    plan = plan_of(fn(spark, sf_dir))
+    # a partition-less global window compiles to Exchange SinglePartition
+    # feeding a Sort+Window; partitioned packing must not contain one
+    # on the window path (the final single-partition coalesce of tiny
+    # results is fine — look for the Window operator's input exchange)
+    lines = plan.splitlines()
+    for i, l in enumerate(lines):
+        if "Window" in l and "windowspecdefinition" in l.lower():
+            upstream = "\n".join(lines[i : i + 6])
+            assert "SinglePartition" not in upstream, upstream
+
+
+def test_ihc_redistributed_single_conv_shuffle(spark, sf_dir):
+    """All redistribution window sums share the conv_id partitioning —
+    one exchange on conv_id (plus the as-of join's user_id shuffle),
+    never one exchange per phase."""
+    fn, _sql = registry()["ihc_redistributed"]
+    plan = plan_of(fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning(conv_id") == 1
