@@ -341,6 +341,142 @@ redistributed AS (
 """
 
 
+# ---------------------------------------------------------------------------
+# conv_type_id: the scoring-model selector (api_utils.py:87 routes every
+# request to `/compute_ihc?conv_type_id=...` — the API's per-tenant model
+# choice). The engine's selector dispatches to named closed-form models;
+# every model satisfies the A2 sum-to-1 invariant by construction.
+# ---------------------------------------------------------------------------
+
+def _positional(journeys, expr_fn, conv_col, ts_col, session_col):
+    by_conv, asc, _ = _journey_windows(conv_col, ts_col, session_col)
+    rn = F.row_number().over(asc)
+    n = F.count(F.lit(1)).over(by_conv)
+    return journeys.withColumn("ihc", expr_fn(rn, n))
+
+
+def last_touch_attribute(journeys, conv_col="conv_id", ts_col="ts",
+                         session_col="session_id") -> DataFrame:
+    """All credit to the journey's final session."""
+    return _positional(
+        journeys, lambda rn, n: (rn == n).cast("int").cast("double"),
+        conv_col, ts_col, session_col)
+
+
+def first_touch_attribute(journeys, conv_col="conv_id", ts_col="ts",
+                          session_col="session_id") -> DataFrame:
+    """All credit to the journey's first session."""
+    return _positional(
+        journeys, lambda rn, n: (rn == 1).cast("int").cast("double"),
+        conv_col, ts_col, session_col)
+
+
+def linear_attribute(journeys, conv_col="conv_id", ts_col="ts",
+                     session_col="session_id") -> DataFrame:
+    """Equal credit to every session."""
+    return _positional(
+        journeys, lambda rn, n: F.lit(1.0) / n.cast("double"),
+        conv_col, ts_col, session_col)
+
+
+def position_based_attribute(journeys, w_first: float = 0.4,
+                             w_last: float = 0.4, conv_col="conv_id",
+                             ts_col="ts", session_col="session_id") -> DataFrame:
+    """U-shaped: w_first to the first session, w_last to the last, the
+    remainder split over the middle; n=1 -> 1.0, n=2 -> renormalized
+    endpoints (the standard degenerate cases)."""
+    w_mid = 1.0 - w_first - w_last
+
+    def expr(rn, n):
+        nd = n.cast("double")
+        two_way = F.when(rn == 1, F.lit(w_first) / F.lit(w_first + w_last)).otherwise(
+            F.lit(w_last) / F.lit(w_first + w_last))
+        u = (
+            F.when(rn == 1, F.lit(w_first))
+            .when(rn == n, F.lit(w_last))
+            .otherwise(F.lit(w_mid) / (nd - F.lit(2.0)))
+        )
+        return F.when(n == 1, F.lit(1.0)).when(n == 2, two_way).otherwise(u)
+
+    return _positional(journeys, expr, conv_col, ts_col, session_col)
+
+
+#: conv_type_id -> scoring model (engine twin of the API's model
+#: routing). Every model emits its scores in an ``ihc`` column so
+#: downstream (report, sinks, A2 check) is model-agnostic.
+CONV_TYPE_MODELS = {
+    "ihc": ihc_attribute,
+    "ihc_redistributed": lambda j, **kw: ihc_attribute_redistributed(
+        j, out_col="ihc", **kw
+    ),
+    "last_touch": last_touch_attribute,
+    "first_touch": first_touch_attribute,
+    "linear": linear_attribute,
+    "position_based": position_based_attribute,
+}
+
+
+def attribute_by_conv_type(
+    journeys: DataFrame, conv_type_id: str = "ihc", **model_kwargs
+) -> DataFrame:
+    """Score journeys with the model selected by ``conv_type_id``
+    (api_utils.py:87). Unknown ids raise with the available choices —
+    the engine's version of the API's 4xx on a bad conv_type_id."""
+    try:
+        model = CONV_TYPE_MODELS[conv_type_id]
+    except KeyError:
+        raise ValueError(
+            f"unknown conv_type_id {conv_type_id!r}; "
+            f"available: {sorted(CONV_TYPE_MODELS)}"
+        ) from None
+    return model(journeys, **model_kwargs)
+
+
+def save_scoring_audit(
+    scored: DataFrame,
+    output_dir: str,
+    prefix: str = "ihc_response",
+    run_id: str = "run",
+    conv_col: str = "conv_id",
+    ihc_col: str = "ihc",
+) -> str:
+    """Audit dump of scoring results (api_utils.save_api_response:
+    215-244): scores as JSON-lines plus a small meta file with the
+    invariant stats an auditor checks first. Deviations from the
+    reference, deliberately: the filename key is an explicit ``run_id``
+    (not a wall-clock timestamp — engine outputs are deterministic) and
+    the scores go through the distributed JSON sink, not the driver.
+    Returns the meta file path."""
+    import json
+    import os
+
+    scores_path = os.path.join(output_dir, f"{prefix}_{run_id}")
+    scored.write.mode("overwrite").json(scores_path)
+    stats = scored.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.countDistinct(conv_col).alias("conversions"),
+        F.min(ihc_col).alias("min_score"),
+        F.max(ihc_col).alias("max_score"),
+    ).collect()[0]
+    violations = attribution_sum_violations(scored, conv_col, ihc_col).count()
+    os.makedirs(output_dir, exist_ok=True)
+    meta_path = os.path.join(output_dir, f"{prefix}_{run_id}_meta.json")
+    with open(meta_path, "w") as f:
+        json.dump(
+            {
+                "rows": stats.rows,
+                "conversions": stats.conversions,
+                "min_score": stats.min_score,
+                "max_score": stats.max_score,
+                "sum_to_one_violations": violations,
+                "scores_path": scores_path,
+            },
+            f,
+            indent=2,
+        )
+    return meta_path
+
+
 def attribution_sum_violations(
     attribution: DataFrame,
     conv_col: str = "conv_id",
