@@ -115,8 +115,10 @@ def dedup_minhash_lsh(
     is huge (near-identical boilerplate floods one bucket), so buckets
     above ``max_bucket_size`` docs are dropped before pairing (see
     MAX_BAND_BUCKET).  The bucket-size window partitions on the same
-    (band, band_key) the self-join shuffles on, so the cap reuses that
-    exchange instead of adding one.
+    (band, band_key) the sort-merge self-join shuffles on, so at scale
+    the join reuses the cap's exchange; when AQE broadcasts the joined
+    side instead, the extra exchange only carries the tiny
+    (doc_id, band, band_key) stream.
     """
     bands = minhash_bands(df, text_col, id_col, k, band_size, shingle_n)
     if max_bucket_size is not None:
