@@ -208,6 +208,11 @@ def verify_candidates(
     (tiny) candidate universe, never the corpus.
     """
     pairs = dedup_minhash_lsh(df, text_col, id_col, k, band_size, shingle_n)
+    # pairs feeds three plan branches (both union arms of cand_ids and
+    # the final inner join); the minhash band exchange is identical in
+    # each, so ReusedExchange dedupes the expensive subtree at the
+    # physical level.  Measured: an explicit persist() is *slower*
+    # (materialization cost + cache boundary blocks AQE) — don't.
     cand_ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))

@@ -89,13 +89,24 @@ def run_pipeline(
     else:
         todo = conversions
 
-    # 3+5. journeys + native scoring — one lazy graph
+    # 3+5. journeys + native scoring — one lazy graph.  The scored
+    # output feeds two actions (distinct-conversion count + sink
+    # write); persist the narrow 3-column result so the expensive
+    # scan->as-of->window chain executes once, not twice.  At cluster
+    # scale this is the attribution table itself (rows = sessions of
+    # converted users, 3 narrow columns) — bounded by the sink size.
     journeys = journey_asof_join(M.sessions(spark, sf_dir), todo)
     scored = ihc_attribute(journeys).select("conv_id", "session_id", "ihc")
-    conversions_scored = scored.select("conv_id").distinct().count()
+    scored.persist()
+    try:
+        conversions_scored = scored.select("conv_id").distinct().count()
 
-    # 6a. INSERT OR IGNORE upsert (S5)
-    written = insert_if_absent(spark, scored, attribution_path, ["conv_id", "session_id"])
+        # 6a. INSERT OR IGNORE upsert (S5)
+        written = insert_if_absent(
+            spark, scored, attribution_path, ["conv_id", "session_id"]
+        )
+    finally:
+        scored.unpersist()
 
     # 6b. invariant check (A2) — warn-only in the reference (main.py:272-274)
     all_attribution = spark.read.parquet(attribution_path)
