@@ -1,0 +1,157 @@
+"""Duplicate-cluster resolution: connected components over near-dup
+pair output, then one-survivor-per-cluster selection.
+
+The dedup family (dedup.py, similarity.py) emits *pairs* — but a
+training-data pipeline needs clusters: if A~B and B~C, exactly one of
+{A, B, C} survives.  Pair output alone would keep A and C (never
+directly compared).  This module closes that gap.
+
+Algorithm: alternating large-star / small-star contraction
+(Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii — "Connected
+Components in MapReduce and Beyond", SoCC'14).  Each round is two
+groupBy-shuffles on node id; converges in O(log n) rounds even on
+pathological chain graphs (plain min-label propagation needs
+O(diameter) rounds).  All DataFrame ops — no RDDs, no driver-side
+graph state; per-round lineage is truncated with localCheckpoint so
+iteration depth cannot blow up the plan.
+
+Scale posture (100 TB): the edge set is near-dup *pairs*, already
+bounded by LSH banding — orders of magnitude smaller than the corpus.
+Every round shuffles only this edge set on node id.  On a real
+cluster, replace localCheckpoint with a reliable checkpoint directory
+(sc.setCheckpointDir on HDFS/S3) for executor-loss fault tolerance;
+the semantics are identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _canonical(pairs: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected edge list -> canonical (u, v) with u > v, deduped."""
+    u = F.greatest(F.col(src), F.col(dst))
+    v = F.least(F.col(src), F.col(dst))
+    return (
+        pairs.select(u.alias("u"), v.alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(N(u) + {u}).
+
+    Emits (v, m) for v in N(u) with v > u, where m = min(N(u) + {u});
+    since v > u >= m, the canonical u > v orientation is preserved.
+    """
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    m = F.least(F.col("mn"), F.col("u"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), m.alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Connect every smaller neighbor of u (and u itself) to the min.
+
+    Operates on the canonical larger->smaller orientation: for each u
+    with parents N-(u) = {v : (u, v) in e}, m = min(N-(u)); emits
+    (x, m) for x in N-(u) \\ {m} plus (u, m).  All emitted edges keep
+    first > second.
+    """
+    mins = e.groupBy("u").agg(F.min("v").alias("m"))
+    moved = (
+        e.join(mins, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    return moved.union(mins.select("u", F.col("m").alias("v"))).distinct()
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Connected components of an undirected pair graph.
+
+    Returns (node, component) for every node that appears in ``pairs``,
+    with ``component`` = the minimum node id in its component (a
+    deterministic canonical label).  Nodes absent from ``pairs`` are
+    their own singleton component — callers left-join and coalesce
+    (see ``dedup_survivors``).
+
+    Exact convergence check per round (edge set unchanged), not a
+    fixed round count: ``max_rounds`` is a divergence guard, and the
+    O(log n) bound of the star algorithm means 50 rounds covers any
+    realistic graph (2^50 nodes) — hitting it raises.
+    """
+    e = _canonical(pairs, src, dst).localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # both sides are distinct sets in canonical orientation, so
+        # equal counts + empty difference <=> equal sets.
+        if e2.count() == e.count() and e2.exceptAll(e).count() == 0:
+            e.unpersist()
+            e = e2
+            break
+        e.unpersist()
+        e = e2
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_rounds} rounds")
+    # converged star graph: every edge is (node, component_min); the
+    # roots themselves appear only on the v side.
+    return (
+        e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+        .union(e.select(F.col("v").alias("node"), F.col("v").alias("component")))
+        .distinct()
+    )
+
+
+def dedup_survivors(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+    order_col: str | None = None,
+) -> DataFrame:
+    """One survivor per duplicate cluster.
+
+    ``pairs`` is any near-dup pair output (minhash LSH, simhash,
+    verified candidates, embedding dedup).  Every doc gets a
+    ``component`` (its cluster's canonical min-id label; singletons
+    label themselves) and an ``is_survivor`` flag — exactly one per
+    component.
+
+    Survivor policy: lowest ``id_col`` in the cluster (deterministic),
+    or when ``order_col`` is given, the row with the highest
+    ``order_col`` (ties broken by lowest id) — e.g. keep the longest
+    document with ``order_col="n_chars"``.
+
+    One extra shuffle beyond the CC rounds when ``order_col`` is used
+    (window on component); the default policy needs none — the
+    survivor IS the component label.
+    """
+    cc = connected_components(pairs, src, dst)
+    labeled = docs.join(
+        cc.withColumnRenamed("node", id_col), id_col, "left"
+    ).withColumn("component", F.coalesce("component", F.col(id_col)))
+    if order_col is None:
+        return labeled.withColumn(
+            "is_survivor", (F.col(id_col) == F.col("component"))
+        )
+    w = Window.partitionBy("component").orderBy(
+        F.col(order_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        labeled.withColumn("__rk", F.row_number().over(w))
+        .withColumn("is_survivor", F.col("__rk") == 1)
+        .drop("__rk")
+    )

@@ -1,0 +1,121 @@
+"""Connected-components duplicate-cluster resolution.
+
+Reference implementation: plain union-find in Python — indisputable,
+and exactly the semantics large-star/small-star must reproduce.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from haensel_ams_data_engineer_challenge_spark.operators.components import (
+    connected_components,
+    dedup_survivors,
+)
+from haensel_ams_data_engineer_challenge_spark.operators.dedup import dedup_minhash_lsh
+from haensel_ams_data_engineer_challenge_spark.sources import load_table
+
+
+def _union_find(edges):
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min member id
+    comp: dict = {}
+    for x in list(parent):
+        comp.setdefault(find(x), []).append(x)
+    return {x: root for root, members in comp.items() for x in members}
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_cc_matches_union_find_random(spark, seed):
+    rng = random.Random(seed)
+    n, m = 60, 45  # sparse: mix of clusters, chains, singletons-by-absence
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+    edges = [(a, b) for a, b in edges if a != b]
+    expected = _union_find(edges)
+    df = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    got = {
+        r.node: r.component for r in connected_components(df).collect()
+    }
+    assert got == expected
+
+
+def test_cc_path_graph_log_rounds(spark):
+    """P64 (diameter 63) must converge inside the O(log n) budget —
+    plain min-label propagation would need ~63 rounds."""
+    edges = [(i, i + 1) for i in range(63)]
+    df = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    rows = connected_components(df, max_rounds=12).collect()
+    assert len(rows) == 64
+    assert all(r.component == 0 for r in rows)
+
+
+def test_cc_duplicate_and_reversed_pairs(spark):
+    """Edge list hygiene: self-loops dropped, duplicates and reversed
+    duplicates collapse to one edge."""
+    edges = [(1, 2), (2, 1), (1, 2), (3, 3), (2, 3)]
+    df = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_survivors_min_id_policy(spark):
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a: long, id_b: long")
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in (1, 2, 3, 10, 11, 99)], "doc_id: long, text: string"
+    )
+    out = dedup_survivors(docs, pairs).collect()
+    flags = {r.doc_id: (r.component, r.is_survivor) for r in out}
+    assert flags == {
+        1: (1, True),
+        2: (1, False),
+        3: (1, False),
+        10: (10, True),
+        11: (10, False),
+        99: (99, True),  # singleton: own component, survives
+    }
+
+
+def test_survivors_order_col_policy(spark):
+    """order_col keeps the largest value, id ascending as tie-break."""
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a: long, id_b: long")
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30)], "doc_id: long, n_chars: long"
+    )
+    out = dedup_survivors(docs, pairs, order_col="n_chars").collect()
+    assert {r.doc_id: r.is_survivor for r in out} == {1: False, 2: True, 3: False}
+
+
+def test_survivors_on_minhash_pairs(spark, sf_dir):
+    """End-to-end over the documents table: LSH pairs -> clusters ->
+    exactly one survivor per component, every doc labeled."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_minhash_lsh(docs)
+    out = dedup_survivors(docs, pairs, order_col="n_chars")
+    per_comp = (
+        out.groupBy("component")
+        .agg(
+            F.sum(F.col("is_survivor").cast("int")).alias("nsurv"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    assert per_comp, "documents table produced no components"
+    assert all(r.nsurv == 1 for r in per_comp)
+    assert sum(r.n for r in per_comp) == docs.count()
+    # survivor count == component count: dedup keeps one doc per cluster
+    assert out.filter("is_survivor").count() == len(per_comp)
