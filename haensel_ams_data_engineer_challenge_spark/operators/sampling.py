@@ -1,0 +1,166 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+Three operations a 100 TB corpus pipeline needs between dedup and
+training:
+
+- ``hash_split``      — leak-proof train/val/test assignment: a pure
+                        function of the key, so the same document (or
+                        the same *user*, if the key is user_id — the
+                        entity-coherent split that prevents test-set
+                        leakage of grouped data) lands in the same
+                        split on every run, at any parallelism, on any
+                        cluster.
+- ``stratum_cap``     — at most N rows per stratum (e.g. per language
+                        x source), chosen deterministically by hash —
+                        a reproducible "downsample the over-represented
+                        strata" step.
+- ``weighted_interleave`` — mix several corpora with per-source
+                        acceptance rates (training mixture weights),
+                        deterministic per key.
+
+Portability/parity design: the randomness is md5-hex (identical in
+Spark, DuckDB, Python — see dedup.py minhash), reduced to a 32-bit
+integer bucket; every decision is an *integer* comparison against a
+threshold computed in Python and inlined as a literal on both the
+Spark and SQL sides.  No floats anywhere near a boundary, so results
+are bit-stable across engines and partitionings.
+
+Scale: all three are embarrassingly parallel JVM expressions
+(whole-stage codegen, zero shuffles) except ``stratum_cap``, which is
+one hash-partition window on the stratum key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_BUCKETS = 1 << 32
+
+
+def _bucket(key_col: str, salt: str):
+    """32-bit integer bucket: first 8 hex chars of md5(salt|key).
+
+    SQL twin: ``CAST(concat('0x', substr(md5(concat('salt|', key)), 1, 8)) AS BIGINT)``.
+    """
+    h = F.md5(F.concat(F.lit(salt + "|"), F.col(key_col).cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+
+
+def _bucket_sql(key_col: str, salt: str) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5(concat('{salt}|', "
+        f"CAST({key_col} AS VARCHAR))), 1, 8)) AS BIGINT)"
+    )
+
+
+def split_thresholds(fractions: dict[str, float]) -> list[tuple[str, int]]:
+    """Cumulative integer thresholds over the 2^32 bucket space.
+
+    Fractions must sum to 1 (+-1e-9); the last split absorbs the
+    rounding remainder so the thresholds always cover every bucket.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    out, acc = [], 0.0
+    names = list(fractions)
+    for i, name in enumerate(names):
+        acc += fractions[name]
+        hi = _BUCKETS if i == len(names) - 1 else int(acc * _BUCKETS)
+        out.append((name, hi))
+    return out
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float] | None = None,
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic split assignment: adds ``out_col`` with the split
+    name.  Zero shuffles; a pure row-local expression."""
+    fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    b = _bucket(key_col, salt)
+    expr = None
+    for name, hi in reversed(split_thresholds(fractions)):
+        expr = F.lit(name) if expr is None else F.when(b < hi, F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+def hash_split_sql(
+    key_col: str,
+    fractions: dict[str, float] | None = None,
+    salt: str = "split",
+    out_col: str = "split",
+) -> str:
+    """The ``out_col`` expression's SQL twin (DuckDB + ANSI)."""
+    fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    b = _bucket_sql(key_col, salt)
+    ts = split_thresholds(fractions)
+    cases = " ".join(f"WHEN {b} < {hi} THEN '{name}'" for name, hi in ts[:-1])
+    return f"CASE {cases} ELSE '{ts[-1][0]}' END AS {out_col}"
+
+
+def stratum_cap(
+    df: DataFrame,
+    stratum_cols: list[str],
+    n: int,
+    key_col: str,
+    salt: str = "cap",
+) -> DataFrame:
+    """Keep at most ``n`` rows per stratum, deterministically.
+
+    Rank within each stratum by (md5 bucket, key) — a stable
+    pseudo-random order — and keep ranks 1..n.  One shuffle on the
+    stratum key; the per-stratum sort is the skew bound, so at extreme
+    stratum sizes pre-filter with an approximate per-stratum count
+    before ranking.
+    """
+    w = Window.partitionBy(*stratum_cols).orderBy(
+        _bucket(key_col, salt).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n)
+        .drop("__rk")
+    )
+
+
+def stratum_cap_sql(
+    table: str, stratum_cols: list[str], n: int, key_col: str, salt: str = "cap"
+) -> str:
+    b = _bucket_sql(key_col, salt)
+    parts = ", ".join(stratum_cols)
+    return (
+        f"SELECT * EXCLUDE (__rk) FROM (SELECT *, ROW_NUMBER() OVER "
+        f"(PARTITION BY {parts} ORDER BY {b} ASC, {key_col} ASC) AS __rk "
+        f"FROM {table}) WHERE __rk <= {n}"
+    )
+
+
+def weighted_interleave(
+    sources: dict[str, tuple[DataFrame, float]],
+    key_col: str,
+    salt: str = "mix",
+    source_col: str = "source_name",
+) -> DataFrame:
+    """Mix corpora with per-source acceptance rates.
+
+    Each source keeps rows whose bucket falls below ``weight * 2^32``
+    (weight 1.0 keeps everything, 0.0 nothing); rows are tagged with
+    the source name and unioned.  The per-source salt makes
+    acceptance independent across sources.  Zero shuffles.
+    """
+    out = None
+    for name, (df, weight) in sources.items():
+        if not 0.0 <= weight <= 1.0:
+            raise ValueError(f"{name}: weight must be in [0, 1], got {weight}")
+        hi = _BUCKETS if weight == 1.0 else int(weight * _BUCKETS)
+        part = df.filter(_bucket(key_col, f"{salt}|{name}") < hi).withColumn(
+            source_col, F.lit(name)
+        )
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        raise ValueError("no sources given")
+    return out

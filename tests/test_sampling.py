@@ -1,0 +1,124 @@
+"""Deterministic sampling/splitting: DuckDB parity + partition
+properties + plan shape."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from haensel_ams_data_engineer_challenge_spark.operators import sampling as S
+from haensel_ams_data_engineer_challenge_spark.sources import load_table
+from tools.paritycheck import compare
+
+FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    return con
+
+
+def test_hash_split_duckdb_parity(docs, duck):
+    sp = S.hash_split(docs, "doc_id", FRACTIONS).select("doc_id", "split").toPandas()
+    op = duck.execute(
+        f"SELECT doc_id, {S.hash_split_sql('doc_id', FRACTIONS)} FROM documents"
+    ).fetchdf()
+    assert not compare("hash_split", sp, op)
+
+
+def test_hash_split_is_partition_and_deterministic(docs):
+    """Every row gets exactly one split; the assignment is a pure
+    function of the key — unchanged under repartitioning."""
+    a = {r.doc_id: r.split for r in S.hash_split(docs, "doc_id", FRACTIONS).collect()}
+    b = {
+        r.doc_id: r.split
+        for r in S.hash_split(docs.repartition(7), "doc_id", FRACTIONS).collect()
+    }
+    assert a == b
+    assert set(a.values()) <= set(FRACTIONS)
+    assert len(a) == docs.count()
+
+
+def test_hash_split_fractions_approx(docs):
+    n = docs.count()
+    counts = {
+        r.split: r["count"]
+        for r in S.hash_split(docs, "doc_id", FRACTIONS)
+        .groupBy("split")
+        .count()
+        .collect()
+    }
+    for name, frac in FRACTIONS.items():
+        assert abs(counts.get(name, 0) / n - frac) < 0.06, (name, counts)
+
+
+def test_hash_split_rejects_bad_fractions(docs):
+    with pytest.raises(ValueError):
+        S.hash_split(docs, "doc_id", {"a": 0.5, "b": 0.2})
+
+
+def test_hash_split_no_shuffle(docs):
+    """The operator itself adds zero exchanges (the loader's
+    repartition is the only one in the plan either way)."""
+    base = docs._jdf.queryExecution().executedPlan().toString().count("Exchange")
+    plan = S.hash_split(docs, "doc_id", FRACTIONS)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == base
+
+
+def test_stratum_cap_duckdb_parity(docs, duck):
+    sp = (
+        S.stratum_cap(docs, ["lang", "source"], 5, "doc_id")
+        .select("doc_id", "lang", "source")
+        .toPandas()
+    )
+    op = duck.execute(
+        "SELECT doc_id, lang, source FROM ("
+        + S.stratum_cap_sql("documents", ["lang", "source"], 5, "doc_id")
+        + ")"
+    ).fetchdf()
+    assert not compare("stratum_cap", sp, op)
+
+
+def test_stratum_cap_bounds_and_subset(docs):
+    capped = S.stratum_cap(docs, ["lang"], 3, "doc_id")
+    sizes = capped.groupBy("lang").count().collect()
+    assert sizes and all(r["count"] <= 3 for r in sizes)
+    # kept rows are a subset of the input
+    assert capped.join(docs, "doc_id", "left_anti").count() == 0
+    # strata smaller than the cap are kept whole
+    small = docs.groupBy("lang").count().filter("count <= 3").count()
+    kept_whole = capped.groupBy("lang").count().filter("count <= 3").count()
+    assert kept_whole >= small
+
+
+def test_weighted_interleave_weights_and_determinism(docs):
+    mix = S.weighted_interleave({"a": (docs, 0.5), "b": (docs, 1.0)}, "doc_id")
+    counts = {r.source_name: r["count"] for r in mix.groupBy("source_name").count().collect()}
+    n = docs.count()
+    assert counts["b"] == n
+    assert abs(counts["a"] / n - 0.5) < 0.1
+    again = S.weighted_interleave({"a": (docs, 0.5), "b": (docs, 1.0)}, "doc_id")
+    assert sorted(
+        (r.source_name, r.doc_id) for r in mix.select("source_name", "doc_id").collect()
+    ) == sorted(
+        (r.source_name, r.doc_id) for r in again.select("source_name", "doc_id").collect()
+    )
+
+
+def test_weighted_interleave_zero_weight_and_validation(docs):
+    mix = S.weighted_interleave({"a": (docs, 0.0), "b": (docs, 1.0)}, "doc_id")
+    assert mix.filter("source_name = 'a'").count() == 0
+    with pytest.raises(ValueError):
+        S.weighted_interleave({"a": (docs, 1.5)}, "doc_id")
+    with pytest.raises(ValueError):
+        S.weighted_interleave({}, "doc_id")
