@@ -7,10 +7,16 @@
         --work-dir /tmp/attr
     python -m haensel_ams_data_engineer_challenge_spark training-sample \
         --sf-dir /root/testdata/sf0.001 --work-dir /tmp/attr [--limit 20]
+    python -m haensel_ams_data_engineer_challenge_spark corpus \
+        --sf-dir /root/testdata/sf0.001 --work-dir /tmp/attr \
+        [--cap-per-lang N] [--train 0.98 --val 0.01 --test 0.01]
 
-Mirrors reference main.py:23-72 (argument surface), create_db.py
-(DDL + verification) and extracted_training_data.py (LIMIT-N journey
-sample as API-format JSON). Exit code 0/1 like main.py:389-394.
+The first three mirror reference main.py:23-72 (argument surface),
+create_db.py (DDL + verification) and extracted_training_data.py
+(LIMIT-N journey sample as API-format JSON); exit code 0/1 like
+main.py:389-394. `corpus` is engine-native: near-dup clusters ->
+one survivor per cluster -> optional per-language cap ->
+deterministic train/val/test split, written partitioned by split.
 """
 
 from __future__ import annotations
@@ -36,6 +42,18 @@ def _parser() -> argparse.ArgumentParser:
     ts.add_argument("--sf-dir", required=True)
     ts.add_argument("--work-dir", required=True)
     ts.add_argument("--limit", type=int, default=20)
+
+    co = sub.add_parser(
+        "corpus",
+        help="documents -> near-dup clusters -> survivors -> "
+        "optional per-lang cap -> train/val/test split",
+    )
+    co.add_argument("--sf-dir", required=True)
+    co.add_argument("--work-dir", required=True)
+    co.add_argument("--cap-per-lang", type=int, default=None)
+    co.add_argument("--train", type=float, default=0.98)
+    co.add_argument("--val", type=float, default=0.01)
+    co.add_argument("--test", type=float, default=0.01)
     return p
 
 
@@ -92,6 +110,39 @@ def main(argv: list[str] | None = None) -> int:
             out = f"{args.work_dir}/training_sample_json"
             export_json(payload, out)
             print(f"journeys={payload.count()} -> {out}")
+            return 0
+
+        if args.command == "corpus":
+            from pyspark.sql import functions as F
+
+            from .operators.components import dedup_survivors
+            from .operators.dedup import dedup_minhash_lsh
+            from .operators.sampling import hash_split, stratum_cap
+            from .sources import load_table
+
+            docs = load_table(spark, args.sf_dir, "documents")
+            pairs = dedup_minhash_lsh(docs)
+            kept = dedup_survivors(docs, pairs, order_col="n_chars").filter(
+                "is_survivor"
+            )
+            if args.cap_per_lang is not None:
+                kept = stratum_cap(kept, ["lang"], args.cap_per_lang, "doc_id")
+            fractions = {"train": args.train, "val": args.val, "test": args.test}
+            split = hash_split(kept, "doc_id", fractions)
+            out = f"{args.work_dir}/corpus"
+            split.write.mode("overwrite").partitionBy("split").parquet(out)
+            back = spark.read.parquet(out)
+            counts = {
+                r["split"]: r["count"]
+                for r in back.groupBy("split").count().collect()
+            }
+            total_in = docs.count()
+            total_out = sum(counts.values())
+            print(
+                f"docs={total_in} survivors={total_out} "
+                + " ".join(f"{k}={counts.get(k, 0)}" for k in fractions)
+                + f" -> {out}"
+            )
             return 0
 
         raise AssertionError(f"unknown command {args.command}")

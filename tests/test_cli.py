@@ -34,3 +34,27 @@ def test_cli_bad_date_exits_nonzero(tmp_path, capsys):
     ])
     assert rc == 1
     assert "YYYY-MM-DD" in capsys.readouterr().err
+
+
+def test_cli_corpus_build(spark, sf_dir, tmp_path, capsys):
+    """corpus: dedup survivors -> per-lang cap -> split, written
+    partitioned by split with every row assigned exactly one split."""
+    work = str(tmp_path / "wd")
+    rc = main([
+        "corpus", "--sf-dir", sf_dir, "--work-dir", work,
+        "--cap-per-lang", "50",
+        "--train", "0.8", "--val", "0.1", "--test", "0.1",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "survivors=" in out
+    back = spark.read.parquet(f"{work}/corpus")
+    n = back.count()
+    assert 0 < n <= 500
+    assert back.filter("split NOT IN ('train','val','test')").count() == 0
+    # per-lang cap respected
+    assert all(
+        r["count"] <= 50 for r in back.groupBy("lang").count().collect()
+    )
+    # no duplicate doc survives into the corpus
+    assert back.select("doc_id").distinct().count() == n
