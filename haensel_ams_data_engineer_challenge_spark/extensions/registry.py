@@ -403,14 +403,16 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
            FROM documents""",
     )
 
-    from ..multimodal.binary import decode_stub_query
+    from ..multimodal.binary import DECODE_STUB_SQL, decode_stub_query
 
-    e["multimodal_decode_stub"] = (decode_stub_query, None)  # rows-only: mapInPandas path
+    # hash-checked: the fake decode is md5-byte math DuckDB can mirror
+    e["multimodal_decode_stub"] = (decode_stub_query, DECODE_STUB_SQL)
 
     # ---- chunk packing (P2) ---------------------------------------------
-    from ..operators.pack import PACK_CUMSUM_SQL
+    from ..operators.pack import PACK_CUMSUM_SQL, PACK_GREEDY_SQL
 
     e["pack_groups"] = (pack_groups_cumsum, PACK_CUMSUM_SQL)
-    e["pack_groups_greedy"] = (pack_groups_greedy, None)  # rows-only: sequential semantics
+    # hash-checked: greedy fold as a DuckDB recursive CTE (pack.py)
+    e["pack_groups_greedy"] = (pack_groups_greedy, PACK_GREEDY_SQL)
 
     return e

@@ -152,8 +152,36 @@ def feature_extract(
 
 def decode_stub_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: documents.text UTF-8 bytes stand in for media
-    payloads; exercises the binary-column mapInPandas path end-to-end."""
+    payloads; exercises the binary-column mapInPandas path end-to-end.
+
+    Hash-checked against ``DECODE_STUB_SQL``: the fake decode is pure
+    md5-byte arithmetic, so DuckDB mirrors it with hex substrings
+    (text payloads never parse as real images, so the Pillow branch —
+    when Pillow even exists — always falls back to the same fake)."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
     return decode_image_meta(docs)
+
+
+def _hex_int(start: int, n: int) -> str:
+    """DuckDB: digest bytes [start, start+n) of md5(text) as integer —
+    same recipe as operators/sampling.py:_bucket_sql."""
+    return (
+        f"CAST(concat('0x', substr(md5(text), {2 * start + 1}, {2 * n})) AS BIGINT)"
+    )
+
+
+#: DuckDB twin of ``decode_stub_query``: _fake_decode's digest[0] % 3
+#: format pick and digest[1:3]/digest[3:5] dimension math as hex
+#: substring arithmetic; strlen() is DuckDB's byte length, matching
+#: len(payload) of the UTF-8 encoding.
+DECODE_STUB_SQL = f"""
+SELECT doc_id,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       CASE {_hex_int(0, 1)} % 3
+            WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
+       64 + {_hex_int(1, 2)} % 1984 AS width,
+       64 + {_hex_int(3, 2)} % 1984 AS height,
+       'fake' AS decoder
+FROM documents"""

@@ -188,9 +188,11 @@ def journey_asof_join(sessions: DataFrame, conversions: DataFrame) -> DataFrame:
     attributes + conv_ts/revenue. Conversions with zero prior sessions
     simply produce no rows (reference drops them with a warning,
     journey_builder.py:87-89). Ties between conversions at the same
-    conv_ts break on conv_id (reference processes earliest-first and
-    pandas sort is stable; conv_id gives Spark a deterministic total
-    order).
+    conv_ts break on conv_id, compared LEXICOGRAPHICALLY on the string
+    column ('10' < '9') — the reference has no reproducible tie-break
+    here (pandas stable sort over DB insertion order), so the engine,
+    the DuckDB oracle, and the pure-Python test model all pin the
+    string ordering for a deterministic total order.
 
     Instead of the generic join+window (which materializes
     |sessions x later-conversions| intermediate rows — measured ~7x

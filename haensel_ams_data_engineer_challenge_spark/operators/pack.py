@@ -156,6 +156,44 @@ PACK_CUMSUM_SQL = (
 )
 
 
+#: DuckDB twin of ``pack_groups_greedy``: the sequential greedy fold
+#: (reference journey_builder.py:219-232) expressed as a recursive CTE
+#: that walks each conv_date partition in CAST(conv_id AS BIGINT)
+#: order, threading the (chunk_id, nj, ns) state row-to-row — exactly
+#: the loop in ``greedy_pack``. Recursion depth = max journeys per
+#: conv_date (fine at oracle scale; the engine form stays the scalable
+#: one).
+_GREEDY_STEP = (
+    f"w.nj + 1 > {MAX_JOURNEYS} OR w.ns + o.n_sessions > {MAX_SESSIONS}"
+)
+PACK_GREEDY_SQL = (
+    M.ORACLE_PRELUDE.replace("WITH ", "WITH RECURSIVE ", 1).rstrip()
+    + ","
+    + M.JOURNEYS_CTE.strip()
+    + f""",
+    jsz AS (SELECT strftime(conv_ts, '%Y-%m-%d') AS conv_date,
+                   conv_id, COUNT(*) AS n_sessions
+            FROM journeys GROUP BY 1, 2),
+    ordered AS (
+        SELECT conv_date, conv_id, n_sessions,
+               ROW_NUMBER() OVER (PARTITION BY conv_date
+                                  ORDER BY CAST(conv_id AS BIGINT)) AS idx
+        FROM jsz),
+    walk AS (
+        SELECT conv_date, conv_id, n_sessions, idx,
+               CAST(0 AS BIGINT) AS chunk_id, 1 AS nj, n_sessions AS ns
+        FROM ordered WHERE idx = 1
+        UNION ALL
+        SELECT o.conv_date, o.conv_id, o.n_sessions, o.idx,
+               CASE WHEN {_GREEDY_STEP} THEN w.chunk_id + 1 ELSE w.chunk_id END,
+               CASE WHEN {_GREEDY_STEP} THEN 1 ELSE w.nj + 1 END,
+               CASE WHEN {_GREEDY_STEP} THEN o.n_sessions ELSE w.ns + o.n_sessions END
+        FROM walk w
+        JOIN ordered o ON o.conv_date = w.conv_date AND o.idx = w.idx + 1)
+    SELECT conv_date, conv_id, n_sessions, chunk_id FROM walk"""
+)
+
+
 def greedy_pack(sizes: list[tuple[str, int]],
                 max_journeys: int = MAX_JOURNEYS,
                 max_sessions: int = MAX_SESSIONS) -> list[tuple[str, int, int]]:

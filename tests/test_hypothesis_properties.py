@@ -11,7 +11,7 @@ from __future__ import annotations
 from datetime import datetime, timedelta
 
 import pytest
-from hypothesis import HealthCheck, given, settings, strategies as st
+from hypothesis import HealthCheck, example, given, settings, strategies as st
 
 from haensel_ams_data_engineer_challenge_spark.operators.asof import (
     journey_asof_join,
@@ -39,17 +39,23 @@ SETTINGS = settings(
 
 def _python_asof(events):
     """Reference: session -> earliest purchase of same user strictly
-    after it (ties on conv_ts -> min conv_id)."""
+    after it (ties on conv_ts -> min *string* conv_id, matching the
+    engine + DuckDB oracle which order the string column: '10' < '9'
+    lexicographically)."""
     sessions = [(i, u, m) for i, (u, m, _) in enumerate(events)]
     convs = [(i, u, m) for i, (u, m, p) in enumerate(events) if p]
     out = {}
     for sid, su, sm in sessions:
-        cands = [(cm, cid) for cid, cu, cm in convs if cu == su and cm > sm]
+        cands = [(cm, str(cid)) for cid, cu, cm in convs if cu == su and cm > sm]
         if cands:
-            out[str(sid)] = str(min(cands)[1])
+            out[str(sid)] = min(cands)[1]
     return out
 
 
+# pinned: ids '9' and '10' purchase at the same ts for the same user —
+# int ordering picks 9, string ordering picks '10'; engine/oracle are
+# string-ordered so the model must be too (round-2 judge repro).
+@example([(0, 0, False)] * 9 + [(0, 1, True)] * 2)
 @given(_events)
 @SETTINGS
 def test_asof_matches_python_reference(spark, events):
