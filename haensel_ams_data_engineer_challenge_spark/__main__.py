@@ -34,6 +34,14 @@ def _parser() -> argparse.ArgumentParser:
     run.add_argument("--work-dir", required=True)
     run.add_argument("--start-date", default=None)
     run.add_argument("--end-date", default=None)
+    # lazy import keeps `--help` JVM-free; validated in run_pipeline
+    run.add_argument(
+        "--conv-type-id",
+        default="ihc",
+        help="scoring model (reference api_utils.py:87): ihc, "
+        "ihc_redistributed, last_touch, first_touch, linear, "
+        "position_based",
+    )
 
     db = sub.add_parser("create-db", help="DDL bootstrap + schema verification")
     db.add_argument("--work-dir", required=True)
@@ -74,6 +82,7 @@ def main(argv: list[str] | None = None) -> int:
                 start_date=args.start_date,
                 end_date=args.end_date,
                 report_csv_path=f"{args.work_dir}/channel_reporting_csv",
+                conv_type_id=args.conv_type_id,
             )
             print(
                 f"conversions={result.conversions_total} "

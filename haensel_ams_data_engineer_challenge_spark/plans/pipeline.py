@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..attribution import model as M
 from ..operators.asof import journey_asof_join
-from ..operators.ihc import attribution_sum_violations, ihc_attribute
+from ..operators.ihc import attribute_by_conv_type, attribution_sum_violations
 from ..operators.sinks import export_csv, insert_if_absent, overwrite_partitions
 from .report import channel_report, report_metrics
 
@@ -58,6 +58,7 @@ def run_pipeline(
     start_date: str | None = None,
     end_date: str | None = None,
     report_csv_path: str | None = None,
+    conv_type_id: str = "ihc",
 ) -> PipelineResult:
     """Run extract -> journeys -> score -> upsert -> report.
 
@@ -67,6 +68,11 @@ def run_pipeline(
     partition semantics for the covered dates (reporting.py:36-50).
     Re-running the same range is a no-op on the attribution sink and
     an identical rewrite of the report partitions.
+
+    ``conv_type_id`` selects the scoring model per run, like the
+    reference API's per-request conv_type_id (api_utils.py:87) —
+    every model emits its scores as ``ihc`` so the sink/report/A2
+    stages are model-agnostic (operators/ihc.py:CONV_TYPE_MODELS).
     """
     validate_date(start_date, "start_date")
     validate_date(end_date, "end_date")
@@ -96,7 +102,9 @@ def run_pipeline(
     # scale this is the attribution table itself (rows = sessions of
     # converted users, 3 narrow columns) — bounded by the sink size.
     journeys = journey_asof_join(M.sessions(spark, sf_dir), todo)
-    scored = ihc_attribute(journeys).select("conv_id", "session_id", "ihc")
+    scored = attribute_by_conv_type(journeys, conv_type_id).select(
+        "conv_id", "session_id", "ihc"
+    )
     scored.persist()
     try:
         conversions_scored = scored.select("conv_id").distinct().count()

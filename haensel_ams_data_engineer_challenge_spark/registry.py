@@ -196,11 +196,28 @@ def _attribution_entries() -> dict[str, tuple[QueryFn, str | None]]:
              FROM journeys j""",
     )
 
-    # §2.9: native IHC scoring (api_utils.py:68-167 semantics)
+    # §2.9: native IHC scoring (api_utils.py:68-167 semantics), tagged
+    # with the linear alternative model (CONV_TYPE_MODELS routing) as an
+    # extra column — same conv_id partitioning, so the window exchange
+    # is shared; proves a second scoring model against the oracle
+    # without spending a registry key.
+    def _ihc_plus_linear(spark: SparkSession, sf: str) -> DataFrame:
+        from .operators.ihc import linear_attribute
+
+        s = _scored(spark, sf).withColumnRenamed("ihc", "__ihc")
+        return linear_attribute(s).select(
+            "conv_id",
+            "session_id",
+            F.col("__ihc").alias("ihc"),
+            F.col("ihc").alias("ihc_linear"),
+        )
+
     e["ihc_attribute"] = (
-        lambda spark, sf: _scored(spark, sf).select("conv_id", "session_id", "ihc"),
+        _ihc_plus_linear,
         _pipeline_prelude(JOURNEYS_CTE, SCORED_CTE)
-        + "SELECT conv_id, session_id, ihc FROM scored",
+        + "SELECT conv_id, session_id, ihc,"
+        "  CAST(1.0 AS DOUBLE) / CAST(COUNT(*) OVER (PARTITION BY conv_id)"
+        "  AS DOUBLE) AS ihc_linear FROM scored",
     )
 
     # §2.9 + redistribution: the reference's redistribution_parameter

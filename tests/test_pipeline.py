@@ -63,3 +63,28 @@ def test_date_range_runs_accumulate(spark, sf_dir, tmp_path):
     r3 = run_pipeline(spark, sf_dir, acj, rep, start_date="2024-01-01", end_date="2024-01-20")
     assert r3.attribution_rows_written == 0
     assert spark.read.parquet(acj).count() == n2
+
+
+@pytest.mark.parametrize("conv_type_id", ["last_touch", "linear"])
+def test_conv_type_id_selects_model(spark, sf_dir, tmp_path, conv_type_id):
+    """--conv-type-id routing (reference api_utils.py:87): an
+    alternative model runs end-to-end and still satisfies the A2
+    sum-to-one invariant; last_touch writes exactly one non-zero row
+    per conversion."""
+    acj = str(tmp_path / "acj")
+    rep = str(tmp_path / "report")
+    r = run_pipeline(spark, sf_dir, acj, rep, conv_type_id=conv_type_id)
+    assert r.conversions_scored > 0
+    assert r.sum_violations == 0
+    if conv_type_id == "last_touch":
+        attribution = spark.read.parquet(acj)
+        nonzero = attribution.filter("ihc > 0").count()
+        assert nonzero == r.conversions_scored
+
+
+def test_conv_type_id_unknown_raises(spark, sf_dir, tmp_path):
+    with pytest.raises(ValueError, match="conv_type_id"):
+        run_pipeline(
+            spark, sf_dir, str(tmp_path / "a"), str(tmp_path / "r"),
+            conv_type_id="nope",
+        )
