@@ -18,9 +18,10 @@ iteration depth cannot blow up the plan.
 Scale posture (100 TB): the edge set is near-dup *pairs*, already
 bounded by LSH banding — orders of magnitude smaller than the corpus.
 Every round shuffles only this edge set on node id.  On a real
-cluster, replace localCheckpoint with a reliable checkpoint directory
-(sc.setCheckpointDir on HDFS/S3) for executor-loss fault tolerance;
-the semantics are identical.
+cluster, pass ``checkpoint_dir=`` (an HDFS/S3 path) to switch the
+per-round lineage truncation from localCheckpoint to reliable
+checkpoints for executor-loss fault tolerance; the semantics are
+identical.
 """
 
 from __future__ import annotations
@@ -73,11 +74,28 @@ def _small_star(e: DataFrame) -> DataFrame:
     return moved.union(mins.select("u", F.col("m").alias("v"))).distinct()
 
 
+def _edge_stats(e: DataFrame) -> tuple:
+    """ONE action summarizing an edge set: (count, two independent
+    64-bit hash sums).  Two canonical distinct edge sets with equal
+    triples are equal up to a ~2^-128 hash-sum collision — the
+    single-aggregation convergence check (the exact two-action form,
+    count-equal + exceptAll-empty, cost an extra job per round)."""
+    r = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        # decimal(38,0) sums: a long sum of 64-bit hashes overflows
+        # (ANSI mode raises); decimal keeps ~10^19 rows of headroom
+        F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h1"),
+        F.sum(F.xxhash64("u", "v", F.lit(17)).cast("decimal(38,0)")).alias("h2"),
+    ).first()
+    return (r.n, r.h1, r.h2)
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_rounds: int = 50,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components of an undirected pair graph.
 
@@ -87,24 +105,39 @@ def connected_components(
     their own singleton component — callers left-join and coalesce
     (see ``dedup_survivors``).
 
-    Exact convergence check per round (edge set unchanged), not a
-    fixed round count: ``max_rounds`` is a divergence guard, and the
-    O(log n) bound of the star algorithm means 50 rounds covers any
-    realistic graph (2^50 nodes) — hitting it raises.
+    Convergence check per round: the new edge set's (count, hash-sum,
+    hash-sum) triple equals the previous round's — one aggregation
+    action, cached across rounds, so each round runs exactly two jobs
+    (eager checkpoint + stats).  ``max_rounds`` is a divergence guard;
+    the O(log n) bound of the star algorithm means 50 rounds covers
+    any realistic graph (2^50 nodes) — hitting it raises.
+
+    ``checkpoint_dir``: reliable checkpoint directory (HDFS/S3) for
+    cluster runs; defaults to localCheckpoint (fast, but lost with an
+    executor) — see the module docstring's scale posture.
+
+    Diagnostics: ``connected_components.last_rounds`` holds the round
+    count of the most recent call (driver-side only, test/tuning aid).
     """
-    e = _canonical(pairs, src, dst).localCheckpoint(eager=True)
-    for _ in range(max_rounds):
-        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        # both sides are distinct sets in canonical orientation, so
-        # equal counts + empty difference <=> equal sets.
-        if e2.count() == e.count() and e2.exceptAll(e).count() == 0:
-            e.unpersist()
-            e = e2
-            break
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        _ckpt = lambda df: df.checkpoint(eager=True)  # noqa: E731
+    else:
+        _ckpt = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
+
+    e = _ckpt(_canonical(pairs, src, dst))
+    prev = _edge_stats(e)
+    for rounds in range(1, max_rounds + 1):
+        e2 = _ckpt(_small_star(_large_star(e)))
+        cur = _edge_stats(e2)
         e.unpersist()
         e = e2
+        if cur == prev:
+            break
+        prev = cur
     else:
         raise RuntimeError(f"connected_components: no fixpoint in {max_rounds} rounds")
+    connected_components.last_rounds = rounds
     # converged star graph: every edge is (node, component_min); the
     # roots themselves appear only on the v side.
     return (

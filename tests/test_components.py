@@ -119,3 +119,52 @@ def test_survivors_on_minhash_pairs(spark, sf_dir):
     assert sum(r.n for r in per_comp) == docs.count()
     # survivor count == component count: dedup keeps one doc per cluster
     assert out.filter("is_survivor").count() == len(per_comp)
+
+
+def test_cc_two_actions_per_round(spark, monkeypatch):
+    """The convergence check is ONE cached stats aggregation per round
+    (plus the eager checkpoint) — the round-2 form ran THREE actions
+    per round (checkpoint + count + exceptAll-count, the latter a full
+    join of two edge sets).  Asserted structurally (driver-side action
+    calls) because AQE fans each action into a variable number of
+    scheduler jobs."""
+    # patch the concrete class: pyspark.sql.DataFrame is the facade,
+    # classic.dataframe.DataFrame overrides the methods we count
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    calls = {"first": 0, "ckpt": 0}
+    orig_first, orig_ckpt = DataFrame.first, DataFrame.localCheckpoint
+    monkeypatch.setattr(
+        DataFrame, "first",
+        lambda self: (calls.__setitem__("first", calls["first"] + 1),
+                      orig_first(self))[1])
+    monkeypatch.setattr(
+        DataFrame, "localCheckpoint",
+        lambda self, eager=True: (calls.__setitem__("ckpt", calls["ckpt"] + 1),
+                                  orig_ckpt(self, eager=eager))[1])
+    edges = [(i, i + 1) for i in range(15)]
+    df = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    cc = connected_components(df, max_rounds=12)
+    rounds = connected_components.last_rounds
+    assert 2 <= rounds <= 12
+    assert calls["first"] == rounds + 1  # stats: 1 init + 1/round
+    assert calls["ckpt"] == rounds + 1   # checkpoint: 1 init + 1/round
+    assert {r.node: r.component for r in cc.collect()} == {
+        i: 0 for i in range(16)
+    }
+
+
+def test_cc_reliable_checkpoint_dir(spark, tmp_path):
+    """checkpoint_dir= switches lineage truncation to reliable
+    checkpoints (cluster fault-tolerance path); same results."""
+    import os
+
+    ckpt = str(tmp_path / "ckpt")
+    edges = [(1, 2), (2, 3), (10, 11)]
+    df = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    got = {
+        r.node: r.component
+        for r in connected_components(df, checkpoint_dir=ckpt).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    assert os.listdir(ckpt), "reliable checkpoint dir unused"
