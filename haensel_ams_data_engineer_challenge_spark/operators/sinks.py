@@ -111,11 +111,38 @@ def overwrite_partitions(df: DataFrame, path: str, partition_col: str) -> None:
     df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
 
 
-def export_csv(df: DataFrame, path: str) -> None:
-    """S7: single-file CSV with header (small-report sink; the
-    coalesce(1) is the documented non-scalable tail of the plan —
-    reports are a few hundred rows)."""
+def export_csv(
+    df: DataFrame,
+    path: str,
+    max_single_file_rows: int = 1_000_000,
+    n_rows: int | None = None,
+) -> str:
+    """S7: CSV export with header (reference channel_reporting.csv).
+
+    Small reports (the reference's case — a few hundred rows) write as
+    a SINGLE file via coalesce(1).  That tail is inherently
+    non-scalable — one task serializes everything — so past
+    ``max_single_file_rows`` the sink falls back LOUDLY (warning) to a
+    partitioned CSV directory instead of silently funneling a huge
+    result through one task.  Returns "single" or "partitioned".
+
+    Pass ``n_rows`` when the caller already counted (the pipeline
+    does) to avoid a second count action.
+    """
+    n = df.count() if n_rows is None else n_rows
+    if n > max_single_file_rows:
+        import warnings
+
+        warnings.warn(
+            f"export_csv: {n} rows exceeds max_single_file_rows="
+            f"{max_single_file_rows}; writing partitioned CSV instead "
+            f"of a single file",
+            stacklevel=2,
+        )
+        df.write.mode("overwrite").option("header", True).csv(path)
+        return "partitioned"
     df.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+    return "single"
 
 
 def export_json(df: DataFrame, path: str) -> None:

@@ -139,7 +139,7 @@ def run_pipeline(
 
     # 6d. CSV export (S7) — the reference's final artifact
     if report_csv_path:
-        export_csv(report_df, report_csv_path)
+        export_csv(report_df, report_csv_path, n_rows=report_rows)
 
     return PipelineResult(
         conversions_total=conversions_total,

@@ -135,3 +135,36 @@ def test_export_csv_golden_cells_null_metrics_empty(spark, tmp_path):
     assert lines[0] == "channel_name,date,cost,ihc,ihc_revenue,CPO,ROAS"
     # byte-identical to channel_reporting.csv line 2
     assert lines[1] == "Affiliate & Partnerships,2023-08-29,11.795,0.0,0.0,,0.0"
+
+
+def test_export_csv_guard_branches(spark, tmp_path):
+    """Past max_single_file_rows the sink warns and writes partitioned
+    CSV instead of serializing through one coalesce(1) task."""
+    import warnings
+
+    df = spark.createDataFrame(
+        [(str(i), float(i)) for i in range(8)], "k string, v double"
+    ).repartition(4)
+    small = str(tmp_path / "small_csv")
+    assert sinks.export_csv(df, small, max_single_file_rows=100) == "single"
+    assert len(list(Path(small).glob("*.csv"))) == 1
+
+    big = str(tmp_path / "big_csv")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        mode = sinks.export_csv(df, big, max_single_file_rows=3)
+    assert mode == "partitioned"
+    assert any("max_single_file_rows" in str(x.message) for x in w)
+    parts = list(Path(big).glob("*.csv"))
+    assert len(parts) > 1  # not funneled through one task
+    rows = [
+        line
+        for f in parts
+        for line in f.read_text().strip().splitlines()
+        if line and line != "k,v"
+    ]
+    assert len(rows) == 8
+
+    # n_rows short-circuits the count (caller already knows)
+    again = str(tmp_path / "again_csv")
+    assert sinks.export_csv(df, again, max_single_file_rows=3, n_rows=2) == "single"
