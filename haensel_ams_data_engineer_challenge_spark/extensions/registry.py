@@ -125,7 +125,9 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
     # standalone exact n-gram Jaccard (quadratic in shared-shingle
     # pairs) is deliberately NOT registered: it is the verifier inside
     # `dedup_verify_candidates` below, and its standalone form stays
-    # pytest-covered (tests/test_dedup.py) — never the headline path.
+    # pytest-covered (tests/test_extensions.py::
+    # test_verify_candidates_subset_of_exact uses it as the exact
+    # reference) — never the headline path.
 
     # composed 100 TB path: LSH candidates -> exact Jaccard verify.
     # The oracle restricts the quadratic verifier to candidate docs the

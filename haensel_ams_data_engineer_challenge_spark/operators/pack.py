@@ -19,7 +19,8 @@ greedy loop. Two engine forms:
 - ``pack_greedy`` — EXACT reference semantics (close the chunk when
   adding the next journey would exceed either cap) via a plain Python
   greedy inside ``applyInPandas`` groups; verified in
-  tests/test_pack.py against an independent in-memory implementation.
+  tests/test_extensions.py (test_pack_greedy_matches_reference_semantics,
+  test_pack_caps_hold) against an independent in-memory implementation.
 
 Scale design: both forms take ``partition_by`` — at 100 TB you pack
 WITHIN a date/tenant partition (chunks model API requests, and an API
@@ -80,8 +81,12 @@ def pack_cumsum(
     )
     # strict-journey-cap pass: within a provisional chunk, every block
     # of max_journeys rows becomes its own chunk; dense_rank over
-    # (provisional, block) renumbers contiguously. Same partition+order
-    # as the first pass -> still one shuffle.
+    # (provisional, block) renumbers contiguously. Measured plan
+    # (tests/test_plans.py::test_pack_cumsum_single_exchange): ONE
+    # exchange — hashpartitioning(partition_by) satisfies the
+    # (partition_by, __prov) windows' clustering too — plus three
+    # extra LOCAL sorts for the changed sort keys (no extra shuffle;
+    # the sorts are per-partition and spill-bounded).
     w_chunk = (
         Window.partitionBy(*partition_by, "__prov").orderBy(order)
         if partition_by
@@ -225,7 +230,14 @@ def pack_greedy(
     acceptable for small inputs.
     """
     part_cols = list(partition_by)
-    schema_prefix = "".join(f"{c} string, " for c in part_cols)
+    # output schema derives from the input (a date/int partition column
+    # must round-trip typed, not be coerced to string)
+    dt = dict(sizes.dtypes)
+    out_schema = ", ".join(
+        [f"{c} {dt[c]}" for c in part_cols]
+        + [f"conv_id {dt['conv_id']}", f"n_sessions {dt['n_sessions']}",
+           "chunk_id long"]
+    )
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("__ord").reset_index(drop=True)
@@ -240,9 +252,7 @@ def pack_greedy(
     keyed = sizes.withColumn("__ord", F.col("conv_id").cast("long"))
     if not part_cols:
         keyed = keyed.withColumn("__g", F.lit(0))
-    return keyed.groupBy(*(part_cols or ["__g"])).applyInPandas(
-        _pack, schema_prefix + "conv_id string, n_sessions long, chunk_id long"
-    )
+    return keyed.groupBy(*(part_cols or ["__g"])).applyInPandas(_pack, out_schema)
 
 
 def pack_groups_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:

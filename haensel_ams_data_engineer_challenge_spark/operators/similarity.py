@@ -338,7 +338,8 @@ def embedding_dup_pairs_lsh(
     fetch their vectors by id. Recall per pair at cosine c is
     1 - (1 - p^r)^B with p = 1 - arccos(c)/pi — for true near-dups
     (c >= 0.9, the regime dedup targets) B=8, r=3 gives ~0.996, and
-    tests/test_similarity.py verifies recall 1.0 on planted
+    tests/test_extensions.py (test_embedding_dup_lsh_full_recall_on_
+    planted_near_dups) verifies recall 1.0 on planted
     near-identical vectors. At moderate similarity (c ~ 0.45-0.6, the
     only pairs that exist in the synthetic testdata, where max cosine
     is 0.6) the theoretical recall floor is ~0.92; the registered

@@ -86,6 +86,15 @@ def insert_if_absent(
     The appended count comes from an ``Observation`` on the single
     write action — the plan (scan + anti-join included) executes once,
     not once for count() and again for the write.
+
+    Behavior note (changed in round 2, deliberate): the append write
+    always executes, so a run where ZERO fresh rows survive the
+    dedup/NULL-filter/anti-join still creates the sink directory (an
+    empty, schema-bearing parquet dataset) on a first run.  That is a
+    feature for downstream readers — the sink path is always readable
+    with a stable schema after any pipeline run — and the price of the
+    single-action Observation count (a pre-count to guard the write
+    would execute the plan twice).
     """
     import os
 

@@ -814,7 +814,8 @@ def _tpch_entries() -> dict[str, tuple[QueryFn, str | None]]:
     )
 
     # session_stats (the aggregate over sessionize) stays pytest-covered
-    # (tests/test_sessionize.py); the row-level entry above already
+    # (tests/test_extensions.py::test_sessionize_gap_semantics and
+    # tests/test_hypothesis_properties.py); the row-level entry above already
     # proves the sessionization boundaries the aggregate derives from.
 
     # full outer join: daily click totals vs daily BIG-purchase totals
@@ -894,9 +895,10 @@ def _tpch_entries() -> dict[str, tuple[QueryFn, str | None]]:
 
 #: The round driver evaluates the FIRST 50 registry keys in dict order
 #: (CORRECTNESS_r01 covered exactly the first 50 of 56). The registry
-#: is therefore consolidated to <= 50 keys (tested in
-#: tests/test_entry.py) and the keys the round-1 driver never reached
-#: run first so every operator family earns a driver row.
+#: is therefore consolidated to <= 50 keys — enforced by the assertion
+#: in registry() below and by tests/test_registry_shape.py — and the
+#: keys the round-1 driver never reached run first so every operator
+#: family earns a driver row.
 PRIORITY = (
     "pack_groups",
     "pack_groups_greedy",
@@ -920,4 +922,11 @@ def registry() -> dict[str, tuple[QueryFn, str | None]]:
     e.update(extension_entries())
     ordered = {k: e[k] for k in PRIORITY if k in e}
     ordered.update((k, v) for k, v in e.items() if k not in ordered)
+    # hard cap: the driver records correctness rows for the FIRST 50
+    # keys only — a 51st entry would silently fall out of the gate
+    assert len(ordered) <= MAX_REGISTRY_ENTRIES, (
+        f"registry has {len(ordered)} entries; the driver's correctness "
+        f"window is {MAX_REGISTRY_ENTRIES} — consolidate (tag new ops "
+        f"into existing entries) instead of appending"
+    )
     return ordered

@@ -374,3 +374,29 @@ def test_pack_partitioned_restarts_per_partition(spark):
         assert sorted(by_day) == ["d1", "d2"]
         assert {r.chunk_id for r in by_day["d1"]} == {0, 1, 2}  # 30 / 10
         assert {r.chunk_id for r in by_day["d2"]} == {0}  # restarts at 0
+
+
+def test_pack_greedy_typed_partition_columns(spark):
+    """Non-string partition columns (date, int tenant) round-trip
+    typed through the applyInPandas schema (derived from the input,
+    not hardcoded string)."""
+    from datetime import date
+
+    from haensel_ams_data_engineer_challenge_spark.operators.pack import pack_greedy
+
+    sizes = spark.createDataFrame(
+        [(date(2024, 1, d), 7, str(i), 5) for d in (1, 2) for i in range(4)],
+        "d date, tenant int, conv_id string, n_sessions long",
+    )
+    out = pack_greedy(sizes, max_journeys=3, max_sessions=100,
+                      partition_by=["d", "tenant"])
+    assert dict(out.dtypes) == {
+        "d": "date", "tenant": "int", "conv_id": "string",
+        "n_sessions": "bigint", "chunk_id": "bigint",
+    }
+    rows = out.collect()
+    assert len(rows) == 8
+    # per-partition restart: each date packs 4 journeys into chunks 0,0,0,1
+    for d in (date(2024, 1, 1), date(2024, 1, 2)):
+        chunks = sorted(r.chunk_id for r in rows if r.d == d)
+        assert chunks == [0, 0, 0, 1]

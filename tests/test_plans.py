@@ -127,3 +127,22 @@ def test_ihc_redistributed_single_conv_shuffle(spark, sf_dir):
     fn, _sql = registry()["ihc_redistributed"]
     plan = plan_of(fn(spark, sf_dir))
     assert plan.count("Exchange hashpartitioning(conv_id") == 1
+
+
+def test_pack_cumsum_single_exchange(spark):
+    """Both cumsum passes (different sort keys) share ONE exchange on
+    the packing partition — hashpartitioning(conv_date) satisfies the
+    (conv_date, __prov) windows' clustering; only local sorts differ
+    (pack.py docstring's measured claim)."""
+    from haensel_ams_data_engineer_challenge_spark.operators.pack import pack_cumsum
+
+    sizes = spark.createDataFrame(
+        [("d1", str(i), (i * 7) % 30 + 1) for i in range(100)],
+        "conv_date string, conv_id string, n_sessions long",
+    )
+    plan = plan_of(
+        pack_cumsum(sizes, max_journeys=10, max_sessions=50,
+                    partition_by=["conv_date"])
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan

@@ -1,0 +1,43 @@
+"""Registry shape invariants for the round driver's contract.
+
+The driver records correctness rows for the FIRST 50 registry keys in
+dict order — these tests keep the registry inside that window and keep
+the priority ordering intact (an entry past the cap would silently
+lose its correctness row; registry() also asserts the cap at runtime).
+"""
+
+from __future__ import annotations
+
+from haensel_ams_data_engineer_challenge_spark.registry import (
+    MAX_REGISTRY_ENTRIES,
+    PRIORITY,
+    registry,
+)
+
+
+def test_registry_within_driver_window():
+    r = registry()
+    assert len(r) <= MAX_REGISTRY_ENTRIES
+    # every entry is (callable, sql-or-None)
+    for name, (fn, sql) in r.items():
+        assert callable(fn), name
+        assert sql is None or isinstance(sql, str), name
+
+
+def test_priority_keys_lead():
+    keys = list(registry())
+    assert keys[: len(PRIORITY)] == list(PRIORITY)
+
+
+def test_entry_module_mirrors_registry():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    q = mod.queries()
+    o = mod.oracle_sql()
+    assert set(q) == set(registry())
+    assert set(o) <= set(q)
