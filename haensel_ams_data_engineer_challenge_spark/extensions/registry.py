@@ -122,6 +122,61 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
                     AND a.doc_id < b.doc_id""",
     )
 
+    # ---- clusters -> survivors -> split (the corpus CLI's spine) --------
+    # Driver row for two previously pytest-only capabilities (round-2
+    # verdict #7): connected-components survivor selection
+    # (operators/components.py) and the deterministic hash_split
+    # (operators/sampling.py), composed exactly like
+    # `python -m ... corpus`.  The oracle recomputes the LSH pairs with
+    # the shared CTEs, then resolves components by RECURSIVE transitive
+    # closure with a min-label reduce — O(n*m), fine at oracle scale;
+    # the engine side is the O(log n) large-star/small-star form.
+    def _survivors_split(spark: SparkSession, sf: str) -> DataFrame:
+        from ..operators.components import dedup_survivors
+        from ..operators.sampling import hash_split
+
+        docs = _docs(spark, sf)
+        kept = dedup_survivors(docs, D.dedup_minhash_lsh(docs), order_col="n_chars")
+        return hash_split(kept, "doc_id").select(
+            "doc_id", "component", "is_survivor", "split"
+        )
+
+    def _survivors_split_sql() -> str:
+        from ..operators.sampling import hash_split_sql
+
+        return (
+            "WITH RECURSIVE " + DOC_SHINGLES_CTE.strip()
+            + "," + _minhash_sig_cte().strip()
+            + "," + _minhash_bands_cte().strip()
+            + f""",
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a
+            JOIN bands b ON a.band_key = b.band_key AND a.band = b.band
+                        AND a.doc_id < b.doc_id),
+        edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach AS (
+            SELECT u, u AS v FROM (SELECT DISTINCT u FROM edges) t
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v),
+        comp AS (SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u),
+        labeled AS (
+            SELECT d.doc_id, d.n_chars,
+                   COALESCE(c.component, d.doc_id) AS component
+            FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+        flagged AS (
+            SELECT doc_id, component,
+                   (ROW_NUMBER() OVER (PARTITION BY component
+                                       ORDER BY n_chars DESC, doc_id ASC) = 1)
+                   AS is_survivor
+            FROM labeled)
+        SELECT doc_id, component, is_survivor, {hash_split_sql("doc_id")}
+        FROM flagged"""
+        )
+
+    e["corpus_survivors_split"] = (_survivors_split, _survivors_split_sql())
+
     # standalone exact n-gram Jaccard (quadratic in shared-shingle
     # pairs) is deliberately NOT registered: it is the verifier inside
     # `dedup_verify_candidates` below, and its standalone form stays

@@ -91,12 +91,15 @@ def report_metrics(report: DataFrame) -> DataFrame:
 
 def report_totals(report: DataFrame) -> DataFrame:
     """A5: grand totals + overall ROAS with zero-guard
-    (reporting.py:171-179)."""
+    (reporting.py:171-179), fused with A6's row count
+    (reporting.py:95-96) — one aggregation row carries both."""
     return report.agg(
         dsum("cost", "total_cost"),
         dsum("ihc_revenue", "total_ihc_revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
     ).select(
         "total_cost",
         "total_ihc_revenue",
         safe_div(F.col("total_ihc_revenue"), F.col("total_cost")).alias("overall_roas"),
+        "n_rows",
     )

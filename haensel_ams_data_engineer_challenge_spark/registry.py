@@ -459,23 +459,21 @@ def _attribution_entries() -> dict[str, tuple[QueryFn, str | None]]:
               FROM grid""",
     )
 
-    # A5: grand totals + overall ROAS (reporting.py:171-179)
+    # A5 + A6 fused: grand totals + overall ROAS (reporting.py:171-179)
+    # with the report row count (reporting.py:95-96) on the same
+    # aggregation row — frees a registry key inside the driver's
+    # 50-entry window for `corpus_survivors_split` (round-3 rotation)
     e["agg_report_totals"] = (
         lambda spark, sf: report_totals(_report(spark, sf)),
         _pipeline_prelude(JOURNEYS_CTE, SCORED_CTE, REPORT_CTE)
         + f"""SELECT total_cost, total_ihc_revenue,
                      CASE WHEN total_cost <> CAST(0.0 AS DOUBLE)
-                          THEN total_ihc_revenue / total_cost END AS overall_roas
+                          THEN total_ihc_revenue / total_cost END AS overall_roas,
+                     n_rows
               FROM (SELECT {dsum_sql("cost", "total_cost")},
-                           {dsum_sql("ihc_revenue", "total_ihc_revenue")}
+                           {dsum_sql("ihc_revenue", "total_ihc_revenue")},
+                           COUNT(*) AS n_rows
                     FROM report) t""",
-    )
-
-    # A6: row count (reporting.py:95-96)
-    e["count_rows"] = (
-        lambda spark, sf: _report(spark, sf).agg(F.count(F.lit(1)).alias("n")),
-        _pipeline_prelude(JOURNEYS_CTE, SCORED_CTE, REPORT_CTE)
-        + "SELECT COUNT(*) AS n FROM report",
     )
 
     return e
@@ -900,6 +898,7 @@ def _tpch_entries() -> dict[str, tuple[QueryFn, str | None]]:
 #: keys the round-1 driver never reached run first so every operator
 #: family earns a driver row.
 PRIORITY = (
+    "corpus_survivors_split",
     "pack_groups",
     "pack_groups_greedy",
     "text_langid",
