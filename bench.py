@@ -50,6 +50,9 @@ HEADLINE: dict[str, bool] = {
     "q5_region_revenue": True,
     "events_sessionize": False,
     "ann_topk_ivf": False,
+    # round 3: LSH pairs -> connected components -> survivors -> split
+    # (iterative driver loop included in the measured time)
+    "corpus_survivors_split": False,
 }
 
 

@@ -352,8 +352,9 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
     )
 
     # ---- text analysis ---------------------------------------------------
-    # token stats + quality scoring fused into one projection (one
-    # registry slot, one driver row, same JVM-built-in column tree)
+    # token stats + quality scoring + intra-doc repetition fused into
+    # one projection (one registry slot, one driver row, same
+    # JVM-built-in column tree); line_dup_ratio tagged in round 3
     stop_list = ", ".join(f"'{w}'" for w in T.EN_STOPWORDS)
     e["text_stats"] = (
         lambda spark, sf: _docs(spark, sf)
@@ -375,6 +376,7 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
                     T.token_count("text").cast("double") / F.lit(100.0),
                 )
             ).alias("quality_score"),
+            T.repetition_ratio("text", 3).alias("repetition_ratio"),
         ),
         rf"""WITH base AS (
                 SELECT doc_id,
@@ -391,14 +393,22 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
                                      [{stop_list}])) AS DOUBLE)
                                  / CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS DOUBLE)
                             ELSE CAST(0.0 AS DOUBLE) END AS stopword_ratio,
-                       CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) AS ntok
+                       CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) AS ntok,
+                       string_split_regex(trim(lower(text)), '\s+') AS toks
                 FROM documents)
             SELECT doc_id, token_count, bpe_ish_count, char_count,
                    punct_ratio, stopword_ratio,
                    CAST(0.5 AS DOUBLE) * stopword_ratio
                  + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - punct_ratio)
                  + CAST(0.2 AS DOUBLE) * least(CAST(1.0 AS DOUBLE), ntok / CAST(100.0 AS DOUBLE))
-                   AS quality_score
+                   AS quality_score,
+                   CASE WHEN greatest(len(toks) - 2, 0) > 0
+                        THEN CAST(1.0 AS DOUBLE)
+                             - CAST(len(list_distinct(list_transform(
+                                   range(1, greatest(len(toks) - 2, 0) + 1),
+                                   i -> array_to_string(toks[i:i+2], ' ')))) AS DOUBLE)
+                               / CAST(greatest(len(toks) - 2, 0) AS DOUBLE)
+                        ELSE CAST(0.0 AS DOUBLE) END AS repetition_ratio
             FROM base""",
     )
 

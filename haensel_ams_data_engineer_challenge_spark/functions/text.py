@@ -79,6 +79,23 @@ def char_shingles(col: Column | str, n: int = 8) -> Column:
     return F.array_distinct(grams)
 
 
+def repetition_ratio(col: Column | str, n: int = 3) -> Column:
+    """Fraction of repeated word n-grams: 1 - distinct/total (0 when
+    fewer than n tokens).  The Gopher-style intra-document repetition
+    signal (Rae et al. 2021, §A1.1 "repeated n-grams") — high values
+    mean boilerplate/looping text a training pipeline drops.
+    DuckDB twin: 1.0 - len(list_distinct(grams)) / greatest(len(toks)-n+1, 1)
+    with grams = list_transform(range(1, greatest(len(toks)-n+1,0)+1),
+    i -> array_to_string(toks[i:i+n-1], ' '))."""
+    t = tokens(col)
+    total = F.greatest(F.size(t) - (n - 1), F.lit(0))
+    distinct = F.size(word_shingles(col, n))
+    return F.when(
+        total > 0,
+        F.lit(1.0) - distinct.cast("double") / total.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
 def punct_ratio(col: Column | str) -> Column:
     """Punctuation chars / total chars (0 for empty text)."""
     c = F.col(col) if isinstance(col, str) else col

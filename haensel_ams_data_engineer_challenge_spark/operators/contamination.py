@@ -1,0 +1,91 @@
+"""Benchmark decontamination: flag training documents that overlap an
+evaluation/benchmark set by shared word n-grams.
+
+The standard pre-training hygiene step (GPT-3 appendix C / PaLM §7
+style): a training doc is contaminated when a meaningful fraction of
+an eval doc's n-gram shingles appears in it.  Pairs output — callers
+drop or quarantine the flagged train docs.
+
+Scale shape (the whole point at 100 TB):
+
+1. explode the EVAL side's distinct shingles (benchmarks are tiny —
+   thousands of docs — so this side always broadcasts);
+2. semi-join the TRAIN side's exploded shingles against the broadcast
+   eval vocabulary FIRST — the train explode is pruned to eval-vocab
+   hits before anything shuffles, so the only shuffled rows are
+   (shingle, train_id) pairs that can actually contaminate;
+3. cap runaway shingles (stop-gram n-grams that appear in more than
+   ``max_shingle_train_docs`` training docs match everything and mean
+   nothing — same flood-control idea as dedup.MAX_BAND_BUCKET);
+4. count shared shingles per (train_id, eval_id) and report the
+   overlap as a fraction of the EVAL doc's shingles.
+
+No quadratic pairing ever materializes: the join is an equi-join on
+the shingle, bounded by |eval vocabulary| x per-shingle train cap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions import text as T
+
+#: train-side per-shingle document-frequency cap (flood control).
+MAX_SHINGLE_TRAIN_DOCS = 64
+
+
+def contamination_check(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 3,
+    min_overlap_frac: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_train_docs: int = MAX_SHINGLE_TRAIN_DOCS,
+) -> DataFrame:
+    """Pairs (train_id, eval_id, n_shared, overlap_frac) where
+    ``overlap_frac`` = shared distinct n-grams / eval doc's distinct
+    n-grams >= ``min_overlap_frac``.
+
+    Eval docs with fewer than ``n`` tokens produce no shingles and
+    therefore no rows (nothing to match on).
+    """
+    ev = eval_docs.select(
+        F.col(id_col).alias("eval_id"),
+        F.explode(T.word_shingles(text_col, n)).alias("s"),
+    )
+    ev_sizes = eval_docs.select(
+        F.col(id_col).alias("eval_id"),
+        F.size(T.word_shingles(text_col, n)).cast("long").alias("eval_shingles"),
+    )
+    tr = train.select(
+        F.col(id_col).alias("train_id"),
+        F.explode(T.word_shingles(text_col, n)).alias("s"),
+    )
+    # prune the big side against the broadcast eval vocabulary BEFORE
+    # any shuffle; the surviving rows are the only candidates
+    vocab = ev.select("s").distinct()
+    hits = tr.join(F.broadcast(vocab), "s")
+    # flood control: a shingle present in too many training docs is a
+    # stop-gram; window over the (already pruned) hit set
+    w = Window.partitionBy("s")
+    hits = (
+        hits.withColumn("__df", F.count(F.lit(1)).over(w))
+        .filter(F.col("__df") <= max_shingle_train_docs)
+        .drop("__df")
+    )
+    # word_shingles is distinct per doc, so plain count == distinct count
+    shared = (
+        hits.join(F.broadcast(ev), "s")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(F.broadcast(ev_sizes), "eval_id")
+        .withColumn(
+            "overlap_frac",
+            F.col("n_shared").cast("double") / F.col("eval_shingles").cast("double"),
+        )
+        .filter(F.col("overlap_frac") >= min_overlap_frac)
+        .select("train_id", "eval_id", "n_shared", "overlap_frac")
+    )

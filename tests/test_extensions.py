@@ -400,3 +400,33 @@ def test_pack_greedy_typed_partition_columns(spark):
     for d in (date(2024, 1, 1), date(2024, 1, 2)):
         chunks = sorted(r.chunk_id for r in rows if r.d == d)
         assert chunks == [0, 0, 0, 1]
+
+
+def test_repetition_ratio_edge_cases(spark):
+    """Gopher-style repeated-trigram fraction: 0 for unique text and
+    sub-n inputs, high for looping boilerplate."""
+    from haensel_ams_data_engineer_challenge_spark.functions.text import (
+        repetition_ratio,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),            # all trigrams unique -> 0.0
+            (2, "spam ham " * 20),              # loop -> mostly repeats
+            (3, "one two"),                     # < 3 tokens -> 0.0
+            (4, ""),                            # empty -> 0.0
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.rr
+        for r in df.select(
+            "doc_id", repetition_ratio("text", 3).alias("rr")
+        ).collect()
+    }
+    assert got[1] == 0.0
+    # 40 tokens -> 38 trigrams, only 2 distinct ("spam ham spam",
+    # "ham spam ham") -> 1 - 2/38
+    assert abs(got[2] - (1.0 - 2.0 / 38.0)) < 1e-12
+    assert got[3] == 0.0
+    assert got[4] == 0.0
