@@ -131,19 +131,37 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
     # the shared CTEs, then resolves components by RECURSIVE transitive
     # closure with a min-label reduce — O(n*m), fine at oracle scale;
     # the engine side is the O(log n) large-star/small-star form.
+    CAP_PER_LANG = 40  # sf0.01 has ~100 docs/lang, so the cap bites
+
     def _survivors_split(spark: SparkSession, sf: str) -> DataFrame:
+        from pyspark.sql import Window
+
         from ..operators.components import dedup_survivors
-        from ..operators.sampling import hash_split
+        from ..operators.sampling import _bucket, hash_split
 
         docs = _docs(spark, sf)
         kept = dedup_survivors(docs, D.dedup_minhash_lsh(docs), order_col="n_chars")
-        return hash_split(kept, "doc_id").select(
-            "doc_id", "component", "is_survivor", "split"
+        # per-language stratum cap (operators/sampling.py stratum_cap
+        # semantics) as a flag over ALL rows: survivors rank first
+        # within their language by the deterministic md5 order, so
+        # ranks 1..N are exactly stratum_cap's kept set
+        w = Window.partitionBy("lang").orderBy(
+            F.col("is_survivor").desc(),
+            _bucket("doc_id", "cap").asc(),
+            F.col("doc_id").asc(),
+        )
+        capped = kept.withColumn(
+            "kept_after_cap",
+            F.col("is_survivor") & (F.row_number().over(w) <= CAP_PER_LANG),
+        )
+        return hash_split(capped, "doc_id").select(
+            "doc_id", "lang", "component", "is_survivor", "kept_after_cap", "split"
         )
 
     def _survivors_split_sql() -> str:
-        from ..operators.sampling import hash_split_sql
+        from ..operators.sampling import _bucket_sql, hash_split_sql
 
+        cap_bucket = _bucket_sql("doc_id", "cap")
         return (
             "WITH RECURSIVE " + DOC_SHINGLES_CTE.strip()
             + "," + _minhash_sig_cte().strip()
@@ -162,17 +180,25 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
             SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v),
         comp AS (SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u),
         labeled AS (
-            SELECT d.doc_id, d.n_chars,
+            SELECT d.doc_id, d.lang, d.n_chars,
                    COALESCE(c.component, d.doc_id) AS component
             FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
         flagged AS (
-            SELECT doc_id, component,
+            SELECT doc_id, lang, component,
                    (ROW_NUMBER() OVER (PARTITION BY component
                                        ORDER BY n_chars DESC, doc_id ASC) = 1)
                    AS is_survivor
-            FROM labeled)
-        SELECT doc_id, component, is_survivor, {hash_split_sql("doc_id")}
-        FROM flagged"""
+            FROM labeled),
+        capped AS (
+            SELECT doc_id, lang, component, is_survivor,
+                   (is_survivor AND ROW_NUMBER() OVER (
+                        PARTITION BY lang
+                        ORDER BY is_survivor DESC, {cap_bucket} ASC, doc_id ASC)
+                    <= {CAP_PER_LANG}) AS kept_after_cap
+            FROM flagged)
+        SELECT doc_id, lang, component, is_survivor, kept_after_cap,
+               {hash_split_sql("doc_id")}
+        FROM capped"""
         )
 
     e["corpus_survivors_split"] = (_survivors_split, _survivors_split_sql())

@@ -146,3 +146,13 @@ def test_pack_cumsum_single_exchange(spark):
     )
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Exchange SinglePartition" not in plan
+
+
+def test_ihc_plus_linear_shares_conv_exchange(spark, sf_dir):
+    """The tagged ihc_linear column's windows ride the SAME conv_id
+    exchange as the IHC windows — 2 exchanges total (user_id as-of +
+    conv_id scoring), unchanged from the plain entry."""
+    fn, _sql = registry()["ihc_attribute"]
+    plan = plan_of(fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning(conv_id") == 1
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
