@@ -82,6 +82,11 @@ def run_pipeline(
         conversions = conversions.filter(F.col("conv_date") >= start_date)
     if end_date:
         conversions = conversions.filter(F.col("conv_date") <= end_date)
+    # NOTE: deliberately a dedicated (cheap, pushed-down) count job.
+    # Riding an Observation on the scoring plan's conversions scan was
+    # tried and reverted: on incremental re-runs (anti-join present,
+    # zero surviving conversions) the observed metrics never
+    # materialize and Observation.get raises from the JVM.
     conversions_total = conversions.count()
 
     # 4. incremental skip (J5/J6): only conversions not yet scored.

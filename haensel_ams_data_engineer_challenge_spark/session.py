@@ -79,6 +79,10 @@ def ensure_engine_confs(spark: SparkSession) -> SparkSession:
     for k, v in ENGINE_CONFS.items():
         try:
             spark.conf.set(k, v)
-        except Exception:  # pragma: no cover - static conf on some builds
-            pass
+        except Exception as exc:  # pragma: no cover - static conf builds
+            # only swallow "can't modify at runtime" — the loader that
+            # needs the conf will then raise its own clear error; any
+            # other failure (bad key/value) should surface here
+            if "CANNOT_MODIFY" not in str(exc) and "Cannot modify" not in str(exc):
+                raise
     return spark
