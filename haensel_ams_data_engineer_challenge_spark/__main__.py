@@ -9,14 +9,16 @@
         --sf-dir /root/testdata/sf0.001 --work-dir /tmp/attr [--limit 20]
     python -m haensel_ams_data_engineer_challenge_spark corpus \
         --sf-dir /root/testdata/sf0.001 --work-dir /tmp/attr \
-        [--cap-per-lang N] [--train 0.98 --val 0.01 --test 0.01]
+        [--cap-per-lang N] [--decontaminate-against eval.parquet] \
+        [--train 0.98 --val 0.01 --test 0.01]
 
 The first three mirror reference main.py:23-72 (argument surface),
 create_db.py (DDL + verification) and extracted_training_data.py
 (LIMIT-N journey sample as API-format JSON); exit code 0/1 like
 main.py:389-394. `corpus` is engine-native: near-dup clusters ->
-one survivor per cluster -> optional per-language cap ->
-deterministic train/val/test split, written partitioned by split.
+one survivor per cluster -> optional benchmark decontamination ->
+optional per-language cap -> deterministic train/val/test split,
+written partitioned by split.
 """
 
 from __future__ import annotations
@@ -59,6 +61,13 @@ def _parser() -> argparse.ArgumentParser:
     co.add_argument("--sf-dir", required=True)
     co.add_argument("--work-dir", required=True)
     co.add_argument("--cap-per-lang", type=int, default=None)
+    co.add_argument(
+        "--decontaminate-against",
+        default=None,
+        metavar="PARQUET_PATH",
+        help="eval/benchmark docs table (doc_id, text); training docs "
+        "overlapping it by word n-grams are dropped before cap/split",
+    )
     co.add_argument("--train", type=float, default=0.98)
     co.add_argument("--val", type=float, default=0.01)
     co.add_argument("--test", type=float, default=0.01)
@@ -134,6 +143,18 @@ def main(argv: list[str] | None = None) -> int:
             kept = dedup_survivors(docs, pairs, order_col="n_chars").filter(
                 "is_survivor"
             )
+            n_contaminated = 0
+            if args.decontaminate_against:
+                from .operators.contamination import contamination_check
+
+                ev = spark.read.parquet(args.decontaminate_against)
+                flagged = (
+                    contamination_check(kept, ev)
+                    .select(F.col("train_id").alias("doc_id"))
+                    .distinct()
+                )
+                n_contaminated = flagged.count()
+                kept = kept.join(flagged, "doc_id", "left_anti")
             if args.cap_per_lang is not None:
                 kept = stratum_cap(kept, ["lang"], args.cap_per_lang, "doc_id")
             fractions = {"train": args.train, "val": args.val, "test": args.test}
@@ -149,6 +170,7 @@ def main(argv: list[str] | None = None) -> int:
             total_out = sum(counts.values())
             print(
                 f"docs={total_in} survivors={total_out} "
+                f"contaminated={n_contaminated} "
                 + " ".join(f"{k}={counts.get(k, 0)}" for k in fractions)
                 + f" -> {out}"
             )

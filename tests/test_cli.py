@@ -58,3 +58,32 @@ def test_cli_corpus_build(spark, sf_dir, tmp_path, capsys):
     )
     # no duplicate doc survives into the corpus
     assert back.select("doc_id").distinct().count() == n
+
+
+def test_cli_corpus_decontaminate(spark, sf_dir, tmp_path, capsys):
+    """--decontaminate-against drops training docs overlapping the
+    eval set: eval docs copied verbatim from the corpus must remove
+    their source docs from the output."""
+    from haensel_ams_data_engineer_challenge_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    # take two real documents as the "benchmark" set (verbatim copies
+    # -> overlap_frac 1.0 against their source docs)
+    ev = docs.orderBy("doc_id").limit(2).select("doc_id", "text")
+    eval_ids = [r.doc_id for r in ev.collect()]
+    ev_path = str(tmp_path / "evalset")
+    ev.write.parquet(ev_path)
+
+    work = str(tmp_path / "wd")
+    rc = main([
+        "corpus", "--sf-dir", sf_dir, "--work-dir", work,
+        "--decontaminate-against", ev_path,
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "contaminated=" in out
+    n_flagged = int(out.split("contaminated=")[1].split()[0])
+    assert n_flagged >= len(eval_ids) // 2  # at least the surviving sources
+    back = spark.read.parquet(f"{work}/corpus")
+    # no eval-source doc leaks into the training corpus
+    assert back.filter(back.doc_id.isin(eval_ids)).count() == 0
