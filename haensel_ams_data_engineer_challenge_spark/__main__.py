@@ -11,6 +11,9 @@
         --sf-dir /root/testdata/sf0.001 --work-dir /tmp/attr \
         [--cap-per-lang N] [--decontaminate-against eval.parquet] \
         [--train 0.98 --val 0.01 --test 0.01]
+    python -m haensel_ams_data_engineer_challenge_spark mix \
+        --work-dir /tmp/attr --source web=/data/web=0.6 \
+        --source code=/data/code=1.0
 
 The first three mirror reference main.py:23-72 (argument surface),
 create_db.py (DDL + verification) and extracted_training_data.py
@@ -71,6 +74,22 @@ def _parser() -> argparse.ArgumentParser:
     co.add_argument("--train", type=float, default=0.98)
     co.add_argument("--val", type=float, default=0.01)
     co.add_argument("--test", type=float, default=0.01)
+
+    mx = sub.add_parser(
+        "mix",
+        help="weighted interleave of corpora (training mixture weights); "
+        "deterministic per key, zero shuffles",
+    )
+    mx.add_argument("--work-dir", required=True)
+    mx.add_argument(
+        "--source",
+        action="append",
+        required=True,
+        metavar="NAME=PATH=WEIGHT",
+        help="repeatable; e.g. --source web=/data/web=0.6 "
+        "--source code=/data/code=1.0",
+    )
+    mx.add_argument("--key-col", default="doc_id")
     return p
 
 
@@ -172,6 +191,34 @@ def main(argv: list[str] | None = None) -> int:
                 f"docs={total_in} survivors={total_out} "
                 f"contaminated={n_contaminated} "
                 + " ".join(f"{k}={counts.get(k, 0)}" for k in fractions)
+                + f" -> {out}"
+            )
+            return 0
+
+        if args.command == "mix":
+            from .operators.sampling import weighted_interleave
+
+            sources = {}
+            for spec in args.source:
+                try:
+                    name, path, weight = spec.rsplit("=", 2)
+                    sources[name] = (spark.read.parquet(path), float(weight))
+                except ValueError as exc:
+                    raise ValueError(
+                        f"--source must be NAME=PATH=WEIGHT, got {spec!r}"
+                    ) from exc
+            mixed = weighted_interleave(sources, args.key_col)
+            out = f"{args.work_dir}/mixture"
+            mixed.write.mode("overwrite").partitionBy("source_name").parquet(out)
+            from pyspark.sql import functions as F  # noqa: F811
+
+            counts = {
+                r["source_name"]: r["count"]
+                for r in spark.read.parquet(out)
+                .groupBy("source_name").count().collect()
+            }
+            print(
+                " ".join(f"{k}={counts.get(k, 0)}" for k in sources)
                 + f" -> {out}"
             )
             return 0

@@ -87,3 +87,36 @@ def test_cli_corpus_decontaminate(spark, sf_dir, tmp_path, capsys):
     back = spark.read.parquet(f"{work}/corpus")
     # no eval-source doc leaks into the training corpus
     assert back.filter(back.doc_id.isin(eval_ids)).count() == 0
+
+
+def test_cli_mix_weighted_interleave(spark, sf_dir, tmp_path, capsys):
+    """mix: per-source acceptance weights, deterministic per key."""
+    from haensel_ams_data_engineer_challenge_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    a, b = str(tmp_path / "src_a"), str(tmp_path / "src_b")
+    docs.filter("doc_id % 2 = 0").write.parquet(a)
+    docs.filter("doc_id % 2 = 1").write.parquet(b)
+    n_a = spark.read.parquet(a).count()
+
+    work = str(tmp_path / "wd")
+    argv = [
+        "mix", "--work-dir", work,
+        "--source", f"alpha={a}=1.0",
+        "--source", f"beta={b}=0.4",
+    ]
+    assert main(argv) == 0
+    out1 = capsys.readouterr().out
+    back = spark.read.parquet(f"{work}/mixture")
+    got = {r["source_name"]: r["count"] for r in back.groupBy("source_name").count().collect()}
+    assert got["alpha"] == n_a            # weight 1.0 keeps everything
+    assert 0 < got["beta"] < spark.read.parquet(b).count()  # 0.4 thins
+    # deterministic: rerun produces the identical mixture
+    assert main(argv) == 0
+    assert capsys.readouterr().out == out1
+
+
+def test_cli_mix_bad_source_spec(tmp_path, capsys):
+    rc = main(["mix", "--work-dir", str(tmp_path), "--source", "oops"])
+    assert rc == 1
+    assert "NAME=PATH=WEIGHT" in capsys.readouterr().err
