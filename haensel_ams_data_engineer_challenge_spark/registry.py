@@ -197,27 +197,62 @@ def _attribution_entries() -> dict[str, tuple[QueryFn, str | None]]:
     )
 
     # §2.9: native IHC scoring (api_utils.py:68-167 semantics), tagged
-    # with the linear alternative model (CONV_TYPE_MODELS routing) as an
-    # extra column — same conv_id partitioning, so the window exchange
-    # is shared; proves a second scoring model against the oracle
-    # without spending a registry key.
-    def _ihc_plus_linear(spark: SparkSession, sf: str) -> DataFrame:
-        from .operators.ihc import linear_attribute
+    # with the alternative CONV_TYPE_MODELS (linear, last_touch,
+    # position_based) as extra columns — every model windows on the
+    # same (conv_id, ts/session_id) partitioning, so all share ONE
+    # conv_id exchange (plan-tested); proves the whole scoring-model
+    # family against the oracle without spending registry keys.
+    def _ihc_models(spark: SparkSession, sf: str) -> DataFrame:
+        from .operators.ihc import (
+            last_touch_attribute,
+            linear_attribute,
+            position_based_attribute,
+        )
 
         s = _scored(spark, sf).withColumnRenamed("ihc", "__ihc")
-        return linear_attribute(s).select(
+        s = linear_attribute(s).withColumnRenamed("ihc", "__lin")
+        s = last_touch_attribute(s).withColumnRenamed("ihc", "__last")
+        s = position_based_attribute(s).withColumnRenamed("ihc", "__pos")
+        return s.select(
             "conv_id",
             "session_id",
             F.col("__ihc").alias("ihc"),
-            F.col("ihc").alias("ihc_linear"),
+            F.col("__lin").alias("ihc_linear"),
+            F.col("__last").alias("ihc_last_touch"),
+            F.col("__pos").alias("ihc_position_based"),
         )
 
+    # position_based float-parity: constants are computed in PYTHON and
+    # inlined with full precision — the engine's w_mid = 1.0-0.4-0.4 is
+    # NOT the literal 0.2 in IEEE doubles; repr() round-trips the exact
+    # value into DuckDB. two_way = 0.4/0.8 IS exactly 0.5 (power-of-two
+    # denominator) on both engines.
+    _W_FIRST, _W_LAST = 0.4, 0.4
+    _W_MID = 1.0 - _W_FIRST - _W_LAST
+    _TW1 = _W_FIRST / (_W_FIRST + _W_LAST)
+    _TW2 = _W_LAST / (_W_FIRST + _W_LAST)
+
     e["ihc_attribute"] = (
-        _ihc_plus_linear,
+        _ihc_models,
         _pipeline_prelude(JOURNEYS_CTE, SCORED_CTE)
-        + "SELECT conv_id, session_id, ihc,"
-        "  CAST(1.0 AS DOUBLE) / CAST(COUNT(*) OVER (PARTITION BY conv_id)"
-        "  AS DOUBLE) AS ihc_linear FROM scored",
+        + f"""SELECT conv_id, session_id, ihc,
+                 CAST(1.0 AS DOUBLE) / CAST(__n AS DOUBLE) AS ihc_linear,
+                 CAST(CAST(__rn = __n AS INT) AS DOUBLE) AS ihc_last_touch,
+                 CASE WHEN __n = 1 THEN CAST(1.0 AS DOUBLE)
+                      WHEN __n = 2 THEN (CASE WHEN __rn = 1
+                                              THEN CAST({_TW1!r} AS DOUBLE)
+                                              ELSE CAST({_TW2!r} AS DOUBLE) END)
+                      ELSE (CASE WHEN __rn = 1 THEN CAST({_W_FIRST!r} AS DOUBLE)
+                                 WHEN __rn = __n THEN CAST({_W_LAST!r} AS DOUBLE)
+                                 ELSE CAST({_W_MID!r} AS DOUBLE)
+                                      / (CAST(__n AS DOUBLE) - CAST(2.0 AS DOUBLE))
+                            END)
+                 END AS ihc_position_based
+          FROM (SELECT conv_id, session_id, ihc,
+                       ROW_NUMBER() OVER (PARTITION BY conv_id
+                                          ORDER BY ts, session_id) AS __rn,
+                       COUNT(*) OVER (PARTITION BY conv_id) AS __n
+                FROM scored) t""",
     )
 
     # §2.9 + redistribution: the reference's redistribution_parameter
