@@ -96,3 +96,32 @@ def test_contamination_plan_broadcasts_eval_side(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_contamination_property_random_docs(spark):
+    """Random small-vocab docs force shared n-grams; the operator must
+    agree with the python reference everywhere (no Hypothesis round-
+    trips — one seeded batch keeps the Spark cost to a single run)."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+
+    def doc(n):
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    train = [(i, doc(rng.randint(0, 15))) for i in range(25)]
+    ev = [(100 + i, doc(rng.randint(0, 10))) for i in range(6)]
+    got = {
+        (r.train_id, r.eval_id): (r.n_shared, r.overlap_frac)
+        for r in contamination_check(
+            spark.createDataFrame(train, "doc_id long, text string"),
+            spark.createDataFrame(ev, "doc_id long, text string"),
+            min_overlap_frac=0.3,
+        ).collect()
+    }
+    expected = _py_contamination(train, ev, min_frac=0.3)
+    assert set(got) == set(expected)
+    for k, (n_shared, frac) in expected.items():
+        assert got[k][0] == n_shared
+        assert abs(got[k][1] - frac) < 1e-12
