@@ -203,6 +203,50 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
 
     e["corpus_survivors_split"] = (_survivors_split, _survivors_split_sql())
 
+    # ---- benchmark decontamination (round-3 rotation) --------------------
+    # documents with doc_id % 25 == 0 play the eval/benchmark set; the
+    # word-trigram shingles are exactly the shared doc_shingles CTE, so
+    # the oracle mirrors the operator's vocab-prune -> flood-cap ->
+    # overlap-fraction pipeline CTE-for-stage.
+    CONTAM_FRAC = 0.2
+    CONTAM_EVAL_PRED = "doc_id % 25 = 0"
+
+    from ..operators.contamination import MAX_SHINGLE_TRAIN_DOCS
+
+    def _contamination(spark: SparkSession, sf: str) -> DataFrame:
+        from ..operators.contamination import contamination_check
+
+        docs = _docs(spark, sf)
+        ev = docs.filter(CONTAM_EVAL_PRED).select("doc_id", "text")
+        return contamination_check(docs, ev, min_overlap_frac=CONTAM_FRAC)
+
+    e["contamination_check"] = (
+        _contamination,
+        prelude + f""",
+        ev AS (SELECT doc_id AS eval_id, unnest(sh) AS s
+               FROM doc_shingles WHERE {CONTAM_EVAL_PRED}),
+        ev_sizes AS (SELECT doc_id AS eval_id, len(sh) AS eval_shingles
+                     FROM doc_shingles WHERE {CONTAM_EVAL_PRED}),
+        tr AS (SELECT doc_id AS train_id, unnest(sh) AS s FROM doc_shingles),
+        vocab AS (SELECT DISTINCT s FROM ev),
+        hits AS (
+            SELECT train_id, s FROM (
+                SELECT t.train_id, t.s,
+                       COUNT(*) OVER (PARTITION BY t.s) AS df
+                FROM tr t JOIN vocab v ON v.s = t.s) x
+            WHERE df <= {MAX_SHINGLE_TRAIN_DOCS}),
+        shared AS (
+            SELECT h.train_id, e.eval_id, COUNT(*) AS n_shared
+            FROM hits h JOIN ev e ON e.s = h.s
+            GROUP BY 1, 2)
+        SELECT s.train_id, s.eval_id, s.n_shared,
+               CAST(s.n_shared AS DOUBLE) / CAST(z.eval_shingles AS DOUBLE)
+               AS overlap_frac
+        FROM shared s JOIN ev_sizes z ON z.eval_id = s.eval_id
+        WHERE CAST(s.n_shared AS DOUBLE) / CAST(z.eval_shingles AS DOUBLE)
+              >= CAST({CONTAM_FRAC} AS DOUBLE)""",
+    )
+
     # standalone exact n-gram Jaccard (quadratic in shared-shingle
     # pairs) is deliberately NOT registered: it is the verifier inside
     # `dedup_verify_candidates` below, and its standalone form stays

@@ -288,11 +288,10 @@ def _attribution_entries() -> dict[str, tuple[QueryFn, str | None]]:
                  HAVING ABS(s - CAST(1.0 AS DOUBLE)) > CAST(0.001 AS DOUBLE)) v""",
     )
 
-    # A3: distinct ids (db_utils.py:282-285)
-    e["distinct_ids"] = (
-        lambda spark, sf: _journeys(spark, sf).select("conv_id").distinct(),
-        _pipeline_prelude(JOURNEYS_CTE) + "SELECT DISTINCT conv_id FROM journeys",
-    )
+    # A3 distinct_ids (db_utils.py:282-285) is proven by A4 below: its
+    # grouped output carries EXACTLY one row per distinct conv_id, so
+    # the hash-checked key set of `agg_journey_stats` IS the distinct
+    # id set (key freed round 3 for `contamination_check`).
 
     # A4: journey statistics (journey_builder.py:298-336)
     e["agg_journey_stats"] = (
