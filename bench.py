@@ -53,6 +53,9 @@ HEADLINE: dict[str, bool] = {
     # round 3: LSH pairs -> connected components -> survivors -> split
     # (iterative driver loop included in the measured time)
     "corpus_survivors_split": False,
+    # round 3: benchmark decontamination (broadcast eval vocab ->
+    # pruned shingle equi-join -> flood cap)
+    "contamination_check": False,
 }
 
 
