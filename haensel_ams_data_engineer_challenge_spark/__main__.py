@@ -163,6 +163,7 @@ def main(argv: list[str] | None = None) -> int:
                 "is_survivor"
             )
             n_contaminated = 0
+            flagged = None
             if args.decontaminate_against:
                 from .operators.contamination import contamination_check
 
@@ -172,6 +173,10 @@ def main(argv: list[str] | None = None) -> int:
                     .select(F.col("train_id").alias("doc_id"))
                     .distinct()
                 )
+                # the flagged id list feeds two actions (count + the
+                # anti-join inside the corpus write); persist the tiny
+                # result so the contamination plan runs once
+                flagged.persist()
                 n_contaminated = flagged.count()
                 kept = kept.join(flagged, "doc_id", "left_anti")
             if args.cap_per_lang is not None:
@@ -180,6 +185,8 @@ def main(argv: list[str] | None = None) -> int:
             split = hash_split(kept, "doc_id", fractions)
             out = f"{args.work_dir}/corpus"
             split.write.mode("overwrite").partitionBy("split").parquet(out)
+            if flagged is not None:
+                flagged.unpersist()
             back = spark.read.parquet(out)
             counts = {
                 r["split"]: r["count"]
@@ -201,17 +208,22 @@ def main(argv: list[str] | None = None) -> int:
             sources = {}
             for spec in args.source:
                 try:
-                    name, path, weight = spec.rsplit("=", 2)
-                    sources[name] = (spark.read.parquet(path), float(weight))
+                    # name first, weight from the right: a PATH may
+                    # itself contain '=' (e.g. Hive-partitioned dirs
+                    # like .../corpus/split=train)
+                    name, rest = spec.split("=", 1)
+                    path, weight = rest.rsplit("=", 1)
+                    parsed = float(weight)
                 except ValueError as exc:
                     raise ValueError(
                         f"--source must be NAME=PATH=WEIGHT, got {spec!r}"
                     ) from exc
+                if name in sources:
+                    raise ValueError(f"duplicate --source name {name!r}")
+                sources[name] = (spark.read.parquet(path), parsed)
             mixed = weighted_interleave(sources, args.key_col)
             out = f"{args.work_dir}/mixture"
             mixed.write.mode("overwrite").partitionBy("source_name").parquet(out)
-            from pyspark.sql import functions as F  # noqa: F811
-
             counts = {
                 r["source_name"]: r["count"]
                 for r in spark.read.parquet(out)

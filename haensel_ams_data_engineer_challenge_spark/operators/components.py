@@ -114,13 +114,31 @@ def connected_components(
 
     ``checkpoint_dir``: reliable checkpoint directory (HDFS/S3) for
     cluster runs; defaults to localCheckpoint (fast, but lost with an
-    executor) — see the module docstring's scale posture.
+    executor) — see the module docstring's scale posture.  Caveats:
+    the SparkContext checkpoint dir is SESSION-GLOBAL, so it is only
+    set when the context has none yet (an explicit different dir
+    raises rather than silently clobbering another job's setting),
+    and reliable checkpoint files accumulate per round until context
+    shutdown — on long-lived clusters set
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` so
+    out-of-scope round checkpoints are deleted.
 
     Diagnostics: ``connected_components.last_rounds`` holds the round
     count of the most recent call (driver-side only, test/tuning aid).
     """
     if checkpoint_dir is not None:
-        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        sc = pairs.sparkSession.sparkContext
+        # setCheckpointDir creates a random subdir under the given
+        # path, so "already points there" = prefix match
+        current = sc.getCheckpointDir()
+        if current is None:
+            sc.setCheckpointDir(checkpoint_dir)
+        elif not current.startswith(checkpoint_dir.rstrip("/")):
+            raise ValueError(
+                f"SparkContext checkpoint dir already set to {current!r}; "
+                f"refusing to clobber it with {checkpoint_dir!r} "
+                "(session-global setting)"
+            )
         _ckpt = lambda df: df.checkpoint(eager=True)  # noqa: E731
     else:
         _ckpt = lambda df: df.localCheckpoint(eager=True)  # noqa: E731

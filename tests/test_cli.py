@@ -120,3 +120,24 @@ def test_cli_mix_bad_source_spec(tmp_path, capsys):
     rc = main(["mix", "--work-dir", str(tmp_path), "--source", "oops"])
     assert rc == 1
     assert "NAME=PATH=WEIGHT" in capsys.readouterr().err
+
+
+def test_cli_mix_path_with_equals_and_dup_names(spark, sf_dir, tmp_path, capsys):
+    """Hive-partitioned paths contain '=' — the spec parser must split
+    the name from the left and the weight from the right; duplicate
+    source names error instead of silently overwriting."""
+    from haensel_ams_data_engineer_challenge_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "part" / "split=train")
+    docs.limit(20).write.parquet(src)
+    work = str(tmp_path / "wd")
+    assert main(["mix", "--work-dir", work, "--source", f"a={src}=1.0"]) == 0
+    assert "a=20" in capsys.readouterr().out
+
+    rc = main([
+        "mix", "--work-dir", work,
+        "--source", f"a={src}=1.0", "--source", f"a={src}=0.5",
+    ])
+    assert rc == 1
+    assert "duplicate --source" in capsys.readouterr().err

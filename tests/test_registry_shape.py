@@ -31,10 +31,10 @@ def test_priority_keys_lead():
 
 def test_entry_module_mirrors_registry():
     import importlib.util
+    from pathlib import Path
 
-    spec = importlib.util.spec_from_file_location(
-        "__spark_entry__", "/root/repo/__spark_entry__.py"
-    )
+    entry_path = Path(__file__).resolve().parents[1] / "__spark_entry__.py"
+    spec = importlib.util.spec_from_file_location("__spark_entry__", entry_path)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     q = mod.queries()
