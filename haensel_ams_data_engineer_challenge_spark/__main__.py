@@ -71,6 +71,21 @@ def _parser() -> argparse.ArgumentParser:
         help="eval/benchmark docs table (doc_id, text); training docs "
         "overlapping it by word n-grams are dropped before cap/split",
     )
+    co.add_argument(
+        "--decontaminate-ngram",
+        type=int,
+        default=3,
+        metavar="N",
+        help="shingle size for --decontaminate-against (word n-grams)",
+    )
+    co.add_argument(
+        "--decontaminate-min-overlap",
+        type=float,
+        default=0.5,
+        metavar="FRAC",
+        help="drop a training doc when it shares at least this "
+        "fraction of an eval doc's distinct n-grams",
+    )
     co.add_argument("--train", type=float, default=0.98)
     co.add_argument("--val", type=float, default=0.01)
     co.add_argument("--test", type=float, default=0.01)
@@ -169,7 +184,12 @@ def main(argv: list[str] | None = None) -> int:
 
                 ev = spark.read.parquet(args.decontaminate_against)
                 flagged = (
-                    contamination_check(kept, ev)
+                    contamination_check(
+                        kept,
+                        ev,
+                        n=args.decontaminate_ngram,
+                        min_overlap_frac=args.decontaminate_min_overlap,
+                    )
                     .select(F.col("train_id").alias("doc_id"))
                     .distinct()
                 )

@@ -122,46 +122,98 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
                     AND a.doc_id < b.doc_id""",
     )
 
-    # ---- clusters -> survivors -> split (the corpus CLI's spine) --------
-    # Driver row for two previously pytest-only capabilities (round-2
-    # verdict #7): connected-components survivor selection
-    # (operators/components.py) and the deterministic hash_split
-    # (operators/sampling.py), composed exactly like
-    # `python -m ... corpus`.  The oracle recomputes the LSH pairs with
-    # the shared CTEs, then resolves components by RECURSIVE transitive
-    # closure with a min-label reduce — O(n*m), fine at oracle scale;
-    # the engine side is the O(log n) large-star/small-star form.
+    # ---- clusters -> survivors -> cap -> decontaminate -> split -> mix --
+    # The corpus CLI's FULL hygiene spine in one driver row, each stage
+    # the real registered operator (not a reimplementation):
+    #   dedup_survivors   (components.py, O(log n) large-star/small-star)
+    #   stratum_cap       (sampling.py, two-stage distributed top-n)
+    #   contamination_check (contamination.py, survivors as train side)
+    #   hash_split        (sampling.py, zero-shuffle md5 threshold)
+    #   weighted_interleave (sampling.py, per-source md5 acceptance)
+    # The oracle recomputes the LSH pairs with the shared CTEs, then
+    # resolves components by RECURSIVE transitive closure with a
+    # min-label reduce — O(n*m), fine at oracle scale.  Cap/split/mix
+    # decisions are integer md5-bucket comparisons, identical in both
+    # engines; the contaminated flag mirrors the vocab-prune ->
+    # flood-cap -> overlap-fraction stages CTE-for-stage.
     CAP_PER_LANG = 40  # sf0.01 has ~100 docs/lang, so the cap bites
+    CONTAM_FRAC = 0.2
+    CONTAM_EVAL_PRED = "doc_id % 25 = 0"
+    MIX_TAIL_WEIGHT = 0.5  # head (even ids) w=1.0, tail (odd) w=0.5
+
+    from ..operators.contamination import MAX_SHINGLE_TRAIN_DOCS
 
     def _survivors_split(spark: SparkSession, sf: str) -> DataFrame:
-        from pyspark.sql import Window
-
         from ..operators.components import dedup_survivors
-        from ..operators.sampling import _bucket, hash_split
+        from ..operators.contamination import contamination_check
+        from ..operators.sampling import hash_split, stratum_cap, weighted_interleave
 
         docs = _docs(spark, sf)
         kept = dedup_survivors(docs, D.dedup_minhash_lsh(docs), order_col="n_chars")
-        # per-language stratum cap (operators/sampling.py stratum_cap
-        # semantics) as a flag over ALL rows: survivors rank first
-        # within their language by the deterministic md5 order, so
-        # ranks 1..N are exactly stratum_cap's kept set
-        w = Window.partitionBy("lang").orderBy(
-            F.col("is_survivor").desc(),
-            _bucket("doc_id", "cap").asc(),
-            F.col("doc_id").asc(),
+        # the survivor frame feeds three consumers (cap ids, contam
+        # train side, the output spine); a non-eager localCheckpoint
+        # materializes it once per query instead of re-running the
+        # docs-join-window subtree per consumer (measured ~2x), and —
+        # unlike persist — cannot leak a cache across driver runs
+        kept = kept.localCheckpoint(eager=False)
+        surv = kept.filter("is_survivor")
+        # per-language cap via the REAL two-stage stratum_cap; the kept
+        # id set is tiny (<= cap x n_langs) so the flag join broadcasts
+        cap_ids = (
+            stratum_cap(surv, ["lang"], CAP_PER_LANG, "doc_id")
+            .select("doc_id")
+            .withColumn("__cap", F.lit(True))
         )
-        capped = kept.withColumn(
-            "kept_after_cap",
-            F.col("is_survivor") & (F.row_number().over(w) <= CAP_PER_LANG),
+        capped = (
+            kept.join(F.broadcast(cap_ids), "doc_id", "left")
+            .withColumn("kept_after_cap", F.coalesce(F.col("__cap"), F.lit(False)))
+            .drop("__cap")
         )
-        return hash_split(capped, "doc_id").select(
-            "doc_id", "lang", "component", "is_survivor", "kept_after_cap", "split"
+        # survivors -> decontaminate: flag survivors overlapping the
+        # held-out eval slice (train side = deduped corpus, the order
+        # the corpus CLI runs the stages in)
+        ev = docs.filter(CONTAM_EVAL_PRED).select("doc_id", "text")
+        contam_ids = (
+            contamination_check(surv, ev, min_overlap_frac=CONTAM_FRAC)
+            .select(F.col("train_id").alias("doc_id"))
+            .distinct()
+            .withColumn("__ct", F.lit(True))
+        )
+        flagged = (
+            capped.join(F.broadcast(contam_ids), "doc_id", "left")
+            .withColumn("contaminated", F.coalesce(F.col("__ct"), F.lit(False)))
+            .drop("__ct")
+        )
+        base = hash_split(flagged, "doc_id")
+        # training-mixture tagging: two disjoint id slices stand in for
+        # separate corpora (same machinery as the `mix` CLI — per-source
+        # salt, integer threshold acceptance, tag, union).  The operator
+        # runs on a THIN key stream and the accepted assignment joins
+        # back via broadcast — unioning the full spine would evaluate
+        # every upstream stage once per source (measured 2x wall time)
+        thin = docs.select("doc_id")
+        mixed_ids = weighted_interleave(
+            {
+                "head": (thin.filter(F.col("doc_id") % 2 == 0), 1.0),
+                "tail": (thin.filter(F.col("doc_id") % 2 == 1), MIX_TAIL_WEIGHT),
+            },
+            "doc_id",
+        )
+        return base.join(F.broadcast(mixed_ids), "doc_id").select(
+            "doc_id", "lang", "component", "is_survivor",
+            "kept_after_cap", "contaminated", "split", "source_name",
         )
 
     def _survivors_split_sql() -> str:
-        from ..operators.sampling import _bucket_sql, hash_split_sql
+        from ..operators.sampling import (
+            _BUCKETS,
+            _bucket_sql,
+            hash_split_sql,
+        )
 
         cap_bucket = _bucket_sql("doc_id", "cap")
+        tail_hi = int(MIX_TAIL_WEIGHT * _BUCKETS)
+        tail_bucket = _bucket_sql("doc_id", "mix|tail")
         return (
             "WITH RECURSIVE " + DOC_SHINGLES_CTE.strip()
             + "," + _minhash_sig_cte().strip()
@@ -195,10 +247,41 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
                         PARTITION BY lang
                         ORDER BY is_survivor DESC, {cap_bucket} ASC, doc_id ASC)
                     <= {CAP_PER_LANG}) AS kept_after_cap
-            FROM flagged)
+            FROM flagged),
+        c_ev AS (SELECT doc_id AS eval_id, unnest(sh) AS s
+                 FROM doc_shingles WHERE {CONTAM_EVAL_PRED}),
+        c_ev_sizes AS (SELECT doc_id AS eval_id, len(sh) AS eval_shingles
+                       FROM doc_shingles WHERE {CONTAM_EVAL_PRED}),
+        c_tr AS (SELECT d.doc_id AS train_id, unnest(d.sh) AS s
+                 FROM doc_shingles d JOIN flagged f ON f.doc_id = d.doc_id
+                 WHERE f.is_survivor),
+        c_vocab AS (SELECT DISTINCT s FROM c_ev),
+        c_hits_all AS (SELECT t.train_id, t.s
+                       FROM c_tr t JOIN c_vocab v ON v.s = t.s),
+        c_flooded AS (SELECT s FROM c_hits_all GROUP BY s
+                      HAVING COUNT(*) > {MAX_SHINGLE_TRAIN_DOCS}),
+        c_hits AS (SELECT train_id, s FROM c_hits_all
+                   WHERE s NOT IN (SELECT s FROM c_flooded)),
+        c_shared AS (SELECT h.train_id, e.eval_id, COUNT(*) AS n_shared
+                     FROM c_hits h JOIN c_ev e ON e.s = h.s
+                     GROUP BY 1, 2),
+        contam_ids AS (
+            SELECT DISTINCT s.train_id AS doc_id
+            FROM c_shared s JOIN c_ev_sizes z ON z.eval_id = s.eval_id
+            WHERE CAST(s.n_shared AS DOUBLE) / CAST(z.eval_shingles AS DOUBLE)
+                  >= CAST({CONTAM_FRAC} AS DOUBLE)),
+        final AS (
+            SELECT doc_id, lang, component, is_survivor, kept_after_cap,
+                   (is_survivor AND doc_id IN (SELECT doc_id FROM contam_ids))
+                   AS contaminated,
+                   {hash_split_sql("doc_id")}
+            FROM capped)
         SELECT doc_id, lang, component, is_survivor, kept_after_cap,
-               {hash_split_sql("doc_id")}
-        FROM capped"""
+               contaminated, split,
+               CASE WHEN doc_id % 2 = 0 THEN 'head' ELSE 'tail' END
+               AS source_name
+        FROM final
+        WHERE doc_id % 2 = 0 OR {tail_bucket} < {tail_hi}"""
         )
 
     e["corpus_survivors_split"] = (_survivors_split, _survivors_split_sql())
@@ -207,12 +290,9 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
     # documents with doc_id % 25 == 0 play the eval/benchmark set; the
     # word-trigram shingles are exactly the shared doc_shingles CTE, so
     # the oracle mirrors the operator's vocab-prune -> flood-cap ->
-    # overlap-fraction pipeline CTE-for-stage.
-    CONTAM_FRAC = 0.2
-    CONTAM_EVAL_PRED = "doc_id % 25 = 0"
-
-    from ..operators.contamination import MAX_SHINGLE_TRAIN_DOCS
-
+    # overlap-fraction pipeline CTE-for-stage (flood control as a
+    # grouped document-frequency + anti-join, matching the engine's
+    # groupBy + broadcast anti-join form).
     def _contamination(spark: SparkSession, sf: str) -> DataFrame:
         from ..operators.contamination import contamination_check
 
@@ -229,12 +309,12 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
                      FROM doc_shingles WHERE {CONTAM_EVAL_PRED}),
         tr AS (SELECT doc_id AS train_id, unnest(sh) AS s FROM doc_shingles),
         vocab AS (SELECT DISTINCT s FROM ev),
-        hits AS (
-            SELECT train_id, s FROM (
-                SELECT t.train_id, t.s,
-                       COUNT(*) OVER (PARTITION BY t.s) AS df
-                FROM tr t JOIN vocab v ON v.s = t.s) x
-            WHERE df <= {MAX_SHINGLE_TRAIN_DOCS}),
+        hits_all AS (SELECT t.train_id, t.s
+                     FROM tr t JOIN vocab v ON v.s = t.s),
+        flooded AS (SELECT s FROM hits_all GROUP BY s
+                    HAVING COUNT(*) > {MAX_SHINGLE_TRAIN_DOCS}),
+        hits AS (SELECT train_id, s FROM hits_all
+                 WHERE s NOT IN (SELECT s FROM flooded)),
         shared AS (
             SELECT h.train_id, e.eval_id, COUNT(*) AS n_shared
             FROM hits h JOIN ev e ON e.s = h.s

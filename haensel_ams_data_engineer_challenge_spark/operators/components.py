@@ -90,12 +90,27 @@ def _edge_stats(e: DataFrame) -> tuple:
     return (r.n, r.h1, r.h2)
 
 
+def _strip_uri_scheme(path: str) -> str:
+    """'file:/tmp/x' / 'hdfs://nn/x' -> comparable path part.
+
+    ``SparkContext.setCheckpointDir`` resolves the caller's path
+    through the Hadoop FileSystem, so ``getCheckpointDir`` returns a
+    fully-qualified URI; to compare against a caller-supplied plain
+    path both sides must be scheme-stripped first.
+    """
+    from urllib.parse import urlparse
+
+    parsed = urlparse(path)
+    return parsed.path if parsed.scheme else path
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_rounds: int = 50,
     checkpoint_dir: str | None = None,
+    exact_convergence: bool = False,
 ) -> DataFrame:
     """Connected components of an undirected pair graph.
 
@@ -123,17 +138,30 @@ def connected_components(
     ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` so
     out-of-scope round checkpoints are deleted.
 
-    Diagnostics: ``connected_components.last_rounds`` holds the round
-    count of the most recent call (driver-side only, test/tuning aid).
+    ``exact_convergence``: replace the probabilistic triple with the
+    exact two-action check (count-equal + ``exceptAll``-empty) — one
+    extra job per round; for validation/debug runs where the ~2^-128
+    hash-sum collision risk is unacceptable.
+
+    Diagnostics: the returned DataFrame carries ``cc_rounds`` (the
+    round count of THIS call) and ``cc_round_secs`` (driver-measured
+    wall seconds per round — meaningful because each round runs its
+    jobs eagerly via checkpoint + stats); the
+    ``connected_components.last_rounds`` attribute mirrors the round
+    count for back-compat but is overwritten by every call, so
+    concurrent driver threads must read ``cc_rounds``.
     """
     if checkpoint_dir is not None:
         sc = pairs.sparkSession.sparkContext
         # setCheckpointDir creates a random subdir under the given
-        # path, so "already points there" = prefix match
+        # path, and reports it as a fully-qualified URI — compare
+        # scheme-stripped, so a second call with the same plain local
+        # path is recognized as "already points there" (prefix match)
         current = sc.getCheckpointDir()
+        want = _strip_uri_scheme(checkpoint_dir).rstrip("/")
         if current is None:
             sc.setCheckpointDir(checkpoint_dir)
-        elif not current.startswith(checkpoint_dir.rstrip("/")):
+        elif not _strip_uri_scheme(current).startswith(want):
             raise ValueError(
                 f"SparkContext checkpoint dir already set to {current!r}; "
                 f"refusing to clobber it with {checkpoint_dir!r} "
@@ -143,26 +171,39 @@ def connected_components(
     else:
         _ckpt = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
 
+    import time
+
     e = _ckpt(_canonical(pairs, src, dst))
-    prev = _edge_stats(e)
+    prev = None if exact_convergence else _edge_stats(e)
+    round_secs: list[float] = []
+    t0 = time.perf_counter()
     for rounds in range(1, max_rounds + 1):
         e2 = _ckpt(_small_star(_large_star(e)))
-        cur = _edge_stats(e2)
+        if exact_convergence:
+            converged = e2.count() == e.count() and e2.exceptAll(e).isEmpty()
+        else:
+            cur = _edge_stats(e2)
+            converged = cur == prev
+            prev = cur
         e.unpersist()
         e = e2
-        if cur == prev:
+        round_secs.append(round(time.perf_counter() - t0, 3))
+        t0 = time.perf_counter()
+        if converged:
             break
-        prev = cur
     else:
         raise RuntimeError(f"connected_components: no fixpoint in {max_rounds} rounds")
     connected_components.last_rounds = rounds
     # converged star graph: every edge is (node, component_min); the
     # roots themselves appear only on the v side.
-    return (
+    out = (
         e.select(F.col("u").alias("node"), F.col("v").alias("component"))
         .union(e.select(F.col("v").alias("node"), F.col("v").alias("component")))
         .distinct()
     )
+    out.cc_rounds = rounds
+    out.cc_round_secs = round_secs
+    return out
 
 
 def dedup_survivors(

@@ -16,7 +16,10 @@ Scale shape (the whole point at 100 TB):
    (shingle, train_id) pairs that can actually contaminate;
 3. cap runaway shingles (stop-gram n-grams that appear in more than
    ``max_shingle_train_docs`` training docs match everything and mean
-   nothing — same flood-control idea as dedup.MAX_BAND_BUCKET);
+   nothing — same flood-control idea as dedup.MAX_BAND_BUCKET); the
+   cap is a groupBy document-frequency count plus a broadcast
+   anti-join of the over-cap shingles, so the hot stop-gram never
+   becomes a single-task window partition;
 4. count shared shingles per (train_id, eval_id) and report the
    overlap as a fraction of the EVAL doc's shingles.
 
@@ -26,7 +29,7 @@ the shingle, bounded by |eval vocabulary| x per-shingle train cap.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from ..functions import text as T
 
@@ -67,13 +70,21 @@ def contamination_check(
     vocab = ev.select("s").distinct()
     hits = tr.join(F.broadcast(vocab), "s")
     # flood control: a shingle present in too many training docs is a
-    # stop-gram; window over the (already pruned) hit set
-    w = Window.partitionBy("s")
-    hits = (
-        hits.withColumn("__df", F.count(F.lit(1)).over(w))
-        .filter(F.col("__df") <= max_shingle_train_docs)
-        .drop("__df")
+    # stop-gram.  groupBy + broadcast anti-join, NOT count-over-window:
+    # a window partitioned by the shingle would make the very stop-gram
+    # this cap exists to kill the hottest (single-task) sort partition
+    # before it is filtered.  The groupBy partial-aggregates map-side,
+    # so the hot shingle reaches the reducer as one row per input
+    # partition, and the over-cap set (bounded by the eval vocabulary)
+    # broadcasts.  Cost: the pruned hit subtree evaluates twice — a
+    # second pass over eval-vocab survivors only, cheap at any scale.
+    flooded = (
+        hits.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > max_shingle_train_docs)
+        .select("s")
     )
+    hits = hits.join(F.broadcast(flooded), "s", "left_anti")
     # word_shingles is distinct per doc, so plain count == distinct count
     shared = (
         hits.join(F.broadcast(ev), "s")

@@ -27,7 +27,10 @@ are bit-stable across engines and partitionings.
 
 Scale: all three are embarrassingly parallel JVM expressions
 (whole-stage codegen, zero shuffles) except ``stratum_cap``, which is
-one hash-partition window on the stratum key.
+a two-stage distributed top-n: a local rank per (stratum, input
+partition) followed by a final rank over at most n x n_partitions
+survivors — no task ever sorts a full stratum, so a dominant stratum
+(the 100 TB "en" case) cannot become a single-task sort.
 """
 
 from __future__ import annotations
@@ -112,16 +115,29 @@ def stratum_cap(
     """Keep at most ``n`` rows per stratum, deterministically.
 
     Rank within each stratum by (md5 bucket, key) — a stable
-    pseudo-random order — and keep ranks 1..n.  One shuffle on the
-    stratum key; the per-stratum sort is the skew bound, so at extreme
-    stratum sizes pre-filter with an approximate per-stratum count
-    before ranking.
+    pseudo-random order — and keep ranks 1..n.
+
+    Two-stage (the distributed-TopK shape similarity.py's brute top-k
+    uses): stage 1 ranks within (stratum, *input partition*) and keeps
+    at most ``n`` rows per pair, so no task ever sorts a whole
+    stratum — at corpus scale the dominant stratum ("en" is most of a
+    100 TB corpus) would otherwise be one skewed single-task sort.
+    Stage 2 ranks the <= n x n_partitions survivors per stratum.  The
+    global top-n by (bucket, key) within a stratum is a subset of the
+    per-partition top-n sets, so the result is identical to the
+    single-window form — and independent of the input partitioning.
     """
-    w = Window.partitionBy(*stratum_cols).orderBy(
-        _bucket(key_col, salt).asc(), F.col(key_col).asc()
+    order = [_bucket(key_col, salt).asc(), F.col(key_col).asc()]
+    local = Window.partitionBy(*stratum_cols, "__pid").orderBy(*order)
+    pruned = (
+        df.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__lrk", F.row_number().over(local))
+        .filter(F.col("__lrk") <= n)
+        .drop("__pid", "__lrk")
     )
+    w = Window.partitionBy(*stratum_cols).orderBy(*order)
     return (
-        df.withColumn("__rk", F.row_number().over(w))
+        pruned.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= n)
         .drop("__rk")
     )

@@ -89,6 +89,34 @@ def test_cli_corpus_decontaminate(spark, sf_dir, tmp_path, capsys):
     assert back.filter(back.doc_id.isin(eval_ids)).count() == 0
 
 
+def test_cli_corpus_decontaminate_knobs(spark, sf_dir, tmp_path, capsys):
+    """--decontaminate-min-overlap tunes aggressiveness without code
+    edits (round-3 advice item): an impossible threshold flags
+    nothing, a permissive one at least the verbatim sources."""
+    from haensel_ams_data_engineer_challenge_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.orderBy("doc_id").limit(2).select("doc_id", "text")
+    ev_path = str(tmp_path / "evalset")
+    ev.write.parquet(ev_path)
+
+    def flagged_at(frac: float, work: str) -> int:
+        rc = main([
+            "corpus", "--sf-dir", sf_dir, "--work-dir", work,
+            "--decontaminate-against", ev_path,
+            "--decontaminate-min-overlap", str(frac),
+            "--decontaminate-ngram", "3",
+        ])
+        assert rc == 0
+        out = capsys.readouterr().out
+        return int(out.split("contaminated=")[1].split()[0])
+
+    strict = flagged_at(1.01, str(tmp_path / "w1"))  # > 1.0: unreachable
+    loose = flagged_at(0.2, str(tmp_path / "w2"))
+    assert strict == 0
+    assert loose >= 1
+
+
 def test_cli_mix_weighted_interleave(spark, sf_dir, tmp_path, capsys):
     """mix: per-source acceptance weights, deterministic per key."""
     from haensel_ams_data_engineer_challenge_spark.sources import load_table

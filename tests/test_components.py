@@ -168,3 +168,29 @@ def test_cc_reliable_checkpoint_dir(spark, tmp_path):
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
     assert os.listdir(ckpt), "reliable checkpoint dir unused"
+    # repeated use with the SAME plain path must not trip the clobber
+    # guard: getCheckpointDir() reports a fully-qualified file: URI of
+    # the UUID subdir Spark created, and the guard compares
+    # scheme-stripped (round-3 advice item)
+    again = {
+        r.node: r.component
+        for r in connected_components(df, checkpoint_dir=ckpt).collect()
+    }
+    assert again == got
+    # a DIFFERENT dir still refuses to clobber the session-global setting
+    with pytest.raises(ValueError):
+        connected_components(df, checkpoint_dir=str(tmp_path / "other"))
+
+
+def test_cc_exact_convergence_flag_and_rounds_attr(spark):
+    """exact_convergence=True swaps the probabilistic hash-sum triple
+    for count + exceptAll (validation/debug path); the returned frame
+    carries its own cc_rounds so concurrent callers don't race on the
+    function attribute."""
+    edges = [(i, i + 1) for i in range(10)]
+    df = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    cc = connected_components(df, exact_convergence=True)
+    got = {r.node: r.component for r in cc.collect()}
+    assert got == {i: 0 for i in range(11)}
+    assert cc.cc_rounds == connected_components.last_rounds
+    assert cc.cc_rounds >= 2

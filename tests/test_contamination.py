@@ -98,6 +98,24 @@ def test_contamination_plan_broadcasts_eval_side(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_contamination_flood_control_has_no_window(spark):
+    """Flood control must be groupBy + broadcast anti-join, never a
+    count-over-window on the shingle key — the stop-gram the cap
+    exists to kill would be the hottest (single-task) window partition
+    before the filter (round-3 verdict item #4)."""
+    train = spark.createDataFrame(TRAIN, "doc_id long, text string")
+    ev = spark.createDataFrame(EVAL, "doc_id long, text string")
+    plan = (
+        contamination_check(train, ev)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan, plan
+    # the over-cap shingle set reaches the anti-join as a broadcast
+    assert "LeftAnti, BuildRight" in plan or "BroadcastHashJoin" in plan
+
+
 def test_contamination_property_random_docs(spark):
     """Random small-vocab docs force shared n-grams; the operator must
     agree with the python reference everywhere (no Hypothesis round-

@@ -101,6 +101,36 @@ def test_stratum_cap_bounds_and_subset(docs):
     assert kept_whole >= small
 
 
+def test_stratum_cap_independent_of_input_partitioning(docs):
+    """The two-stage form consults spark_partition_id in stage 1, but
+    the RESULT is a pure function of the data: any per-partition top-n
+    prune preserves the global top-n, so repartitioning cannot change
+    the kept set."""
+    a = sorted(r.doc_id for r in S.stratum_cap(docs, ["lang"], 3, "doc_id").collect())
+    b = sorted(
+        r.doc_id
+        for r in S.stratum_cap(docs.repartition(13), ["lang"], 3, "doc_id").collect()
+    )
+    assert a == b
+
+
+def test_stratum_cap_two_stage_no_full_stratum_sort(docs):
+    """No task may sort a whole stratum: stage 1 must window on
+    (stratum, input-partition), so the only exchange keyed on the bare
+    stratum sees <= n x n_partitions pre-pruned rows (the 100 TB
+    dominant-language guard — round-3 verdict item #2)."""
+    plan = (
+        S.stratum_cap(docs, ["lang"], 3, "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    windows = [l for l in plan.splitlines() if "windowspecdefinition" in l.lower()]
+    assert len(windows) == 2, plan
+    # executed plan prints root-first: windows[0] is the final rank,
+    # windows[-1] the deepest (stage 1) — which must include __pid
+    assert "__pid" in windows[-1], windows
+    assert "__pid" not in windows[0], windows
+
+
 def test_weighted_interleave_weights_and_determinism(docs):
     mix = S.weighted_interleave({"a": (docs, 0.5), "b": (docs, 1.0)}, "doc_id")
     counts = {r.source_name: r["count"] for r in mix.groupBy("source_name").count().collect()}
