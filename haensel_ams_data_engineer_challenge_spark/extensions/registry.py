@@ -129,7 +129,8 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
     #   stratum_cap       (sampling.py, two-stage distributed top-n)
     #   contamination_check (contamination.py, survivors as train side)
     #   hash_split        (sampling.py, zero-shuffle md5 threshold)
-    #   weighted_interleave (sampling.py, per-source md5 acceptance)
+    #   weighted_mix_filter (sampling.py, per-source md5 acceptance —
+    #                        row-local form of weighted_interleave)
     # The oracle recomputes the LSH pairs with the shared CTEs, then
     # resolves components by RECURSIVE transitive closure with a
     # min-label reduce — O(n*m), fine at oracle scale.  Cap/split/mix
@@ -146,7 +147,7 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
     def _survivors_split(spark: SparkSession, sf: str) -> DataFrame:
         from ..operators.components import dedup_survivors
         from ..operators.contamination import contamination_check
-        from ..operators.sampling import hash_split, stratum_cap, weighted_interleave
+        from ..operators.sampling import hash_split, stratum_cap, weighted_mix_filter
 
         docs = _docs(spark, sf)
         kept = dedup_survivors(docs, D.dedup_minhash_lsh(docs), order_col="n_chars")
@@ -185,21 +186,21 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
             .drop("__ct")
         )
         base = hash_split(flagged, "doc_id")
-        # training-mixture tagging: two disjoint id slices stand in for
-        # separate corpora (same machinery as the `mix` CLI — per-source
-        # salt, integer threshold acceptance, tag, union).  The operator
-        # runs on a THIN key stream and the accepted assignment joins
-        # back via broadcast — unioning the full spine would evaluate
+        # training-mixture tagging: two disjoint id slices stand in
+        # for separate corpora.  The pre-unioned spine uses the
+        # row-local weighted_mix_filter form (zero shuffle, zero
+        # broadcast — the 100 TB shape for a corpus that is one table
+        # with a source column); weighted_interleave (separate source
+        # tables) shares its thresholds bit-for-bit and backs the
+        # `mix` CLI.  A union of the spine per source would evaluate
         # every upstream stage once per source (measured 2x wall time)
-        thin = docs.select("doc_id")
-        mixed_ids = weighted_interleave(
-            {
-                "head": (thin.filter(F.col("doc_id") % 2 == 0), 1.0),
-                "tail": (thin.filter(F.col("doc_id") % 2 == 1), MIX_TAIL_WEIGHT),
-            },
+        mixed = weighted_mix_filter(
+            base,
+            F.when(F.col("doc_id") % 2 == 0, F.lit("head")).otherwise(F.lit("tail")),
+            {"head": 1.0, "tail": MIX_TAIL_WEIGHT},
             "doc_id",
         )
-        return base.join(F.broadcast(mixed_ids), "doc_id").select(
+        return mixed.select(
             "doc_id", "lang", "component", "is_survivor",
             "kept_after_cap", "contaminated", "split", "source_name",
         )

@@ -155,6 +155,44 @@ def stratum_cap_sql(
     )
 
 
+def weighted_mix_filter(
+    df: DataFrame,
+    source_expr,
+    weights: dict[str, float],
+    key_col: str,
+    salt: str = "mix",
+    source_col: str = "source_name",
+) -> DataFrame:
+    """``weighted_interleave`` for a PRE-UNIONED corpus: rows carry (or
+    derive) their source, and each row is kept iff its per-source md5
+    bucket clears the source's weight threshold.
+
+    This is the 100 TB shape when the corpus is one table with a
+    source column (the usual post-ingestion layout): a row-local
+    CASE + integer comparison — zero shuffles, zero broadcasts —
+    whereas ``weighted_interleave`` (separate source tables) unions
+    per-source scans.  Same thresholds, same salts, so the two forms
+    keep bit-identical row sets (tested).
+
+    ``source_expr`` is a Column yielding the source name per row; its
+    values must be keys of ``weights``.
+    """
+    for name, weight in weights.items():
+        if not 0.0 <= weight <= 1.0:
+            raise ValueError(f"{name}: weight must be in [0, 1], got {weight}")
+    if not weights:
+        raise ValueError("no sources given")
+    tagged = df.withColumn(source_col, source_expr)
+    keep = None
+    for name, weight in weights.items():
+        hi = _BUCKETS if weight == 1.0 else int(weight * _BUCKETS)
+        cond = (F.col(source_col) == name) & (
+            _bucket(key_col, f"{salt}|{name}") < hi
+        )
+        keep = cond if keep is None else (keep | cond)
+    return tagged.filter(keep)
+
+
 def weighted_interleave(
     sources: dict[str, tuple[DataFrame, float]],
     key_col: str,

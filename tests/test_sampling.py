@@ -145,6 +145,36 @@ def test_weighted_interleave_weights_and_determinism(docs):
     )
 
 
+def test_weighted_mix_filter_matches_interleave(docs):
+    """The row-local pre-unioned form and the union-of-tables form
+    keep bit-identical row sets (same salts, same integer
+    thresholds) — and the row-local form adds zero exchanges."""
+    even, odd = docs.filter("doc_id % 2 = 0"), docs.filter("doc_id % 2 = 1")
+    via_union = S.weighted_interleave(
+        {"head": (even, 1.0), "tail": (odd, 0.37)}, "doc_id"
+    )
+    src = F.when(F.col("doc_id") % 2 == 0, F.lit("head")).otherwise(F.lit("tail"))
+    via_filter = S.weighted_mix_filter(
+        docs, src, {"head": 1.0, "tail": 0.37}, "doc_id"
+    )
+    a = sorted(
+        (r.source_name, r.doc_id)
+        for r in via_union.select("source_name", "doc_id").collect()
+    )
+    b = sorted(
+        (r.source_name, r.doc_id)
+        for r in via_filter.select("source_name", "doc_id").collect()
+    )
+    assert a == b and len(a) > 0
+    base = docs._jdf.queryExecution().executedPlan().toString().count("Exchange")
+    plan = via_filter._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == base
+    with pytest.raises(ValueError):
+        S.weighted_mix_filter(docs, src, {"head": 1.2}, "doc_id")
+    with pytest.raises(ValueError):
+        S.weighted_mix_filter(docs, src, {}, "doc_id")
+
+
 def test_weighted_interleave_zero_weight_and_validation(docs):
     mix = S.weighted_interleave({"a": (docs, 0.0), "b": (docs, 1.0)}, "doc_id")
     assert mix.filter("source_name = 'a'").count() == 0
