@@ -144,6 +144,30 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
 
     from ..operators.contamination import MAX_SHINGLE_TRAIN_DOCS
 
+    def _contam_ctes(pfx: str, train_sql: str) -> str:
+        """CTE chain mirroring contamination_check stage-for-stage
+        (vocab prune -> groupBy flood cap + anti-join -> shared
+        counts), shared by the standalone entry and the corpus spine
+        so the two oracles cannot drift apart.  ``train_sql`` must
+        yield columns (train_id, s).
+        """
+        return f"""
+        {pfx}ev AS (SELECT doc_id AS eval_id, unnest(sh) AS s
+               FROM doc_shingles WHERE {CONTAM_EVAL_PRED}),
+        {pfx}ev_sizes AS (SELECT doc_id AS eval_id, len(sh) AS eval_shingles
+                     FROM doc_shingles WHERE {CONTAM_EVAL_PRED}),
+        {pfx}tr AS ({train_sql}),
+        {pfx}vocab AS (SELECT DISTINCT s FROM {pfx}ev),
+        {pfx}hits_all AS (SELECT t.train_id, t.s
+                     FROM {pfx}tr t JOIN {pfx}vocab v ON v.s = t.s),
+        {pfx}flooded AS (SELECT s FROM {pfx}hits_all GROUP BY s
+                    HAVING COUNT(*) > {MAX_SHINGLE_TRAIN_DOCS}),
+        {pfx}hits AS (SELECT train_id, s FROM {pfx}hits_all
+                 WHERE s NOT IN (SELECT s FROM {pfx}flooded)),
+        {pfx}shared AS (SELECT h.train_id, e.eval_id, COUNT(*) AS n_shared
+                   FROM {pfx}hits h JOIN {pfx}ev e ON e.s = h.s
+                   GROUP BY 1, 2)"""
+
     def _survivors_split(spark: SparkSession, sf: str) -> DataFrame:
         from ..operators.components import dedup_survivors
         from ..operators.contamination import contamination_check
@@ -249,23 +273,9 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
                         ORDER BY is_survivor DESC, {cap_bucket} ASC, doc_id ASC)
                     <= {CAP_PER_LANG}) AS kept_after_cap
             FROM flagged),
-        c_ev AS (SELECT doc_id AS eval_id, unnest(sh) AS s
-                 FROM doc_shingles WHERE {CONTAM_EVAL_PRED}),
-        c_ev_sizes AS (SELECT doc_id AS eval_id, len(sh) AS eval_shingles
-                       FROM doc_shingles WHERE {CONTAM_EVAL_PRED}),
-        c_tr AS (SELECT d.doc_id AS train_id, unnest(d.sh) AS s
-                 FROM doc_shingles d JOIN flagged f ON f.doc_id = d.doc_id
-                 WHERE f.is_survivor),
-        c_vocab AS (SELECT DISTINCT s FROM c_ev),
-        c_hits_all AS (SELECT t.train_id, t.s
-                       FROM c_tr t JOIN c_vocab v ON v.s = t.s),
-        c_flooded AS (SELECT s FROM c_hits_all GROUP BY s
-                      HAVING COUNT(*) > {MAX_SHINGLE_TRAIN_DOCS}),
-        c_hits AS (SELECT train_id, s FROM c_hits_all
-                   WHERE s NOT IN (SELECT s FROM c_flooded)),
-        c_shared AS (SELECT h.train_id, e.eval_id, COUNT(*) AS n_shared
-                     FROM c_hits h JOIN c_ev e ON e.s = h.s
-                     GROUP BY 1, 2),
+        {_contam_ctes("c_", "SELECT d.doc_id AS train_id, unnest(d.sh) AS s "
+                            "FROM doc_shingles d JOIN flagged f ON f.doc_id = d.doc_id "
+                            "WHERE f.is_survivor").strip()},
         contam_ids AS (
             SELECT DISTINCT s.train_id AS doc_id
             FROM c_shared s JOIN c_ev_sizes z ON z.eval_id = s.eval_id
@@ -303,23 +313,11 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
 
     e["contamination_check"] = (
         _contamination,
-        prelude + f""",
-        ev AS (SELECT doc_id AS eval_id, unnest(sh) AS s
-               FROM doc_shingles WHERE {CONTAM_EVAL_PRED}),
-        ev_sizes AS (SELECT doc_id AS eval_id, len(sh) AS eval_shingles
-                     FROM doc_shingles WHERE {CONTAM_EVAL_PRED}),
-        tr AS (SELECT doc_id AS train_id, unnest(sh) AS s FROM doc_shingles),
-        vocab AS (SELECT DISTINCT s FROM ev),
-        hits_all AS (SELECT t.train_id, t.s
-                     FROM tr t JOIN vocab v ON v.s = t.s),
-        flooded AS (SELECT s FROM hits_all GROUP BY s
-                    HAVING COUNT(*) > {MAX_SHINGLE_TRAIN_DOCS}),
-        hits AS (SELECT train_id, s FROM hits_all
-                 WHERE s NOT IN (SELECT s FROM flooded)),
-        shared AS (
-            SELECT h.train_id, e.eval_id, COUNT(*) AS n_shared
-            FROM hits h JOIN ev e ON e.s = h.s
-            GROUP BY 1, 2)
+        prelude + ","
+        + _contam_ctes(
+            "", "SELECT doc_id AS train_id, unnest(sh) AS s FROM doc_shingles"
+        ).strip()
+        + f"""
         SELECT s.train_id, s.eval_id, s.n_shared,
                CAST(s.n_shared AS DOUBLE) / CAST(z.eval_shingles AS DOUBLE)
                AS overlap_frac

@@ -91,17 +91,20 @@ def _edge_stats(e: DataFrame) -> tuple:
 
 
 def _strip_uri_scheme(path: str) -> str:
-    """'file:/tmp/x' / 'hdfs://nn/x' -> comparable path part.
+    """'file:/tmp/x' -> '/tmp/x', 'hdfs://nn/x' -> 'nn/x'.
 
     ``SparkContext.setCheckpointDir`` resolves the caller's path
     through the Hadoop FileSystem, so ``getCheckpointDir`` returns a
     fully-qualified URI; to compare against a caller-supplied plain
-    path both sides must be scheme-stripped first.
+    path both sides must be scheme-stripped first.  The netloc is
+    KEPT (hdfs://other-namenode/x must not compare equal to
+    hdfs://nn/x).  Caller paths should be absolute — a relative path
+    cannot be matched against the resolved URI on a repeat call.
     """
     from urllib.parse import urlparse
 
     parsed = urlparse(path)
-    return parsed.path if parsed.scheme else path
+    return (parsed.netloc + parsed.path) if parsed.scheme else path
 
 
 def connected_components(
@@ -146,10 +149,13 @@ def connected_components(
     Diagnostics: the returned DataFrame carries ``cc_rounds`` (the
     round count of THIS call) and ``cc_round_secs`` (driver-measured
     wall seconds per round — meaningful because each round runs its
-    jobs eagerly via checkpoint + stats); the
-    ``connected_components.last_rounds`` attribute mirrors the round
-    count for back-compat but is overwritten by every call, so
-    concurrent driver threads must read ``cc_rounds``.
+    jobs eagerly via checkpoint + stats).  These are plain Python
+    attributes on the returned object only: any transformation
+    (filter/select/join) yields a NEW DataFrame without them — read
+    them before deriving.  The ``connected_components.last_rounds``
+    attribute mirrors the round count for back-compat but is
+    overwritten by every call, so concurrent driver threads must read
+    ``cc_rounds``.
     """
     if checkpoint_dir is not None:
         sc = pairs.sparkSession.sparkContext
@@ -159,9 +165,12 @@ def connected_components(
         # path is recognized as "already points there" (prefix match)
         current = sc.getCheckpointDir()
         want = _strip_uri_scheme(checkpoint_dir).rstrip("/")
+        cur = _strip_uri_scheme(current).rstrip("/") if current else None
+        # separator-bounded prefix: '/data/ckpt-old/<uuid>' must NOT
+        # match a requested '/data/ckpt'
         if current is None:
             sc.setCheckpointDir(checkpoint_dir)
-        elif not _strip_uri_scheme(current).startswith(want):
+        elif not (cur == want or cur.startswith(want + "/")):
             raise ValueError(
                 f"SparkContext checkpoint dir already set to {current!r}; "
                 f"refusing to clobber it with {checkpoint_dir!r} "

@@ -175,7 +175,11 @@ def weighted_mix_filter(
     keep bit-identical row sets (tested).
 
     ``source_expr`` is a Column yielding the source name per row; its
-    values must be keys of ``weights``.
+    values must be keys of ``weights`` — a row with an unlisted (or
+    NULL) source raises at execution time rather than silently
+    disappearing from the mixture.  Weight 1.0 and 0.0 compile to
+    constant keep/drop (no per-row hash for the dominant
+    keep-everything source).
     """
     for name, weight in weights.items():
         if not 0.0 <= weight <= 1.0:
@@ -185,11 +189,22 @@ def weighted_mix_filter(
     tagged = df.withColumn(source_col, source_expr)
     keep = None
     for name, weight in weights.items():
-        hi = _BUCKETS if weight == 1.0 else int(weight * _BUCKETS)
-        cond = (F.col(source_col) == name) & (
-            _bucket(key_col, f"{salt}|{name}") < hi
+        if weight == 1.0:
+            cond = F.lit(True)
+        elif weight == 0.0:
+            cond = F.lit(False)
+        else:
+            cond = _bucket(key_col, f"{salt}|{name}") < int(weight * _BUCKETS)
+        branch = (F.col(source_col) == name, cond)
+        keep = F.when(*branch) if keep is None else keep.when(*branch)
+    keep = keep.otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("weighted_mix_filter: source not in weights: "),
+                F.coalesce(F.col(source_col).cast("string"), F.lit("NULL")),
+            )
         )
-        keep = cond if keep is None else (keep | cond)
+    )
     return tagged.filter(keep)
 
 

@@ -180,6 +180,10 @@ def test_cc_reliable_checkpoint_dir(spark, tmp_path):
     # a DIFFERENT dir still refuses to clobber the session-global setting
     with pytest.raises(ValueError):
         connected_components(df, checkpoint_dir=str(tmp_path / "other"))
+    # separator boundary: a sibling dir that is a string-prefix of the
+    # active one (or vice versa) must not be silently accepted
+    with pytest.raises(ValueError):
+        connected_components(df, checkpoint_dir=ckpt[: -1])
 
 
 def test_cc_exact_convergence_flag_and_rounds_attr(spark):

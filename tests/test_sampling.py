@@ -175,6 +175,24 @@ def test_weighted_mix_filter_matches_interleave(docs):
         S.weighted_mix_filter(docs, src, {}, "doc_id")
 
 
+def test_weighted_mix_filter_unknown_source_raises(docs):
+    """A row whose source is not a weights key must fail loudly at
+    execution, never silently vanish from the mixture (a case typo in
+    weights would otherwise drop a whole corpus)."""
+    bad = S.weighted_mix_filter(docs, F.lit("nope"), {"head": 1.0}, "doc_id")
+    with pytest.raises(Exception, match="source not in weights"):
+        bad.collect()
+
+
+def test_weighted_mix_filter_weight_one_is_hash_free(docs):
+    """weight 1.0 compiles to a constant keep — the dominant
+    keep-everything source must not pay a per-row md5."""
+    only = S.weighted_mix_filter(docs, F.lit("all"), {"all": 1.0}, "doc_id")
+    assert only.count() == docs.count()
+    plan = only._jdf.queryExecution().executedPlan().toString()
+    assert "md5" not in plan, plan
+
+
 def test_weighted_interleave_zero_weight_and_validation(docs):
     mix = S.weighted_interleave({"a": (docs, 0.0), "b": (docs, 1.0)}, "doc_id")
     assert mix.filter("source_name = 'a'").count() == 0
