@@ -173,14 +173,26 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
         from ..operators.contamination import contamination_check
         from ..operators.sampling import hash_split, stratum_cap, weighted_mix_filter
 
+        from ..session import default_parallelism
+
         docs = _docs(spark, sf)
         kept = dedup_survivors(docs, D.dedup_minhash_lsh(docs), order_col="n_chars")
         # the survivor frame feeds three consumers (cap ids, contam
         # train side, the output spine); a non-eager localCheckpoint
         # materializes it once per query instead of re-running the
         # docs-join-window subtree per consumer (measured ~2x), and —
-        # unlike persist — cannot leak a cache across driver runs
-        kept = kept.localCheckpoint(eager=False)
+        # unlike persist — cannot leak a cache across driver runs.
+        # The explicit repartition first is the same scan-layout repair
+        # as sources.tables._SPREAD_TABLES: AQE rightly coalesces the
+        # tiny post-window shuffle to ~1 partition (shuffle-byte
+        # economy), but the contamination stage below does CPU-heavy
+        # per-row trigram explodes over this frame — without the
+        # re-spread the whole downstream spine runs single-threaded
+        # (measured ~2x query wall time at sf0.1). Explicit
+        # repartition(n) is exempt from AQE coalescing; at real scale
+        # the post-dedup corpus keeps its parallelism and this is one
+        # extra narrow pass.
+        kept = kept.repartition(default_parallelism()).localCheckpoint(eager=False)
         surv = kept.filter("is_survivor")
         # per-language cap via the REAL two-stage stratum_cap; the kept
         # id set is tiny (<= cap x n_langs) so the flag join broadcasts

@@ -29,40 +29,26 @@ and break the per-conversion sum-to-1 invariant (see score_batch).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
+from pyspark.sql.types import LongType
 
 from ..operators.asof import journey_asof_join
 from ..operators.ihc import ihc_attribute
 from ..operators.sinks import insert_if_absent
 from ..session import ensure_engine_confs
 
-#: raw parquet schema of the events table (ts = nanos as long).
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
-
-
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (one file per SF in
     the testdata; in production this is a directory the feed appends
-    to). Normalizes nanos -> timestamp_ntz exactly like the batch
-    reader (sources/tables.py)."""
+    to). Normalizes ``ts`` exactly like the batch reader
+    (sources/tables.py): the testdata has shipped it both as
+    TIMESTAMP(NANOS) (surfacing as bigint nanos under ``nanosAsLong``)
+    and as plain TIMESTAMP(MICROS), so probe the parquet footer (one
+    cheap driver-side batch-read of the schema) instead of hardcoding
+    either physical type."""
     ensure_engine_confs(spark)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(raw_schema)
         .format("parquet")
         # file-stream sources take a directory; filter to the events
         # table (in production: the directory the feed appends into)
@@ -72,7 +58,9 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ltz (plain TIMESTAMP), not ntz: Spark watermarks only accept
     # TIMESTAMP event-time columns; wall values are identical under the
     # UTC session timezone.
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if isinstance(raw_schema["ts"].dataType, LongType):
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def hourly_event_stats(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
