@@ -538,6 +538,12 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
                 )
             ).alias("quality_score"),
             T.repetition_ratio("text", 3).alias("repetition_ratio"),
+            # Gopher document-quality rules (Rae et al. 2021 §A1.1)
+            # tagged in round 4: two new signal columns + the composite
+            # published-thresholds filter flag
+            T.mean_word_len("text").alias("mean_word_len"),
+            T.alpha_word_frac("text").alias("alpha_word_frac"),
+            T.gopher_quality_pass("text").alias("gopher_pass"),
         ),
         rf"""WITH base AS (
                 SELECT doc_id,
@@ -556,7 +562,19 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
                             ELSE CAST(0.0 AS DOUBLE) END AS stopword_ratio,
                        CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) AS ntok,
                        string_split_regex(trim(lower(text)), '\s+') AS toks
-                FROM documents)
+                FROM documents),
+            enriched AS (
+                SELECT *,
+                       CASE WHEN len(toks) > 0
+                            THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                                 / CAST(len(toks) AS DOUBLE)
+                            ELSE CAST(0.0 AS DOUBLE) END AS mean_word_len,
+                       CASE WHEN len(toks) > 0
+                            THEN CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+                                 / CAST(len(toks) AS DOUBLE)
+                            ELSE CAST(0.0 AS DOUBLE) END AS alpha_word_frac,
+                       len(list_intersect(list_distinct(toks), [{stop_list}])) AS stop_hits
+                FROM base)
             SELECT doc_id, token_count, bpe_ish_count, char_count,
                    punct_ratio, stopword_ratio,
                    CAST(0.5 AS DOUBLE) * stopword_ratio
@@ -569,8 +587,14 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
                                    range(1, greatest(len(toks) - 2, 0) + 1),
                                    i -> array_to_string(toks[i:i+2], ' ')))) AS DOUBLE)
                                / CAST(greatest(len(toks) - 2, 0) AS DOUBLE)
-                        ELSE CAST(0.0 AS DOUBLE) END AS repetition_ratio
-            FROM base""",
+                        ELSE CAST(0.0 AS DOUBLE) END AS repetition_ratio,
+                   mean_word_len, alpha_word_frac,
+                   (token_count BETWEEN {T.GOPHER_MIN_WORDS} AND {T.GOPHER_MAX_WORDS}
+                    AND mean_word_len BETWEEN CAST({T.GOPHER_MIN_MEAN_WORD_LEN} AS DOUBLE)
+                                          AND CAST({T.GOPHER_MAX_MEAN_WORD_LEN} AS DOUBLE)
+                    AND alpha_word_frac >= CAST({T.GOPHER_MIN_ALPHA_WORD_FRAC} AS DOUBLE)
+                    AND stop_hits >= {T.GOPHER_MIN_STOPWORD_HITS}) AS gopher_pass
+            FROM enriched""",
     )
 
     lang_scores_sql = ",\n".join(

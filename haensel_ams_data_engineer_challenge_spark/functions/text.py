@@ -110,6 +110,65 @@ def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = EN_STOPWORDS)
     return F.when(F.size(t) > 0, hits.cast("double") / F.size(t).cast("double")).otherwise(F.lit(0.0))
 
 
+def mean_word_len(col: Column | str) -> Column:
+    """Mean token length in characters (0 for empty text).  Integer
+    length-sum + one double division, so Spark and DuckDB agree
+    bit-for-bit.  DuckDB twin:
+    CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+    / CAST(len(toks) AS DOUBLE)."""
+    t = tokens(col)
+    total = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+    return F.when(
+        F.size(t) > 0, total.cast("double") / F.size(t).cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def alpha_word_frac(col: Column | str) -> Column:
+    """Fraction of tokens containing at least one letter (tokens are
+    lower-cased by the tokenization contract, so [a-z] suffices).
+    DuckDB twin: CAST(len(list_filter(toks, t ->
+    regexp_matches(t, '[a-z]'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)."""
+    t = tokens(col)
+    hits = F.size(F.filter(t, lambda x: x.rlike("[a-z]")))
+    return F.when(
+        F.size(t) > 0, hits.cast("double") / F.size(t).cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def stopword_hits(col: Column | str, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    """Count of distinct stopwords present in the text."""
+    t = F.array_distinct(tokens(col))
+    return F.size(F.array_intersect(t, F.array(*[F.lit(s) for s in stopwords])))
+
+
+#: Gopher rule bounds (Rae et al. 2021, §A1.1) — the published
+#: document-quality filter thresholds a pre-training pipeline applies.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
+GOPHER_MIN_STOPWORD_HITS = 2
+
+
+def gopher_quality_pass(col: Column | str) -> Column:
+    """Boolean Gopher-style document filter: word count in
+    [50, 100k], mean word length in [3, 10], >= 80% of words contain
+    a letter, and >= 2 distinct English stopwords present.  The
+    published repetition rules are exposed separately as
+    ``repetition_ratio``.  All comparisons are on values computed
+    identically in both engines, so the flag is oracle-exact."""
+    wc = token_count(col)
+    return (
+        (wc >= GOPHER_MIN_WORDS)
+        & (wc <= GOPHER_MAX_WORDS)
+        & (mean_word_len(col) >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (mean_word_len(col) <= GOPHER_MAX_MEAN_WORD_LEN)
+        & (alpha_word_frac(col) >= GOPHER_MIN_ALPHA_WORD_FRAC)
+        & (stopword_hits(col) >= GOPHER_MIN_STOPWORD_HITS)
+    )
+
+
 def langid_scores(col: Column | str) -> dict[str, Column]:
     """Distinct-stopword hit count per language."""
     t = F.array_distinct(tokens(col))

@@ -430,3 +430,41 @@ def test_repetition_ratio_edge_cases(spark):
     assert abs(got[2] - (1.0 - 2.0 / 38.0)) < 1e-12
     assert got[3] == 0.0
     assert got[4] == 0.0
+
+
+def test_gopher_quality_rules(spark):
+    """Gopher document-filter signals (Rae et al. 2021 §A1.1): mean
+    word length, alpha-word fraction, and the composite threshold
+    flag, each at its published boundary."""
+    from haensel_ams_data_engineer_challenge_spark.functions.text import (
+        alpha_word_frac,
+        gopher_quality_pass,
+        mean_word_len,
+    )
+
+    passing = "the cat and dog ran " * 10  # 50 words, stopwords, alpha
+    too_short = "the cat and dog ran"  # 5 words < 50
+    numeric = " ".join(["123"] * 40 + ["the", "a"] + ["456"] * 8)  # alpha 2/50
+    long_words = " ".join(["the", "a"] + ["wwwwwwwwwwww"] * 48)  # mean len > 10
+    df = spark.createDataFrame(
+        [(1, passing), (2, too_short), (3, numeric), (4, long_words), (5, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            mean_word_len("text").alias("mwl"),
+            alpha_word_frac("text").alias("awf"),
+            gopher_quality_pass("text").alias("ok"),
+        ).collect()
+    }
+    # 50 words x (3+3+3+3+3=15 chars)/5 words = 3.0 mean — boundary passes
+    assert abs(got[1].mwl - 3.0) < 1e-12
+    assert got[1].awf == 1.0
+    assert got[1].ok is True
+    assert got[2].ok is False  # word count below 50
+    assert abs(got[3].awf - 2.0 / 50.0) < 1e-12
+    assert got[3].ok is False  # alpha fraction below 0.8
+    assert got[4].ok is False  # mean word length above 10
+    assert got[5].mwl == 0.0 and got[5].awf == 0.0 and got[5].ok is False

@@ -42,6 +42,56 @@ def test_streaming_hourly_stats_match_batch(spark, sf_dir, tmp_path):
     assert got == expected
 
 
+def test_stream_events_handles_both_ts_layouts(spark, tmp_path):
+    """The driver testdata has shipped events.ts both as
+    TIMESTAMP(NANOS) (surfacing as bigint nanos under nanosAsLong) and
+    as plain TIMESTAMP(MICROS); stream_events probes the footer and
+    must normalize both to identical wall-clock timestamps."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pd.DataFrame(
+        {
+            "event_id": [0, 1, 2],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:09:58.778549", "2024-01-01 01:16:06.738090",
+                 "2024-01-02 23:59:59.000001"]
+            ),
+            "user_id": [13, 12, 12],
+            "event_type": ["error", "signup", "purchase"],
+            "value": [185.22, 106.03, 9.64],
+            "props": ['{"k": 87}', '{"k": 0}', '{"k": 12}'],
+        }
+    )
+    got = {}
+    for name, unit in [("nanos", "ns"), ("micros", "us")]:
+        d = tmp_path / name
+        d.mkdir()
+        tbl = pa.Table.from_pandas(base, preserve_index=False)
+        i = tbl.schema.get_field_index("ts")
+        tbl = tbl.set_column(
+            i, pa.field("ts", pa.timestamp(unit)), tbl.column(i).cast(pa.timestamp(unit))
+        )
+        pq.write_table(tbl, d / "events.parquet", use_deprecated_int96_timestamps=False)
+        q = (
+            stream_events(spark, str(d))
+            .writeStream.format("memory")
+            .queryName(f"ts_{name}")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got[name] = {
+            (r.event_id, r.ts) for r in spark.sql(f"SELECT event_id, ts FROM ts_{name}").collect()
+        }
+    assert got["nanos"] == got["micros"]
+    years = {ts.year for _, ts in got["micros"]}
+    assert years == {2024}
+
+
 def test_streaming_attribution_converges_to_batch(spark, sf_dir, tmp_path):
     sink = str(tmp_path / "acj")
     run_streaming_attribution(
