@@ -20,8 +20,8 @@ create_db.py (DDL + verification) and extracted_training_data.py
 (LIMIT-N journey sample as API-format JSON); exit code 0/1 like
 main.py:389-394. `corpus` is engine-native: near-dup clusters ->
 one survivor per cluster -> optional benchmark decontamination ->
-optional per-language cap -> deterministic train/val/test split,
-written partitioned by split.
+optional per-language cap -> optional PII redaction -> deterministic
+train/val/test split, written partitioned by split.
 """
 
 from __future__ import annotations
@@ -85,6 +85,12 @@ def _parser() -> argparse.ArgumentParser:
         metavar="FRAC",
         help="drop a training doc when it shares at least this "
         "fraction of an eval doc's distinct n-grams",
+    )
+    co.add_argument(
+        "--redact-pii",
+        action="store_true",
+        help="replace emails / IPv4 addresses / phone numbers in the "
+        "text column with typed placeholders before writing",
     )
     co.add_argument("--train", type=float, default=0.98)
     co.add_argument("--val", type=float, default=0.01)
@@ -201,6 +207,10 @@ def main(argv: list[str] | None = None) -> int:
                 kept = kept.join(flagged, "doc_id", "left_anti")
             if args.cap_per_lang is not None:
                 kept = stratum_cap(kept, ["lang"], args.cap_per_lang, "doc_id")
+            if args.redact_pii:
+                from .functions.text import redact_pii
+
+                kept = kept.withColumn("text", redact_pii("text"))
             fractions = {"train": args.train, "val": args.val, "test": args.test}
             split = hash_split(kept, "doc_id", fractions)
             out = f"{args.work_dir}/corpus"

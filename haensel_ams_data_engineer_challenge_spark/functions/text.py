@@ -169,6 +169,42 @@ def gopher_quality_pass(col: Column | str) -> Column:
     )
 
 
+#: PII patterns (C4/Dolma-style pre-training scrub).  Kept to the
+#: regex subset Java regex and RE2 interpret identically (character
+#: classes, bounded quantifiers, \b ASCII word boundary) so a DuckDB
+#: twin stays possible; replacement is a typed placeholder token.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    # +15551234567 international or 555-123-4567 / 555.123.4567 US-style
+    "phone": (
+        r"\+[0-9]{7,15}\b|\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b",
+        "<PHONE>",
+    ),
+}
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Per-type PII match counts (email, ipv4, phone).
+    DuckDB twin: len(regexp_extract_all(x, pattern))."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        name: F.size(F.regexp_extract_all(c, F.lit(pat), 0))
+        for name, (pat, _repl) in PII_PATTERNS.items()
+    }
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace every PII match with its typed placeholder, applied in
+    PII_PATTERNS order (email first, so user@host is consumed before
+    the ipv4 pattern can see a dotted quad inside a hostname).
+    DuckDB twin: nested regexp_replace(..., 'g') in the same order."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _name, (pat, repl) in PII_PATTERNS.items():
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
 def langid_scores(col: Column | str) -> dict[str, Column]:
     """Distinct-stopword hit count per language."""
     t = F.array_distinct(tokens(col))

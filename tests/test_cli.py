@@ -117,6 +117,36 @@ def test_cli_corpus_decontaminate_knobs(spark, sf_dir, tmp_path, capsys):
     assert loose >= 1
 
 
+def test_cli_corpus_redact_pii(spark, tmp_path, capsys):
+    """--redact-pii scrubs emails/IPs/phones from the written corpus
+    text while leaving clean documents byte-identical."""
+    rows = [
+        (i, f"doc {i} reach me at user{i}@mail.example or 10.0.0.{i} now "
+            + "filler words " * 10, "en", "web", 100)
+        for i in range(4)
+    ] + [
+        (i, f"clean document {i} with nothing sensitive " + "pad " * 10,
+         "en", "web", 80)
+        for i in range(4, 8)
+    ]
+    src = str(tmp_path / "sfdir")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{src}/documents.parquet")
+
+    work = str(tmp_path / "wd")
+    rc = main(["corpus", "--sf-dir", src, "--work-dir", work, "--redact-pii"])
+    assert rc == 0
+    back = spark.read.parquet(f"{work}/corpus")
+    texts = {r.doc_id: r.text for r in back.collect()}
+    assert len(texts) == 8  # no near-dups here; every doc survives
+    for i in range(4):
+        assert "<EMAIL>" in texts[i] and "<IP>" in texts[i]
+        assert f"user{i}@" not in texts[i] and f"10.0.0.{i}" not in texts[i]
+    for i in range(4, 8):
+        assert texts[i] == rows[i][1]
+
+
 def test_cli_mix_weighted_interleave(spark, sf_dir, tmp_path, capsys):
     """mix: per-source acceptance weights, deterministic per key."""
     from haensel_ams_data_engineer_challenge_spark.sources import load_table

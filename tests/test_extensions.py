@@ -468,3 +468,59 @@ def test_gopher_quality_rules(spark):
     assert got[3].ok is False  # alpha fraction below 0.8
     assert got[4].ok is False  # mean word length above 10
     assert got[5].mwl == 0.0 and got[5].awf == 0.0 and got[5].ok is False
+
+
+def test_pii_redaction_matches_duckdb(spark):
+    """PII scrub (C4/Dolma-style): typed placeholders for emails,
+    IPv4 addresses and phone numbers.  The synthetic corpus contains
+    no PII, so there is no driver row — this test IS the oracle: the
+    same patterns run through DuckDB's RE2 and must agree with Spark's
+    Java regex on every fixture, keeping the documented twin honest."""
+    import duckdb
+
+    from haensel_ams_data_engineer_challenge_spark.functions.text import (
+        PII_PATTERNS,
+        pii_counts,
+        redact_pii,
+    )
+
+    fixtures = [
+        (1, "contact bob.smith+spam@example.co.uk for details"),
+        (2, "server at 10.0.255.7 responded; fallback 192.168.1.1"),
+        (3, "call +4915123456789 or 555-123-4567 today"),
+        (4, "no pii here, just text with numbers 12345 and a dot."),
+        (5, "mixed: a@b.io on 8.8.8.8 at 555.867.5309"),
+        (6, "version 1.2.3.4 of the lib"),  # dotted quad: redacted by design
+        (7, ""),
+    ]
+    df = spark.createDataFrame(fixtures, "doc_id long, text string")
+    counts = pii_counts("text")
+    got = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            redact_pii("text").alias("clean"),
+            *[c.alias(f"n_{n}") for n, c in counts.items()],
+        ).collect()
+    }
+    assert got[1].clean == "contact <EMAIL> for details"
+    assert got[2].clean == "server at <IP> responded; fallback <IP>"
+    assert got[3].clean == "call <PHONE> or <PHONE> today"
+    assert got[4].clean == fixtures[3][1]
+    assert got[5].clean == "mixed: <EMAIL> on <IP> at <PHONE>"
+    assert (got[1].n_email, got[2].n_ipv4, got[3].n_phone) == (1, 2, 2)
+    assert got[7].clean == ""
+
+    con = duckdb.connect()
+    for doc_id, text in fixtures:
+        clean = text
+        for _name, (pat, repl) in PII_PATTERNS.items():
+            clean = con.execute(
+                "SELECT regexp_replace(?, ?, ?, 'g')", [clean, pat, repl]
+            ).fetchone()[0]
+        assert clean == got[doc_id].clean, f"engine mismatch on doc {doc_id}"
+        for name, (pat, _repl) in PII_PATTERNS.items():
+            n = con.execute(
+                "SELECT len(regexp_extract_all(?, ?))", [text, pat]
+            ).fetchone()[0]
+            assert n == got[doc_id][f"n_{name}"], f"{name} count mismatch doc {doc_id}"
