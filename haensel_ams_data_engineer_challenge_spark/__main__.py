@@ -178,11 +178,18 @@ def main(argv: list[str] | None = None) -> int:
             from .operators.sampling import hash_split, stratum_cap
             from .sources import load_table
 
+            from .session import default_parallelism
+
             docs = load_table(spark, args.sf_dir, "documents")
             pairs = dedup_minhash_lsh(docs)
             kept = dedup_survivors(docs, pairs, order_col="n_chars").filter(
                 "is_survivor"
             )
+            # same AQE layout repair as the corpus_survivors_split
+            # registry entry: the tiny survivor-window shuffle coalesces
+            # to ~1 partition, which would single-thread the
+            # decontamination explodes / PII regexes / parquet write
+            kept = kept.repartition(default_parallelism())
             n_contaminated = 0
             flagged = None
             if args.decontaminate_against:
