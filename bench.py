@@ -103,14 +103,21 @@ def main() -> None:
 
     from haensel_ams_data_engineer_challenge_spark.plans.pipeline import run_pipeline
 
-    work = tempfile.mkdtemp(prefix="bench_pipeline_")
-    start = time.perf_counter()
-    run_pipeline(
-        spark, sf_dir, f"{work}/acj", f"{work}/report",
-        report_csv_path=f"{work}/csv",
-    )
-    timings["pipeline_e2e"] = round(time.perf_counter() - start, 3)
-    shutil.rmtree(work, ignore_errors=True)
+    # same best-of-two discipline as the query entries (codegen warms on
+    # the second attempt exactly as it would mid-workload); each attempt
+    # gets a FRESH work dir so both measure the full cold-sink pipeline
+    best = None
+    for _attempt in range(2):
+        work = tempfile.mkdtemp(prefix="bench_pipeline_")
+        start = time.perf_counter()
+        run_pipeline(
+            spark, sf_dir, f"{work}/acj", f"{work}/report",
+            report_csv_path=f"{work}/csv",
+        )
+        elapsed = time.perf_counter() - start
+        best = elapsed if best is None else min(best, elapsed)
+        shutil.rmtree(work, ignore_errors=True)
+    timings["pipeline_e2e"] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

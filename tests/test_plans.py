@@ -156,3 +156,28 @@ def test_ihc_plus_linear_shares_conv_exchange(spark, sf_dir):
     plan = plan_of(fn(spark, sf_dir))
     assert plan.count("Exchange hashpartitioning(conv_id") == 1
     assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_dedup_diamonds_stay_materialized(spark, sf_dir):
+    """Exchange reuse does not fire across self-join / multi-consumer
+    branches on current Spark, so the dedup-similarity family
+    materializes each expensive stream once (non-eager localCheckpoint
+    at the narrowest representation).  Guard the executed plans: if a
+    refactor drops a checkpoint, the duplicated tokenize/explode
+    subtrees reappear here (dedup_verify_candidates had 22 explode
+    operators before the sweep)."""
+    bounds = {
+        # entry -> max Generate operators (explode + posexplode) in the
+        # FINAL executed plan (checkpointed subtrees run once, earlier)
+        "dedup_minhash_lsh": 2,       # bands re-derived per join side (row-local)
+        "dedup_verify_candidates": 4,  # ngram a/b/sizes over candidates + pairs tail
+        "contamination_check": 1,      # eval-side explode only; hits checkpointed
+        "dedup_embedding_cosine": 0,   # bucket stream checkpointed
+    }
+    for name, max_gen in bounds.items():
+        fn, _sql = registry()[name]
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        plan = plan_of(df)
+        n_gen = plan.count("Generate ")
+        assert n_gen <= max_gen, f"{name}: {n_gen} Generate ops (> {max_gen})"
