@@ -511,6 +511,35 @@ def test_pii_redaction_matches_duckdb(spark):
     assert (got[1].n_email, got[2].n_ipv4, got[3].n_phone) == (1, 2, 2)
     assert got[7].clean == ""
 
+    # idempotence over an adversarial generated corpus: placeholders
+    # must not re-match any pattern, and nothing matchable survives a
+    # first pass (one Spark job for all rows)
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    snippets = [
+        "x@y.zz", "a.b-c@d.e.museum", "1.2.3.4", "255.255.255.255",
+        "+123456789", "999-999-9999", "12.34", "a@b", "10.0.0", "..@..",
+        "word", "3.14159", "v1.2.3.4-rc", "@", ".", "+", "-",
+    ]
+    adversarial = [
+        (100 + i, " ".join(rng.choices(snippets, k=rng.randint(0, 12))))
+        for i in range(60)
+    ]
+    adf = spark.createDataFrame(adversarial, "doc_id long, text string")
+    once = adf.select("doc_id", redact_pii("text").alias("t1"))
+    twice = once.select(
+        "doc_id",
+        "t1",
+        redact_pii("t1").alias("t2"),
+        *[c.alias(f"n_{n}") for n, c in pii_counts("t1").items()],
+    ).collect()
+    for r in twice:
+        assert r.t2 == r.t1, f"redaction not idempotent: {r.t1!r}"
+        for n in PII_PATTERNS:
+            assert r[f"n_{n}"] == 0, f"residual {n} match in {r.t1!r}"
+
     con = duckdb.connect()
     for doc_id, text in fixtures:
         clean = text
