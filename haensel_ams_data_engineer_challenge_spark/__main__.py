@@ -178,7 +178,7 @@ def main(argv: list[str] | None = None) -> int:
             from .operators.sampling import hash_split, stratum_cap
             from .sources import load_table
 
-            from .session import default_parallelism
+            from .session import respread_width
 
             docs = load_table(spark, args.sf_dir, "documents")
             pairs = dedup_minhash_lsh(docs)
@@ -189,7 +189,7 @@ def main(argv: list[str] | None = None) -> int:
             # registry entry: the tiny survivor-window shuffle coalesces
             # to ~1 partition, which would single-thread the
             # decontamination explodes / PII regexes / parquet write
-            kept = kept.repartition(default_parallelism())
+            kept = kept.repartition(respread_width(spark))
             n_contaminated = 0
             flagged = None
             if args.decontaminate_against:

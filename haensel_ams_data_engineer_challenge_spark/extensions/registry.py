@@ -173,15 +173,16 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
         from ..operators.contamination import contamination_check
         from ..operators.sampling import hash_split, stratum_cap, weighted_mix_filter
 
-        from ..session import default_parallelism
+        from ..checkpoint import materialize
+        from ..session import respread_width
 
         docs = _docs(spark, sf)
         kept = dedup_survivors(docs, D.dedup_minhash_lsh(docs), order_col="n_chars")
         # the survivor frame feeds three consumers (cap ids, contam
-        # train side, the output spine); a non-eager localCheckpoint
-        # materializes it once per query instead of re-running the
-        # docs-join-window subtree per consumer (measured ~2x), and —
-        # unlike persist — cannot leak a cache across driver runs.
+        # train side, the output spine); a non-eager materialization
+        # runs the docs-join-window subtree once per query instead of
+        # once per consumer (measured ~2x), and — unlike persist —
+        # cannot leak a cache across driver runs.
         # The explicit repartition first is the same scan-layout repair
         # as sources.tables._SPREAD_TABLES: AQE rightly coalesces the
         # tiny post-window shuffle to ~1 partition (shuffle-byte
@@ -189,10 +190,9 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
         # per-row trigram explodes over this frame — without the
         # re-spread the whole downstream spine runs single-threaded
         # (measured ~2x query wall time at sf0.1). Explicit
-        # repartition(n) is exempt from AQE coalescing; at real scale
-        # the post-dedup corpus keeps its parallelism and this is one
-        # extra narrow pass.
-        kept = kept.repartition(default_parallelism()).localCheckpoint(eager=False)
+        # repartition(n) is exempt from AQE coalescing; the width is
+        # conf-driven (session.respread_width) for cluster runs.
+        kept = materialize(kept.repartition(respread_width(spark)))
         surv = kept.filter("is_survivor")
         # per-language cap via the REAL two-stage stratum_cap; the kept
         # id set is tiny (<= cap x n_langs) so the flag join broadcasts

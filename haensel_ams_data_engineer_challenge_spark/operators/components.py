@@ -90,21 +90,9 @@ def _edge_stats(e: DataFrame) -> tuple:
     return (r.n, r.h1, r.h2)
 
 
-def _strip_uri_scheme(path: str) -> str:
-    """'file:/tmp/x' -> '/tmp/x', 'hdfs://nn/x' -> 'nn/x'.
-
-    ``SparkContext.setCheckpointDir`` resolves the caller's path
-    through the Hadoop FileSystem, so ``getCheckpointDir`` returns a
-    fully-qualified URI; to compare against a caller-supplied plain
-    path both sides must be scheme-stripped first.  The netloc is
-    KEPT (hdfs://other-namenode/x must not compare equal to
-    hdfs://nn/x).  Caller paths should be absolute — a relative path
-    cannot be matched against the resolved URI on a repeat call.
-    """
-    from urllib.parse import urlparse
-
-    parsed = urlparse(path)
-    return (parsed.netloc + parsed.path) if parsed.scheme else path
+# shared with checkpoint.materialize — one session-global guard for
+# every reliable-checkpoint entry point in the engine
+from ..checkpoint import ensure_checkpoint_dir
 
 
 def connected_components(
@@ -158,24 +146,7 @@ def connected_components(
     ``cc_rounds``.
     """
     if checkpoint_dir is not None:
-        sc = pairs.sparkSession.sparkContext
-        # setCheckpointDir creates a random subdir under the given
-        # path, and reports it as a fully-qualified URI — compare
-        # scheme-stripped, so a second call with the same plain local
-        # path is recognized as "already points there" (prefix match)
-        current = sc.getCheckpointDir()
-        want = _strip_uri_scheme(checkpoint_dir).rstrip("/")
-        cur = _strip_uri_scheme(current).rstrip("/") if current else None
-        # separator-bounded prefix: '/data/ckpt-old/<uuid>' must NOT
-        # match a requested '/data/ckpt'
-        if current is None:
-            sc.setCheckpointDir(checkpoint_dir)
-        elif not (cur == want or cur.startswith(want + "/")):
-            raise ValueError(
-                f"SparkContext checkpoint dir already set to {current!r}; "
-                f"refusing to clobber it with {checkpoint_dir!r} "
-                "(session-global setting)"
-            )
+        ensure_checkpoint_dir(pairs.sparkSession.sparkContext, checkpoint_dir)
         _ckpt = lambda df: df.checkpoint(eager=True)  # noqa: E731
     else:
         _ckpt = lambda df: df.localCheckpoint(eager=True)  # noqa: E731

@@ -23,8 +23,9 @@ oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
+from ..checkpoint import materialize
 from ..functions.text import word_shingles
 
 MINHASH_K = 12
@@ -94,7 +95,7 @@ def minhash_bands(
     # document, ~400 B/doc at k=12 — far smaller than the text), and
     # re-deriving bands from it is row-local md5 concat.  Measured at
     # sf0.1: 8.7 -> 2.2 s cold, 1.6 -> 1.5 s warm.
-    sigs = sigs.localCheckpoint(eager=False)
+    sigs = materialize(sigs)
     n_bands = k // band_size
     bands = F.array(
         *[
@@ -124,20 +125,25 @@ def dedup_minhash_lsh(
     Scale note: the band self-join degenerates only if a band bucket
     is huge (near-identical boilerplate floods one bucket), so buckets
     above ``max_bucket_size`` docs are dropped before pairing (see
-    MAX_BAND_BUCKET).  The bucket-size window partitions on the same
-    (band, band_key) the sort-merge self-join shuffles on, so at scale
-    the join reuses the cap's exchange; when AQE broadcasts the joined
-    side instead, the extra exchange only carries the tiny
-    (doc_id, band, band_key) stream.
+    MAX_BAND_BUCKET).  Flood control is a groupBy bucket count plus a
+    broadcast anti-join of the over-cap buckets, NOT count-over-window:
+    a window partitioned by (band, band_key) would make the flooded
+    bucket this cap exists to kill the hottest single-task sort
+    partition before the filter drops it, whereas the groupBy
+    partial-aggregates map-side (the hot bucket reaches the reducer as
+    one row per input partition) and the over-cap set — boilerplate
+    clusters only, a handful of rows — broadcasts.  Same shape as
+    contamination_check's stop-gram cap.
     """
     bands = minhash_bands(df, text_col, id_col, k, band_size, shingle_n)
     if max_bucket_size is not None:
-        w = Window.partitionBy("band", "band_key")
-        bands = (
-            bands.withColumn("__bsz", F.count(F.lit(1)).over(w))
-            .filter(F.col("__bsz") <= max_bucket_size)
-            .drop("__bsz")
+        flooded = (
+            bands.groupBy("band", "band_key")
+            .agg(F.count(F.lit(1)).alias("__bsz"))
+            .filter(F.col("__bsz") > max_bucket_size)
+            .select("band", "band_key")
         )
+        bands = bands.join(F.broadcast(flooded), ["band", "band_key"], "left_anti")
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -225,9 +231,9 @@ def verify_candidates(
     # tokenize + explode + 12 md5-min aggregates over every doc —
     # recomputes per branch (22 Generate-explode operators, measured).
     # The pair set is small BY DESIGN (LSH band-bucket cap bounds it),
-    # so one non-eager localCheckpoint is the right trade at any
+    # so one non-eager materialization is the right trade at any
     # scale: measured 3.3 -> 2.5 s warm / 10.8 -> 2.7 s cold at sf0.1.
-    pairs = pairs.localCheckpoint(eager=False)
+    pairs = materialize(pairs)
     cand_ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))

@@ -24,6 +24,7 @@ import hashlib
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from ..checkpoint import materialize
 from ..functions.scalars import dsum
 
 EMBEDDING_DIM = 64
@@ -355,7 +356,7 @@ def embedding_dup_pairs_lsh(
     # dedup.minhash_bands) — without materialization every row's
     # bands x planes_per_band hyperplane dot products compute twice.
     # The stream is (id, band, bucket): far smaller than the vectors.
-    wb = wb.localCheckpoint(eager=False)
+    wb = materialize(wb)
     a, b = wb.alias("a"), wb.alias("b")
     cand = (
         a.join(

@@ -43,6 +43,32 @@ def default_parallelism() -> int:
         return os.cpu_count() or 8
 
 
+#: Runtime conf: partition width for explicit scan-layout re-spreads
+#: (sources.tables._SPREAD_TABLES, the corpus spine's post-window
+#: repartition).  Unset -> local default_parallelism.
+RESPREAD_CONF = "spark.haenselams.respreadPartitions"
+
+
+def respread_width(spark: SparkSession) -> int:
+    """Width for the explicit ``repartition(n)`` layout repairs.
+
+    These repairs exist because AQE rightly coalesces tiny shuffles to
+    ~1 partition by byte count, which serializes CPU-heavy downstream
+    work (trigram explodes) at local SF.  The right width is
+    data-dependent on a real cluster, so it is conf-driven
+    (``spark.haenselams.respreadPartitions``) rather than hardcoded to
+    the local machine's CPU count; the local default keeps every core
+    busy, which is the only regime where the repair matters — at real
+    scale AQE never coalesces below real parallelism and the re-spread
+    is one extra narrow pass at whatever width is configured.
+    """
+    try:
+        width = int(spark.conf.get(RESPREAD_CONF, "") or 0)
+    except ValueError:
+        width = 0
+    return width if width > 0 else default_parallelism()
+
+
 def get_spark(app_name: str = "haensel-ams-spark", master: str | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
     """Build (or reuse) a SparkSession with the engine's configuration."""

@@ -59,9 +59,9 @@ def load_table(
     if spread is None:
         spread = name in _SPREAD_TABLES
     if spread:
-        from ..session import default_parallelism
+        from ..session import respread_width
 
-        df = df.repartition(default_parallelism())
+        df = df.repartition(respread_width(spark))
     return df
 
 

@@ -169,7 +169,10 @@ def test_dedup_diamonds_stay_materialized(spark, sf_dir):
     bounds = {
         # entry -> max Generate operators (explode + posexplode) in the
         # FINAL executed plan (checkpointed subtrees run once, earlier)
-        "dedup_minhash_lsh": 2,       # bands re-derived per join side (row-local)
+        # dedup_minhash_lsh: bands re-derived row-locally from the
+        # checkpointed signatures per consumer — two self-join sides +
+        # the flood-cap groupBy count and its anti-join probe
+        "dedup_minhash_lsh": 4,
         "dedup_verify_candidates": 4,  # ngram a/b/sizes over candidates + pairs tail
         "contamination_check": 1,      # eval-side explode only; hits checkpointed
         "dedup_embedding_cosine": 0,   # bucket stream checkpointed
@@ -181,3 +184,23 @@ def test_dedup_diamonds_stay_materialized(spark, sf_dir):
         plan = plan_of(df)
         n_gen = plan.count("Generate ")
         assert n_gen <= max_gen, f"{name}: {n_gen} Generate ops (> {max_gen})"
+
+
+def test_dedup_family_has_no_windows(spark, sf_dir):
+    """Flood caps in the dedup family are groupBy + broadcast
+    anti-join, never count-over-window: a window partitioned by the
+    band bucket (or shingle) makes the very key the cap exists to kill
+    the hottest single-task sort partition BEFORE the filter drops it.
+    DESIGN.md names this shape an anti-pattern; pin it here so the cap
+    cannot regress to the window form (round-4 verdict #1)."""
+    for name in (
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_verify_candidates",
+        "dedup_simhash",
+        "contamination_check",
+        "dedup_embedding_cosine",
+    ):
+        fn, _sql = registry()[name]
+        plan = plan_of(fn(spark, sf_dir))
+        assert "windowspecdefinition" not in plan.lower(), name
