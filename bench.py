@@ -105,8 +105,14 @@ def main() -> None:
 
     # same best-of-two discipline as the query entries (codegen warms on
     # the second attempt exactly as it would mid-workload); each attempt
-    # gets a FRESH work dir so both measure the full cold-sink pipeline
-    best = None
+    # gets a FRESH work dir so both measure the full cold-sink pipeline.
+    # BOTH figures are emitted (round-4 advice): `pipeline_e2e` stays
+    # the best-of-two consistent with every other entry (and with
+    # BENCH_r04), while the top-level `pipeline_e2e_cold` key is the
+    # first attempt — the single-shot number directly comparable to the
+    # reference's runtime and to BENCH_r01-r03 — kept OUT of `queries`
+    # so the headline total's methodology stays uniform.
+    attempts = []
     for _attempt in range(2):
         work = tempfile.mkdtemp(prefix="bench_pipeline_")
         start = time.perf_counter()
@@ -114,10 +120,9 @@ def main() -> None:
             spark, sf_dir, f"{work}/acj", f"{work}/report",
             report_csv_path=f"{work}/csv",
         )
-        elapsed = time.perf_counter() - start
-        best = elapsed if best is None else min(best, elapsed)
+        attempts.append(time.perf_counter() - start)
         shutil.rmtree(work, ignore_errors=True)
-    timings["pipeline_e2e"] = round(best, 3)
+    timings["pipeline_e2e"] = round(min(attempts), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -127,6 +132,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "pipeline_e2e_cold": round(attempts[0], 3),
                 "sf": _sf_from_dir(sf_dir),
             }
         )

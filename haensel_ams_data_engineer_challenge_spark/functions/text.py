@@ -150,14 +150,23 @@ GOPHER_MAX_MEAN_WORD_LEN = 10.0
 GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
 GOPHER_MIN_STOPWORD_HITS = 2
 
+#: Gopher's published stop list (Rae et al. 2021 §A1.1: "contains at
+#: least two of the following English words") — distinct from the
+#: langid EN_STOPWORDS heuristic list above.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
 
 def gopher_quality_pass(col: Column | str) -> Column:
-    """Boolean Gopher-style document filter: word count in
-    [50, 100k], mean word length in [3, 10], >= 80% of words contain
-    a letter, and >= 2 distinct English stopwords present.  The
-    published repetition rules are exposed separately as
-    ``repetition_ratio``.  All comparisons are on values computed
-    identically in both engines, so the flag is oracle-exact."""
+    """Boolean Gopher document filter: word count in [50, 100k], mean
+    word length in [3, 10], >= 80% of words contain a letter, and
+    >= 2 of Gopher's published 8 stopwords present.  The published
+    repetition rules are exposed separately as ``repetition_ratio``.
+    Known divergence from the paper: ``alpha_word_frac`` recognizes
+    ASCII letters only ([a-z] on lower-cased tokens), so accented /
+    non-Latin text largely fails the 0.8 alpha rule — acceptable for
+    an English-corpus filter, wrong as a multilingual one.  All
+    comparisons are on values computed identically in both engines,
+    so the flag is oracle-exact."""
     wc = token_count(col)
     return (
         (wc >= GOPHER_MIN_WORDS)
@@ -165,7 +174,7 @@ def gopher_quality_pass(col: Column | str) -> Column:
         & (mean_word_len(col) >= GOPHER_MIN_MEAN_WORD_LEN)
         & (mean_word_len(col) <= GOPHER_MAX_MEAN_WORD_LEN)
         & (alpha_word_frac(col) >= GOPHER_MIN_ALPHA_WORD_FRAC)
-        & (stopword_hits(col) >= GOPHER_MIN_STOPWORD_HITS)
+        & (stopword_hits(col, GOPHER_STOPWORDS) >= GOPHER_MIN_STOPWORD_HITS)
     )
 
 
@@ -185,13 +194,20 @@ PII_PATTERNS: dict[str, tuple[str, str]] = {
 
 
 def pii_counts(col: Column | str) -> dict[str, Column]:
-    """Per-type PII match counts (email, ipv4, phone).
-    DuckDB twin: len(regexp_extract_all(x, pattern))."""
+    """Per-type PII match counts (email, ipv4, phone), each computed
+    on the text with all PRECEDING patterns' replacements applied —
+    exactly the number of replacements ``redact_pii`` makes per type.
+    (Counting every pattern on the raw text disagrees with sequential
+    redaction: for 'x@1.2.3.4.com' the raw ipv4 count is 1 but the
+    redactor consumes it as part of <EMAIL> — round-4 advice.)
+    DuckDB twin: len(regexp_extract_all(t_i, pattern_i)) where t_i is
+    the same nested regexp_replace(..., 'g') prefix chain."""
     c = F.col(col) if isinstance(col, str) else col
-    return {
-        name: F.size(F.regexp_extract_all(c, F.lit(pat), 0))
-        for name, (pat, _repl) in PII_PATTERNS.items()
-    }
+    out: dict[str, Column] = {}
+    for name, (pat, repl) in PII_PATTERNS.items():
+        out[name] = F.size(F.regexp_extract_all(c, F.lit(pat), 0))
+        c = F.regexp_replace(c, pat, repl)
+    return out
 
 
 def redact_pii(col: Column | str) -> Column:

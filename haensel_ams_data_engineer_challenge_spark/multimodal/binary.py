@@ -22,7 +22,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..sources import load_table
 
 DECODE_SCHEMA = (
-    "doc_id long, n_bytes long, format string, width long, height long, decoder string"
+    "doc_id long, n_bytes long, format string, width long, height long, "
+    "decoder string, content_hash string"
 )
 
 
@@ -72,6 +73,11 @@ def decode_image_meta(binary_df: DataFrame, payload_col: str = "payload",
                     "width": [m[1] for m in meta],
                     "height": [m[2] for m in meta],
                     "decoder": [m[3] for m in meta],
+                    # payload digest: the exact-dedup key for media
+                    # columns (md5-hex, same bytes SQL md5() hashes)
+                    "content_hash": [
+                        hashlib.md5(p).hexdigest() for p in pdf[payload_col]
+                    ],
                 }
             )
 
@@ -183,5 +189,6 @@ SELECT doc_id,
             WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
        64 + {_hex_int(1, 2)} % 1984 AS width,
        64 + {_hex_int(3, 2)} % 1984 AS height,
-       'fake' AS decoder
+       'fake' AS decoder,
+       md5(text) AS content_hash
 FROM documents"""

@@ -263,3 +263,32 @@ def pack_groups_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_greedy(
         journey_sizes(j, ["conv_date"]), partition_by=["conv_date"]
     )
+
+
+def pack_groups_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both packing forms in ONE registry slot, tagged by ``method``
+    (round-5 registry rotation: the 50-key correctness window is full,
+    so the two P2 entries consolidate into a union — each form still
+    hash-checks against its own oracle branch).  The journey-size
+    aggregate is built once and shared by both forms."""
+    j = M.journeys(spark, sf_dir).withColumn(
+        "conv_date", F.date_format("conv_ts", "yyyy-MM-dd")
+    )
+    sizes = journey_sizes(j, ["conv_date"])
+    a = pack_cumsum(sizes, partition_by=["conv_date"]).withColumn(
+        "method", F.lit("cumsum")
+    )
+    b = pack_greedy(sizes, partition_by=["conv_date"]).withColumn(
+        "method", F.lit("greedy")
+    )
+    return a.unionByName(b)
+
+
+#: DuckDB twin of ``pack_groups_both``: each form's full query as a
+#: tagged subquery arm (DuckDB allows WITH / WITH RECURSIVE inside a
+#: derived table).
+PACK_BOTH_SQL = (
+    "SELECT 'cumsum' AS method, * FROM (\n" + PACK_CUMSUM_SQL + "\n)\n"
+    "UNION ALL\n"
+    "SELECT 'greedy' AS method, * FROM (\n" + PACK_GREEDY_SQL + "\n)"
+)

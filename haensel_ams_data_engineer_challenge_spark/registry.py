@@ -946,13 +946,14 @@ def _tpch_entries() -> dict[str, tuple[QueryFn, str | None]]:
 #: keys the round-1 driver never reached run first so every operator
 #: family earns a driver row.
 PRIORITY = (
+    # round-5 rotations first: new entries must land inside the window
+    "pii_redaction",
+    "salted_sum_events",
     "corpus_survivors_split",
-    "pack_groups",
-    "pack_groups_greedy",
+    "pack_groups",  # union-tagged: cumsum + greedy arms in one slot
     "text_langid",
     "doc_fingerprint",
-    "multimodal_binary_metadata",
-    "multimodal_decode_stub",
+    "multimodal_decode_stub",  # content_hash metadata tagged in (r5)
     "ihc_redistributed",
 )
 

@@ -46,7 +46,14 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheap driver-side batch-read of the schema) instead of hardcoding
     either physical type."""
     ensure_engine_confs(spark)
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # probe through the SAME directory+glob the stream loads, so the
+    # probe works when sf_dir is a directory the feed appends into and
+    # `events.parquet` names a glob of files rather than one file
+    # (round-4 advice: a hardcoded single-file probe would throw
+    # before the stream starts in the documented production scenario)
+    raw_schema = (
+        spark.read.option("pathGlobFilter", "events.parquet").parquet(sf_dir).schema
+    )
     raw = (
         spark.readStream.schema(raw_schema)
         .format("parquet")

@@ -492,6 +492,10 @@ def test_pii_redaction_matches_duckdb(spark):
         (5, "mixed: a@b.io on 8.8.8.8 at 555.867.5309"),
         (6, "version 1.2.3.4 of the lib"),  # dotted quad: redacted by design
         (7, ""),
+        # sequential-count divergence case (round-4 advice): the email
+        # pattern consumes the dotted quad inside the hostname, so the
+        # ipv4 count must be 0 — exactly what redact_pii replaces
+        (8, "x@1.2.3.4.com ping"),
     ]
     df = spark.createDataFrame(fixtures, "doc_id long, text string")
     counts = pii_counts("text")
@@ -510,6 +514,8 @@ def test_pii_redaction_matches_duckdb(spark):
     assert got[5].clean == "mixed: <EMAIL> on <IP> at <PHONE>"
     assert (got[1].n_email, got[2].n_ipv4, got[3].n_phone) == (1, 2, 2)
     assert got[7].clean == ""
+    assert got[8].clean == "<EMAIL> ping"
+    assert (got[8].n_email, got[8].n_ipv4) == (1, 0)
 
     # idempotence over an adversarial generated corpus: placeholders
     # must not re-match any pattern, and nothing matchable survives a
@@ -542,14 +548,15 @@ def test_pii_redaction_matches_duckdb(spark):
 
     con = duckdb.connect()
     for doc_id, text in fixtures:
+        # counts are sequential (each on the preceding patterns'
+        # output), mirroring pii_counts == what redact_pii replaces
         clean = text
-        for _name, (pat, repl) in PII_PATTERNS.items():
+        for name, (pat, repl) in PII_PATTERNS.items():
+            n = con.execute(
+                "SELECT len(regexp_extract_all(?, ?))", [clean, pat]
+            ).fetchone()[0]
+            assert n == got[doc_id][f"n_{name}"], f"{name} count mismatch doc {doc_id}"
             clean = con.execute(
                 "SELECT regexp_replace(?, ?, ?, 'g')", [clean, pat, repl]
             ).fetchone()[0]
         assert clean == got[doc_id].clean, f"engine mismatch on doc {doc_id}"
-        for name, (pat, _repl) in PII_PATTERNS.items():
-            n = con.execute(
-                "SELECT len(regexp_extract_all(?, ?))", [text, pat]
-            ).fetchone()[0]
-            assert n == got[doc_id][f"n_{name}"], f"{name} count mismatch doc {doc_id}"
