@@ -74,3 +74,51 @@ def salted_sum(
         partial.groupBy(key_col)
         .agg(F.sum("__partial").cast("double").alias(f"sum_{value_col}"))
     )
+
+
+def kmv_distinct_estimate(
+    df: DataFrame, col: str, k: int = 64, salt: str = "kmv"
+) -> DataFrame:
+    """Approximate COUNT(DISTINCT col) as one row ``approx_distinct``
+    (double), via the classic k-minimum-values estimator (Bar-Yossef
+    et al., RANDOM'02): hash every value to a 32-bit integer, keep the
+    k smallest DISTINCT hashes; with h_k the k-th smallest, estimate
+    (k-1) * 2^32 / h_k — or the exact count when fewer than k distinct
+    hashes exist.
+
+    Unlike HLL sketches (``approx_count_distinct``), whose registers
+    differ across engines, every step here is engine-portable integer
+    md5 math (operators/sampling._bucket), so the estimate has a
+    BIT-EXACT DuckDB twin and can sit in a hash-checked driver row.
+
+    Scale shape: dedup of 32-bit hashes is one map-side-combinable
+    shuffle bounded by the value domain; the ascending limit-sort
+    compiles to TakeOrderedAndProject — each task keeps at most k
+    rows, so no global sort materializes. Estimator error is
+    ~1/sqrt(k-2) relative (k=64 -> ~13%).
+    """
+    from .sampling import _BUCKETS, _bucket
+
+    hashes = df.select(_bucket(col, salt).alias("__h")).distinct()
+    topk = hashes.orderBy(F.col("__h").asc()).limit(k)
+    return topk.agg(
+        F.when(F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double"))
+        .otherwise(
+            F.lit(float(k - 1)) * F.lit(float(_BUCKETS)) / F.max("__h").cast("double")
+        )
+        .alias("approx_distinct")
+    )
+
+
+def kmv_distinct_sql(table: str, col: str, k: int = 64, salt: str = "kmv") -> str:
+    """DuckDB twin of ``kmv_distinct_estimate`` (a scalar subquery)."""
+    from .sampling import _BUCKETS, _bucket_sql
+
+    b = _bucket_sql(col, salt)
+    return (
+        f"(SELECT CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS DOUBLE) "
+        f"ELSE CAST({k - 1} AS DOUBLE) * CAST({_BUCKETS} AS DOUBLE) "
+        f"/ CAST(MAX(__h) AS DOUBLE) END "
+        f"FROM (SELECT DISTINCT {b} AS __h FROM {table} "
+        f"ORDER BY __h LIMIT {k}) __kmv)"
+    )

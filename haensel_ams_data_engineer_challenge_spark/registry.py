@@ -293,24 +293,42 @@ def _attribution_entries() -> dict[str, tuple[QueryFn, str | None]]:
     # the hash-checked key set of `agg_journey_stats` IS the distinct
     # id set (key freed round 3 for `contamination_check`).
 
-    # A4: journey statistics (journey_builder.py:298-336)
+    # A4: journey statistics (journey_builder.py:298-336); round 5 tags
+    # in `approx_distinct_users` — the KMV distinct estimator
+    # (operators/scale.py), the engine-portable approx-distinct that
+    # CAN hash-check (HLL register layouts differ across engines, so
+    # approx_count_distinct never could). 1-row x 1-row broadcast join.
+    def _journey_stats(spark: SparkSession, sf: str) -> DataFrame:
+        from .operators.scale import kmv_distinct_estimate
+
+        stats = (
+            _journeys(spark, sf)
+            .groupBy("conv_id")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .agg(
+                F.count(F.lit(1)).alias("num_journeys"),
+                F.sum("cnt").alias("total_sessions"),
+                (F.sum("cnt").cast("double") / F.count(F.lit(1))).alias("avg_sessions"),
+                F.min("cnt").alias("min_sessions"),
+                F.max("cnt").alias("max_sessions"),
+            )
+        )
+        kmv = kmv_distinct_estimate(_journeys(spark, sf), "user_id").select(
+            F.col("approx_distinct").alias("approx_distinct_users")
+        )
+        return stats.join(F.broadcast(kmv))
+
+    from .operators.scale import kmv_distinct_sql
+
     e["agg_journey_stats"] = (
-        lambda spark, sf: _journeys(spark, sf)
-        .groupBy("conv_id")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .agg(
-            F.count(F.lit(1)).alias("num_journeys"),
-            F.sum("cnt").alias("total_sessions"),
-            (F.sum("cnt").cast("double") / F.count(F.lit(1))).alias("avg_sessions"),
-            F.min("cnt").alias("min_sessions"),
-            F.max("cnt").alias("max_sessions"),
-        ),
+        _journey_stats,
         _pipeline_prelude(JOURNEYS_CTE)
-        + """SELECT COUNT(*) AS num_journeys,
+        + f"""SELECT COUNT(*) AS num_journeys,
                     CAST(SUM(cnt) AS BIGINT) AS total_sessions,
                     CAST(SUM(cnt) AS DOUBLE) / COUNT(*) AS avg_sessions,
                     MIN(cnt) AS min_sessions,
-                    MAX(cnt) AS max_sessions
+                    MAX(cnt) AS max_sessions,
+                    {kmv_distinct_sql('journeys', 'user_id')} AS approx_distinct_users
              FROM (SELECT conv_id, COUNT(*) AS cnt FROM journeys GROUP BY conv_id) g""",
     )
 

@@ -186,6 +186,30 @@ def test_dedup_diamonds_stay_materialized(spark, sf_dir):
         assert n_gen <= max_gen, f"{name}: {n_gen} Generate ops (> {max_gen})"
 
 
+def test_pii_redaction_is_row_local_and_pruned(spark, sf_dir):
+    """The PII entry is pure per-row regex work: no aggregation
+    shuffle, no join, no window — and the scan reads only the two
+    columns the query needs (a redaction pass over 100 TB must not
+    read the metadata columns)."""
+    fn, _sql = registry()["pii_redaction"]
+    plan = plan_of(fn(spark, sf_dir))
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan and "windowspecdefinition" not in plan.lower()
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "lang" not in read_schema and "n_chars" not in read_schema
+
+
+def test_salted_sum_two_phase_shape(spark, sf_dir):
+    """The skew-salted sum must keep exactly its two-phase shape: one
+    exchange on (key, salt) for the heavy partial aggregate, one on
+    the key for the tiny merge — never a single-partition collapse."""
+    fn, _sql = registry()["salted_sum_events"]
+    plan = plan_of(fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Exchange SinglePartition" not in plan
+    assert "__salt" in plan
+
+
 def test_dedup_family_has_no_windows(spark, sf_dir):
     """Flood caps in the dedup family are groupBy + broadcast
     anti-join, never count-over-window: a window partitioned by the

@@ -48,3 +48,31 @@ def test_salted_sum_two_exchanges(spark, sf_dir):
     df = salted_sum(ev, "event_type", "value", n_salts=16, salt_source="event_id")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 2  # salted + final
+
+
+def test_kmv_distinct_estimate_accuracy_and_determinism(spark):
+    """KMV approx-distinct: within the ~1/sqrt(k-2) error envelope of
+    the exact count, exact below k, and bit-identical across input
+    partitionings (the property that lets it hash-check in a driver
+    row where HLL cannot)."""
+    from haensel_ams_data_engineer_challenge_spark.operators.scale import (
+        kmv_distinct_estimate,
+    )
+
+    n = 5000
+    df = spark.range(n).select((F.col("id") % 1000).cast("string").alias("u"))
+    k = 64
+    est = kmv_distinct_estimate(df, "u", k=k).first().approx_distinct
+    assert abs(est - 1000) / 1000 < 3.0 / (k - 2) ** 0.5, est
+
+    # repartitioned input -> identical estimate (order-independent)
+    est2 = (
+        kmv_distinct_estimate(df.repartition(13, "u"), "u", k=k)
+        .first()
+        .approx_distinct
+    )
+    assert est2 == est
+
+    # fewer than k distinct values -> exact count
+    small = spark.range(10).select(F.col("id").cast("string").alias("u"))
+    assert kmv_distinct_estimate(small, "u", k=k).first().approx_distinct == 10.0
