@@ -41,7 +41,11 @@ def _union_find(edges):
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
-def test_cc_matches_union_find_random(spark, seed):
+@pytest.mark.parametrize("local_cap", [100_000, 0])
+def test_cc_matches_union_find_random(spark, seed, local_cap):
+    """Both the adaptive driver-side path (local_cap=100k: these edge
+    sets fit) and the distributed star rounds (local_cap=0 forces
+    them) must reproduce plain union-find exactly."""
     rng = random.Random(seed)
     n, m = 60, 45  # sparse: mix of clusters, chains, singletons-by-absence
     edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
@@ -49,7 +53,8 @@ def test_cc_matches_union_find_random(spark, seed):
     expected = _union_find(edges)
     df = spark.createDataFrame(edges, "id_a: long, id_b: long")
     got = {
-        r.node: r.component for r in connected_components(df).collect()
+        r.node: r.component
+        for r in connected_components(df, max_local_edges=local_cap).collect()
     }
     assert got == expected
 
@@ -59,7 +64,7 @@ def test_cc_path_graph_log_rounds(spark):
     plain min-label propagation would need ~63 rounds."""
     edges = [(i, i + 1) for i in range(63)]
     df = spark.createDataFrame(edges, "id_a: long, id_b: long")
-    rows = connected_components(df, max_rounds=12).collect()
+    rows = connected_components(df, max_rounds=12, max_local_edges=0).collect()
     assert len(rows) == 64
     assert all(r.component == 0 for r in rows)
 
@@ -144,7 +149,7 @@ def test_cc_two_actions_per_round(spark, monkeypatch):
                                   orig_ckpt(self, eager=eager))[1])
     edges = [(i, i + 1) for i in range(15)]
     df = spark.createDataFrame(edges, "id_a: long, id_b: long")
-    cc = connected_components(df, max_rounds=12)
+    cc = connected_components(df, max_rounds=12, max_local_edges=0)
     rounds = connected_components.last_rounds
     assert 2 <= rounds <= 12
     assert calls["first"] == rounds + 1  # stats: 1 init + 1/round
@@ -164,7 +169,9 @@ def test_cc_reliable_checkpoint_dir(spark, tmp_path):
     df = spark.createDataFrame(edges, "id_a: long, id_b: long")
     got = {
         r.node: r.component
-        for r in connected_components(df, checkpoint_dir=ckpt).collect()
+        for r in connected_components(
+            df, checkpoint_dir=ckpt, max_local_edges=0
+        ).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
     assert os.listdir(ckpt), "reliable checkpoint dir unused"
@@ -174,16 +181,20 @@ def test_cc_reliable_checkpoint_dir(spark, tmp_path):
     # scheme-stripped (round-3 advice item)
     again = {
         r.node: r.component
-        for r in connected_components(df, checkpoint_dir=ckpt).collect()
+        for r in connected_components(
+            df, checkpoint_dir=ckpt, max_local_edges=0
+        ).collect()
     }
     assert again == got
     # a DIFFERENT dir still refuses to clobber the session-global setting
     with pytest.raises(ValueError):
-        connected_components(df, checkpoint_dir=str(tmp_path / "other"))
+        connected_components(
+            df, checkpoint_dir=str(tmp_path / "other"), max_local_edges=0
+        )
     # separator boundary: a sibling dir that is a string-prefix of the
     # active one (or vice versa) must not be silently accepted
     with pytest.raises(ValueError):
-        connected_components(df, checkpoint_dir=ckpt[: -1])
+        connected_components(df, checkpoint_dir=ckpt[: -1], max_local_edges=0)
 
 
 def test_cc_exact_convergence_flag_and_rounds_attr(spark):
@@ -193,8 +204,19 @@ def test_cc_exact_convergence_flag_and_rounds_attr(spark):
     function attribute."""
     edges = [(i, i + 1) for i in range(10)]
     df = spark.createDataFrame(edges, "id_a: long, id_b: long")
-    cc = connected_components(df, exact_convergence=True)
+    cc = connected_components(df, exact_convergence=True, max_local_edges=0)
     got = {r.node: r.component for r in cc.collect()}
     assert got == {i: 0 for i in range(11)}
     assert cc.cc_rounds == connected_components.last_rounds
     assert cc.cc_rounds >= 2
+
+
+def test_cc_local_path_reports_zero_rounds(spark):
+    """The adaptive small-graph path labels identically and reports
+    cc_rounds == 0 (no star rounds ran)."""
+    edges = [(1, 2), (2, 3), (10, 11)]
+    df = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    cc = connected_components(df)  # 3 edges: well under the local cap
+    got = {r.node: r.component for r in cc.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    assert cc.cc_rounds == 0 and cc.cc_round_secs == []

@@ -64,7 +64,10 @@ def main() -> None:
 
     def run_cc(name: str, pairs_df, extra: dict | None = None) -> None:
         t0 = time.perf_counter()
-        cc = connected_components(pairs_df)
+        # max_local_edges=0: this harness measures the DISTRIBUTED star
+        # rounds (the 100 TB path) — don't let the adaptive small-graph
+        # fast path swallow the synthetic topologies
+        cc = connected_components(pairs_df, max_local_edges=0)
         comp_sizes = cc.groupBy("component").count()
         top = comp_sizes.agg(F.max("count")).first()[0]
         n_comp = comp_sizes.count()

@@ -94,7 +94,7 @@ def main() -> None:
         list(zip(ids, ids[1:])), "id_a: long, id_b: long"
     )
     t0 = time.perf_counter()
-    cc = connected_components(chain)
+    cc = connected_components(chain, max_local_edges=0)  # measure the star rounds
     n_comp = cc.groupBy("component").count().count()
     print(json.dumps({
         "case": f"cc_chain_{mult}x", "nodes": len(ids), "rounds": cc.cc_rounds,
