@@ -144,6 +144,12 @@ def dedup_minhash_lsh(
             .select("band", "band_key")
         )
         bands = bands.join(F.broadcast(flooded), ["band", "band_key"], "left_anti")
+        # the capped stream feeds both self-join sides; materialize it
+        # once so the band derivation + flood cap run a single time
+        # (the stream is (id, band, band_key) — n_bands rows/doc of
+        # ~50 B, smaller than the already-checkpointed signature rows;
+        # measured ~10% off the warm query at sf0.1)
+        bands = materialize(bands)
     a = bands.alias("a")
     b = bands.alias("b")
     return (

@@ -169,10 +169,9 @@ def test_dedup_diamonds_stay_materialized(spark, sf_dir):
     bounds = {
         # entry -> max Generate operators (explode + posexplode) in the
         # FINAL executed plan (checkpointed subtrees run once, earlier)
-        # dedup_minhash_lsh: bands re-derived row-locally from the
-        # checkpointed signatures per consumer — two self-join sides +
-        # the flood-cap groupBy count and its anti-join probe
-        "dedup_minhash_lsh": 4,
+        # dedup_minhash_lsh: the capped band stream is checkpointed, so
+        # the final plan is pure self-join over the materialized rows
+        "dedup_minhash_lsh": 0,
         "dedup_verify_candidates": 4,  # ngram a/b/sizes over candidates + pairs tail
         "contamination_check": 1,      # eval-side explode only; hits checkpointed
         "dedup_embedding_cosine": 0,   # bucket stream checkpointed
