@@ -514,7 +514,7 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
     # ---- text analysis ---------------------------------------------------
     # token stats + quality scoring + intra-doc repetition fused into
     # one projection (one registry slot, one driver row, same
-    # JVM-built-in column tree); line_dup_ratio tagged in round 3
+    # JVM-built-in column tree); repetition_ratio tagged in round 3
     stop_list = ", ".join(f"'{w}'" for w in T.EN_STOPWORDS)
     # the gopher_pass flag uses Gopher's PUBLISHED 8-word list (round-4
     # advice), distinct from the langid EN_STOPWORDS backing

@@ -220,3 +220,16 @@ def test_cc_local_path_reports_zero_rounds(spark):
     got = {r.node: r.component for r in cc.collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
     assert cc.cc_rounds == 0 and cc.cc_round_secs == []
+
+
+@pytest.mark.parametrize("local_cap", [100_000, 0])
+def test_cc_empty_edge_list(spark, local_cap):
+    """No pairs at all (a clean corpus): both paths return an empty
+    labeling and dedup_survivors marks every doc its own survivor."""
+    empty = spark.createDataFrame([], "id_a: long, id_b: long")
+    assert connected_components(empty, max_local_edges=local_cap).count() == 0
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(5)], "doc_id: long, text: string"
+    )
+    out = dedup_survivors(docs, empty).collect()
+    assert all(r.is_survivor and r.component == r.doc_id for r in out)

@@ -76,3 +76,12 @@ def test_kmv_distinct_estimate_accuracy_and_determinism(spark):
     # fewer than k distinct values -> exact count
     small = spark.range(10).select(F.col("id").cast("string").alias("u"))
     assert kmv_distinct_estimate(small, "u", k=k).first().approx_distinct == 10.0
+
+
+def test_kmv_empty_input_is_zero(spark):
+    from haensel_ams_data_engineer_challenge_spark.operators.scale import (
+        kmv_distinct_estimate,
+    )
+
+    empty = spark.createDataFrame([], "u string")
+    assert kmv_distinct_estimate(empty, "u").first().approx_distinct == 0.0
