@@ -512,9 +512,23 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
     )
 
     # ---- text analysis ---------------------------------------------------
-    # token stats + quality scoring + intra-doc repetition fused into
-    # one projection (one registry slot, one driver row, same
-    # JVM-built-in column tree); repetition_ratio tagged in round 3
+    # token stats + quality scoring + intra-doc repetition + language
+    # ID fused into one projection (one registry slot, one driver row,
+    # same JVM-built-in column tree); repetition_ratio tagged round 3,
+    # Gopher columns round 4, langid (the former text_langid entry)
+    # round 5 — freeing a 50-cap slot for dedup_substring_anchors.
+    lang_scores_sql = ",\n".join(
+        f"len(list_intersect(list_distinct(toks), "
+        f"[{', '.join(repr(w) for w in words)}])) AS s_{lang}"
+        for lang, words in sorted(T.LANG_STOPWORDS.items())
+    )
+    langs = sorted(T.LANG_STOPWORDS)
+    best_sql = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    pred_sql = (
+        "CASE "
+        + " ".join(f"WHEN s_{lang} = best THEN '{lang}'" for lang in langs)
+        + " ELSE 'und' END"
+    )
     stop_list = ", ".join(f"'{w}'" for w in T.EN_STOPWORDS)
     # the gopher_pass flag uses Gopher's PUBLISHED 8-word list (round-4
     # advice), distinct from the langid EN_STOPWORDS backing
@@ -547,9 +561,11 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
             T.mean_word_len("text").alias("mean_word_len"),
             T.alpha_word_frac("text").alias("alpha_word_frac"),
             T.gopher_quality_pass("text").alias("gopher_pass"),
+            F.col("lang").alias("actual"),
+            T.langid("text").alias("pred_lang"),
         ),
         rf"""WITH base AS (
-                SELECT doc_id,
+                SELECT doc_id, lang,
                        len(string_split_regex(trim(lower(text)), '\s+')) AS token_count,
                        len(regexp_extract_all(text, '{BPE_SQL}')) AS bpe_ish_count,
                        length(text) AS char_count,
@@ -576,8 +592,10 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
                             THEN CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
                                  / CAST(len(toks) AS DOUBLE)
                             ELSE CAST(0.0 AS DOUBLE) END AS alpha_word_frac,
-                       len(list_intersect(list_distinct(toks), [{gopher_stop_list}])) AS stop_hits
-                FROM base)
+                       len(list_intersect(list_distinct(toks), [{gopher_stop_list}])) AS stop_hits,
+                       {lang_scores_sql}
+                FROM base),
+            scored AS (SELECT *, {best_sql} AS best FROM enriched)
             SELECT doc_id, token_count, bpe_ish_count, char_count,
                    punct_ratio, stopword_ratio,
                    CAST(0.5 AS DOUBLE) * stopword_ratio
@@ -596,35 +614,32 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
                     AND mean_word_len BETWEEN CAST({T.GOPHER_MIN_MEAN_WORD_LEN} AS DOUBLE)
                                           AND CAST({T.GOPHER_MAX_MEAN_WORD_LEN} AS DOUBLE)
                     AND alpha_word_frac >= CAST({T.GOPHER_MIN_ALPHA_WORD_FRAC} AS DOUBLE)
-                    AND stop_hits >= {T.GOPHER_MIN_STOPWORD_HITS}) AS gopher_pass
-            FROM enriched""",
+                    AND stop_hits >= {T.GOPHER_MIN_STOPWORD_HITS}) AS gopher_pass,
+                   lang AS actual,
+                   CASE WHEN best > 0 THEN {pred_sql} ELSE 'und' END AS pred_lang
+            FROM scored""",
     )
 
-    lang_scores_sql = ",\n".join(
-        f"len(list_intersect(t, [{', '.join(repr(w) for w in words)}])) AS s_{lang}"
-        for lang, words in sorted(T.LANG_STOPWORDS.items())
-    )
-    langs = sorted(T.LANG_STOPWORDS)
-    best_sql = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
-    pred_sql = (
-        "CASE "
-        + " ".join(f"WHEN s_{lang} = best THEN '{lang}'" for lang in langs)
-        + " ELSE 'und' END"
-    )
-    e["text_langid"] = (
-        lambda spark, sf: _docs(spark, sf).select(
-            "doc_id",
-            F.col("lang").alias("actual"),
-            T.langid("text").alias("pred_lang"),
-        ),
-        rf"""WITH dt AS (
-                SELECT doc_id, lang,
-                       list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS t
+    # ---- exact-substring near-dup (Lee et al. 2021 style) ---------------
+    # content-defined anchor sampling over char 32-grams; windowless
+    # anchor flood cap; pairs share >= one sampled verbatim run.
+    e["dedup_substring_anchors"] = (
+        lambda spark, sf: D.substring_dup_pairs(_docs(spark, sf)),
+        f"""WITH g AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           range(1, greatest(length(text) - {D.SUBSTRING_GRAM - 1}, 0) + 1),
+                           i -> substr(text, i, {D.SUBSTRING_GRAM})))) AS s
                 FROM documents),
-            sc AS (SELECT doc_id, lang, {lang_scores_sql} FROM dt)
-            SELECT doc_id, lang AS actual,
-                   CASE WHEN best > 0 THEN {pred_sql} ELSE 'und' END AS pred_lang
-            FROM (SELECT *, {best_sql} AS best FROM sc) x""",
+            anch AS (SELECT doc_id, s FROM g
+                     WHERE substr(md5(s), 1, {len(D.ANCHOR_PREFIX)}) = '{D.ANCHOR_PREFIX}'),
+            flooded AS (SELECT s FROM anch GROUP BY s
+                        HAVING COUNT(*) > {D.MAX_ANCHOR_DOCS}),
+            kept AS (SELECT doc_id, s FROM anch
+                     WHERE s NOT IN (SELECT s FROM flooded))
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+            FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2""",
     )
 
     e["doc_fingerprint"] = (

@@ -284,3 +284,73 @@ def simhash32(
         term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
         fp = term if fp is None else (fp + term)
     return voted.select(F.col(id_col), fp.alias("simhash"))
+
+
+#: substring-dedup defaults: 32-char verbatim runs, 1/16 anchor
+#: sampling ('0' hex prefix), 64-doc anchor flood cap.
+SUBSTRING_GRAM = 32
+ANCHOR_PREFIX = "0"
+MAX_ANCHOR_DOCS = 64
+
+
+def substring_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram: int = SUBSTRING_GRAM,
+    anchor_prefix: str = ANCHOR_PREFIX,
+    max_anchor_docs: int = MAX_ANCHOR_DOCS,
+) -> DataFrame:
+    """Exact-substring near-dup candidates: pairs of documents sharing
+    verbatim character runs (the signal behind suffix-array substring
+    dedup, Lee et al. 2021 "Deduplicating Training Data Makes Language
+    Models Better" — here approximated Spark-first instead of building
+    a distributed suffix array).
+
+    Mechanism: every distinct ``gram``-char substring whose md5 starts
+    with ``anchor_prefix`` is an ANCHOR — content-defined sampling, so
+    the same verbatim run yields the same anchors in every document
+    regardless of position or partitioning (one hex char = keep ~1/16
+    of grams).  Docs sharing an anchor share, with high probability, a
+    verbatim run of >= gram chars; ``n_shared`` counts shared anchors
+    (~ shared verbatim volume / 16).  Anchors present in more than
+    ``max_anchor_docs`` documents are corpus boilerplate and are
+    dropped by the standard windowless flood cap (groupBy count +
+    broadcast anti-join — DESIGN.md's named shape) before pairing, so
+    a ubiquitous license header cannot go quadratic.
+
+    Output: (id_a, id_b, n_shared), id_a < id_b.  Scale: the anchor
+    stream is ~len/16 rows per doc; one map-side-combinable groupBy
+    for the cap, one equi-join on the anchor bounded by
+    max_anchor_docs per key — no all-pairs shape anywhere.
+    """
+    from ..functions.text import char_shingles
+
+    grams = df.select(
+        F.col(id_col), F.explode(char_shingles(text_col, gram)).alias("s")
+    )
+    anchors = grams.filter(
+        F.substring(F.md5("s"), 1, len(anchor_prefix)) == anchor_prefix
+    )
+    # anchor stream feeds the flood count and both join sides
+    anchors = materialize(anchors)
+    flooded = (
+        anchors.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > max_anchor_docs)
+        .select("s")
+    )
+    kept = anchors.join(F.broadcast(flooded), "s", "left_anti")
+    a, b = kept.alias("a"), kept.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

@@ -967,9 +967,10 @@ PRIORITY = (
     # round-5 rotations first: new entries must land inside the window
     "pii_redaction",
     "salted_sum_events",
+    "dedup_substring_anchors",
     "corpus_survivors_split",
     "pack_groups",  # union-tagged: cumsum + greedy arms in one slot
-    "text_langid",
+    "text_stats",  # langid tagged in (former text_langid entry, r5)
     "doc_fingerprint",
     "multimodal_decode_stub",  # content_hash metadata tagged in (r5)
     "ihc_redistributed",

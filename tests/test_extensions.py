@@ -560,3 +560,55 @@ def test_pii_redaction_matches_duckdb(spark):
                 "SELECT regexp_replace(?, ?, ?, 'g')", [clean, pat, repl]
             ).fetchone()[0]
         assert clean == got[doc_id].clean, f"engine mismatch on doc {doc_id}"
+
+
+def test_substring_dup_pairs_planted_runs(spark):
+    """Exact-substring near-dup detection: docs sharing a long verbatim
+    run pair up; unrelated docs don't; a run shared by MORE than
+    max_anchor_docs documents is boilerplate and is flood-capped out
+    (windowless groupBy + anti-join)."""
+    import random
+
+    from haensel_ams_data_engineer_challenge_spark.operators.dedup import (
+        substring_dup_pairs,
+    )
+
+    rng = random.Random(5)
+
+    def noise(n):
+        return "".join(rng.choice("abcdefghij ") for _ in range(n))
+
+    # planted runs must be long enough that 1/16 anchor sampling
+    # keeps some of their ~(len-31) distinct grams with near-certainty
+    # ((15/16)^370 ~ 5e-11); generated, so the grams are unique
+    shared = noise(400)
+    boiler = noise(400)
+    rows = [
+        (1, noise(200) + shared + noise(200)),
+        (2, noise(200) + shared + noise(200)),
+        (3, noise(400)),  # unrelated
+    ]
+    # 4..23: twenty docs sharing only the boilerplate run
+    rows += [(i, noise(150) + boiler + noise(150)) for i in range(4, 24)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in substring_dup_pairs(df, max_anchor_docs=8).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] >= 1  # planted pair found
+    assert all(3 not in pair for pair in got)  # unrelated doc never pairs
+    # the boilerplate run shared by 20 > 8 docs is flood-capped: its
+    # INTERIOR grams (in all 20 docs) pair nobody. A few pairs may
+    # remain via grams straddling the noise/boiler boundary — genuine
+    # shared 32-char runs unique to 2-3 docs, which the cap rightly
+    # keeps — so assert the cluster stays far below quadratic.
+    boiler_ids = set(range(4, 24))
+    n_capped = sum(1 for a, b in got if a in boiler_ids and b in boiler_ids)
+    assert n_capped < 20, got
+    # with the cap lifted the boilerplate cluster explodes into ALL
+    # C(20,2) pairs — the quadratic shape the cap exists to prevent
+    uncapped = substring_dup_pairs(df, max_anchor_docs=10_000).collect()
+    assert sum(
+        1 for r in uncapped if r.id_a in boiler_ids and r.id_b in boiler_ids
+    ) == 20 * 19 // 2

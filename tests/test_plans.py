@@ -221,6 +221,7 @@ def test_dedup_family_has_no_windows(spark, sf_dir):
         "dedup_minhash_lsh",
         "dedup_verify_candidates",
         "dedup_simhash",
+        "dedup_substring_anchors",
         "contamination_check",
         "dedup_embedding_cosine",
     ):
