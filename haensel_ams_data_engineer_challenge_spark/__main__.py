@@ -92,6 +92,15 @@ def _parser() -> argparse.ArgumentParser:
         help="replace emails / IPv4 addresses / phone numbers in the "
         "text column with typed placeholders before writing",
     )
+    co.add_argument(
+        "--dedup-method",
+        choices=("minhash", "substring", "both"),
+        default="minhash",
+        help="near-dup pair source: word-shingle MinHash LSH (default), "
+        "exact-substring anchors (verbatim-run dedup, Lee et al. 2021 "
+        "style), or the union of both signals feeding one cluster "
+        "resolution",
+    )
     co.add_argument("--train", type=float, default=0.98)
     co.add_argument("--val", type=float, default=0.01)
     co.add_argument("--test", type=float, default=0.01)
@@ -174,14 +183,21 @@ def main(argv: list[str] | None = None) -> int:
             from pyspark.sql import functions as F
 
             from .operators.components import dedup_survivors
-            from .operators.dedup import dedup_minhash_lsh
+            from .operators.dedup import dedup_minhash_lsh, substring_dup_pairs
             from .operators.sampling import hash_split, stratum_cap
             from .sources import load_table
 
             from .session import respread_width
 
             docs = load_table(spark, args.sf_dir, "documents")
-            pairs = dedup_minhash_lsh(docs)
+            if args.dedup_method == "minhash":
+                pairs = dedup_minhash_lsh(docs)
+            elif args.dedup_method == "substring":
+                pairs = substring_dup_pairs(docs).select("id_a", "id_b")
+            else:  # both signals, one cluster resolution (CC dedups edges)
+                pairs = dedup_minhash_lsh(docs).unionByName(
+                    substring_dup_pairs(docs).select("id_a", "id_b")
+                )
             kept = dedup_survivors(docs, pairs, order_col="n_chars").filter(
                 "is_survivor"
             )

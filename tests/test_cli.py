@@ -199,3 +199,26 @@ def test_cli_mix_path_with_equals_and_dup_names(spark, sf_dir, tmp_path, capsys)
     ])
     assert rc == 1
     assert "duplicate --source" in capsys.readouterr().err
+
+
+def test_cli_corpus_dedup_method(spark, sf_dir, tmp_path, capsys):
+    """--dedup-method selects the near-dup pair source; every mode
+    produces a full split corpus (all docs labeled, survivors only)."""
+    from haensel_ams_data_engineer_challenge_spark.sources import load_table
+
+    n = load_table(spark, sf_dir, "documents").count()
+    counts = {}
+    for method in ("minhash", "substring", "both"):
+        work = str(tmp_path / f"wd_{method}")
+        rc = main([
+            "corpus", "--sf-dir", sf_dir, "--work-dir", work,
+            "--dedup-method", method,
+        ])
+        assert rc == 0
+        back = spark.read.parquet(f"{work}/corpus")
+        counts[method] = back.count()
+        assert 0 < counts[method] <= n
+        assert back.select("split").distinct().count() >= 1
+    # the union of both signals can only merge clusters further:
+    # never MORE survivors than the weakest single signal
+    assert counts["both"] <= min(counts["minhash"], counts["substring"])
