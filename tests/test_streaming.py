@@ -196,3 +196,51 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
         for r in clicks_to_purchases(ev).collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_streaming_text_projection_matches_batch(spark, sf_dir, tmp_path):
+    """Stateless text ops (token stats, Gopher flag, PII redaction)
+    compose with Structured Streaming unchanged — the one-codepath
+    principle extends to the corpus-hygiene tier: a documents feed can
+    be quality-scored and redacted incrementally with the exact batch
+    semantics."""
+    from haensel_ams_data_engineer_challenge_spark.functions import text as T
+
+    schema = (
+        spark.read.option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .schema
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+
+    def proj(df):
+        return df.select(
+            "doc_id",
+            T.token_count("text").alias("tc"),
+            T.gopher_quality_pass("text").alias("gp"),
+            T.redact_pii("text").alias("clean"),
+        )
+
+    q = (
+        proj(stream)
+        .writeStream.format("memory")
+        .queryName("textproj")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.doc_id: (r.tc, r.gp, r.clean)
+        for r in spark.sql("SELECT * FROM textproj").collect()
+    }
+    batch = {
+        r.doc_id: (r.tc, r.gp, r.clean)
+        for r in proj(load_table(spark, sf_dir, "documents", spread=False)).collect()
+    }
+    assert got == batch and len(got) > 0
