@@ -326,12 +326,15 @@ def substring_dup_pairs(
     """
     from ..functions.text import char_shingles
 
-    grams = df.select(
-        F.col(id_col), F.explode(char_shingles(text_col, gram)).alias("s")
+    # anchor-filter ROW-LOCALLY inside the gram array, then explode:
+    # the Generate emits len/16 rows per doc instead of len rows that
+    # a post-explode filter would immediately drop (16x less volume
+    # through the explode and everything downstream)
+    anchor_arr = F.filter(
+        char_shingles(text_col, gram),
+        lambda s: F.substring(F.md5(s), 1, len(anchor_prefix)) == anchor_prefix,
     )
-    anchors = grams.filter(
-        F.substring(F.md5("s"), 1, len(anchor_prefix)) == anchor_prefix
-    )
+    anchors = df.select(F.col(id_col), F.explode(anchor_arr).alias("s"))
     # anchor stream feeds the flood count and both join sides
     anchors = materialize(anchors)
     flooded = (
