@@ -137,6 +137,7 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
     # engines; the contaminated flag mirrors the vocab-prune ->
     # flood-cap -> overlap-fraction stages CTE-for-stage.
     CAP_PER_LANG = 40  # sf0.01 has ~100 docs/lang, so the cap bites
+    TOKEN_BUDGET = 12_000  # chars/lang (survivor totals are 19-64k: bites)
     CONTAM_FRAC = 0.2
     CONTAM_EVAL_PRED = "doc_id % 25 = 0"
     MIX_TAIL_WEIGHT = 0.5  # head (even ids) w=1.0, tail (odd) w=0.5
@@ -170,7 +171,12 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
     def _survivors_split(spark: SparkSession, sf: str) -> DataFrame:
         from ..operators.components import dedup_survivors
         from ..operators.contamination import contamination_check
-        from ..operators.sampling import hash_split, stratum_cap, weighted_mix_filter
+        from ..operators.sampling import (
+            hash_split,
+            stratum_cap,
+            token_budget_cap,
+            weighted_mix_filter,
+        )
 
         from ..checkpoint import materialize
         from ..session import respread_width
@@ -205,6 +211,22 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
             .withColumn("kept_after_cap", F.coalesce(F.col("__cap"), F.lit(False)))
             .drop("__cap")
         )
+        # TOKEN-budgeted counterpart (round 5): training mixtures are
+        # budgeted in tokens, not doc counts — the real token_budget_cap
+        # (distributed prefix sum, sampling.py) flags the maximal
+        # hash-order prefix of survivors within the per-lang char budget
+        tok_ids = (
+            token_budget_cap(surv, ["lang"], TOKEN_BUDGET, "n_chars", "doc_id")
+            .select("doc_id")
+            .withColumn("__tb", F.lit(True))
+        )
+        capped = (
+            capped.join(F.broadcast(tok_ids), "doc_id", "left")
+            .withColumn(
+                "kept_after_token_budget", F.coalesce(F.col("__tb"), F.lit(False))
+            )
+            .drop("__tb")
+        )
         # survivors -> decontaminate: flag survivors overlapping the
         # held-out eval slice (train side = deduped corpus, the order
         # the corpus CLI runs the stages in)
@@ -237,7 +259,8 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
         )
         return mixed.select(
             "doc_id", "lang", "component", "is_survivor",
-            "kept_after_cap", "contaminated", "split", "source_name",
+            "kept_after_cap", "kept_after_token_budget",
+            "contaminated", "split", "source_name",
         )
 
     def _survivors_split_sql() -> str:
@@ -248,6 +271,7 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
         )
 
         cap_bucket = _bucket_sql("doc_id", "cap")
+        tok_bucket = _bucket_sql("doc_id", "tokcap")
         tail_hi = int(MIX_TAIL_WEIGHT * _BUCKETS)
         tail_bucket = _bucket_sql("doc_id", "mix|tail")
         return (
@@ -272,17 +296,28 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
                    COALESCE(c.component, d.doc_id) AS component
             FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
         flagged AS (
-            SELECT doc_id, lang, component,
+            SELECT doc_id, lang, component, n_chars,
                    (ROW_NUMBER() OVER (PARTITION BY component
                                        ORDER BY n_chars DESC, doc_id ASC) = 1)
                    AS is_survivor
             FROM labeled),
+        tok_ok AS (
+            SELECT doc_id FROM (
+                SELECT doc_id,
+                       SUM(n_chars) OVER (PARTITION BY lang
+                           ORDER BY {tok_bucket} ASC, doc_id ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS __cum
+                FROM flagged WHERE is_survivor) t
+            WHERE __cum <= {TOKEN_BUDGET}),
         capped AS (
             SELECT doc_id, lang, component, is_survivor,
                    (is_survivor AND ROW_NUMBER() OVER (
                         PARTITION BY lang
                         ORDER BY is_survivor DESC, {cap_bucket} ASC, doc_id ASC)
-                    <= {CAP_PER_LANG}) AS kept_after_cap
+                    <= {CAP_PER_LANG}) AS kept_after_cap,
+                   (is_survivor AND doc_id IN (SELECT doc_id FROM tok_ok))
+                   AS kept_after_token_budget
             FROM flagged),
         {_contam_ctes("c_", "SELECT d.doc_id AS train_id, unnest(d.sh) AS s "
                             "FROM doc_shingles d JOIN flagged f ON f.doc_id = d.doc_id "
@@ -294,12 +329,13 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
                   >= CAST({CONTAM_FRAC} AS DOUBLE)),
         final AS (
             SELECT doc_id, lang, component, is_survivor, kept_after_cap,
+                   kept_after_token_budget,
                    (is_survivor AND doc_id IN (SELECT doc_id FROM contam_ids))
                    AS contaminated,
                    {hash_split_sql("doc_id")}
             FROM capped)
         SELECT doc_id, lang, component, is_survivor, kept_after_cap,
-               contaminated, split,
+               kept_after_token_budget, contaminated, split,
                CASE WHEN doc_id % 2 = 0 THEN 'head' ELSE 'tail' END
                AS source_name
         FROM final

@@ -233,3 +233,90 @@ def weighted_interleave(
     if out is None:
         raise ValueError("no sources given")
     return out
+
+
+def token_budget_cap(
+    df: DataFrame,
+    stratum_cols: list[str],
+    budget: int,
+    weight_col: str,
+    key_col: str,
+    salt: str = "tokcap",
+) -> DataFrame:
+    """Keep rows, in deterministic hash order, until a stratum's
+    cumulative ``weight_col`` (token/char count) exceeds ``budget`` —
+    the TOKEN-budgeted counterpart of ``stratum_cap`` (training
+    mixtures are budgeted in tokens, not document counts).  A row is
+    kept iff its running total through itself is <= budget, so the
+    kept set is the maximal hash-order prefix within budget.
+
+    Scale shape — a distributed prefix sum, NOT one window per
+    stratum (a dominant stratum would make that a single-task sort,
+    the DESIGN.md anti-pattern):
+
+    1. range-repartition on (stratum, bucket, key) — the global sort
+       order becomes the partition order;
+    2. local cumulative sum per (stratum, input partition) — each
+       window is bounded by the partition size;
+    3. per-(stratum, partition) totals -> per-partition offsets via a
+       window over AT MOST n_partitions rows per stratum -> broadcast
+       back.  global_cum = offset + local_cum.
+
+    The result depends only on the total order (bucket, key), never on
+    where the range boundaries fell, so it is bit-stable across
+    partitionings and engines.  SQL twin: a plain
+    ``SUM(w) OVER (PARTITION BY stratum ORDER BY bucket, key ROWS
+    UNBOUNDED PRECEDING) <= budget`` — the oracle can afford the
+    single-window form.
+    """
+    from ..checkpoint import materialize
+
+    b = _bucket(key_col, salt)
+    ranged = df.withColumn("__b", b).repartitionByRange(
+        *stratum_cols, "__b", key_col
+    )
+    # pin partition ids: __pid feeds two plan branches (local cumsum +
+    # totals) and must agree between them
+    ranged = materialize(ranged.withColumn("__pid", F.spark_partition_id()))
+    order = [F.col("__b").asc(), F.col(key_col).asc()]
+    w_local = (
+        Window.partitionBy(*stratum_cols, "__pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn("__lc", F.sum(weight_col).over(w_local))
+    totals = ranged.groupBy(*stratum_cols, "__pid").agg(
+        F.sum(weight_col).alias("__t")
+    )
+    w_off = (
+        Window.partitionBy(*stratum_cols)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "__off", F.coalesce(F.sum("__t").over(w_off), F.lit(0))
+    ).select(*stratum_cols, "__pid", "__off")
+    return (
+        local.join(F.broadcast(offsets), [*stratum_cols, "__pid"])
+        .filter((F.col("__off") + F.col("__lc")) <= budget)
+        .drop("__b", "__pid", "__lc", "__off")
+    )
+
+
+def token_budget_cap_sql(
+    table: str,
+    stratum_cols: list[str],
+    budget: int,
+    weight_col: str,
+    key_col: str,
+    salt: str = "tokcap",
+) -> str:
+    """DuckDB twin of ``token_budget_cap`` (single-window form)."""
+    b = _bucket_sql(key_col, salt)
+    parts = ", ".join(stratum_cols)
+    return (
+        f"SELECT * EXCLUDE (__cum) FROM (SELECT *, SUM({weight_col}) OVER "
+        f"(PARTITION BY {parts} ORDER BY {b} ASC, {key_col} ASC "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __cum "
+        f"FROM {table}) WHERE __cum <= {budget}"
+    )

@@ -200,3 +200,84 @@ def test_weighted_interleave_zero_weight_and_validation(docs):
         S.weighted_interleave({"a": (docs, 1.5)}, "doc_id")
     with pytest.raises(ValueError):
         S.weighted_interleave({}, "doc_id")
+
+
+def test_token_budget_cap_matches_reference_and_partitioning(spark):
+    """token_budget_cap == the maximal hash-order prefix within budget
+    (python reference), bit-stable across input partitionings, and the
+    plan never sorts a full stratum (distributed prefix sum)."""
+    import hashlib
+
+    from haensel_ams_data_engineer_challenge_spark.operators.sampling import (
+        token_budget_cap,
+    )
+
+    rows = [("en" if i % 4 else "de", i, (i * 13) % 50 + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, w long")
+    budget = 800
+
+    def bucket(doc_id):
+        return int(hashlib.md5(f"tokcap|{doc_id}".encode()).hexdigest()[:8], 16)
+
+    expected = set()
+    for lang in ("en", "de"):
+        cum = 0
+        for _, doc_id, w in sorted(
+            (r for r in rows if r[0] == lang), key=lambda r: (bucket(r[1]), r[1])
+        ):
+            cum += w
+            if cum <= budget:
+                expected.add((lang, doc_id))
+
+    got = {
+        (r.lang, r.doc_id)
+        for r in token_budget_cap(df, ["lang"], budget, "w", "doc_id").collect()
+    }
+    assert got == expected
+
+    # partitioning invariance: the range boundaries cancel out
+    got2 = {
+        (r.lang, r.doc_id)
+        for r in token_budget_cap(
+            df.repartition(7), ["lang"], budget, "w", "doc_id"
+        ).collect()
+    }
+    assert got2 == expected
+
+    # plan shape: the row-stream cumsum window partitions on
+    # (stratum, __pid) — bounded by the input partition size — and the
+    # only stratum-wide window is the per-partition-totals offset pass
+    # ordered by __pid, whose input is at most n_partitions rows per
+    # stratum. No window sorts a full raw stratum.
+    plan = (
+        token_budget_cap(df, ["lang"], budget, "w", "doc_id")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    specs = [
+        seg.split(")")[0]
+        for seg in plan.split("windowspecdefinition(")[1:]
+    ]
+    assert specs, "no windows found in plan"
+    for spec in specs:
+        assert "__pid" in spec, spec  # partitions with __pid or orders by it
+    from haensel_ams_data_engineer_challenge_spark.operators.sampling import (
+        token_budget_cap_sql,
+    )
+
+    # DuckDB twin agrees row-for-row
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (lang VARCHAR, doc_id BIGINT, w BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    oracle = {
+        (lang, doc_id)
+        for lang, doc_id in con.execute(
+            "SELECT lang, doc_id FROM ("
+            + token_budget_cap_sql("t", ["lang"], budget, "w", "doc_id")
+            + ")"
+        ).fetchall()
+    }
+    assert oracle == expected
