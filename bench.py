@@ -76,6 +76,14 @@ def main() -> None:
     # Warm up the JVM + parquet footer caches with a trivial action.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    # Host-load telemetry (round-5 verdict #2): the r3/r4/r5 A/B runs
+    # proved this shared host swings bench totals ~10-25% with load;
+    # recording loadavg makes a drifted round distinguishable from a
+    # regressed one without a manual A/B (interpretation rule in
+    # BASELINE.md).
+    loadavg_start = list(os.getloadavg())
+    load_after_query: dict[str, float] = {}
+
     timings: dict[str, float] = {}
     extras = {name: small for name, small in HEADLINE.items() if name in reg}
     for name, small in extras.items():
@@ -94,6 +102,7 @@ def main() -> None:
             elapsed = time.perf_counter() - start
             best = elapsed if best is None else min(best, elapsed)
         timings[name] = round(best, 3)
+        load_after_query[name] = round(os.getloadavg()[0], 2)
 
     # the number directly comparable to the reference's runtime: the
     # whole pipeline (journeys -> native scoring -> idempotent upsert ->
@@ -133,6 +142,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "pipeline_e2e_cold": round(attempts[0], 3),
+                "loadavg": {
+                    "start": [round(x, 2) for x in loadavg_start],
+                    "end": [round(x, 2) for x in os.getloadavg()],
+                    "after_query_1m": load_after_query,
+                },
                 "sf": _sf_from_dir(sf_dir),
             }
         )

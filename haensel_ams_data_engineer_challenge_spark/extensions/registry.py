@@ -137,7 +137,11 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
     # engines; the contaminated flag mirrors the vocab-prune ->
     # flood-cap -> overlap-fraction stages CTE-for-stage.
     CAP_PER_LANG = 40  # sf0.01 has ~100 docs/lang, so the cap bites
-    TOKEN_BUDGET = 12_000  # chars/lang (survivor totals are 19-64k: bites)
+    # tokens/lang via bpe_ish_count (round-5 verdict #3: training
+    # budgets are tokens, not chars); per-lang survivor totals are
+    # ~3.5-11.8k tokens at sf0.01 and 38-112k at sf0.1, so 2,200 bites
+    # for every lang at both SFs
+    TOKEN_BUDGET = 2_200
     CONTAM_FRAC = 0.2
     CONTAM_EVAL_PRED = "doc_id % 25 = 0"
     MIX_TAIL_WEIGHT = 0.5  # head (even ids) w=1.0, tail (odd) w=0.5
@@ -214,9 +218,15 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
         # TOKEN-budgeted counterpart (round 5): training mixtures are
         # budgeted in tokens, not doc counts — the real token_budget_cap
         # (distributed prefix sum, sampling.py) flags the maximal
-        # hash-order prefix of survivors within the per-lang char budget
+        # hash-order prefix of survivors within the per-lang TOKEN
+        # budget (bpe_ish_count, the engine's tokenizer proxy — round-5
+        # verdict #3; the column is lazy, so the regex runs only on the
+        # survivor branch feeding this cap)
         tok_ids = (
-            token_budget_cap(surv, ["lang"], TOKEN_BUDGET, "n_chars", "doc_id")
+            token_budget_cap(
+                surv.withColumn("n_tokens", T.bpe_ish_count("text").cast("long")),
+                ["lang"], TOKEN_BUDGET, "n_tokens", "doc_id",
+            )
             .select("doc_id")
             .withColumn("__tb", F.lit(True))
         )
@@ -293,10 +303,11 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
         comp AS (SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u),
         labeled AS (
             SELECT d.doc_id, d.lang, d.n_chars,
+                   len(regexp_extract_all(d.text, '{BPE_SQL}')) AS n_tokens,
                    COALESCE(c.component, d.doc_id) AS component
             FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
         flagged AS (
-            SELECT doc_id, lang, component, n_chars,
+            SELECT doc_id, lang, component, n_chars, n_tokens,
                    (ROW_NUMBER() OVER (PARTITION BY component
                                        ORDER BY n_chars DESC, doc_id ASC) = 1)
                    AS is_survivor
@@ -304,7 +315,7 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
         tok_ok AS (
             SELECT doc_id FROM (
                 SELECT doc_id,
-                       SUM(n_chars) OVER (PARTITION BY lang
+                       SUM(n_tokens) OVER (PARTITION BY lang
                            ORDER BY {tok_bucket} ASC, doc_id ASC
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                        AS __cum
