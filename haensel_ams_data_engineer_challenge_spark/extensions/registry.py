@@ -669,22 +669,30 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
 
     # ---- exact-substring near-dup (Lee et al. 2021 style) ---------------
     # content-defined anchor sampling over char 32-grams; windowless
-    # anchor flood cap; pairs share >= one sampled verbatim run.
+    # anchor flood cap; pairs share >= one sampled verbatim run and
+    # carry the matched span per side (round-5 verdict #4): first-
+    # occurrence offsets, span = [min off, max off + gram - 1].
     e["dedup_substring_anchors"] = (
         lambda spark, sf: D.substring_dup_pairs(_docs(spark, sf)),
-        f"""WITH g AS (
-                SELECT doc_id,
-                       unnest(list_distinct(list_transform(
-                           range(1, greatest(length(text) - {D.SUBSTRING_GRAM - 1}, 0) + 1),
-                           i -> substr(text, i, {D.SUBSTRING_GRAM})))) AS s
-                FROM documents),
-            anch AS (SELECT doc_id, s FROM g
-                     WHERE substr(md5(s), 1, {len(D.ANCHOR_PREFIX)}) = '{D.ANCHOR_PREFIX}'),
+        f"""WITH occ AS (
+                SELECT doc_id, substr(text, i, {D.SUBSTRING_GRAM}) AS s,
+                       CAST(i AS BIGINT) AS off
+                FROM (SELECT doc_id, text,
+                             unnest(range(1, greatest(length(text) - {D.SUBSTRING_GRAM - 1}, 0) + 1)) AS i
+                      FROM documents) t
+                WHERE substr(md5(substr(text, i, {D.SUBSTRING_GRAM})), 1,
+                             {len(D.ANCHOR_PREFIX)}) = '{D.ANCHOR_PREFIX}'),
+            anch AS (SELECT doc_id, s, MIN(off) AS off FROM occ
+                     GROUP BY doc_id, s),
             flooded AS (SELECT s FROM anch GROUP BY s
                         HAVING COUNT(*) > {D.MAX_ANCHOR_DOCS}),
-            kept AS (SELECT doc_id, s FROM anch
+            kept AS (SELECT doc_id, s, off FROM anch
                      WHERE s NOT IN (SELECT s FROM flooded))
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared,
+                   MIN(a.off) AS a_span_start,
+                   MAX(a.off) + {D.SUBSTRING_GRAM - 1} AS a_span_end,
+                   MIN(b.off) AS b_span_start,
+                   MAX(b.off) + {D.SUBSTRING_GRAM - 1} AS b_span_end
             FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
             GROUP BY 1, 2""",
     )
