@@ -54,6 +54,31 @@ def test_q3_broadcasts_customer_dim(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_q3_bucketed_arm_is_exchange_free(spark, sf_dir):
+    """The co-located arm of q3_top_orders (round-5 verdict #5): with
+    both big sides bucketed by orderkey, the fact-fact join AND the
+    orderkey-clustered aggregate above it must run without any shuffle
+    exchange. Broadcast is disabled so the join cannot degenerate into
+    a small-SF BroadcastHashJoin — the pin must hold in the regime
+    where both sides are too big to broadcast (the 100 TB case); the
+    customer dim keeps its explicit broadcast hint, which is exempt
+    from the threshold."""
+    from haensel_ams_data_engineer_challenge_spark.registry import q3_bucketed_arm
+
+    # build FIRST (load_table's ensure_engine_confs re-applies the
+    # engine broadcast threshold), then disable broadcast, then plan —
+    # physical planning is lazy, so it sees the -1
+    df = q3_bucketed_arm(spark, sf_dir)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "SortMergeJoin" in plan  # the co-located fact-fact join
+
+
 def test_q1_single_shuffle(spark, sf_dir):
     """Partial+final hash aggregation: exactly one exchange."""
     fn, _sql = registry()["q1_pricing_summary"]
