@@ -470,8 +470,10 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
             WHERE rank <= {ANN_K}""",
     )
 
-    hp = S.hyperplanes()
-    bucket = S.bucket_sql("embedding", hp)
+    # multi-table sign-LSH (round-5 verdict #7: single-bucket recall
+    # was ~0 on the near-isotropic testdata; 32 tables x 6 planes
+    # measure recall@3 ~0.8 vs brute force — pinned by pytest)
+    cos_qn_lsh = S.cosine_sql("q.embedding", "n.embedding")
     e["ann_topk_lsh"] = (
         lambda spark, sf: S.ann_topk_lsh(
             _vecs(spark, sf),
@@ -479,13 +481,19 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
             k=ANN_LSH_K,
         ),
         f"""WITH wb AS (
-                SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+                {S.banded_buckets_sql("embedding", S.ANN_LSH_TABLES, S.ANN_LSH_PLANES_PER_TABLE)}
             ),
+            qb AS (SELECT vec_id AS query_id, band, bucket FROM wb
+                   WHERE vec_id < {N_QUERIES}),
+            cand AS (
+                SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+                FROM wb c JOIN qb q ON c.band = q.band AND c.bucket = q.bucket
+                                   AND c.vec_id <> q.query_id),
             scored AS (
-                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                       {cos} AS cosine
-                FROM wb q JOIN wb c ON q.bucket = c.bucket
-                WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+                SELECT cand.query_id, cand.neighbor_id, {cos_qn_lsh} AS cosine
+                FROM cand
+                JOIN embeddings q ON q.vec_id = cand.query_id
+                JOIN embeddings n ON n.vec_id = cand.neighbor_id
             )
             SELECT query_id, neighbor_id, cosine, rank
             FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -494,42 +502,38 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
             WHERE rank <= {ANN_LSH_K}""",
     )
 
-    # IVF: nearest-centroid coarse quantizer + in-cell exact scoring.
-    # Centroid dims use the decimal-sum discipline so the "trained"
-    # structure itself is bit-identical across engines.
+    # IVF with a REAL k-means coarse quantizer + multi-probe (round-5
+    # verdict #7: the testdata's label column is geometrically
+    # meaningless, so label-cell IVF had recall ~0.1; k=10 cells /
+    # 3 Lloyd rounds / 3 probes measure recall@3 0.90-1.00 — pinned by
+    # pytest).  The whole trained structure — seeds, assignments,
+    # decimal-routed centroid means — is unrolled CTE-for-stage in the
+    # twin, so even the k-means training is hash-checked.
     cos_qc = S.cosine_sql("q.embedding", "c.cvec")
-    cos_qn = S.cosine_sql("a.__qvec", "n.embedding")
+    cos_qn = S.cosine_sql("p.__qvec", "n.embedding")
     e["ann_topk_ivf"] = (
         lambda spark, sf: S.ann_topk_ivf(
             _vecs(spark, sf),
             _vecs(spark, sf).filter(F.col("vec_id") < N_QUERIES),
             k=ANN_LSH_K,
         ),
-        f"""WITH cent_dims AS (
-                SELECT label AS cell, i,
-                       CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE)
-                       / COUNT(*) AS c
-                FROM embeddings, (SELECT unnest(range(1, 65)) AS i) dims
-                GROUP BY label, i
-            ),
-            centroids AS (
-                SELECT cell, list(c ORDER BY i) AS cvec FROM cent_dims GROUP BY cell
-            ),
-            assigned AS (
+        f"""WITH {S.ivf_kmeans_sql_ctes()},
+            probed AS (
                 SELECT query_id, cell, __qvec FROM (
                     SELECT q.vec_id AS query_id, c.cell, q.embedding AS __qvec,
                            ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                                              ORDER BY {cos_qc} DESC, c.cell) AS rn
-                    FROM embeddings q, centroids c
+                                              ORDER BY {cos_qc} DESC, c.cell ASC) AS rn
+                    FROM embeddings q, km_cents c
                     WHERE q.vec_id < {N_QUERIES}
-                ) t WHERE rn = 1
+                ) t WHERE rn <= {S.IVF_PROBES}
             ),
             scored AS (
-                SELECT a.query_id, a.cell, n.vec_id AS neighbor_id,
+                SELECT p.query_id, a.cell, n.vec_id AS neighbor_id,
                        {cos_qn} AS cosine
-                FROM assigned a
-                JOIN embeddings n ON n.label = a.cell
-                WHERE n.vec_id <> a.query_id
+                FROM probed p
+                JOIN km_assign a ON a.cell = p.cell
+                JOIN embeddings n ON n.vec_id = a.vec_id
+                WHERE n.vec_id <> p.query_id
             )
             SELECT query_id, cell, neighbor_id, cosine, rank
             FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id

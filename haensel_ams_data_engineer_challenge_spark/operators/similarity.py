@@ -163,33 +163,67 @@ def ann_topk_brute(
     )
 
 
+#: multi-table ANN LSH layout (round-5 verdict #7): single-bucket LSH
+#: on near-isotropic embeddings has recall ~0 (measured 0.03 at
+#: sf0.01) — the standard fix is L independent tables whose candidate
+#: union is scored exactly. 32 tables x 6 planes measure recall@3
+#: 0.80-0.83 vs brute force on the driver testdata while examining
+#: ~40% of the corpus per query (candidates ~ L * n / 2^P, the
+#: tunable scale knob; a clustered real-world corpus needs far fewer
+#: tables for the same recall).
+ANN_LSH_TABLES = 32
+ANN_LSH_PLANES_PER_TABLE = 6
+
+
 def ann_topk_lsh(
     vectors: DataFrame,
     queries: DataFrame,
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    planes: int = LSH_PLANES,
+    tables: int = ANN_LSH_TABLES,
+    planes_per_table: int = ANN_LSH_PLANES_PER_TABLE,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH
-    bucket. Output: (query_id, neighbor_id, cosine, rank)."""
-    hp = hyperplanes(planes)
-    with_bucket = vectors.withColumn("__bucket", bucket_expr(vec_col, hp))
-    q = with_bucket.join(
-        queries.select(id_col), id_col, "left_semi"
-    ).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qvec"),
-        F.col("__bucket"),
+    """Approximate top-k via MULTI-TABLE sign-LSH: a candidate is any
+    vector sharing the query's sign-pattern bucket in >= 1 of
+    ``tables`` independent hyperplane tables; candidates are then
+    scored with the exact cosine and ranked.  Output: (query_id,
+    neighbor_id, cosine, rank).
+
+    Scale shape: the only wide representation is the (id, table,
+    bucket) stream — same banded layout as ``embedding_dup_pairs_lsh``
+    and minhash LSH; the candidate set is deduped BEFORE the exact
+    cosine, so each (query, candidate) is scored once however many
+    tables agree.  Recall is pinned against brute force by
+    tests/test_extensions.py (round-5 verdict #7).
+    """
+    wb = banded_bucket_rows(vectors, id_col, vec_col, tables, planes_per_table)
+    # the bucket stream feeds the query side (semi-join) and the
+    # candidate side; materialize so the tables x planes dot products
+    # run once (same finding as embedding_dup_pairs_lsh)
+    wb = materialize(wb)
+    qb = wb.join(queries.select(id_col), id_col, "left_semi").select(
+        F.col(id_col).alias("query_id"), "band", "bucket"
     )
-    c = with_bucket.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cvec"),
-        F.col("__bucket"),
+    c, q = wb.alias("c"), qb.alias("q")
+    cand = (
+        c.join(
+            F.broadcast(q),
+            (F.col("c.band") == F.col("q.band"))
+            & (F.col("c.bucket") == F.col("q.bucket"))
+            & (F.col(f"c.{id_col}") != F.col("q.query_id")),
+        )
+        .select(
+            F.col("q.query_id").alias("query_id"),
+            F.col(f"c.{id_col}").alias("neighbor_id"),
+        )
+        .distinct()
     )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
+    cv = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
     scored = (
-        c.join(F.broadcast(q), "__bucket")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
         .withColumn("cosine", cosine_expr("__qvec", "__cvec"))
     )
     final = Window.partitionBy("query_id").orderBy(
@@ -229,59 +263,144 @@ def ivf_centroids(
     )
 
 
+#: IVF quantizer layout (round-5 verdict #7): the testdata's `label`
+#: column is geometrically meaningless (8% of a query's exact top-5
+#: share its label — measured), so label-cell IVF had recall ~0.1.
+#: The quantizer is now a real deterministic k-means over the vectors
+#: themselves: seeds = the k smallest vec_ids, IVF_ITERS Lloyd
+#: rounds with cosine assignment (ties -> lowest cell), decimal-routed
+#: per-dimension means so the trained centroids are bit-identical to
+#: the oracle's.  k=10 cells / 3 iterations / 3 probes measure
+#: recall@3 of 0.90-1.00 vs brute force while scanning ~30% of the
+#: corpus (n_probe/k of the inverted lists — the tunable scale knob).
+IVF_CELLS = 10
+IVF_ITERS = 3
+IVF_PROBES = 3
+
+
+def _cos_cell(vec_col: str, cvec_col: str = "cvec") -> Column:
+    """Cosine between a raw vector column and a (double) centroid."""
+    dot = F.aggregate(
+        F.zip_with(_d(vec_col), F.col(cvec_col), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cnorm = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col(cvec_col), F.col(cvec_col), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return dot / (norm_expr(vec_col) * cnorm)
+
+
+def _assign_cells(
+    vectors: DataFrame, cents: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, cell): nearest centroid by cosine, ties -> lowest cell.
+
+    The argmax is a map-side-combinable groupBy max over a
+    (cosine, -cell) struct — not a window — so a dominant partition
+    never single-task-sorts the full crossJoin output.
+    """
+    scored = (
+        vectors.select(F.col(id_col), F.col(vec_col))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("__cos", _cos_cell(vec_col))
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max(
+            F.struct(
+                F.col("__cos").alias("c"), (-F.col("cell")).alias("negc")
+            )
+        ).alias("__best")
+    )
+    return best.select(F.col(id_col), (-F.col("__best.negc")).alias("cell"))
+
+
+def ivf_kmeans(
+    vectors: DataFrame,
+    k: int = IVF_CELLS,
+    iters: int = IVF_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic k-means for the IVF coarse quantizer.
+
+    Seeds are the ``k`` smallest ids (TakeOrdered — no global sort);
+    each Lloyd round reassigns by cosine and recomputes decimal-routed
+    per-dimension means (``ivf_centroids``); a cell that loses all
+    members keeps its previous centroid.  Every step is engine-portable
+    float math in a fixed order, so the DuckDB twin (unrolled CTE
+    chain) reproduces assignments and centroids bit-for-bit.
+
+    Returns (assignments (id, cell), centroids (cell, cvec)).
+    """
+    seeds = vectors.select(id_col, vec_col).orderBy(id_col).limit(k)
+    w = Window.orderBy(id_col)  # k rows — single tiny partition is fine
+    cents = materialize(
+        seeds.select(
+            (F.row_number().over(w) - 1).cast("long").alias("cell"),
+            _d(vec_col).alias("cvec"),
+        )
+    )
+    assign = None
+    for _ in range(iters):
+        assign = _assign_cells(vectors, cents, id_col, vec_col)
+        new_cents = ivf_centroids(
+            vectors.join(assign, id_col).withColumnRenamed("cell", "__cell"),
+            "__cell",
+            vec_col,
+        ).withColumnRenamed("cell", "ncell")
+        p, n = cents.alias("p"), new_cents.alias("n")
+        cents = materialize(
+            p.join(n, F.col("p.cell") == F.col("n.ncell"), "left").select(
+                F.col("p.cell").alias("cell"),
+                F.coalesce(F.col("n.cvec"), F.col("p.cvec")).alias("cvec"),
+            )
+        )
+    return _assign_cells(vectors, cents, id_col, vec_col), cents
+
+
 def ann_topk_ivf(
     vectors: DataFrame,
     queries: DataFrame,
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    cell_col: str = "label",
+    cells: int = IVF_CELLS,
+    iters: int = IVF_ITERS,
+    n_probe: int = IVF_PROBES,
 ) -> DataFrame:
-    """IVF-style ANN: assign each query to its nearest cell centroid,
-    then search only that cell's inverted list.
+    """IVF ANN: k-means coarse quantizer (``ivf_kmeans``), each query
+    probes its ``n_probe`` nearest cells, and only those cells'
+    inverted lists are scored exactly.  Output: (query_id, cell,
+    neighbor_id, cosine, rank) — ``cell`` is the neighbor's cell.
 
-    The testdata's ``label`` column provides the cell assignment a
-    k-means training job would produce; centroids are computed (not
-    assumed), so the operator is the full IVF query path: train-side
-    statistics -> coarse quantizer -> in-cell exact scoring. Output:
-    (query_id, cell, neighbor_id, cosine, rank).
+    This is the full IVF path a vector store runs at scale: train-side
+    statistics -> multi-probe coarse quantizer -> in-cell exact
+    scoring; the corpus-side work is bounded by n_probe/k of the
+    inverted lists per query.  Recall vs brute force is pinned by
+    tests/test_extensions.py (round-5 verdict #7).
     """
-    cents = ivf_centroids(vectors, cell_col, vec_col)
+    assign, cents = ivf_kmeans(vectors, cells, iters, id_col, vec_col)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
-    # coarse quantizer: nearest centroid by cosine (ties -> min cell)
-    qc = (
-        q.crossJoin(F.broadcast(cents))
-        .withColumn(
-            "__cos_c",
-            F.aggregate(
-                F.zip_with(_d("__qvec"), F.col("cvec"), lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            / (norm_expr("__qvec") * F.sqrt(
-                F.aggregate(
-                    F.zip_with(F.col("cvec"), F.col("cvec"), lambda x, y: x * y),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-            )),
-        )
-    )
-    w_assign = Window.partitionBy("query_id").orderBy(
+    qc = q.crossJoin(F.broadcast(cents)).withColumn("__cos_c", _cos_cell("__qvec"))
+    w_probe = Window.partitionBy("query_id").orderBy(
         F.col("__cos_c").desc(), F.col("cell").asc()
     )
-    assigned = (
-        qc.withColumn("__rn", F.row_number().over(w_assign))
-        .filter(F.col("__rn") == 1)
+    probed = (
+        qc.withColumn("__rn", F.row_number().over(w_probe))
+        .filter(F.col("__rn") <= n_probe)
         .select("query_id", "__qvec", "cell")
     )
-    inverted = vectors.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cvec2"),
-        F.col(cell_col).alias("cell"),
+    inverted = (
+        vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec2"))
+        .join(assign.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
     )
     scored = (
-        inverted.join(F.broadcast(assigned), "cell")
+        inverted.join(F.broadcast(probed), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cosine", cosine_expr("__qvec", "__cvec2"))
     )
@@ -299,25 +418,78 @@ LSH_DUP_BANDS = 8
 LSH_DUP_BAND_PLANES = 3
 
 
-def banded_buckets_expr(
-    vec_col: str,
+def banded_bucket_rows(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
     bands: int = LSH_DUP_BANDS,
     planes_per_band: int = LSH_DUP_BAND_PLANES,
-) -> Column:
-    """Array of (band, bucket) structs: band b's bucket is the sign
-    pattern of ``planes_per_band`` dedicated hyperplanes (plane rows
-    b*r .. (b+1)*r-1 of the shared deterministic family)."""
+) -> DataFrame:
+    """(id, band, bucket) rows: band b's bucket is the sign pattern of
+    ``planes_per_band`` dedicated hyperplanes (plane rows b*r ..
+    (b+1)*r-1 of the shared deterministic family).
+
+    Expression shape matters here (round 6): the per-band
+    ``bucket_expr`` form builds bands x planes_per_band SEPARATE
+    higher-order aggregate expressions — at the ANN layout (32x6 = 192
+    folds) the generated code blows past whole-stage-codegen limits
+    and execution falls back to interpreted eval (measured 14 s for
+    the sf0.1 signature pass). Instead: ONE transform over the literal
+    plane matrix computes the 0/1 sign vector, staged as a real column
+    so it is evaluated once per row, then a second transform derives
+    each band's bucket as a weighted sum of its sign slice (measured
+    0.4 s warm for the same pass — 35x). Bit-identical buckets: the
+    per-plane dot keeps the same zip_with/aggregate association order,
+    and sign > 0 is the same predicate.
+    """
     hp = hyperplanes(bands * planes_per_band)
-    return F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                bucket_expr(
-                    vec_col, hp[b * planes_per_band : (b + 1) * planes_per_band]
-                ).alias("bucket"),
+    # one JVM-parsed SQL literal for the whole plane matrix: building
+    # it as nested F.array(F.lit(...)) issues one py4j call per
+    # component (12,288 at the 32x6 ANN layout) and costs ~8 s of
+    # DRIVER-side plan construction per query build — the expression
+    # string parses in one call
+    planes_lit = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"CAST({w!r} AS DOUBLE)" for w in row) + ")"
+            for row in hp
+        )
+        + ")"
+    )
+    signs = F.transform(
+        planes_lit,
+        lambda p: F.when(
+            F.aggregate(
+                F.zip_with(_d(vec_col), p, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
             )
-            for b in range(bands)
-        ]
+            > 0,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+    weights = F.array(*[F.lit(1 << j).cast("long") for j in range(planes_per_band)])
+    bands_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
+            F.aggregate(
+                F.zip_with(
+                    F.slice(F.col("__signs"), b * planes_per_band + 1, planes_per_band),
+                    weights,
+                    lambda s, w: s * w,
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("bucket"),
+        ),
+    )
+    return (
+        vectors.withColumn("__signs", signs)
+        .select(F.col(id_col), F.explode(bands_arr).alias("bb"))
+        .select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     )
 
 
@@ -347,10 +519,7 @@ def embedding_dup_pairs_lsh(
     oracle mirrors the banded semantics exactly, so parity is
     bit-exact regardless.
     """
-    wb = vectors.select(
-        F.col(id_col),
-        F.explode(banded_buckets_expr(vec_col, bands, planes_per_band)).alias("bb"),
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    wb = banded_bucket_rows(vectors, id_col, vec_col, bands, planes_per_band)
     # the bucket stream feeds both sides of the self-join and exchange
     # reuse does not fire across the branches (same finding as
     # dedup.minhash_bands) — without materialization every row's
@@ -386,7 +555,7 @@ def banded_buckets_sql(
     bands: int = LSH_DUP_BANDS,
     planes_per_band: int = LSH_DUP_BAND_PLANES,
 ) -> str:
-    """DuckDB twin of ``banded_buckets_expr`` as a UNION ALL over
+    """DuckDB twin of ``banded_bucket_rows`` as a UNION ALL over
     bands: (vec_id, band, bucket) rows from the embeddings table."""
     hp = hyperplanes(bands * planes_per_band)
     selects = [
@@ -396,6 +565,56 @@ def banded_buckets_sql(
         for b in range(bands)
     ]
     return "\n    UNION ALL ".join(selects)
+
+
+def ivf_kmeans_sql_ctes(
+    k: int = IVF_CELLS,
+    iters: int = IVF_ITERS,
+    dim: int = EMBEDDING_DIM,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin of ``ivf_kmeans`` as an unrolled CTE chain ending in
+    ``km_assign`` (vec_id, cell) and ``km_cents`` (cell, cvec) — every
+    step mirrors the Spark operator bit-for-bit (same seeds, same
+    cosine association order, same decimal-routed means, same
+    empty-cell COALESCE)."""
+    cos = cosine_sql("e.embedding", "c.cvec", dim)
+
+    def assign_cte(name: str, cent: str) -> str:
+        return (
+            f"{name} AS MATERIALIZED (SELECT vec_id, cell FROM ("
+            f"SELECT e.vec_id, c.cell, ROW_NUMBER() OVER (PARTITION BY e.vec_id "
+            f"ORDER BY {cos} DESC, c.cell ASC) AS rn FROM {table} e, {cent} c) t "
+            f"WHERE rn = 1)"
+        )
+
+    parts = [
+        f"km_seeds AS MATERIALIZED (SELECT vec_id, embedding FROM {table} ORDER BY vec_id LIMIT {k})",
+        "km_cent0 AS MATERIALIZED (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec FROM km_seeds)",
+    ]
+    prev = "km_cent0"
+    for t in range(1, iters + 1):
+        parts.append(assign_cte(f"km_assign{t}", prev))
+        parts.append(
+            f"km_cd{t} AS MATERIALIZED (SELECT a.cell, d.i, "
+            f"CAST(SUM(CAST(CAST(e.embedding[d.i] AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE)"
+            f" / COUNT(*) AS c "
+            f"FROM {table} e JOIN km_assign{t} a ON a.vec_id = e.vec_id, "
+            f"(SELECT unnest(range(1, {dim + 1})) AS i) d GROUP BY a.cell, d.i)"
+        )
+        parts.append(
+            f"km_nc{t} AS MATERIALIZED (SELECT cell, list(c ORDER BY i) AS cvec "
+            f"FROM km_cd{t} GROUP BY cell)"
+        )
+        parts.append(
+            f"km_cent{t} AS MATERIALIZED (SELECT p.cell, COALESCE(n.cvec, p.cvec) AS cvec "
+            f"FROM {prev} p LEFT JOIN km_nc{t} n ON n.cell = p.cell)"
+        )
+        prev = f"km_cent{t}"
+    parts.append(assign_cte("km_assign", prev))
+    parts.append(f"km_cents AS MATERIALIZED (SELECT cell, cvec FROM {prev})")
+    return ",\n".join(parts)
 
 
 def embedding_dup_pairs(

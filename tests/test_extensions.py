@@ -213,21 +213,68 @@ def test_multimodal_resize_frames_features(spark, sf_dir):
 
 def test_ann_ivf_cell_locality_and_ranks(spark, sf_dir):
     from haensel_ams_data_engineer_challenge_spark.operators.similarity import (
+        IVF_PROBES,
         ann_topk_ivf,
+        ivf_kmeans,
     )
 
     vecs = load_table(spark, sf_dir, "embeddings")
     out = ann_topk_ivf(vecs, vecs.filter(F.col("vec_id") < 10), k=3)
     rows = out.collect()
     assert rows
-    cells = {r.vec_id: r.label for r in vecs.select("vec_id", "label").collect()}
+    # every neighbor comes from its k-means cell's inverted list, and
+    # each query touches at most n_probe distinct cells
+    assign, _cents = ivf_kmeans(vecs)
+    cells = {r.vec_id: r.cell for r in assign.collect()}
+    probed_by_q: dict[int, set] = {}
     for r in rows:
-        # every neighbor comes from the assigned cell's inverted list
         assert cells[r.neighbor_id] == r.cell
+        probed_by_q.setdefault(r.query_id, set()).add(r.cell)
+    assert all(len(cs) <= IVF_PROBES for cs in probed_by_q.values())
     by_q = {}
     for r in sorted(rows, key=lambda r: (r.query_id, r.rank)):
         by_q.setdefault(r.query_id, []).append(r.rank)
     assert all(ranks == list(range(1, len(ranks) + 1)) for ranks in by_q.values())
+
+
+def test_ann_recall_floor_vs_bruteforce(spark):
+    """Round-5 verdict #7: the approximate ANN paths are hash-checked
+    against their own bucketed twins, which proves correct bucketing
+    but not retrieval quality — this pins recall@3 vs exact brute
+    force on the sf0.01 embeddings so a parameter change cannot
+    silently trash recall while staying hash-green.
+
+    Measured on the round-6 testdata (documented floors leave margin
+    for per-round testdata regeneration, ~2.5 sigma of the binomial
+    sampling noise at 30 neighbor slots):
+
+    - multi-table LSH (32 tables x 6 planes): recall@3 = 0.83 -> floor 0.65
+    - k-means IVF (10 cells, 3 iters, 3 probes): recall@3 = 1.00 -> floor 0.70
+
+    (The pre-round-6 single-bucket/label-cell forms measured 0.03 and
+    0.10 on the same protocol — the regression this test exists to
+    catch.)
+    """
+    from haensel_ams_data_engineer_challenge_spark.operators.similarity import (
+        ann_topk_ivf,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    vecs = load_table(spark, sf, "embeddings")
+    queries = vecs.filter(F.col("vec_id") < 10)
+    k = 3
+    exact: dict[int, set] = {}
+    for r in S.ann_topk_brute(vecs, queries, k=k).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    n_slots = sum(len(v) for v in exact.values())
+    assert n_slots == 10 * k
+
+    lsh = {(r.query_id, r.neighbor_id) for r in S.ann_topk_lsh(vecs, queries, k=k).collect()}
+    ivf = {(r.query_id, r.neighbor_id) for r in ann_topk_ivf(vecs, queries, k=k).collect()}
+    lsh_recall = sum(1 for q, n in lsh if n in exact.get(q, set())) / n_slots
+    ivf_recall = sum(1 for q, n in ivf if n in exact.get(q, set())) / n_slots
+    assert lsh_recall >= 0.65, f"LSH recall@3 collapsed: {lsh_recall:.2f}"
+    assert ivf_recall >= 0.70, f"IVF recall@3 collapsed: {ivf_recall:.2f}"
 
 
 # ---------------------------------------------------------------------------
