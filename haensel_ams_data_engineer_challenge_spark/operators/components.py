@@ -29,7 +29,58 @@ identical.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window, functions as F
+
+#: Driver-side cost estimate for one collected edge (a two-long Row
+#: plus py4j/GC overhead) — used to turn the session's byte budgets
+#: into an edge-count cap for the local union-find fast path.
+LOCAL_EDGE_BYTES = 64
+#: Hard ceiling on the derived cap: past ~100k edges the union-find
+#: transfer stops resembling a broadcast build side.
+LOCAL_EDGE_CEILING = 100_000
+
+_BYTE_UNITS = {
+    "": 1, "b": 1,
+    "k": 1 << 10, "kb": 1 << 10,
+    "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30,
+    "t": 1 << 40, "tb": 1 << 40,
+    "p": 1 << 50, "pb": 1 << 50,
+}
+
+
+def _parse_byte_conf(value: str) -> int:
+    """Spark byte-size conf string -> bytes ('10MB', '10485760b', '-1')."""
+    m = re.fullmatch(r"\s*(-?\d+)\s*([a-zA-Z]*)\s*", value)
+    if not m:
+        return -1
+    unit = _BYTE_UNITS.get(m.group(2).lower())
+    return int(m.group(1)) * unit if unit is not None else -1
+
+
+def _derived_max_local_edges(spark) -> int:
+    """Default cap for the local union-find path, tied to the session's
+    own small-data budgets (round-5 advice: a fixed 100k constant could
+    surprise a tuned-down driver).  The cap is the edge count whose
+    driver transfer fits the same class of budget a broadcast join
+    uses: min(autoBroadcastJoinThreshold, driver.maxResultSize) /
+    ~LOCAL_EDGE_BYTES per edge, ceilinged at LOCAL_EDGE_CEILING.  A
+    session that disables broadcast joins (threshold <= 0) gets 0 —
+    the distributed star rounds — because it has declared that no
+    driver-sized shortcut is welcome.
+    """
+    thr = _parse_byte_conf(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    )
+    if thr <= 0:
+        return 0
+    budget = thr
+    max_res = _parse_byte_conf(spark.conf.get("spark.driver.maxResultSize", "1g"))
+    if max_res > 0:  # 0 = unlimited in Spark
+        budget = min(budget, max_res)
+    return min(LOCAL_EDGE_CEILING, budget // LOCAL_EDGE_BYTES)
 
 
 def _canonical(pairs: DataFrame, src: str, dst: str) -> DataFrame:
@@ -140,7 +191,7 @@ def connected_components(
     max_rounds: int = 50,
     checkpoint_dir: str | None = None,
     exact_convergence: bool = False,
-    max_local_edges: int = 100_000,
+    max_local_edges: int | None = None,
 ) -> DataFrame:
     """Connected components of an undirected pair graph.
 
@@ -176,7 +227,13 @@ def connected_components(
     ``max_local_edges``: edge sets at or below this size are solved
     with driver-side union-find instead of the distributed rounds
     (bit-identical min-label components; ``cc_rounds`` reads 0).  Set
-    0 to force the distributed path regardless of size.
+    0 to force the distributed path regardless of size.  The default
+    (``None``) derives the cap from the session's own budgets —
+    min(``spark.sql.autoBroadcastJoinThreshold``,
+    ``spark.driver.maxResultSize``) / ~64 bytes per collected edge,
+    ceilinged at 100k — so a session with broadcast joins disabled
+    never takes the driver shortcut, and a tuned-down driver scales
+    the cap with its budget instead of being surprised by a constant.
 
     Diagnostics: the returned DataFrame carries ``cc_rounds`` (the
     round count of THIS call) and ``cc_round_secs`` (driver-measured
@@ -216,6 +273,8 @@ def connected_components(
     # the distributed star rounds unchanged; pass ``max_local_edges=0``
     # to force the distributed path (the skew/scale benches do, so the
     # O(log n) measurements stay honest).
+    if max_local_edges is None:
+        max_local_edges = _derived_max_local_edges(pairs.sparkSession)
     if max_local_edges and n_edges <= max_local_edges:
         out = _local_components(
             e.collect(), pairs.sparkSession, e.schema["u"].dataType

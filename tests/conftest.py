@@ -22,3 +22,22 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_SMOKE
+
+
+@pytest.fixture(scope="session")
+def ckpt_dir(spark, tmp_path_factory) -> str:
+    """Session-owned SparkContext checkpoint dir (round-5 advice).
+
+    The checkpoint dir is session-global and ensure_checkpoint_dir
+    refuses to move it once set, so exactly one fixture owns it: every
+    test that exercises reliable checkpoints depends on this fixture
+    and uses ITS path — file ordering, ``-k`` selection, and xdist
+    scheduling are all irrelevant to which dir wins.
+    """
+    from haensel_ams_data_engineer_challenge_spark.checkpoint import (
+        ensure_checkpoint_dir,
+    )
+
+    d = str(tmp_path_factory.mktemp("spark-ckpt"))
+    ensure_checkpoint_dir(spark.sparkContext, d)
+    return d

@@ -159,14 +159,22 @@ def test_cc_two_actions_per_round(spark, monkeypatch):
     }
 
 
-def test_cc_reliable_checkpoint_dir(spark, tmp_path):
+def test_cc_reliable_checkpoint_dir(spark, ckpt_dir, tmp_path):
     """checkpoint_dir= switches lineage truncation to reliable
-    checkpoints (cluster fault-tolerance path); same results."""
+    checkpoints (cluster fault-tolerance path); same results.  Uses
+    the session-owned ckpt_dir fixture (round-5 advice): the dir is
+    session-global, so the test asserts file GROWTH under it rather
+    than assuming it was unset before this test ran."""
     import os
 
-    ckpt = str(tmp_path / "ckpt")
+    ckpt = ckpt_dir
+
+    def n_files() -> int:
+        return sum(len(fs) for _, _, fs in os.walk(ckpt))
+
     edges = [(1, 2), (2, 3), (10, 11)]
     df = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    before = n_files()
     got = {
         r.node: r.component
         for r in connected_components(
@@ -174,7 +182,7 @@ def test_cc_reliable_checkpoint_dir(spark, tmp_path):
         ).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
-    assert os.listdir(ckpt), "reliable checkpoint dir unused"
+    assert n_files() > before, "reliable checkpoint dir unused"
     # repeated use with the SAME plain path must not trip the clobber
     # guard: getCheckpointDir() reports a fully-qualified file: URI of
     # the UUID subdir Spark created, and the guard compares
@@ -233,3 +241,48 @@ def test_cc_empty_edge_list(spark, local_cap):
     )
     out = dedup_survivors(docs, empty).collect()
     assert all(r.is_survivor and r.component == r.doc_id for r in out)
+
+
+def test_cc_default_cap_derived_from_session_budgets(spark):
+    """The default max_local_edges is derived from the session's
+    broadcast/driver budgets (round-5 advice), not a bare constant:
+    broadcast disabled -> distributed rounds even for tiny graphs; a
+    tiny threshold scales the cap down proportionally."""
+    from haensel_ams_data_engineer_challenge_spark.operators.components import (
+        LOCAL_EDGE_BYTES,
+        _derived_max_local_edges,
+        _parse_byte_conf,
+    )
+
+    assert _parse_byte_conf("10MB") == 10 * 1024 * 1024
+    assert _parse_byte_conf("10485760b") == 10485760
+    assert _parse_byte_conf("-1") == -1
+    assert _parse_byte_conf("2g") == 2 << 30
+    assert _parse_byte_conf("garbage") == -1
+
+    # engine session (64MB threshold, 1g maxResultSize): the cap sits
+    # at the 100k ceiling, so default behavior is unchanged
+    assert _derived_max_local_edges(spark) == 100_000
+
+    edges = [(1, 2), (2, 3), (10, 11)]
+    df = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    want = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    thr_conf = "spark.sql.autoBroadcastJoinThreshold"
+    orig = spark.conf.get(thr_conf)
+    spark.conf.set(thr_conf, "-1")
+    try:
+        # broadcast disabled: the driver shortcut is off by default
+        assert _derived_max_local_edges(spark) == 0
+        cc = connected_components(df)
+        assert {r.node: r.component for r in cc.collect()} == want
+        assert cc.cc_rounds >= 1
+
+        # tuned-down threshold: cap scales with the budget
+        spark.conf.set(thr_conf, "1k")
+        assert _derived_max_local_edges(spark) == 1024 // LOCAL_EDGE_BYTES
+        cc2 = connected_components(df)  # 3 edges <= 16: local path
+        assert {r.node: r.component for r in cc2.collect()} == want
+        assert cc2.cc_rounds == 0
+    finally:
+        spark.conf.set(thr_conf, orig)

@@ -6,13 +6,12 @@ conf switches every site to reliable checkpoints with identical
 results (round-4 verdict #3).  ``spark.haenselams.respreadPartitions``
 un-hardcodes the scan-layout re-spread width (verdict #4).
 
-NOTE this file must sort AFTER test_components.py: the SparkContext
-checkpoint dir is session-global and the guard (by design) refuses to
-move it once set, so the reliable-mode test reuses whatever dir the
-components test already established instead of racing it.  The
-conflicting-dir refusal itself is tested in
-test_components.test_cc_reliable_checkpoint_dir against the same
-shared ensure_checkpoint_dir.
+The SparkContext checkpoint dir is session-global and the guard (by
+design) refuses to move it once set, so all reliable-checkpoint tests
+share the session-owned ``ckpt_dir`` conftest fixture (round-5
+advice) — test order is irrelevant.  The conflicting-dir refusal
+itself is tested in test_components.test_cc_reliable_checkpoint_dir
+against the same shared ensure_checkpoint_dir.
 """
 
 from __future__ import annotations
@@ -40,7 +39,7 @@ def test_materialize_default_is_local_checkpoint(spark):
     assert "localCheckpoint" in debug
 
 
-def test_materialize_reliable_mode_same_results(spark, sf_dir, tmp_path):
+def test_materialize_reliable_mode_same_results(spark, sf_dir, ckpt_dir):
     """With the conf set, materialize() uses reliable checkpoints and
     the dedup-family results are unchanged."""
     docs = load_table(spark, sf_dir, "documents")
@@ -48,13 +47,11 @@ def test_materialize_reliable_mode_same_results(spark, sf_dir, tmp_path):
 
     import os
 
-    current = spark.sparkContext.getCheckpointDir()
-    ckpt = current if current else str(tmp_path / "relckpt")
+    ckpt = ckpt_dir
     spark.conf.set(C.CHECKPOINT_DIR_CONF, ckpt)
 
     def n_ckpt_files() -> int:
-        root = C._strip_uri_scheme(ckpt)
-        return sum(len(files) for _, _, files in os.walk(root))
+        return sum(len(files) for _, _, files in os.walk(ckpt))
 
     before = n_ckpt_files()
     try:
