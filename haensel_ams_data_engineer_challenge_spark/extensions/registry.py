@@ -787,23 +787,68 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
 
     e["pii_redaction"] = (_pii_redaction, _pii_redaction_sql())
 
-    # ---- skew-resistant aggregation (round-4 verdict #5 rotation) -------
+    # ---- skew-resistant aggregation + join (r4 verdict #5 rotation; the
+    # join arms are round 6) -------------------------------------------
     # scale.salted_sum was pytest-only; the driver row proves the
     # two-phase salted aggregate equals the plain GROUP BY sum exactly
-    # (decimal-routed partials make the regrouping bit-stable).
+    # (decimal-routed partials make the regrouping bit-stable).  Round
+    # 6 tags in the STATIC skew-join counterpart (scale.salted_join:
+    # big side salted on a high-card column, small side replicated
+    # n_salts×, join on (key, salt) — the manual form for known-skew
+    # joins where the dim is too big to broadcast and AQE's runtime
+    # split hasn't shuffled yet): 'join_salted' and 'join_plain' arms
+    # aggregate a joined measure (value × c_acctbal — nonzero only if
+    # the join matched rows correctly) and must hash-match each other
+    # and the single oracle join query.
     def _salted(spark: SparkSession, sf: str) -> DataFrame:
-        from ..operators.scale import salted_sum
+        from ..functions.scalars import dsum
+        from ..operators.scale import salted_join, salted_sum
         from ..sources import load_table
 
         ev = load_table(spark, sf, "events")
-        return salted_sum(ev, "event_type", "value", salt_source="event_id")
+        cust = load_table(spark, sf, "customer").select("c_custkey", "c_acctbal")
+        agg = salted_sum(ev, "event_type", "value", salt_source="event_id")
+
+        def _join_measure(joined: DataFrame) -> DataFrame:
+            return joined.groupBy("event_type").agg(
+                dsum(F.col("value") * F.col("c_acctbal"), "sum_value")
+            )
+
+        j_salted = _join_measure(
+            salted_join(
+                ev, cust, on="user_id", salt_source="event_id",
+                small_on="c_custkey", n_salts=8,
+            )
+        )
+        j_plain = _join_measure(
+            ev.join(cust.withColumnRenamed("c_custkey", "user_id"), "user_id")
+        )
+        cols = ["method", "event_type", "sum_value"]
+        return (
+            agg.withColumn("method", F.lit("agg_salted")).select(cols)
+            .unionByName(
+                j_salted.withColumn("method", F.lit("join_salted")).select(cols)
+            )
+            .unionByName(
+                j_plain.withColumn("method", F.lit("join_plain")).select(cols)
+            )
+        )
 
     from ..functions.scalars import dsum_sql
 
     e["salted_sum_events"] = (
         _salted,
-        f"""SELECT event_type, {dsum_sql('value', 'sum_value')}
-            FROM events GROUP BY event_type""",
+        f"""WITH agg AS (
+                SELECT event_type, {dsum_sql('value', 'sum_value')}
+                FROM events GROUP BY event_type),
+            j AS (
+                SELECT event_type,
+                       {dsum_sql('value * c_acctbal', 'sum_value')}
+                FROM events JOIN customer ON user_id = c_custkey
+                GROUP BY event_type)
+            SELECT 'agg_salted' AS method, * FROM agg
+            UNION ALL SELECT 'join_salted' AS method, * FROM j
+            UNION ALL SELECT 'join_plain' AS method, * FROM j""",
     )
 
     return e

@@ -14,6 +14,11 @@ matters at 100 TB:
   skew-join handles skewed JOINS automatically; skewed AGGREGATES
   still need salting when map-side combine can't compress (e.g.
   distinct-style or collect-style aggregates).
+- ``salted_join``: the static skew-join form (replicate-small,
+  split-big) for when the skew is KNOWN and the small side is too big
+  to broadcast; AQE's runtime skew split only fires after a first
+  shuffle has measured the partitions and only inside sort-merge
+  joins, so a pipeline that knows its hot keys salts up front.
 """
 
 from __future__ import annotations
@@ -74,6 +79,56 @@ def salted_sum(
         partial.groupBy(key_col)
         .agg(F.sum("__partial").cast("double").alias(f"sum_{value_col}"))
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    salt_source: str,
+    small_on: str | None = None,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join via salt replication.
+
+    A hot join key floods one reducer in a shuffle join.  The big
+    side gets a deterministic ``__salt`` in [0, n_salts) hashed from
+    ``salt_source`` (any high-cardinality column — NOT the join key,
+    whose hot value would land every row in one salt; deterministic so
+    task retries and re-runs reproduce), the small side is replicated
+    ``n_salts``× via explode, and the join runs on (key, __salt) — the
+    hot key's rows spread over ``n_salts`` reducers instead of one.
+
+    Row multiset equals the plain join exactly: each big row carries
+    exactly one salt and meets exactly one replica of every matching
+    small row.  ``how`` may be 'inner' or 'left' (for 'left',
+    unmatched big rows survive null-extended as usual; 'right'/'outer'
+    would see the small side's replicas as distinct unmatched rows, so
+    they are refused).
+
+    Cost/when: the small side shuffles ``n_salts``× its size — use for
+    mid-size dims too big to broadcast.  broadcast() is strictly
+    better when the dim fits; AQE's skew join handles the residual
+    cases where the skew is only discovered at runtime.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports 'inner'/'left', got {how!r}")
+    right_key = small_on or on
+    if salt_source == on:
+        raise ValueError(
+            "salt_source must be a high-cardinality non-key column: "
+            "hashing the join key itself maps each hot key to ONE salt"
+        )
+    salted_big = big.withColumn(
+        "__salt", F.pmod(F.hash(F.col(salt_source)), F.lit(n_salts))
+    )
+    replicated = (
+        small.withColumnRenamed(right_key, on)
+        if right_key != on
+        else small
+    ).withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
+    return salted_big.join(replicated, [on, "__salt"], how).drop("__salt")
 
 
 def kmv_distinct_estimate(

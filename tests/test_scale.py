@@ -85,3 +85,86 @@ def test_kmv_empty_input_is_zero(spark):
 
     empty = spark.createDataFrame([], "u string")
     assert kmv_distinct_estimate(empty, "u").first().approx_distinct == 0.0
+
+
+def test_salted_join_matches_plain_join_exact(spark):
+    """salted_join on a 90%-hot-key frame returns the exact row
+    multiset of the plain join, for inner and left."""
+    from haensel_ams_data_engineer_challenge_spark.operators.scale import salted_join
+
+    big = spark.range(2000).select(
+        F.col("id").alias("row_id"),
+        # 90% of rows share key 1; the rest spread over 2..49; keys
+        # 60+ exist on the big side only (left-join null extension)
+        F.when(F.col("id") % 10 < 9, F.lit(1))
+        .when(F.col("id") % 100 == 9, F.lit(60) + F.col("id") % 5)
+        .otherwise(F.col("id") % 48 + 2)
+        .alias("k"),
+        (F.col("id") * 1.5).alias("v"),
+    )
+    small = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 10.0).alias("attr")
+    )
+
+    for how in ("inner", "left"):
+        plain = big.join(small, "k", how)
+        salted = salted_join(
+            big, small, on="k", salt_source="row_id", n_salts=8, how=how
+        )
+        assert sorted(salted.columns) == sorted(plain.columns)
+        key = lambda r: (r.k, r.row_id, r.v, r.attr)
+        assert sorted(map(key, salted.collect())) == sorted(
+            map(key, plain.collect())
+        ), how
+
+
+def test_salted_join_key_rename_and_guards(spark):
+    """small_on renames the dim key; hashing the join key itself (all
+    hot rows -> one salt) and non-inner/left hows are refused."""
+    from haensel_ams_data_engineer_challenge_spark.operators.scale import salted_join
+
+    big = spark.createDataFrame(
+        [(1, 10, 1.0), (2, 20, 2.0), (3, 99, 3.0)], "rid: long, uid: long, v: double"
+    )
+    dim = spark.createDataFrame([(10, "a"), (20, "b")], "ck: long, nm: string")
+    got = {
+        (r.uid, r.nm)
+        for r in salted_join(
+            big, dim, on="uid", salt_source="rid", small_on="ck", n_salts=4
+        ).collect()
+    }
+    assert got == {(10, "a"), (20, "b")}
+
+    with pytest.raises(ValueError):
+        salted_join(big, dim, on="uid", salt_source="uid", small_on="ck")
+    with pytest.raises(ValueError):
+        salted_join(big, dim, on="uid", salt_source="rid", small_on="ck", how="outer")
+
+
+def test_salted_join_shuffles_on_key_and_salt(spark):
+    """With broadcast off (the too-big-to-broadcast regime this
+    operator exists for), the join's exchanges partition on
+    (key, __salt) — the hot key spreads over n_salts reducers."""
+    from haensel_ams_data_engineer_challenge_spark.operators.scale import salted_join
+
+    # hot key must be data-dependent: a literal would be constant-
+    # folded out of the join keys entirely
+    big = spark.range(1000).select(
+        F.col("id").alias("row_id"),
+        F.when(F.col("id") < 900, F.lit(1)).otherwise(F.col("id") % 4).alias("k"),
+        F.col("id").alias("v"),
+    )
+    small = spark.range(4).select(F.col("id").alias("k"), F.col("id").alias("a"))
+    thr = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(thr)
+    spark.conf.set(thr, "-1")
+    try:
+        df = salted_join(big, small, on="k", salt_source="row_id", n_salts=8)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set(thr, old)
+    import re
+
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    both = [x for x in exchanges if "k#" in x and "__salt#" in x]
+    assert len(both) >= 2, plan  # both join inputs partition on (k, __salt)
