@@ -226,12 +226,23 @@ def test_pii_redaction_is_row_local_and_pruned(spark, sf_dir):
 def test_salted_sum_two_phase_shape(spark, sf_dir):
     """The skew-salted sum must keep exactly its two-phase shape: one
     exchange on (key, salt) for the heavy partial aggregate, one on
-    the key for the tiny merge — never a single-partition collapse."""
-    fn, _sql = registry()["salted_sum_events"]
-    plan = plan_of(fn(spark, sf_dir))
+    the key for the tiny merge — never a single-partition collapse.
+    (Asserted on the operator itself: the registry entry unions three
+    method arms since round 6, so its plan is the sum of theirs.)"""
+    from haensel_ams_data_engineer_challenge_spark.operators.scale import salted_sum
+    from haensel_ams_data_engineer_challenge_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    plan = plan_of(salted_sum(ev, "event_type", "value", salt_source="event_id"))
     assert plan.count("Exchange hashpartitioning") == 2
     assert "Exchange SinglePartition" not in plan
     assert "__salt" in plan
+    # the three-arm registry entry still must never collapse to a
+    # single partition, and both salted arms keep their salt columns
+    fn, _sql = registry()["salted_sum_events"]
+    entry_plan = plan_of(fn(spark, sf_dir))
+    assert "Exchange SinglePartition" not in entry_plan
+    assert "__salt" in entry_plan
 
 
 def test_dedup_family_has_no_windows(spark, sf_dir):
