@@ -168,3 +168,54 @@ def test_salted_join_shuffles_on_key_and_salt(spark):
     exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
     both = [x for x in exchanges if "k#" in x and "__salt#" in x]
     assert len(both) >= 2, plan  # both join inputs partition on (k, __salt)
+
+
+def test_aqe_splits_skewed_smj_partition(spark):
+    """DESIGN.md trusts AQE with skew-join splitting for sort-merge
+    joins; pin that the trust is real: with skew thresholds scaled to
+    a local frame, a 95%-hot-key SMJ's final adaptive plan shows the
+    skew=true split instead of one flooded reducer partition.
+    (Salting — salted_join/salted_sum — remains for KNOWN skew and
+    skewed aggregates, which AQE does not split.)"""
+    # pad must be INCOMPRESSIBLE (unique per row): AQE measures
+    # compressed shuffle bytes, and a constant pad deflates to nothing
+    pad = F.repeat(F.md5(F.col("id").cast("string")), 8)
+    big = spark.range(4000).select(
+        F.col("id").alias("row_id"),
+        F.when(F.col("id") % 20 < 19, F.lit(1)).otherwise(F.col("id") % 7).alias("k"),
+        pad.alias("pad"),
+    )
+    other = spark.range(70).select(
+        (F.col("id") % 7).alias("k"), pad.alias("pad2")
+    )
+    expected = big.join(other, "k").count()  # default confs
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        df = big.join(other, "k")
+        # collect() executes THIS df's QueryExecution — count() or a
+        # writer would finalize a different one and leave this plan
+        # isFinalPlan=false (the frames above are sized so the joined
+        # result is small enough to ship)
+        n = len(df.collect())
+        assert n == expected  # split changes nothing semantically
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
