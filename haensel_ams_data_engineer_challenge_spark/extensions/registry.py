@@ -723,10 +723,20 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
     # round 5: the former multimodal_binary_metadata entry (n_bytes +
     # content_hash) is tagged INTO the decode stub — content_hash is a
     # column of decode_image_meta now — freeing a 50-cap slot.
-    from ..multimodal.binary import DECODE_STUB_SQL, decode_stub_query
+    # round 6: the entry widens from decode-only to the FULL pipeline
+    # (decode ⋈ resize ⋈ frame-sample ⋈ feature-extract), promoting
+    # the three formerly pytest-only Arrow contracts into the
+    # hash-checked gate.
+    from ..multimodal.binary import (
+        MULTIMODAL_PIPELINE_SQL,
+        multimodal_pipeline_query,
+    )
 
     # hash-checked: the fake decode is md5-byte math DuckDB can mirror
-    e["multimodal_decode_stub"] = (decode_stub_query, DECODE_STUB_SQL)
+    e["multimodal_decode_stub"] = (
+        multimodal_pipeline_query,
+        MULTIMODAL_PIPELINE_SQL,
+    )
 
     # ---- chunk packing (P2) ---------------------------------------------
     # round 5: both packing forms (closed-form cumsum + exact greedy)

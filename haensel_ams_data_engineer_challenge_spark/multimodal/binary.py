@@ -192,3 +192,83 @@ SELECT doc_id,
        'fake' AS decoder,
        md5(text) AS content_hash
 FROM documents"""
+
+
+N_SAMPLE_FRAMES = 4
+
+
+def multimodal_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry (round 6, widens the decode-only row): the FULL
+    multimodal plumbing chain in one hash-checked row — decode ⋈
+    resize ⋈ frame-sample (pivoted to per-frame offset columns) ⋈
+    feature-extract (array<float> unpacked to scalar columns), every
+    stage the real Arrow-batched ``mapInPandas`` operator over the
+    binary payload column.  One wide row per document; all three
+    joins are on doc_id (co-partitioned — one key, three map-side
+    joinable streams at scale).
+
+    Hash-checked against ``MULTIMODAL_PIPELINE_SQL``: with the
+    deterministic fake decode, every derived column — resize geometry
+    (double math in the same IEEE order), frame offsets (integer
+    floor division), feature floats (hex-pair / 65536 routed through
+    float32 exactly like the Arrow schema) — is portable arithmetic
+    DuckDB reproduces bit-for-bit.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    decoded = decode_image_meta(docs)
+    resized = resize_image_meta(docs).select(
+        "doc_id",
+        F.col("width").alias("r_width"),
+        F.col("height").alias("r_height"),
+        F.col("scale").alias("r_scale"),
+    )
+    frames = (
+        frame_sample(docs, n_frames=N_SAMPLE_FRAMES)
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.max(
+                    F.when(F.col("frame_idx") == i, F.col("frame_offset"))
+                ).alias(f"frame_off_{i}")
+                for i in range(N_SAMPLE_FRAMES)
+            ]
+        )
+    )
+    feats = feature_extract(docs).select(
+        "doc_id",
+        *[
+            F.col("features")[i].cast("double").alias(f"feat_{i}")
+            for i in range(FEATURE_DIM)
+        ],
+    )
+    return decoded.join(resized, "doc_id").join(frames, "doc_id").join(feats, "doc_id")
+
+
+def _hex_from_hash(start: int, n: int) -> str:
+    """Digest bytes [start, start+n) of the decode CTE's content_hash
+    (= md5(text)) as integer — same recipe as ``_hex_int`` without
+    recomputing the md5."""
+    return (
+        f"CAST(concat('0x', substr(content_hash, {2 * start + 1}, {2 * n})) "
+        "AS BIGINT)"
+    )
+
+
+_RESIZE_SCALE_SQL = "LEAST(256.0 / width, 256.0 / height, 1.0)"
+
+#: DuckDB twin of ``multimodal_pipeline_query``.  Python's
+#: ``int(w * scale)`` truncates toward zero == FLOOR for the always-
+#: positive dims; ``(i * n) // n_frames`` is integer floor division in
+#: both engines; each feature is a float32-rounded hex pair, widened
+#: back to double exactly like the Arrow array<float> schema.
+MULTIMODAL_PIPELINE_SQL = f"""
+WITH dec AS ({DECODE_STUB_SQL})
+SELECT doc_id, n_bytes, format, width, height, decoder, content_hash,
+       CAST(FLOOR(width * {_RESIZE_SCALE_SQL}) AS BIGINT) AS r_width,
+       CAST(FLOOR(height * {_RESIZE_SCALE_SQL}) AS BIGINT) AS r_height,
+       {_RESIZE_SCALE_SQL} AS r_scale,
+       {", ".join(f"({i} * n_bytes) // {N_SAMPLE_FRAMES} AS frame_off_{i}" for i in range(N_SAMPLE_FRAMES))},
+       {", ".join(f"CAST(CAST({_hex_from_hash(2 * i, 2)} / 65536.0 AS REAL) AS DOUBLE) AS feat_{i}" for i in range(FEATURE_DIM))}
+FROM dec"""
