@@ -36,15 +36,26 @@ from ..operators.ihc import ihc_attribute
 from ..operators.sinks import insert_if_absent
 from ..session import ensure_engine_confs
 
-def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_events(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """File-source stream over the events parquet (one file per SF in
     the testdata; in production this is a directory the feed appends
-    to). Normalizes ``ts`` exactly like the batch reader
+    to — pass that directory as ``sf_dir`` with ``glob='*.parquet'``).
+    Normalizes ``ts`` exactly like the batch reader
     (sources/tables.py): the testdata has shipped it both as
     TIMESTAMP(NANOS) (surfacing as bigint nanos under ``nanosAsLong``)
     and as plain TIMESTAMP(MICROS), so probe the parquet footer (one
     cheap driver-side batch-read of the schema) instead of hardcoding
-    either physical type."""
+    either physical type.
+
+    ``max_files_per_trigger`` bounds each micro-batch to that many
+    source files — the knob that turns one availableNow catch-up into
+    a sequence of committed batches (and so makes mid-stream restart
+    recovery testable; see tests/test_streaming.py)."""
     ensure_engine_confs(spark)
     # probe through the SAME directory+glob the stream loads, so the
     # probe works when sf_dir is a directory the feed appends into and
@@ -52,16 +63,18 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (round-4 advice: a hardcoded single-file probe would throw
     # before the stream starts in the documented production scenario)
     raw_schema = (
-        spark.read.option("pathGlobFilter", "events.parquet").parquet(sf_dir).schema
+        spark.read.option("pathGlobFilter", glob).parquet(sf_dir).schema
     )
-    raw = (
+    reader = (
         spark.readStream.schema(raw_schema)
         .format("parquet")
         # file-stream sources take a directory; filter to the events
         # table (in production: the directory the feed appends into)
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
+        .option("pathGlobFilter", glob)
     )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.load(sf_dir)
     # ltz (plain TIMESTAMP), not ntz: Spark watermarks only accept
     # TIMESTAMP event-time columns; wall values are identical under the
     # UTC session timezone.
@@ -107,6 +120,11 @@ def run_streaming_attribution(
     sf_dir: str,
     sink_path: str,
     checkpoint_dir: str,
+    stream_dir: str | None = None,
+    stream_glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+    stop_after_batches: int | None = None,
+    on_batch=None,
 ) -> None:
     """Incremental attribution as a stream (availableNow trigger —
     processes everything currently in the source, then stops).
@@ -116,13 +134,26 @@ def run_streaming_attribution(
     store is the batch side), scored natively, and appended with
     INSERT OR IGNORE semantics so replays and overlapping batches
     cannot double-write (conv_id, session_id) rows.
+
+    ``stream_dir``/``stream_glob``: the conversion FEED directory,
+    when it is not the warehouse dir ``sf_dir`` (production: the feed
+    is an append directory; the session store is the warehouse).
+    ``stop_after_batches``: stop the query once that many batches have
+    committed instead of draining the source — simulates an operator
+    kill mid-catch-up; a restart with the SAME checkpoint resumes
+    from the recorded offsets (exactly-once, proven in
+    tests/test_streaming.py).  ``on_batch``: driver-side callback
+    ``(batch_id) -> None`` per foreachBatch invocation (telemetry /
+    test instrumentation).
     """
     from ..attribution import model as M
 
     static_sessions = M.sessions(spark, sf_dir)
 
     conv_stream = (
-        stream_events(spark, sf_dir)
+        stream_events(
+            spark, stream_dir or sf_dir, stream_glob, max_files_per_trigger
+        )
         .filter(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").cast("string").alias("conv_id"),
@@ -137,6 +168,8 @@ def run_streaming_attribution(
     import os
 
     def score_batch(batch: DataFrame, batch_id: int) -> None:
+        if on_batch is not None:
+            on_batch(batch_id)  # foreachBatch fns run on the driver
         sess = static_sessions
         # F4 across batches: sessions already claimed by earlier
         # micro-batches stay claimed (the reference's
@@ -164,10 +197,22 @@ def run_streaming_attribution(
         scored = ihc_attribute(journeys).select("conv_id", "session_id", "ihc")
         insert_if_absent(batch.sparkSession, scored, sink_path, ["conv_id", "session_id"])
 
-    (
+    query = (
         conv_stream.writeStream.foreachBatch(score_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
-        .awaitTermination()
     )
+    if stop_after_batches is None:
+        query.awaitTermination()
+        return
+    # kill-mid-catch-up mode: wait until >= N batches have COMMITTED
+    # (recentProgress entries are per committed batch), then stop the
+    # query — possibly interrupting a further batch in flight, which
+    # is exactly the crash the idempotent sink must absorb on restart
+    import time
+
+    while query.isActive and len(query.recentProgress) < stop_after_batches:
+        time.sleep(0.2)
+    query.stop()
+    query.awaitTermination()

@@ -244,3 +244,79 @@ def test_streaming_text_projection_matches_batch(spark, sf_dir, tmp_path):
         for r in proj(load_table(spark, sf_dir, "documents", spread=False)).collect()
     }
     assert got == batch and len(got) > 0
+
+
+def test_streaming_attribution_resumes_from_checkpoint(spark, sf_dir, tmp_path):
+    """Kill-and-resume exactly-once: a multi-batch catch-up stopped
+    after two COMMITTED batches and restarted with the SAME checkpoint
+    must resume from the recorded offsets (never reprocess batch 0)
+    and converge to the batch result with zero duplicate rows.
+
+    The feed dir holds the events split into 4 conversion-time-ordered
+    files (written sequentially, names lexicographically ascending, so
+    both file-source orderings — path and modification time — equal
+    global conversion-time order; then the cross-batch session-claim
+    rule coincides with the batch first-conversion-per-session
+    semantics)."""
+    import glob as globmod
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    ev = load_table(spark, sf_dir, "events")
+    quarts = ev.withColumn(
+        "__q", F.ntile(4).over(Window.orderBy("ts", "event_id"))
+    )
+    for i in range(4):
+        stage = str(tmp_path / f"stage{i}")
+        quarts.filter(F.col("__q") == i + 1).drop("__q").coalesce(1).write.parquet(
+            stage
+        )
+        src = globmod.glob(f"{stage}/part-*.parquet")[0]
+        shutil.copy(src, f"{feed}/conv_{i:02d}.parquet")  # fresh asc mtime
+
+    sink = str(tmp_path / "acj_resume")
+    ckpt = str(tmp_path / "ckpt_resume")
+    expected = {
+        (r.conv_id, r.session_id): round(r.ihc, 9)
+        for r in M.scored(spark, sf_dir)
+        .select("conv_id", "session_id", "ihc")
+        .collect()
+    }
+
+    first_ids: list[int] = []
+    run_streaming_attribution(
+        spark, sf_dir, sink, checkpoint_dir=ckpt,
+        stream_dir=feed, stream_glob="*.parquet",
+        max_files_per_trigger=1, stop_after_batches=2,
+        on_batch=first_ids.append,
+    )
+    partial = {
+        (r.conv_id, r.session_id): round(r.ihc, 9)
+        for r in spark.read.parquet(sink).collect()
+    }
+    # the partial sink is consistent with the batch truth (a subset —
+    # or everything, if all 4 batches outran the stop poll)
+    assert set(partial).issubset(set(expected))
+    assert all(expected[k] == v for k, v in partial.items())
+    assert first_ids and min(first_ids) == 0
+
+    resumed_ids: list[int] = []
+    run_streaming_attribution(
+        spark, sf_dir, sink, checkpoint_dir=ckpt,
+        stream_dir=feed, stream_glob="*.parquet",
+        max_files_per_trigger=1,
+        on_batch=resumed_ids.append,
+    )
+    final = {
+        (r.conv_id, r.session_id): round(r.ihc, 9)
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert final == expected  # converged, and COUNT equality = no dupes
+    if resumed_ids:  # empty only if the first run drained everything
+        # offsets resumed: the restart never reprocesses the >= 2
+        # batches the first run committed before stopping
+        assert min(resumed_ids) >= 2
