@@ -56,6 +56,10 @@ HEADLINE: dict[str, bool] = {
     # round 3: benchmark decontamination (broadcast eval vocab ->
     # pruned shingle equi-join -> flood cap)
     "contamination_check": False,
+    # round 6: three-arm skew entry (salted agg + salted/plain join)
+    "salted_sum_events": True,
+    # round 6: full multimodal chain (decode/resize/frames/features)
+    "multimodal_decode_stub": False,
 }
 
 
