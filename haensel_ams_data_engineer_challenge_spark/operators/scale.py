@@ -114,6 +114,8 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports 'inner'/'left', got {how!r}")
+    if n_salts < 1:
+        raise ValueError(f"n_salts must be >= 1, got {n_salts}")
     right_key = small_on or on
     if salt_source == on:
         raise ValueError(

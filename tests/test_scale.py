@@ -139,6 +139,8 @@ def test_salted_join_key_rename_and_guards(spark):
         salted_join(big, dim, on="uid", salt_source="uid", small_on="ck")
     with pytest.raises(ValueError):
         salted_join(big, dim, on="uid", salt_source="rid", small_on="ck", how="outer")
+    with pytest.raises(ValueError):
+        salted_join(big, dim, on="uid", salt_source="rid", small_on="ck", n_salts=0)
 
 
 def test_salted_join_shuffles_on_key_and_salt(spark):
