@@ -319,12 +319,21 @@ def _assign_cells(
     return best.select(F.col(id_col), (-F.col("__best.negc")).alias("cell"))
 
 
+#: Session-scoped IVF index cache: (appId, cache_key, k, iters) ->
+#: (assignments, centroids), both lineage-truncated.  Training is
+#: deterministic, so caching is pure amortization — identical results,
+#: zero re-training — the same pattern as the bucketed-layout catalog
+#: guard: at scale the index is built once and queried many times.
+_IVF_INDEX_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+
+
 def ivf_kmeans(
     vectors: DataFrame,
     k: int = IVF_CELLS,
     iters: int = IVF_ITERS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cache_key: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Deterministic k-means for the IVF coarse quantizer.
 
@@ -336,7 +345,20 @@ def ivf_kmeans(
     chain) reproduces assignments and centroids bit-for-bit.
 
     Returns (assignments (id, cell), centroids (cell, cvec)).
+
+    ``cache_key``: when given (callers pass a stable identity for
+    ``vectors``, e.g. the sf dir), the trained index is cached for the
+    Spark application's lifetime and reused on repeat calls — the
+    caller must guarantee the key uniquely names the input data.
     """
+    if cache_key is not None:
+        full_key = (
+            vectors.sparkSession.sparkContext.applicationId,
+            cache_key, k, iters, id_col, vec_col,
+        )
+        hit = _IVF_INDEX_CACHE.get(full_key)
+        if hit is not None:
+            return hit
     seeds = vectors.select(id_col, vec_col).orderBy(id_col).limit(k)
     w = Window.orderBy(id_col)  # k rows — single tiny partition is fine
     cents = materialize(
@@ -360,7 +382,11 @@ def ivf_kmeans(
                 F.coalesce(F.col("n.cvec"), F.col("p.cvec")).alias("cvec"),
             )
         )
-    return _assign_cells(vectors, cents, id_col, vec_col), cents
+    final_assign = _assign_cells(vectors, cents, id_col, vec_col)
+    if cache_key is not None:
+        final_assign = materialize(final_assign)
+        _IVF_INDEX_CACHE[full_key] = (final_assign, cents)
+    return final_assign, cents
 
 
 def ann_topk_ivf(
@@ -372,6 +398,7 @@ def ann_topk_ivf(
     cells: int = IVF_CELLS,
     iters: int = IVF_ITERS,
     n_probe: int = IVF_PROBES,
+    index_cache_key: str | None = None,
 ) -> DataFrame:
     """IVF ANN: k-means coarse quantizer (``ivf_kmeans``), each query
     probes its ``n_probe`` nearest cells, and only those cells'
@@ -383,8 +410,16 @@ def ann_topk_ivf(
     scoring; the corpus-side work is bounded by n_probe/k of the
     inverted lists per query.  Recall vs brute force is pinned by
     tests/test_extensions.py (round-5 verdict #7).
+
+    ``index_cache_key``: stable identity of ``vectors`` to amortize
+    training across calls in one session (see ``ivf_kmeans``) — the
+    production shape, where the index is built once and queried many
+    times; results are identical either way (training is
+    deterministic).
     """
-    assign, cents = ivf_kmeans(vectors, cells, iters, id_col, vec_col)
+    assign, cents = ivf_kmeans(
+        vectors, cells, iters, id_col, vec_col, cache_key=index_cache_key
+    )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
     qc = q.crossJoin(F.broadcast(cents)).withColumn("__cos_c", _cos_cell("__qvec"))
     w_probe = Window.partitionBy("query_id").orderBy(

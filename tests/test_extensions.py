@@ -681,3 +681,26 @@ def test_substring_dup_pairs_planted_runs(spark):
     assert as_set(rows_out) == as_set(
         substring_dup_pairs(df, max_anchor_docs=8, chunk=100_000).collect()
     )
+
+
+def test_ivf_index_cache_amortizes_training(spark, sf_dir):
+    """ivf_kmeans with a cache_key trains once per session: the second
+    call returns the SAME lineage-truncated frames (no retraining) and
+    ann_topk_ivf results are identical with and without the cache."""
+    from haensel_ams_data_engineer_challenge_spark.operators import similarity as S
+    from haensel_ams_data_engineer_challenge_spark.sources import load_table
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    key = f"{sf_dir}:cache-test"
+    a1, c1 = S.ivf_kmeans(vecs, cache_key=key)
+    a2, c2 = S.ivf_kmeans(vecs, cache_key=key)
+    assert a1 is a2 and c1 is c2  # cache hit: same objects, zero jobs
+
+    q = vecs.filter(F.col("vec_id") < 5)
+    fresh = S.ann_topk_ivf(vecs, q)  # no cache: full retrain
+    cached = S.ann_topk_ivf(vecs, q, index_cache_key=key)
+    rows = lambda df: sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cell, round(r.cosine, 12))
+        for r in df.collect()
+    )
+    assert rows(cached) == rows(fresh)
