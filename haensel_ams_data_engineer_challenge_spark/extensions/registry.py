@@ -479,6 +479,8 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
             _vecs(spark, sf),
             _vecs(spark, sf).filter(F.col("vec_id") < N_QUERIES),
             k=ANN_LSH_K,
+            # built-once/query-many (see ann_topk_ivf below)
+            index_cache_key=sf,
         ),
         f"""WITH wb AS (
                 {S.banded_buckets_sql("embedding", S.ANN_LSH_TABLES, S.ANN_LSH_PLANES_PER_TABLE)}

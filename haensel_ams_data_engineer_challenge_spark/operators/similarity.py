@@ -174,6 +174,12 @@ def ann_topk_brute(
 ANN_LSH_TABLES = 32
 ANN_LSH_PLANES_PER_TABLE = 6
 
+#: Session-scoped LSH table cache — same rationale as
+#: ``_IVF_INDEX_CACHE``: the (id, table, bucket) index is a pure
+#: deterministic function of the corpus, built once and queried many
+#: times in production.
+_LSH_INDEX_CACHE: dict[tuple, DataFrame] = {}
+
 
 def ann_topk_lsh(
     vectors: DataFrame,
@@ -183,6 +189,7 @@ def ann_topk_lsh(
     vec_col: str = "embedding",
     tables: int = ANN_LSH_TABLES,
     planes_per_table: int = ANN_LSH_PLANES_PER_TABLE,
+    index_cache_key: str | None = None,
 ) -> DataFrame:
     """Approximate top-k via MULTI-TABLE sign-LSH: a candidate is any
     vector sharing the query's sign-pattern bucket in >= 1 of
@@ -197,11 +204,25 @@ def ann_topk_lsh(
     tables agree.  Recall is pinned against brute force by
     tests/test_extensions.py (round-5 verdict #7).
     """
-    wb = banded_bucket_rows(vectors, id_col, vec_col, tables, planes_per_table)
     # the bucket stream feeds the query side (semi-join) and the
     # candidate side; materialize so the tables x planes dot products
-    # run once (same finding as embedding_dup_pairs_lsh)
-    wb = materialize(wb)
+    # run once (same finding as embedding_dup_pairs_lsh).  With an
+    # index_cache_key the materialized stream is further reused across
+    # calls in this session (built-once/query-many; results identical
+    # either way — the stream is a deterministic function of the data).
+    ck = None
+    if index_cache_key is not None:
+        ck = (
+            vectors.sparkSession.sparkContext.applicationId,
+            index_cache_key, tables, planes_per_table, id_col, vec_col,
+        )
+    wb = _LSH_INDEX_CACHE.get(ck) if ck is not None else None
+    if wb is None:
+        wb = materialize(
+            banded_bucket_rows(vectors, id_col, vec_col, tables, planes_per_table)
+        )
+        if ck is not None:
+            _LSH_INDEX_CACHE[ck] = wb
     qb = wb.join(queries.select(id_col), id_col, "left_semi").select(
         F.col(id_col).alias("query_id"), "band", "bucket"
     )

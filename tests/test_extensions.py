@@ -704,3 +704,28 @@ def test_ivf_index_cache_amortizes_training(spark, sf_dir):
         for r in df.collect()
     )
     assert rows(cached) == rows(fresh)
+
+
+def test_lsh_index_cache_identical_results(spark, sf_dir):
+    """ann_topk_lsh with an index_cache_key reuses the materialized
+    (id, table, bucket) stream across calls, with identical results."""
+    from haensel_ams_data_engineer_challenge_spark.operators import similarity as S
+    from haensel_ams_data_engineer_challenge_spark.sources import load_table
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    q = vecs.filter(F.col("vec_id") < 5)
+    key = f"{sf_dir}:lsh-cache-test"
+    rows = lambda df: sorted(
+        (r.query_id, r.rank, r.neighbor_id, round(r.cosine, 12))
+        for r in df.collect()
+    )
+    fresh = rows(S.ann_topk_lsh(vecs, q))
+    cached1 = rows(S.ann_topk_lsh(vecs, q, index_cache_key=key))
+    cached2 = rows(S.ann_topk_lsh(vecs, q, index_cache_key=key))
+    assert cached1 == fresh and cached2 == fresh
+    # the cache actually holds the stream for this key
+    ck = (
+        spark.sparkContext.applicationId, key,
+        S.ANN_LSH_TABLES, S.ANN_LSH_PLANES_PER_TABLE, "vec_id", "embedding",
+    )
+    assert ck in S._LSH_INDEX_CACHE
