@@ -682,8 +682,48 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
     # anchor flood cap; pairs share >= one sampled verbatim run and
     # carry the matched span per side (round-5 verdict #4): first-
     # occurrence offsets, span = [min off, max off + gram - 1].
+    # Round 6 adds the REMOVE action as a second method-tagged arm:
+    # the id_b side of every pair (keep-first policy) has its matched
+    # spans merged into disjoint islands and EXCISED (D.cut_spans —
+    # Lee et al. delete the duplicated spans, not the documents); the
+    # 'cut' rows carry island count, chars removed, and md5 of the
+    # residual text so the hash gate pins the exact cut result.
+    def _substring_with_cut(spark: SparkSession, sf: str) -> DataFrame:
+        from ..checkpoint import materialize
+
+        docs = _docs(spark, sf)
+        # one materialization feeds both arms (pair set is flood-cap
+        # bounded — tiny at any scale)
+        pairs = materialize(D.substring_dup_pairs(docs))
+        cut = D.cut_spans(
+            docs,
+            pairs.select(
+                F.col("id_b").alias("doc_id"),
+                F.col("b_span_start").alias("span_start"),
+                F.col("b_span_end").alias("span_end"),
+            ),
+        )
+        nb = F.lit(None).cast("long")
+        pair_arm = pairs.select(
+            F.lit("pair").alias("method"),
+            "id_a", "id_b", "n_shared",
+            "a_span_start", "a_span_end", "b_span_start", "b_span_end",
+            nb.alias("n_islands"), nb.alias("chars_removed"),
+            F.lit(None).cast("string").alias("cut_hash"),
+        )
+        cut_arm = cut.select(
+            F.lit("cut").alias("method"),
+            F.col("doc_id").alias("id_a"),
+            nb.alias("id_b"), nb.alias("n_shared"),
+            nb.alias("a_span_start"), nb.alias("a_span_end"),
+            nb.alias("b_span_start"), nb.alias("b_span_end"),
+            "n_islands", "chars_removed",
+            F.md5("text_cut").alias("cut_hash"),
+        )
+        return pair_arm.unionByName(cut_arm)
+
     e["dedup_substring_anchors"] = (
-        lambda spark, sf: D.substring_dup_pairs(_docs(spark, sf)),
+        _substring_with_cut,
         f"""WITH occ AS (
                 SELECT doc_id, substr(text, i, {D.SUBSTRING_GRAM}) AS s,
                        CAST(i AS BIGINT) AS off
@@ -697,14 +737,77 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
             flooded AS (SELECT s FROM anch GROUP BY s
                         HAVING COUNT(*) > {D.MAX_ANCHOR_DOCS}),
             kept AS (SELECT doc_id, s, off FROM anch
-                     WHERE s NOT IN (SELECT s FROM flooded))
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared,
-                   MIN(a.off) AS a_span_start,
-                   MAX(a.off) + {D.SUBSTRING_GRAM - 1} AS a_span_end,
-                   MIN(b.off) AS b_span_start,
-                   MAX(b.off) + {D.SUBSTRING_GRAM - 1} AS b_span_end
-            FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
-            GROUP BY 1, 2""",
+                     WHERE s NOT IN (SELECT s FROM flooded)),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared,
+                     MIN(a.off) AS a_span_start,
+                     MAX(a.off) + {D.SUBSTRING_GRAM - 1} AS a_span_end,
+                     MIN(b.off) AS b_span_start,
+                     MAX(b.off) + {D.SUBSTRING_GRAM - 1} AS b_span_end
+              FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            -- cut arm: merge the id_b spans into disjoint islands
+            -- (interval-island windows, mirror of D.merge_spans), then
+            -- rebuild the residual text from the kept gaps.  DISTINCT
+            -- mirrors merge_spans' dedup: identical ranges are one
+            -- cut, and it makes (s0, e0) a total order per doc so the
+            -- two window passes cannot disagree on tie placement.
+            spans AS (SELECT DISTINCT id_b AS doc_id, b_span_start AS s0,
+                             b_span_end AS e0 FROM pairs),
+            marked AS (
+              SELECT doc_id, s0, e0,
+                     MAX(e0) OVER (PARTITION BY doc_id ORDER BY s0, e0
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS prev_max
+              FROM spans),
+            isl AS (
+              SELECT doc_id, s0, e0,
+                     SUM(CASE WHEN prev_max IS NULL OR s0 > prev_max
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY s0, e0
+                             ROWS UNBOUNDED PRECEDING) AS island
+              FROM marked),
+            merged AS (SELECT doc_id, island, MIN(s0) AS s, MAX(e0) AS e
+                       FROM isl GROUP BY 1, 2),
+            clamped AS (
+              SELECT m.doc_id, GREATEST(s, 1) AS s,
+                     LEAST(e, length(d.text)) AS e, length(d.text) AS len
+              FROM merged m JOIN documents d ON d.doc_id = m.doc_id
+              WHERE GREATEST(s, 1) <= LEAST(e, length(d.text))),
+            segs AS (
+              SELECT doc_id,
+                     COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0)
+                       + 1 AS g0,
+                     s - 1 AS g1
+              FROM clamped
+              UNION ALL
+              SELECT doc_id, MAX(e) + 1 AS g0, MAX(len) AS g1
+              FROM clamped GROUP BY doc_id),
+            resid AS (
+              SELECT s.doc_id,
+                     string_agg(substr(d.text, g0, g1 - g0 + 1), '' ORDER BY g0)
+                       AS text_cut
+              FROM segs s JOIN documents d ON d.doc_id = s.doc_id
+              WHERE g1 >= g0
+              GROUP BY s.doc_id),
+            cut AS (
+              SELECT c.doc_id,
+                     COUNT(*) AS n_islands,
+                     MAX(c.len) - length(COALESCE(MAX(r.text_cut), ''))
+                       AS chars_removed,
+                     md5(COALESCE(MAX(r.text_cut), '')) AS cut_hash
+              FROM clamped c LEFT JOIN resid r ON r.doc_id = c.doc_id
+              GROUP BY c.doc_id)
+            SELECT 'pair' AS method, id_a, id_b, n_shared,
+                   a_span_start, a_span_end, b_span_start, b_span_end,
+                   CAST(NULL AS BIGINT) AS n_islands,
+                   CAST(NULL AS BIGINT) AS chars_removed,
+                   CAST(NULL AS VARCHAR) AS cut_hash
+            FROM pairs
+            UNION ALL
+            SELECT 'cut', doc_id, NULL, NULL, NULL, NULL, NULL, NULL,
+                   n_islands, chars_removed, cut_hash
+            FROM cut""",
     )
 
     e["doc_fingerprint"] = (

@@ -423,3 +423,154 @@ def substring_dup_pairs(
             (F.max("b.off") + (gram - 1)).alias("b_span_end"),
         )
     )
+
+
+def merge_spans(
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    start_col: str = "span_start",
+    end_col: str = "span_end",
+) -> DataFrame:
+    """Merge overlapping [start, end] char ranges per document into
+    disjoint islands: (id, span_start, span_end), 1-based inclusive.
+
+    Classic interval-island windows: sort spans per doc, a span starts
+    a new island iff its start exceeds the running max end of every
+    earlier span; the island id is the running count of such starts.
+    Two windows over the SAME (id, start, end) sort order plus one
+    map-side-combinable groupBy — a single exchange on the id, and the
+    per-doc partition holds only that doc's spans (pair counts, never
+    corpus-sized), so no skew shape.
+
+    Spans are DEDUPED first: identical ranges are one cut, and with
+    duplicates removed (id, start, end) is a total order per doc, so
+    the two window passes cannot disagree on tie placement (two
+    identical rows otherwise sort arbitrarily per pass and can split
+    one island into two).
+    """
+    from pyspark.sql import Window
+
+    spans = spans.select(id_col, start_col, end_col).dropDuplicates(
+        [id_col, start_col, end_col]
+    )
+    w = Window.partitionBy(id_col).orderBy(start_col, end_col)
+    prev_max = F.max(end_col).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    new_island = F.when(
+        prev_max.isNull() | (F.col(start_col) > prev_max), F.lit(1)
+    ).otherwise(F.lit(0))
+    islanded = spans.select(
+        F.col(id_col),
+        F.col(start_col),
+        F.col(end_col),
+        F.sum(new_island).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "__island"
+        ),
+    )
+    return islanded.groupBy(id_col, "__island").agg(
+        F.min(start_col).alias(start_col), F.max(end_col).alias(end_col)
+    ).drop("__island")
+
+
+def cut_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    start_col: str = "span_start",
+    end_col: str = "span_end",
+) -> DataFrame:
+    """Remove character ranges from documents — the REMOVE action of
+    substring dedup (Lee et al. 2021 delete the duplicated spans, not
+    the documents; `substring_dup_pairs` finds the spans, this op cuts
+    them).
+
+    ``spans`` rows are (id, start, end) 1-based inclusive char ranges,
+    possibly overlapping/nested (a doc dup-paired with several others
+    yields one span per pair); they are clamped to the doc, merged
+    into disjoint islands (`merge_spans`), and excised.  Only docs
+    with >= 1 span are returned.
+
+    Output: (id, text_cut, n_islands, chars_removed) where
+    ``text_cut`` is the residual text with islands removed and
+    ``chars_removed`` == original length - length(text_cut).
+
+    Scale shape: one groupBy(id) collects each doc's merged islands —
+    bounded by that doc's pair count, never corpus-wide — then ONE
+    equi-join against the corpus brings the text in, and the excision
+    itself is a row-local F.aggregate fold over the sorted island
+    array (acc = (residual, next_pos); each island appends the gap
+    before it and advances past its end).  No explode of text, no
+    window over text, no Python.
+    """
+    merged = merge_spans(spans, id_col, start_col, end_col)
+    ivs_per_doc = merged.groupBy(id_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(start_col).alias("s"), F.col(end_col).alias("e")))
+        ).alias("__ivs")
+    )
+    joined = df.join(ivs_per_doc, id_col, "inner")
+    t = F.col(text_col)
+    # clamp each island to [1, len]; islands fully outside vanish
+    # (everything long so the fold accumulator type is stable)
+    ivs = F.filter(
+        F.transform(
+            F.col("__ivs"),
+            lambda iv: F.struct(
+                F.greatest(iv["s"].cast("long"), F.lit(1).cast("long")).alias("s"),
+                F.least(iv["e"].cast("long"), F.length(t).cast("long")).alias("e"),
+            ),
+        ),
+        lambda iv: iv["s"] <= iv["e"],
+    )
+    # fold: acc.txt accumulates the kept gaps, acc.pos is the next
+    # uncut char; islands are disjoint + sorted so pos only advances
+    residual = F.aggregate(
+        ivs,
+        F.struct(F.lit("").alias("txt"), F.lit(1).cast("long").alias("pos")),
+        lambda acc, iv: F.struct(
+            F.concat(
+                acc["txt"], t.substr(acc["pos"], F.greatest(iv["s"] - acc["pos"], F.lit(0)))
+            ).alias("txt"),
+            (iv["e"] + 1).alias("pos"),
+        ),
+        lambda acc: F.concat(
+            acc["txt"], t.substr(acc["pos"], F.greatest(F.length(t) - acc["pos"] + 1, F.lit(0)))
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        residual.alias("text_cut"),
+        F.size(ivs).cast("long").alias("n_islands"),
+        (F.length(t) - F.length(residual)).cast("long").alias("chars_removed"),
+    )
+
+
+def cut_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram: int = SUBSTRING_GRAM,
+    anchor_prefix: str = ANCHOR_PREFIX,
+    max_anchor_docs: int = MAX_ANCHOR_DOCS,
+    chunk: int = SUBSTRING_CHUNK,
+) -> DataFrame:
+    """The composed substring-dedup pipeline: detect verbatim-run
+    pairs (`substring_dup_pairs`), keep the FIRST document of each
+    pair intact (id_a < id_b — same keep-min policy as `dedup_exact`),
+    and cut the matched span out of the LATER side (id_b).
+
+    Returns `cut_spans` output for every doc that appears as id_b.
+    The pair set is materialized once (it feeds the span projection
+    and is small by construction — anchor flood cap bounds it).
+    """
+    pairs = materialize(
+        substring_dup_pairs(
+            df, text_col, id_col, gram, anchor_prefix, max_anchor_docs, chunk
+        )
+    )
+    spans = pairs.select(
+        F.col("id_b").alias(id_col),
+        F.col("b_span_start").alias("span_start"),
+        F.col("b_span_end").alias("span_end"),
+    )
+    return cut_spans(df, spans, id_col, text_col)

@@ -683,6 +683,112 @@ def test_substring_dup_pairs_planted_runs(spark):
     )
 
 
+def test_merge_spans_islands(spark):
+    """Interval-island merging: overlapping, nested, adjacent and
+    duplicate spans collapse exactly as a Python sweep does."""
+    from haensel_ams_data_engineer_challenge_spark.operators.dedup import merge_spans
+
+    cases = {
+        1: [(2, 4), (3, 6), (9, 20), (9, 20)],   # overlap + duplicate
+        2: [(1, 10), (5, 7)],                     # nested
+        3: [(1, 5), (6, 10)],                     # adjacent stays split
+        4: [(10, 12)],
+    }
+    rows = [(d, s, e) for d, sp in cases.items() for s, e in sp]
+    got = {}
+    out = merge_spans(
+        spark.createDataFrame(rows, "doc_id long, span_start long, span_end long")
+    ).collect()
+    for r in out:
+        got.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+
+    def py_merge(spans):
+        merged = []
+        for s, e in sorted(set(spans)):
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        return merged
+
+    for d, sp in cases.items():
+        assert sorted(got[d]) == py_merge(sp), f"doc {d}"
+
+
+def test_cut_spans_matches_python_slicing(spark):
+    """cut_spans excises merged islands exactly as Python slicing does,
+    clamps out-of-range spans, and omits docs with no spans."""
+    from haensel_ams_data_engineer_challenge_spark.operators.dedup import cut_spans
+
+    texts = {1: "abcdefghijklmnopqrst", 2: "0123456789", 3: "untouched"}
+    spans = {1: [(3, 5), (4, 9), (15, 99)], 2: [(1, 10)]}
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    sp = spark.createDataFrame(
+        [(d, s, e) for d, v in spans.items() for s, e in v],
+        "doc_id long, span_start long, span_end long",
+    )
+    out = {r.doc_id: r for r in cut_spans(docs, sp).collect()}
+    assert set(out) == {1, 2}  # doc 3 untouched -> absent
+
+    def py_cut(text, sp):
+        keep = [True] * len(text)
+        for s, e in sp:
+            for i in range(max(s, 1) - 1, min(e, len(text))):
+                keep[i] = False
+        return "".join(c for c, k in zip(text, keep) if k)
+
+    for d in (1, 2):
+        expect = py_cut(texts[d], spans[d])
+        assert out[d].text_cut == expect, f"doc {d}"
+        assert out[d].chars_removed == len(texts[d]) - len(expect)
+    assert out[1].n_islands == 2  # [3,9] merged + clamped [15,20]
+    assert out[2].text_cut == "" and out[2].chars_removed == 10
+
+
+def test_cut_duplicate_spans_removes_planted_run(spark):
+    """The composed detect->cut pipeline: the LATER doc of a planted
+    verbatim pair loses the duplicated run (keep-first policy leaves
+    the earlier doc intact), and re-running detection on the cut
+    corpus finds no pair between them."""
+    import random
+
+    from haensel_ams_data_engineer_challenge_spark.operators.dedup import (
+        cut_duplicate_spans,
+        substring_dup_pairs,
+    )
+
+    rng = random.Random(11)
+
+    def noise(n):
+        return "".join(rng.choice("abcdefghij ") for _ in range(n))
+
+    shared = noise(400)
+    texts = {
+        1: noise(200) + shared + noise(200),
+        2: noise(200) + shared + noise(200),
+        3: noise(400),
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    out = {r.doc_id: r for r in cut_duplicate_spans(df, max_anchor_docs=8).collect()}
+    # only the id_b side of the (1, 2) pair is cut
+    assert set(out) == {2}
+    r = out[2]
+    assert shared not in r.text_cut  # the duplicated run is gone
+    # span = [first anchor, last anchor + 31] inside the planted range:
+    # at 1/16 sampling of ~369 grams the expected uncovered tail is
+    # ~16 chars/side; 100 is a generous deterministic bound
+    assert r.chars_removed >= 300
+    assert len(r.text_cut) == len(texts[2]) - r.chars_removed
+    # detection on the cut corpus: the (1, 2) pair is dead (leftover
+    # fragments hold no shared anchors — their grams were non-anchors
+    # in the original, and seam grams exist only in doc 2)
+    cut_corpus = spark.createDataFrame(
+        [(1, texts[1]), (2, r.text_cut), (3, texts[3])], "doc_id long, text string"
+    )
+    again = substring_dup_pairs(cut_corpus, max_anchor_docs=8).collect()
+    assert not any((p.id_a, p.id_b) == (1, 2) for p in again)
+
+
 def test_ivf_index_cache_amortizes_training(spark, sf_dir):
     """ivf_kmeans with a cache_key trains once per session: the second
     call returns the SAME lineage-truncated frames (no retraining) and
