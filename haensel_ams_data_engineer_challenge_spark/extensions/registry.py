@@ -103,12 +103,60 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
     prelude = "WITH " + DOC_SHINGLES_CTE.strip()
 
     # ---- dedup -----------------------------------------------------------
+    # Round 6 tags in the INCREMENTAL ingestion arm: a synthetic "new
+    # batch" derived from the corpus (ids +10000; even source ids keep
+    # their text — true duplicates the bloom must catch — odd ids get
+    # a ' v2' suffix — genuinely new) is deduped against the existing
+    # corpus via D.incremental_new_docs: broadcast Bloom-bitmap
+    # prefilter + exact anti-join verify.  The oracle is the PLAIN
+    # anti-join — proving end-to-end that the bloom path loses nothing
+    # (no false negatives) and its false positives are all verified
+    # away.
+    def _dedup_exact_with_incremental(spark: SparkSession, sf: str) -> DataFrame:
+        docs = _docs(spark, sf)
+        groups = D.dedup_exact(docs)
+        batch = docs.select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.when(F.col("doc_id") % 2 == 0, F.col("text"))
+            .otherwise(F.concat(F.col("text"), F.lit(" v2")))
+            .alias("text"),
+        )
+        new = D.incremental_new_docs(batch, docs)
+        nb = F.lit(None).cast("long")
+        return groups.select(
+            F.lit("groups").alias("method"), "text_hash", "keep_id", "n_copies"
+        ).unionByName(
+            new.select(
+                F.lit("incremental_new").alias("method"),
+                "text_hash",
+                F.col("doc_id").alias("keep_id"),
+                nb.alias("n_copies"),
+            )
+        )
+
     e["dedup_exact"] = (
-        lambda spark, sf: D.dedup_exact(_docs(spark, sf)),
-        r"""SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS text_hash,
-                   min(doc_id) AS keep_id,
-                   count(*) AS n_copies
-            FROM documents GROUP BY 1""",
+        _dedup_exact_with_incremental,
+        r"""WITH norm AS (
+                SELECT doc_id,
+                       md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+                         AS text_hash
+                FROM documents),
+            batch AS (
+                SELECT doc_id + 10000 AS doc_id,
+                       md5(regexp_replace(trim(lower(
+                           CASE WHEN doc_id % 2 = 0 THEN text
+                                ELSE text || ' v2' END)), '\s+', ' ', 'g'))
+                         AS text_hash
+                FROM documents)
+            SELECT 'groups' AS method, text_hash,
+                   min(doc_id) AS keep_id, count(*) AS n_copies
+            FROM norm GROUP BY 2
+            UNION ALL
+            SELECT 'incremental_new', b.text_hash, b.doc_id,
+                   CAST(NULL AS BIGINT)
+            FROM batch b
+            WHERE NOT EXISTS (SELECT 1 FROM norm n
+                              WHERE n.text_hash = b.text_hash)""",
     )
 
     e["dedup_minhash_lsh"] = (

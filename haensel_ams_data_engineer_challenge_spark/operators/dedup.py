@@ -425,6 +425,112 @@ def substring_dup_pairs(
     )
 
 
+#: incremental-dedup Bloom defaults: 2^17 bits (2,048 bitmap longs —
+#: broadcast-trivial), 4 hash functions.  Size m_bits ~ 10-15 bits per
+#: corpus key for ~1% fpr at k=4; the filter only PRUNES (no false
+#: negatives by construction), so fpr costs extra exact-verify work,
+#: never correctness.
+BLOOM_M_BITS = 1 << 17
+BLOOM_K = 4
+
+
+def _bloom_positions(key: Column, m_bits: int, k: int) -> Column:
+    """array<long> of k Bloom bit positions for a key — md5-derived
+    (`conv(substr(md5('b{i}|' || key), 1, 15), 16, 10) % m_bits`), the
+    same engine-portable integer-hash discipline as KMV/hash_split."""
+    return F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"b{i}|"), key)), 1, 15), 16, 10
+                ).cast("long")
+                % m_bits
+            )
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_bitmap(
+    df: DataFrame,
+    key_col: str = "text_hash",
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Distributed Bloom-filter build over a key column: one row per
+    64-bit bitmap word, (word_idx long, bits long) — only words with
+    >= 1 set bit are present (absent word == all zeros).
+
+    The build is a map-side-combinable groupBy on word_idx (<=
+    m_bits/64 groups), so the only shuffled payload is partial bitmap
+    words — never the keys.  The result is broadcast-sized BY
+    CONSTRUCTION (m_bits/64 longs max), which is the whole point: a
+    100 TB corpus's exact hash set cannot broadcast, its Bloom summary
+    can.
+    """
+    pos = df.select(
+        F.explode(_bloom_positions(F.col(key_col), m_bits, k)).alias("pos")
+    )
+    return (
+        pos.withColumn("word_idx", (F.col("pos") / 64).cast("long"))
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(shiftleft(1L, cast(pos % 64 as int)))").alias("bits"))
+    )
+
+
+def incremental_new_docs(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Incremental exact dedup — the production ingestion shape: which
+    docs of a NEW batch are not already in the EXISTING corpus?
+
+    Semantics are exactly ``batch LEFT ANTI JOIN corpus`` on the
+    normalized text hash (`dedup_exact`'s hash); the Bloom filter is a
+    pure prefilter: batch docs whose k bloom bits are not all set are
+    DEFINITELY new (no false negatives — every corpus key set its
+    bits) and skip the join entirely; only maybe-dup docs (true dups +
+    ~fpr false positives) reach the exact anti-join verify.
+
+    Scale shape: the corpus is summarized ONCE into a broadcast-sized
+    bitmap (`bloom_bitmap`); the batch probes it via a broadcast
+    equi-join on word_idx (k rows per doc, JVM-side bit test), so the
+    exact anti-join — the only corpus-sized shuffle — sees just the
+    maybe-dup sliver of the batch.  With the corpus hash table stored
+    bucketed by text_hash (operators/scale.py bucketed join), the
+    corpus side needs no re-shuffle either.  In production the bitmap
+    would be persisted and OR-merged incrementally per ingested batch
+    (bit_or is associative); here it is rebuilt per call.
+
+    Output: (id, text_hash) of the genuinely-new batch docs.
+    """
+    h = F.md5(normalize_text(text_col)).alias("text_hash")
+    corpus_h = corpus.select(h)
+    batch_h = batch.select(F.col(id_col), h)
+    bloom = bloom_bitmap(corpus_h, "text_hash", m_bits, k)
+    probes = batch_h.select(
+        F.col(id_col),
+        F.explode(_bloom_positions(F.col("text_hash"), m_bits, k)).alias("pos"),
+    ).withColumn("word_idx", (F.col("pos") / 64).cast("long"))
+    hits = probes.join(F.broadcast(bloom), "word_idx", "left").select(
+        F.col(id_col),
+        F.coalesce(
+            F.expr("(shiftright(bits, cast(pos % 64 as int)) & 1) = 1"), F.lit(False)
+        ).alias("hit"),
+    )
+    maybe = hits.groupBy(id_col).agg(F.min("hit").alias("maybe_dup"))
+    flagged = batch_h.join(maybe, id_col)
+    definitely_new = flagged.filter(~F.col("maybe_dup"))
+    verified_new = flagged.filter(F.col("maybe_dup")).join(
+        corpus_h, "text_hash", "left_anti"
+    )
+    return definitely_new.unionByName(verified_new).select(id_col, "text_hash")
+
+
 def merge_spans(
     spans: DataFrame,
     id_col: str = "doc_id",

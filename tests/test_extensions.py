@@ -789,6 +789,88 @@ def test_cut_duplicate_spans_removes_planted_run(spark):
     assert not any((p.id_a, p.id_b) == (1, 2) for p in again)
 
 
+def test_bloom_bitmap_no_false_negatives(spark):
+    """Every inserted key probes positive (all k bits set) — the Bloom
+    build/probe pair can prune but never drop a true member."""
+    from haensel_ams_data_engineer_challenge_spark.operators.dedup import (
+        BLOOM_K,
+        _bloom_positions,
+        bloom_bitmap,
+    )
+    from pyspark.sql import functions as F
+
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(200)], "text_hash string")
+    m_bits = 1 << 12
+    bloom = bloom_bitmap(keys, m_bits=m_bits)
+    probes = keys.select(
+        "text_hash", F.explode(_bloom_positions(F.col("text_hash"), m_bits, BLOOM_K)).alias("pos")
+    ).withColumn("word_idx", (F.col("pos") / 64).cast("long"))
+    hits = probes.join(F.broadcast(bloom), "word_idx", "left").select(
+        "text_hash",
+        F.coalesce(
+            F.expr("(shiftright(bits, cast(pos % 64 as int)) & 1) = 1"), F.lit(False)
+        ).alias("hit"),
+    )
+    assert hits.groupBy("text_hash").agg(F.min("hit").alias("m")).filter(
+        ~F.col("m")
+    ).count() == 0
+    # bitmap is bounded by construction: <= m_bits/64 words
+    assert bloom.count() <= m_bits // 64
+
+
+def test_incremental_new_docs_equals_plain_anti_join(spark):
+    """incremental_new_docs (bloom prefilter + exact verify) returns
+    EXACTLY the plain anti-join result — including under a deliberately
+    undersized bitmap where nearly every probe is a false positive."""
+    from haensel_ams_data_engineer_challenge_spark.operators.dedup import (
+        incremental_new_docs,
+        normalize_text,
+    )
+    from pyspark.sql import functions as F
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus doc number {i} body") for i in range(100)],
+        "doc_id long, text string",
+    )
+    # batch: 40 true dups (text copied, whitespace-mangled so only the
+    # NORMALIZED hash matches), 60 new docs
+    batch = spark.createDataFrame(
+        [(1000 + i, f"  corpus  doc number {i}   body ") for i in range(40)]
+        + [(2000 + i, f"fresh doc {i}") for i in range(60)],
+        "doc_id long, text string",
+    )
+
+    def plain(b, c):
+        h = lambda d: d.select("doc_id", F.md5(normalize_text("text")).alias("text_hash"))
+        return {r.doc_id for r in h(b).join(h(c).select("text_hash"), "text_hash", "left_anti").collect()}
+
+    expect = plain(batch, corpus)
+    assert expect == {2000 + i for i in range(60)}
+    got = {r.doc_id for r in incremental_new_docs(batch, corpus).collect()}
+    assert got == expect
+    # 64-bit bitmap: false-positive city; exact verify must still win
+    tiny = {r.doc_id for r in incremental_new_docs(batch, corpus, m_bits=64, k=2).collect()}
+    assert tiny == expect
+
+
+def test_incremental_bloom_probe_is_broadcast(spark):
+    """The bitmap probe join must be broadcast (the bitmap is the
+    broadcast-sized corpus summary — shuffling batch probes against it
+    would defeat the design)."""
+    from haensel_ams_data_engineer_challenge_spark.operators.dedup import (
+        incremental_new_docs,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(50)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(100 + i, f"doc {i * 2}") for i in range(50)], "doc_id long, text string"
+    )
+    plan = incremental_new_docs(batch, corpus)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
 def test_ivf_index_cache_amortizes_training(spark, sf_dir):
     """ivf_kmeans with a cache_key trains once per session: the second
     call returns the SAME lineage-truncated frames (no retraining) and
