@@ -639,11 +639,49 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
     # advice), distinct from the langid EN_STOPWORDS backing
     # stopword_ratio above
     gopher_stop_list = ", ".join(f"'{w}'" for w in T.GOPHER_STOPWORDS)
-    e["text_stats"] = (
-        lambda spark, sf: _docs(spark, sf)
-        .withColumn("punct_ratio", T.punct_ratio("text"))
-        .withColumn("stopword_ratio", T.stopword_ratio("text"))
-        .select(
+    # round 6 tags in TEMPERATURE sampling (p ∝ n^alpha multilingual
+    # rule, alpha=0.5): per-lang integer thresholds derived from
+    # corpus counts (operators/sampling.temperature_thresholds —
+    # alpha=0.5 so the sqrt-based derivation is bit-identical in the
+    # SQL twin, which recomputes it from its own counts) plus the
+    # row-local keep decision, both hash-gated.
+    def _text_stats_query(spark: SparkSession, sf: str) -> DataFrame:
+        from ..operators.sampling import temperature_thresholds
+
+        docs = _docs(spark, sf)
+        counts = {r[0]: r[1] for r in docs.groupBy("lang").count().collect()}
+        thr = temperature_thresholds(counts, alpha=0.5)
+        # the body's select renames lang -> actual; build the
+        # temperature columns over that alias
+        temp_hi = None
+        for lang_name, hi in sorted(thr.items()):
+            branch = (F.col("actual") == lang_name, F.lit(hi))
+            temp_hi = F.when(*branch) if temp_hi is None else temp_hi.when(*branch)
+        temp_hi = temp_hi.cast("long")
+        # the same bucket weighted_mix_filter probes: md5('tempmix|' ||
+        # lang || '|' || key), first 8 hex chars as a 32-bit int
+        temp_bucket = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("tempmix|"), F.col("actual"), F.lit("|"),
+                        F.col("doc_id").cast("string"),
+                    )
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        return _text_stats_body(docs).select(
+            "*", temp_hi.alias("temp_hi"), (temp_bucket < temp_hi).alias("temp_keep")
+        )
+
+    def _text_stats_body(docs: DataFrame) -> DataFrame:
+        return (
+            docs
+            .withColumn("punct_ratio", T.punct_ratio("text"))
+            .withColumn("stopword_ratio", T.stopword_ratio("text"))
+            .select(
             "doc_id",
             T.token_count("text").cast("long").alias("token_count"),
             T.bpe_ish_count("text").cast("long").alias("bpe_ish_count"),
@@ -668,7 +706,11 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
             T.gopher_quality_pass("text").alias("gopher_pass"),
             F.col("lang").alias("actual"),
             T.langid("text").alias("pred_lang"),
-        ),
+            )
+        )
+
+    e["text_stats"] = (
+        _text_stats_query,
         rf"""WITH base AS (
                 SELECT doc_id, lang,
                        len(string_split_regex(trim(lower(text)), '\s+')) AS token_count,
@@ -700,7 +742,19 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
                        len(list_intersect(list_distinct(toks), [{gopher_stop_list}])) AS stop_hits,
                        {lang_scores_sql}
                 FROM base),
-            scored AS (SELECT *, {best_sql} AS best FROM enriched)
+            scored AS (SELECT *, {best_sql} AS best FROM enriched),
+            -- temperature sampling (round 6): thresholds recomputed
+            -- from SQL-side counts; alpha=0.5 makes the derivation
+            -- (exact-rounded division -> correctly-rounded sqrt ->
+            -- exact *2^32 -> floor) bit-identical to the Python side
+            tcounts AS (SELECT lang AS tlang, COUNT(*) AS n
+                        FROM documents GROUP BY lang),
+            tmn AS (SELECT MIN(n) AS nmin FROM tcounts),
+            tthr AS (SELECT tlang,
+                            CAST(floor(sqrt(CAST(nmin AS DOUBLE)
+                                            / CAST(n AS DOUBLE))
+                                       * 4294967296) AS BIGINT) AS hi
+                     FROM tcounts, tmn)
             SELECT doc_id, token_count, bpe_ish_count, char_count,
                    punct_ratio, stopword_ratio,
                    CAST(0.5 AS DOUBLE) * stopword_ratio
@@ -721,8 +775,12 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
                     AND alpha_word_frac >= CAST({T.GOPHER_MIN_ALPHA_WORD_FRAC} AS DOUBLE)
                     AND stop_hits >= {T.GOPHER_MIN_STOPWORD_HITS}) AS gopher_pass,
                    lang AS actual,
-                   CASE WHEN best > 0 THEN {pred_sql} ELSE 'und' END AS pred_lang
-            FROM scored""",
+                   CASE WHEN best > 0 THEN {pred_sql} ELSE 'und' END AS pred_lang,
+                   hi AS temp_hi,
+                   CAST(concat('0x', substr(md5('tempmix|' || lang || '|'
+                        || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) < hi
+                     AS temp_keep
+            FROM scored JOIN tthr ON tlang = lang""",
     )
 
     # ---- exact-substring near-dup (Lee et al. 2021 style) ---------------

@@ -235,6 +235,77 @@ def weighted_interleave(
     return out
 
 
+def temperature_weights(
+    counts: dict[str, int], alpha: float = 0.5
+) -> dict[str, float]:
+    """Per-stratum acceptance rates implementing TEMPERATURE sampling
+    (the multilingual-pretraining rule: sample stratum s with
+    probability ∝ n_s^alpha, alpha in (0, 1] — alpha = 1 is natural
+    proportions, smaller alpha flattens toward uniform) by DOWNSAMPLING
+    only: keep rate a_s ∝ n_s^(alpha-1), normalized so the smallest
+    stratum keeps everything.  Expected kept counts are then
+    ∝ n_s^alpha exactly.
+
+    alpha = 0.5 computes via ``sqrt(n_min / n_s)`` — IEEE sqrt is
+    correctly rounded in every engine (Python, Spark, DuckDB), so the
+    derived integer thresholds are bit-identical across them; generic
+    alpha uses ``pow``, which carries no such guarantee (fine for
+    training pipelines, not for an exact oracle twin).
+    """
+    import math
+
+    if not counts:
+        raise ValueError("no strata given")
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    n_min = min(counts.values())
+    if n_min <= 0:
+        raise ValueError("stratum counts must be positive")
+    if alpha == 1.0:
+        return {s: 1.0 for s in counts}
+    if alpha == 0.5:
+        return {s: math.sqrt(n_min / n) for s, n in counts.items()}
+    return {s: (n_min / n) ** (1.0 - alpha) for s, n in counts.items()}
+
+
+def temperature_thresholds(
+    counts: dict[str, int], alpha: float = 0.5
+) -> dict[str, int]:
+    """``temperature_weights`` as inlined integer bucket thresholds
+    (keep iff md5 bucket < threshold): ``int(a_s * 2^32)``.  With
+    alpha = 0.5 the whole derivation — exact-rounded division,
+    correctly-rounded sqrt, exact *2^32, truncation — is
+    bit-deterministic, so a SQL twin recomputing it from its own
+    counts lands on the same integers."""
+    return {
+        s: _BUCKETS if w == 1.0 else int(w * _BUCKETS)
+        for s, w in temperature_weights(counts, alpha).items()
+    }
+
+
+def temperature_mix(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    salt: str = "tempmix",
+) -> DataFrame:
+    """Temperature-sample a corpus by stratum (language, source):
+    counts per stratum -> ``temperature_weights`` -> the row-local
+    ``weighted_mix_filter``.  The per-stratum count aggregate is
+    collected driver-side — bounded by the number of strata (a
+    broadcast-class set, like the CC edge fast path); the filter
+    itself is zero-shuffle row-local integer comparison."""
+    counts = {
+        r[0]: r[1] for r in df.groupBy(stratum_col).count().collect()
+    }
+    weights = temperature_weights(counts, alpha)
+    return weighted_mix_filter(
+        df, F.col(stratum_col), weights, key_col, salt=salt,
+        source_col=f"__{stratum_col}_tag",
+    ).drop(f"__{stratum_col}_tag")
+
+
 def token_budget_cap(
     df: DataFrame,
     stratum_cols: list[str],

@@ -281,3 +281,72 @@ def test_token_budget_cap_matches_reference_and_partitioning(spark):
         ).fetchall()
     }
     assert oracle == expected
+
+
+def test_temperature_weights_math():
+    """p ∝ n^alpha by downsampling: smallest stratum keeps all, keep
+    rates follow (n_min/n)^(1-alpha); alpha=1 is natural proportions;
+    invalid inputs raise."""
+    import math
+
+    w = S.temperature_weights({"en": 400, "de": 100, "fr": 25}, alpha=0.5)
+    assert w["fr"] == 1.0
+    assert w["de"] == math.sqrt(25 / 100)
+    assert w["en"] == math.sqrt(25 / 400)
+    # expected kept counts n*w are proportional to n^alpha
+    kept = {s: n * w[s] for s, n in {"en": 400, "de": 100, "fr": 25}.items()}
+    assert abs(kept["en"] / kept["de"] - math.sqrt(400 / 100)) < 1e-12
+    assert S.temperature_weights({"a": 7, "b": 3}, alpha=1.0) == {"a": 1.0, "b": 1.0}
+    w2 = S.temperature_weights({"a": 81, "b": 1}, alpha=0.75)
+    assert abs(w2["a"] - (1 / 81) ** 0.25) < 1e-12
+    for bad in ({}, {"a": 0}):
+        with pytest.raises(ValueError):
+            S.temperature_weights(bad, alpha=0.5)
+    for alpha in (0.0, -0.5, 1.5):
+        with pytest.raises(ValueError):
+            S.temperature_weights({"a": 1}, alpha=alpha)
+
+
+def test_temperature_mix_proportions_and_determinism(spark):
+    """temperature_mix keeps ~n^alpha per stratum (md5 acceptance is
+    uniform), keeps the smallest stratum intact, and the kept row set
+    is identical across reruns and input partitionings."""
+    rows = [("en", i) for i in range(4000)] + [("de", i + 10_000) for i in range(1000)] + [
+        ("fr", i + 20_000) for i in range(250)
+    ]
+    df = spark.createDataFrame(rows, "lang string, doc_id long")
+    out = S.temperature_mix(df, "lang", "doc_id", alpha=0.5)
+    kept = {r.lang: r.cnt for r in out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    assert kept["fr"] == 250  # smallest stratum untouched
+    # expected: en 4000*sqrt(250/4000)=1000, de 1000*sqrt(250/1000)=500
+    assert abs(kept["en"] - 1000) < 120  # ~3.9 sigma of binomial(4000, .25)
+    assert abs(kept["de"] - 500) < 90
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    again = {
+        r.doc_id
+        for r in S.temperature_mix(df.repartition(13), "lang", "doc_id", alpha=0.5)
+        .select("doc_id")
+        .collect()
+    }
+    assert ids == again
+
+
+def test_temperature_thresholds_match_duckdb_sqrt(spark, duck):
+    """The alpha=0.5 integer thresholds derived in Python equal the
+    ones DuckDB derives from its own counts — the bit-determinism the
+    text_stats temp_hi column's hash check relies on."""
+    counts = {
+        r[0]: r[1]
+        for r in duck.execute("SELECT lang, COUNT(*) FROM documents GROUP BY lang").fetchall()
+    }
+    thr = S.temperature_thresholds(counts, alpha=0.5)
+    sql_thr = {
+        r[0]: r[1]
+        for r in duck.execute(
+            """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+                    m AS (SELECT MIN(n) AS nmin FROM c)
+               SELECT lang, CAST(floor(sqrt(CAST(nmin AS DOUBLE)/CAST(n AS DOUBLE))
+                                  * 4294967296) AS BIGINT) FROM c, m"""
+        ).fetchall()
+    }
+    assert thr == sql_thr
