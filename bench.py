@@ -42,6 +42,8 @@ HEADLINE: dict[str, bool] = {
     # standalone quadratic n-gram Jaccard is a pytest-only verifier
     "dedup_verify_candidates": False,
     "dedup_simhash": False,
+    # round 6: substring near-dup pairs + span-cut arm (detect + remove)
+    "dedup_substring_anchors": False,
     "ann_topk_bruteforce": False,
     "ann_topk_lsh": False,
     "text_stats": False,

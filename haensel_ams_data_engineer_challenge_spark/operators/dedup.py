@@ -597,27 +597,35 @@ def cut_spans(
     with >= 1 span are returned.
 
     Output: (id, text_cut, n_islands, chars_removed) where
-    ``text_cut`` is the residual text with islands removed and
-    ``chars_removed`` == original length - length(text_cut).
+    ``text_cut`` is the residual text with islands removed,
+    ``n_islands`` counts the disjoint merged ranges (as `merge_spans`
+    would produce), and ``chars_removed`` == original length -
+    length(text_cut).
 
-    Scale shape: one groupBy(id) collects each doc's merged islands —
-    bounded by that doc's pair count, never corpus-wide — then ONE
-    equi-join against the corpus brings the text in, and the excision
-    itself is a row-local F.aggregate fold over the sorted island
-    array (acc = (residual, next_pos); each island appends the gap
-    before it and advances past its end).  No explode of text, no
-    window over text, no Python.
+    Scale shape: ONE map-side-combinable groupBy(id) collects each
+    doc's deduped spans into a sorted array — bounded by that doc's
+    pair count, never corpus-wide — then one equi-join against the
+    corpus brings the text in, and everything else is a row-local
+    F.aggregate fold over the sorted array.  The fold itself does the
+    overlap merging (acc.pos advances via greatest, so a span starting
+    before the cursor extends the current island instead of opening a
+    gap), which keeps the whole operator WINDOWLESS — the dedup-family
+    plan pin (tests/test_plans.py) applies to the registered
+    composition.  No explode of text, no Python.
     """
-    merged = merge_spans(spans, id_col, start_col, end_col)
-    ivs_per_doc = merged.groupBy(id_col).agg(
+    spans = spans.select(id_col, start_col, end_col).dropDuplicates(
+        [id_col, start_col, end_col]
+    )
+    ivs_per_doc = spans.groupBy(id_col).agg(
         F.sort_array(
             F.collect_list(F.struct(F.col(start_col).alias("s"), F.col(end_col).alias("e")))
         ).alias("__ivs")
     )
     joined = df.join(ivs_per_doc, id_col, "inner")
     t = F.col(text_col)
-    # clamp each island to [1, len]; islands fully outside vanish
-    # (everything long so the fold accumulator type is stable)
+    # clamp each span to [1, len]; spans fully outside vanish
+    # (everything long so the fold accumulator type is stable; clamping
+    # s by a monotone greatest preserves the sort order)
     ivs = F.filter(
         F.transform(
             F.col("__ivs"),
@@ -629,25 +637,37 @@ def cut_spans(
         lambda iv: iv["s"] <= iv["e"],
     )
     # fold: acc.txt accumulates the kept gaps, acc.pos is the next
-    # uncut char; islands are disjoint + sorted so pos only advances
-    residual = F.aggregate(
+    # uncut char, acc.n counts disjoint islands.  Sorted by (s, e), a
+    # span with s >= pos opens a new island (emits the gap before it);
+    # one with s < pos overlaps or is contained (gap length clamps to
+    # 0, pos only ever advances).
+    folded = F.aggregate(
         ivs,
-        F.struct(F.lit("").alias("txt"), F.lit(1).cast("long").alias("pos")),
+        F.struct(
+            F.lit("").alias("txt"),
+            F.lit(1).cast("long").alias("pos"),
+            F.lit(0).cast("long").alias("n"),
+        ),
         lambda acc, iv: F.struct(
             F.concat(
                 acc["txt"], t.substr(acc["pos"], F.greatest(iv["s"] - acc["pos"], F.lit(0)))
             ).alias("txt"),
-            (iv["e"] + 1).alias("pos"),
+            F.greatest(acc["pos"], iv["e"] + 1).alias("pos"),
+            (acc["n"] + (iv["s"] >= acc["pos"]).cast("long")).alias("n"),
         ),
-        lambda acc: F.concat(
-            acc["txt"], t.substr(acc["pos"], F.greatest(F.length(t) - acc["pos"] + 1, F.lit(0)))
+        lambda acc: F.struct(
+            F.concat(
+                acc["txt"],
+                t.substr(acc["pos"], F.greatest(F.length(t) - acc["pos"] + 1, F.lit(0))),
+            ).alias("txt"),
+            acc["n"].alias("n"),
         ),
     )
-    return joined.select(
+    return joined.withColumn("__folded", folded).select(
         F.col(id_col),
-        residual.alias("text_cut"),
-        F.size(ivs).cast("long").alias("n_islands"),
-        (F.length(t) - F.length(residual)).cast("long").alias("chars_removed"),
+        F.col("__folded.txt").alias("text_cut"),
+        F.col("__folded.n").alias("n_islands"),
+        (F.length(t) - F.length(F.col("__folded.txt"))).cast("long").alias("chars_removed"),
     )
 
 
