@@ -916,22 +916,60 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
             FROM cut""",
     )
 
-    e["doc_fingerprint"] = (
-        lambda spark, sf: _docs(spark, sf)
-        .filter(F.length("text") >= 8)
-        .select(
+    # round 6 tags in TRAINING-SEQUENCE chunking (operators/pack.
+    # chunk_sequences): each doc's BPE-ish token stream sliced into
+    # seq_len=64-token windows with 8 tokens of overlap — the corpus ->
+    # trainer hand-off; rows are (chunk_idx, n_tokens, md5(chunk_text))
+    # per chunk, method-tagged alongside the fingerprint rows.
+    def _fingerprint_with_chunks(spark: SparkSession, sf: str) -> DataFrame:
+        from ..operators.pack import chunk_sequences
+
+        docs = _docs(spark, sf)
+        fp = docs.filter(F.length("text") >= 8).select(
             "doc_id",
             F.substring(
                 F.array_min(F.transform(T.char_shingles("text", 8), F.md5)), 1, 16
             ).alias("fingerprint"),
-        ),
-        r"""SELECT doc_id,
-                  substr(list_min(list_transform(
-                      list_distinct(list_transform(range(1, length(text) - 6),
-                                                   i -> substr(text, i, 8))),
-                      s -> md5(s))), 1, 16) AS fingerprint
-           FROM documents
-           WHERE length(text) >= 8""",
+        )
+        ch = chunk_sequences(docs, seq_len=64, overlap=8)
+        nb = F.lit(None).cast("long")
+        return fp.select(
+            F.lit("fp").alias("method"), "doc_id", "fingerprint",
+            nb.alias("chunk_idx"), nb.alias("n_tokens"),
+        ).unionByName(
+            ch.select(
+                F.lit("chunk").alias("method"), "doc_id",
+                F.md5("chunk_text").alias("fingerprint"), "chunk_idx", "n_tokens",
+            )
+        )
+
+    e["doc_fingerprint"] = (
+        _fingerprint_with_chunks,
+        rf"""WITH fp AS (
+                SELECT doc_id,
+                       substr(list_min(list_transform(
+                           list_distinct(list_transform(range(1, length(text) - 6),
+                                                        i -> substr(text, i, 8))),
+                           s -> md5(s))), 1, 16) AS fingerprint
+                FROM documents
+                WHERE length(text) >= 8),
+            tok AS (SELECT doc_id, regexp_extract_all(text, '{BPE_SQL}') AS toks
+                    FROM documents),
+            st AS (SELECT doc_id, toks,
+                          unnest(range(1, greatest(len(toks) - 8, 1) + 1, 56)) AS s
+                   FROM tok WHERE len(toks) > 0),
+            ch AS (SELECT doc_id,
+                          CAST((s - 1) // 56 AS BIGINT) AS chunk_idx,
+                          CAST(len(toks[s : s + 63]) AS BIGINT) AS n_tokens,
+                          array_to_string(toks[s : s + 63], ' ') AS chunk_text
+                   FROM st)
+            SELECT 'fp' AS method, doc_id, fingerprint,
+                   CAST(NULL AS BIGINT) AS chunk_idx,
+                   CAST(NULL AS BIGINT) AS n_tokens
+            FROM fp
+            UNION ALL
+            SELECT 'chunk', doc_id, md5(chunk_text), chunk_idx, n_tokens
+            FROM ch""",
     )
 
     # ---- multimodal (binary-column plumbing) ----------------------------

@@ -292,3 +292,59 @@ PACK_BOTH_SQL = (
     "UNION ALL\n"
     "SELECT 'greedy' AS method, * FROM (\n" + PACK_GREEDY_SQL + "\n)"
 )
+
+
+def chunk_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seq_len: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Fixed-length TRAINING-SEQUENCE chunking: slide a ``seq_len``-token
+    window with ``overlap`` tokens of left context over each document's
+    BPE-ish token stream (functions/text.BPE_ISH_PATTERN) — the step
+    between a cleaned corpus and a trainer, which consumes
+    fixed-length sequences, not documents.
+
+    Window starts are 1, 1+step, ... <= max(n_tokens - overlap, 1)
+    with step = seq_len - overlap, so every chunk after the first
+    carries ``overlap`` tokens of context and at least one new token;
+    the last chunk may be short (standard practice keeps it).  Docs
+    with zero tokens yield no rows.
+
+    Output: (id, chunk_idx, n_tokens, chunk_text) — chunk_idx is
+    derived arithmetically from the start ((s-1)/step), so no
+    posexplode ordering dependency.  Entirely row-local (tokenize
+    once, sequence of starts, slice + join): zero shuffles,
+    embarrassingly parallel at any corpus size.
+
+    DuckDB twin shape: regexp_extract_all + range(1, bound+1, step) +
+    list slice toks[s : s+seq_len-1] + array_to_string.
+    """
+    if not 0 <= overlap < seq_len:
+        raise ValueError(f"need 0 <= overlap < seq_len, got {overlap}, {seq_len}")
+    from ..functions.text import BPE_ISH_PATTERN
+
+    step = seq_len - overlap
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0)
+    n = F.size(toks)
+    starts = F.when(
+        n > 0,
+        F.sequence(F.lit(1), F.greatest(n - overlap, F.lit(1)), F.lit(step)),
+    ).otherwise(F.array().cast("array<int>"))
+    chunk = F.explode(
+        F.transform(
+            starts,
+            lambda s: F.struct(
+                (((s - 1) / step).cast("long")).alias("chunk_idx"),
+                F.size(F.slice(toks, s, seq_len)).cast("long").alias("n_tokens"),
+                F.array_join(F.slice(toks, s, seq_len), " ").alias("chunk_text"),
+            ),
+        )
+    )
+    return df.select(F.col(id_col), chunk.alias("c")).select(
+        F.col(id_col), F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.n_tokens").alias("n_tokens"),
+        F.col("c.chunk_text").alias("chunk_text"),
+    )

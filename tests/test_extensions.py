@@ -917,3 +917,49 @@ def test_lsh_index_cache_identical_results(spark, sf_dir):
         S.ANN_LSH_TABLES, S.ANN_LSH_PLANES_PER_TABLE, "vec_id", "embedding",
     )
     assert ck in S._LSH_INDEX_CACHE
+
+
+def test_chunk_sequences_reconstruction_and_overlap(spark):
+    """Sequence chunking: chunk 0 plus each later chunk's tokens after
+    the overlap reconstruct the exact token stream; consecutive chunks
+    share exactly `overlap` tokens; short docs give one chunk, empty
+    docs none; invalid overlap raises."""
+    import re
+
+    import pytest as _pytest
+
+    from haensel_ams_data_engineer_challenge_spark.functions.text import (
+        BPE_ISH_PATTERN,
+    )
+    from haensel_ams_data_engineer_challenge_spark.operators.pack import (
+        chunk_sequences,
+    )
+
+    texts = {
+        1: " ".join(f"tok{i}" for i in range(150)),  # 300 bpe-ish tokens
+        2: "short doc only",
+        3: "",
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    seq_len, overlap = 64, 8
+    out = {}
+    for r in chunk_sequences(docs, seq_len=seq_len, overlap=overlap).collect():
+        out.setdefault(r.doc_id, {})[r.chunk_idx] = r
+    assert 3 not in out  # zero tokens -> no chunks
+    assert list(out[2]) == [0] and out[2][0].chunk_text == "short doc only"
+    for doc_id, text in list(texts.items())[:2]:
+        toks = re.findall(BPE_ISH_PATTERN, text)
+        chunks = [out[doc_id][i] for i in sorted(out[doc_id])]
+        # full reconstruction: chunk 0 whole, later chunks minus overlap
+        rebuilt = chunks[0].chunk_text.split(" ")
+        for c in chunks[1:]:
+            rebuilt += c.chunk_text.split(" ")[overlap:]
+        assert rebuilt == toks, doc_id
+        # every chunk obeys the length cap; all but the last are full
+        assert all(c.n_tokens <= seq_len for c in chunks)
+        assert all(c.n_tokens == seq_len for c in chunks[:-1])
+        # consecutive chunks share exactly the overlap window
+        for a, b in zip(chunks, chunks[1:]):
+            assert a.chunk_text.split(" ")[-overlap:] == b.chunk_text.split(" ")[:overlap]
+    with _pytest.raises(ValueError):
+        chunk_sequences(docs, seq_len=8, overlap=8)
