@@ -18,6 +18,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions import text as T
 from ..operators import dedup as D
+from ..operators import retrieval as R
+from ..operators import vocab as V
 from ..operators import similarity as S
 from ..sources import load_table
 
@@ -410,12 +412,59 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
     # overlap-fraction pipeline CTE-for-stage (flood control as a
     # grouped document-frequency + anti-join, matching the engine's
     # groupBy + broadcast anti-join form).
+    # round 6 tags in the 'bm25' arm: ranked-retrieval decontamination
+    # (operators/retrieval.py) — for each probe doc, the top-k training
+    # docs by Okapi BM25 over a 16-token query snippet; the modern
+    # complement to the overlap-threshold form (a near-verbatim leak
+    # ranks at the top even when its trigram overlap stays under the
+    # threshold).  Shared columns (method, train_id, eval_id, n_shared,
+    # score, rank): ngram rows carry overlap_frac as score, NULL rank.
+    # The probe set subsamples the eval set 4:1 (doc_id % 100): the
+    # synthetic corpus has ~31 distinct terms, so EVERY query term
+    # matches EVERY doc — maximally dense posting lists, BM25's worst
+    # case — and contrib volume is |queries| x |corpus| x terms-per-
+    # query regardless of pruning.  Real corpora are Zipfian (posting
+    # lists mostly short); the subsample keeps the bench entry honest
+    # without letting the degenerate-vocab blowup dominate it.
+    BM25_QUERY_TOKENS = 16
+    BM25_K = 5
+    BM25_PROBE_PRED = "doc_id % 100 = 0"
+
     def _contamination(spark: SparkSession, sf: str) -> DataFrame:
         from ..operators.contamination import contamination_check
+        from ..operators.retrieval import bm25_topk, search_tokens
 
         docs = _docs(spark, sf)
         ev = docs.filter(CONTAM_EVAL_PRED).select("doc_id", "text")
-        return contamination_check(docs, ev, min_overlap_frac=CONTAM_FRAC)
+        ngram = contamination_check(docs, ev, min_overlap_frac=CONTAM_FRAC)
+        queries = docs.filter(BM25_PROBE_PRED).select(
+            F.col("doc_id").alias("query_id"),
+            F.concat_ws(
+                " ", F.slice(search_tokens("text"), 1, BM25_QUERY_TOKENS)
+            ).alias("text"),
+        )
+        bm = bm25_topk(docs, queries, k=BM25_K)
+        nb = F.lit(None).cast("long")
+        cols = ["method", "train_id", "eval_id", "n_shared", "score", "rank"]
+        return ngram.select(
+            F.lit("ngram").alias("method"), "train_id", "eval_id",
+            "n_shared", F.col("overlap_frac").alias("score"),
+            nb.alias("rank"),
+        ).select(cols).unionByName(
+            bm.select(
+                F.lit("bm25").alias("method"),
+                F.col("doc_id").alias("train_id"),
+                F.col("query_id").alias("eval_id"),
+                F.col("n_matched").alias("n_shared"),
+                "score", "rank",
+            ).select(cols)
+        )
+
+    _bm25_queries_cte = f"""SELECT doc_id AS query_id,
+                   array_to_string(
+                       (regexp_extract_all(lower(text), '{R.SEARCH_TOKEN_PATTERN}'))[1:{BM25_QUERY_TOKENS}],
+                       ' ') AS qtext
+            FROM documents WHERE {BM25_PROBE_PRED}"""
 
     e["contamination_check"] = (
         _contamination,
@@ -423,13 +472,18 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
         + _contam_ctes(
             "", "SELECT doc_id AS train_id, unnest(sh) AS s FROM doc_shingles"
         ).strip()
+        + ","
+        + R.bm25_sql(_bm25_queries_cte, k=BM25_K).strip()
         + f"""
-        SELECT s.train_id, s.eval_id, s.n_shared,
+        SELECT 'ngram' AS method, s.train_id, s.eval_id, s.n_shared,
                CAST(s.n_shared AS DOUBLE) / CAST(z.eval_shingles AS DOUBLE)
-               AS overlap_frac
+               AS score, CAST(NULL AS BIGINT) AS rank
         FROM shared s JOIN ev_sizes z ON z.eval_id = s.eval_id
         WHERE CAST(s.n_shared AS DOUBLE) / CAST(z.eval_shingles AS DOUBLE)
-              >= CAST({CONTAM_FRAC} AS DOUBLE)""",
+              >= CAST({CONTAM_FRAC} AS DOUBLE)
+        UNION ALL
+        SELECT 'bm25', doc_id, query_id, n_matched, score, rank
+        FROM bm_topk""",
     )
 
     # standalone exact n-gram Jaccard (quadratic in shared-shingle
@@ -921,8 +975,18 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
     # seq_len=64-token windows with 8 tokens of overlap — the corpus ->
     # trainer hand-off; rows are (chunk_idx, n_tokens, md5(chunk_text))
     # per chunk, method-tagged alongside the fingerprint rows.
+    # round 6 also tags in the tokenizer-training statistics
+    # (operators/vocab.py): 'vocab' = top-50 BPE-ish terms by corpus
+    # occurrence count, 'pair' = top-50 adjacent token pairs (the BPE
+    # first-merge candidates).  Corpus-level rows reuse the shared
+    # columns: fingerprint carries the term, chunk_idx the rank,
+    # n_tokens the occurrence count, doc_id NULL.
+    VOCAB_TOP_N = 50
+
     def _fingerprint_with_chunks(spark: SparkSession, sf: str) -> DataFrame:
+        from ..checkpoint import materialize
         from ..operators.pack import chunk_sequences
+        from ..operators.vocab import term_pair_counts, topn_of_kind
 
         docs = _docs(spark, sf)
         fp = docs.filter(F.length("text") >= 8).select(
@@ -933,6 +997,17 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
         )
         ch = chunk_sequences(docs, seq_len=64, overlap=8)
         nb = F.lit(None).cast("long")
+
+        counted = materialize(term_pair_counts(docs))
+
+        def _vocab_arm(df: DataFrame, tag: str) -> DataFrame:
+            return df.select(
+                F.lit(tag).alias("method"), nb.alias("doc_id"),
+                F.col("term").alias("fingerprint"),
+                F.col("rank").alias("chunk_idx"),
+                F.col("n_occurrences").alias("n_tokens"),
+            )
+
         return fp.select(
             F.lit("fp").alias("method"), "doc_id", "fingerprint",
             nb.alias("chunk_idx"), nb.alias("n_tokens"),
@@ -941,6 +1016,12 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
                 F.lit("chunk").alias("method"), "doc_id",
                 F.md5("chunk_text").alias("fingerprint"), "chunk_idx", "n_tokens",
             )
+        ).unionByName(
+            # one tokenize/explode/shuffle for BOTH statistics,
+            # materialized once so the two top-N jobs don't re-scan
+            _vocab_arm(topn_of_kind(counted, "term", VOCAB_TOP_N), "vocab")
+        ).unionByName(
+            _vocab_arm(topn_of_kind(counted, "pair", VOCAB_TOP_N), "pair")
         )
 
     e["doc_fingerprint"] = (
@@ -962,14 +1043,22 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
                           CAST((s - 1) // 56 AS BIGINT) AS chunk_idx,
                           CAST(len(toks[s : s + 63]) AS BIGINT) AS n_tokens,
                           array_to_string(toks[s : s + 63], ' ') AS chunk_text
-                   FROM st)
+                   FROM st),"""
+        + V.vocab_sql(BPE_SQL, n=VOCAB_TOP_N).strip()
+        + """
             SELECT 'fp' AS method, doc_id, fingerprint,
                    CAST(NULL AS BIGINT) AS chunk_idx,
                    CAST(NULL AS BIGINT) AS n_tokens
             FROM fp
             UNION ALL
             SELECT 'chunk', doc_id, md5(chunk_text), chunk_idx, n_tokens
-            FROM ch""",
+            FROM ch
+            UNION ALL
+            SELECT 'vocab', CAST(NULL AS BIGINT), term, rank, n_occurrences
+            FROM vt_terms
+            UNION ALL
+            SELECT 'pair', CAST(NULL AS BIGINT), term, rank, n_occurrences
+            FROM vt_pairs""",
     )
 
     # ---- multimodal (binary-column plumbing) ----------------------------
