@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions import text as T
 from ..operators import dedup as D
+from ..operators import lm as LM
 from ..operators import retrieval as R
 from ..operators import vocab as V
 from ..operators import similarity as S
@@ -726,8 +727,18 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
             ),
             16, 10,
         ).cast("long")
-        return _text_stats_body(docs).select(
-            "*", temp_hi.alias("temp_hi"), (temp_bucket < temp_hi).alias("temp_keep")
+        # round 6: CCNet-style unigram LM quality signal — model
+        # trained on the corpus itself (operators/lm.py), scores
+        # left-joined so zero-token docs keep NULLs
+        from ..operators.lm import unigram_doc_scores
+
+        return (
+            _text_stats_body(docs)
+            .select(
+                "*", temp_hi.alias("temp_hi"),
+                (temp_bucket < temp_hi).alias("temp_keep"),
+            )
+            .join(unigram_doc_scores(docs), "doc_id", "left")
         )
 
     def _text_stats_body(docs: DataFrame) -> DataFrame:
@@ -808,8 +819,10 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
                             CAST(floor(sqrt(CAST(nmin AS DOUBLE)
                                             / CAST(n AS DOUBLE))
                                        * 4294967296) AS BIGINT) AS hi
-                     FROM tcounts, tmn)
-            SELECT doc_id, token_count, bpe_ish_count, char_count,
+                     FROM tcounts, tmn),"""
+        + LM.unigram_sql(R.SEARCH_TOKEN_PATTERN).strip()
+        + rf"""
+            SELECT scored.doc_id AS doc_id, token_count, bpe_ish_count, char_count,
                    punct_ratio, stopword_ratio,
                    CAST(0.5 AS DOUBLE) * stopword_ratio
                  + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - punct_ratio)
@@ -832,9 +845,12 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
                    CASE WHEN best > 0 THEN {pred_sql} ELSE 'und' END AS pred_lang,
                    hi AS temp_hi,
                    CAST(concat('0x', substr(md5('tempmix|' || lang || '|'
-                        || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) < hi
-                     AS temp_keep
-            FROM scored JOIN tthr ON tlang = lang""",
+                        || CAST(scored.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) < hi
+                     AS temp_keep,
+                   lm_doc.lm_logprob AS lm_logprob,
+                   lm_doc.lm_xent AS lm_xent
+            FROM scored JOIN tthr ON tlang = lang
+            LEFT JOIN lm_doc ON lm_doc.doc_id = scored.doc_id""",
     )
 
     # ---- exact-substring near-dup (Lee et al. 2021 style) ---------------

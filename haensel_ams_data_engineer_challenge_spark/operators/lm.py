@@ -1,0 +1,118 @@
+"""Unigram language-model scoring: CCNet-style perplexity filtering.
+
+The classic corpus-quality signal (CCNet, Wenzek et al. 2020; also the
+RedPajama/CCNet "perplexity buckets"): score each document by a
+language model and filter/bucket on the result.  The real CCNet uses a
+5-gram KenLM; the distributed-primitive core of that is the
+SELF-TRAINED unigram form implemented here — train token
+probabilities on the corpus itself (Laplace-smoothed), then score
+every document by mean negative log-likelihood.  A higher-order LM
+swaps the count key from a token to an n-gram; the Spark shape below
+is unchanged.
+
+Scale shape:
+
+1. one explode + map-side-combinable groupBy on the token trains the
+   model (the canonical word count);
+2. the tiny (N, V) stats row broadcast-cross-joins the count table to
+   form log-probabilities;
+3. scoring re-joins the token stream against the model on the term —
+   the model table is the small side (vocabulary ≪ corpus) and
+   broadcasts when it fits, degrading to a plain equi-join (still one
+   shuffle of (doc, term) pairs) for 100 TB vocabularies;
+4. the per-document aggregate is a plain map-side-combinable sum.
+
+Float parity (same discipline as operators/retrieval.py): ln() is
+quantized per DISTINCT vocabulary term with an exact floor to 1e-6,
+making every per-token contribution an integer count of 1e-6 units —
+integer-valued doubles sum exactly in ANY order, so the per-doc sum
+needs no ordering contract and partial-aggregates map-side.  The
+cross-entropy division happens after the sum (IEEE-deterministic).
+exp() is deliberately NOT applied — perplexity is exp(xent), one more
+libm call with cross-engine 1-ulp risk and zero ranking information;
+callers bucket on cross-entropy in nats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .retrieval import search_tokens
+
+
+def unigram_doc_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document unigram LM scores, model trained on ``docs``.
+
+    Output: (doc_id, lm_logprob, lm_xent) — total log-likelihood and
+    mean negative log-likelihood per token (nats).  Documents with no
+    tokens are absent (callers left-join and keep NULLs).
+    """
+    ex = docs.select(
+        F.col(id_col).alias("__did"),
+        F.explode(search_tokens(text_col)).alias("term"),
+    )
+    counts = ex.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("__c")
+    )
+    stats = counts.agg(
+        F.sum("__c").alias("__n_tok"),
+        F.count(F.lit(1)).cast("double").alias("__v"),
+    )
+    # Laplace-smoothed log-prob, floor-quantized to 1e-6 units per
+    # distinct term (module docstring)
+    lnp = counts.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.floor(
+            F.log(
+                (F.col("__c") + F.lit(1.0))
+                / (F.col("__n_tok") + F.col("__v"))
+            )
+            * F.lit(1000000.0)
+        )
+        .cast("double")
+        .alias("__lnp_s"),
+    )
+    return (
+        ex.join(lnp, "term")
+        .groupBy("__did")
+        .agg(
+            (F.sum("__lnp_s") / F.lit(1000000.0)).alias("lm_logprob"),
+            F.count(F.lit(1)).cast("double").alias("__n"),
+        )
+        .select(
+            F.col("__did").alias(id_col),
+            "lm_logprob",
+            (-F.col("lm_logprob") / F.col("__n")).alias("lm_xent"),
+        )
+    )
+
+
+def unigram_sql(token_pattern: str, pfx: str = "lm") -> str:
+    """DuckDB twin CTE chain ending in ``{pfx}_doc``
+    (doc_id, lm_logprob, lm_xent), stage-for-stage with
+    :func:`unigram_doc_scores` over the ``documents`` view."""
+    return f"""
+        {pfx}_tok AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '{token_pattern}')) AS term
+            FROM documents),
+        {pfx}_counts AS (
+            SELECT term, CAST(COUNT(*) AS DOUBLE) AS c
+            FROM {pfx}_tok GROUP BY term),
+        {pfx}_stats AS (
+            SELECT CAST(SUM(c) AS DOUBLE) AS n_tok,
+                   CAST(COUNT(*) AS DOUBLE) AS v
+            FROM {pfx}_counts),
+        {pfx}_lnp AS (
+            SELECT term,
+                   floor(ln((c + 1.0) / (n_tok + v)) * 1000000.0) AS lnp_s
+            FROM {pfx}_counts CROSS JOIN {pfx}_stats),
+        {pfx}_doc AS (
+            SELECT t.doc_id,
+                   SUM(p.lnp_s) / 1000000.0 AS lm_logprob,
+                   -(SUM(p.lnp_s) / 1000000.0)
+                       / CAST(COUNT(*) AS DOUBLE) AS lm_xent
+            FROM {pfx}_tok t JOIN {pfx}_lnp p ON p.term = t.term
+            GROUP BY t.doc_id)"""
