@@ -105,6 +105,30 @@ def _parser() -> argparse.ArgumentParser:
     co.add_argument("--val", type=float, default=0.01)
     co.add_argument("--test", type=float, default=0.01)
 
+    se = sub.add_parser(
+        "search",
+        help="BM25 top-k corpus docs per query (ranked retrieval / "
+        "retrieval-based decontamination)",
+    )
+    se.add_argument("--sf-dir", required=True)
+    se.add_argument("--work-dir", required=True)
+    se.add_argument(
+        "--queries-parquet",
+        required=True,
+        metavar="PARQUET_PATH",
+        help="query table (query_id, text)",
+    )
+    se.add_argument("--k", type=int, default=5)
+    se.add_argument(
+        "--max-df-frac",
+        type=float,
+        default=None,
+        metavar="FRAC",
+        help="common-term pruning: drop query terms whose document "
+        "frequency exceeds FRAC of the corpus (bounds the scoring "
+        "join on Zipf head terms; an explicit approximation)",
+    )
+
     mx = sub.add_parser(
         "mix",
         help="weighted interleave of corpora (training mixture weights); "
@@ -253,6 +277,26 @@ def main(argv: list[str] | None = None) -> int:
                 + " ".join(f"{k}={counts.get(k, 0)}" for k in fractions)
                 + f" -> {out}"
             )
+            return 0
+
+        if args.command == "search":
+            from .operators.retrieval import bm25_topk
+            from .sources import load_table
+
+            docs = load_table(spark, args.sf_dir, "documents")
+            queries = spark.read.parquet(args.queries_parquet)
+            hits = bm25_topk(
+                docs,
+                queries,
+                k=args.k,
+                exclude_self=False,
+                max_df_frac=args.max_df_frac,
+            )
+            out = f"{args.work_dir}/search_hits"
+            hits.write.mode("overwrite").parquet(out)
+            back = spark.read.parquet(out)
+            n_q = back.select("query_id").distinct().count()
+            print(f"queries={n_q} hits={back.count()} -> {out}")
             return 0
 
         if args.command == "mix":

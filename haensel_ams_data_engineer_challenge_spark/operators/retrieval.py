@@ -89,6 +89,7 @@ def bm25_topk(
     query_id_col: str = "query_id",
     query_text_col: str = "text",
     exclude_self: bool = True,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """Top-k corpus docs per query under Okapi BM25.
 
@@ -98,6 +99,19 @@ def bm25_topk(
 
     ``exclude_self`` drops doc_id == query_id pairs (queries derived
     from corpus docs would trivially retrieve themselves).
+
+    ``max_df_frac`` is common-term pruning — the retrieval form of
+    this engine's flood caps: a query term whose document frequency
+    exceeds ``max_df_frac * N`` matches a constant fraction of ANY
+    corpus (Zipf head terms: 'the', markup tokens), so its posting
+    list floods the contrib join with rows whose idf weight carries
+    almost no ranking signal.  Dropping those terms bounds contrib
+    volume at |queries| x terms-per-query x (max_df_frac * N) — on
+    the Zipfian scale bench this is the difference between 20.6 M and
+    O(1 M) contrib rows for 100 queries on a 12 M-token corpus.  It
+    is an explicit approximation (scores lose the flooded terms'
+    small contributions) and is OFF by default; n_matched counts only
+    kept terms.
     """
     k1p1 = k1 + 1.0
     one_minus_b = 1.0 - b
@@ -138,6 +152,13 @@ def bm25_topk(
     dfreq = postings.groupBy("term").agg(
         F.count(F.lit(1)).cast("double").alias("__df")
     )
+    if max_df_frac is not None:
+        # common-term pruning (docstring): the cap is evaluated on the
+        # tiny dfreq table, and the inner join below then drops the
+        # flooded terms' postings without any extra shuffle
+        dfreq = dfreq.crossJoin(F.broadcast(stats)).filter(
+            F.col("__df") <= F.lit(max_df_frac) * F.col("__n_docs")
+        ).select("term", "__df")
 
     # idf quantized with an exact floor (module docstring: ln parity)
     idf_q = (
@@ -214,6 +235,7 @@ def bm25_sql(
     k1: float = BM25_K1,
     b: float = BM25_B,
     exclude_self: bool = True,
+    max_df_frac: float | None = None,
     pfx: str = "bm",
 ) -> str:
     """DuckDB twin of :func:`bm25_topk`, stage-for-stage.
@@ -251,8 +273,11 @@ def bm25_sql(
             JOIN {pfx}_vocab v ON v.term = e.term
             GROUP BY 1, 2, 3),
         {pfx}_dfreq AS (
-            SELECT term, CAST(COUNT(*) AS DOUBLE) AS __df
-            FROM {pfx}_postings GROUP BY term),
+            SELECT term, __df FROM (
+                SELECT term, CAST(COUNT(*) AS DOUBLE) AS __df
+                FROM {pfx}_postings GROUP BY term) d
+            CROSS JOIN {pfx}_stats s
+            WHERE {f"d.__df <= {repr(max_df_frac)} * s.__n_docs" if max_df_frac is not None else "TRUE"}),
         {pfx}_contrib AS (
             SELECT q.query_id, p.__did, p.term,
                    floor((floor(ln((s.__n_docs - d.__df + 0.5) / (d.__df + 0.5) + 1.0)

@@ -222,3 +222,42 @@ def test_cli_corpus_dedup_method(spark, sf_dir, tmp_path, capsys):
     # the union of both signals can only merge clusters further:
     # never MORE survivors than the weakest single signal
     assert counts["both"] <= min(counts["minhash"], counts["substring"])
+
+
+def test_cli_search_bm25(spark, sf_dir, tmp_path, capsys):
+    """search: BM25 hits parquet with k rows per query, ranked."""
+    from pyspark.sql import functions as F
+
+    work = str(tmp_path / "wd")
+    qpath = str(tmp_path / "queries")
+    (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter("doc_id % 100 = 0")
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.substring("text", 1, 80).alias("text"),
+        )
+        .write.parquet(qpath)
+    )
+    rc = main([
+        "search", "--sf-dir", sf_dir, "--work-dir", work,
+        "--queries-parquet", qpath, "--k", "3",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "hits=" in out
+    back = spark.read.parquet(f"{work}/search_hits")
+    per_q = back.groupBy("query_id").count().collect()
+    assert per_q and all(r["count"] <= 3 for r in per_q)
+    # ranks are 1..k and scores non-increasing within each query
+    # (the testdata vocabulary is ~31 terms, so a text prefix is NOT
+    # discriminative enough to guarantee self-retrieval at rank 1 —
+    # that property is pinned on real text in test_retrieval.py)
+    rows = back.orderBy("query_id", "rank").collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1)), q
+        scores = [r["score"] for r in rs]
+        assert scores == sorted(scores, reverse=True), q

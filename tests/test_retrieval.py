@@ -106,6 +106,54 @@ def test_bm25_oracle_bit_parity(spark, sfn):
     assert (res["score"].values == ora["score"].values).all()  # bitwise
 
 
+def test_bm25_max_df_prunes_common_terms(spark):
+    """With max_df_frac below a term's df/N the term stops scoring:
+    'shuffles' (3/6 docs, inclusive cap) is pruned at 0.4, kept at
+    0.9 — and the oracle twin applies the identical cap."""
+    docs = _docs_df(spark)
+    queries = spark.createDataFrame(
+        [(100, "broadcast shuffles")], "query_id long, text string"
+    )
+    capped = bm25_topk(docs, queries, k=6, exclude_self=False,
+                       max_df_frac=0.4).collect()
+    uncapped = bm25_topk(docs, queries, k=6, exclude_self=False,
+                         max_df_frac=0.9).collect()
+    # 'shuffles' pruned: docs 1 and 6 (shuffles-only) drop out entirely
+    assert {r["doc_id"] for r in capped} == {2, 4}
+    assert all(r["n_matched"] == 1 for r in capped)
+    assert {r["doc_id"] for r in uncapped} == {1, 2, 4, 6}
+
+
+def test_bm25_max_df_oracle_parity(spark):
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    queries = docs.filter("doc_id % 25 = 0").select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(search_tokens("text"), 1, 16)).alias("text"),
+    )
+    res = (
+        bm25_topk(docs, queries, k=5, max_df_frac=0.999)
+        .orderBy("query_id", "rank").toPandas()
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    qcte = (
+        "SELECT doc_id AS query_id, "
+        "array_to_string((regexp_extract_all(lower(text), '[a-z0-9]+'))[1:16], ' ') AS qtext "
+        "FROM documents WHERE doc_id % 25 = 0"
+    )
+    ora = con.sql(
+        "WITH " + bm25_sql(qcte, max_df_frac=0.999).strip()
+        + "\nSELECT * FROM bm_topk ORDER BY query_id, rank"
+    ).df()
+    assert len(res) == len(ora) > 0
+    assert (res["doc_id"].values == ora["doc_id"].values).all()
+    assert (res["score"].values == ora["score"].values).all()
+
+
 def test_bm25_plan_broadcasts_small_sides(spark):
     """The vocab prune, idf and query-term joins must all broadcast —
     the corpus-side posting stream is the only shuffled relation."""
