@@ -729,16 +729,24 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
         ).cast("long")
         # round 6: CCNet-style unigram LM quality signal — model
         # trained on the corpus itself (operators/lm.py), scores
-        # left-joined so zero-token docs keep NULLs
+        # left-joined so zero-token docs keep NULLs; lm_bucket is the
+        # CCNet head/middle/tail split — exact NTILE(3) by (xent,
+        # doc_id) via the distributed prefix-count rank
+        # (operators/rank.py), never a single-task global sort
         from ..operators.lm import unigram_doc_scores
+        from ..operators.rank import ntile_exact
 
+        scores = ntile_exact(
+            unigram_doc_scores(docs), 3,
+            ["lm_xent", "doc_id"], out_col="lm_bucket",
+        )
         return (
             _text_stats_body(docs)
             .select(
                 "*", temp_hi.alias("temp_hi"),
                 (temp_bucket < temp_hi).alias("temp_keep"),
             )
-            .join(unigram_doc_scores(docs), "doc_id", "left")
+            .join(scores, "doc_id", "left")
         )
 
     def _text_stats_body(docs: DataFrame) -> DataFrame:
@@ -847,10 +855,14 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
                    CAST(concat('0x', substr(md5('tempmix|' || lang || '|'
                         || CAST(scored.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) < hi
                      AS temp_keep,
-                   lm_doc.lm_logprob AS lm_logprob,
-                   lm_doc.lm_xent AS lm_xent
+                   lm_b.lm_logprob AS lm_logprob,
+                   lm_b.lm_xent AS lm_xent,
+                   lm_b.lm_bucket AS lm_bucket
             FROM scored JOIN tthr ON tlang = lang
-            LEFT JOIN lm_doc ON lm_doc.doc_id = scored.doc_id""",
+            LEFT JOIN (SELECT *, CAST(NTILE(3) OVER (ORDER BY lm_xent, doc_id)
+                                      AS BIGINT) AS lm_bucket
+                       FROM lm_doc) lm_b
+                 ON lm_b.doc_id = scored.doc_id""",
     )
 
     # ---- exact-substring near-dup (Lee et al. 2021 style) ---------------

@@ -37,6 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..checkpoint import materialize
 from .retrieval import search_tokens
 
 
@@ -53,8 +54,14 @@ def unigram_doc_scores(
         F.col(id_col).alias("__did"),
         F.explode(search_tokens(text_col)).alias("term"),
     )
-    counts = ex.groupBy("term").agg(
-        F.count(F.lit(1)).cast("double").alias("__c")
+    # diamond materialization (DESIGN.md): the count table feeds three
+    # branches — the (N, V) stats aggregate, the log-prob table, and
+    # (via broadcast) the scoring join — each a separate job that
+    # would otherwise re-run the corpus explode + count.  The
+    # materialized stream is the |vocabulary|-row model, never the
+    # token stream.  Measured at sf0.1: 1.7 -> ~0.9 s warm.
+    counts = materialize(
+        ex.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("__c"))
     )
     stats = counts.agg(
         F.sum("__c").alias("__n_tok"),
