@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions import text as T
 from ..operators import dedup as D
+from ..operators import bpe as B
 from ..operators import lm as LM
 from ..operators import retrieval as R
 from ..operators import vocab as V
@@ -1011,8 +1012,23 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
     # n_tokens the occurrence count, doc_id NULL.
     VOCAB_TOP_N = 50
 
+    # ... and the 'bpe' arm: REAL BPE segmentation (operators/bpe.py)
+    # under a fixed pretrained merge list — the production shape
+    # (tokenizer shipped as data; training itself is the iterative
+    # driver loop, pytest-verified vs a python reference because a
+    # sequential merge loop has no honest SQL twin).  This list is
+    # what bpe_train(docs, 10) learns on the sf0.01 corpus, frozen so
+    # the oracle (bracket-replace emulation, bit-exact greedy-left
+    # semantics) is a static query.
+    PRETRAINED_MERGES = [
+        ("e", "r</w>"), ("o", "w</w>"), ("t", "o"), ("a", "t"),
+        ("l", "u"), ("a", "s"), ("i", "n"), ("e", "r"),
+        ("o", "r"), ("a", "r"),
+    ]
+
     def _fingerprint_with_chunks(spark: SparkSession, sf: str) -> DataFrame:
         from ..checkpoint import materialize
+        from ..operators.bpe import bpe_segment
         from ..operators.pack import chunk_sequences
         from ..operators.vocab import term_pair_counts, topn_of_kind
 
@@ -1050,6 +1066,13 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
             _vocab_arm(topn_of_kind(counted, "term", VOCAB_TOP_N), "vocab")
         ).unionByName(
             _vocab_arm(topn_of_kind(counted, "pair", VOCAB_TOP_N), "pair")
+        ).unionByName(
+            bpe_segment(docs, PRETRAINED_MERGES).select(
+                F.lit("bpe").alias("method"), "doc_id",
+                F.md5(F.concat_ws(" ", "bpe_tokens")).alias("fingerprint"),
+                nb.alias("chunk_idx"),
+                F.size("bpe_tokens").cast("long").alias("n_tokens"),
+            )
         )
 
     e["doc_fingerprint"] = (
@@ -1073,6 +1096,8 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
                           array_to_string(toks[s : s + 63], ' ') AS chunk_text
                    FROM st),"""
         + V.vocab_sql(BPE_SQL, n=VOCAB_TOP_N).strip()
+        + ","
+        + B.segment_sql(PRETRAINED_MERGES, R.SEARCH_TOKEN_PATTERN).strip()
         + """
             SELECT 'fp' AS method, doc_id, fingerprint,
                    CAST(NULL AS BIGINT) AS chunk_idx,
@@ -1086,7 +1111,11 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
             FROM vt_terms
             UNION ALL
             SELECT 'pair', CAST(NULL AS BIGINT), term, rank, n_occurrences
-            FROM vt_pairs""",
+            FROM vt_pairs
+            UNION ALL
+            SELECT 'bpe', doc_id, md5(array_to_string(bpe_tokens, ' ')),
+                   CAST(NULL AS BIGINT), CAST(len(bpe_tokens) AS BIGINT)
+            FROM bp_seg""",
     )
 
     # ---- multimodal (binary-column plumbing) ----------------------------

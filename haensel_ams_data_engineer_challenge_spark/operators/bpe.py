@@ -1,0 +1,217 @@
+"""Distributed BPE training and segmentation (Sennrich et al. 2016).
+
+The full tokenizer-training loop on Spark, completing the story
+`operators/vocab.py` starts (its pair count IS one merge round's
+statistic):
+
+- :func:`bpe_train` — learn a merge sequence.  BPE trains on WORD
+  TYPES, not the corpus stream: the state is the distinct-word table
+  (word, freq, symbols[]), orders of magnitude smaller than the
+  corpus, and each merge round is (a) a map-side-combinable pair-count
+  aggregate weighted by word frequency, (b) a driver-side argmax of
+  ONE row (the same bounded transfer a broadcast join makes), and
+  (c) a row-local fold applying the merge to each word's symbol
+  array.  Like connected_components, the driver loop carries a
+  lineage-truncating materialize per round so round r+1 doesn't
+  recompute rounds 1..r.
+- :func:`bpe_segment` — apply a learned merge sequence to documents,
+  row-locally (one left-to-right greedy fold per merge, the exact
+  per-word procedure of the reference implementation).  Zero shuffles
+  at any corpus size.
+
+Verification split (the connected-components precedent for iterative
+algorithms): TRAINING has no DuckDB twin — the merge loop is genuinely
+sequential — so its gate is pytest equivalence against a transparent
+Python reference (test_bpe.py).  SEGMENTATION with a FIXED merge list
+(the production shape: a pretrained tokenizer shipped as data) IS
+SQL-expressible and gets a bit-exact oracle: each word becomes a
+bracket-wrapped symbol string '[l][o][w</w>]' and each merge one
+non-overlapping left-to-right `replace('[a][b]' -> '[ab]')` — the
+brackets make matches boundary-safe (no pattern can match inside a
+longer symbol) and self-delimiting (adjacent matches share no
+characters, so scan-after-replacement equals greedy-left — the exact
+fold semantics of :func:`_merge_adjacent`).
+
+Symbols are seeded as characters with a word-end marker '</w>' on the
+last character, the original formulation; pairs are joined with a
+space when merged symbols concatenate.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame, Row, functions as F
+
+from ..checkpoint import materialize
+from .retrieval import search_tokens
+
+#: word-end marker appended to a word's final character symbol.
+END = "</w>"
+
+
+def _char_symbols(word: Column) -> Column:
+    """['h', 'e', 'r</w>'] for 'her' — char symbols, end-marked."""
+    chars = F.split(word, "")
+    n = F.size(chars)
+    return F.concat(
+        F.slice(chars, 1, n - 1),
+        F.array(F.concat(F.element_at(chars, n), F.lit(END))),
+    )
+
+
+def _merge_adjacent(symbols: Column, a: str, b: str) -> Column:
+    """Greedy left-to-right merge of adjacent (a, b) -> a||b.
+
+    A fold over the symbol array: append each symbol, except when the
+    accumulator's last element is ``a`` and the incoming symbol is
+    ``b`` — then replace the last element with the concatenation.
+    Greedy-left semantics match the reference implementation (in
+    'aaa' with merge (a,a), the first two merge, the third stays).
+    """
+    return F.aggregate(
+        symbols,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.try_element_at(acc, F.lit(-1)) == F.lit(a)) & (s == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.lit(a + b)),
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def word_types(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq, symbols) — the BPE training state, one row per
+    distinct word, char-seeded."""
+    w = (
+        docs.select(F.explode(search_tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    return w.withColumn("symbols", _char_symbols(F.col("word")))
+
+
+def _pair_counts(types: DataFrame) -> DataFrame:
+    """(a, b, n): adjacent symbol pairs over word types, weighted by
+    word frequency — vocab.bpe_pair_top's statistic on the compact
+    state."""
+    toks = F.col("symbols")
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("a"),
+                F.element_at(toks, i + 1).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    return (
+        types.select("freq", F.explode(pairs).alias("p"))
+        .groupBy("p.a", "p.b")
+        .agg(F.sum("freq").alias("n"))
+    )
+
+
+def bpe_train(
+    docs: DataFrame, n_merges: int, text_col: str = "text"
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from ``docs``.
+
+    Returns the ordered merge list [(a, b), ...].  Ties on count break
+    lexicographically on (a, b) so the sequence is deterministic at
+    any parallelism.  Stops early when no pair is left.
+    """
+    if n_merges < 0:
+        raise ValueError(f"n_merges must be >= 0, got {n_merges}")
+    types = materialize(word_types(docs, text_col))
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        top: list[Row] = (
+            _pair_counts(types)
+            .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )  # ONE row — the same bounded transfer a broadcast makes
+        if not top:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        # row-local merge application; materialize truncates lineage so
+        # the next round's pair count reads this round's state, not a
+        # growing chain of folds (connected_components' loop shape)
+        types = materialize(
+            types.withColumn("symbols", _merge_adjacent(F.col("symbols"), a, b))
+        )
+    return merges
+
+
+def bpe_segment(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Append ``out_col``: the document's BPE segmentation under a
+    learned merge sequence — row-local, ZERO shuffles at any corpus
+    size.
+
+    Implementation is the bracket-replace emulation (module
+    docstring), the same procedure the oracle runs: each word becomes
+    '[l][o][w</w>]' and each merge one literal
+    ``replace('[a][b]' -> '[ab]')`` — plain whole-stage-codegen string
+    ops.  Two rejected shapes, for the record: a per-occurrence
+    aggregate-fold chain ran INTERPRETED and quadratic per word
+    (10.5 s / 500 docs); a word-type dictionary join fixed the
+    redundancy but paid a broadcast + posexplode + reassembly shuffle
+    and a 16 s cold plan compile.  This form is pure project — no
+    joins, no Generate, no higher-order fold.
+    """
+    def seg_word(w: Column) -> Column:
+        chars = F.split(w, "")
+        s = F.concat(
+            F.lit("["),
+            F.array_join(chars, "]["),
+            F.lit(END + "]"),
+        )
+        for a, b in merges:
+            s = F.replace(s, F.lit(f"[{a}][{b}]"), F.lit(f"[{a + b}]"))
+        return F.split(s.substr(F.lit(2), F.length(s) - 2), re.escape("]["))
+
+    return docs.withColumn(
+        out_col,
+        F.flatten(F.transform(search_tokens(text_col), seg_word)),
+    )
+
+
+def segment_sql(
+    merges: list[tuple[str, str]], token_pattern: str, pfx: str = "bp"
+) -> str:
+    """DuckDB twin of :func:`bpe_segment` for a FIXED merge list.
+
+    CTE ``{pfx}_seg``: (doc_id, bpe_tokens) over the ``documents``
+    view, via the bracket-replace emulation (module docstring).
+    """
+    expr = (
+        "'[' || array_to_string(str_split(w, ''), '][') || '</w>]'"
+    )
+    for a, b in merges:
+        expr = f"replace({expr}, '[{a}][{b}]', '[{a + b}]')"
+    return f"""
+        {pfx}_seg AS (
+            SELECT doc_id,
+                   CASE WHEN len(words) = 0 THEN []::VARCHAR[]
+                        ELSE str_split(
+                            substr(joined, 2, length(joined) - 2), '][')
+                   END AS bpe_tokens
+            FROM (
+                SELECT doc_id, words,
+                       array_to_string(
+                           list_transform(words, w -> {expr}), '') AS joined
+                FROM (SELECT doc_id,
+                             regexp_extract_all(lower(text), '{token_pattern}')
+                                 AS words
+                      FROM documents)))"""
+
