@@ -1,3 +1,4 @@
+from .ingest import run_streaming_ingest
 from .joins import clicks_to_purchases
 from .journeys import (
     hourly_event_stats,
@@ -10,6 +11,7 @@ __all__ = [
     "clicks_to_purchases",
     "hourly_event_stats",
     "run_streaming_attribution",
+    "run_streaming_ingest",
     "stream_events",
     "streaming_sessionize",
 ]

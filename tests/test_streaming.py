@@ -320,3 +320,80 @@ def test_streaming_attribution_resumes_from_checkpoint(spark, sf_dir, tmp_path):
         # offsets resumed: the restart never reprocesses the >= 2
         # batches the first run committed before stopping
         assert min(resumed_ids) >= 2
+
+
+def test_streaming_ingest_incremental_dedup(spark, sf_dir, tmp_path):
+    """Streaming corpus ingestion == the batch dedup semantics: each
+    micro-batch admits only docs new vs (base corpus + within-batch +
+    earlier batches), and a replay admits nothing more."""
+    from haensel_ams_data_engineer_challenge_spark.streaming.ingest import (
+        run_streaming_ingest,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.filter("doc_id < 400")
+    corpus_path = str(tmp_path / "corpus")
+    base.write.parquet(corpus_path)
+
+    feed = str(tmp_path / "feed")
+    # batch file A: 10 dups of the base corpus (ids shifted), 10 new,
+    # plus an in-batch duplicate pair (ids 9000/9001 share text)
+    a_dup = docs.filter("doc_id < 10").withColumn(
+        "doc_id", F.col("doc_id") + 10000
+    )
+    a_new = docs.filter("doc_id >= 400 AND doc_id < 410").withColumn(
+        "doc_id", F.col("doc_id") + 10000
+    )
+    a_pair = spark.createDataFrame(
+        [(9000, "genuinely fresh text one", "en", "synthetic", 24),
+         (9001, "genuinely fresh text one", "en", "synthetic", 24)],
+        docs.schema.simpleString().replace("struct<", "").replace(">", "")
+        .replace(":", " ").replace(",", ", "),
+    )
+    import glob as _glob
+    import os
+    import shutil
+
+    def _drop(df, name):
+        tmp = str(tmp_path / f"__stage_{name}")
+        df.repartition(1).write.parquet(tmp)
+        os.makedirs(feed, exist_ok=True)
+        shutil.copy(_glob.glob(f"{tmp}/part-*.parquet")[0], f"{feed}/{name}")
+
+    _drop(a_dup.unionByName(a_new).unionByName(a_pair), "a.parquet")
+    # batch file B: re-sends batch A's new docs (cross-batch dups) +
+    # 5 genuinely new
+    b_redo = a_new.withColumn("doc_id", F.col("doc_id") + 50000)
+    b_new = docs.filter("doc_id >= 410 AND doc_id < 415").withColumn(
+        "doc_id", F.col("doc_id") + 60000
+    )
+    _drop(b_redo.unionByName(b_new), "b.parquet")
+
+    sink = str(tmp_path / "admitted")
+    ckpt = str(tmp_path / "ckpt")
+    run_streaming_ingest(
+        spark, corpus_path, feed, sink, ckpt, max_files_per_trigger=1
+    )
+
+    admitted = spark.read.parquet(sink)
+    got_ids = {r["doc_id"] for r in admitted.select("doc_id").collect()}
+    # batch A: the 10 new + ONE of the in-batch pair (min id);
+    # batch B: only its 5 genuinely new (A's texts are already admitted)
+    exp_ids = (
+        {10400 + i for i in range(10)} | {9000}
+        | {60410 + i for i in range(5)}
+    )
+    assert got_ids == exp_ids
+    # admitted texts are globally unique vs base corpus and each other
+    both = base.select("text").unionByName(admitted.select("text"))
+    assert both.distinct().count() == both.count()
+
+    # replay with a FRESH checkpoint: idempotent sink + persisted
+    # admitted store -> nothing new is written
+    run_streaming_ingest(
+        spark, corpus_path, feed, sink, str(tmp_path / "ckpt2"),
+        max_files_per_trigger=1,
+    )
+    assert {
+        r["doc_id"] for r in spark.read.parquet(sink).select("doc_id").collect()
+    } == exp_ids
