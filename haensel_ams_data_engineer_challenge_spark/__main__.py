@@ -93,6 +93,21 @@ def _parser() -> argparse.ArgumentParser:
         "text column with typed placeholders before writing",
     )
     co.add_argument(
+        "--drop-gopher-fail",
+        action="store_true",
+        help="drop documents failing the Gopher quality rules "
+        "(word count / mean word length / alpha-word fraction / "
+        "stopword hits published thresholds) before cap/split",
+    )
+    co.add_argument(
+        "--learn-bpe",
+        type=int,
+        default=None,
+        metavar="N_MERGES",
+        help="after building the corpus, learn N BPE merges on the "
+        "train split and write them to WORK_DIR/bpe_merges.json",
+    )
+    co.add_argument(
         "--dedup-method",
         choices=("minhash", "substring", "both"),
         default="minhash",
@@ -252,6 +267,13 @@ def main(argv: list[str] | None = None) -> int:
                 flagged.persist()
                 n_contaminated = flagged.count()
                 kept = kept.join(flagged, "doc_id", "left_anti")
+            n_quality_dropped = 0
+            if args.drop_gopher_fail:
+                from .functions.text import gopher_quality_pass
+
+                before = kept.count()
+                kept = kept.filter(gopher_quality_pass("text"))
+                n_quality_dropped = before - kept.count()
             if args.cap_per_lang is not None:
                 kept = stratum_cap(kept, ["lang"], args.cap_per_lang, "doc_id")
             if args.redact_pii:
@@ -269,11 +291,25 @@ def main(argv: list[str] | None = None) -> int:
                 r["split"]: r["count"]
                 for r in back.groupBy("split").count().collect()
             }
+            n_merges_learned = 0
+            if args.learn_bpe is not None:
+                import json as _json
+
+                from .operators.bpe import bpe_train
+
+                merges = bpe_train(
+                    back.filter(F.col("split") == "train"), args.learn_bpe
+                )
+                n_merges_learned = len(merges)
+                with open(f"{args.work_dir}/bpe_merges.json", "w") as fh:
+                    _json.dump([list(m) for m in merges], fh)
             total_in = docs.count()
             total_out = sum(counts.values())
             print(
                 f"docs={total_in} survivors={total_out} "
                 f"contaminated={n_contaminated} "
+                f"quality_dropped={n_quality_dropped} "
+                f"bpe_merges={n_merges_learned} "
                 + " ".join(f"{k}={counts.get(k, 0)}" for k in fractions)
                 + f" -> {out}"
             )

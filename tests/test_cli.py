@@ -261,3 +261,56 @@ def test_cli_search_bm25(spark, sf_dir, tmp_path, capsys):
         assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1)), q
         scores = [r["score"] for r in rs]
         assert scores == sorted(scores, reverse=True), q
+
+
+def test_cli_corpus_quality_and_bpe(spark, tmp_path, capsys):
+    """corpus --drop-gopher-fail filters quality failures (the driver
+    testdata fails Gopher wholesale — no English stopwords — so this
+    test crafts a corpus with both classes); --learn-bpe writes a
+    valid merges file learned on the train split."""
+    import json
+
+    # each doc: stopword-rich but pairwise DISSIMILAR (distinct noun
+    # pool per doc), so minhash dedup keeps them all
+    nouns = ["fox", "dog", "river", "stone", "cloud", "tree", "boat",
+             "lamp", "road", "hill", "bird", "field"]
+    def good(i):
+        return " ".join(
+            f"the {nouns[(i + j) % len(nouns)]}{i}{j} and a "
+            f"{nouns[(i + 2 * j + 1) % len(nouns)]}{i} were there so"
+            for j in range(40)
+        )
+    rows = [(i, good(i), "en", "web", len(good(i))) for i in range(8)]
+    rows += [(100 + i, f"zz{i} yy{i} qq{i}", "en", "web", 12)
+             for i in range(4)]  # distinct, all fail Gopher
+    src = str(tmp_path / "sfdir")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{src}/documents.parquet")
+
+    work = str(tmp_path / "wd")
+    rc = main([
+        "corpus", "--sf-dir", src, "--work-dir", work,
+        "--drop-gopher-fail", "--learn-bpe", "4",
+        "--train", "1.0", "--val", "0.0", "--test", "0.0",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "quality_dropped=4" in out and "bpe_merges=4" in out
+    from haensel_ams_data_engineer_challenge_spark.functions.text import (
+        gopher_quality_pass,
+    )
+
+    back = spark.read.parquet(f"{work}/corpus")
+    assert back.count() == 8
+    assert back.filter(~gopher_quality_pass("text")).count() == 0
+    merges = json.load(open(f"{work}/bpe_merges.json"))
+    assert len(merges) == 4
+    assert all(len(m) == 2 and all(isinstance(s, str) for s in m) for m in merges)
+    # the merges file round-trips into bpe_segment
+    from haensel_ams_data_engineer_challenge_spark.operators.bpe import (
+        bpe_segment,
+    )
+
+    seg = bpe_segment(back.limit(5), [tuple(m) for m in merges])
+    assert seg.filter("size(bpe_tokens) = 0").count() == 0
