@@ -121,3 +121,109 @@ def test_sessionize_matches_python_reference(spark, rows):
     df = spark.createDataFrame(data, "event_id long, user_id long, ts timestamp_ntz")
     got = {r.event_id: r.session_key for r in sessionize(df).collect()}
     assert got == _python_sessionize(data)
+
+
+# ---------------------------------------------------------------------------
+# round-6 operators: BPE round-trip, exact NTILE balance, BM25 invariants
+# ---------------------------------------------------------------------------
+
+_word = st.text(alphabet="ab1", min_size=1, max_size=5)
+_doc = st.lists(_word, min_size=0, max_size=8).map(" ".join)
+_docs_strategy = st.lists(_doc, min_size=1, max_size=6)
+
+
+@given(_docs_strategy, st.integers(0, 4))
+@SETTINGS
+def test_bpe_train_segment_reference_property(spark, texts, n_merges):
+    """For ANY corpus over a tiny alphabet: the Spark-trained merge
+    sequence equals the python reference's, and segmentation
+    round-trips (tokens concatenate back to the word stream)."""
+    import re as _re
+
+    from tests.test_bpe import py_bpe_segment, py_bpe_train
+
+    from haensel_ams_data_engineer_challenge_spark.operators.bpe import (
+        END,
+        bpe_segment,
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    merges = bpe_train(docs, n_merges)
+    assert merges == py_bpe_train(texts, n_merges)
+    got = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_segment(docs, merges).select("doc_id", "bpe_tokens").collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == py_bpe_segment(t, merges)
+        rebuilt = "".join(got[i]).replace(END, " ").strip()
+        assert rebuilt == " ".join(_re.findall(r"[a-z0-9]+", t.lower()))
+
+
+@given(st.integers(1, 25), st.integers(1, 7), st.integers(1, 5))
+@SETTINGS
+def test_ntile_bucket_sizes_property(spark, n, q, mod):
+    """Exact NTILE on ANY (n, q, tie-density): buckets are contiguous
+    in rank order, sizes differ by at most 1, larger buckets first."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from haensel_ams_data_engineer_challenge_spark.operators.rank import (
+        ntile_exact,
+    )
+
+    df = spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") % mod).cast("double").alias("v")
+    )
+    rows = ntile_exact(df, q, ["v", "k"]).collect()
+    sizes = Counter(r["bucket"] for r in rows)
+    assert sum(sizes.values()) == n
+    vals = [sizes[b] for b in sorted(sizes)]
+    assert max(vals) - min(vals) <= 1
+    assert vals == sorted(vals, reverse=True)
+    # bucket is monotone in the (v, k) total order
+    ordered = sorted(rows, key=lambda r: (r["v"], r["k"]))
+    buckets = [r["bucket"] for r in ordered]
+    assert buckets == sorted(buckets)
+
+
+@given(_docs_strategy)
+@SETTINGS
+def test_bm25_invariants_property(spark, texts):
+    """BM25 on ANY corpus/query draw: scores positive and ranked
+    descending per query, n_matched <= distinct query terms, top-k
+    bound respected, self excluded."""
+    from pyspark.sql import functions as F
+
+    from haensel_ams_data_engineer_challenge_spark.operators.retrieval import (
+        bm25_topk,
+        search_tokens,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    queries = docs.select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(search_tokens("text"), 1, 4)).alias("text"),
+    )
+    rows = bm25_topk(docs, queries, k=3).collect()
+    qterms = {
+        r["query_id"]: len(set(r["text"].split()))
+        for r in queries.collect()
+    }
+    per_q = {}
+    for r in rows:
+        assert r["doc_id"] != r["query_id"]
+        assert r["score"] > 0.0
+        assert 1 <= r["n_matched"] <= max(qterms[r["query_id"]], 1)
+        per_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in per_q.items():
+        assert len(rs) <= 3
+        rs.sort(key=lambda r: r["rank"])
+        scores = [r["score"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
