@@ -105,7 +105,9 @@ def _parser() -> argparse.ArgumentParser:
         default=None,
         metavar="N_MERGES",
         help="after building the corpus, learn N BPE merges on the "
-        "train split and write them to WORK_DIR/bpe_merges.json",
+        "train split and write them to WORK_DIR/bpe_merges.json "
+        "(N <= operators.bpe.MAX_SEGMENT_MERGES so the file stays "
+        "loadable by bpe_segment)",
     )
     co.add_argument(
         "--dedup-method",
@@ -271,9 +273,15 @@ def main(argv: list[str] | None = None) -> int:
             if args.drop_gopher_fail:
                 from .functions.text import gopher_quality_pass
 
-                before = kept.count()
+                # one action for the dropped count — a before/after
+                # count pair would re-run the unpersisted dedup +
+                # decontamination pipeline twice more
+                n_quality_dropped = kept.agg(
+                    F.sum(
+                        (~gopher_quality_pass("text")).cast("long")
+                    ).alias("n")
+                ).collect()[0]["n"] or 0
                 kept = kept.filter(gopher_quality_pass("text"))
-                n_quality_dropped = before - kept.count()
             if args.cap_per_lang is not None:
                 kept = stratum_cap(kept, ["lang"], args.cap_per_lang, "doc_id")
             if args.redact_pii:
@@ -295,7 +303,13 @@ def main(argv: list[str] | None = None) -> int:
             if args.learn_bpe is not None:
                 import json as _json
 
-                from .operators.bpe import bpe_train
+                from .operators.bpe import MAX_SEGMENT_MERGES, bpe_train
+
+                if args.learn_bpe > MAX_SEGMENT_MERGES:
+                    raise ValueError(
+                        f"--learn-bpe {args.learn_bpe} exceeds "
+                        f"MAX_SEGMENT_MERGES={MAX_SEGMENT_MERGES}"
+                    )
 
                 merges = bpe_train(
                     back.filter(F.col("split") == "train"), args.learn_bpe

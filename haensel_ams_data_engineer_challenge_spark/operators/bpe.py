@@ -49,6 +49,31 @@ from .retrieval import search_tokens
 #: word-end marker appended to a word's final character symbol.
 END = "</w>"
 
+#: segmentation expression depth bound: each merge adds one nested
+#: replace() to the per-word expression, so very long merge lists
+#: belong in an Arrow-batched UDF applying a merge trie, not an
+#: expression chain.  64 is far past every in-repo consumer and well
+#: inside Catalyst's comfort zone.
+MAX_SEGMENT_MERGES = 64
+
+_SYMBOL_RE = re.compile(r"^[a-z0-9]+(</w>)?$")
+
+
+def _check_merges(merges: list[tuple[str, str]]) -> None:
+    """Segmentation safety: symbols must be search_tokens-derived
+    ([a-z0-9]+ with an optional trailing END).  Anything else would
+    break the bracket encoding (bpe_segment) or the generated SQL
+    (segment_sql) silently — so it raises here instead."""
+    if len(merges) > MAX_SEGMENT_MERGES:
+        raise ValueError(
+            f"{len(merges)} merges > MAX_SEGMENT_MERGES={MAX_SEGMENT_MERGES}"
+            " — use an Arrow-batched trie for production-size vocabularies"
+        )
+    for a, b in merges:
+        for s in (a, b):
+            if not _SYMBOL_RE.match(s):
+                raise ValueError(f"invalid merge symbol {s!r}")
+
 
 def _char_symbols(word: Column) -> Column:
     """['h', 'e', 'r</w>'] for 'her' — char symbols, end-marked."""
@@ -169,6 +194,8 @@ def bpe_segment(
     and a 16 s cold plan compile.  This form is pure project — no
     joins, no Generate, no higher-order fold.
     """
+    _check_merges(merges)
+
     def seg_word(w: Column) -> Column:
         chars = F.split(w, "")
         s = F.concat(
@@ -194,6 +221,7 @@ def segment_sql(
     CTE ``{pfx}_seg``: (doc_id, bpe_tokens) over the ``documents``
     view, via the bracket-replace emulation (module docstring).
     """
+    _check_merges(merges)
     expr = (
         "'[' || array_to_string(str_split(w, ''), '][') || '</w>]'"
     )

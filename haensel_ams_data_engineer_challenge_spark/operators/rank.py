@@ -85,7 +85,10 @@ def ntile_exact(
     if q < 1:
         raise ValueError(f"q must be >= 1, got {q}")
     ranked = global_row_number(df, order_cols, out_col="__grn")
-    n_row = df.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    # count over RANKED (whose range-partitioned rows are materialized
+    # inside global_row_number) — counting `df` would re-execute the
+    # caller's full lineage a second time just for n
+    n_row = ranked.agg(F.count(F.lit(1)).cast("long").alias("__n"))
     rank, n = F.col("__grn"), F.col("__n")
     s = F.floor(n / q)          # small-bucket size
     r = n % q                   # number of big (s+1) buckets

@@ -342,6 +342,11 @@ def token_budget_cap(
     """
     from ..checkpoint import materialize
 
+    # NOTE: operators/rank.py::global_row_number is the stratum-less,
+    # weight=1 instance of this exact machinery (range partition ->
+    # pinned __pid -> bounded local window -> n_partitions-row offset
+    # window -> broadcast back).  A fix to either loop (NULL ordering,
+    # AQE interplay, pid pinning) almost certainly applies to both.
     b = _bucket(key_col, salt)
     ranged = df.withColumn("__b", b).repartitionByRange(
         *stratum_cols, "__b", key_col

@@ -152,3 +152,19 @@ def test_segment_is_row_local(spark):
     assert "Join" not in plan
     assert "Exchange" not in plan
     assert "Generate" not in plan
+
+
+def test_segment_rejects_unsafe_or_oversized_merges(spark):
+    from haensel_ams_data_engineer_challenge_spark.operators.bpe import (
+        MAX_SEGMENT_MERGES,
+        segment_sql,
+    )
+
+    docs = spark.createDataFrame([(1, "ok")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="invalid merge symbol"):
+        bpe_segment(docs, [("a'", "b")])
+    with pytest.raises(ValueError, match="invalid merge symbol"):
+        segment_sql([("a]", "b")], "[a-z0-9]+")
+    too_many = [("a", "b")] * (MAX_SEGMENT_MERGES + 1)
+    with pytest.raises(ValueError, match="MAX_SEGMENT_MERGES"):
+        bpe_segment(docs, too_many)

@@ -96,7 +96,9 @@ def main() -> None:
         .persist()
     )
     n = docs.count()
-    queries = docs.filter(F.col("doc_id") % (n_docs // n_queries) == 0).select(
+    queries = docs.filter(
+        F.col("doc_id") % max(1, n_docs // n_queries) == 0
+    ).select(
         F.col("doc_id").alias("query_id"),
         F.concat_ws(
             " ", F.slice(F.split(F.col("text"), " "), 1, 16)
