@@ -36,6 +36,91 @@ from pyspark.sql.window import Window
 from ..checkpoint import materialize
 
 
+def grouped_row_number(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    out_col: str = "global_rn",
+) -> DataFrame:
+    """Per-group total-order rank — ``ROW_NUMBER() OVER (PARTITION BY
+    group ORDER BY ...)`` — as the stratified prefix count: a dominant
+    group never becomes one sort task (the sampling.token_budget_cap
+    machinery with weight 1)."""
+    order = [F.col(c).asc() for c in order_cols]
+    ranged = df.repartitionByRange(*group_cols, *order_cols)
+    # pin partition ids: __pid feeds two plan branches (local ranks +
+    # per-partition totals) which must agree
+    ranged = materialize(ranged.withColumn("__pid", F.spark_partition_id()))
+    w_local = Window.partitionBy(*group_cols, "__pid").orderBy(*order)
+    local = ranged.withColumn("__lrn", F.row_number().over(w_local))
+    totals = ranged.groupBy(*group_cols, "__pid").agg(
+        F.count(F.lit(1)).alias("__t")
+    )
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "__off", F.coalesce(F.sum("__t").over(w_off), F.lit(0))
+    ).select(*group_cols, "__pid", "__off")
+    return (
+        local.join(F.broadcast(offsets), [*group_cols, "__pid"])
+        .withColumn(out_col, (F.col("__off") + F.col("__lrn")).cast("long"))
+        .drop("__pid", "__lrn", "__off")
+    )
+
+
+def grouped_exact_percentiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    key_col: str,
+    ps: dict[str, float],
+) -> DataFrame:
+    """Exact interpolated percentiles per group WITHOUT buffering any
+    group in a single task.
+
+    Spark's `percentile` aggregate materializes each group's values in
+    one aggregation buffer — exact, but memory-bound by the largest
+    group.  This form gets the same linear-interpolation statistic
+    (continuous quantile at position p*(n-1), 0-based) from the
+    distributed per-group rank: filter the two ranks framing each
+    target position and combine ``(1-g)*lo + g*hi`` — so a 100 TB
+    group costs a range shuffle, never one task's memory.
+
+    ``ps``: output column name -> fraction.  Also emits min/max (the
+    values at ranks 1 and n) for free.  Output: group_cols + ps keys +
+    min_value + max_value.
+    """
+    ranked = grouped_row_number(
+        df.select(*group_cols, value_col, key_col),
+        group_cols,
+        [value_col, key_col],
+        out_col="__rn",
+    )
+    counts = ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    j = ranked.join(F.broadcast(counts), group_cols)
+    v, rn, n = F.col(value_col), F.col("__rn"), F.col("__n")
+    aggs = []
+    for name, p in ps.items():
+        pos = F.lit(p) * (n - F.lit(1)).cast("double")  # 0-based position
+        lo = F.floor(pos).cast("long") + F.lit(1)       # 1-based rank below
+        hi = F.least(lo + F.lit(1), n)                  # rank above, clamped
+        g = pos - F.floor(pos)
+        v_lo = F.min(F.when(rn == lo, v))
+        v_hi = F.min(F.when(rn == hi, v))
+        aggs.append(
+            ((F.lit(1.0) - F.min(F.when(rn == lo, g))) * v_lo
+             + F.min(F.when(rn == lo, g)) * v_hi).alias(name)
+        )
+    aggs.append(F.min(F.when(rn == 1, v)).alias("min_value"))
+    aggs.append(F.min(F.when(rn == n, v)).alias("max_value"))
+    return j.groupBy(*group_cols).agg(*aggs)
+
+
 def global_row_number(
     df: DataFrame, order_cols: list[str], out_col: str = "global_rn"
 ) -> DataFrame:
@@ -43,29 +128,11 @@ def global_row_number(
 
     Identical to ``ROW_NUMBER() OVER (ORDER BY ...)`` provided
     ``order_cols`` is a total order; executed as a distributed prefix
-    count (module docstring), never a single-task sort.
+    count (module docstring), never a single-task sort.  The
+    group-less instance of :func:`grouped_row_number` — the offset
+    window is global but runs over <= n_partitions rows.
     """
-    order = [F.col(c).asc() for c in order_cols]
-    ranged = df.repartitionByRange(*order_cols)
-    # pin partition ids: __pid feeds two plan branches (local ranks +
-    # per-partition totals) which must agree
-    ranged = materialize(ranged.withColumn("__pid", F.spark_partition_id()))
-    w_local = Window.partitionBy("__pid").orderBy(*order)
-    local = ranged.withColumn("__lrn", F.row_number().over(w_local))
-    totals = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__t"))
-    w_off = (
-        Window.orderBy("__pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    # the offset window is global but runs over <= n_partitions rows
-    offsets = totals.withColumn(
-        "__off", F.coalesce(F.sum("__t").over(w_off), F.lit(0))
-    ).select("__pid", "__off")
-    return (
-        local.join(F.broadcast(offsets), "__pid")
-        .withColumn(out_col, (F.col("__off") + F.col("__lrn")).cast("long"))
-        .drop("__pid", "__lrn", "__off")
-    )
+    return grouped_row_number(df, [], order_cols, out_col=out_col)
 
 
 def ntile_exact(

@@ -877,24 +877,76 @@ def _tpch_entries() -> dict[str, tuple[QueryFn, str | None]]:
 
     # ordered-statistics aggregate: exact interpolated percentiles
     # (Spark `percentile` and DuckDB `quantile_cont` share the
-    # (1-g)*lo + g*hi interpolation — verified bit-exact by the gate)
+    # (1-g)*lo + g*hi interpolation — verified bit-exact by the gate).
+    # Round 6 unions the 'exact_rank' arm: the SAME statistic from the
+    # distributed per-group rank (operators/rank.py
+    # grouped_exact_percentiles) — Spark's `percentile` buffers each
+    # group's values in one aggregation task, exact but memory-bound
+    # by the largest group; the rank form costs a range shuffle
+    # instead, the 100 TB path.  Its oracle recomputes the identical
+    # rank/interpolation formula (not quantile_cont), so each arm is
+    # pinned against its own twin.
     def percentiles(spark: SparkSession, sf: str) -> DataFrame:
+        from .operators.rank import grouped_exact_percentiles
+
         ev = load_table(spark, sf, "events")
-        return ev.groupBy("event_type").agg(
+        agg = ev.groupBy("event_type").agg(
             F.percentile("value", 0.5).alias("median_value"),
             F.percentile("value", 0.9).alias("p90_value"),
             F.min("value").alias("min_value"),
             F.max("value").alias("max_value"),
         )
+        rank = grouped_exact_percentiles(
+            ev, ["event_type"], "value", "event_id",
+            {"median_value": 0.5, "p90_value": 0.9},
+        )
+        cols = ["method", "event_type", "median_value", "p90_value",
+                "min_value", "max_value"]
+        return agg.select(F.lit("agg").alias("method"), *cols[1:]).unionByName(
+            rank.select(F.lit("exact_rank").alias("method"), *cols[1:])
+        )
+
+    _pct_rank_arm = """
+        SELECT 'exact_rank' AS method, event_type,
+               (1.0 - g05) * v_lo05 + g05 * v_hi05 AS median_value,
+               (1.0 - g90) * v_lo90 + g90 * v_hi90 AS p90_value,
+               v_r1 AS min_value, v_rn AS max_value
+        FROM (
+            SELECT event_type,
+                   MIN(CASE WHEN rn = lo05 THEN g05x END) AS g05,
+                   MIN(CASE WHEN rn = lo05 THEN value END) AS v_lo05,
+                   MIN(CASE WHEN rn = hi05 THEN value END) AS v_hi05,
+                   MIN(CASE WHEN rn = lo90 THEN g90x END) AS g90,
+                   MIN(CASE WHEN rn = lo90 THEN value END) AS v_lo90,
+                   MIN(CASE WHEN rn = hi90 THEN value END) AS v_hi90,
+                   MIN(CASE WHEN rn = 1 THEN value END) AS v_r1,
+                   MIN(CASE WHEN rn = n THEN value END) AS v_rn
+            FROM (
+                SELECT event_type, value, rn, n,
+                       CAST(FLOOR(0.5 * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1 AS lo05,
+                       LEAST(CAST(FLOOR(0.5 * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 2, n) AS hi05,
+                       0.5 * CAST(n - 1 AS DOUBLE) - FLOOR(0.5 * CAST(n - 1 AS DOUBLE)) AS g05x,
+                       CAST(FLOOR(0.9 * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1 AS lo90,
+                       LEAST(CAST(FLOOR(0.9 * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 2, n) AS hi90,
+                       0.9 * CAST(n - 1 AS DOUBLE) - FLOOR(0.9 * CAST(n - 1 AS DOUBLE)) AS g90x
+                FROM (
+                    SELECT event_type, value,
+                           ROW_NUMBER() OVER (PARTITION BY event_type
+                                              ORDER BY value, event_id) AS rn,
+                           COUNT(*) OVER (PARTITION BY event_type) AS n
+                    FROM events))
+            GROUP BY event_type)"""
 
     e["agg_percentiles"] = (
         percentiles,
-        """SELECT event_type,
+        f"""SELECT 'agg' AS method, event_type,
                   quantile_cont(value, 0.5) AS median_value,
                   quantile_cont(value, 0.9) AS p90_value,
                   min(value) AS min_value,
                   max(value) AS max_value
-           FROM events GROUP BY event_type""",
+           FROM events GROUP BY event_type
+           UNION ALL
+           {_pct_rank_arm}""",
     )
 
     # approximate distinct: algorithms differ across engines by design,

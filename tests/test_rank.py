@@ -95,3 +95,52 @@ def test_rank_windows_all_carry_pid_or_are_bounded(spark):
         # either partitioned by __pid (bounded local) or ordering
         # __pid rows (the n_partitions-row offset window)
         assert "__pid" in s, s
+
+
+def test_grouped_exact_percentiles_match_percentile_agg(spark):
+    """The rank-based exact percentiles agree with Spark's
+    `percentile` aggregate (same linear-interpolation statistic)
+    on tie-heavy groups of co-prime sizes."""
+    from haensel_ams_data_engineer_challenge_spark.operators.rank import (
+        grouped_exact_percentiles,
+    )
+
+    rows = []
+    for gi, size in enumerate([1, 2, 7, 30]):
+        rows += [(f"g{gi}", i, float((i * 13) % 11)) for i in range(size)]
+    df = spark.createDataFrame(rows, "grp string, k long, value double")
+    exp = {
+        r["grp"]: r
+        for r in df.groupBy("grp").agg(
+            F.percentile("value", 0.5).alias("median_value"),
+            F.percentile("value", 0.9).alias("p90_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        ).collect()
+    }
+    got = {
+        r["grp"]: r
+        for r in grouped_exact_percentiles(
+            df, ["grp"], "value", "k",
+            {"median_value": 0.5, "p90_value": 0.9},
+        ).collect()
+    }
+    assert set(got) == set(exp)
+    for g in exp:
+        for c in ("median_value", "p90_value", "min_value", "max_value"):
+            assert abs(got[g][c] - exp[g][c]) < 1e-12, (g, c)
+
+
+def test_grouped_exact_percentiles_partitioning_invariance(spark):
+    from haensel_ams_data_engineer_challenge_spark.operators.rank import (
+        grouped_exact_percentiles,
+    )
+
+    rows = [(f"g{i % 3}", i, float(i % 5)) for i in range(40)]
+    a = spark.createDataFrame(rows, "grp string, k long, value double").coalesce(1)
+    b = spark.createDataFrame(rows, "grp string, k long, value double").repartition(8)
+    ra = sorted(map(tuple, grouped_exact_percentiles(
+        a, ["grp"], "value", "k", {"p50": 0.5}).collect()))
+    rb = sorted(map(tuple, grouped_exact_percentiles(
+        b, ["grp"], "value", "k", {"p50": 0.5}).collect()))
+    assert ra == rb
