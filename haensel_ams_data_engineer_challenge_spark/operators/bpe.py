@@ -213,6 +213,70 @@ def bpe_segment(
     )
 
 
+def bpe_segment_arrow(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """:func:`bpe_segment` for PRODUCTION-SIZE merge lists.
+
+    The expression form nests one replace() per merge and is capped at
+    MAX_SEGMENT_MERGES; real tokenizers carry 10k-50k merges, which is
+    per-row sequential work with a big lookup table — exactly the
+    Arrow boundary this engine's Python policy allows (DESIGN.md).
+    mapInPandas applies the merge sequence per DISTINCT word with a
+    per-batch cache (Zipf makes the cache hit rate high), still
+    row-local: zero shuffles at any corpus size.
+
+    Semantics are identical to :func:`bpe_segment` / the python
+    reference: merges applied in learned order, greedy left-to-right
+    (pinned by tests for both small and 200-merge lists).
+    """
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    for a, b in merges:
+        for s in (a, b):
+            if not _SYMBOL_RE.match(s):
+                raise ValueError(f"invalid merge symbol {s!r}")
+    out_schema = StructType(
+        list(docs.schema.fields)
+        + [StructField(out_col, ArrayType(StringType()), False)]
+    )
+    word_re = re.compile("[a-z0-9]+")
+    mlist = list(merges)
+
+    def _seg_word(w: str) -> list[str]:
+        syms = [*w[:-1], w[-1] + END]
+        for a, b in mlist:
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            syms = out
+        return syms
+
+    def _apply(batches):
+        cache: dict[str, list[str]] = {}
+        for pdf in batches:
+            col = []
+            for t in pdf[text_col]:
+                toks: list[str] = []
+                for w in word_re.findall((t or "").lower()):
+                    got = cache.get(w)
+                    if got is None:
+                        got = cache[w] = _seg_word(w)
+                    toks.extend(got)
+                col.append(toks)
+            pdf = pdf.copy()
+            pdf[out_col] = col
+            yield pdf
+
+    return docs.mapInPandas(_apply, out_schema)
+
+
 def segment_sql(
     merges: list[tuple[str, str]], token_pattern: str, pfx: str = "bp"
 ) -> str:

@@ -168,3 +168,38 @@ def test_segment_rejects_unsafe_or_oversized_merges(spark):
     too_many = [("a", "b")] * (MAX_SEGMENT_MERGES + 1)
     with pytest.raises(ValueError, match="MAX_SEGMENT_MERGES"):
         bpe_segment(docs, too_many)
+
+
+def test_arrow_segmentation_matches_expression_form(spark):
+    """bpe_segment_arrow == bpe_segment on a small merge list, and
+    handles a 200-merge list (past MAX_SEGMENT_MERGES) matching the
+    python reference."""
+    from haensel_ams_data_engineer_challenge_spark.operators.bpe import (
+        MAX_SEGMENT_MERGES,
+        bpe_segment_arrow,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(TEXTS)), "doc_id long, text string"
+    )
+    small = py_bpe_train(TEXTS, 8)
+    a = {r["doc_id"]: r["bpe_tokens"]
+         for r in bpe_segment(docs, small).select("doc_id", "bpe_tokens").collect()}
+    b = {r["doc_id"]: r["bpe_tokens"]
+         for r in bpe_segment_arrow(docs, small).select("doc_id", "bpe_tokens").collect()}
+    assert a == b
+
+    sf = "/root/testdata/sf0.001"
+    real = spark.read.parquet(f"{sf}/documents.parquet").limit(50)
+    texts = [r["text"] for r in real.select("text").collect()]
+    big = py_bpe_train(texts, 200)
+    assert len(big) > MAX_SEGMENT_MERGES  # genuinely past the expression cap
+    got = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_segment_arrow(real, big).select("doc_id", "bpe_tokens").collect()
+    }
+    for r in real.select("doc_id", "text").collect():
+        assert got[r["doc_id"]] == py_bpe_segment(r["text"], big)
+
+    with pytest.raises(ValueError, match="invalid merge symbol"):
+        bpe_segment_arrow(docs, [("a[", "b")])
