@@ -737,6 +737,12 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
         from ..operators.lm import unigram_doc_scores
         from ..operators.rank import ntile_exact
 
+        # ... and the inter-document duplication share (round 6,
+        # operators/dedup.dup_shingle_fraction): the one corpus-level
+        # signal intra-doc stats can't see (boilerplate headers/
+        # footers/templates), left-joined so <n-token docs keep NULL
+        from ..operators.dedup import dup_shingle_fraction
+
         scores = ntile_exact(
             unigram_doc_scores(docs), 3,
             ["lm_xent", "doc_id"], out_col="lm_bucket",
@@ -748,6 +754,7 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
                 (temp_bucket < temp_hi).alias("temp_keep"),
             )
             .join(scores, "doc_id", "left")
+            .join(dup_shingle_fraction(docs), "doc_id", "left")
         )
 
     def _text_stats_body(docs: DataFrame) -> DataFrame:
@@ -830,6 +837,22 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
                                        * 4294967296) AS BIGINT) AS hi
                      FROM tcounts, tmn),"""
         + LM.unigram_sql(R.SEARCH_TOKEN_PATTERN).strip()
+        + r""",
+            dsf_ex AS (
+                SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3
+                           THEN list_transform(range(1, len(toks) - 1),
+                                               i -> array_to_string(toks[i:i+2], ' '))
+                           ELSE []::VARCHAR[] END)) AS s
+                FROM (SELECT doc_id,
+                             string_split_regex(trim(lower(text)), '\s+') AS toks
+                      FROM documents) t),
+            dsf_freq AS (SELECT s, COUNT(*) >= 2 AS dup
+                         FROM dsf_ex GROUP BY s),
+            dsf AS (SELECT e.doc_id,
+                           CAST(SUM(CASE WHEN f.dup THEN 1 ELSE 0 END) AS DOUBLE)
+                           / CAST(COUNT(*) AS DOUBLE) AS dup_shingle_frac
+                    FROM dsf_ex e JOIN dsf_freq f ON f.s = e.s
+                    GROUP BY e.doc_id)"""
         + rf"""
             SELECT scored.doc_id AS doc_id, token_count, bpe_ish_count, char_count,
                    punct_ratio, stopword_ratio,
@@ -858,12 +881,14 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
                      AS temp_keep,
                    lm_b.lm_logprob AS lm_logprob,
                    lm_b.lm_xent AS lm_xent,
-                   lm_b.lm_bucket AS lm_bucket
+                   lm_b.lm_bucket AS lm_bucket,
+                   dsf.dup_shingle_frac AS dup_shingle_frac
             FROM scored JOIN tthr ON tlang = lang
             LEFT JOIN (SELECT *, CAST(NTILE(3) OVER (ORDER BY lm_xent, doc_id)
                                       AS BIGINT) AS lm_bucket
                        FROM lm_doc) lm_b
-                 ON lm_b.doc_id = scored.doc_id""",
+                 ON lm_b.doc_id = scored.doc_id
+            LEFT JOIN dsf ON dsf.doc_id = scored.doc_id""",
     )
 
     # ---- exact-substring near-dup (Lee et al. 2021 style) ---------------

@@ -700,3 +700,51 @@ def cut_duplicate_spans(
         F.col("b_span_end").alias("span_end"),
     )
     return cut_spans(df, spans, id_col, text_col)
+
+
+def dup_shingle_fraction(
+    df: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Inter-document duplication signal: the fraction of a doc's
+    DISTINCT word n-gram shingles that occur in at least one OTHER
+    document (RefinedWeb-style boilerplate share — headers, footers,
+    templates score high long before full-document dedup fires).
+
+    Scale shape: one explode -> one map-side-combinable shingle
+    document-frequency count -> one equi-join back on the shingle ->
+    one per-doc count — the lm.py shape on the shingle key.  Docs
+    with no shingles (< n tokens) are absent; callers left-join.
+
+    The token array is staged through a projection before the shingle
+    transform (the vocab.py lambda lesson: an inline tokenizer inside
+    the higher-order lambda re-splits the text per element).
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    staged = df.select(F.col(id_col), toks.alias("__t"))
+    t = F.col("__t")
+    grams = F.array_distinct(
+        F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+    ex = staged.select(F.col(id_col), F.explode(grams).alias("__s"))
+    dfreq = ex.groupBy("__s").agg(
+        (F.count(F.lit(1)) >= 2).alias("__dup")
+    )
+    return (
+        ex.join(dfreq, "__s")
+        .groupBy(id_col)
+        .agg(
+            (
+                F.sum(F.col("__dup").cast("long")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("dup_shingle_frac")
+        )
+    )

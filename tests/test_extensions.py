@@ -963,3 +963,43 @@ def test_chunk_sequences_reconstruction_and_overlap(spark):
             assert a.chunk_text.split(" ")[-overlap:] == b.chunk_text.split(" ")[:overlap]
     with _pytest.raises(ValueError):
         chunk_sequences(docs, seq_len=8, overlap=8)
+
+
+def test_dup_shingle_fraction_reference(spark):
+    """Inter-doc duplication share vs a python reference: shared
+    boilerplate counts, within-doc repetition alone does not."""
+    from collections import Counter
+
+    from haensel_ams_data_engineer_challenge_spark.operators.dedup import (
+        dup_shingle_fraction,
+    )
+
+    texts = {
+        1: "one two three alpha beta gamma",
+        2: "one two three delta epsilon zeta",   # shares 'one two three'
+        3: "spark spark spark spark spark",       # self-repetition only
+        4: "xy",                                  # < 3 tokens: no shingles
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["dup_shingle_frac"]
+        for r in dup_shingle_fraction(docs).collect()
+    }
+    sh = {
+        i: set(
+            " ".join(ws)
+            for ws in zip(*(t.lower().split()[k:] for k in range(3)))
+        )
+        for i, t in texts.items()
+    }
+    df = Counter(s for ss in sh.values() for s in ss)
+    for i, ss in sh.items():
+        if not ss:
+            assert i not in got
+            continue
+        exp = sum(1 for s in ss if df[s] >= 2) / len(ss)
+        assert got[i] == exp, i
+    assert got[1] == got[2] == 0.25  # exactly the shared trigram
+    assert got[3] == 0.0             # intra-doc repetition is not dup
