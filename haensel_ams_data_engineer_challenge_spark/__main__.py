@@ -146,6 +146,16 @@ def _parser() -> argparse.ArgumentParser:
         "join on Zipf head terms; an explicit approximation)",
     )
 
+    tk = sub.add_parser(
+        "tokenize",
+        help="segment a documents parquet with a learned BPE merges "
+        "file (corpus --learn-bpe output); picks the expression or "
+        "Arrow path by merge count",
+    )
+    tk.add_argument("--docs-parquet", required=True)
+    tk.add_argument("--merges-json", required=True)
+    tk.add_argument("--work-dir", required=True)
+
     mx = sub.add_parser(
         "mix",
         help="weighted interleave of corpora (training mixture weights); "
@@ -347,6 +357,39 @@ def main(argv: list[str] | None = None) -> int:
             back = spark.read.parquet(out)
             n_q = back.select("query_id").distinct().count()
             print(f"queries={n_q} hits={back.count()} -> {out}")
+            return 0
+
+        if args.command == "tokenize":
+            import json as _json
+
+            from pyspark.sql import functions as F
+
+            from .operators.bpe import (
+                MAX_SEGMENT_MERGES,
+                bpe_segment,
+                bpe_segment_arrow,
+            )
+
+            merges = [
+                tuple(m) for m in _json.load(open(args.merges_json))
+            ]
+            docs = spark.read.parquet(args.docs_parquet)
+            seg = (
+                bpe_segment(docs, merges)
+                if len(merges) <= MAX_SEGMENT_MERGES
+                else bpe_segment_arrow(docs, merges)
+            )
+            out = f"{args.work_dir}/tokenized"
+            seg.write.mode("overwrite").parquet(out)
+            back = spark.read.parquet(out)
+            stats = back.agg(
+                F.count(F.lit(1)).alias("docs"),
+                F.sum(F.size("bpe_tokens")).alias("tokens"),
+            ).collect()[0]
+            print(
+                f"docs={stats['docs']} bpe_tokens={stats['tokens']} "
+                f"merges={len(merges)} -> {out}"
+            )
             return 0
 
         if args.command == "mix":

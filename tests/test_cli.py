@@ -314,3 +314,27 @@ def test_cli_corpus_quality_and_bpe(spark, tmp_path, capsys):
 
     seg = bpe_segment(back.limit(5), [tuple(m) for m in merges])
     assert seg.filter("size(bpe_tokens) = 0").count() == 0
+
+
+def test_cli_tokenize_round_trip(spark, sf_dir, tmp_path, capsys):
+    """corpus --learn-bpe -> tokenize: the merges file segments the
+    corpus and tokens reconstruct each doc's word stream."""
+    import re
+
+    work = str(tmp_path / "wd")
+    assert main([
+        "corpus", "--sf-dir", sf_dir, "--work-dir", work, "--learn-bpe", "6",
+    ]) == 0
+    capsys.readouterr()
+    assert main([
+        "tokenize", "--docs-parquet", f"{work}/corpus",
+        "--merges-json", f"{work}/bpe_merges.json", "--work-dir", work,
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "bpe_tokens=" in out and "merges=6" in out
+    back = spark.read.parquet(f"{work}/tokenized")
+    sample = back.select("text", "bpe_tokens").limit(10).collect()
+    assert sample
+    for r in sample:
+        rebuilt = "".join(r["bpe_tokens"]).replace("</w>", " ").strip()
+        assert rebuilt == " ".join(re.findall(r"[a-z0-9]+", r["text"].lower()))
