@@ -44,6 +44,7 @@ def run_streaming_ingest(
     checkpoint_dir: str,
     feed_glob: str = "*.parquet",
     max_files_per_trigger: int | None = None,
+    drop_gopher_fail: bool = False,
 ) -> None:
     """Drain the feed with an availableNow trigger, admitting only
     genuinely-new documents into ``sink_path``.
@@ -51,6 +52,11 @@ def run_streaming_ingest(
     ``corpus_path``: the static base corpus (parquet).  The admitted
     store at ``sink_path`` accumulates across batches and runs; both
     are dedup targets for every micro-batch.
+
+    ``drop_gopher_fail``: apply the Gopher quality rules row-locally
+    BEFORE dedup (the corpus CLI's gate, at ingestion time) — a
+    rejected doc is rejected forever, so the filter must run before
+    its text can claim a slot in the admitted store.
     """
     import os
 
@@ -65,6 +71,10 @@ def run_streaming_ingest(
 
     def admit_batch(batch: DataFrame, batch_id: int) -> None:
         ss = batch.sparkSession
+        if drop_gopher_fail:
+            from ..functions.text import gopher_quality_pass
+
+            batch = batch.filter(gopher_quality_pass("text"))
         existing = corpus
         if os.path.isdir(sink_path):
             existing = existing.unionByName(ss.read.parquet(sink_path))

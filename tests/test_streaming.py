@@ -397,3 +397,50 @@ def test_streaming_ingest_incremental_dedup(spark, sf_dir, tmp_path):
     assert {
         r["doc_id"] for r in spark.read.parquet(sink).select("doc_id").collect()
     } == exp_ids
+
+
+def test_streaming_ingest_quality_gate(spark, tmp_path):
+    """drop_gopher_fail rejects low-quality docs at ingestion time —
+    before they can claim an admitted-store slot."""
+    import glob as _glob
+    import os
+    import shutil
+
+    from haensel_ams_data_engineer_challenge_spark.streaming.ingest import (
+        run_streaming_ingest,
+    )
+
+    nouns = ["fox", "dog", "river", "stone", "cloud", "tree", "boat", "road"]
+
+    def good(i):
+        return " ".join(
+            f"the {nouns[(i + j) % len(nouns)]}{i}{j} and a "
+            f"{nouns[(i + 2 * j + 1) % len(nouns)]}{i} were there so"
+            for j in range(40)
+        )
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    base = spark.createDataFrame(
+        [(0, good(0), "en", "web", 100)], schema
+    )
+    corpus_path = str(tmp_path / "corpus")
+    base.write.parquet(corpus_path)
+
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed, exist_ok=True)
+    batch = spark.createDataFrame(
+        [(1, good(1), "en", "web", 100),
+         (2, "zz2 yy2 qq2", "en", "web", 12)],  # fails Gopher
+        schema,
+    )
+    tmp = str(tmp_path / "stage")
+    batch.repartition(1).write.parquet(tmp)
+    shutil.copy(_glob.glob(f"{tmp}/part-*.parquet")[0], f"{feed}/a.parquet")
+
+    sink = str(tmp_path / "admitted")
+    run_streaming_ingest(
+        spark, corpus_path, feed, sink, str(tmp_path / "ckpt"),
+        drop_gopher_fail=True,
+    )
+    got = {r["doc_id"] for r in spark.read.parquet(sink).collect()}
+    assert got == {1}
