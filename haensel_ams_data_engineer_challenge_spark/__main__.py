@@ -61,7 +61,15 @@ def _parser() -> argparse.ArgumentParser:
         help="documents -> near-dup clusters -> survivors -> "
         "optional per-lang cap -> train/val/test split",
     )
-    co.add_argument("--sf-dir", required=True)
+    co_src = co.add_mutually_exclusive_group(required=True)
+    co_src.add_argument("--sf-dir")
+    co_src.add_argument(
+        "--docs-jsonl",
+        metavar="JSONL_PATH",
+        help="ingest documents from a jsonl dump instead of the "
+        "warehouse parquet (sources/jsonl.py: declared schema, "
+        "malformed lines quarantined to WORK_DIR/quarantine)",
+    )
     co.add_argument("--work-dir", required=True)
     co.add_argument("--cap-per-lang", type=int, default=None)
     co.add_argument(
@@ -240,7 +248,20 @@ def main(argv: list[str] | None = None) -> int:
 
             from .session import respread_width
 
-            docs = load_table(spark, args.sf_dir, "documents")
+            n_quarantined = 0
+            if args.docs_jsonl:
+                from .sources.jsonl import read_documents_jsonl
+
+                docs, quarantine = read_documents_jsonl(spark, args.docs_jsonl)
+                # quarantine is observable, never silently dropped
+                quarantine.write.mode("overwrite").parquet(
+                    f"{args.work_dir}/quarantine"
+                )
+                n_quarantined = spark.read.parquet(
+                    f"{args.work_dir}/quarantine"
+                ).count()
+            else:
+                docs = load_table(spark, args.sf_dir, "documents")
             if args.dedup_method == "minhash":
                 pairs = dedup_minhash_lsh(docs)
             elif args.dedup_method == "substring":
@@ -330,7 +351,8 @@ def main(argv: list[str] | None = None) -> int:
             total_in = docs.count()
             total_out = sum(counts.values())
             print(
-                f"docs={total_in} survivors={total_out} "
+                f"docs={total_in} quarantined={n_quarantined} "
+                f"survivors={total_out} "
                 f"contaminated={n_contaminated} "
                 f"quality_dropped={n_quality_dropped} "
                 f"bpe_merges={n_merges_learned} "

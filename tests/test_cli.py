@@ -338,3 +338,38 @@ def test_cli_tokenize_round_trip(spark, sf_dir, tmp_path, capsys):
     for r in sample:
         rebuilt = "".join(r["bpe_tokens"]).replace("</w>", " ").strip()
         assert rebuilt == " ".join(re.findall(r"[a-z0-9]+", r["text"].lower()))
+
+
+def test_cli_corpus_from_jsonl(spark, tmp_path, capsys):
+    """corpus --docs-jsonl: jsonl dump -> quarantine + curated split
+    corpus, end to end."""
+    nouns = ["fox", "dog", "river", "stone", "cloud", "tree", "boat", "road"]
+
+    def good(i):
+        return " ".join(
+            f"the {nouns[(i + j) % len(nouns)]}{i}{j} and a "
+            f"{nouns[(i + 2 * j + 1) % len(nouns)]}{i} were there so"
+            for j in range(20)
+        )
+
+    lines = [json.dumps({"id": i, "text": good(i), "lang": "en"})
+             for i in range(6)]
+    lines += [json.dumps({"id": 6, "text": good(0), "lang": "en"})]  # exact dup
+    lines += ["{broken json", json.dumps({"id": 8})]                 # quarantine
+    dump = tmp_path / "dump.jsonl"
+    dump.write_text("\n".join(lines) + "\n")
+
+    work = str(tmp_path / "wd")
+    rc = main([
+        "corpus", "--docs-jsonl", str(dump), "--work-dir", work,
+        "--train", "1.0", "--val", "0.0", "--test", "0.0",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "quarantined=2" in out and "docs=7" in out
+    back = spark.read.parquet(f"{work}/corpus")
+    texts = [r["text"] for r in back.collect()]
+    assert len(texts) == 6                 # exact dup resolved
+    assert len(set(texts)) == 6
+    q = spark.read.parquet(f"{work}/quarantine")
+    assert q.count() == 2
