@@ -1053,7 +1053,7 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
 
     def _fingerprint_with_chunks(spark: SparkSession, sf: str) -> DataFrame:
         from ..checkpoint import materialize
-        from ..operators.bpe import bpe_segment
+        from ..operators.bpe import bpe_segment, bpe_segment_arrow
         from ..operators.pack import chunk_sequences
         from ..operators.vocab import term_pair_counts, topn_of_kind
 
@@ -1094,6 +1094,18 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
         ).unionByName(
             bpe_segment(docs, PRETRAINED_MERGES).select(
                 F.lit("bpe").alias("method"), "doc_id",
+                F.md5(F.concat_ws(" ", "bpe_tokens")).alias("fingerprint"),
+                nb.alias("chunk_idx"),
+                F.size("bpe_tokens").cast("long").alias("n_tokens"),
+            )
+        ).unionByName(
+            # the ARROW segmentation path under the same merges: its
+            # oracle rows are the same segmentation, so the hash gate
+            # proves Arrow == expression == oracle every round (the
+            # multimodal precedent for driver-proving an Arrow
+            # contract)
+            bpe_segment_arrow(docs, PRETRAINED_MERGES).select(
+                F.lit("bpe_arrow").alias("method"), "doc_id",
                 F.md5(F.concat_ws(" ", "bpe_tokens")).alias("fingerprint"),
                 nb.alias("chunk_idx"),
                 F.size("bpe_tokens").cast("long").alias("n_tokens"),
@@ -1139,6 +1151,10 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
             FROM vt_pairs
             UNION ALL
             SELECT 'bpe', doc_id, md5(array_to_string(bpe_tokens, ' ')),
+                   CAST(NULL AS BIGINT), CAST(len(bpe_tokens) AS BIGINT)
+            FROM bp_seg
+            UNION ALL
+            SELECT 'bpe_arrow', doc_id, md5(array_to_string(bpe_tokens, ' ')),
                    CAST(NULL AS BIGINT), CAST(len(bpe_tokens) AS BIGINT)
             FROM bp_seg""",
     )
