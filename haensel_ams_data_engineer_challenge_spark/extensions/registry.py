@@ -884,7 +884,8 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
                    lm_b.lm_bucket AS lm_bucket,
                    dsf.dup_shingle_frac AS dup_shingle_frac
             FROM scored JOIN tthr ON tlang = lang
-            LEFT JOIN (SELECT *, CAST(NTILE(3) OVER (ORDER BY lm_xent, doc_id)
+            LEFT JOIN (SELECT *, CAST(NTILE(3) OVER (ORDER BY lm_xent NULLS FIRST,
+                                                              doc_id)
                                       AS BIGINT) AS lm_bucket
                        FROM lm_doc) lm_b
                  ON lm_b.doc_id = scored.doc_id

@@ -20,6 +20,15 @@ order columns MUST form a total order (append a unique key column as
 the last tie-break); otherwise ties make any rank assignment
 engine-dependent.
 
+NULL ordering contract (round-6 advice #4): ranks here order ASC
+NULLS FIRST — stated EXPLICITLY below so the contract is pinned, not
+Spark's incidental default — and every DuckDB twin of a rank-based
+entry must spell ``NULLS FIRST`` on its value column (DuckDB defaults
+to NULLS LAST).  Callers whose order columns can be NULL should also
+note the statistic itself diverges from NULL-ignoring aggregates
+(``percentile``/``quantile_cont`` skip NULL rows; a rank counts
+them) — filter NULLs out first when mirroring such an aggregate.
+
 NTILE needs no second pass: with n rows and q buckets, NTILE assigns
 ranks 1..n to buckets of size ceil(n/q) (first n mod q buckets) then
 floor(n/q) — a row-local integer expression of (rank, n, q).  The
@@ -46,7 +55,10 @@ def grouped_row_number(
     group ORDER BY ...)`` — as the stratified prefix count: a dominant
     group never becomes one sort task (the sampling.token_budget_cap
     machinery with weight 1)."""
-    order = [F.col(c).asc() for c in order_cols]
+    # explicit ASC NULLS FIRST (module docstring: the pinned contract,
+    # matching repartitionByRange's null placement; twins say NULLS
+    # FIRST because DuckDB defaults to NULLS LAST)
+    order = [F.col(c).asc_nulls_first() for c in order_cols]
     ranged = df.repartitionByRange(*group_cols, *order_cols)
     # pin partition ids: __pid feeds two plan branches (local ranks +
     # per-partition totals) which must agree

@@ -932,7 +932,8 @@ def _tpch_entries() -> dict[str, tuple[QueryFn, str | None]]:
                 FROM (
                     SELECT event_type, value,
                            ROW_NUMBER() OVER (PARTITION BY event_type
-                                              ORDER BY value, event_id) AS rn,
+                                              ORDER BY value NULLS FIRST,
+                                                       event_id) AS rn,
                            COUNT(*) OVER (PARTITION BY event_type) AS n
                     FROM events))
             GROUP BY event_type)"""

@@ -12,10 +12,17 @@ here is explicit and audited:
 - malformed lines are captured in a ``_corrupt_record`` column
   (PERMISSIVE mode) and split into a quarantine DataFrame the caller
   can count/persist — dropped data is always observable;
-- missing ids are derived deterministically from the text content
-  (md5 -> bigint) so re-reads of the same dump produce identical ids
-  with no order dependence (monotonically_increasing_id is partition-
-  order-dependent and forbidden here);
+- the wire ``id`` is declared STRING — the public dumps (C4, Dolma,
+  The Pile) ship string ids/URLs, and a LongType declaration would
+  quarantine every such corpus wholesale (round-6 advice); the
+  engine's long ``doc_id`` is DERIVED after parsing: numeric ids cast
+  through, non-numeric ids hash (xxhash64), missing ids hash the text
+  content — all deterministic and order-independent
+  (monotonically_increasing_id is partition-order-dependent and
+  forbidden here).  Collision model: xxhash64 is a full 64-bit hash,
+  so distinct keys collide at the birthday bound (~50% at ~5e9 docs);
+  corpora beyond that scale should carry their own numeric ids or a
+  (source, offset) composite rather than rely on content hashing;
 - lang/source default to sentinel values when absent — downstream
   stratified ops (stratum caps, temperature mixing) need non-NULL
   strata.
@@ -28,11 +35,13 @@ parallelism (same layout rule as DESIGN.md's parquet table row).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import StringType, StructField, StructType
 
 #: declared wire schema: the common field names across public dumps.
+#: ``id`` is STRING on the wire (dumps ship URLs/UUIDs); the long
+#: ``doc_id`` is derived after parsing (module docstring).
 JSONL_SCHEMA = StructType([
-    StructField("id", LongType(), True),
+    StructField("id", StringType(), True),
     StructField("text", StringType(), True),
     StructField("lang", StringType(), True),
     StructField("source", StringType(), True),
@@ -73,10 +82,15 @@ def read_documents_jsonl(
     )
     docs = good.select(
         F.coalesce(
-            F.col("id"),
-            # deterministic content-derived id: first 15 hex digits of
-            # md5(text) -> bigint (positive, order-independent)
-            F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long"),
+            # numeric wire ids cast through unchanged (round-trip with
+            # dumps that carry integer ids)...
+            F.expr("try_cast(id AS BIGINT)"),
+            # ...string ids (URLs/UUIDs) and missing ids derive a full
+            # 64-bit xxhash64 — order-independent, and 64 bits keeps
+            # birthday collisions out to ~5e9 distinct keys (module
+            # docstring; the former 60-bit md5 prefix was round-6
+            # advice #3)
+            F.xxhash64(F.coalesce(F.col("id"), F.col("text"))),
         ).alias("doc_id"),
         F.col("text"),
         F.coalesce(F.col("lang"), F.lit("und")).alias("lang"),

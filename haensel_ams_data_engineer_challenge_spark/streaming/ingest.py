@@ -58,7 +58,7 @@ def run_streaming_ingest(
     rejected doc is rejected forever, so the filter must run before
     its text can claim a slot in the admitted store.
     """
-    import os
+    from pyspark.errors import AnalysisException
 
     corpus = spark.read.parquet(corpus_path)
     reader = (
@@ -76,8 +76,19 @@ def run_streaming_ingest(
 
             batch = batch.filter(gopher_quality_pass("text"))
         existing = corpus
-        if os.path.isdir(sink_path):
-            existing = existing.unionByName(ss.read.parquet(sink_path))
+        # probe the sink THROUGH Spark, not os.path: the sink may live
+        # on HDFS/S3/ABFS where a driver-local isdir() is always False
+        # and would silently exclude admitted docs from the dedup
+        # target, re-admitting cross-batch duplicates (round-6 advice
+        # #1).  A missing/empty sink raises AnalysisException
+        # (PATH_NOT_FOUND / UNABLE_TO_INFER_SCHEMA) at read time —
+        # exactly the "first batch" case.
+        try:
+            existing = existing.unionByName(
+                ss.read.schema(corpus.schema).parquet(sink_path)
+            )
+        except AnalysisException:
+            pass
         once = dedup_batch_within(batch)
         new_ids = incremental_new_docs(once, existing).select("doc_id")
         admitted = once.join(new_ids, "doc_id", "left_semi")

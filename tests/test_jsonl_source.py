@@ -28,7 +28,25 @@ def test_reads_well_formed_lines_with_defaults(spark, tmp_path):
     assert rows["hello world"]["n_chars"] == 11
     d = rows["no id or lang here"]
     assert d["lang"] == "und" and d["source"] == "jsonl"
-    assert d["doc_id"] > 0  # content-derived
+    assert d["doc_id"] is not None  # content-derived
+
+
+def test_string_ids_parse_and_derive_stable_doc_ids(spark, tmp_path):
+    """Public dumps ship string ids/URLs; they must parse (not
+    quarantine) and derive deterministic long doc_ids."""
+    path = _write(tmp_path, [
+        json.dumps({"id": "https://example.com/a", "text": "doc a"}),
+        json.dumps({"id": "c4-0001-000042", "text": "doc b"}),
+        json.dumps({"id": "12345", "text": "doc c"}),  # numeric string
+    ])
+    docs, bad = read_documents_jsonl(spark, path)
+    assert bad.count() == 0
+    rows = {r["text"]: r["doc_id"] for r in docs.collect()}
+    assert rows["doc c"] == 12345          # numeric ids cast through
+    assert len(set(rows.values())) == 3    # distinct, deterministic
+    # re-read produces the identical ids
+    docs2, _ = read_documents_jsonl(spark, path)
+    assert {r["text"]: r["doc_id"] for r in docs2.collect()} == rows
 
 
 def test_derived_ids_are_deterministic_and_order_independent(spark, tmp_path):
