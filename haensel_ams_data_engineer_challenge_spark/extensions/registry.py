@@ -20,6 +20,7 @@ from ..functions import text as T
 from ..operators import dedup as D
 from ..operators import bpe as B
 from ..operators import lm as LM
+from ..operators import pack as PK
 from ..operators import retrieval as R
 from ..operators import vocab as V
 from ..operators import similarity as S
@@ -1052,10 +1053,18 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
         ("o", "r"), ("a", "r"),
     ]
 
+    # round 7 tags in CROSS-DOCUMENT sequence packing (operators/pack.
+    # pack_sequences — verdict #2, the trainer hand-off step): every
+    # doc's tokens + one separator concatenated in doc_id order and
+    # sliced into seq_len=64 sequences.  Corpus-level rows (doc_id
+    # NULL, the vocab-arm convention): fingerprint = md5(seq_text),
+    # chunk_idx = seq_id, n_tokens = the sequence's token count; the
+    # n_docs column and full reconstruction are pytest-pinned
+    # (tests/test_pack_sequences.py).
     def _fingerprint_with_chunks(spark: SparkSession, sf: str) -> DataFrame:
         from ..checkpoint import materialize
         from ..operators.bpe import bpe_segment, bpe_segment_arrow
-        from ..operators.pack import chunk_sequences
+        from ..operators.pack import chunk_sequences, pack_sequences
         from ..operators.vocab import term_pair_counts, topn_of_kind
 
         docs = _docs(spark, sf)
@@ -1111,6 +1120,13 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
                 nb.alias("chunk_idx"),
                 F.size("bpe_tokens").cast("long").alias("n_tokens"),
             )
+        ).unionByName(
+            pack_sequences(docs, seq_len=64).select(
+                F.lit("pack").alias("method"), nb.alias("doc_id"),
+                F.md5("seq_text").alias("fingerprint"),
+                F.col("seq_id").alias("chunk_idx"),
+                "n_tokens",
+            )
         )
 
     e["doc_fingerprint"] = (
@@ -1136,6 +1152,8 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
         + V.vocab_sql(BPE_SQL, n=VOCAB_TOP_N).strip()
         + ","
         + B.segment_sql(PRETRAINED_MERGES, R.SEARCH_TOKEN_PATTERN).strip()
+        + ","
+        + PK.pack_sequences_sql(BPE_SQL, seq_len=64).strip()
         + """
             SELECT 'fp' AS method, doc_id, fingerprint,
                    CAST(NULL AS BIGINT) AS chunk_idx,
@@ -1157,7 +1175,11 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
             UNION ALL
             SELECT 'bpe_arrow', doc_id, md5(array_to_string(bpe_tokens, ' ')),
                    CAST(NULL AS BIGINT), CAST(len(bpe_tokens) AS BIGINT)
-            FROM bp_seg""",
+            FROM bp_seg
+            UNION ALL
+            SELECT 'pack', CAST(NULL AS BIGINT), md5(seq_text),
+                   seq_id, n_tokens
+            FROM pk_out""",
     )
 
     # ---- multimodal (binary-column plumbing) ----------------------------

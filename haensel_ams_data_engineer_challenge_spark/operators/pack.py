@@ -348,3 +348,157 @@ def chunk_sequences(
         F.col("c.n_tokens").alias("n_tokens"),
         F.col("c.chunk_text").alias("chunk_text"),
     )
+
+
+#: document separator token for cross-doc packing (the EOS marker a
+#: trainer expects between documents; counted in every budget like any
+#: other token).
+PACK_SEP = "<|eod|>"
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seq_len: int = 64,
+    sep: str = PACK_SEP,
+) -> DataFrame:
+    """CROSS-DOCUMENT sequence packing: concatenate every document's
+    token stream (plus one trailing ``sep`` token each) in ``id_col``
+    order and slice the global stream into consecutive
+    ``seq_len``-token training sequences — the standard pretraining
+    step that :func:`chunk_sequences` (within-doc windows) does not
+    cover: short documents share a sequence instead of wasting pad
+    tokens, and only the final sequence may be short.  (Round-6
+    verdict #2 — the last step between this engine's output and a
+    trainer's input.)
+
+    Semantics: doc d with n_d tokens (incl. separator) and global
+    exclusive-prefix offset s_d occupies stream positions
+    [s_d, s_d + n_d); token at global position p belongs to sequence
+    p div seq_len.  Zero-token documents contribute nothing (not even
+    a separator).  Documents split across sequence boundaries — by
+    design (GPT-style concat-then-chunk packing); a doc-atomic packer
+    is :func:`pack_greedy`'s bin-packing family, not this op.
+
+    Scale shape — NOT the single-partition greedy arm:
+
+    1. per-doc token count: row-local projection;
+    2. global offsets via ``rank.global_prefix_sum`` (range partition
+       + bounded local cumsum + n_partitions-row offset window +
+       broadcast) — one range shuffle, no global window;
+    3. each doc emits its per-sequence slices ROW-LOCALLY (a doc
+       spanning k sequences emits k pieces — ~n_tokens/seq_len + 1
+       rows, each <= seq_len tokens);
+    4. one groupBy(seq_id) reassembles pieces — per-group state is
+       bounded by seq_len tokens, so no hot group can exist.
+
+    Total: one range shuffle + one bounded groupBy shuffle at any
+    corpus size; the result depends only on the (id_col) total order,
+    bit-stable across partitionings (pytest-pinned).
+
+    Output: (seq_id, n_tokens, n_docs, seq_text) — seq_id 0-based,
+    n_docs = number of documents contributing to the sequence,
+    seq_text the space-joined tokens.
+    """
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    from ..functions.text import BPE_ISH_PATTERN
+    from .rank import global_prefix_sum
+
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0)
+    base = (
+        df.select(F.col(id_col).alias("__did"), toks.alias("__t0"))
+        .filter(F.size("__t0") > 0)
+        .select(
+            "__did", F.concat("__t0", F.array(F.lit(sep))).alias("__toks")
+        )
+        .withColumn("__n", F.size("__toks").cast("long"))
+    )
+    withstart = global_prefix_sum(base, ["__did"], "__n", out_col="__start")
+
+    L = int(seq_len)
+    start, n = F.col("__start"), F.col("__n")
+    first = F.expr(f"__start div {L}")
+    last = F.expr(f"(__start + __n - 1) div {L}")
+
+    def _piece(s):
+        pos = F.greatest(start, s * L)       # global pos of the piece
+        end = F.least(start + n, (s + 1) * L)  # exclusive
+        return F.struct(
+            s.cast("long").alias("seq_id"),
+            pos.cast("long").alias("pos"),
+            (end - pos).cast("long").alias("npiece"),
+            F.array_join(
+                F.slice(
+                    F.col("__toks"),
+                    (pos - start + 1).cast("int"),
+                    (end - pos).cast("int"),
+                ),
+                " ",
+            ).alias("piece"),
+        )
+
+    pieces = withstart.select(
+        F.explode(F.transform(F.sequence(first, last), _piece)).alias("c")
+    ).select("c.*")
+    return pieces.groupBy("seq_id").agg(
+        F.sum("npiece").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "piece"))),
+                lambda x: x["piece"],
+            ),
+            " ",
+        ).alias("seq_text"),
+    )
+
+
+def pack_sequences_sql(
+    token_pattern: str,
+    seq_len: int = 64,
+    sep: str = PACK_SEP,
+    pfx: str = "pk",
+) -> str:
+    """DuckDB twin of :func:`pack_sequences` over the ``documents``
+    view: CTE chain ending in ``{pfx}_out`` (seq_id, n_tokens,
+    n_docs, seq_text).  The oracle can afford the single-window prefix
+    sum; list slices are 1-based inclusive (`toks[a:b]`) vs Spark's
+    (start, length) — both cover [pos, end)."""
+    L = int(seq_len)
+    return f"""
+        {pfx}_tok AS (
+            SELECT doc_id,
+                   list_append(regexp_extract_all(text, '{token_pattern}'),
+                               '{sep}') AS toks
+            FROM documents
+            WHERE len(regexp_extract_all(text, '{token_pattern}')) > 0),
+        {pfx}_sz AS (
+            SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+                   CAST(COALESCE(SUM(len(toks)) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS strt
+            FROM {pfx}_tok),
+        {pfx}_exp AS (
+            SELECT doc_id, toks, n, strt,
+                   unnest(range(strt // {L}, (strt + n - 1) // {L} + 1))
+                       AS seq_id
+            FROM {pfx}_sz),
+        {pfx}_piece AS (
+            SELECT seq_id,
+                   GREATEST(strt, seq_id * {L}) AS pos,
+                   LEAST(strt + n, (seq_id + 1) * {L})
+                       - GREATEST(strt, seq_id * {L}) AS npiece,
+                   array_to_string(
+                       toks[GREATEST(strt, seq_id * {L}) - strt + 1
+                            : LEAST(strt + n, (seq_id + 1) * {L}) - strt],
+                       ' ') AS piece
+            FROM {pfx}_exp),
+        {pfx}_out AS (
+            SELECT seq_id,
+                   CAST(SUM(npiece) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   string_agg(piece, ' ' ORDER BY pos) AS seq_text
+            FROM {pfx}_piece GROUP BY seq_id)"""

@@ -133,6 +133,49 @@ def grouped_exact_percentiles(
     return j.groupBy(*group_cols).agg(*aggs)
 
 
+def global_prefix_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    weight_col: str,
+    out_col: str = "prefix_sum",
+) -> DataFrame:
+    """Append ``out_col`` = EXCLUSIVE running total of ``weight_col``
+    under ORDER BY order_cols — ``SUM(w) OVER (ORDER BY ... ROWS
+    BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)`` — as the same
+    distributed prefix shape (module docstring): range partition,
+    bounded local cumsum, n_partitions-row offset window, broadcast
+    back.  Never a single-task global sort.
+
+    ``order_cols`` must be a total order; the first row gets 0.  The
+    weighted sibling of :func:`global_row_number` (weight 1 there) and
+    the stratum-less sibling of ``sampling.token_budget_cap`` — the
+    consumer here is cross-document sequence packing
+    (``operators/pack.pack_sequences``), which needs each document's
+    global token offset.
+    """
+    ranged = df.repartitionByRange(*order_cols)
+    ranged = materialize(ranged.withColumn("__pid", F.spark_partition_id()))
+    order = [F.col(c).asc_nulls_first() for c in order_cols]
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ranged.withColumn(
+        "__lc", F.coalesce(F.sum(weight_col).over(w_local), F.lit(0))
+    )
+    totals = ranged.groupBy("__pid").agg(F.sum(weight_col).alias("__t"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "__off", F.coalesce(F.sum("__t").over(w_off), F.lit(0))
+    ).select("__pid", "__off")
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, (F.col("__off") + F.col("__lc")).cast("long"))
+        .drop("__pid", "__lc", "__off")
+    )
+
+
 def global_row_number(
     df: DataFrame, order_cols: list[str], out_col: str = "global_rn"
 ) -> DataFrame:
