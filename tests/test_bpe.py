@@ -98,6 +98,161 @@ def test_train_early_stop_and_validation(spark):
         bpe_train(docs, -1)
 
 
+def test_batched_training_equals_sequential(spark):
+    """bpe_train_batched is bit-identical to the sequential loop (and
+    the python reference) at every max_batch — the selection rule only
+    batches merges provably equal to greedy."""
+    from haensel_ams_data_engineer_challenge_spark.operators.bpe import (
+        bpe_train_batched,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(TEXTS)), "doc_id long, text string"
+    )
+    expect = py_bpe_train(TEXTS, 12)
+    for mb in (1, 3, 64):
+        assert bpe_train_batched(docs, 12, max_batch=mb) == expect, mb
+
+
+def test_batched_training_equals_sequential_on_real_docs(spark, sf_dir):
+    from haensel_ams_data_engineer_challenge_spark.operators.bpe import (
+        bpe_train_batched,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    texts = [r["text"] for r in docs.select("text").collect()]
+    assert bpe_train_batched(docs, 25) == py_bpe_train(texts, 25)
+
+
+def test_batched_training_small_top_m_stays_exact(spark):
+    """A tiny collected window (top_m=3) forces the tail bound to do
+    real work; results must still equal greedy."""
+    from haensel_ams_data_engineer_challenge_spark.operators.bpe import (
+        bpe_train_batched,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(TEXTS)), "doc_id long, text string"
+    )
+    assert bpe_train_batched(docs, 10, top_m=3) == py_bpe_train(TEXTS, 10)
+
+
+def test_local_training_equals_sequential(spark, sf_dir):
+    from haensel_ams_data_engineer_challenge_spark.operators.bpe import (
+        bpe_train_local,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(TEXTS)), "doc_id long, text string"
+    )
+    assert bpe_train_local(docs, 12) == py_bpe_train(TEXTS, 12)
+    real = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    texts = [r["text"] for r in real.select("text").collect()]
+    assert bpe_train_local(real, 25) == py_bpe_train(texts, 25)
+    with pytest.raises(ValueError, match="word types"):
+        bpe_train_local(real, 5, max_types=3)
+
+
+def test_local_training_fuzz_vs_reference(spark):
+    """Seeded random corpora exercise the incremental pair-count
+    maintenance (repeated pairs within a word, pair retirement,
+    alphabet growth) against the transparent reference."""
+    import random
+
+    from haensel_ams_data_engineer_challenge_spark.operators.bpe import (
+        bpe_train_local,
+    )
+
+    rng = random.Random(7)
+    alphabet = "abcde"
+    for trial in range(6):
+        texts = [
+            " ".join(
+                "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6)))
+                for _ in range(rng.randint(3, 12))
+            )
+            for _ in range(rng.randint(2, 6))
+        ]
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        assert bpe_train_local(docs, 15) == py_bpe_train(texts, 15), texts
+
+
+def test_batched_fast_mode_is_deterministic_and_near_greedy(spark):
+    """exact=False trades bit-equality for round count: deterministic,
+    starts with greedy's argmax, produces valid merges."""
+    from haensel_ams_data_engineer_challenge_spark.operators.bpe import (
+        bpe_train_batched,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(TEXTS)), "doc_id long, text string"
+    )
+    r1: list[int] = []
+    fast = bpe_train_batched(docs, 12, round_log=r1, exact=False)
+    assert fast == bpe_train_batched(docs, 12, exact=False)  # deterministic
+    assert len(fast) == 12
+    assert fast[0] == py_bpe_train(TEXTS, 1)[0]  # argmax always exact
+    assert len(r1) < 12  # genuinely fewer rounds than merges
+    # high overlap with the exact greedy merge set
+    exact = set(py_bpe_train(TEXTS, 12))
+    assert len(set(fast) & exact) >= 8
+
+
+def test_select_safe_batch_rules():
+    """The driver-side selection bound, on crafted candidate lists."""
+    from haensel_ams_data_engineer_challenge_spark.operators.bpe import (
+        _select_safe_batch,
+    )
+
+    # the classic trap: (a,b) creates (x,ab) with count up to n(a,b),
+    # so nothing at or below the toucher's 100 may batch with it
+    assert _select_safe_batch(
+        [("a", "b", 100), ("x", "a", 100), ("c", "d", 50)], 0, 64
+    ) == []
+    # disjoint candidates batch freely
+    assert _select_safe_batch(
+        [("a", "b", 100), ("c", "d", 90), ("e", "f", 80)], 0, 64
+    ) == [("a", "b"), ("c", "d"), ("e", "f")]
+    # shared FIRST symbols batch (only (x,a)/(b,y)/(a,b) counts move)
+    assert _select_safe_batch(
+        [("e", "r", 100), ("e", "s", 90), ("e", "d", 80)], 0, 64
+    ) == [("e", "r"), ("e", "s"), ("e", "d")]
+    # shared SECOND symbols batch
+    assert _select_safe_batch(
+        [("t", "h", 100), ("c", "h", 90)], 0, 64
+    ) == [("t", "h"), ("c", "h")]
+    # chains do not: (h,e) is a (b,y) form of accepted (t,h)
+    assert _select_safe_batch(
+        [("t", "h", 100), ("h", "e", 90), ("x", "y", 10)], 0, 64
+    ) == [("t", "h")]
+    # self-merge conflicts on both sides
+    assert _select_safe_batch(
+        [("e", "e", 100), ("x", "e", 90), ("z", "w", 10)], 0, 64
+    ) == [("e", "e")]
+    assert _select_safe_batch(
+        [("e", "e", 100), ("e", "x", 90), ("z", "w", 10)], 0, 64
+    ) == [("e", "e")]
+    # a toucher bounds everything below it, not above
+    assert _select_safe_batch(
+        [("a", "b", 100), ("c", "d", 90), ("b", "x", 85), ("e", "f", 80)],
+        0, 64,
+    ) == [("a", "b"), ("c", "d")]
+    # a candidate whose CONCAT equals an accepted symbol is a toucher
+    assert _select_safe_batch(
+        [("ab", "c", 100), ("a", "b", 90), ("d", "e", 50)], 0, 64
+    ) == [("ab", "c")]
+    # the tail bound of a truncated collection caps acceptance
+    assert _select_safe_batch(
+        [("a", "b", 100), ("c", "d", 60)], 60, 64
+    ) == [("a", "b")]
+    # max_batch truncates but keeps the prefix exact
+    assert _select_safe_batch(
+        [("a", "b", 100), ("c", "d", 90), ("e", "f", 80)], 0, 2
+    ) == [("a", "b"), ("c", "d")]
+
+
 def test_segment_matches_python_reference(spark):
     docs = spark.createDataFrame(
         list(enumerate(TEXTS)), "doc_id long, text string"
