@@ -289,6 +289,39 @@ def _select_safe_batch(
     return [(a, b) for a, b, _ in accepted]
 
 
+def _probe_filter(
+    batch: list[tuple[str, str]], existing: set[str], exact: bool
+) -> list[tuple[str, str]]:
+    """Apply the alphabet-probe result to a safe batch.
+
+    ``exact=True`` TRUNCATES at the first aliasing member (round-7
+    advice #1): filtering it out of the MIDDLE would emit lower-count
+    members ahead of a merge sequential greedy WOULD apply, and the
+    aliased counts that merge creates can redirect every later pick —
+    so everything after the first alias is unproven.  When the FIRST
+    member aliases (batch[0] is always sequential's actual argmax) the
+    caller applies it alone — a single merge is sequential-exact even
+    when its concatenation aliases an existing symbol, because the
+    one-pass fold applies it everywhere exactly as sequential would.
+
+    ``exact=False`` keeps the old filter: members are independent by
+    the conflict rules, and near-greedy mode trades order fidelity for
+    batch fill anyway.
+
+    Aliasing here is necessarily a DIFFERENT split of the same string
+    (symbol a||b born from some (u, v) != (a, b)): once a pair itself
+    merges, new (a, b) adjacencies would need symbol a or b to be
+    created later, and each symbol is created at exactly one global
+    step — so self-alias cannot recur.
+    """
+    if exact:
+        for i, (a, b) in enumerate(batch):
+            if a + b in existing:
+                return batch[:i]
+        return batch
+    return [(a, b) for a, b in batch if a + b not in existing]
+
+
 def bpe_train_batched(
     docs: DataFrame,
     n_merges: int,
@@ -363,9 +396,12 @@ def bpe_train_batched(
                     F.explode("symbols").alias("s")
                 ).filter(F.col("s").isin(concat_strs)).distinct().collect()
             }
-            batch = [(a, b) for a, b in batch if a + b not in existing]
+            batch = _probe_filter(batch, existing, exact)
         if not batch:
-            # the argmax alone is always exact (it IS sequential's pick)
+            # the argmax alone is always exact (it IS sequential's pick):
+            # a single merge stays sequential-exact even when its
+            # concatenation aliases an existing symbol, because the fold
+            # applies it everywhere just as sequential would.
             batch = [(cands[0][0], cands[0][1])]
         merges.extend(batch)
         if round_log is not None:

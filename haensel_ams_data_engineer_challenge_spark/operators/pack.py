@@ -465,7 +465,12 @@ def pack_sequences_sql(
     view: CTE chain ending in ``{pfx}_out`` (seq_id, n_tokens,
     n_docs, seq_text).  The oracle can afford the single-window prefix
     sum; list slices are 1-based inclusive (`toks[a:b]`) vs Spark's
-    (start, length) — both cover [pos, end)."""
+    (start, length) — both cover [pos, end).
+
+    NULL-ordering contract (same as rank.py): every DuckDB twin of a
+    Spark ascending ORDER BY must spell ``NULLS FIRST`` — Spark sorts
+    nulls first ascending, DuckDB defaults to NULLS LAST — or the
+    prefix sum diverges for any caller with nullable ids."""
     L = int(seq_len)
     return f"""
         {pfx}_tok AS (
@@ -477,7 +482,7 @@ def pack_sequences_sql(
         {pfx}_sz AS (
             SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
                    CAST(COALESCE(SUM(len(toks)) OVER (
-                       ORDER BY doc_id
+                       ORDER BY doc_id NULLS FIRST
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                        0) AS BIGINT) AS strt
             FROM {pfx}_tok),

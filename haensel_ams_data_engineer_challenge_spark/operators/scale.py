@@ -26,6 +26,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
+def _clear_orphan_location(spark: SparkSession, table_name: str) -> None:
+    """Remove a leftover managed-table directory that has no catalog
+    entry. A fresh session starts with an empty in-memory catalog, but
+    the warehouse dir persists across processes; ``saveAsTable`` then
+    fails with LOCATION_ALREADY_EXISTS even under mode("overwrite")
+    (round-7 driver gate hit this). Uses the Hadoop FileSystem API so
+    it works for any warehouse scheme (file:, hdfs:, s3a:)."""
+    if spark.catalog.tableExists(table_name):
+        return  # registered: mode("overwrite") handles it atomically
+    jvm = spark._jvm  # classic (non-Connect) API; local + cluster JVM path
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    path = jvm.org.apache.hadoop.fs.Path(wh, table_name.lower())
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(path):
+        fs.delete(path, True)
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,
@@ -36,6 +53,7 @@ def write_bucketed(
     """Persist as a bucketed (optionally sorted) table in the session
     catalog. Joins between tables bucketed the same way on the join
     key run exchange-free."""
+    _clear_orphan_location(df.sparkSession, table_name)
     writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

@@ -15,14 +15,18 @@ here is explicit and audited:
 - the wire ``id`` is declared STRING — the public dumps (C4, Dolma,
   The Pile) ship string ids/URLs, and a LongType declaration would
   quarantine every such corpus wholesale (round-6 advice); the
-  engine's long ``doc_id`` is DERIVED after parsing: numeric ids cast
-  through, non-numeric ids hash (xxhash64), missing ids hash the text
-  content — all deterministic and order-independent
+  engine's long ``doc_id`` is DERIVED after parsing by hashing the
+  raw wire id string UNIFORMLY (xxhash64), missing ids hashing the
+  text content — deterministic and order-independent
   (monotonically_increasing_id is partition-order-dependent and
-  forbidden here).  Collision model: xxhash64 is a full 64-bit hash,
-  so distinct keys collide at the birthday bound (~50% at ~5e9 docs);
-  corpora beyond that scale should carry their own numeric ids or a
-  (source, offset) composite rather than rely on content hashing;
+  forbidden here).  Hashing ALL ids — numeric ones included — gives
+  ONE collision model (round-7 advice #4): a former cast-through path
+  both collapsed distinct wire ids ('42', '042', ' 42' -> 42) and let
+  small numeric ids silently collide with hash-derived ids of string
+  keys in mixed dumps, neither covered by the birthday bound.
+  Collision model: xxhash64 is a full 64-bit hash, so distinct keys
+  collide at the birthday bound (~50% at ~5e9 docs); corpora beyond
+  that scale should carry a (source, offset) composite key instead;
 - lang/source default to sentinel values when absent — downstream
   stratified ops (stratum caps, temperature mixing) need non-NULL
   strata.
@@ -81,17 +85,12 @@ def read_documents_jsonl(
         & (F.length("text") > 0)
     )
     docs = good.select(
-        F.coalesce(
-            # numeric wire ids cast through unchanged (round-trip with
-            # dumps that carry integer ids)...
-            F.expr("try_cast(id AS BIGINT)"),
-            # ...string ids (URLs/UUIDs) and missing ids derive a full
-            # 64-bit xxhash64 — order-independent, and 64 bits keeps
-            # birthday collisions out to ~5e9 distinct keys (module
-            # docstring; the former 60-bit md5 prefix was round-6
-            # advice #3)
-            F.xxhash64(F.coalesce(F.col("id"), F.col("text"))),
-        ).alias("doc_id"),
+        # ALL wire ids hash uniformly — numeric, URL, UUID — and
+        # missing ids hash the text content: one 64-bit collision
+        # model (module docstring, round-7 advice #4).  xxhash64 is
+        # order-independent and keeps birthday collisions out to ~5e9
+        # distinct keys.
+        F.xxhash64(F.coalesce(F.col("id"), F.col("text"))).alias("doc_id"),
         F.col("text"),
         F.coalesce(F.col("lang"), F.lit("und")).alias("lang"),
         F.coalesce(F.col("source"), F.lit("jsonl")).alias("source"),

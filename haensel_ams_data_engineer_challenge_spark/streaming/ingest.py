@@ -82,13 +82,21 @@ def run_streaming_ingest(
         # target, re-admitting cross-batch duplicates (round-6 advice
         # #1).  A missing/empty sink raises AnalysisException
         # (PATH_NOT_FOUND / UNABLE_TO_INFER_SCHEMA) at read time —
-        # exactly the "first batch" case.
+        # exactly the "first batch" case.  Only THOSE error classes are
+        # tolerated (round-7 advice #3): an invalid/inaccessible path
+        # or unreadable metadata also surfaces as AnalysisException,
+        # and swallowing it would silently exclude admitted docs from
+        # the dedup target — re-raise anything else.
         try:
             existing = existing.unionByName(
                 ss.read.schema(corpus.schema).parquet(sink_path)
             )
-        except AnalysisException:
-            pass
+        except AnalysisException as e:
+            if e.getCondition() not in {
+                "PATH_NOT_FOUND",
+                "UNABLE_TO_INFER_SCHEMA",
+            }:
+                raise
         once = dedup_batch_within(batch)
         new_ids = incremental_new_docs(once, existing).select("doc_id")
         admitted = once.join(new_ids, "doc_id", "left_semi")

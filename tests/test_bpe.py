@@ -358,3 +358,55 @@ def test_arrow_segmentation_matches_expression_form(spark):
 
     with pytest.raises(ValueError, match="invalid merge symbol"):
         bpe_segment_arrow(docs, [("a[", "b")])
+
+
+def test_probe_filter_truncates_not_filters_in_exact_mode():
+    """Round-7 advice #1: the alphabet probe must TRUNCATE the exact
+    batch at the first aliasing member, never drop it from the middle
+    — members after an alias are unproven because sequential greedy
+    WOULD apply the aliasing merge and its created counts can redirect
+    every later pick."""
+    from haensel_ams_data_engineer_challenge_spark.operators.bpe import (
+        _probe_filter,
+    )
+
+    batch = [("a", "b"), ("c", "d"), ("e", "f")]
+    # alias in the middle: exact keeps only the proven prefix
+    assert _probe_filter(batch, {"cd"}, exact=True) == [("a", "b")]
+    # alias at the head: empty prefix -> caller applies argmax alone
+    assert _probe_filter(batch, {"ab"}, exact=True) == []
+    # no alias: untouched
+    assert _probe_filter(batch, {"zz"}, exact=True) == batch
+    # alias at the tail: prefix of two survives
+    assert _probe_filter(batch, {"ef"}, exact=True) == [("a", "b"), ("c", "d")]
+    # non-exact mode keeps the independent-member filter semantics
+    assert _probe_filter(batch, {"cd"}, exact=False) == [("a", "b"), ("e", "f")]
+
+
+def test_batched_training_exact_when_argmax_aliases(spark, monkeypatch):
+    """Force the probe to see batch[0]'s concatenation as an existing
+    symbol: the exact path must fall back to applying the argmax ALONE
+    (a single merge is always sequential-exact) rather than dropping
+    it and emitting lower-count members first."""
+    import haensel_ams_data_engineer_challenge_spark.operators.bpe as bpe_mod
+
+    calls = []
+    real_probe = bpe_mod._probe_filter
+
+    def spy(batch, existing, exact):
+        # pretend the top merge's concat aliases an existing symbol on
+        # the first multi-member round
+        if not calls and len(batch) > 1:
+            existing = set(existing) | {batch[0][0] + batch[0][1]}
+        calls.append(len(batch))
+        return real_probe(batch, existing, exact)
+
+    monkeypatch.setattr(bpe_mod, "_probe_filter", spy)
+    docs = spark.createDataFrame(
+        list(enumerate(TEXTS)), "doc_id long, text string"
+    )
+    got = bpe_mod.bpe_train_batched(docs, 8, max_batch=8)
+    assert calls, "probe was never exercised"
+    # applying the (synthetically) aliasing argmax alone IS sequential
+    # greedy's move, so the full trajectory still matches the reference
+    assert got == py_bpe_train(TEXTS, 8)

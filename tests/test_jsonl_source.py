@@ -24,7 +24,7 @@ def test_reads_well_formed_lines_with_defaults(spark, tmp_path):
     docs, bad = read_documents_jsonl(spark, path)
     assert bad.count() == 0
     rows = {r["text"]: r for r in docs.collect()}
-    assert rows["hello world"]["doc_id"] == 7
+    assert rows["hello world"]["doc_id"] is not None  # id-derived hash
     assert rows["hello world"]["n_chars"] == 11
     d = rows["no id or lang here"]
     assert d["lang"] == "und" and d["source"] == "jsonl"
@@ -33,17 +33,21 @@ def test_reads_well_formed_lines_with_defaults(spark, tmp_path):
 
 def test_string_ids_parse_and_derive_stable_doc_ids(spark, tmp_path):
     """Public dumps ship string ids/URLs; they must parse (not
-    quarantine) and derive deterministic long doc_ids."""
+    quarantine) and derive deterministic long doc_ids.  ALL wire ids
+    hash uniformly (one collision model, round-7 advice #4) — so
+    '42', '042' and ' 42' stay DISTINCT instead of collapsing to 42,
+    and numeric ids can't silently collide with hash-derived ones."""
     path = _write(tmp_path, [
         json.dumps({"id": "https://example.com/a", "text": "doc a"}),
         json.dumps({"id": "c4-0001-000042", "text": "doc b"}),
-        json.dumps({"id": "12345", "text": "doc c"}),  # numeric string
+        json.dumps({"id": "42", "text": "doc c"}),   # numeric string
+        json.dumps({"id": "042", "text": "doc d"}),  # distinct wire id
+        json.dumps({"id": " 42", "text": "doc e"}),  # distinct wire id
     ])
     docs, bad = read_documents_jsonl(spark, path)
     assert bad.count() == 0
     rows = {r["text"]: r["doc_id"] for r in docs.collect()}
-    assert rows["doc c"] == 12345          # numeric ids cast through
-    assert len(set(rows.values())) == 3    # distinct, deterministic
+    assert len(set(rows.values())) == 5    # distinct, deterministic
     # re-read produces the identical ids
     docs2, _ = read_documents_jsonl(spark, path)
     assert {r["text"]: r["doc_id"] for r in docs2.collect()} == rows

@@ -30,6 +30,28 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     assert joined.count() == expected
 
 
+def test_write_bucketed_survives_orphan_location(spark, sf_dir, tmp_path):
+    """Round-7 driver gate repro: the warehouse dir persists across
+    processes while a fresh session's in-memory catalog starts empty,
+    so a leftover managed-table directory with no catalog entry made
+    saveAsTable fail with LOCATION_ALREADY_EXISTS.  write_bucketed
+    must clear the orphan and succeed."""
+    import os
+    from urllib.parse import urlparse
+
+    name = "b_orphan_repro"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    orphan = os.path.join(wh, name)
+    os.makedirs(orphan, exist_ok=True)
+    with open(os.path.join(orphan, "stale-file"), "w") as f:
+        f.write("leftover from a killed run")
+    df = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    write_bucketed(df, name, ["user_id"], 4)
+    assert spark.table(name).count() == df.count()
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
 def test_salted_sum_matches_plain_sum_bitwise(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     plain = {
