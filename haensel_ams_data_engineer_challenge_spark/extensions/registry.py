@@ -735,7 +735,7 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
         # CCNet head/middle/tail split — exact NTILE(3) by (xent,
         # doc_id) via the distributed prefix-count rank
         # (operators/rank.py), never a single-task global sort
-        from ..operators.lm import unigram_doc_scores
+        from ..operators.lm import bigram_doc_scores, unigram_doc_scores
         from ..operators.rank import ntile_exact
 
         # ... and the inter-document duplication share (round 6,
@@ -755,6 +755,10 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
                 (temp_bucket < temp_hi).alias("temp_keep"),
             )
             .join(scores, "doc_id", "left")
+            # round 8 (r6 verdict task 4): bigram arm — count key
+            # (prev, term), validating lm.py's claim that the unigram
+            # shape generalizes to higher-order models unchanged
+            .join(bigram_doc_scores(docs), "doc_id", "left")
             .join(dup_shingle_fraction(docs), "doc_id", "left")
         )
 
@@ -838,6 +842,8 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
                                        * 4294967296) AS BIGINT) AS hi
                      FROM tcounts, tmn),"""
         + LM.unigram_sql(R.SEARCH_TOKEN_PATTERN).strip()
+        + ","
+        + LM.bigram_sql(R.SEARCH_TOKEN_PATTERN).strip()
         + r""",
             dsf_ex AS (
                 SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3
@@ -883,6 +889,8 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
                    lm_b.lm_logprob AS lm_logprob,
                    lm_b.lm_xent AS lm_xent,
                    lm_b.lm_bucket AS lm_bucket,
+                   lm2_doc.lm2_logprob AS lm2_logprob,
+                   lm2_doc.lm2_xent AS lm2_xent,
                    dsf.dup_shingle_frac AS dup_shingle_frac
             FROM scored JOIN tthr ON tlang = lang
             LEFT JOIN (SELECT *, CAST(NTILE(3) OVER (ORDER BY lm_xent NULLS FIRST,
@@ -890,6 +898,7 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
                                       AS BIGINT) AS lm_bucket
                        FROM lm_doc) lm_b
                  ON lm_b.doc_id = scored.doc_id
+            LEFT JOIN lm2_doc ON lm2_doc.doc_id = scored.doc_id
             LEFT JOIN dsf ON dsf.doc_id = scored.doc_id""",
     )
 

@@ -96,6 +96,140 @@ def unigram_doc_scores(
     )
 
 
+#: sentence-start sentinel for the bigram context of each document's
+#: first token.  Not a capturable token under SEARCH_TOKEN_PATTERN
+#: (contains '<'), so it can never collide with a real term.
+BOS = "<s>"
+
+
+def bigram_doc_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document BIGRAM LM scores — the module docstring's claim
+    ("a higher-order LM swaps the count key from a token to an n-gram;
+    the Spark shape below is unchanged") made concrete (round-6
+    verdict task 4).  CCNet's real filter is a 5-gram KenLM; the count
+    key here is (prev, term) and everything else is the unigram shape:
+
+    1. bigram construction is ROW-LOCAL (zip the token array with its
+       BOS-padded shift — no window, no per-doc shuffle);
+    2. one map-side-combinable groupBy on (prev, term) trains the
+       model; context totals c(prev) fold from the model table itself
+       (|bigram types| rows, not the token stream);
+    3. scoring re-joins the bigram stream against the model — the
+       model is the small side (types ≪ instances) and broadcasts when
+       it fits, degrading to a plain equi-join at 100 TB;
+    4. per-doc aggregate is a plain sum of floor-quantized integer
+       units (same float-parity discipline as the unigram form).
+
+    Model: Laplace-smoothed MLE p(w|prev) = (c(prev,w)+1)/(c(prev)+V)
+    with V = |unigram vocabulary|; every token scores exactly once
+    (the first against BOS), so n_tokens == n_bigrams per doc.
+
+    Output: (doc_id, lm2_logprob, lm2_xent).  Zero-token documents are
+    absent (callers left-join and keep NULLs).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("__did"),
+        search_tokens(text_col).alias("__t"),
+    ).filter(F.size("__t") > 0)
+    pairs = toks.select(
+        "__did",
+        F.explode(
+            F.zip_with(
+                F.concat(
+                    F.array(F.lit(BOS)),
+                    F.expr("slice(__t, 1, size(__t) - 1)"),
+                ),
+                F.col("__t"),
+                lambda p, t: F.struct(p.alias("prev"), t.alias("term")),
+            )
+        ).alias("__bg"),
+    ).select("__did", "__bg.prev", "__bg.term")
+    counts = materialize(
+        pairs.groupBy("prev", "term").agg(
+            F.count(F.lit(1)).cast("double").alias("__c")
+        )
+    )
+    ctx = counts.groupBy("prev").agg(F.sum("__c").alias("__ctx"))
+    vstats = counts.select("term").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("__v")
+    )
+    lnp = (
+        counts.join(ctx, "prev")
+        .crossJoin(F.broadcast(vstats))
+        .select(
+            "prev",
+            "term",
+            F.floor(
+                F.log(
+                    (F.col("__c") + F.lit(1.0))
+                    / (F.col("__ctx") + F.col("__v"))
+                )
+                * F.lit(1000000.0)
+            )
+            .cast("double")
+            .alias("__lnp_s"),
+        )
+    )
+    return (
+        pairs.join(lnp, ["prev", "term"])
+        .groupBy("__did")
+        .agg(
+            (F.sum("__lnp_s") / F.lit(1000000.0)).alias("lm2_logprob"),
+            F.count(F.lit(1)).cast("double").alias("__n"),
+        )
+        .select(
+            F.col("__did").alias(id_col),
+            "lm2_logprob",
+            (-F.col("lm2_logprob") / F.col("__n")).alias("lm2_xent"),
+        )
+    )
+
+
+def bigram_sql(token_pattern: str, pfx: str = "lm2") -> str:
+    """DuckDB twin CTE chain ending in ``{pfx}_doc``
+    (doc_id, lm2_logprob, lm2_xent), stage-for-stage with
+    :func:`bigram_doc_scores` over the ``documents`` view.  DuckDB
+    list indexing is 1-based; ``range(a, b)`` is end-exclusive."""
+    return f"""
+        {pfx}_tok AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '{token_pattern}') AS toks
+            FROM documents
+            WHERE len(regexp_extract_all(lower(text), '{token_pattern}')) > 0),
+        {pfx}_big AS (
+            SELECT doc_id,
+                   CASE WHEN i = 1 THEN '{BOS}' ELSE toks[i - 1] END AS prev,
+                   toks[i] AS term
+            FROM (SELECT doc_id, toks,
+                         unnest(range(1, len(toks) + 1)) AS i
+                  FROM {pfx}_tok)),
+        {pfx}_counts AS (
+            SELECT prev, term, CAST(COUNT(*) AS DOUBLE) AS c
+            FROM {pfx}_big GROUP BY prev, term),
+        {pfx}_ctx AS (
+            SELECT prev, CAST(SUM(c) AS DOUBLE) AS ctx
+            FROM {pfx}_counts GROUP BY prev),
+        {pfx}_v AS (
+            SELECT CAST(COUNT(DISTINCT term) AS DOUBLE) AS v
+            FROM {pfx}_counts),
+        {pfx}_lnp AS (
+            SELECT c.prev, c.term,
+                   floor(ln((c.c + 1.0) / (x.ctx + v.v)) * 1000000.0) AS lnp_s
+            FROM {pfx}_counts c
+            JOIN {pfx}_ctx x ON x.prev = c.prev
+            CROSS JOIN {pfx}_v v),
+        {pfx}_doc AS (
+            SELECT b.doc_id,
+                   SUM(p.lnp_s) / 1000000.0 AS lm2_logprob,
+                   -(SUM(p.lnp_s) / 1000000.0)
+                       / CAST(COUNT(*) AS DOUBLE) AS lm2_xent
+            FROM {pfx}_big b
+            JOIN {pfx}_lnp p ON p.prev = b.prev AND p.term = b.term
+            GROUP BY b.doc_id)"""
+
+
 def unigram_sql(token_pattern: str, pfx: str = "lm") -> str:
     """DuckDB twin CTE chain ending in ``{pfx}_doc``
     (doc_id, lm_logprob, lm_xent), stage-for-stage with

@@ -59,3 +59,95 @@ def test_partitioning_invariance(spark):
     a = sorted(unigram_doc_scores(docs.coalesce(1)).collect())
     b = sorted(unigram_doc_scores(docs.repartition(7)).collect())
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# bigram arm (round-6 verdict task 4): count key (prev, term), same
+# quantized-ln parity discipline
+# ---------------------------------------------------------------------------
+
+
+def _py_bigram_scores():
+    toks = {i: re.findall(r"[a-z0-9]+", t.lower()) for i, t in DOCS}
+    bigrams = {
+        i: list(zip(["<s>"] + ts[:-1], ts)) for i, ts in toks.items() if ts
+    }
+    c = Counter(bg for bgs in bigrams.values() for bg in bgs)
+    ctx = Counter()
+    for (p, _t), k in c.items():
+        ctx[p] += k
+    v = len({t for _p, t in c})
+    lnp_s = {
+        bg: math.floor(math.log((k + 1.0) / (ctx[bg[0]] + v)) * 1e6)
+        for bg, k in c.items()
+    }
+    out = {}
+    for i, bgs in bigrams.items():
+        lp = sum(lnp_s[bg] for bg in bgs) / 1e6
+        out[i] = (lp, -lp / len(bgs))
+    return out
+
+
+def test_bigram_scores_match_python_reference(spark):
+    from haensel_ams_data_engineer_challenge_spark.operators.lm import (
+        bigram_doc_scores,
+    )
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["lm2_logprob"], r["lm2_xent"])
+        for r in bigram_doc_scores(docs).collect()
+    }
+    exp = _py_bigram_scores()
+    assert set(got) == set(exp) == {1, 2, 4}
+    for k in exp:
+        assert got[k] == exp[k], k  # bitwise — quantized contributions
+
+
+def test_bigram_scores_match_reference_on_real_docs(spark, sf_dir):
+    from haensel_ams_data_engineer_challenge_spark.operators.lm import (
+        bigram_doc_scores,
+    )
+
+    real = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = [(r["doc_id"], r["text"]) for r in real.select("doc_id", "text").collect()]
+    global DOCS
+    saved = DOCS
+    try:
+        DOCS = rows
+        exp = _py_bigram_scores()
+    finally:
+        DOCS = saved
+    got = {
+        r["doc_id"]: (r["lm2_logprob"], r["lm2_xent"])
+        for r in bigram_doc_scores(real).collect()
+    }
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k] == exp[k], k
+
+
+def test_bigram_context_orders_docs_unigram_cannot(spark):
+    """The bigram model separates docs by token ORDER: a doc whose
+    bigrams repeat corpus-common transitions scores lower xent than
+    the same bag of tokens shuffled into rare transitions."""
+    from haensel_ams_data_engineer_challenge_spark.operators.lm import (
+        bigram_doc_scores,
+    )
+
+    corpus = [(i, "a b a b a b a b") for i in range(5)]
+    corpus += [(100, "a b a b a b a b"), (101, "b b a a b a a b")]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {r["doc_id"]: r["lm2_xent"] for r in bigram_doc_scores(docs).collect()}
+    assert got[100] < got[101]
+
+
+def test_bigram_partitioning_invariance(spark):
+    from haensel_ams_data_engineer_challenge_spark.operators.lm import (
+        bigram_doc_scores,
+    )
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    a = sorted(bigram_doc_scores(docs.coalesce(1)).collect())
+    b = sorted(bigram_doc_scores(docs.repartition(7)).collect())
+    assert a == b
