@@ -190,6 +190,7 @@ def ann_topk_lsh(
     tables: int = ANN_LSH_TABLES,
     planes_per_table: int = ANN_LSH_PLANES_PER_TABLE,
     index_cache_key: str | None = None,
+    index_path: str | None = None,
 ) -> DataFrame:
     """Approximate top-k via MULTI-TABLE sign-LSH: a candidate is any
     vector sharing the query's sign-pattern bucket in >= 1 of
@@ -210,19 +211,26 @@ def ann_topk_lsh(
     # index_cache_key the materialized stream is further reused across
     # calls in this session (built-once/query-many; results identical
     # either way — the stream is a deterministic function of the data).
-    ck = None
-    if index_cache_key is not None:
-        ck = (
-            vectors.sparkSession.sparkContext.applicationId,
-            index_cache_key, tables, planes_per_table, id_col, vec_col,
+    # index_path instead loads/creates the cross-session DISK artifact
+    # (lsh_index_persistent) — the production index form.
+    if index_path is not None:
+        wb = lsh_index_persistent(
+            vectors, index_path, tables, planes_per_table, id_col, vec_col
         )
-    wb = _LSH_INDEX_CACHE.get(ck) if ck is not None else None
-    if wb is None:
-        wb = materialize(
-            banded_bucket_rows(vectors, id_col, vec_col, tables, planes_per_table)
-        )
-        if ck is not None:
-            _LSH_INDEX_CACHE[ck] = wb
+    else:
+        ck = None
+        if index_cache_key is not None:
+            ck = (
+                vectors.sparkSession.sparkContext.applicationId,
+                index_cache_key, tables, planes_per_table, id_col, vec_col,
+            )
+        wb = _LSH_INDEX_CACHE.get(ck) if ck is not None else None
+        if wb is None:
+            wb = materialize(
+                banded_bucket_rows(vectors, id_col, vec_col, tables, planes_per_table)
+            )
+            if ck is not None:
+                _LSH_INDEX_CACHE[ck] = wb
     qb = wb.join(queries.select(id_col), id_col, "left_semi").select(
         F.col(id_col).alias("query_id"), "band", "bucket"
     )
@@ -420,6 +428,7 @@ def ann_topk_ivf(
     iters: int = IVF_ITERS,
     n_probe: int = IVF_PROBES,
     index_cache_key: str | None = None,
+    index_path: str | None = None,
 ) -> DataFrame:
     """IVF ANN: k-means coarse quantizer (``ivf_kmeans``), each query
     probes its ``n_probe`` nearest cells, and only those cells'
@@ -436,11 +445,17 @@ def ann_topk_ivf(
     training across calls in one session (see ``ivf_kmeans``) — the
     production shape, where the index is built once and queried many
     times; results are identical either way (training is
-    deterministic).
+    deterministic).  ``index_path`` goes further: the trained index is
+    a cross-session parquet artifact (``ivf_index_persistent``).
     """
-    assign, cents = ivf_kmeans(
-        vectors, cells, iters, id_col, vec_col, cache_key=index_cache_key
-    )
+    if index_path is not None:
+        assign, cents = ivf_index_persistent(
+            vectors, index_path, cells, iters, id_col, vec_col
+        )
+    else:
+        assign, cents = ivf_kmeans(
+            vectors, cells, iters, id_col, vec_col, cache_key=index_cache_key
+        )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
     qc = q.crossJoin(F.broadcast(cents)).withColumn("__cos_c", _cos_cell("__qvec"))
     w_probe = Window.partitionBy("query_id").orderBy(
@@ -468,6 +483,115 @@ def ann_topk_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", "cell", "neighbor_id", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# persistent index artifacts (round-6 verdict task 5): production ANN
+# indexes are DISK artifacts reusable across jobs, not session caches.
+# Layout: {path}/assignments + {path}/centroids (IVF) or {path}/buckets
+# (LSH), plus {path}/params — a one-row key/value table written LAST as
+# the commit marker: a partial write (job killed mid-save) leaves no
+# params table, so the next builder retrains and overwrites rather than
+# serving a torn index.  Training is deterministic and parquet
+# round-trips doubles exactly, so a fresh session loading the artifact
+# returns bit-identical top-k to the training session (pytest-pinned).
+# ---------------------------------------------------------------------------
+
+#: AnalysisException conditions that mean "no artifact yet" (same set
+#: the streaming ingest sink probe tolerates) — anything else re-raises.
+_INDEX_MISSING = {"PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"}
+
+
+def _try_read_parquet(spark, path: str) -> DataFrame | None:
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = spark.read.parquet(path)
+        df.schema  # force resolution so empty/unreadable paths surface here
+        return df
+    except AnalysisException as e:
+        if e.getCondition() in _INDEX_MISSING:
+            return None
+        raise
+
+
+def _check_index_params(spark, path: str, expect: dict) -> bool:
+    """True when a committed artifact with matching params exists;
+    False when absent; ValueError when present but built differently
+    (silently serving an index trained with other hyperparameters
+    would change results without any visible signal)."""
+    pdf = _try_read_parquet(spark, f"{path}/params")
+    if pdf is None:
+        return False
+    got = {r["key"]: r["value"] for r in pdf.collect()}
+    exp = {k: str(v) for k, v in expect.items()}
+    if got != exp:
+        raise ValueError(
+            f"ANN index at {path} was built with {got}; caller expects "
+            f"{exp} — use a different path or delete the artifact"
+        )
+    return True
+
+
+def _write_index_params(spark, path: str, params: dict) -> None:
+    spark.createDataFrame(
+        [(k, str(v)) for k, v in sorted(params.items())],
+        "key string, value string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def ivf_index_persistent(
+    vectors: DataFrame,
+    path: str,
+    k: int = IVF_CELLS,
+    iters: int = IVF_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Load the IVF index artifact at ``path``, training and saving it
+    first if absent.  Returns (assignments (id, cell), centroids
+    (cell, cvec)) READ FROM DISK in both cases — the queried index is
+    always the artifact itself (lineage-truncated, identical across
+    sessions), never the in-memory training lineage."""
+    spark = vectors.sparkSession
+    params = {
+        "kind": "ivf", "k": k, "iters": iters,
+        "id_col": id_col, "vec_col": vec_col,
+    }
+    if not _check_index_params(spark, path, params):
+        assign, cents = ivf_kmeans(vectors, k, iters, id_col, vec_col)
+        assign.write.mode("overwrite").parquet(f"{path}/assignments")
+        cents.write.mode("overwrite").parquet(f"{path}/centroids")
+        _write_index_params(spark, path, params)
+    return (
+        spark.read.parquet(f"{path}/assignments"),
+        spark.read.parquet(f"{path}/centroids"),
+    )
+
+
+def lsh_index_persistent(
+    vectors: DataFrame,
+    path: str,
+    tables: int = ANN_LSH_TABLES,
+    planes_per_table: int = ANN_LSH_PLANES_PER_TABLE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Load the banded (id, band, bucket) LSH index artifact at
+    ``path``, building and saving it first if absent (see
+    :func:`ivf_index_persistent` for the commit protocol)."""
+    spark = vectors.sparkSession
+    params = {
+        "kind": "lsh", "tables": tables,
+        "planes_per_table": planes_per_table,
+        "id_col": id_col, "vec_col": vec_col,
+    }
+    if not _check_index_params(spark, path, params):
+        banded_bucket_rows(
+            vectors, id_col, vec_col, tables, planes_per_table
+        ).write.mode("overwrite").parquet(f"{path}/buckets")
+        _write_index_params(spark, path, params)
+    return spark.read.parquet(f"{path}/buckets")
 
 
 LSH_DUP_BANDS = 8
