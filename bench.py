@@ -139,6 +139,44 @@ def main() -> None:
         shutil.rmtree(work, ignore_errors=True)
     timings["pipeline_e2e"] = round(min(attempts), 3)
 
+    # Per-arm timings (round-6 verdict task 1): method-tagged entries
+    # are unions of plan branches carrying a literal `method` column;
+    # filtering on one literal folds every other branch away
+    # (PruneFilters), so the filtered run times that arm's plan alone.
+    # Opt-in via SPARK_GRAFT_ARMS=1 — the driver's per-round run keeps
+    # the uniform entry-level methodology (and runtime), while the
+    # arm-inclusive BASELINE.md table is recorded from an idle-band
+    # run with this flag on.
+    arm_timings: dict[str, dict[str, float]] = {}
+    if os.environ.get("SPARK_GRAFT_ARMS"):
+        from pyspark.sql import functions as F
+
+        for name, small in extras.items():
+            df = reg[name][0](spark, sf_dir)
+            if "method" not in df.columns:
+                continue
+            methods = sorted(
+                r[0] for r in df.select("method").distinct().collect()
+            )
+            if len(methods) < 2:
+                continue
+            per_arm: dict[str, float] = {}
+            for m in methods:
+                best = None
+                for _attempt in range(2):
+                    start = time.perf_counter()
+                    armed = reg[name][0](spark, sf_dir).filter(
+                        F.col("method") == m
+                    )
+                    if small:
+                        armed.collect()
+                    else:
+                        armed.write.format("noop").mode("overwrite").save()
+                    elapsed = time.perf_counter() - start
+                    best = elapsed if best is None else min(best, elapsed)
+                per_arm[m] = round(best, 3)
+            arm_timings[name] = per_arm
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -147,6 +185,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                **({"arms": arm_timings} if arm_timings else {}),
                 "pipeline_e2e_cold": round(attempts[0], 3),
                 "loadavg": {
                     "start": [round(x, 2) for x in loadavg_start],

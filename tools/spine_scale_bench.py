@@ -98,6 +98,65 @@ def main() -> None:
             "n_components": n_comp,
         }), flush=True)
 
+    def pack_stats(case: str, docs_dir: str, n_docs: int) -> None:
+        """Cross-doc sequence packing at N× (round-6 verdict task 6):
+        wall time + sequence count; the prefix-sum shape must scale
+        with the corpus, not with any single group."""
+        from haensel_ams_data_engineer_challenge_spark.operators.pack import (
+            pack_sequences,
+        )
+
+        d = load_table(spark, docs_dir, "documents")
+        for attempt in ("cold", "warm"):
+            t0 = time.perf_counter()
+            n_seqs = pack_sequences(d, seq_len=512).count()
+            print(json.dumps({
+                "case": f"pack_{case}_{attempt}", "n_docs": n_docs,
+                "n_seqs": n_seqs,
+                "sec": round(time.perf_counter() - t0, 3),
+                "loadavg_1m": round(os.getloadavg()[0], 2),
+            }), flush=True)
+
+    def bloom_stats(case: str, docs_dir: str, n_docs: int) -> None:
+        """Incremental bloom-prefiltered dedup at N× (round-6 verdict
+        task 6): one point where the corpus OVERWHELMS the default
+        m_bits (fill → fpr → most of the batch falls through to exact
+        verify — correct but degraded) next to a production-sized
+        bitmap (~10 bits/key) that stays broadcast-class.  Batch =
+        the 1× originals with shifted ids: even ids keep their text
+        (true dups), odd ids are salted (genuinely new)."""
+        corpus = load_table(spark, docs_dir, "documents")
+        batch = docs.withColumn(
+            "doc_id", (F.col("doc_id") + F.lit(900 * ID_STRIDE)).cast("long")
+        ).withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 2 == 0, F.col("text")
+            ).otherwise(F.concat(F.col("text"), F.lit(" fresh-salt "),
+                                 F.col("doc_id").cast("string"))),
+        )
+        n_batch = batch.count()
+        default_bits = D.BLOOM_M_BITS
+        # production sizing: ~10 bits/key, next power of two
+        prod_bits = 1 << max(17, (10 * n_docs).bit_length())
+        for label, m_bits in (("default", default_bits), ("sized", prod_bits)):
+            t0 = time.perf_counter()
+            new_ids = D.incremental_new_docs(batch, corpus, m_bits=m_bits)
+            n_new = new_ids.count()
+            dt = round(time.perf_counter() - t0, 3)
+            bitmap_words = D.bloom_bitmap(
+                corpus.select(F.md5(D.normalize_text("text")).alias("text_hash")),
+                "text_hash", m_bits,
+            ).count()
+            print(json.dumps({
+                "case": f"bloom_{case}_{label}", "n_corpus": n_docs,
+                "n_batch": n_batch, "m_bits": m_bits,
+                "bitmap_words": bitmap_words,
+                "bitmap_kib": round(bitmap_words * 16 / 1024, 1),
+                "n_new": n_new, "sec": dt,
+                "loadavg_1m": round(os.getloadavg()[0], 2),
+            }), flush=True)
+
     docs = load_table(spark, sf_dir, "documents")
     n_base = docs.count()
 
@@ -107,6 +166,8 @@ def main() -> None:
             if mult <= 1:
                 time_spine("1x", sf_dir, n_base)
                 edge_stats("1x", sf_dir)
+                pack_stats("1x", sf_dir, n_base)
+                bloom_stats("1x", sf_dir, n_base)
                 continue
             # Nx corpus: copy i shifts ids by i*ID_STRIDE; group
             # g = i // CLUSTER gets a text-length group-salt (distinct
@@ -136,6 +197,8 @@ def main() -> None:
             copies.write.mode("overwrite").parquet(out)
             time_spine(f"{mult}x", f"{work}/m{mult}", n_base * mult)
             edge_stats(f"{mult}x", f"{work}/m{mult}")
+            pack_stats(f"{mult}x", f"{work}/m{mult}", n_base * mult)
+            bloom_stats(f"{mult}x", f"{work}/m{mult}", n_base * mult)
             shutil.rmtree(f"{work}/m{mult}", ignore_errors=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
