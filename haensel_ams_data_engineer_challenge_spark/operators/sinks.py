@@ -182,3 +182,58 @@ def journeys_as_api_payload(journeys_flagged: DataFrame) -> DataFrame:
             F.to_json(F.transform("__rs", lambda x: x["__r"])).alias("journey_json"),
         )
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    key_col: str = "seq_id",
+    token_col: str | None = None,
+) -> DataFrame:
+    """Trainer-ready sharded output — the last mile after
+    ``pack.pack_sequences``: land the packed sequences in ``n_shards``
+    balanced, DETERMINISTIC shards a data loader can map to workers.
+
+    - shard assignment is CONTENT-ADDRESSED: ``pmod(xxhash64(key),
+      n_shards)`` — identical across re-runs, partitionings and
+      cluster layouts.  Spark's own ``df.repartition(n)`` round-robins
+      by task and is NOT reproducible; a resumed or re-run job would
+      scatter rows differently, breaking any loader that checkpoints
+      by (shard, offset).
+    - one ``repartition`` on the shard column puts each shard in ~one
+      task, so each shard dir holds ~one parquet file (the loader-
+      friendly layout); xxhash64 balance makes the shards equal-sized
+      to binomial noise.
+    - a MANIFEST is written beside the shards and returned:
+      (shard, n_rows[, n_tokens], content_hash) where content_hash is
+      an order-insensitive ``bit_xor`` of per-row xxhash64 over every
+      column — cheap integrity verification for the loader, and
+      bit-identical across re-runs, so a writer restart is detectable
+      as "manifest unchanged".
+
+    Layout: ``{path}/shards/shard={i}/*.parquet`` + ``{path}/manifest``.
+    Empty shards (n_shards ≫ rows) simply have no dir and no manifest
+    row — loaders iterate the manifest, not range(n_shards).
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    cols = df.columns
+    sharded = df.withColumn(
+        "shard", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards)).cast("int")
+    )
+    sharded.repartition(n_shards, F.col("shard")).write.mode(
+        "overwrite"
+    ).partitionBy("shard").parquet(f"{path}/shards")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    if token_col is not None:
+        aggs.append(F.sum(token_col).cast("long").alias("n_tokens"))
+    aggs.append(F.expr("bit_xor(__h)").alias("content_hash"))
+    manifest = (
+        sharded.withColumn("__h", F.xxhash64(*[F.col(c) for c in cols]))
+        .groupBy("shard")
+        .agg(*aggs)
+        .orderBy("shard")
+    )
+    manifest.coalesce(1).write.mode("overwrite").parquet(f"{path}/manifest")
+    return manifest
