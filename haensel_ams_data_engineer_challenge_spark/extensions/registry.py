@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..functions import text as T
 from ..operators import dedup as D
 from ..operators import bpe as B
+from ..operators import classify as CLF
 from ..operators import lm as LM
 from ..operators import pack as PK
 from ..operators import retrieval as R
@@ -735,6 +736,7 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
         # CCNet head/middle/tail split — exact NTILE(3) by (xent,
         # doc_id) via the distributed prefix-count rank
         # (operators/rank.py), never a single-task global sort
+        from ..operators.classify import nb_classify_docs
         from ..operators.lm import bigram_doc_scores, unigram_doc_scores
         from ..operators.rank import ntile_exact
 
@@ -759,6 +761,11 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
             # (prev, term), validating lm.py's claim that the unigram
             # shape generalizes to higher-order models unchanged
             .join(bigram_doc_scores(docs), "doc_id", "left")
+            # round 8: classifier-filter tier (operators/classify.py)
+            # — multinomial NB self-trained with lang supervision, the
+            # distributed core of fasttext-style quality/domain
+            # filtering; pred + score hash-gated
+            .join(nb_classify_docs(docs), "doc_id", "left")
             .join(dup_shingle_fraction(docs), "doc_id", "left")
         )
 
@@ -844,6 +851,8 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
         + LM.unigram_sql(R.SEARCH_TOKEN_PATTERN).strip()
         + ","
         + LM.bigram_sql(R.SEARCH_TOKEN_PATTERN).strip()
+        + ","
+        + CLF.nb_sql(R.SEARCH_TOKEN_PATTERN).strip()
         + r""",
             dsf_ex AS (
                 SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3
@@ -891,6 +900,8 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
                    lm_b.lm_bucket AS lm_bucket,
                    lm2_doc.lm2_logprob AS lm2_logprob,
                    lm2_doc.lm2_xent AS lm2_xent,
+                   nb_doc.nb_pred AS nb_pred,
+                   nb_doc.nb_logp AS nb_logp,
                    dsf.dup_shingle_frac AS dup_shingle_frac
             FROM scored JOIN tthr ON tlang = lang
             LEFT JOIN (SELECT *, CAST(NTILE(3) OVER (ORDER BY lm_xent NULLS FIRST,
@@ -899,6 +910,7 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
                        FROM lm_doc) lm_b
                  ON lm_b.doc_id = scored.doc_id
             LEFT JOIN lm2_doc ON lm2_doc.doc_id = scored.doc_id
+            LEFT JOIN nb_doc ON nb_doc.doc_id = scored.doc_id
             LEFT JOIN dsf ON dsf.doc_id = scored.doc_id""",
     )
 
