@@ -164,6 +164,17 @@ def _parser() -> argparse.ArgumentParser:
     tk.add_argument("--merges-json", required=True)
     tk.add_argument("--work-dir", required=True)
 
+    pk = sub.add_parser(
+        "pack",
+        help="pack a documents parquet into fixed-length training "
+        "sequences (cross-doc, separator-joined) and land them in "
+        "deterministic balanced shards with an integrity manifest",
+    )
+    pk.add_argument("--docs-parquet", required=True)
+    pk.add_argument("--work-dir", required=True)
+    pk.add_argument("--seq-len", type=int, default=512)
+    pk.add_argument("--n-shards", type=int, default=8)
+
     mx = sub.add_parser(
         "mix",
         help="weighted interleave of corpora (training mixture weights); "
@@ -411,6 +422,29 @@ def main(argv: list[str] | None = None) -> int:
             print(
                 f"docs={stats['docs']} bpe_tokens={stats['tokens']} "
                 f"merges={len(merges)} -> {out}"
+            )
+            return 0
+
+        if args.command == "pack":
+            from pyspark.sql import functions as F
+
+            from .operators.pack import pack_sequences
+            from .operators.sinks import write_training_shards
+
+            docs = spark.read.parquet(args.docs_parquet)
+            seqs = pack_sequences(docs, seq_len=args.seq_len)
+            manifest = write_training_shards(
+                seqs, args.work_dir, args.n_shards, token_col="n_tokens"
+            )
+            stats = manifest.agg(
+                F.count(F.lit(1)).alias("shards"),
+                F.sum("n_rows").alias("seqs"),
+                F.sum("n_tokens").alias("tokens"),
+            ).collect()[0]
+            print(
+                f"seqs={stats['seqs']} tokens={stats['tokens']} "
+                f"seq_len={args.seq_len} shards={stats['shards']} "
+                f"-> {args.work_dir}/shards (+ manifest)"
             )
             return 0
 

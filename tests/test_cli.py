@@ -373,3 +373,42 @@ def test_cli_corpus_from_jsonl(spark, tmp_path, capsys):
     assert len(set(texts)) == 6
     q = spark.read.parquet(f"{work}/quarantine")
     assert q.count() == 2
+
+
+def test_cli_pack_shards(spark, sf_dir, tmp_path, capsys):
+    """pack: documents -> cross-doc packed sequences -> deterministic
+    shards + manifest, end to end."""
+    work = str(tmp_path / "wd")
+    argv = [
+        "pack", "--docs-parquet", f"{sf_dir}/documents.parquet",
+        "--work-dir", work, "--seq-len", "128", "--n-shards", "4",
+    ]
+    assert main(argv) == 0
+    out1 = capsys.readouterr().out
+    assert "shards=4" in out1 and "-> " in out1
+    back = spark.read.parquet(f"{work}/shards")
+    m1_rows = [tuple(r) for r in spark.read.parquet(f"{work}/manifest").collect()]
+    n_rows_idx = 1  # (shard, n_rows, n_tokens, content_hash)
+    assert back.count() == sum(r[n_rows_idx] for r in m1_rows)
+    # total tokens = corpus tokens + one separator per tokenized doc
+    from pyspark.sql import functions as F
+
+    from haensel_ams_data_engineer_challenge_spark.operators.retrieval import (
+        search_tokens,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tok = docs.select(F.size(search_tokens("text")).alias("n")).filter("n > 0")
+    expect = tok.agg(F.sum("n") + F.count("*")).collect()[0][0]
+    n_tokens_idx = 2
+    assert sum(r[n_tokens_idx] for r in m1_rows) == expect
+    # deterministic: a rerun into a FRESH dir reproduces the manifest
+    work2 = str(tmp_path / "wd2")
+    argv2 = [
+        "pack", "--docs-parquet", f"{sf_dir}/documents.parquet",
+        "--work-dir", work2, "--seq-len", "128", "--n-shards", "4",
+    ]
+    assert main(argv2) == 0
+    capsys.readouterr()
+    m2_rows = [tuple(r) for r in spark.read.parquet(f"{work2}/manifest").collect()]
+    assert sorted(m2_rows) == sorted(m1_rows)
