@@ -33,6 +33,12 @@ def _clear_orphan_location(spark: SparkSession, table_name: str) -> None:
     fails with LOCATION_ALREADY_EXISTS even under mode("overwrite")
     (round-7 driver gate hit this). Uses the Hadoop FileSystem API so
     it works for any warehouse scheme (file:, hdfs:, s3a:)."""
+    if "." in table_name:
+        # qualified names live under <db>.db/ in the warehouse; this
+        # helper only knows the default-database layout — let
+        # saveAsTable surface any orphan rather than deleting a
+        # wrongly-derived path
+        return
     if spark.catalog.tableExists(table_name):
         return  # registered: mode("overwrite") handles it atomically
     jvm = spark._jvm  # classic (non-Connect) API; local + cluster JVM path
