@@ -227,3 +227,111 @@ def test_bm25_invariants_property(spark, texts):
         rs.sort(key=lambda r: r["rank"])
         scores = [r["score"] for r in rs]
         assert scores == sorted(scores, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# cross-document sequence packing (round 8): fuzz the global-stream
+# slicing against a trivially-correct python model on adversarial doc
+# mixes (empty docs, single tokens, seq_len boundaries)
+# ---------------------------------------------------------------------------
+
+_doc_words = st.lists(
+    st.sampled_from(["aa", "b", "ccc", "dd"]), min_size=0, max_size=9
+)
+_corpus = st.lists(_doc_words, min_size=0, max_size=8)
+
+
+def _python_pack(docs_words, seq_len, sep="<|doc|>"):
+    stream = []
+    for ws in docs_words:
+        if ws:
+            stream.extend(ws)
+            stream.append(sep)
+    seqs = {}
+    for pos, tok in enumerate(stream):
+        seqs.setdefault(pos // seq_len, []).append(tok)
+    return {
+        sid: (" ".join(toks), len(toks)) for sid, toks in seqs.items()
+    }
+
+
+@example([["aa"] * 4, [], ["b"]], 5)       # boundary: exactly seq_len
+@example([[], [], []], 4)                  # all-empty corpus
+@given(_corpus, st.integers(2, 7))
+@SETTINGS
+def test_pack_sequences_matches_python_model(spark, docs_words, seq_len):
+    from haensel_ams_data_engineer_challenge_spark.operators.pack import (
+        PACK_SEP,
+        pack_sequences,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs_words)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string") if rows else (
+        spark.createDataFrame([], "doc_id long, text string")
+    )
+    got = {
+        r["seq_id"]: (r["seq_text"], r["n_tokens"])
+        for r in pack_sequences(docs, seq_len=seq_len).collect()
+    }
+    exp = _python_pack(docs_words, seq_len, PACK_SEP)
+    assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# NB classifier (round 8): fuzz the quantized argmax against the
+# python model on tiny adversarial corpora (single-class, shared
+# vocabularies, tie-heavy scores)
+# ---------------------------------------------------------------------------
+
+_nb_doc = st.tuples(
+    st.sampled_from(["x", "y"]),                       # label
+    st.lists(st.sampled_from(["t0", "t1", "t2"]), min_size=1, max_size=5),
+)
+
+
+@example([("x", ["t0"]), ("y", ["t0"])])               # pure tie -> label order
+@given(st.lists(_nb_doc, min_size=1, max_size=10))
+@SETTINGS
+def test_nb_matches_python_model(spark, labeled):
+    import math
+    from collections import Counter, defaultdict
+
+    from haensel_ams_data_engineer_challenge_spark.operators.classify import (
+        nb_classify_docs,
+    )
+
+    rows = [(i, lbl, " ".join(ws)) for i, (lbl, ws) in enumerate(labeled)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        r["doc_id"]: (r["nb_pred"], r["nb_logp"])
+        for r in nb_classify_docs(docs).collect()
+    }
+
+    counts, ndoc = defaultdict(Counter), Counter()
+    toks = {i: ws for i, (lbl, ws) in enumerate(labeled)}
+    for i, (lbl, ws) in enumerate(labeled):
+        ndoc[lbl] += 1
+        counts[lbl].update(ws)
+    vocab = {t for c in counts.values() for t in c}
+    v, ndocs = len(vocab), sum(ndoc.values())
+    cls = {
+        c: (
+            math.floor(math.log(ndoc[c] / ndocs) * 1e6),
+            math.floor(math.log(1.0 / (sum(counts[c].values()) + v)) * 1e6),
+            sum(counts[c].values()) + v,
+        )
+        for c in counts
+    }
+    lnp = {
+        (c, t): math.floor(math.log((k + 1.0) / cls[c][2]) * 1e6)
+        for c, cnt in counts.items() for t, k in cnt.items()
+    }
+    exp = {}
+    for i, ws in toks.items():
+        scored = []
+        for c, (prior_s, lnp0_s, _d) in cls.items():
+            s = prior_s + sum(lnp.get((c, t), lnp0_s) for t in ws)
+            scored.append((-s, c))
+        ns, c = min(scored)
+        exp[i] = (c, -ns / 1e6)
+    assert got == exp
