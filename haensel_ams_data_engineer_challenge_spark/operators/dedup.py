@@ -485,6 +485,7 @@ def incremental_new_docs(
     id_col: str = "doc_id",
     m_bits: int = BLOOM_M_BITS,
     k: int = BLOOM_K,
+    bitmap: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental exact dedup — the production ingestion shape: which
     docs of a NEW batch are not already in the EXISTING corpus?
@@ -503,15 +504,28 @@ def incremental_new_docs(
     maybe-dup sliver of the batch.  With the corpus hash table stored
     bucketed by text_hash (operators/scale.py bucketed join), the
     corpus side needs no re-shuffle either.  In production the bitmap
-    would be persisted and OR-merged incrementally per ingested batch
-    (bit_or is associative); here it is rebuilt per call.
+    is persisted and OR-merged incrementally per ingested batch
+    (bit_or is associative): pass it as ``bitmap`` (the
+    streaming/ingest.py bloom-state path does) and the per-call
+    corpus-wide bitmap build is skipped entirely — only the exact
+    verify still touches the corpus, column-pruned to the hash.
+    Without ``bitmap`` it is rebuilt from ``corpus`` per call.
+
+    A caller-supplied bitmap MUST cover every corpus key (extra set
+    bits are safe — they only add false positives, which the exact
+    verify removes; missing bits would be false negatives and admit
+    duplicates), and must have been built with the same
+    ``m_bits``/``k``.
 
     Output: (id, text_hash) of the genuinely-new batch docs.
     """
     h = F.md5(normalize_text(text_col)).alias("text_hash")
     corpus_h = corpus.select(h)
     batch_h = batch.select(F.col(id_col), h)
-    bloom = bloom_bitmap(corpus_h, "text_hash", m_bits, k)
+    bloom = (
+        bitmap if bitmap is not None
+        else bloom_bitmap(corpus_h, "text_hash", m_bits, k)
+    )
     probes = batch_h.select(
         F.col(id_col),
         F.explode(_bloom_positions(F.col("text_hash"), m_bits, k)).alias("pos"),

@@ -25,8 +25,19 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators.dedup import dedup_exact, incremental_new_docs
+from ..operators.dedup import (
+    BLOOM_K,
+    BLOOM_M_BITS,
+    bloom_bitmap,
+    dedup_exact,
+    incremental_new_docs,
+    normalize_text,
+)
 from ..operators.sinks import insert_if_absent
+
+#: AnalysisException conditions meaning "no data here yet" — the only
+#: ones the sink/state probes may tolerate (round-7 advice #3).
+_MISSING = {"PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"}
 
 
 def dedup_batch_within(batch: DataFrame) -> DataFrame:
@@ -34,6 +45,58 @@ def dedup_batch_within(batch: DataFrame) -> DataFrame:
     (min doc_id — dedup_exact's keep policy)."""
     keep = dedup_exact(batch).select(F.col("keep_id").alias("doc_id"))
     return batch.join(keep, "doc_id", "left_semi")
+
+
+def _try_read(ss: SparkSession, path: str, schema=None) -> DataFrame | None:
+    from pyspark.errors import AnalysisException
+
+    try:
+        reader = ss.read.schema(schema) if schema is not None else ss.read
+        df = reader.parquet(path)
+        df.schema
+        return df
+    except AnalysisException as e:
+        if e.getCondition() not in _MISSING:
+            raise
+        return None
+
+
+def _load_bloom_state(
+    ss: SparkSession, state_dir: str, m_bits: int, k: int
+) -> DataFrame | None:
+    """Committed persisted bitmap, or None when absent/uncommitted.
+    The params table is the commit marker (written WITH each bitmap
+    update); a params mismatch is a hard error — probing a bitmap
+    built with different m_bits/k silently yields false negatives."""
+    params = _try_read(ss, f"{state_dir}/params")
+    if params is None:
+        return None
+    got = {r["key"]: r["value"] for r in params.collect()}
+    exp = {"m_bits": str(m_bits), "k": str(k)}
+    if got != exp:
+        raise ValueError(
+            f"bloom state at {state_dir} was built with {got}; caller "
+            f"expects {exp} — use a different state dir or delete it"
+        )
+    bm = _try_read(ss, f"{state_dir}/bitmap")
+    if bm is None:
+        return None
+    # LOCAL relation, not a lazy file scan: the batch overwrites the
+    # state files before the sink insert re-executes the probe plan —
+    # a file-backed bitmap would hit FILE_NOT_EXIST on that re-read.
+    # Broadcast-class by construction (<= m_bits/64 rows).
+    return ss.createDataFrame(bm.collect(), "word_idx long, bits long")
+
+
+def _write_bloom_state(
+    ss: SparkSession, state_dir: str, bitmap_rows, m_bits: int, k: int
+) -> None:
+    ss.createDataFrame(
+        bitmap_rows, "word_idx long, bits long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{state_dir}/bitmap")
+    ss.createDataFrame(
+        [("m_bits", str(m_bits)), ("k", str(k))], "key string, value string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{state_dir}/params")
 
 
 def run_streaming_ingest(
@@ -45,6 +108,9 @@ def run_streaming_ingest(
     feed_glob: str = "*.parquet",
     max_files_per_trigger: int | None = None,
     drop_gopher_fail: bool = False,
+    bloom_state_dir: str | None = None,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
 ) -> None:
     """Drain the feed with an availableNow trigger, admitting only
     genuinely-new documents into ``sink_path``.
@@ -57,9 +123,21 @@ def run_streaming_ingest(
     BEFORE dedup (the corpus CLI's gate, at ingestion time) — a
     rejected doc is rejected forever, so the filter must run before
     its text can claim a slot in the admitted store.
-    """
-    from pyspark.errors import AnalysisException
 
+    ``bloom_state_dir``: PERSIST the Bloom bitmap and OR-merge each
+    batch's admitted bits into it (bit_or is associative and
+    idempotent, so a replayed batch re-ORs as a no-op) instead of
+    rebuilding the bitmap from corpus+sink on EVERY micro-batch —
+    at real scale the rebuild is a full corpus aggregation per batch,
+    the one O(corpus)-per-batch step in this pipeline (the exact
+    verify stays, but touches only the maybe-dup sliver and the
+    column-pruned hash).  Crash-ordering: the updated bitmap is
+    written BEFORE the sink insert — a crash between the two leaves
+    orphan bits, which are only false positives (caught by the exact
+    verify); the reverse order could leave admitted docs without bits,
+    i.e. false negatives that re-admit duplicates.  First batch (or a
+    torn state with no params marker) rebuilds from corpus+sink.
+    """
     corpus = spark.read.parquet(corpus_path)
     reader = (
         spark.readStream.schema(corpus.schema)
@@ -82,24 +160,51 @@ def run_streaming_ingest(
         # target, re-admitting cross-batch duplicates (round-6 advice
         # #1).  A missing/empty sink raises AnalysisException
         # (PATH_NOT_FOUND / UNABLE_TO_INFER_SCHEMA) at read time —
-        # exactly the "first batch" case.  Only THOSE error classes are
-        # tolerated (round-7 advice #3): an invalid/inaccessible path
-        # or unreadable metadata also surfaces as AnalysisException,
-        # and swallowing it would silently exclude admitted docs from
-        # the dedup target — re-raise anything else.
-        try:
-            existing = existing.unionByName(
-                ss.read.schema(corpus.schema).parquet(sink_path)
-            )
-        except AnalysisException as e:
-            if e.getCondition() not in {
-                "PATH_NOT_FOUND",
-                "UNABLE_TO_INFER_SCHEMA",
-            }:
-                raise
+        # exactly the "first batch" case; only those conditions are
+        # tolerated (round-7 advice #3, `_try_read`).
+        sink = _try_read(ss, sink_path, corpus.schema)
+        if sink is not None:
+            existing = existing.unionByName(sink)
         once = dedup_batch_within(batch)
-        new_ids = incremental_new_docs(once, existing).select("doc_id")
+        bitmap = (
+            _load_bloom_state(ss, bloom_state_dir, m_bits, k)
+            if bloom_state_dir is not None
+            else None
+        )
+        if bloom_state_dir is not None and bitmap is None:
+            # first batch / torn state: seed the bitmap from the full
+            # dedup target once; later batches only OR-merge deltas
+            bitmap = ss.createDataFrame(
+                bloom_bitmap(
+                    existing.select(
+                        F.md5(normalize_text("text")).alias("text_hash")
+                    ),
+                    "text_hash", m_bits, k,
+                ).collect(),
+                "word_idx long, bits long",
+            )
+        new_ids = incremental_new_docs(
+            once, existing, m_bits=m_bits, k=k, bitmap=bitmap
+        ).select("doc_id")
         admitted = once.join(new_ids, "doc_id", "left_semi")
+        if bloom_state_dir is not None:
+            # bitmap BEFORE sink (docstring crash-ordering argument);
+            # the merged bitmap is broadcast-class by construction
+            # (<= m_bits/64 rows), so the driver round-trip is the
+            # same budget class as the broadcast probe itself
+            delta = bloom_bitmap(
+                admitted.select(
+                    F.md5(normalize_text("text")).alias("text_hash")
+                ),
+                "text_hash", m_bits, k,
+            )
+            merged = (
+                bitmap.unionByName(delta)
+                .groupBy("word_idx")
+                .agg(F.expr("bit_or(bits)").alias("bits"))
+                .collect()
+            )
+            _write_bloom_state(ss, bloom_state_dir, merged, m_bits, k)
         insert_if_absent(ss, admitted, sink_path, ["doc_id"])
 
     (

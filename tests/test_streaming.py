@@ -444,3 +444,92 @@ def test_streaming_ingest_quality_gate(spark, tmp_path):
     )
     got = {r["doc_id"] for r in spark.read.parquet(sink).collect()}
     assert got == {1}
+
+
+def test_streaming_ingest_persisted_bloom_state(spark, sf_dir, tmp_path):
+    """bloom_state_dir persists + OR-merges the bitmap across batches
+    (no per-batch corpus-wide rebuild): identical admitted set to the
+    rebuild path, replays stay no-ops, and a params mismatch refuses
+    loudly (a wrong-layout bitmap would yield false negatives)."""
+    import glob as _glob
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    from haensel_ams_data_engineer_challenge_spark.streaming.ingest import (
+        run_streaming_ingest,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.filter("doc_id < 400")
+    corpus_path = str(tmp_path / "corpus")
+    base.write.parquet(corpus_path)
+
+    feed = str(tmp_path / "feed")
+
+    def _drop(df, name):
+        tmp = str(tmp_path / f"__stage_{name}")
+        df.repartition(1).write.parquet(tmp)
+        os.makedirs(feed, exist_ok=True)
+        shutil.copy(_glob.glob(f"{tmp}/part-*.parquet")[0], f"{feed}/{name}")
+
+    a_dup = docs.filter("doc_id < 10").withColumn(
+        "doc_id", F.col("doc_id") + 10000
+    )
+    a_new = docs.filter("doc_id >= 400 AND doc_id < 410").withColumn(
+        "doc_id", F.col("doc_id") + 10000
+    )
+    _drop(a_dup.unionByName(a_new), "a.parquet")
+    # batch B re-sends A's new texts (cross-batch dups — the case the
+    # OR-merged bits must catch) + 5 genuinely new
+    b_redo = a_new.withColumn("doc_id", F.col("doc_id") + 50000)
+    b_new = docs.filter("doc_id >= 410 AND doc_id < 415").withColumn(
+        "doc_id", F.col("doc_id") + 60000
+    )
+    _drop(b_redo.unionByName(b_new), "b.parquet")
+
+    sink = str(tmp_path / "admitted")
+    bloom_dir = str(tmp_path / "bloom")
+    run_streaming_ingest(
+        spark, corpus_path, feed, sink, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, bloom_state_dir=bloom_dir,
+    )
+    exp_ids = {10400 + i for i in range(10)} | {60410 + i for i in range(5)}
+    got_ids = {r["doc_id"] for r in spark.read.parquet(sink).collect()}
+    assert got_ids == exp_ids
+
+    # the persisted state exists and is committed (bitmap + params)
+    bm = spark.read.parquet(f"{bloom_dir}/bitmap")
+    assert bm.count() > 0 and set(bm.columns) == {"word_idx", "bits"}
+    assert spark.read.parquet(f"{bloom_dir}/params").count() == 2
+
+    # replay with a fresh checkpoint: OR-merge is idempotent, the
+    # idempotent sink admits nothing new
+    run_streaming_ingest(
+        spark, corpus_path, feed, sink, str(tmp_path / "ckpt2"),
+        max_files_per_trigger=1, bloom_state_dir=bloom_dir,
+    )
+    assert {
+        r["doc_id"] for r in spark.read.parquet(sink).collect()
+    } == exp_ids
+
+    # a bitmap built with other m_bits must refuse, not probe (the
+    # ValueError surfaces wrapped in StreamingQueryException)
+    with _pytest.raises(Exception, match="bloom state"):
+        run_streaming_ingest(
+            spark, corpus_path, feed, sink, str(tmp_path / "ckpt3"),
+            max_files_per_trigger=1, bloom_state_dir=bloom_dir,
+            m_bits=1 << 16,
+        )
+
+    # torn state (no params marker) reseeds from corpus+sink instead
+    # of serving the orphan bitmap
+    shutil.rmtree(f"{bloom_dir}/params")
+    run_streaming_ingest(
+        spark, corpus_path, feed, sink, str(tmp_path / "ckpt4"),
+        max_files_per_trigger=1, bloom_state_dir=bloom_dir,
+    )
+    assert {
+        r["doc_id"] for r in spark.read.parquet(sink).collect()
+    } == exp_ids
