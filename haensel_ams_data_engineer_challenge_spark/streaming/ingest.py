@@ -61,19 +61,34 @@ def _try_read(ss: SparkSession, path: str, schema=None) -> DataFrame | None:
         return None
 
 
-def _load_bloom_state(
+def _bloom_checksum(words: dict[int, int]) -> int:
+    """Deterministic (unsalted) 64-bit content mix — python's builtin
+    hash() is process-salted and useless across restarts."""
+    acc = 0
+    for idx, bits in words.items():
+        acc ^= ((idx * 1099511628211) ^ bits) & 0xFFFFFFFFFFFFFFFF
+    return acc
+
+
+def _load_bloom_words(
     ss: SparkSession, state_dir: str, m_bits: int, k: int
-) -> DataFrame | None:
-    """Committed persisted bitmap, or None when absent/uncommitted.
-    The params table is the commit marker (written WITH each bitmap
-    update); a params mismatch is a hard error — probing a bitmap
-    built with different m_bits/k silently yields false negatives."""
+) -> dict[int, int] | None:
+    """Committed persisted bitmap as a driver dict, or None when the
+    state is absent or TORN (params missing, or its content checksum
+    does not match the bitmap — a crash mid-overwrite must reseed,
+    because serving a partial bitmap yields false negatives).  An
+    m_bits/k mismatch is a hard error instead — that is caller
+    misconfiguration, and reseeding would silently change the fpr.
+    The words dict is broadcast-budget class by construction
+    (<= m_bits/64 entries — size m_bits to the corpus AND the
+    driver/broadcast budget together; past that, partition the
+    keyspace)."""
     params = _try_read(ss, f"{state_dir}/params")
     if params is None:
         return None
     got = {r["key"]: r["value"] for r in params.collect()}
     exp = {"m_bits": str(m_bits), "k": str(k)}
-    if got != exp:
+    if {k2: got.get(k2) for k2 in exp} != exp:
         raise ValueError(
             f"bloom state at {state_dir} was built with {got}; caller "
             f"expects {exp} — use a different state dir or delete it"
@@ -81,22 +96,42 @@ def _load_bloom_state(
     bm = _try_read(ss, f"{state_dir}/bitmap")
     if bm is None:
         return None
-    # LOCAL relation, not a lazy file scan: the batch overwrites the
-    # state files before the sink insert re-executes the probe plan —
-    # a file-backed bitmap would hit FILE_NOT_EXIST on that re-read.
-    # Broadcast-class by construction (<= m_bits/64 rows).
-    return ss.createDataFrame(bm.collect(), "word_idx long, bits long")
+    words = {r["word_idx"]: r["bits"] for r in bm.collect()}
+    if got.get("checksum") != str(_bloom_checksum(words)):
+        return None  # torn write — reseed from corpus+sink
+    return words
 
 
 def _write_bloom_state(
-    ss: SparkSession, state_dir: str, bitmap_rows, m_bits: int, k: int
+    ss: SparkSession, state_dir: str, words: dict[int, int],
+    m_bits: int, k: int,
 ) -> None:
+    """Bitmap first, then params carrying the bitmap's checksum: a
+    crash between the two (or mid-bitmap) leaves params disagreeing
+    with the bitmap content, which `_load_bloom_words` treats as torn
+    and reseeds — never a silent partial bitmap.
+
+    Single-partition layout via ``parallelize(rows, 1)``, NOT
+    ``coalesce(1)``: coalescing a parallelized local relation costs a
+    pathological ~3.5 s per write on local[32] (measured — plan
+    compile, not data), which at two writes per micro-batch would eat
+    the entire bitmap-reuse win."""
+    sc = ss.sparkContext
     ss.createDataFrame(
-        bitmap_rows, "word_idx long, bits long"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{state_dir}/bitmap")
+        sc.parallelize(sorted(words.items()), 1),
+        "word_idx long, bits long",
+    ).write.mode("overwrite").parquet(f"{state_dir}/bitmap")
     ss.createDataFrame(
-        [("m_bits", str(m_bits)), ("k", str(k))], "key string, value string"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{state_dir}/params")
+        sc.parallelize(
+            [
+                ("m_bits", str(m_bits)),
+                ("k", str(k)),
+                ("checksum", str(_bloom_checksum(words))),
+            ],
+            1,
+        ),
+        "key string, value string",
+    ).write.mode("overwrite").parquet(f"{state_dir}/params")
 
 
 def run_streaming_ingest(
@@ -147,7 +182,16 @@ def run_streaming_ingest(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     feed = reader.parquet(feed_dir)
 
+    # driver-cached bitmap words for the life of THIS query: loaded
+    # from disk (or seeded) once, OR-merged in python per batch, and
+    # flushed to disk per batch — a restart reloads the last committed
+    # flush.  Caching avoids re-reading the state per micro-batch; the
+    # python merge replaces a union+groupBy job (the whole dict is
+    # broadcast-budget class, see _load_bloom_words).
+    bloom_words: dict[int, int] | None = None
+
     def admit_batch(batch: DataFrame, batch_id: int) -> None:
+        nonlocal bloom_words
         ss = batch.sparkSession
         if drop_gopher_fail:
             from ..functions.text import gopher_quality_pass
@@ -166,45 +210,50 @@ def run_streaming_ingest(
         if sink is not None:
             existing = existing.unionByName(sink)
         once = dedup_batch_within(batch)
-        bitmap = (
-            _load_bloom_state(ss, bloom_state_dir, m_bits, k)
-            if bloom_state_dir is not None
-            else None
-        )
-        if bloom_state_dir is not None and bitmap is None:
-            # first batch / torn state: seed the bitmap from the full
-            # dedup target once; later batches only OR-merge deltas
+        bitmap = None
+        if bloom_state_dir is not None:
+            if bloom_words is None:
+                bloom_words = _load_bloom_words(
+                    ss, bloom_state_dir, m_bits, k
+                )
+            if bloom_words is None:
+                # first batch ever / torn state: seed from the full
+                # dedup target once; later batches OR-merge deltas
+                bloom_words = {
+                    r["word_idx"]: r["bits"]
+                    for r in bloom_bitmap(
+                        existing.select(
+                            F.md5(normalize_text("text")).alias("text_hash")
+                        ),
+                        "text_hash", m_bits, k,
+                    ).collect()
+                }
             bitmap = ss.createDataFrame(
-                bloom_bitmap(
-                    existing.select(
-                        F.md5(normalize_text("text")).alias("text_hash")
-                    ),
-                    "text_hash", m_bits, k,
-                ).collect(),
-                "word_idx long, bits long",
+                sorted(bloom_words.items()), "word_idx long, bits long"
             )
         new_ids = incremental_new_docs(
             once, existing, m_bits=m_bits, k=k, bitmap=bitmap
         ).select("doc_id")
         admitted = once.join(new_ids, "doc_id", "left_semi")
         if bloom_state_dir is not None:
-            # bitmap BEFORE sink (docstring crash-ordering argument);
-            # the merged bitmap is broadcast-class by construction
-            # (<= m_bits/64 rows), so the driver round-trip is the
-            # same budget class as the broadcast probe itself
-            delta = bloom_bitmap(
+            from ..checkpoint import materialize
+
+            # two consumers (the delta bitmap action + the sink
+            # insert) — materialize the batch-bounded admit set once
+            # instead of re-running the dedup subtree per action
+            admitted = materialize(admitted)
+            # bitmap flush BEFORE the sink insert (docstring crash-
+            # ordering argument): orphan bits are only false positives
+            for r in bloom_bitmap(
                 admitted.select(
                     F.md5(normalize_text("text")).alias("text_hash")
                 ),
                 "text_hash", m_bits, k,
-            )
-            merged = (
-                bitmap.unionByName(delta)
-                .groupBy("word_idx")
-                .agg(F.expr("bit_or(bits)").alias("bits"))
-                .collect()
-            )
-            _write_bloom_state(ss, bloom_state_dir, merged, m_bits, k)
+            ).collect():
+                bloom_words[r["word_idx"]] = (
+                    bloom_words.get(r["word_idx"], 0) | r["bits"]
+                )
+            _write_bloom_state(ss, bloom_state_dir, bloom_words, m_bits, k)
         insert_if_absent(ss, admitted, sink_path, ["doc_id"])
 
     (

@@ -502,7 +502,11 @@ def test_streaming_ingest_persisted_bloom_state(spark, sf_dir, tmp_path):
     # the persisted state exists and is committed (bitmap + params)
     bm = spark.read.parquet(f"{bloom_dir}/bitmap")
     assert bm.count() > 0 and set(bm.columns) == {"word_idx", "bits"}
-    assert spark.read.parquet(f"{bloom_dir}/params").count() == 2
+    params = {
+        r["key"]: r["value"]
+        for r in spark.read.parquet(f"{bloom_dir}/params").collect()
+    }
+    assert set(params) == {"m_bits", "k", "checksum"}
 
     # replay with a fresh checkpoint: OR-merge is idempotent, the
     # idempotent sink admits nothing new
@@ -523,11 +527,26 @@ def test_streaming_ingest_persisted_bloom_state(spark, sf_dir, tmp_path):
             m_bits=1 << 16,
         )
 
+    # torn BITMAP (params intact but checksum disagrees — a crash mid
+    # bitmap overwrite) must reseed, not serve the partial bitmap
+    # whose missing bits would be false negatives
+    bm_rows = spark.read.parquet(f"{bloom_dir}/bitmap").limit(3)
+    partial = bm_rows.collect()
+    spark.createDataFrame(partial, "word_idx long, bits long") \
+        .write.mode("overwrite").parquet(f"{bloom_dir}/bitmap")
+    run_streaming_ingest(
+        spark, corpus_path, feed, sink, str(tmp_path / "ckpt4"),
+        max_files_per_trigger=1, bloom_state_dir=bloom_dir,
+    )
+    assert {
+        r["doc_id"] for r in spark.read.parquet(sink).collect()
+    } == exp_ids
+
     # torn state (no params marker) reseeds from corpus+sink instead
     # of serving the orphan bitmap
     shutil.rmtree(f"{bloom_dir}/params")
     run_streaming_ingest(
-        spark, corpus_path, feed, sink, str(tmp_path / "ckpt4"),
+        spark, corpus_path, feed, sink, str(tmp_path / "ckpt5"),
         max_files_per_trigger=1, bloom_state_dir=bloom_dir,
     )
     assert {
