@@ -534,10 +534,15 @@ def _check_index_params(spark, path: str, expect: dict) -> bool:
 
 
 def _write_index_params(spark, path: str, params: dict) -> None:
+    # parallelize(rows, 1), not coalesce(1): coalescing a parallelized
+    # local relation costs ~3.5 s of plan compile per write on
+    # local[32] (measured, streaming/ingest.py note)
     spark.createDataFrame(
-        [(k, str(v)) for k, v in sorted(params.items())],
+        spark.sparkContext.parallelize(
+            [(k, str(v)) for k, v in sorted(params.items())], 1
+        ),
         "key string, value string",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+    ).write.mode("overwrite").parquet(f"{path}/params")
 
 
 def ivf_index_persistent(
