@@ -70,6 +70,13 @@ def _parser() -> argparse.ArgumentParser:
         "warehouse parquet (sources/jsonl.py: declared schema, "
         "malformed lines quarantined to WORK_DIR/quarantine)",
     )
+    co_src.add_argument(
+        "--docs-warc",
+        metavar="WARC_DIR",
+        help="ingest documents from WARC crawl shards (sources/warc.py: "
+        "response records only, crude HTML->text, per-shard "
+        "rejected/malformed audit written to WORK_DIR/warc_audit)",
+    )
     co.add_argument("--work-dir", required=True)
     co.add_argument("--cap-per-lang", type=int, default=None)
     co.add_argument(
@@ -271,6 +278,17 @@ def main(argv: list[str] | None = None) -> int:
                 n_quarantined = spark.read.parquet(
                     f"{args.work_dir}/quarantine"
                 ).count()
+            elif args.docs_warc:
+                from .sources.warc import read_documents_warc
+
+                docs, audit = read_documents_warc(spark, args.docs_warc)
+                audit.write.mode("overwrite").parquet(
+                    f"{args.work_dir}/warc_audit"
+                )
+                back = spark.read.parquet(f"{args.work_dir}/warc_audit")
+                n_quarantined = back.agg(
+                    F.sum(F.col("n_rejected") + F.col("n_malformed"))
+                ).collect()[0][0] or 0
             else:
                 docs = load_table(spark, args.sf_dir, "documents")
             if args.dedup_method == "minhash":

@@ -1,0 +1,187 @@
+"""WARC document source — the web-crawl wire format (CommonCrawl).
+
+Web-scale corpora start as WARC shards (ISO 28500): a concatenation of
+records, each a ``WARC/1.x`` header block (CRLF-delimited, terminated
+by an empty line) followed by ``Content-Length`` payload bytes and a
+trailing CRLF CRLF.  CommonCrawl ships ~64k gzip shards per crawl, so
+the parallel unit is the FILE: Spark's ``binaryFile`` source lists the
+shards and hands each to one task (a .warc.gz member stream is not
+block-splittable anyway — the same layout rule as the jsonl source's
+.gz note: shard count, not split count, is the parallelism).  Parsing
+runs in mapInPandas over the file bytes — pure stdlib (gzip + bytes
+splitting), no external crawl libraries.
+
+Discipline mirrors sources/jsonl.py:
+
+- only ``WARC-Type: response`` records with an HTTP 200 status line
+  and a non-empty extracted text become documents;
+- records that parse but are rejected (non-response types, non-200,
+  empty payload/text) are COUNTED per file in an audit DataFrame —
+  dropped data is observable, never silent;
+- a file whose framing is irrecoverably malformed (no WARC/ magic, a
+  Content-Length that walks off the end) contributes its remaining
+  bytes to the quarantine count rather than crashing the job: at
+  100 TB some shards WILL be truncated;
+- ``doc_id`` derives from xxhash64 of the WARC-Target-URI (or the
+  payload when absent) — deterministic, order-independent, one
+  collision model (the jsonl round-8 rule); computed JVM-side after
+  parsing;
+- ``source`` is the URI host; ``lang`` is the sentinel ``und`` (a
+  downstream langid pass assigns it — functions/text.langid).
+
+HTML -> text here is a deliberately-documented CRUDE strip (script/
+style removal, tag removal, entity decode, whitespace collapse) in
+pure stdlib: production extraction (trafilatura/justext boilerplate
+removal) is not in this container and plugs in at the marked seam.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+#: parsed-record wire schema (pre doc_id derivation)
+_REC_SCHEMA = (
+    "uri string, host string, text string, "
+    "n_records long, n_rejected long, n_malformed long"
+)
+
+
+def _extract_text(html: str) -> str:
+    """Crude stdlib HTML->text (module docstring): good enough to feed
+    the downstream quality/dedup tiers deterministic text; swap for a
+    real extractor at this seam."""
+    import html as html_mod
+    import re
+
+    s = re.sub(r"(?is)<(script|style)\b.*?</\1>", " ", html)
+    s = re.sub(r"(?s)<[^>]+>", " ", s)
+    s = html_mod.unescape(s)
+    return re.sub(r"\s+", " ", s).strip()
+
+
+def _parse_warc_bytes(blob: bytes):
+    """Yield (uri, host, text) per usable response record plus the
+    (n_records, n_rejected, n_malformed) file audit counts."""
+    from urllib.parse import urlparse
+
+    n_records = n_rejected = n_malformed = 0
+    docs = []
+    pos = 0
+    n = len(blob)
+    while pos < n:
+        # skip inter-record padding
+        while pos < n and blob[pos : pos + 1] in (b"\r", b"\n"):
+            pos += 1
+        if pos >= n:
+            break
+        if not blob.startswith(b"WARC/", pos):
+            n_malformed += 1  # lost framing: count the tail, stop
+            break
+        hdr_end = blob.find(b"\r\n\r\n", pos)
+        if hdr_end < 0:
+            n_malformed += 1
+            break
+        headers: dict[str, str] = {}
+        for line in blob[pos:hdr_end].split(b"\r\n")[1:]:
+            key, _, val = line.partition(b":")
+            headers[key.strip().lower().decode("ascii", "replace")] = (
+                val.strip().decode("utf-8", "replace")
+            )
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            n_malformed += 1
+            break
+        body_start = hdr_end + 4
+        if body_start + length > n:
+            n_malformed += 1  # truncated shard tail
+            break
+        body = blob[body_start : body_start + length]
+        pos = body_start + length
+        n_records += 1
+        if headers.get("warc-type") != "response":
+            n_rejected += 1
+            continue
+        # HTTP response payload: status line + headers + CRLF CRLF + html
+        http_end = body.find(b"\r\n\r\n")
+        status = body[: body.find(b"\r\n")] if http_end >= 0 else b""
+        if http_end < 0 or b" 200" not in status:
+            n_rejected += 1
+            continue
+        text = _extract_text(
+            body[http_end + 4 :].decode("utf-8", "replace")
+        )
+        if not text:
+            n_rejected += 1
+            continue
+        uri = headers.get("warc-target-uri", "")
+        docs.append((uri, urlparse(uri).netloc if uri else "", text))
+    return docs, (n_records, n_rejected, n_malformed)
+
+
+def read_documents_warc(
+    spark: SparkSession, path: str, glob: str = "*.warc*"
+) -> tuple[DataFrame, DataFrame]:
+    """Read WARC shards -> (documents, audit).
+
+    ``documents`` carries the engine schema (doc_id, text, lang,
+    source, n_chars); ``audit`` is one row per shard file
+    (path, n_records, n_rejected, n_malformed) — the observable
+    account of everything not admitted.
+    """
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("path", "content")
+    )
+
+    def parse(batches):
+        import gzip
+
+        import pandas as pd
+
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                blob = bytes(row["content"])
+                if row["path"].endswith(".gz") or blob[:2] == b"\x1f\x8b":
+                    try:
+                        blob = gzip.decompress(blob)
+                    except OSError:
+                        yield pd.DataFrame(
+                            [(None, None, None, 0, 0, 1)],
+                            columns=["uri", "host", "text", "n_records",
+                                     "n_rejected", "n_malformed"],
+                        ).assign(path=row["path"])
+                        continue
+                docs, (nr, nj, nm) = _parse_warc_bytes(blob)
+                rows = [
+                    (uri, host, text, nr, nj, nm) for uri, host, text in docs
+                ] or [(None, None, None, nr, nj, nm)]
+                yield pd.DataFrame(
+                    rows,
+                    columns=["uri", "host", "text", "n_records",
+                             "n_rejected", "n_malformed"],
+                ).assign(path=row["path"])
+
+    parsed = files.mapInPandas(parse, _REC_SCHEMA + ", path string")
+    audit = (
+        parsed.groupBy("path")
+        .agg(
+            F.max("n_records").cast("long").alias("n_records"),
+            F.max("n_rejected").cast("long").alias("n_rejected"),
+            F.max("n_malformed").cast("long").alias("n_malformed"),
+        )
+    )
+    docs = parsed.filter(F.col("text").isNotNull()).select(
+        F.xxhash64(
+            F.coalesce(F.nullif(F.col("uri"), F.lit("")), F.col("text"))
+        ).alias("doc_id"),
+        "text",
+        F.lit("und").alias("lang"),
+        F.when(F.col("host") == "", F.lit("warc"))
+        .otherwise(F.col("host"))
+        .alias("source"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    return docs, audit

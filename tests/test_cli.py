@@ -412,3 +412,53 @@ def test_cli_pack_shards(spark, sf_dir, tmp_path, capsys):
     capsys.readouterr()
     m2_rows = [tuple(r) for r in spark.read.parquet(f"{work2}/manifest").collect()]
     assert sorted(m2_rows) == sorted(m1_rows)
+
+
+def test_cli_corpus_from_warc(spark, tmp_path, capsys):
+    """corpus --docs-warc: WARC shard -> audit + curated corpus,
+    end to end."""
+    import gzip as _gzip
+
+    def rec(wtype, uri, payload):
+        hdr = (
+            b"WARC/1.0\r\nWARC-Type: " + wtype + b"\r\n"
+            + (b"WARC-Target-URI: " + uri + b"\r\n" if uri else b"")
+            + b"Content-Length: " + str(len(payload)).encode() + b"\r\n\r\n"
+        )
+        return hdr + payload + b"\r\n\r\n"
+
+    def http200(html):
+        return b"HTTP/1.1 200 OK\r\n\r\n" + html
+
+    nouns = ["fox", "dog", "river", "stone", "cloud", "tree", "boat", "road"]
+
+    def page(i):
+        body = " ".join(
+            f"the {nouns[(i + j) % len(nouns)]}{i}{j} and a "
+            f"{nouns[(i + 2 * j + 1) % len(nouns)]}{i} were there so"
+            for j in range(20)
+        )
+        return f"<html><body><p>{body}</p></body></html>".encode()
+
+    shard = rec(b"warcinfo", b"", b"sw: test")
+    for i in range(5):
+        shard += rec(b"response", f"http://site{i}.example/p".encode(),
+                     http200(page(i)))
+    shard += rec(b"response", b"http://dup.example/p", http200(page(0)))
+    warc_dir = tmp_path / "crawl"
+    warc_dir.mkdir()
+    (warc_dir / "shard0.warc.gz").write_bytes(_gzip.compress(shard))
+
+    work = str(tmp_path / "wd")
+    rc = main([
+        "corpus", "--docs-warc", str(warc_dir), "--work-dir", work,
+        "--train", "1.0", "--val", "0.0", "--test", "0.0",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "quarantined=1" in out and "docs=6" in out
+    back = spark.read.parquet(f"{work}/corpus")
+    texts = [r["text"] for r in back.collect()]
+    assert len(texts) == 5 and len(set(texts)) == 5  # exact dup resolved
+    audit = spark.read.parquet(f"{work}/warc_audit").collect()[0]
+    assert audit["n_records"] == 7 and audit["n_rejected"] == 1
