@@ -1252,21 +1252,57 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
             F.col("text"),
         )
 
+    # round 8: the entry is the content-policy surface — alongside PII
+    # redaction it carries the domain-blocklist flag (operators/
+    # blocklist.py, UT1-style label-boundary suffix matching).  Hosts
+    # are synthesized deterministically from corpus columns (the same
+    # no-fixture trick as the PII text): ads./plain/deep.sub. variants
+    # of `source`.example, against a literal 3-entry list covering
+    # exact-hit, whole-domain-with-subdomains, and never-matching.
+    _BLOCKLIST = ["ads.src3.example", "src7.example", "absent.example"]
+
+    def _host_synth() -> "F.Column":
+        return F.concat(
+            F.when(F.col("doc_id") % 3 == 0, F.lit("ads."))
+            .when(F.col("doc_id") % 3 == 1, F.lit(""))
+            .otherwise(F.lit("deep.sub.")),
+            F.col("source"),
+            F.lit(".example"),
+        )
+
     def _pii_redaction(spark: SparkSession, sf: str) -> DataFrame:
-        docs = _docs(spark, sf).select("doc_id", _pii_synth().alias("pii_text"))
+        from ..operators.blocklist import blocklist_flag
+
+        docs = _docs(spark, sf).select(
+            "doc_id",
+            _pii_synth().alias("pii_text"),
+            _host_synth().alias("host"),
+        )
         counts = T.pii_counts("pii_text")
-        return docs.select(
+        bl = spark.createDataFrame(
+            [(h,) for h in _BLOCKLIST], "blocked_host string"
+        )
+        return blocklist_flag(docs, bl, host_col="host").select(
             "doc_id",
             T.redact_pii("pii_text").alias("redacted"),
             *[c.cast("long").alias(f"n_{n}") for n, c in counts.items()],
+            "host",
+            "blocked",
         )
 
     def _pii_redaction_sql() -> str:
+        from ..operators.blocklist import blocklist_flag_sql
+
         synth = (
             "'contact u' || CAST(doc_id AS VARCHAR) || "
             "'@example.com or 555-123-' || "
             "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || "
             "' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1 ' || text"
+        )
+        host = (
+            "CASE WHEN doc_id % 3 = 0 THEN 'ads.' || source || '.example' "
+            "WHEN doc_id % 3 = 1 THEN source || '.example' "
+            "ELSE 'deep.sub.' || source || '.example' END"
         )
         cur = synth
         count_cols = []
@@ -1276,6 +1312,8 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
         return (
             f"SELECT doc_id, {cur} AS redacted,\n"
             + ",\n".join(count_cols)
+            + f",\n{host} AS host"
+            + f",\n{blocklist_flag_sql(_BLOCKLIST, host)} AS blocked"
             + "\nFROM documents"
         )
 
