@@ -957,7 +957,47 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
             "n_islands", "chars_removed",
             F.md5("text_cut").alias("cut_hash"),
         )
-        return pair_arm.unionByName(cut_arm)
+        # round 8: LINE-level boilerplate removal arm (operators/
+        # dedup.remove_duplicate_lines — the CCNet/RefinedWeb step
+        # span dedup can't cover).  The flat synthetic texts carry no
+        # newlines, so the arm synthesizes multi-line docs from corpus
+        # columns (the pii_redaction no-fixture trick): a global
+        # copyright line on even ids, a per-source social banner, the
+        # doc text, and a unique footer — the banners must go, the
+        # unique lines must stay.  Columns map: n_islands = removed
+        # line count (removed units, like the span arm), n_shared =
+        # total line count.
+        ml = docs.select(
+            "doc_id",
+            F.concat_ws(
+                "\n",
+                F.when(
+                    F.col("doc_id") % 2 == 0,
+                    F.lit("copyright example corporation all rights reserved"),
+                ),
+                F.concat(
+                    F.lit("follow "), F.col("source"),
+                    F.lit(" on social media for updates"),
+                ),
+                F.col("text"),
+                F.concat(
+                    F.lit("doc "), F.col("doc_id").cast("string"),
+                    F.lit(" unique footer line"),
+                ),
+            ).alias("text"),
+        )
+        line_arm = D.remove_duplicate_lines(ml).select(
+            F.lit("line_cut").alias("method"),
+            F.col("doc_id").alias("id_a"),
+            nb.alias("id_b"),
+            F.col("n_lines").alias("n_shared"),
+            nb.alias("a_span_start"), nb.alias("a_span_end"),
+            nb.alias("b_span_start"), nb.alias("b_span_end"),
+            F.col("n_lines_removed").alias("n_islands"),
+            "chars_removed",
+            F.md5("text_cut").alias("cut_hash"),
+        )
+        return pair_arm.unionByName(cut_arm).unionByName(line_arm)
 
     e["dedup_substring_anchors"] = (
         _substring_with_cut,
@@ -1034,7 +1074,51 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
                        AS chars_removed,
                      md5(COALESCE(MAX(r.text_cut), '')) AS cut_hash
               FROM clamped c LEFT JOIN resid r ON r.doc_id = c.doc_id
-              GROUP BY c.doc_id)
+              GROUP BY c.doc_id),
+            -- line_cut arm: synthesized multi-line docs (mirror of the
+            -- Spark arm's concat_ws; concat_ws skips NULLs in both
+            -- engines), md5-keyed distinct-doc line counts, removal of
+            -- lines with df >= {D.LINE_MIN_DF} and length >=
+            -- {D.LINE_MIN_CHARS}, positional reassembly
+            lsyn AS (
+              SELECT doc_id,
+                     concat_ws(chr(10),
+                       CASE WHEN doc_id % 2 = 0
+                            THEN 'copyright example corporation all rights reserved' END,
+                       'follow ' || source || ' on social media for updates',
+                       text,
+                       'doc ' || CAST(doc_id AS VARCHAR) || ' unique footer line'
+                     ) AS ltext
+              FROM documents),
+            lln AS (
+              SELECT doc_id, length(ltext) AS olen,
+                     CAST(i - 1 AS BIGINT) AS pos, lns[i] AS ln
+              FROM (SELECT doc_id, ltext,
+                           string_split(ltext, chr(10)) AS lns,
+                           unnest(range(1, len(string_split(ltext, chr(10))) + 1)) AS i
+                    FROM lsyn)),
+            ldup AS (
+              SELECT k FROM (SELECT DISTINCT md5(ln) AS k, doc_id
+                             FROM lln WHERE length(ln) >= {D.LINE_MIN_CHARS})
+              GROUP BY k HAVING COUNT(*) >= {D.LINE_MIN_DF}),
+            lmk AS (
+              SELECT doc_id, olen, pos, ln,
+                     (length(ln) >= {D.LINE_MIN_CHARS}
+                      AND md5(ln) IN (SELECT k FROM ldup)) AS rm
+              FROM lln),
+            lcut AS (
+              SELECT doc_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_lines,
+                     CAST(SUM(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_lines_removed,
+                     MAX(olen)
+                       - length(COALESCE(string_agg(ln, chr(10) ORDER BY pos)
+                                           FILTER (WHERE NOT rm), ''))
+                       AS chars_removed,
+                     md5(COALESCE(string_agg(ln, chr(10) ORDER BY pos)
+                                    FILTER (WHERE NOT rm), '')) AS cut_hash
+              FROM lmk GROUP BY doc_id
+              HAVING SUM(CASE WHEN rm THEN 1 ELSE 0 END) > 0)
             SELECT 'pair' AS method, id_a, id_b, n_shared,
                    a_span_start, a_span_end, b_span_start, b_span_end,
                    CAST(NULL AS BIGINT) AS n_islands,
@@ -1044,7 +1128,12 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
             UNION ALL
             SELECT 'cut', doc_id, NULL, NULL, NULL, NULL, NULL, NULL,
                    n_islands, chars_removed, cut_hash
-            FROM cut""",
+            FROM cut
+            UNION ALL
+            SELECT 'line_cut', doc_id, NULL, n_lines,
+                   NULL, NULL, NULL, NULL,
+                   n_lines_removed, chars_removed, cut_hash
+            FROM lcut""",
     )
 
     # round 6 tags in TRAINING-SEQUENCE chunking (operators/pack.

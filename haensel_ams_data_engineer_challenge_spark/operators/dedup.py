@@ -545,6 +545,95 @@ def incremental_new_docs(
     return definitely_new.unionByName(verified_new).select(id_col, "text_hash")
 
 
+#: line-level boilerplate removal defaults: a line participates only
+#: when at least this long (short separators / bullets never count)...
+LINE_MIN_CHARS = 10
+#: ...and is removed when it occurs in at least this many DISTINCT
+#: documents (2 = any cross-document repetition).
+LINE_MIN_DF = 2
+
+
+def remove_duplicate_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = LINE_MIN_DF,
+    min_chars: int = LINE_MIN_CHARS,
+) -> DataFrame:
+    """LINE-level cross-document dedup — the CCNet/RefinedWeb
+    boilerplate-removal step: a line occurring in >= ``min_df``
+    distinct documents (headers, footers, nav bars, cookie banners) is
+    excised from EVERY document; document-level dedup cannot see it
+    because the surrounding content differs.
+
+    Output: (id, n_lines, n_lines_removed, chars_removed, text_cut) —
+    only documents with >= 1 removed line (callers left-join; absent
+    == untouched).  ``chars_removed`` is ``len(text) -
+    len(text_cut)`` so newline bookkeeping cannot drift.
+
+    Scale shape: one posexplode + a map-side-combinable distinct-doc
+    count on the md5 line key trains the duplicate set (the 'the'-like
+    hot boilerplate line partial-aggregates map-side); the removal is
+    one equi-join on the key plus a per-doc groupBy whose state is
+    that doc's own lines (bounded) — reassembly sorts row-locally by
+    line position, no windows.  Lines shorter than ``min_chars`` are
+    ineligible both for counting and for removal.
+    """
+    lines = docs.select(
+        F.col(id_col).alias("__did"),
+        F.length(text_col).alias("__olen"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "ln"),
+    )
+    dup = (
+        lines.filter(F.length("ln") >= min_chars)
+        .select(F.md5("ln").alias("__k"), "__did")
+        .distinct()
+        .groupBy("__k")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+        .filter(F.col("__nd") >= min_df)
+        .select("__k")
+    )
+    marked = (
+        lines.withColumn("__k", F.md5("ln"))
+        .join(dup.withColumn("__dup", F.lit(True)), "__k", "left")
+        .withColumn(
+            "__rm",
+            F.col("__dup").isNotNull() & (F.length("ln") >= min_chars),
+        )
+    )
+    return (
+        marked.groupBy("__did", "__olen")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.when(F.col("__rm"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_lines_removed"),
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "ln", "__rm"))
+                        ),
+                        lambda x: ~x["__rm"],
+                    ),
+                    lambda x: x["ln"],
+                ),
+                "\n",
+            ).alias("text_cut"),
+        )
+        .filter(F.col("n_lines_removed") > 0)
+        .select(
+            F.col("__did").alias(id_col),
+            "n_lines",
+            "n_lines_removed",
+            (F.col("__olen") - F.length("text_cut"))
+            .cast("long")
+            .alias("chars_removed"),
+            "text_cut",
+        )
+    )
+
+
 def merge_spans(
     spans: DataFrame,
     id_col: str = "doc_id",
