@@ -108,6 +108,21 @@ def _parser() -> argparse.ArgumentParser:
         "text column with typed placeholders before writing",
     )
     co.add_argument(
+        "--block-hosts",
+        default=None,
+        metavar="HOSTS_FILE",
+        help="newline-separated domain blocklist (UT1-style); drops "
+        "docs whose source host or any parent domain is listed "
+        "(operators/blocklist.py label-boundary matching)",
+    )
+    co.add_argument(
+        "--remove-boilerplate-lines",
+        action="store_true",
+        help="excise lines repeated across >= 2 distinct documents "
+        "(headers/footers/banners) from every doc before the quality "
+        "gate (operators/dedup.remove_duplicate_lines)",
+    )
+    co.add_argument(
         "--drop-gopher-fail",
         action="store_true",
         help="drop documents failing the Gopher quality rules "
@@ -329,6 +344,38 @@ def main(argv: list[str] | None = None) -> int:
                 flagged.persist()
                 n_contaminated = flagged.count()
                 kept = kept.join(flagged, "doc_id", "left_anti")
+            n_blocked = 0
+            if args.block_hosts:
+                from .operators.blocklist import blocklist_flag
+
+                bl = spark.createDataFrame(
+                    [
+                        (h.strip(),)
+                        for h in open(args.block_hosts)
+                        if h.strip() and not h.startswith("#")
+                    ],
+                    "blocked_host string",
+                )
+                kept = blocklist_flag(kept, bl, host_col="source")
+                n_blocked = kept.agg(
+                    F.sum(F.col("blocked").cast("long"))
+                ).collect()[0][0] or 0
+                kept = kept.filter(~F.col("blocked")).drop("blocked")
+            n_lines_cut = 0
+            if args.remove_boilerplate_lines:
+                from .operators.dedup import remove_duplicate_lines
+
+                cuts = remove_duplicate_lines(kept)
+                n_lines_cut = cuts.agg(
+                    F.sum("n_lines_removed")
+                ).collect()[0][0] or 0
+                kept = (
+                    kept.join(
+                        cuts.select("doc_id", "text_cut"), "doc_id", "left"
+                    )
+                    .withColumn("text", F.coalesce("text_cut", "text"))
+                    .drop("text_cut")
+                )
             n_quality_dropped = 0
             if args.drop_gopher_fail:
                 from .functions.text import gopher_quality_pass
@@ -383,6 +430,8 @@ def main(argv: list[str] | None = None) -> int:
                 f"docs={total_in} quarantined={n_quarantined} "
                 f"survivors={total_out} "
                 f"contaminated={n_contaminated} "
+                f"blocked={n_blocked} "
+                f"boilerplate_lines_cut={n_lines_cut} "
                 f"quality_dropped={n_quality_dropped} "
                 f"bpe_merges={n_merges_learned} "
                 + " ".join(f"{k}={counts.get(k, 0)}" for k in fractions)

@@ -462,3 +462,48 @@ def test_cli_corpus_from_warc(spark, tmp_path, capsys):
     assert len(texts) == 5 and len(set(texts)) == 5  # exact dup resolved
     audit = spark.read.parquet(f"{work}/warc_audit").collect()[0]
     assert audit["n_records"] == 7 and audit["n_rejected"] == 1
+
+
+def test_cli_corpus_blocklist_and_boilerplate(spark, tmp_path, capsys):
+    """--block-hosts drops listed-domain docs (incl. subdomains);
+    --remove-boilerplate-lines excises cross-doc repeated lines."""
+    nouns = ["fox", "dog", "river", "stone", "cloud", "tree", "boat", "road"]
+
+    def body(i):
+        return " ".join(
+            f"the {nouns[(i + j) % len(nouns)]}{i}{j} and a "
+            f"{nouns[(i + 2 * j + 1) % len(nouns)]}{i} were there so"
+            for j in range(20)
+        )
+
+    banner = "subscribe to the example newsletter today"
+    rows = [
+        (i, f"{banner}\n{body(i)}",
+         "en", host, 100)
+        for i, host in enumerate([
+            "good.example.org", "ads.tracker.net", "x.ads.tracker.net",
+            "another.example.org", "fine.example.org", "ok.example.org",
+        ])
+    ]
+    src = str(tmp_path / "sfdir")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{src}/documents.parquet")
+    bl = tmp_path / "blocked.txt"
+    bl.write_text("# comment\nads.tracker.net\n")
+
+    work = str(tmp_path / "wd")
+    rc = main([
+        "corpus", "--sf-dir", src, "--work-dir", work,
+        "--block-hosts", str(bl), "--remove-boilerplate-lines",
+        "--train", "1.0", "--val", "0.0", "--test", "0.0",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "blocked=2" in out                    # exact + subdomain
+    assert "boilerplate_lines_cut=4" in out      # banner cut from 4 kept docs
+    back = spark.read.parquet(f"{work}/corpus")
+    assert back.count() == 4
+    assert back.filter("source LIKE '%tracker.net'").count() == 0
+    assert all(banner not in r["text"] for r in back.collect())
+    assert all(len(r["text"]) > 100 for r in back.collect())  # bodies intact
