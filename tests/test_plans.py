@@ -214,14 +214,19 @@ def test_dedup_diamonds_stay_materialized(spark, sf_dir):
 
 
 def test_pii_redaction_is_row_local_and_pruned(spark, sf_dir):
-    """The PII entry is pure per-row regex work: no aggregation
-    shuffle, no join, no window — and the scan reads only the two
-    columns the query needs (a redaction pass over 100 TB must not
-    read the metadata columns)."""
+    """The redaction work is pure per-row regex; the round-8 blocklist
+    flag may only add BROADCAST joins plus one exchange on the tiny
+    blocked-id set — never a shuffle or a window over the corpus.  The
+    scan must stay pruned to the columns the query needs (a redaction
+    pass over 100 TB must not read the metadata columns)."""
     fn, _sql = registry()["pii_redaction"]
     plan = plan_of(fn(spark, sf_dir))
-    assert "Exchange hashpartitioning" not in plan
-    assert "Join" not in plan and "windowspecdefinition" not in plan.lower()
+    # corpus-side work stays unshuffled: the only hash exchange allowed
+    # is the blocked-id distinct (input = the exploded suffix semi-join
+    # survivors, a tiny fraction of the corpus)
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "SortMergeJoin" not in plan  # joins must all broadcast
+    assert "windowspecdefinition" not in plan.lower()
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "lang" not in read_schema and "n_chars" not in read_schema
 
