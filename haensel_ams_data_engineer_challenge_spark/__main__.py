@@ -196,6 +196,14 @@ def _parser() -> argparse.ArgumentParser:
     pk.add_argument("--work-dir", required=True)
     pk.add_argument("--seq-len", type=int, default=512)
     pk.add_argument("--n-shards", type=int, default=8)
+    pk.add_argument(
+        "--merges-json",
+        default=None,
+        metavar="MERGES_PATH",
+        help="segment with this learned BPE merges file (corpus "
+        "--learn-bpe output) and pack the BPE token stream instead of "
+        "the regex token stream",
+    )
 
     mx = sub.add_parser(
         "mix",
@@ -499,7 +507,28 @@ def main(argv: list[str] | None = None) -> int:
             from .operators.sinks import write_training_shards
 
             docs = spark.read.parquet(args.docs_parquet)
-            seqs = pack_sequences(docs, seq_len=args.seq_len)
+            if args.merges_json:
+                import json as _json
+
+                from .operators.bpe import (
+                    MAX_SEGMENT_MERGES,
+                    bpe_segment,
+                    bpe_segment_arrow,
+                )
+
+                merges = [
+                    tuple(m) for m in _json.load(open(args.merges_json))
+                ]
+                docs = (
+                    bpe_segment(docs, merges)
+                    if len(merges) <= MAX_SEGMENT_MERGES
+                    else bpe_segment_arrow(docs, merges)
+                )
+                seqs = pack_sequences(
+                    docs, seq_len=args.seq_len, tokens_col="bpe_tokens"
+                )
+            else:
+                seqs = pack_sequences(docs, seq_len=args.seq_len)
             manifest = write_training_shards(
                 seqs, args.work_dir, args.n_shards, token_col="n_tokens"
             )

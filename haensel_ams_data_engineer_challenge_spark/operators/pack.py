@@ -362,6 +362,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     seq_len: int = 64,
     sep: str = PACK_SEP,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """CROSS-DOCUMENT sequence packing: concatenate every document's
     token stream (plus one trailing ``sep`` token each) in ``id_col``
@@ -400,13 +401,22 @@ def pack_sequences(
     Output: (seq_id, n_tokens, n_docs, seq_text) — seq_id 0-based,
     n_docs = number of documents contributing to the sequence,
     seq_text the space-joined tokens.
+
+    ``tokens_col``: pack an EXISTING ``array<string>`` token column
+    (e.g. ``bpe_tokens`` from :func:`~...operators.bpe.bpe_segment`)
+    instead of tokenizing ``text_col`` — the learned-tokenizer form of
+    the trainer hand-off (CLI: ``pack --merges-json``).
     """
     if seq_len < 1:
         raise ValueError(f"seq_len must be >= 1, got {seq_len}")
     from ..functions.text import BPE_ISH_PATTERN
     from .rank import global_prefix_sum
 
-    toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0)
+    toks = (
+        F.col(tokens_col)
+        if tokens_col is not None
+        else F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0)
+    )
     base = (
         df.select(F.col(id_col).alias("__did"), toks.alias("__t0"))
         .filter(F.size("__t0") > 0)

@@ -507,3 +507,37 @@ def test_cli_corpus_blocklist_and_boilerplate(spark, tmp_path, capsys):
     assert back.filter("source LIKE '%tracker.net'").count() == 0
     assert all(banner not in r["text"] for r in back.collect())
     assert all(len(r["text"]) > 100 for r in back.collect())  # bodies intact
+
+
+def test_cli_pack_with_learned_bpe(spark, sf_dir, tmp_path, capsys):
+    """pack --merges-json: learn merges, segment, pack the BPE token
+    stream into shards — token totals match the segmentation."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from haensel_ams_data_engineer_challenge_spark.operators.bpe import (
+        bpe_segment, bpe_train,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = bpe_train(docs, 5)
+    mpath = tmp_path / "merges.json"
+    mpath.write_text(_json.dumps([list(m) for m in merges]))
+
+    work = str(tmp_path / "wd")
+    rc = main([
+        "pack", "--docs-parquet", f"{sf_dir}/documents.parquet",
+        "--work-dir", work, "--seq-len", "128", "--n-shards", "4",
+        "--merges-json", str(mpath),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "shards=4" in out
+    seg = bpe_segment(docs, merges)
+    n_bpe = seg.filter(F.size("bpe_tokens") > 0)
+    expect = n_bpe.agg(
+        F.sum(F.size("bpe_tokens")) + F.count("*")
+    ).collect()[0][0]  # + one separator per contributing doc
+    manifest = spark.read.parquet(f"{work}/manifest")
+    assert manifest.agg(F.sum("n_tokens")).collect()[0][0] == expect

@@ -133,3 +133,42 @@ def test_global_prefix_sum_matches_single_window_form(spark):
         expect[k] = run
         run += (k * 37) % 11 + 1
     assert got == expect
+
+
+def test_pack_sequences_over_existing_token_column(spark):
+    """tokens_col packs a pre-segmented array (the learned-tokenizer
+    hand-off) — equal to packing the same arrays reconstructed as
+    whitespace text when tokens are regex-clean."""
+    from pyspark.sql import functions as F
+
+    from haensel_ams_data_engineer_challenge_spark.operators.pack import (
+        pack_sequences,
+    )
+
+    rows = [
+        (i, [f"tok{chr(97 + i)}{chr(97 + j)}" for j in range(5 + i)])
+        for i in range(6)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, bpe_tokens array<string>")
+    via_col = sorted(
+        tuple(r) for r in pack_sequences(
+            docs, seq_len=7, tokens_col="bpe_tokens"
+        ).collect()
+    )
+    text_docs = docs.select(
+        "doc_id", F.array_join("bpe_tokens", " ").alias("text")
+    )
+    via_text = sorted(
+        tuple(r) for r in pack_sequences(text_docs, seq_len=7).collect()
+    )
+    assert via_col == via_text
+    # docs with empty token arrays contribute nothing
+    docs2 = docs.unionByName(
+        spark.createDataFrame([(99, [])], "doc_id long, bpe_tokens array<string>")
+    )
+    again = sorted(
+        tuple(r) for r in pack_sequences(
+            docs2, seq_len=7, tokens_col="bpe_tokens"
+        ).collect()
+    )
+    assert again == via_col
