@@ -656,22 +656,48 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
 
     # banded-LSH candidates + exact cosine verify — the 100 TB shape
     # (similarity.embedding_dup_pairs_lsh docstring has the recall
-    # math; the all-pairs form stays as the pytest recall cross-check)
+    # math; the all-pairs form stays as the pytest recall cross-check).
+    # Round 8 adds the 'hashed' arm: the same near-dup machinery over
+    # vectors DERIVED FROM RAW TEXT by the feature-hashing embedder
+    # (similarity.hash_embed — signed integer counts, exact, no
+    # external model), so the embedding tier runs end-to-end from the
+    # documents table; exact-dup texts land at cosine 1.0.
     cos_ab = S.cosine_sql("a.embedding", "b.embedding")
-    e["dedup_embedding_cosine"] = (
-        lambda spark, sf: S.embedding_dup_pairs_lsh(
+    HASHED_DUP_THRESHOLD = 0.9
+
+    def _embedding_dups_both(spark: SparkSession, sf: str) -> DataFrame:
+        lsh_arm = S.embedding_dup_pairs_lsh(
             _vecs(spark, sf), threshold=COSINE_DUP_THRESHOLD
-        ),
-        f"""WITH wb AS ({S.banded_buckets_sql("embedding")}),
+        ).withColumn("method", F.lit("lsh"))
+        hashed_arm = S.embedding_dup_pairs_lsh(
+            S.hash_embed(_docs(spark, sf)), threshold=HASHED_DUP_THRESHOLD
+        ).withColumn("method", F.lit("hashed"))
+        return lsh_arm.unionByName(hashed_arm)
+
+    e["dedup_embedding_cosine"] = (
+        _embedding_dups_both,
+        f"""WITH {S.hash_embed_sql(R.SEARCH_TOKEN_PATTERN).strip()},
+            wb AS ({S.banded_buckets_sql("embedding")}),
+            hwb AS ({S.banded_buckets_sql("embedding", table="he_out")}),
             cand AS (
                 SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
                 FROM wb x JOIN wb y ON x.band = y.band AND x.bucket = y.bucket
-                                   AND x.vec_id < y.vec_id)
-            SELECT id_a, id_b, {cos_ab} AS cosine
+                                   AND x.vec_id < y.vec_id),
+            hcand AS (
+                SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+                FROM hwb x JOIN hwb y ON x.band = y.band AND x.bucket = y.bucket
+                                     AND x.vec_id < y.vec_id)
+            SELECT 'lsh' AS method, id_a, id_b, {cos_ab} AS cosine
             FROM cand
             JOIN embeddings a ON a.vec_id = id_a
             JOIN embeddings b ON b.vec_id = id_b
-            WHERE {cos_ab} >= CAST({COSINE_DUP_THRESHOLD} AS DOUBLE)""",
+            WHERE {cos_ab} >= CAST({COSINE_DUP_THRESHOLD} AS DOUBLE)
+            UNION ALL
+            SELECT 'hashed', id_a, id_b, {cos_ab} AS cosine
+            FROM hcand
+            JOIN he_out a ON a.vec_id = id_a
+            JOIN he_out b ON b.vec_id = id_b
+            WHERE {cos_ab} >= CAST({HASHED_DUP_THRESHOLD} AS DOUBLE)""",
     )
 
     # ---- text analysis ---------------------------------------------------

@@ -739,14 +739,16 @@ def banded_buckets_sql(
     col: str,
     bands: int = LSH_DUP_BANDS,
     planes_per_band: int = LSH_DUP_BAND_PLANES,
+    table: str = "embeddings",
 ) -> str:
     """DuckDB twin of ``banded_bucket_rows`` as a UNION ALL over
-    bands: (vec_id, band, bucket) rows from the embeddings table."""
+    bands: (vec_id, band, bucket) rows from ``table`` (a base table
+    or a CTE exposing vec_id + the vector column)."""
     hp = hyperplanes(bands * planes_per_band)
     selects = [
         f"SELECT vec_id, {b} AS band, "
         + bucket_sql(col, hp[b * planes_per_band : (b + 1) * planes_per_band])
-        + " AS bucket FROM embeddings"
+        + f" AS bucket FROM {table}"
         for b in range(bands)
     ]
     return "\n    UNION ALL ".join(selects)
@@ -821,3 +823,95 @@ def embedding_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# feature-hashing text embedder (round 8): documents -> vectors without
+# an external model, so the WHOLE embedding tier (banded near-dup, ANN,
+# persistent indexes) runs end-to-end from raw text.  The hashing trick
+# (Weinberger et al. 2009): each token instance adds ±1 to the bucket
+# md5-derived from the token; signs come from an independent md5 stream.
+# Components are SIGNED INTEGER COUNTS (never normalized here), so the
+# trained vectors are EXACT — integer-valued doubles sum identically in
+# any order, no quantization needed; the downstream cosine normalizes
+# with the same IEEE expression tree both engines share.
+# ---------------------------------------------------------------------------
+
+
+def hash_embed(
+    docs: DataFrame,
+    dim: int = EMBEDDING_DIM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(vec_id, embedding array<double>) — feature-hashed bag of
+    tokens.  One explode + one map-side-combinable (doc, bucket) sum +
+    one per-doc reassembly (state = that doc's <= dim buckets);
+    zero-token docs are absent.  Deterministic and order-independent:
+    buckets/signs are md5-derived, sums are integer-valued.
+    """
+    from .retrieval import search_tokens
+
+    ex = docs.select(
+        F.col(id_col).alias("__did"),
+        F.explode(search_tokens(text_col)).alias("term"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("he|"), F.col("term"))), 1, 15), 16, 10)
+        .cast("long") % dim
+    )
+    sign = F.when(
+        F.conv(F.substring(F.md5(F.concat(F.lit("hs|"), F.col("term"))), 1, 1), 16, 10)
+        .cast("long") % 2 == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    per = (
+        ex.select("__did", bucket.alias("__b"), sign.alias("__s"))
+        .groupBy("__did", "__b")
+        .agg(F.sum("__s").cast("double").alias("__v"))
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0).cast("long"), F.lit(dim - 1).cast("long")),
+        lambda b: F.coalesce(F.element_at("__m", b), F.lit(0.0)),
+    )
+    return (
+        per.groupBy("__did")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("__b", "__v"))
+            ).alias("__m")
+        )
+        .select(F.col("__did").alias("vec_id"), dense.alias("embedding"))
+    )
+
+
+def hash_embed_sql(
+    token_pattern: str, dim: int = EMBEDDING_DIM, pfx: str = "he"
+) -> str:
+    """DuckDB twin CTE chain ending in ``{pfx}_out``
+    (vec_id, embedding), stage-for-stage with :func:`hash_embed` over
+    the ``documents`` view."""
+    return f"""
+        {pfx}_tok AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '{token_pattern}')) AS term
+            FROM documents),
+        {pfx}_bs AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5('he|' || term), 1, 15))
+                        AS BIGINT) % {dim} AS b,
+                   CASE WHEN CAST(concat('0x', substr(md5('hs|' || term), 1, 1))
+                             AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS s
+            FROM {pfx}_tok),
+        {pfx}_pb AS (
+            SELECT doc_id, b, CAST(SUM(s) AS DOUBLE) AS v
+            FROM {pfx}_bs GROUP BY doc_id, b),
+        {pfx}_m AS (
+            SELECT doc_id, MAP(list(b ORDER BY b), list(v ORDER BY b)) AS m
+            FROM {pfx}_pb GROUP BY doc_id),
+        {pfx}_out AS (
+            SELECT doc_id AS vec_id,
+                   list_transform(range(0, {dim}),
+                       bb -> CAST(COALESCE(map_extract(m, bb)[1], 0.0)
+                                  AS DOUBLE)) AS embedding
+            FROM {pfx}_m)"""

@@ -1003,3 +1003,56 @@ def test_dup_shingle_fraction_reference(spark):
         assert got[i] == exp, i
     assert got[1] == got[2] == 0.25  # exactly the shared trigram
     assert got[3] == 0.0             # intra-doc repetition is not dup
+
+
+def test_hash_embed_matches_python_reference(spark):
+    """Feature-hashed vectors are exact signed token counts: bitwise
+    equal to a python model (md5 buckets/signs, no quantization)."""
+    import hashlib
+    import re
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the mat"),        # exact dup -> same vector
+        (3, "completely different words here"),
+        (4, "???"),                           # no tokens -> absent
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    dim = 16
+    got = {r["vec_id"]: r["embedding"]
+           for r in S.hash_embed(docs, dim=dim).collect()}
+
+    def py_vec(text):
+        v = [0.0] * dim
+        for t in re.findall(r"[a-z0-9]+", text.lower()):
+            b = int(hashlib.md5(f"he|{t}".encode()).hexdigest()[:15], 16) % dim
+            s = 1 if int(hashlib.md5(f"hs|{t}".encode()).hexdigest()[:1], 16) % 2 == 0 else -1
+            v[b] += s
+        return v
+
+    assert set(got) == {1, 2, 3}
+    for i, text in rows[:3]:
+        assert got[i] == py_vec(text), i
+    assert got[1] == got[2]
+
+
+def test_hash_embed_feeds_embedding_dedup(spark, sf_dir):
+    """documents -> hash_embed -> banded near-dup: exact-dup texts
+    surface as cosine-1.0 pairs, matching dedup_exact's groups."""
+    from haensel_ams_data_engineer_challenge_spark.operators.dedup import (
+        dedup_exact,
+    )
+    from haensel_ams_data_engineer_challenge_spark.sources import load_table
+
+    base = load_table(spark, sf_dir, "documents")
+    # plant exact duplicates of three real docs under fresh ids
+    planted = base.filter("doc_id < 3").withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    docs = base.unionByName(planted)
+    assert dedup_exact(docs).filter("n_copies >= 2").count() >= 3
+    vecs = S.hash_embed(docs)
+    pairs = S.embedding_dup_pairs_lsh(vecs, threshold=0.999999)
+    got_pairs = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    for i in range(3):
+        assert (i, i + 1_000_000) in got_pairs, i
