@@ -666,11 +666,17 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
     HASHED_DUP_THRESHOLD = 0.9
 
     def _embedding_dups_both(spark: SparkSession, sf: str) -> DataFrame:
+        from ..checkpoint import materialize
+
         lsh_arm = S.embedding_dup_pairs_lsh(
             _vecs(spark, sf), threshold=COSINE_DUP_THRESHOLD
         ).withColumn("method", F.lit("lsh"))
+        # the derived vectors are a 3-consumer diamond (bucket stream
+        # + both sides of the exact-cosine verify): materialize once
+        # per the DESIGN.md diamond rule — |docs| rows of dim doubles
         hashed_arm = S.embedding_dup_pairs_lsh(
-            S.hash_embed(_docs(spark, sf)), threshold=HASHED_DUP_THRESHOLD
+            materialize(S.hash_embed(_docs(spark, sf))),
+            threshold=HASHED_DUP_THRESHOLD,
         ).withColumn("method", F.lit("hashed"))
         return lsh_arm.unionByName(hashed_arm)
 
