@@ -167,6 +167,14 @@ def _parser() -> argparse.ArgumentParser:
     )
     se.add_argument("--k", type=int, default=5)
     se.add_argument(
+        "--method",
+        choices=("bm25", "ann"),
+        default="bm25",
+        help="bm25 = Okapi lexical ranking; ann = feature-hashed "
+        "vectors + IVF ANN against a persistent index built under "
+        "WORK_DIR/ann_index on first use (served from disk after)",
+    )
+    se.add_argument(
         "--max-df-frac",
         type=float,
         default=None,
@@ -448,23 +456,46 @@ def main(argv: list[str] | None = None) -> int:
             return 0
 
         if args.command == "search":
-            from .operators.retrieval import bm25_topk
             from .sources import load_table
 
             docs = load_table(spark, args.sf_dir, "documents")
             queries = spark.read.parquet(args.queries_parquet)
-            hits = bm25_topk(
-                docs,
-                queries,
-                k=args.k,
-                exclude_self=False,
-                max_df_frac=args.max_df_frac,
-            )
+            if args.method == "ann":
+                # text -> feature-hashed vectors -> IVF ANN against a
+                # PERSISTENT index (built under the work dir on first
+                # use, served from disk after — the production shape)
+                from pyspark.sql import functions as F
+
+                from .operators.similarity import ann_topk_ivf, hash_embed
+
+                dvecs = hash_embed(docs)
+                qvecs = hash_embed(queries, id_col="query_id")
+                hits = ann_topk_ivf(
+                    dvecs,
+                    qvecs,
+                    k=args.k,
+                    index_path=f"{args.work_dir}/ann_index",
+                ).select(
+                    "query_id",
+                    F.col("neighbor_id").alias("doc_id"),
+                    F.col("cosine").alias("score"),
+                    "rank",
+                )
+            else:
+                from .operators.retrieval import bm25_topk
+
+                hits = bm25_topk(
+                    docs,
+                    queries,
+                    k=args.k,
+                    exclude_self=False,
+                    max_df_frac=args.max_df_frac,
+                )
             out = f"{args.work_dir}/search_hits"
             hits.write.mode("overwrite").parquet(out)
             back = spark.read.parquet(out)
             n_q = back.select("query_id").distinct().count()
-            print(f"queries={n_q} hits={back.count()} -> {out}")
+            print(f"method={args.method} queries={n_q} hits={back.count()} -> {out}")
             return 0
 
         if args.command == "tokenize":

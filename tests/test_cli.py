@@ -541,3 +541,38 @@ def test_cli_pack_with_learned_bpe(spark, sf_dir, tmp_path, capsys):
     ).collect()[0][0]  # + one separator per contributing doc
     manifest = spark.read.parquet(f"{work}/manifest")
     assert manifest.agg(F.sum("n_tokens")).collect()[0][0] == expect
+
+
+def test_cli_search_ann_with_persistent_index(spark, sf_dir, tmp_path, capsys):
+    """search --method ann: text -> hash_embed -> IVF ANN with the
+    on-disk index; a verbatim-copy query must retrieve its source doc
+    at rank 1, and the second run serves the SAME index from disk."""
+    from haensel_ams_data_engineer_challenge_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.orderBy("doc_id").limit(2).collect()
+    q = spark.createDataFrame(
+        [(9001, src[0]["text"]), (9002, src[1]["text"])],
+        "query_id long, text string",
+    )
+    qpath = str(tmp_path / "queries")
+    q.write.parquet(qpath)
+
+    work = str(tmp_path / "wd")
+    argv = [
+        "search", "--sf-dir", sf_dir, "--work-dir", work,
+        "--queries-parquet", qpath, "--k", "3", "--method", "ann",
+    ]
+    assert main(argv) == 0
+    out1 = capsys.readouterr().out
+    assert "method=ann queries=2" in out1
+    hits1 = [tuple(r) for r in spark.read.parquet(f"{work}/search_hits").collect()]
+    top = {r[0]: r[1] for r in hits1 if r[3] == 1}  # (query_id, doc_id, score, rank)
+    assert top == {9001: src[0]["doc_id"], 9002: src[1]["doc_id"]}
+    # the persistent index was created and the rerun reuses it
+    assert spark.read.parquet(f"{work}/ann_index/params").count() > 0
+    assert main(argv) == 0
+    capsys.readouterr()
+    spark.catalog.refreshByPath(f"{work}/search_hits")
+    hits2 = [tuple(r) for r in spark.read.parquet(f"{work}/search_hits").collect()]
+    assert sorted(hits2) == sorted(hits1)
