@@ -495,6 +495,9 @@ def ann_topk_ivf(
 # serving a torn index.  Training is deterministic and parquet
 # round-trips doubles exactly, so a fresh session loading the artifact
 # returns bit-identical top-k to the training session (pytest-pinned).
+# Single BUILDER assumed per path (concurrent builders would race the
+# overwrite like any non-transactional parquet artifact); concurrent
+# READERS of a committed index are always safe.
 # ---------------------------------------------------------------------------
 
 #: AnalysisException conditions that mean "no artifact yet" (same set

@@ -172,6 +172,10 @@ def run_streaming_ingest(
     verify); the reverse order could leave admitted docs without bits,
     i.e. false negatives that re-admit duplicates.  First batch (or a
     torn state with no params marker) rebuilds from corpus+sink.
+    SINGLE WRITER assumed — one streaming query owns a state dir (the
+    checkpoint dir already enforces that for the stream itself);
+    concurrent writers would race the overwrite like any
+    non-transactional parquet state.
     """
     corpus = spark.read.parquet(corpus_path)
     reader = (
