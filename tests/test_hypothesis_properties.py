@@ -335,3 +335,39 @@ def test_nb_matches_python_model(spark, labeled):
         ns, c = min(scored)
         exp[i] = (c, -ns / 1e6)
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# feature-hash embedder (round 8): fuzz exact signed-count vectors
+# against the python model
+# ---------------------------------------------------------------------------
+
+_he_doc = st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+                   min_size=0, max_size=8)
+
+
+@example([["aa", "aa", "bb"], []])
+@given(st.lists(_he_doc, min_size=1, max_size=6))
+@SETTINGS
+def test_hash_embed_matches_python_model(spark, corpora):
+    import hashlib
+
+    import haensel_ams_data_engineer_challenge_spark.operators.similarity as S
+
+    dim = 8
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(corpora)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["vec_id"]: r["embedding"]
+           for r in S.hash_embed(docs, dim=dim).collect()}
+
+    exp = {}
+    for i, ws in enumerate(corpora):
+        if not ws:
+            continue
+        v = [0.0] * dim
+        for t in ws:
+            b = int(hashlib.md5(f"he|{t}".encode()).hexdigest()[:15], 16) % dim
+            s = 1 if int(hashlib.md5(f"hs|{t}".encode()).hexdigest()[:1], 16) % 2 == 0 else -1
+            v[b] += s
+        exp[i] = v
+    assert got == exp
