@@ -782,11 +782,32 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
             unigram_doc_scores(docs), 3,
             ["lm_xent", "doc_id"], out_col="lm_bucket",
         )
+        # round 8: SOFT quality sampling (the DCLM-style alternative
+        # to a hard threshold — keep probability proportional to the
+        # quality score): deterministic md5 bucket vs floor(score *
+        # 2^32), entirely row-local.  floor of a product of identical
+        # doubles is bit-equal across engines, so the boolean hashes.
+        soft_bucket = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("softkeep|"), F.col("doc_id").cast("string")
+                    )
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
         return (
             _text_stats_body(docs)
             .select(
                 "*", temp_hi.alias("temp_hi"),
                 (temp_bucket < temp_hi).alias("temp_keep"),
+                (
+                    soft_bucket
+                    < F.floor(F.col("quality_score") * F.lit(4294967296.0))
+                    .cast("long")
+                ).alias("soft_quality_keep"),
             )
             .join(scores, "doc_id", "left")
             # round 8 (r6 verdict task 4): bigram arm — count key
@@ -927,6 +948,14 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
                    CAST(concat('0x', substr(md5('tempmix|' || lang || '|'
                         || CAST(scored.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) < hi
                      AS temp_keep,
+                   CAST(concat('0x', substr(md5('softkeep|'
+                        || CAST(scored.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                     < CAST(floor((CAST(0.5 AS DOUBLE) * stopword_ratio
+                         + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - punct_ratio)
+                         + CAST(0.2 AS DOUBLE) * least(CAST(1.0 AS DOUBLE),
+                                                       ntok / CAST(100.0 AS DOUBLE)))
+                         * 4294967296.0) AS BIGINT)
+                     AS soft_quality_keep,
                    lm_b.lm_logprob AS lm_logprob,
                    lm_b.lm_xent AS lm_xent,
                    lm_b.lm_bucket AS lm_bucket,
