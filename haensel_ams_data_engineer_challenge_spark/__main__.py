@@ -194,6 +194,17 @@ def _parser() -> argparse.ArgumentParser:
     tk.add_argument("--merges-json", required=True)
     tk.add_argument("--work-dir", required=True)
 
+    rp = sub.add_parser(
+        "report",
+        help="corpus statistics report: per-lang and per-source doc/"
+        "char/token counts plus exact quality-score percentiles "
+        "(distributed rank form, no per-group memory buffer)",
+    )
+    rp_src = rp.add_mutually_exclusive_group(required=True)
+    rp_src.add_argument("--sf-dir")
+    rp_src.add_argument("--docs-parquet")
+    rp.add_argument("--work-dir", required=True)
+
     pk = sub.add_parser(
         "pack",
         help="pack a documents parquet into fixed-length training "
@@ -528,6 +539,60 @@ def main(argv: list[str] | None = None) -> int:
             print(
                 f"docs={stats['docs']} bpe_tokens={stats['tokens']} "
                 f"merges={len(merges)} -> {out}"
+            )
+            return 0
+
+        if args.command == "report":
+            from pyspark.sql import functions as F
+
+            from .functions import text as T
+            from .operators.rank import grouped_exact_percentiles
+            from .sources import load_table
+
+            docs = (
+                load_table(spark, args.sf_dir, "documents")
+                if args.sf_dir
+                else spark.read.parquet(args.docs_parquet)
+            )
+            scored = docs.select(
+                "doc_id", "lang", "source",
+                F.length("text").cast("long").alias("chars"),
+                T.token_count("text").cast("long").alias("tokens"),
+                (
+                    F.lit(0.5) * T.stopword_ratio("text")
+                    + F.lit(0.3) * (F.lit(1.0) - T.punct_ratio("text"))
+                    + F.lit(0.2)
+                    * F.least(
+                        F.lit(1.0),
+                        T.token_count("text").cast("double") / F.lit(100.0),
+                    )
+                ).alias("quality"),
+            )
+            out = {}
+            for dim in ("lang", "source"):
+                counts = scored.groupBy(dim).agg(
+                    F.count(F.lit(1)).cast("long").alias("n_docs"),
+                    F.sum("chars").cast("long").alias("n_chars"),
+                    F.sum("tokens").cast("long").alias("n_tokens"),
+                )
+                pcts = grouped_exact_percentiles(
+                    scored, [dim], "quality", "doc_id",
+                    {"q25": 0.25, "q50": 0.5, "q75": 0.75},
+                )
+                rep = counts.join(pcts, dim)
+                rep.write.mode("overwrite").parquet(
+                    f"{args.work_dir}/report_{dim}"
+                )
+                out[dim] = spark.read.parquet(
+                    f"{args.work_dir}/report_{dim}"
+                ).count()
+            tot = scored.agg(
+                F.count(F.lit(1)), F.sum("chars"), F.sum("tokens")
+            ).collect()[0]
+            print(
+                f"docs={tot[0]} chars={tot[1]} tokens={tot[2]} "
+                f"langs={out['lang']} sources={out['source']} "
+                f"-> {args.work_dir}/report_lang, report_source"
             )
             return 0
 

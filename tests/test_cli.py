@@ -576,3 +576,23 @@ def test_cli_search_ann_with_persistent_index(spark, sf_dir, tmp_path, capsys):
     spark.catalog.refreshByPath(f"{work}/search_hits")
     hits2 = [tuple(r) for r in spark.read.parquet(f"{work}/search_hits").collect()]
     assert sorted(hits2) == sorted(hits1)
+
+
+def test_cli_report_corpus_stats(spark, sf_dir, tmp_path, capsys):
+    """report: per-lang/source counts + exact quality percentiles;
+    percentile columns bracket the median and counts reconcile."""
+    work = str(tmp_path / "wd")
+    rc = main(["report", "--sf-dir", sf_dir, "--work-dir", work])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "docs=" in out and "langs=" in out
+    lang_rep = spark.read.parquet(f"{work}/report_lang")
+    rows = lang_rep.collect()
+    from haensel_ams_data_engineer_challenge_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    for r in rows:
+        assert r["min_value"] <= r["q25"] <= r["q50"] <= r["q75"] <= r["max_value"]
+    src_rep = spark.read.parquet(f"{work}/report_source")
+    assert src_rep.count() == docs.select("source").distinct().count()
