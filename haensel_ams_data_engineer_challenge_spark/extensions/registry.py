@@ -778,8 +778,22 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
         # footers/templates), left-joined so <n-token docs keep NULL
         from ..operators.dedup import dup_shingle_fraction
 
+        # round 8: ONE materialized tokenize feeds the three
+        # token-keyed operators (unigram, bigram, NB) — each used to
+        # re-run the regex tokenize 2x (model + scoring passes), ~6
+        # corpus tokenizations per query.  The materialized stream is
+        # (doc_id, lang, tokens) — the LM family's own input bound;
+        # the body/dup-shingle columns keep their independent
+        # text-derived expressions.
+        from ..checkpoint import materialize as _mat
+
+        toked = _mat(
+            docs.select(
+                "doc_id", "lang", R.search_tokens("text").alias("__toks")
+            )
+        )
         scores = ntile_exact(
-            unigram_doc_scores(docs), 3,
+            unigram_doc_scores(toked, tokens_col="__toks"), 3,
             ["lm_xent", "doc_id"], out_col="lm_bucket",
         )
         # round 8: SOFT quality sampling (the DCLM-style alternative
@@ -813,12 +827,15 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
             # round 8 (r6 verdict task 4): bigram arm — count key
             # (prev, term), validating lm.py's claim that the unigram
             # shape generalizes to higher-order models unchanged
-            .join(bigram_doc_scores(docs), "doc_id", "left")
+            .join(bigram_doc_scores(toked, tokens_col="__toks"), "doc_id", "left")
             # round 8: classifier-filter tier (operators/classify.py)
             # — multinomial NB self-trained with lang supervision, the
             # distributed core of fasttext-style quality/domain
             # filtering; pred + score hash-gated
-            .join(nb_classify_docs(docs), "doc_id", "left")
+            .join(
+                nb_classify_docs(toked, tokens_col="__toks"),
+                "doc_id", "left",
+            )
             .join(dup_shingle_fraction(docs), "doc_id", "left")
         )
 

@@ -49,6 +49,7 @@ def nb_classify_docs(
     label_col: str = "lang",
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Train multinomial NB on ``docs`` (supervision = ``label_col``)
     and score every document.
@@ -57,10 +58,14 @@ def nb_classify_docs(
     total quantized log-score (nats).  Zero-token documents are absent
     (callers left-join and keep NULLs), matching the LM operators.
     """
+    src = (
+        F.col(tokens_col) if tokens_col is not None
+        else search_tokens(text_col)
+    )
     toks = docs.select(
         F.col(id_col).alias("__did"),
         F.col(label_col).alias("__lbl"),
-        search_tokens(text_col).alias("__t"),
+        src.alias("__t"),
     ).filter(F.size("__t") > 0)
     ex = toks.select("__did", "__lbl", F.explode("__t").alias("term"))
 

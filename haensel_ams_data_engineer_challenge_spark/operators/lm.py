@@ -42,17 +42,29 @@ from .retrieval import search_tokens
 
 
 def unigram_doc_scores(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Per-document unigram LM scores, model trained on ``docs``.
 
     Output: (doc_id, lm_logprob, lm_xent) — total log-likelihood and
     mean negative log-likelihood per token (nats).  Documents with no
     tokens are absent (callers left-join and keep NULLs).
+
+    ``tokens_col``: use an existing ``array<string>`` token column
+    instead of tokenizing ``text_col`` — callers computing several
+    token-keyed statistics (the text_stats entry runs unigram, bigram
+    AND NB over one corpus) materialize the tokenize ONCE and share it.
     """
+    toks = (
+        F.col(tokens_col) if tokens_col is not None
+        else search_tokens(text_col)
+    )
     ex = docs.select(
         F.col(id_col).alias("__did"),
-        F.explode(search_tokens(text_col)).alias("term"),
+        F.explode(toks).alias("term"),
     )
     # diamond materialization (DESIGN.md): the count table feeds three
     # branches — the (N, V) stats aggregate, the log-prob table, and
@@ -103,7 +115,10 @@ BOS = "<s>"
 
 
 def bigram_doc_scores(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Per-document BIGRAM LM scores — the module docstring's claim
     ("a higher-order LM swaps the count key from a token to an n-gram;
@@ -129,9 +144,13 @@ def bigram_doc_scores(
     Output: (doc_id, lm2_logprob, lm2_xent).  Zero-token documents are
     absent (callers left-join and keep NULLs).
     """
+    src = (
+        F.col(tokens_col) if tokens_col is not None
+        else search_tokens(text_col)
+    )
     toks = docs.select(
         F.col(id_col).alias("__did"),
-        search_tokens(text_col).alias("__t"),
+        src.alias("__t"),
     ).filter(F.size("__t") > 0)
     pairs = toks.select(
         "__did",
