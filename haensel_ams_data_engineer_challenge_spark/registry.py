@@ -197,13 +197,14 @@ def _attribution_entries() -> dict[str, tuple[QueryFn, str | None]]:
     )
 
     # §2.9: native IHC scoring (api_utils.py:68-167 semantics), tagged
-    # with the alternative CONV_TYPE_MODELS (linear, last_touch,
+    # with the alternative CONV_TYPE_MODELS (linear, first/last_touch,
     # position_based) as extra columns — every model windows on the
     # same (conv_id, ts/session_id) partitioning, so all share ONE
     # conv_id exchange (plan-tested); proves the whole scoring-model
     # family against the oracle without spending registry keys.
     def _ihc_models(spark: SparkSession, sf: str) -> DataFrame:
         from .operators.ihc import (
+            first_touch_attribute,
             last_touch_attribute,
             linear_attribute,
             position_based_attribute,
@@ -212,6 +213,7 @@ def _attribution_entries() -> dict[str, tuple[QueryFn, str | None]]:
         s = _scored(spark, sf).withColumnRenamed("ihc", "__ihc")
         s = linear_attribute(s).withColumnRenamed("ihc", "__lin")
         s = last_touch_attribute(s).withColumnRenamed("ihc", "__last")
+        s = first_touch_attribute(s).withColumnRenamed("ihc", "__first")
         s = position_based_attribute(s).withColumnRenamed("ihc", "__pos")
         return s.select(
             "conv_id",
@@ -219,6 +221,7 @@ def _attribution_entries() -> dict[str, tuple[QueryFn, str | None]]:
             F.col("__ihc").alias("ihc"),
             F.col("__lin").alias("ihc_linear"),
             F.col("__last").alias("ihc_last_touch"),
+            F.col("__first").alias("ihc_first_touch"),
             F.col("__pos").alias("ihc_position_based"),
         )
 
@@ -238,6 +241,7 @@ def _attribution_entries() -> dict[str, tuple[QueryFn, str | None]]:
         + f"""SELECT conv_id, session_id, ihc,
                  CAST(1.0 AS DOUBLE) / CAST(__n AS DOUBLE) AS ihc_linear,
                  CAST(CAST(__rn = __n AS INT) AS DOUBLE) AS ihc_last_touch,
+                 CAST(CAST(__rn = 1 AS INT) AS DOUBLE) AS ihc_first_touch,
                  CASE WHEN __n = 1 THEN CAST(1.0 AS DOUBLE)
                       WHEN __n = 2 THEN (CASE WHEN __rn = 1
                                               THEN CAST({_TW1!r} AS DOUBLE)
