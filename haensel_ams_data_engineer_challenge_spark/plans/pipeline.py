@@ -14,7 +14,10 @@ Reference lifecycle -> engine stage:
 
 The reference runs 6 eager SQLite round-trips; here stages 3-5 are one
 logical plan (Catalyst sees scan->join->window->score end to end) and
-the only actions are the two writes + the invariant check.
+the whole run is exactly five actions: a fused pre-write count job
+(conversions total + scored distinct, one union-agg), the attribution
+append, the report partition overwrite, a fused post-write count job
+(A2 invariant + report rows), and the CSV export.
 """
 
 from __future__ import annotations
@@ -82,12 +85,6 @@ def run_pipeline(
         conversions = conversions.filter(F.col("conv_date") >= start_date)
     if end_date:
         conversions = conversions.filter(F.col("conv_date") <= end_date)
-    # NOTE: deliberately a dedicated (cheap, pushed-down) count job.
-    # Riding an Observation on the scoring plan's conversions scan was
-    # tried and reverted: on incremental re-runs (anti-join present,
-    # zero surviving conversions) the observed metrics never
-    # materialize and Observation.get raises from the JVM.
-    conversions_total = conversions.count()
 
     # 4. incremental skip (J5/J6): only conversions not yet scored.
     # Existence check, not try/except: an unreadable existing sink must
@@ -112,7 +109,34 @@ def run_pipeline(
     )
     scored.persist()
     try:
-        conversions_scored = scored.select("conv_id").distinct().count()
+        # ONE fused count job (round-9: pipeline_e2e action-count cut,
+        # 7 -> 5 jobs): the pre-filter conversions total and the
+        # distinct scored-conversion count are independent branches of
+        # a union, aggregated together — the job also materializes the
+        # persist for the sink write below.  A plain union-agg, NOT an
+        # Observation: riding an Observation on the scoring plan was
+        # tried and reverted (on incremental re-runs with zero
+        # surviving conversions the observed metrics never materialize
+        # and Observation.get raises from the JVM); a union branch
+        # always executes.
+        counts = (
+            conversions.select(
+                F.lit(1).alias("__t"), F.lit(None).cast("string").alias("__c")
+            )
+            .unionByName(
+                scored.select(
+                    F.lit(None).cast("int").alias("__t"),
+                    F.col("conv_id").alias("__c"),
+                )
+            )
+            .agg(
+                F.count("__t").alias("total"),
+                F.count_distinct("__c").alias("scored"),
+            )
+            .first()
+        )
+        conversions_total = int(counts["total"])
+        conversions_scored = int(counts["scored"])
 
         # 6a. INSERT OR IGNORE upsert (S5)
         written = insert_if_absent(
@@ -121,9 +145,7 @@ def run_pipeline(
     finally:
         scored.unpersist()
 
-    # 6b. invariant check (A2) — warn-only in the reference (main.py:272-274)
     all_attribution = spark.read.parquet(attribution_path)
-    sum_violations = attribution_sum_violations(all_attribution).count()
 
     # 6c. channel report rebuild (S6 partition overwrite) + metrics
     report = channel_report(
@@ -140,7 +162,26 @@ def run_pipeline(
     report_df = report_metrics(spark.read.parquet(report_path)).select(
         "channel_name", "date", "cost", "ihc", "ihc_revenue", "CPO", "ROAS"
     )
-    report_rows = report_df.count()
+
+    # 6b. invariant check (A2) — warn-only in the reference
+    # (main.py:272-274) — fused with the report read-back count into a
+    # second union-agg job (both run over post-write sink state, so
+    # this is the earliest either can run; round-9 action-count cut).
+    post = (
+        attribution_sum_violations(all_attribution)
+        .select(F.lit(1).alias("__v"), F.lit(None).cast("int").alias("__r"))
+        .unionByName(
+            report_df.select(
+                F.lit(None).cast("int").alias("__v"), F.lit(1).alias("__r")
+            )
+        )
+        .agg(
+            F.count("__v").alias("violations"), F.count("__r").alias("rows")
+        )
+        .first()
+    )
+    sum_violations = int(post["violations"])
+    report_rows = int(post["rows"])
 
     # 6d. CSV export (S7) — the reference's final artifact
     if report_csv_path:
