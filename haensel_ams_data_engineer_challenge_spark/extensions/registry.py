@@ -1378,15 +1378,18 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
     # (decode ⋈ resize ⋈ frame-sample ⋈ feature-extract), promoting
     # the three formerly pytest-only Arrow contracts into the
     # hash-checked gate.
+    # round 9: the entry gains the real header-decode arm (synthesized
+    # valid PNG/JPEG/GIF payloads through the same decode operator,
+    # decoder='header') next to the stub-pipeline arm — "decode" in
+    # the gate now certifies actual image-byte parsing.
     from ..multimodal.binary import (
-        MULTIMODAL_PIPELINE_SQL,
-        multimodal_pipeline_query,
+        MULTIMODAL_BOTH_SQL,
+        multimodal_both_query,
     )
 
-    # hash-checked: the fake decode is md5-byte math DuckDB can mirror
     e["multimodal_decode_stub"] = (
-        multimodal_pipeline_query,
-        MULTIMODAL_PIPELINE_SQL,
+        multimodal_both_query,
+        MULTIMODAL_BOTH_SQL,
     )
 
     # ---- chunk packing (P2) ---------------------------------------------

@@ -1,0 +1,115 @@
+"""Real image-header decode (round 9): PNG IHDR / JPEG SOFn marker
+walk / GIF logical-screen-descriptor parsing from actual encoded
+bytes — the decoder ladder's first rung (multimodal/binary.py)."""
+
+from __future__ import annotations
+
+import base64
+
+from haensel_ams_data_engineer_challenge_spark.multimodal.binary import (
+    decode_image_meta,
+    parse_image_header,
+    synthesize_image_payloads,
+)
+
+# a real 1x1 PNG (RGBA), produced by a standard encoder
+PNG_1x1 = base64.b64decode(
+    "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8"
+    "z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg=="
+)
+# a real 1x1 transparent GIF89a (the classic tracking pixel)
+GIF_1x1 = base64.b64decode(
+    "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7"
+)
+
+
+def _jpeg(width: int, height: int, sof_marker: int = 0xC0,
+          fill_bytes: bytes = b"") -> bytes:
+    """Spec-correct JPEG prefix: SOI, APP0 (JFIF), COM, DQT, then SOFn
+    with the given dimensions, then SOS — the dimension parse must
+    walk the variable-length segments to find the frame header."""
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HH", 72, 72) + b"\x00\x00"
+    comment = b"created by hand"
+    com = b"\xff\xfe" + struct.pack(">H", 2 + len(comment)) + comment
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(64)
+    sof = bytes([0xFF, sof_marker]) + struct.pack(">H", 17) + b"\x08" \
+        + struct.pack(">HH", height, width) \
+        + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    sos = b"\xff\xda" + struct.pack(">H", 12) \
+        + b"\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00"
+    return b"\xff\xd8" + fill_bytes + app0 + com + dqt + sof + sos
+
+
+def test_png_real_fixture():
+    assert parse_image_header(PNG_1x1) == ("png", 1, 1)
+
+
+def test_gif_real_fixture():
+    assert parse_image_header(GIF_1x1) == ("gif", 1, 1)
+
+
+def test_jpeg_baseline_and_progressive():
+    assert parse_image_header(_jpeg(640, 480)) == ("jpeg", 640, 480)
+    # progressive (SOF2) carries dimensions the same way
+    assert parse_image_header(_jpeg(5, 7, sof_marker=0xC2)) == ("jpeg", 5, 7)
+
+
+def test_jpeg_fill_bytes_and_standalone_markers():
+    # 0xFF fill bytes before a marker (T.81 B.1.1.2) must be skipped
+    assert parse_image_header(_jpeg(31, 63, fill_bytes=b"\xff\xff")) \
+        == ("jpeg", 31, 63)
+
+
+def test_non_images_return_none():
+    assert parse_image_header(b"plain text document") is None
+    assert parse_image_header(b"") is None
+    assert parse_image_header(PNG_1x1[:10]) is None  # truncated
+    # JPEG with SOS before any SOFn: dimensions unavailable
+    import struct
+
+    no_sof = b"\xff\xd8\xff\xda" + struct.pack(">H", 4) + b"\x00\x00"
+    assert parse_image_header(no_sof) is None
+    # DHT (0xC4) is in the 0xC0-0xCF range but is NOT a frame header
+    dht_only = b"\xff\xd8\xff\xc4" + struct.pack(">H", 4) + b"\x00\x00\xff\xd9"
+    assert parse_image_header(dht_only) is None
+
+
+def test_decode_operator_prefers_header_over_fake(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(PNG_1x1)), (2, bytearray(GIF_1x1)),
+         (3, bytearray(_jpeg(320, 200))), (4, bytearray(b"not an image"))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in decode_image_meta(df).collect()}
+    assert (rows[1].format, rows[1].width, rows[1].height, rows[1].decoder) \
+        == ("png", 1, 1, "header")
+    assert (rows[2].format, rows[2].width, rows[2].height, rows[2].decoder) \
+        == ("gif", 1, 1, "header")
+    assert (rows[3].format, rows[3].width, rows[3].height, rows[3].decoder) \
+        == ("jpeg", 320, 200, "header")
+    assert rows[4].decoder == "fake"  # ladder falls through
+
+
+def test_synthesized_payloads_decode_as_headers(spark):
+    ids = spark.range(0, 30).withColumnRenamed("id", "doc_id")
+    syn = synthesize_image_payloads(ids)
+    out = decode_image_meta(syn, passthrough=("syn_ch",)).collect()
+    assert len(out) == 30
+    for r in out:
+        assert r.decoder == "header"
+        assert r.format == ("png", "jpeg", "gif")[r.doc_id % 3]
+        assert r.width == 16 + (r.doc_id * 7) % 2000
+        assert r.height == 16 + (r.doc_id * 13) % 2000
+        assert len(r.syn_ch) == 32  # passthrough column survives
+
+
+def test_decode_passthrough_keeps_metadata(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(PNG_1x1), "s3://bucket/a.png")],
+        "doc_id long, payload binary, uri string",
+    )
+    out = decode_image_meta(df, passthrough=("uri",)).collect()[0]
+    assert out.uri == "s3://bucket/a.png" and out.format == "png"
