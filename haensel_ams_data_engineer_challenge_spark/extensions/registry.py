@@ -836,6 +836,25 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
                 nb_classify_docs(toked, tokens_col="__toks"),
                 "doc_id", "left",
             )
+            # round 9 (r8 verdict task 4): REAL langid — the same NB
+            # stack over lowercase char TRIGRAMS (Cavnar-Trenkle
+            # features), lang-supervised; pred_lang_nb lands beside
+            # the stopword heuristic's pred_lang so the gate carries
+            # both the crude and the trained language ID
+            .join(
+                nb_classify_docs(
+                    _mat(
+                        CLF.char_ngram_tokens_col(docs).select(
+                            "doc_id", "lang", "__cg"
+                        )
+                    ),
+                    tokens_col="__cg",
+                    out_prefix="cnb",
+                ).select(
+                    "doc_id", F.col("cnb_pred").alias("pred_lang_nb")
+                ),
+                "doc_id", "left",
+            )
             .join(dup_shingle_fraction(docs), "doc_id", "left")
         )
 
@@ -923,6 +942,8 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
         + LM.bigram_sql(R.SEARCH_TOKEN_PATTERN).strip()
         + ","
         + CLF.nb_sql(R.SEARCH_TOKEN_PATTERN).strip()
+        + ","
+        + CLF.nb_sql(pfx="cnb", token_expr=CLF.char_ngram_sql()).strip()
         + r""",
             dsf_ex AS (
                 SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3
@@ -980,6 +1001,7 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
                    lm2_doc.lm2_xent AS lm2_xent,
                    nb_doc.nb_pred AS nb_pred,
                    nb_doc.nb_logp AS nb_logp,
+                   cnb_doc.cnb_pred AS pred_lang_nb,
                    dsf.dup_shingle_frac AS dup_shingle_frac
             FROM scored JOIN tthr ON tlang = lang
             LEFT JOIN (SELECT *, CAST(NTILE(3) OVER (ORDER BY lm_xent NULLS FIRST,
@@ -989,6 +1011,7 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
                  ON lm_b.doc_id = scored.doc_id
             LEFT JOIN lm2_doc ON lm2_doc.doc_id = scored.doc_id
             LEFT JOIN nb_doc ON nb_doc.doc_id = scored.doc_id
+            LEFT JOIN cnb_doc ON cnb_doc.doc_id = scored.doc_id
             LEFT JOIN dsf ON dsf.doc_id = scored.doc_id""",
     )
 

@@ -50,50 +50,81 @@ def nb_classify_docs(
     id_col: str = "doc_id",
     text_col: str = "text",
     tokens_col: str | None = None,
+    out_prefix: str = "nb",
+    train_docs: DataFrame | None = None,
 ) -> DataFrame:
-    """Train multinomial NB on ``docs`` (supervision = ``label_col``)
-    and score every document.
+    """Train multinomial NB (supervision = ``label_col``) and score
+    every document of ``docs``.
 
-    Output: (doc_id, nb_pred, nb_logp) — the argmax class and its
-    total quantized log-score (nats).  Zero-token documents are absent
-    (callers left-join and keep NULLs), matching the LM operators.
+    ``train_docs`` (round 9): when given, the model trains on THAT
+    frame and ``docs`` is scored held-out — the real filter-pipeline
+    shape (train the classifier on a labeled slice, apply it to the
+    corpus); when None, self-train-and-score as before (the
+    hash-gated form).
+
+    Output: (doc_id, {out_prefix}_pred, {out_prefix}_logp) — the
+    argmax class and its total quantized log-score (nats).  Zero-token
+    documents are absent (callers left-join and keep NULLs), matching
+    the LM operators.
     """
     src = (
         F.col(tokens_col) if tokens_col is not None
         else search_tokens(text_col)
     )
-    toks = docs.select(
-        F.col(id_col).alias("__did"),
-        F.col(label_col).alias("__lbl"),
-        src.alias("__t"),
-    ).filter(F.size("__t") > 0)
-    ex = toks.select("__did", "__lbl", F.explode("__t").alias("term"))
+    if train_docs is None:
+        toks = docs.select(
+            F.col(id_col).alias("__did"),
+            F.col(label_col).alias("__lbl"),
+            src.alias("__t"),
+        ).filter(F.size("__t") > 0)
+        ex = toks.select("__did", "__lbl", F.explode("__t").alias("term"))
+        train_ex = ex
 
-    # TWO materialized diamond roots, both bounded: the (class, term)
-    # model (feeds class totals, V, and the scoring join) and the
-    # 1-row-per-doc meta table (feeds priors, the scoring grid and the
-    # total count) — without the latter, every per-doc consumer would
-    # re-run the corpus tokenize (5 passes measured vs 3 here; the
-    # token STREAM itself is never materialized, per DESIGN.md).
+        # TWO materialized diamond roots, both bounded: the
+        # (class, term) model (feeds class totals, V, and the scoring
+        # join) and the 1-row-per-doc meta table (feeds priors, the
+        # scoring grid and the total count) — without the latter,
+        # every per-doc consumer would re-run the corpus tokenize (5
+        # passes measured vs 3 here; the token STREAM itself is never
+        # materialized, per DESIGN.md).
+        docs_meta = materialize(
+            toks.select(
+                "__did", "__lbl", F.size("__t").cast("double").alias("__n")
+            )
+        )
+        n_doc_c = docs_meta.groupBy("__lbl").agg(
+            F.count(F.lit(1)).cast("double").alias("__ndoc")
+        )
+        n_docs_total = docs_meta.agg(
+            F.count(F.lit(1)).cast("double").alias("__ndocs")
+        )
+    else:
+        ttoks = train_docs.select(
+            F.col(label_col).alias("__lbl"), src.alias("__t")
+        ).filter(F.size("__t") > 0)
+        train_ex = ttoks.select("__lbl", F.explode("__t").alias("term"))
+        tmeta = materialize(
+            ttoks.groupBy("__lbl").agg(
+                F.count(F.lit(1)).cast("double").alias("__ndoc")
+            )
+        )
+        n_doc_c = tmeta
+        n_docs_total = tmeta.agg(F.sum("__ndoc").alias("__ndocs"))
+        toks = docs.select(
+            F.col(id_col).alias("__did"), src.alias("__t")
+        ).filter(F.size("__t") > 0)
+        ex = toks.select("__did", F.explode("__t").alias("term"))
+        docs_meta = materialize(
+            toks.select("__did", F.size("__t").cast("double").alias("__n"))
+        )
     counts = materialize(
-        ex.groupBy("__lbl", "term").agg(
+        train_ex.groupBy("__lbl", "term").agg(
             F.count(F.lit(1)).cast("double").alias("__c")
         )
     )
-    docs_meta = materialize(
-        toks.select(
-            "__did", "__lbl", F.size("__t").cast("double").alias("__n")
-        )
-    )
     n_tok_c = counts.groupBy("__lbl").agg(F.sum("__c").alias("__ntok"))
-    n_doc_c = docs_meta.groupBy("__lbl").agg(
-        F.count(F.lit(1)).cast("double").alias("__ndoc")
-    )
     vstats = counts.select("term").distinct().agg(
         F.count(F.lit(1)).cast("double").alias("__v")
-    )
-    n_docs_total = docs_meta.agg(
-        F.count(F.lit(1)).cast("double").alias("__ndocs")
     )
     q = F.lit(1000000.0)
     cls = (
@@ -137,8 +168,8 @@ def nb_classify_docs(
         scored = _nb_score_grid(ex, docs_meta, lnp, cls)
     return scored.select(
         F.col("__did").alias(id_col),
-        F.col("__b.l").alias("nb_pred"),
-        (-F.col("__b.ns") / q).alias("nb_logp"),
+        F.col("__b.l").alias(f"{out_prefix}_pred"),
+        (-F.col("__b.ns") / q).alias(f"{out_prefix}_logp"),
     )
 
 
@@ -226,17 +257,79 @@ def _nb_score_grid(
     )
 
 
-def nb_sql(token_pattern: str, pfx: str = "nb") -> str:
+#: default langid sample: the first N chars of a document.  Language
+#: is decidable from a prefix (CLD2/fasttext both sample); n-gramming
+#: a full 100 KB document for langid is pure waste at corpus scale.
+LANGID_SAMPLE_CHARS = 600
+
+
+def char_ngram_tokens(n: int = 3):
+    """Overlapping lowercase char n-grams of the staged ``__nb_lc``
+    column — the classic langid feature (Cavnar & Trenkle 1994; what
+    fasttext's langid runs on).  Operates on the STAGED lowered/
+    truncated text column ([[spark-lambda-binding]]: a lambda over an
+    inline lower() would re-lower per element)."""
+    return F.expr(
+        f"""CASE WHEN length(__nb_lc) >= {n}
+             THEN transform(
+                 sequence(1, length(__nb_lc) - {n - 1}),
+                 i -> substring(__nb_lc, i, {n}))
+             ELSE CAST(array() AS array<string>) END"""
+    )
+
+
+def char_ngram_tokens_col(
+    docs: DataFrame, text_col: str = "text", n: int = 3,
+    out_col: str = "__cg", max_chars: int | None = LANGID_SAMPLE_CHARS,
+) -> DataFrame:
+    """``docs`` + ``out_col`` = lowercase char n-grams of the first
+    ``max_chars`` chars of ``text_col`` (None = whole text; staging
+    column for the lambda included then dropped)."""
+    src = F.col(text_col)
+    if max_chars is not None:
+        src = F.substring(src, 1, max_chars)
+    return (
+        docs.withColumn("__nb_lc", F.lower(src))
+        .withColumn(out_col, char_ngram_tokens(n))
+        .drop("__nb_lc")
+    )
+
+
+def char_ngram_sql(
+    n: int = 3, text_expr: str = "text",
+    max_chars: int | None = LANGID_SAMPLE_CHARS,
+) -> str:
+    """DuckDB twin of :func:`char_ngram_tokens_col` (same n-gram set,
+    same order, same prefix sample)."""
+    src = text_expr if max_chars is None else f"substr({text_expr}, 1, {max_chars})"
+    lc = f"lower({src})"
+    return (
+        f"CASE WHEN length({lc}) >= {n} "
+        f"THEN list_transform(range(1, length({lc}) - {n - 2}), "
+        f"i -> substr({lc}, i, {n})) "
+        f"ELSE []::VARCHAR[] END"
+    )
+
+
+def nb_sql(token_pattern: str | None = None, pfx: str = "nb",
+           token_expr: str | None = None) -> str:
     """DuckDB twin CTE chain ending in ``{pfx}_doc``
-    (doc_id, nb_pred, nb_logp), stage-for-stage with
+    (doc_id, {pfx}_pred, {pfx}_logp), stage-for-stage with
     :func:`nb_classify_docs` over the ``documents`` view (labels =
-    ``lang``)."""
+    ``lang``).  Tokenizer: ``token_expr`` (an array-valued SQL
+    expression, e.g. :func:`char_ngram_sql`) when given, else the
+    regex ``token_pattern``."""
+    tok = (
+        token_expr
+        if token_expr is not None
+        else f"regexp_extract_all(lower(text), '{token_pattern}')"
+    )
     return f"""
         {pfx}_tok AS (
             SELECT doc_id, lang,
-                   regexp_extract_all(lower(text), '{token_pattern}') AS toks
+                   {tok} AS toks
             FROM documents
-            WHERE len(regexp_extract_all(lower(text), '{token_pattern}')) > 0),
+            WHERE len({tok}) > 0),
         {pfx}_ex AS (
             SELECT doc_id, lang, unnest(toks) AS term FROM {pfx}_tok),
         {pfx}_counts AS (
@@ -282,8 +375,8 @@ def nb_sql(token_pattern: str, pfx: str = "nb") -> str:
                  ON pr.doc_id = t.doc_id AND pr.lang = k.lang),
         {pfx}_doc AS (
             SELECT doc_id,
-                   MIN({{'ns': -score_s, 'l': lang}})['l'] AS nb_pred,
+                   MIN({{'ns': -score_s, 'l': lang}})['l'] AS {pfx}_pred,
                    -MIN({{'ns': -score_s, 'l': lang}})['ns']
-                       / 1000000.0 AS nb_logp
+                       / 1000000.0 AS {pfx}_logp
             FROM {pfx}_grid
             GROUP BY doc_id)"""

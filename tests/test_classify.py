@@ -112,3 +112,104 @@ def test_nb_pivot_and_grid_paths_agree(spark, monkeypatch):
     monkeypatch.setattr(C, "NB_PIVOT_MAX_CLASSES", 0)  # force grid
     slow = sorted(nb_classify_docs(docs).collect())
     assert fast == slow
+
+
+def test_char_ngram_tokens_match_python(spark):
+    from haensel_ams_data_engineer_challenge_spark.operators.classify import (
+        char_ngram_tokens_col,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "Hello!"), (2, "ab"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: list(r["__cg"])
+        for r in char_ngram_tokens_col(docs).collect()
+    }
+    lc = "hello!"
+    assert got[1] == [lc[i : i + 3] for i in range(len(lc) - 2)]
+    assert got[2] == [] and got[3] == []
+
+
+#: language-typical content words (no stopwords) — the morphology a
+#: char-trigram model learns and a stopword-hit heuristic cannot see.
+#: (The parquet corpus can't support this test: its `lang` label is
+#: uncorrelated with its text, which is the same vocabulary for every
+#: language — no classifier beats chance there.)
+LANG_CONTENT = {
+    "de": ["verarbeitung", "geschwindigkeit", "schnittstelle",
+           "zusammenfassung", "eigenschaften", "entwicklung"],
+    "en": ["processing", "understanding", "development", "performance",
+           "throughput", "properties"],
+    "es": ["procesamiento", "velocidad", "desarrollo", "propiedades",
+           "resumen", "caracteristicas"],
+    "fr": ["traitement", "vitesse", "developpement", "proprietes",
+           "resume", "fonctionnalites"],
+    "zh": ["zhongguo", "xuexi", "gongzuo", "pengyou", "laoshi", "xiexie"],
+}
+
+
+def _langid_fixture():
+    from haensel_ams_data_engineer_challenge_spark.functions.text import (
+        LANG_STOPWORDS,
+    )
+
+    train, held = [], []
+    i = 0
+    for lang, content in sorted(LANG_CONTENT.items()):
+        stops = list(LANG_STOPWORDS[lang])
+        for k in range(8):  # train: stopwords + content mixed
+            words = [stops[(k + j) % len(stops)] for j in range(4)] + [
+                content[(k + j) % len(content)] for j in range(4)
+            ]
+            train.append((i, lang, " ".join(words)))
+            i += 1
+        for k in range(2):  # held-out, easy: stopwords present
+            words = [stops[(k + j) % len(stops)] for j in range(3)] + [
+                content[(k + j) % len(content)] for j in range(3)
+            ]
+            held.append((i, lang, " ".join(words)))
+            i += 1
+        for k in range(2):  # held-out, hard: content words only
+            held.append(
+                (i, lang,
+                 " ".join(content[(k + j) % len(content)] for j in range(4)))
+            )
+            i += 1
+    return train, held
+
+
+def test_held_out_langid_beats_heuristic(spark):
+    """r8-verdict task 4 'done' bar: the char-trigram NB langid,
+    trained on a labeled split, beats the stopword heuristic on
+    held-out synthetic docs — specifically on stopword-free documents
+    where the heuristic can only answer 'und'."""
+    from pyspark.sql import functions as F
+
+    from haensel_ams_data_engineer_challenge_spark.functions import text as T
+    from haensel_ams_data_engineer_challenge_spark.operators.classify import (
+        char_ngram_tokens_col,
+        nb_classify_docs,
+    )
+
+    train_rows, held_rows = _langid_fixture()
+    schema = "doc_id long, lang string, text string"
+    train = char_ngram_tokens_col(spark.createDataFrame(train_rows, schema))
+    held = char_ngram_tokens_col(spark.createDataFrame(held_rows, schema))
+    pred = nb_classify_docs(
+        held, tokens_col="__cg", out_prefix="cnb", train_docs=train
+    )
+    scored = (
+        held.select("doc_id", "lang", T.langid("text").alias("heur"))
+        .join(pred, "doc_id", "left")
+        .select(
+            (F.col("cnb_pred") == F.col("lang")).cast("int").alias("nb_ok"),
+            (F.col("heur") == F.col("lang")).cast("int").alias("heur_ok"),
+        )
+        .agg(F.avg("nb_ok").alias("nb"), F.avg("heur_ok").alias("heur"))
+        .collect()[0]
+    )
+    assert scored["nb"] is not None and scored["heur"] is not None
+    assert scored["nb"] > scored["heur"]  # strictly: the stopword-free half
+    assert scored["nb"] == 1.0  # trigram NB nails every held-out doc
