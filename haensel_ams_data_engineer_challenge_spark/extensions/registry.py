@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions import text as T
 from ..operators import dedup as D
+from ..operators import minhash_index as MI
 from ..operators import bpe as B
 from ..operators import classify as CLF
 from ..operators import lm as LM
@@ -165,14 +166,75 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
                               WHERE n.text_hash = b.text_hash)""",
     )
 
+    def _minhash_full_and_index(spark: SparkSession, sf: str) -> DataFrame:
+        """full = the in-frame LSH candidate pairs (the original arm);
+        index = round 9's PRODUCTION incremental path — build the
+        PERSISTED MinHash band index artifact over 90% of the corpus
+        (operators/minhash_index.py, commit-marker protocol, probed
+        rows read from disk), probe it with the remaining 10% as the
+        'new batch', exact-verify the candidates.  The oracle
+        recomputes both arms from scratch with the shared band CTEs —
+        the artifact round-trip itself is what the arm certifies."""
+        import tempfile
+
+        docs = _docs(spark, sf)
+        full = D.dedup_minhash_lsh(docs).select(
+            F.lit("full").alias("method"), "id_a", "id_b",
+            F.lit(None).cast("double").alias("jaccard"),
+        )
+        idx_part = docs.filter("doc_id % 10 != 0")
+        batch_part = docs.filter("doc_id % 10 = 0")
+        bands = MI.minhash_index_build(
+            idx_part, tempfile.mkdtemp(prefix="spark_graft_mhidx_")
+        )
+        probe = MI.near_dup_probe(batch_part, bands, idx_part).select(
+            F.lit("index").alias("method"),
+            F.col("doc_id").alias("id_a"),
+            F.col("dup_of").alias("id_b"),
+            "jaccard",
+        )
+        return full.unionByName(probe)
+
     e["dedup_minhash_lsh"] = (
-        lambda spark, sf: D.dedup_minhash_lsh(_docs(spark, sf)),
+        _minhash_full_and_index,
         prelude + "," + _minhash_sig_cte().strip() + "," + _minhash_bands_cte().strip()
-        + """
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        + f""",
+        ibands AS (
+            SELECT doc_id, band, band_key FROM (
+                SELECT *, COUNT(*) OVER (PARTITION BY band, band_key) AS __isz
+                FROM bands_all WHERE doc_id % 10 != 0) t
+            WHERE __isz <= {D.MAX_BAND_BUCKET}),
+        pcand AS (
+            SELECT DISTINCT q.doc_id AS id_a, x.doc_id AS id_b
+            FROM bands_all q
+            JOIN ibands x ON q.band_key = x.band_key AND q.band = x.band
+            WHERE q.doc_id % 10 = 0),
+        psh_q AS (
+            SELECT doc_id, unnest(sh) AS s FROM doc_shingles
+            WHERE doc_id IN (SELECT id_a FROM pcand)),
+        psh_i AS (
+            SELECT doc_id, unnest(sh) AS s FROM doc_shingles
+            WHERE doc_id IN (SELECT id_b FROM pcand)),
+        psz_q AS (SELECT doc_id, count(*) AS n FROM psh_q GROUP BY doc_id),
+        psz_i AS (SELECT doc_id, count(*) AS n FROM psh_i GROUP BY doc_id),
+        pinter AS (
+            SELECT q.doc_id AS id_a, x.doc_id AS id_b, count(*) AS inter
+            FROM psh_q q JOIN psh_i x ON q.s = x.s
+            GROUP BY 1, 2)
+        SELECT DISTINCT 'full' AS method, a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(NULL AS DOUBLE) AS jaccard
         FROM bands a
         JOIN bands b ON a.band_key = b.band_key AND a.band = b.band
-                    AND a.doc_id < b.doc_id""",
+                    AND a.doc_id < b.doc_id
+        UNION ALL
+        SELECT 'index', i.id_a, i.id_b,
+               CAST(inter AS DOUBLE) / CAST(sq.n + si.n - inter AS DOUBLE)
+        FROM pinter i
+        JOIN pcand p ON p.id_a = i.id_a AND p.id_b = i.id_b
+        JOIN psz_q sq ON sq.doc_id = i.id_a
+        JOIN psz_i si ON si.doc_id = i.id_b
+        WHERE CAST(inter AS DOUBLE) / CAST(sq.n + si.n - inter AS DOUBLE)
+              >= CAST({MI.NEAR_DUP_THRESHOLD} AS DOUBLE)""",
     )
 
     # ---- clusters -> survivors -> cap -> decontaminate -> split -> mix --

@@ -1,0 +1,198 @@
+"""Persisted MinHash band index + incremental near-dup probing.
+
+Round-9 (r8 verdict task 2): the one production dedup piece that was
+full-corpus-only.  `dedup_minhash_lsh` finds near-dups WITHIN a frame;
+real ingestion needs the cross-batch form — "is this new document a
+near-duplicate of anything the corpus already holds?" — without
+re-banding the corpus per batch.  The answer is the same artifact
+discipline as the ANN indexes (similarity.ivf_index_persistent):
+persist the `minhash_bands` output (doc_id, band, band_key) as a disk
+index under the commit-marker protocol, probe it with the new batch's
+band rows, and exact-verify the candidates.
+
+Reference analogue: the incremental-skip pattern (db_utils.py:260-302
+— re-running the pipeline skips already-processed conversions)
+applied to the near-dup tier, which the reference has no equivalent
+for.
+
+Scale shape: the per-batch cost is O(batch bands) + one equi-join
+against the index bucket stream — the corpus text is touched only for
+the candidate sliver (the verify join), never re-shingled.  The index
+grows by appended parquet files; no rewrite, no compaction required
+for correctness (band rows are immutable facts about a doc).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..checkpoint import materialize
+from ..functions.text import word_shingles
+from .dedup import MAX_BAND_BUCKET, MINHASH_BAND_SIZE, MINHASH_K, minhash_bands
+from .similarity import _check_index_params, _write_index_params
+
+#: default exact-Jaccard acceptance for the incremental probe — same
+#: bar as verify_candidates' full-corpus form.
+NEAR_DUP_THRESHOLD = 0.5
+
+
+def _params(k: int, band_size: int, shingle_n: int) -> dict:
+    return {
+        "kind": "minhash",
+        "k": k,
+        "band_size": band_size,
+        "shingle_n": shingle_n,
+    }
+
+
+def minhash_index_build(
+    docs: DataFrame,
+    path: str,
+    k: int = MINHASH_K,
+    band_size: int = MINHASH_BAND_SIZE,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Load the (doc_id, band, band_key) MinHash band index artifact
+    at ``path``, building it from ``docs`` first if absent.
+
+    Commit protocol = similarity.ivf_index_persistent: ``{path}/params``
+    is written LAST, so a torn build (killed mid-save) is rebuilt, a
+    committed artifact with different hyperparameters raises, and the
+    returned rows are always READ FROM DISK — the probed index is the
+    artifact itself, identical across sessions, never the in-memory
+    banding lineage.  Single builder per path assumed (as all the
+    parquet index artifacts); concurrent readers are safe.
+    """
+    spark = docs.sparkSession
+    params = _params(k, band_size, shingle_n)
+    if not _check_index_params(spark, path, params):
+        minhash_bands(
+            docs, text_col, id_col, k, band_size, shingle_n
+        ).write.mode("overwrite").parquet(f"{path}/bands")
+        _write_index_params(spark, path, params)
+    return spark.read.parquet(f"{path}/bands")
+
+
+def minhash_index_append(
+    new_docs: DataFrame,
+    path: str,
+    k: int = MINHASH_K,
+    band_size: int = MINHASH_BAND_SIZE,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Append the band rows of ``new_docs`` to a committed index.
+
+    Idempotent under replay: ids already present in the index are
+    anti-joined away before the append, so re-running a batch after a
+    crash appends exactly the missing remainder (the insert_if_absent
+    discipline, applied to the index artifact).  Raises if ``path``
+    holds no committed index or one built with other hyperparameters —
+    appending bands computed under different (k, band_size, shingle_n)
+    would silently poison every future probe.
+    """
+    spark = new_docs.sparkSession
+    if not _check_index_params(spark, path, _params(k, band_size, shingle_n)):
+        raise ValueError(
+            f"no committed MinHash index at {path}; build it first "
+            "(minhash_index_build)"
+        )
+    existing = spark.read.parquet(f"{path}/bands").select(id_col).distinct()
+    fresh = minhash_bands(
+        new_docs, text_col, id_col, k, band_size, shingle_n
+    ).join(existing, id_col, "left_anti")
+    fresh.write.mode("append").parquet(f"{path}/bands")
+
+
+def near_dup_probe(
+    batch: DataFrame,
+    index_bands: DataFrame,
+    corpus: DataFrame,
+    threshold: float = NEAR_DUP_THRESHOLD,
+    k: int = MINHASH_K,
+    band_size: int = MINHASH_BAND_SIZE,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = MAX_BAND_BUCKET,
+) -> DataFrame:
+    """Batch docs near-duplicate of an already-indexed doc.
+
+    Output: (doc_id, dup_of, jaccard) — one row per (batch doc,
+    indexed doc) pair whose exact word-shingle Jaccard >= threshold;
+    callers drop ``doc_id`` (anti-join) to admit only novel text.
+
+    Probe = the batch's band rows equi-joined against the index bucket
+    stream on (band, band_key); flood cap applied to the INDEX side
+    (boilerplate clusters flood buckets as the corpus grows) with the
+    dedup_minhash_lsh shape — groupBy bucket count + broadcast
+    anti-join, never a window.  Verify = exact Jaccard restricted to
+    candidate docs only: batch shingles vs corpus shingles, the
+    verify_candidates discipline.  A candidate whose text is absent
+    from ``corpus`` (orphan index rows from a crash between the index
+    append and the sink insert — streaming/ingest.py crash ordering)
+    drops out at the verify join: orphan bits cost candidate work,
+    never a false drop.
+    """
+    bb = minhash_bands(batch, text_col, id_col, k, band_size, shingle_n)
+    if max_bucket_size is not None:
+        flooded = (
+            index_bands.groupBy("band", "band_key")
+            .agg(F.count(F.lit(1)).alias("__bsz"))
+            .filter(F.col("__bsz") > max_bucket_size)
+            .select("band", "band_key")
+        )
+        index_bands = index_bands.join(
+            F.broadcast(flooded), ["band", "band_key"], "left_anti"
+        )
+    cand = (
+        bb.join(
+            index_bands.withColumnRenamed(id_col, "__iid"),
+            ["band", "band_key"],
+        )
+        .select(F.col(id_col), F.col("__iid"))
+        .distinct()
+    )
+    # the pair set feeds three branches (both semi-join sides and the
+    # final pair filter); small by LSH design (band buckets are capped)
+    # — the verify_candidates materialization argument verbatim
+    cand = materialize(cand)
+    bs = (
+        batch.join(cand.select(id_col).distinct(), id_col, "left_semi")
+        .select(
+            F.col(id_col),
+            F.explode(word_shingles(text_col, shingle_n)).alias("s"),
+        )
+    )
+    is_ = (
+        corpus.join(
+            cand.select(F.col("__iid").alias(id_col)).distinct(),
+            id_col, "left_semi",
+        )
+        .select(
+            F.col(id_col).alias("__iid"),
+            F.explode(word_shingles(text_col, shingle_n)).alias("s"),
+        )
+    )
+    inter = (
+        bs.join(is_, "s")
+        .groupBy(id_col, "__iid")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    n_b = bs.groupBy(id_col).agg(F.count(F.lit(1)).alias("__nb"))
+    n_i = is_.groupBy("__iid").agg(F.count(F.lit(1)).alias("__ni"))
+    return (
+        inter.join(n_b, id_col)
+        .join(n_i, "__iid")
+        .withColumn(
+            "jaccard",
+            F.col("__inter").cast("double")
+            / (F.col("__nb") + F.col("__ni") - F.col("__inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .join(cand, [id_col, "__iid"], "left_semi")
+        .select(F.col(id_col), F.col("__iid").alias("dup_of"), "jaccard")
+    )

@@ -146,6 +146,8 @@ def run_streaming_ingest(
     bloom_state_dir: str | None = None,
     m_bits: int = BLOOM_M_BITS,
     k: int = BLOOM_K,
+    near_dup_index_dir: str | None = None,
+    near_dup_threshold: float | None = None,
 ) -> None:
     """Drain the feed with an availableNow trigger, admitting only
     genuinely-new documents into ``sink_path``.
@@ -176,6 +178,23 @@ def run_streaming_ingest(
     checkpoint dir already enforces that for the stream itself);
     concurrent writers would race the overwrite like any
     non-transactional parquet state.
+
+    ``near_dup_index_dir``: add the NEAR-dup tier beside the exact
+    one (round-9, r8 verdict task 2).  A persisted MinHash band index
+    (operators/minhash_index.py, commit-marker protocol) is built from
+    corpus+sink on first use; each batch's exact-tier survivors are
+    (a) near-dup-collapsed WITHIN the batch (verify_candidates pairs
+    -> dedup_survivors, min-id keep — the batch operators, reused),
+    (b) probed against the index + exact-verified (near_dup_probe), and
+    (c) the admitted remainder's band rows are APPENDED to the index.
+    Crash ordering mirrors the Bloom tier: index append runs BEFORE
+    the sink insert, because orphan band rows are only false-positive
+    candidates (killed at the probe's verify join — the corpus has no
+    text for them), while the reverse order could leave admitted docs
+    unindexed, i.e. near-dups that slip in forever after.  The append
+    itself is replay-idempotent (anti-join on already-indexed ids).
+    ``near_dup_threshold``: exact-Jaccard acceptance (default
+    minhash_index.NEAR_DUP_THRESHOLD).
     """
     corpus = spark.read.parquet(corpus_path)
     reader = (
@@ -239,6 +258,52 @@ def run_streaming_ingest(
             once, existing, m_bits=m_bits, k=k, bitmap=bitmap
         ).select("doc_id")
         admitted = once.join(new_ids, "doc_id", "left_semi")
+        if near_dup_index_dir is not None:
+            from ..checkpoint import materialize
+            from ..operators.components import dedup_survivors
+            from ..operators.dedup import verify_candidates
+            from ..operators.minhash_index import (
+                NEAR_DUP_THRESHOLD,
+                minhash_index_append,
+                minhash_index_build,
+                near_dup_probe,
+            )
+
+            thr = (
+                near_dup_threshold
+                if near_dup_threshold is not None
+                else NEAR_DUP_THRESHOLD
+            )
+            # build-if-absent from the full current dedup target; every
+            # later batch just reads the committed artifact
+            index_bands = minhash_index_build(existing, near_dup_index_dir)
+            # the exact-tier survivors feed the within-batch pair
+            # search, the survivor filter, the probe AND the append —
+            # materialize the batch-bounded set once
+            admitted = materialize(admitted)
+            # (a) within-batch near-dup collapse: the exact tier only
+            # collapses byte-identical text; this reuses the batch
+            # operators (one codepath — the journeys.py discipline)
+            pairs = verify_candidates(admitted, threshold=thr)
+            keep = (
+                dedup_survivors(admitted.select("doc_id"), pairs)
+                .filter("is_survivor")
+                .select("doc_id")
+            )
+            admitted = admitted.join(keep, "doc_id", "left_semi")
+            # (b) cross-corpus probe: persisted buckets + exact verify
+            dups = near_dup_probe(
+                admitted, index_bands, existing, threshold=thr
+            )
+            admitted = materialize(
+                admitted.join(
+                    dups.select("doc_id").distinct(), "doc_id", "left_anti"
+                )
+            )
+            # (c) index append BEFORE the sink insert (crash ordering:
+            # orphan band rows are only false-positive candidates;
+            # unindexed admitted docs would be permanent blind spots)
+            minhash_index_append(admitted, near_dup_index_dir)
         if bloom_state_dir is not None:
             from ..checkpoint import materialize
 
