@@ -47,6 +47,24 @@ def _parser() -> argparse.ArgumentParser:
         "ihc_redistributed, last_touch, first_touch, linear, "
         "position_based",
     )
+    # external-scorer surface (reference main.py:65-70): score via a
+    # remote IHC API through the throttled chunk operator instead of
+    # the native models; the per-chunk audit table lands beside the
+    # attribution sink
+    run.add_argument(
+        "--scorer", choices=["native", "external"], default="native",
+        help="native = in-engine models; external = POST journey "
+        "chunks to --endpoint (reference api_utils.py wire shape)",
+    )
+    run.add_argument("--endpoint", default=None,
+                     help="IHC API base URL (required with --scorer external)")
+    run.add_argument("--api-key", default=None)
+    run.add_argument("--rate-limit-delay", type=float, default=1.0,
+                     help="seconds between chunk requests (main.py:65-70)")
+    run.add_argument("--chunk-journeys", type=int, default=100,
+                     help="journeys per request (journey_builder.py:185)")
+    run.add_argument("--scorer-max-retries", type=int, default=3)
+    run.add_argument("--scorer-retry-delay", type=float, default=2.0)
 
     db = sub.add_parser("create-db", help="DDL bootstrap + schema verification")
     db.add_argument("--work-dir", required=True)
@@ -251,6 +269,21 @@ def main(argv: list[str] | None = None) -> int:
         if args.command == "pipeline":
             from .plans.pipeline import run_pipeline
 
+            scorer_call = None
+            audit_path = None
+            if args.scorer == "external":
+                if not args.endpoint:
+                    print("--scorer external requires --endpoint",
+                          file=sys.stderr)
+                    return 1
+                from .operators.external import http_ihc_scorer
+
+                scorer_call = http_ihc_scorer(
+                    args.endpoint,
+                    conv_type_id=args.conv_type_id,
+                    api_key=args.api_key,
+                )
+                audit_path = f"{args.work_dir}/attribution_api_audit"
             result = run_pipeline(
                 spark,
                 args.sf_dir,
@@ -260,6 +293,13 @@ def main(argv: list[str] | None = None) -> int:
                 end_date=args.end_date,
                 report_csv_path=f"{args.work_dir}/channel_reporting_csv",
                 conv_type_id=args.conv_type_id,
+                scorer=args.scorer,
+                scorer_call=scorer_call,
+                rate_limit_delay=args.rate_limit_delay,
+                chunk_journeys=args.chunk_journeys,
+                scorer_max_retries=args.scorer_max_retries,
+                scorer_retry_delay=args.scorer_retry_delay,
+                audit_path=audit_path,
             )
             print(
                 f"conversions={result.conversions_total} "

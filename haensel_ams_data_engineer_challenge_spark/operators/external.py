@@ -130,3 +130,171 @@ def rate_limited_call_chunks(
             yield flush(buf, n_buf)
 
     return df.mapInPandas(run, RESULT_SCHEMA)
+
+
+#: rate_limited_score_chunks output: the score triplet + the chunk's
+#: audit columns on every row.  A failed (or empty-response) chunk
+#: contributes ONE row with NULL scores, so data and failures live in
+#: the same observable stream.
+SCORE_RESULT_SCHEMA = "conv_id string, session_id string, ihc double, " + RESULT_SCHEMA
+
+
+def rate_limited_score_chunks(
+    df: DataFrame,
+    call: Callable,
+    chunk_rows: int = 100,
+    rate_limit_delay: float = 1.0,
+    max_retries: int = 3,
+    retry_delay: float = 2.0,
+    fail_fast: bool = False,
+) -> DataFrame:
+    """The round-9 SCORING form of :func:`rate_limited_call_chunks`
+    (same chunking, throttle and retry discipline): ``call(chunk)``
+    RETURNS a pandas DataFrame of (conv_id, session_id, ihc) scores,
+    which flow back into the engine as rows — the reference's external
+    IHC scorer surface (api_utils.py:171-212 ``send_journeys_to_api``,
+    main.py:65-70 ``--rate_limit_delay``) as an auditable transform.
+
+    ``df`` is expected to carry ONE COMPLETE JOURNEY PER ROW (the
+    ``journeys_as_api_payload`` shape), so row-chunking can never
+    split a conversion across two requests — the invariant
+    journey_builder.py:185 (``max_journeys_per_chunk``) keeps by
+    construction.
+
+    Output (``SCORE_RESULT_SCHEMA``): one row per returned score, each
+    carrying its chunk's audit columns; a chunk that fails after
+    ``max_retries`` (or returns no scores) yields one NULL-score row.
+    Callers split the stream: ``filter(ok AND conv_id IS NOT NULL)``
+    for the scores, ``select(audit cols).distinct()`` for the
+    per-chunk audit table — and MUST materialize it before consuming
+    twice, or the external calls re-run per action.
+    """
+    if chunk_rows < 1:
+        raise ValueError(f"chunk_rows must be >= 1, got {chunk_rows}")
+    if max_retries < 1:
+        raise ValueError(f"max_retries must be >= 1, got {max_retries}")
+
+    def run(batches):
+        import time
+
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        buf: list = []
+        n_buf = 0
+        chunk_index = 0
+        first_call_done = False
+
+        def flush(frames, n):
+            nonlocal chunk_index, first_call_done
+            chunk = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+            attempts = 0
+            ok, err, scores = False, None, None
+            while attempts < max_retries and not ok:
+                if first_call_done:
+                    time.sleep(rate_limit_delay if attempts == 0 else retry_delay)
+                attempts += 1
+                first_call_done = True
+                try:
+                    scores = call(chunk)
+                    ok, err = True, None
+                except Exception as e:  # noqa: BLE001 — recorded, not dropped
+                    err = f"{type(e).__name__}: {e}"
+            if not ok and fail_fast:
+                raise RuntimeError(
+                    f"chunk {chunk_index} of partition {pid} failed after "
+                    f"{attempts} attempts: {err}"
+                )
+            if ok and scores is not None and len(scores) > 0:
+                out = pd.DataFrame(
+                    {
+                        "conv_id": scores["conv_id"].astype(str),
+                        "session_id": scores["session_id"].astype(str),
+                        "ihc": scores["ihc"].astype(float),
+                    }
+                )
+            else:
+                out = pd.DataFrame(
+                    {"conv_id": [None], "session_id": [None], "ihc": [None]}
+                )
+            out["partition_id"] = pid
+            out["chunk_index"] = chunk_index
+            out["n_rows"] = n
+            out["attempts"] = attempts
+            out["ok"] = ok
+            out["error"] = err
+            chunk_index += 1
+            return out
+
+        for pdf in batches:
+            start = 0
+            while start < len(pdf):
+                take = min(chunk_rows - n_buf, len(pdf) - start)
+                buf.append(pdf.iloc[start : start + take])
+                n_buf += take
+                start += take
+                if n_buf == chunk_rows:
+                    yield flush(buf, n_buf)
+                    buf, n_buf = [], 0
+        if n_buf:
+            yield flush(buf, n_buf)
+
+    return df.mapInPandas(run, SCORE_RESULT_SCHEMA)
+
+
+def http_ihc_scorer(
+    endpoint: str,
+    conv_type_id: str = "ihc",
+    api_key: str | None = None,
+    timeout: float = 30.0,
+) -> Callable:
+    """A picklable ``call`` for :func:`rate_limited_score_chunks`
+    speaking the reference IHC API wire protocol (api_utils.py:87-135):
+
+    POST ``{endpoint}/compute_ihc?conv_type_id=...`` with body
+    ``{"customer_journeys": [session dicts...]}`` (the chunk's
+    ``journey_json`` rows, flattened) and headers Content-Type +
+    x-api-key; response ``{"statusCode": 200|206, "value":
+    [{"conversion_id", "session_id", "ihc"}, ...]}`` — a non-2xx
+    statusCode raises (retried by the chunk loop, like the
+    reference's raise-on-API-error, api_utils.py:115-118).
+
+    stdlib urllib only — the executor side must not depend on
+    ``requests``.
+    """
+
+    def call(pdf):
+        import json
+        import urllib.request
+
+        import pandas as pd
+
+        journeys = []
+        for j in pdf["journey_json"]:
+            journeys.extend(json.loads(j))
+        body = json.dumps({"customer_journeys": journeys}).encode("utf-8")
+        headers = {"Content-Type": "application/json"}
+        if api_key is not None:
+            headers["x-api-key"] = api_key
+        req = urllib.request.Request(
+            f"{endpoint}/compute_ihc?conv_type_id={conv_type_id}",
+            data=body, headers=headers, method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            result = json.loads(resp.read().decode("utf-8"))
+        if result.get("statusCode") not in (200, 206):
+            raise ValueError(
+                f"API error: {result.get('statusCode')} - "
+                f"{result.get('message', 'Unknown error')}"
+            )
+        vals = result.get("value", [])
+        return pd.DataFrame(
+            {
+                "conv_id": [str(v["conversion_id"]) for v in vals],
+                "session_id": [str(v["session_id"]) for v in vals],
+                "ihc": [float(v["ihc"]) for v in vals],
+            }
+        )
+
+    return call

@@ -62,6 +62,13 @@ def run_pipeline(
     end_date: str | None = None,
     report_csv_path: str | None = None,
     conv_type_id: str = "ihc",
+    scorer: str = "native",
+    scorer_call=None,
+    rate_limit_delay: float = 1.0,
+    chunk_journeys: int = 100,
+    scorer_max_retries: int = 3,
+    scorer_retry_delay: float = 2.0,
+    audit_path: str | None = None,
 ) -> PipelineResult:
     """Run extract -> journeys -> score -> upsert -> report.
 
@@ -76,6 +83,21 @@ def run_pipeline(
     reference API's per-request conv_type_id (api_utils.py:87) —
     every model emits its scores as ``ihc`` so the sink/report/A2
     stages are model-agnostic (operators/ihc.py:CONV_TYPE_MODELS).
+
+    ``scorer="external"`` (round-9, r8 verdict task 6): route scoring
+    through the throttled external-call operator instead of the native
+    models — the reference's remote-IHC-API mode (main.py:65-70
+    ``--rate_limit_delay``, api_utils.py ``send_journeys_to_api``).
+    ``scorer_call`` is the per-chunk callable (e.g.
+    ``external.http_ihc_scorer(endpoint)``); journeys go out in the
+    API wire shape (``journeys_as_api_payload``, one complete journey
+    per row so chunks never split a conversion), scores come back as
+    rows, and the per-chunk audit table lands at ``audit_path``
+    (beside the sink) BEFORE the attribution write — a failed chunk is
+    visible in the audit even when the run dies later.  Failed chunks
+    are recorded-and-skipped (the reference's continue-with-next-chunk,
+    api_utils.py:209-211): their conversions stay unscored, so the J6
+    incremental anti-join retries exactly those on the next run.
     """
     validate_date(start_date, "start_date")
     validate_date(end_date, "end_date")
@@ -104,9 +126,42 @@ def run_pipeline(
     # scale this is the attribution table itself (rows = sessions of
     # converted users, 3 narrow columns) — bounded by the sink size.
     journeys = journey_asof_join(M.sessions(spark, sf_dir), todo)
-    scored = attribute_by_conv_type(journeys, conv_type_id).select(
-        "conv_id", "session_id", "ihc"
-    )
+    if scorer == "external":
+        if scorer_call is None:
+            raise ValueError("scorer='external' requires scorer_call")
+        from ..checkpoint import materialize
+        from ..operators.external import rate_limited_score_chunks
+        from ..operators.ihc import flag_conversion_session
+        from ..operators.sinks import journeys_as_api_payload
+
+        payload = journeys_as_api_payload(flag_conversion_session(journeys))
+        # materialize: the score stream feeds the audit write AND the
+        # sink chain — without lineage truncation every downstream
+        # action would re-fire the external calls
+        out = materialize(
+            rate_limited_score_chunks(
+                payload,
+                scorer_call,
+                chunk_rows=chunk_journeys,
+                rate_limit_delay=rate_limit_delay,
+                max_retries=scorer_max_retries,
+                retry_delay=scorer_retry_delay,
+            )
+        )
+        if audit_path is not None:
+            out.select(
+                "partition_id", "chunk_index", "n_rows",
+                "attempts", "ok", "error",
+            ).distinct().write.mode("overwrite").parquet(audit_path)
+        scored = out.filter(
+            F.col("ok") & F.col("conv_id").isNotNull()
+        ).select("conv_id", "session_id", "ihc")
+    elif scorer == "native":
+        scored = attribute_by_conv_type(journeys, conv_type_id).select(
+            "conv_id", "session_id", "ihc"
+        )
+    else:
+        raise ValueError(f"unknown scorer {scorer!r} (native | external)")
     scored.persist()
     try:
         # ONE fused count job (round-9: pipeline_e2e action-count cut,
