@@ -29,7 +29,11 @@ from pyspark.sql import DataFrame, functions as F
 from ..checkpoint import materialize
 from ..functions.text import word_shingles
 from .dedup import MAX_BAND_BUCKET, MINHASH_BAND_SIZE, MINHASH_K, minhash_bands
-from .similarity import _check_index_params, _write_index_params
+from .similarity import (
+    _bump_index_version,
+    _check_index_params,
+    _write_index_params,
+)
 
 #: default exact-Jaccard acceptance for the incremental probe — same
 #: bar as verify_candidates' full-corpus form.
@@ -105,6 +109,7 @@ def minhash_index_append(
         new_docs, text_col, id_col, k, band_size, shingle_n
     ).join(existing, id_col, "left_anti")
     fresh.write.mode("append").parquet(f"{path}/bands")
+    _bump_index_version(spark, path)
 
 
 def near_dup_probe(

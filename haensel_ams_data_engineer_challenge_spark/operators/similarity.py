@@ -522,18 +522,28 @@ def _check_index_params(spark, path: str, expect: dict) -> bool:
     """True when a committed artifact with matching params exists;
     False when absent; ValueError when present but built differently
     (silently serving an index trained with other hyperparameters
-    would change results without any visible signal)."""
+    would change results without any visible signal).
+
+    Subset match on ``expect``'s keys (the bloom-state discipline,
+    streaming/ingest.py): bookkeeping keys like the append-bumped
+    ``version`` ride in the same table without breaking the
+    hyperparameter check."""
     pdf = _try_read_parquet(spark, f"{path}/params")
     if pdf is None:
         return False
     got = {r["key"]: r["value"] for r in pdf.collect()}
     exp = {k: str(v) for k, v in expect.items()}
-    if got != exp:
+    if {k: got.get(k) for k in exp} != exp:
         raise ValueError(
             f"ANN index at {path} was built with {got}; caller expects "
             f"{exp} — use a different path or delete the artifact"
         )
     return True
+
+
+def _read_index_params(spark, path: str) -> dict:
+    pdf = _try_read_parquet(spark, f"{path}/params")
+    return {} if pdf is None else {r["key"]: r["value"] for r in pdf.collect()}
 
 
 def _write_index_params(spark, path: str, params: dict) -> None:
@@ -570,7 +580,7 @@ def ivf_index_persistent(
         assign, cents = ivf_kmeans(vectors, k, iters, id_col, vec_col)
         assign.write.mode("overwrite").parquet(f"{path}/assignments")
         cents.write.mode("overwrite").parquet(f"{path}/centroids")
-        _write_index_params(spark, path, params)
+        _write_index_params(spark, path, {**params, "version": 1})
     return (
         spark.read.parquet(f"{path}/assignments"),
         spark.read.parquet(f"{path}/centroids"),
@@ -598,8 +608,101 @@ def lsh_index_persistent(
         banded_bucket_rows(
             vectors, id_col, vec_col, tables, planes_per_table
         ).write.mode("overwrite").parquet(f"{path}/buckets")
-        _write_index_params(spark, path, params)
+        _write_index_params(spark, path, {**params, "version": 1})
     return spark.read.parquet(f"{path}/buckets")
+
+
+def _bump_index_version(spark, path: str) -> None:
+    """Rewrite the params marker with version += 1 — the auditable
+    record that the artifact grew past its original build.  Runs AFTER
+    the data append: a crash between the two leaves appended rows with
+    a stale version (bookkeeping drift only), never a bumped version
+    pointing at missing rows."""
+    got = _read_index_params(spark, path)
+    got["version"] = str(int(got.get("version", "1")) + 1)
+    _write_index_params(spark, path, got)
+
+
+def ivf_index_append(
+    new_vectors: DataFrame,
+    path: str,
+    k: int = IVF_CELLS,
+    iters: int = IVF_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Round-9 (r8 verdict task 7): grow a committed IVF index WITHOUT
+    retraining — assign each new vector to its nearest existing
+    centroid (the FAISS ``add()``-after-``train()`` discipline) and
+    append the assignments.  The centroids are FROZEN: queries over
+    the grown index probe the same cells, and the appended vectors are
+    exactly as findable as if they had been in the training set and
+    landed in the same cell (the probe scans whole cells).  Retrain by
+    deleting the artifact when drift warrants it — silently re-running
+    k-means here would invalidate every cached cell layout.
+
+    Replay-idempotent: already-assigned ids are anti-joined away, so a
+    crashed-and-replayed append adds exactly the missing remainder.
+    The params marker's ``version`` is bumped after the data append.
+    Raises if ``path`` holds no committed index or one built with
+    different hyperparameters.
+    """
+    spark = new_vectors.sparkSession
+    params = {
+        "kind": "ivf", "k": k, "iters": iters,
+        "id_col": id_col, "vec_col": vec_col,
+    }
+    if not _check_index_params(spark, path, params):
+        raise ValueError(
+            f"no committed IVF index at {path}; build it first "
+            "(ivf_index_persistent)"
+        )
+    cents = spark.read.parquet(f"{path}/centroids")
+    existing = (
+        spark.read.parquet(f"{path}/assignments").select(id_col).distinct()
+    )
+    fresh = new_vectors.join(existing, id_col, "left_anti")
+    _assign_cells(fresh, cents, id_col, vec_col).write.mode(
+        "append"
+    ).parquet(f"{path}/assignments")
+    _bump_index_version(spark, path)
+
+
+def lsh_index_append(
+    new_vectors: DataFrame,
+    path: str,
+    tables: int = ANN_LSH_TABLES,
+    planes_per_table: int = ANN_LSH_PLANES_PER_TABLE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Grow a committed LSH index: rehash the new vectors into bucket
+    rows with the SAME deterministic hyperplanes (a pure function of
+    (tables, planes) — no trained state), anti-join already-indexed
+    ids, append.  Unlike IVF there is no frozen-vs-retrained gap: the
+    grown artifact is bit-identical to a from-scratch rebuild over the
+    union (pytest-pinned).  Version bump after the data append;
+    replay-idempotent like :func:`ivf_index_append`.
+    """
+    spark = new_vectors.sparkSession
+    params = {
+        "kind": "lsh", "tables": tables,
+        "planes_per_table": planes_per_table,
+        "id_col": id_col, "vec_col": vec_col,
+    }
+    if not _check_index_params(spark, path, params):
+        raise ValueError(
+            f"no committed LSH index at {path}; build it first "
+            "(lsh_index_persistent)"
+        )
+    existing = (
+        spark.read.parquet(f"{path}/buckets").select(id_col).distinct()
+    )
+    fresh = new_vectors.join(existing, id_col, "left_anti")
+    banded_bucket_rows(
+        fresh, id_col, vec_col, tables, planes_per_table
+    ).write.mode("append").parquet(f"{path}/buckets")
+    _bump_index_version(spark, path)
 
 
 LSH_DUP_BANDS = 8
