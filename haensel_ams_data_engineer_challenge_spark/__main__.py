@@ -242,6 +242,34 @@ def _parser() -> argparse.ArgumentParser:
         "the regex token stream",
     )
 
+    ig = sub.add_parser(
+        "ingest",
+        help="streaming corpus ingestion: drain a feed dir into the "
+        "admitted store (WORK_DIR/admitted) with exact dedup vs "
+        "corpus + earlier batches, optionally the persisted-Bloom "
+        "prefilter and the near-dup tier (persisted MinHash band "
+        "index, probe + exact-verify + append)",
+    )
+    ig.add_argument("--corpus-parquet", required=True,
+                    help="static base corpus (dedup target)")
+    ig.add_argument("--feed-dir", required=True)
+    ig.add_argument("--work-dir", required=True)
+    ig.add_argument("--max-files-per-trigger", type=int, default=None)
+    ig.add_argument("--drop-gopher-fail", action="store_true",
+                    help="reject Gopher-quality failures at ingestion "
+                    "time, before dedup")
+    ig.add_argument("--bloom-state", action="store_true",
+                    help="persist the exact-tier Bloom bitmap at "
+                    "WORK_DIR/bloom_state instead of rebuilding it "
+                    "per micro-batch")
+    ig.add_argument("--near-dup", action="store_true",
+                    help="near-dup tier: probe + grow the MinHash "
+                    "band index at WORK_DIR/minhash_index")
+    ig.add_argument("--near-dup-threshold", type=float, default=None,
+                    help="exact-Jaccard acceptance for the near-dup "
+                    "tier (default operators.minhash_index."
+                    "NEAR_DUP_THRESHOLD)")
+
     mx = sub.add_parser(
         "mix",
         help="weighted interleave of corpora (training mixture weights); "
@@ -678,6 +706,30 @@ def main(argv: list[str] | None = None) -> int:
                 f"seq_len={args.seq_len} shards={stats['shards']} "
                 f"-> {args.work_dir}/shards (+ manifest)"
             )
+            return 0
+
+        if args.command == "ingest":
+            from .streaming.ingest import run_streaming_ingest
+
+            sink = f"{args.work_dir}/admitted"
+            run_streaming_ingest(
+                spark,
+                args.corpus_parquet,
+                args.feed_dir,
+                sink,
+                f"{args.work_dir}/checkpoint",
+                max_files_per_trigger=args.max_files_per_trigger,
+                drop_gopher_fail=args.drop_gopher_fail,
+                bloom_state_dir=(
+                    f"{args.work_dir}/bloom_state" if args.bloom_state else None
+                ),
+                near_dup_index_dir=(
+                    f"{args.work_dir}/minhash_index" if args.near_dup else None
+                ),
+                near_dup_threshold=args.near_dup_threshold,
+            )
+            n = spark.read.parquet(sink).count()
+            print(f"admitted_total={n} sink={sink}")
             return 0
 
         if args.command == "mix":

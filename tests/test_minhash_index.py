@@ -239,3 +239,54 @@ def test_streaming_ingest_near_dup_tier(spark, tmp_path):
     assert sorted(
         map(tuple, spark.read.parquet(f"{idx}/bands").collect())
     ) == before
+
+
+def test_cli_ingest_near_dup(spark, tmp_path, capsys):
+    """`ingest --near-dup --bloom-state`: the CLI drains the feed with
+    both dedup tiers; re-invocation (fresh checkpoint dir) admits
+    nothing more."""
+    from haensel_ams_data_engineer_challenge_spark.__main__ import main
+
+    schema = "doc_id long, text string, lang string, source string, n_chars int"
+
+    def _row(i, text):
+        return (i, text, "en", "synthetic", len(text))
+
+    corpus_path = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [_row(i, t) for i, t in CORPUS_ROWS], schema
+    ).write.parquet(corpus_path)
+    feed = str(tmp_path / "feed")
+    tmp = str(tmp_path / "__stage")
+    spark.createDataFrame(
+        [
+            _row(400, BASE + " tonight"),          # near-dup of corpus
+            _row(401, CORPUS_ROWS[1][1]),           # exact dup of corpus
+            _row(402, BATCH_ROWS[2][1]),            # novel -> admitted
+        ],
+        schema,
+    ).repartition(1).write.parquet(tmp)
+    os.makedirs(feed, exist_ok=True)
+    shutil.copy(_glob.glob(f"{tmp}/part-*.parquet")[0], f"{feed}/a.parquet")
+
+    work = str(tmp_path / "wd")
+    rc = main([
+        "ingest", "--corpus-parquet", corpus_path, "--feed-dir", feed,
+        "--work-dir", work, "--near-dup", "--bloom-state",
+    ])
+    assert rc == 0
+    assert "admitted_total=1" in capsys.readouterr().out
+    got = {r["doc_id"] for r in spark.read.parquet(f"{work}/admitted").collect()}
+    assert got == {402}
+    # both state artifacts exist
+    assert spark.read.parquet(f"{work}/minhash_index/bands").count() > 0
+    assert spark.read.parquet(f"{work}/bloom_state/bitmap").count() > 0
+
+    # replay with a fresh checkpoint: nothing more admitted
+    shutil.rmtree(f"{work}/checkpoint")
+    rc = main([
+        "ingest", "--corpus-parquet", corpus_path, "--feed-dir", feed,
+        "--work-dir", work, "--near-dup", "--bloom-state",
+    ])
+    assert rc == 0
+    assert "admitted_total=1" in capsys.readouterr().out
