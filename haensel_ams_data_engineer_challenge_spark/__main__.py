@@ -193,6 +193,14 @@ def _parser() -> argparse.ArgumentParser:
         "WORK_DIR/ann_index on first use (served from disk after)",
     )
     se.add_argument(
+        "--refresh-index",
+        action="store_true",
+        help="(ann) before querying, append corpus vectors missing "
+        "from the committed index — assign-to-frozen-centroids, no "
+        "retrain; without this, documents added after the index "
+        "build are invisible to ANN search",
+    )
+    se.add_argument(
         "--max-df-frac",
         type=float,
         default=None,
@@ -545,15 +553,29 @@ def main(argv: list[str] | None = None) -> int:
                 # use, served from disk after — the production shape)
                 from pyspark.sql import functions as F
 
-                from .operators.similarity import ann_topk_ivf, hash_embed
+                from .operators.similarity import (
+                    ann_topk_ivf,
+                    hash_embed,
+                    ivf_index_append,
+                )
 
                 dvecs = hash_embed(docs)
                 qvecs = hash_embed(queries, id_col="query_id")
+                index_path = f"{args.work_dir}/ann_index"
+                if args.refresh_index:
+                    try:
+                        # anti-joins already-indexed ids, so handing it
+                        # the full corpus appends exactly the new docs
+                        ivf_index_append(dvecs, index_path)
+                    except ValueError:
+                        # no committed index yet — the query below
+                        # builds it fresh over the full corpus anyway
+                        pass
                 hits = ann_topk_ivf(
                     dvecs,
                     qvecs,
                     k=args.k,
-                    index_path=f"{args.work_dir}/ann_index",
+                    index_path=index_path,
                 ).select(
                     "query_id",
                     F.col("neighbor_id").alias("doc_id"),

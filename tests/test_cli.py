@@ -596,3 +596,74 @@ def test_cli_report_corpus_stats(spark, sf_dir, tmp_path, capsys):
         assert r["min_value"] <= r["q25"] <= r["q50"] <= r["q75"] <= r["max_value"]
     src_rep = spark.read.parquet(f"{work}/report_source")
     assert src_rep.count() == docs.select("source").distinct().count()
+
+
+def test_cli_search_ann_refresh_index(spark, sf_dir, tmp_path, capsys):
+    """search --method ann --refresh-index (round 9): documents added
+    to the corpus after the index build are appended to the committed
+    artifact (frozen centroids, no retrain) and become findable;
+    without the flag they are invisible."""
+    import os
+
+    work = str(tmp_path / "wd")
+    sf1 = str(tmp_path / "sf1")
+    os.makedirs(sf1)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.write.parquet(f"{sf1}/documents.parquet")
+
+    new_text = (
+        "a genuinely new document about frozen centroid appends to a "
+        "committed inverted file index without any retraining at all"
+    )
+    qpath = str(tmp_path / "queries")
+    spark.createDataFrame(
+        [(9001, new_text)], "query_id long, text string"
+    ).write.parquet(qpath)
+
+    # build the index over the original corpus
+    rc = main([
+        "search", "--sf-dir", sf1, "--work-dir", work,
+        "--queries-parquet", qpath, "--method", "ann", "--k", "3",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+
+    # grown corpus in a fresh dir (same work dir -> same index)
+    sf2 = str(tmp_path / "sf2")
+    os.makedirs(sf2)
+    new_doc = spark.createDataFrame(
+        [(999999, new_text, "en", "synthetic", len(new_text))],
+        docs.schema,
+    )
+    docs.unionByName(new_doc).write.parquet(f"{sf2}/documents.parquet")
+
+    def _hit_ids():
+        return {
+            r["doc_id"]
+            for r in spark.read.parquet(f"{work}/search_hits").collect()
+        }
+
+    # stale index: the committed artifact is served verbatim, so the
+    # new doc cannot be a hit
+    rc = main([
+        "search", "--sf-dir", sf2, "--work-dir", work,
+        "--queries-parquet", qpath, "--method", "ann", "--k", "3",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    assert 999999 not in _hit_ids()
+
+    # refreshed: appended to its nearest frozen cell -> the query
+    # (identical text, identical hashed vector) finds it at rank 1
+    rc = main([
+        "search", "--sf-dir", sf2, "--work-dir", work,
+        "--queries-parquet", qpath, "--method", "ann", "--k", "3",
+        "--refresh-index",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    top = {
+        r["doc_id"]: r["rank"]
+        for r in spark.read.parquet(f"{work}/search_hits").collect()
+    }
+    assert top.get(999999) == 1
