@@ -196,9 +196,14 @@ def test_dedup_diamonds_stay_materialized(spark, sf_dir):
     bounds = {
         # entry -> max Generate operators (explode + posexplode) in the
         # FINAL executed plan (checkpointed subtrees run once, earlier)
-        # dedup_minhash_lsh: the capped band stream is checkpointed, so
-        # the final plan is pure self-join over the materialized rows
-        "dedup_minhash_lsh": 0,
+        # dedup_minhash_lsh: the full arm's capped band stream is
+        # checkpointed (pure self-join over materialized rows, 0);
+        # the round-9 index arm's verify stage re-expands the
+        # CANDIDATE-ONLY shingle streams per consumer (batch + index
+        # side, x inter/sizes) — the dedup_verify_candidates shape:
+        # candidate universes are LSH-bounded small, so recompute
+        # beats a checkpoint round-trip
+        "dedup_minhash_lsh": 4,
         "dedup_verify_candidates": 4,  # ngram a/b/sizes over candidates + pairs tail
         "contamination_check": 2,      # eval-side + bm25 query-term explodes;
                                        # ngram hits + bm25 postings checkpointed
