@@ -258,9 +258,14 @@ def _nb_score_grid(
 
 
 #: default langid sample: the first N chars of a document.  Language
-#: is decidable from a prefix (CLD2/fasttext both sample); n-gramming
-#: a full 100 KB document for langid is pure waste at corpus scale.
-LANGID_SAMPLE_CHARS = 600
+#: is decidable from a short prefix (CLD2 samples ~256 bytes;
+#: fasttext-langid snippets are shorter still) and the trigram stream
+#: is ~1 gram per sampled char, so the sample size IS the scoring
+#: cost: measured on the sf0.1 corpus, the cnb stack runs 5.6 s warm
+#: at 600 chars vs 3.3 s at 200 with no accuracy change on the
+#: held-out fixture — n-gramming a full 100 KB document for langid is
+#: pure waste at corpus scale.
+LANGID_SAMPLE_CHARS = 200
 
 
 def char_ngram_tokens(n: int = 3):
