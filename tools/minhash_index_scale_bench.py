@@ -106,14 +106,29 @@ def main() -> None:
                     )
                     if i > 0:
                         g = i // CLUSTER
+                        # SPACED salt words (2x the original word
+                        # count, deterministic per (text, group)):
+                        # within a group copies share the salt and
+                        # stay near-dups; across groups Jaccard drops
+                        # to ~0.2 — below the band collision knee, so
+                        # buckets hold ~CLUSTER docs at EVERY
+                        # multiplier.  (A single repeat(md5) mega-token
+                        # salt adds only ~3 shingles: all N copies of
+                        # an original then share one bucket, and at
+                        # 100x that crosses MAX_BAND_BUCKET — the
+                        # flood cap kills the cluster and the probe
+                        # "misses" its dups by design, an
+                        # unrepresentative corpus, not a probe defect.)
                         c = c.withColumn(
                             "text",
                             F.concat(
                                 F.col("text"),
                                 F.lit(f" grp{g} "),
                                 F.expr(
-                                    "repeat(md5(concat(text, 'g{g}')), "
-                                    "cast(ceil(length(text)/32) as int))".format(g=g)
+                                    r"""array_join(transform(
+                                        sequence(1, 2 * size(split(text, '\\s+'))),
+                                        i -> substr(md5(concat(text, '|g{g}|', i)), 1, 8)
+                                    ), ' ')""".format(g=g)
                                 ),
                                 F.lit(" tail "),
                                 F.col("doc_id").cast("string"),
