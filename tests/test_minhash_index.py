@@ -290,3 +290,49 @@ def test_cli_ingest_near_dup(spark, tmp_path, capsys):
     ])
     assert rc == 0
     assert "admitted_total=1" in capsys.readouterr().out
+
+
+def test_compact_preserves_rows_and_probe(spark, tmp_path):
+    """Compaction rewrites the append-fragmented band store into few
+    files with identical rows; probe results are unchanged; a torn
+    compact (marker deleted, swap not finished) is rebuildable."""
+    corpus = _docs(spark, CORPUS_ROWS)
+    path = str(tmp_path / "mhidx")
+    MI.minhash_index_build(corpus, path)
+    # fragment the store: three appends of disjoint batches
+    for i in range(3):
+        MI.minhash_index_append(
+            _docs(spark, [(500 + 10 * i + j, f"fragment batch {i} doc {j} "
+                           + " ".join(f"w{i}{j}{k}" for k in range(12)))
+                          for j in range(3)]),
+            path,
+        )
+    before = sorted(map(tuple, spark.read.parquet(f"{path}/bands").collect()))
+    n_files_before = len(_glob.glob(f"{path}/bands/part-*.parquet"))
+    assert n_files_before >= 4  # build + 3 append fragments
+
+    n = MI.minhash_index_compact(spark, path, target_partitions=1)
+    assert n == len(before)
+    after = sorted(map(tuple, spark.read.parquet(f"{path}/bands").collect()))
+    assert after == before
+    assert len(_glob.glob(f"{path}/bands/part-*.parquet")) == 1
+    # marker survived the swap: build-if-absent serves, append works
+    assert sorted(
+        map(tuple, MI.minhash_index_build(corpus.limit(1), path).collect())
+    ) == before
+
+    got = {
+        (r["doc_id"], r["dup_of"])
+        for r in MI.near_dup_probe(
+            _docs(spark, BATCH_ROWS),
+            spark.read.parquet(f"{path}/bands"), corpus,
+        ).collect()
+    }
+    assert {(101, 1), (102, 3)} <= got
+
+    # torn compact: marker gone -> builders rebuild instead of serving
+    shutil.rmtree(f"{path}/params")
+    rebuilt = MI.minhash_index_build(corpus, path)
+    assert rebuilt.count() > 0
+    with pytest.raises(ValueError, match="no committed"):
+        MI.minhash_index_compact(spark, str(tmp_path / "absent"))
