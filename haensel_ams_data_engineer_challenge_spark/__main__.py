@@ -277,6 +277,10 @@ def _parser() -> argparse.ArgumentParser:
                     help="exact-Jaccard acceptance for the near-dup "
                     "tier (default operators.minhash_index."
                     "NEAR_DUP_THRESHOLD)")
+    ig.add_argument("--compact-index", action="store_true",
+                    help="after the drain, rewrite the band index's "
+                    "per-batch append fragments as one compact store "
+                    "(torn-safe swap; requires --near-dup)")
 
     mx = sub.add_parser(
         "mix",
@@ -750,6 +754,13 @@ def main(argv: list[str] | None = None) -> int:
                 ),
                 near_dup_threshold=args.near_dup_threshold,
             )
+            if args.compact_index and args.near_dup:
+                from .operators.minhash_index import minhash_index_compact
+
+                n_bands = minhash_index_compact(
+                    spark, f"{args.work_dir}/minhash_index"
+                )
+                print(f"compacted_bands={n_bands}")
             n = spark.read.parquet(sink).count()
             print(f"admitted_total={n} sink={sink}")
             return 0

@@ -273,9 +273,13 @@ def test_cli_ingest_near_dup(spark, tmp_path, capsys):
     rc = main([
         "ingest", "--corpus-parquet", corpus_path, "--feed-dir", feed,
         "--work-dir", work, "--near-dup", "--bloom-state",
+        "--compact-index",
     ])
     assert rc == 0
-    assert "admitted_total=1" in capsys.readouterr().out
+    out = capsys.readouterr().out
+    assert "admitted_total=1" in out and "compacted_bands=" in out
+    # post-compact store is a single pass of files with the marker back
+    assert spark.read.parquet(f"{work}/minhash_index/params").count() > 0
     got = {r["doc_id"] for r in spark.read.parquet(f"{work}/admitted").collect()}
     assert got == {402}
     # both state artifacts exist
