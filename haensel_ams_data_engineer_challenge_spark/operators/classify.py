@@ -117,6 +117,19 @@ def nb_classify_docs(
         docs_meta = materialize(
             toks.select("__did", F.size("__t").cast("double").alias("__n"))
         )
+    cls, lnp = _nb_train(train_ex, n_doc_c, n_docs_total)
+    return _nb_score(ex, docs_meta, cls, lnp, id_col, out_prefix)
+
+
+def _nb_train(
+    train_ex: DataFrame, n_doc_c: DataFrame, n_docs_total: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """The trained model as two tables: ``cls`` (__lbl, __prior_s,
+    __lnp0_s, __denom — quantized prior + unseen-term log-prob per
+    class) and ``lnp`` (__mlbl, term, __lnp_s — quantized per-(term,
+    class) log-probs).  Everything scoring needs, nothing doc-bound —
+    which is what makes the model a persistable artifact
+    (:func:`nb_model_build`)."""
     counts = materialize(
         train_ex.groupBy("__lbl", "term").agg(
             F.count(F.lit(1)).cast("double").alias("__c")
@@ -151,6 +164,18 @@ def nb_classify_docs(
         .cast("double")
         .alias("__lnp_s"),
     )
+    return cls, lnp
+
+
+def _nb_score(
+    ex: DataFrame,
+    docs_meta: DataFrame,
+    cls: DataFrame,
+    lnp: DataFrame,
+    id_col: str,
+    out_prefix: str,
+) -> DataFrame:
+    q = F.lit(1000000.0)
     # class table driver-side: k rows, the same broadcast-class
     # collect precedent as sampling.py's per-stratum counts.  Few
     # classes (the filtering regime: language/domain/quality labels)
@@ -255,6 +280,92 @@ def _nb_score_grid(
             F.struct((-F.col("__score_s")).alias("ns"), F.col("__lbl").alias("l"))
         ).alias("__b")
     )
+
+
+def nb_model_build(
+    train_docs: DataFrame,
+    path: str,
+    label_col: str = "lang",
+    text_col: str = "text",
+    tokens_col: str | None = None,
+    feature: str = "search_tokens",
+) -> tuple[DataFrame, DataFrame]:
+    """Round-9: the classifier as a PERSISTED ARTIFACT — train once on
+    a labeled slice, save under the commit-marker protocol
+    (similarity.py: ``{path}/terms`` + ``{path}/classes`` first,
+    ``{path}/params`` LAST), score any number of later batches with
+    :func:`nb_classify_model`.  The production shape: CCNet/DCLM train
+    their quality/langid classifier once and apply it across every
+    ingestion run; retraining per batch would both waste the training
+    pass and silently drift the filter.
+
+    ``feature`` names the tokenizer contract the model was trained
+    under (e.g. ``"search_tokens"``, ``"char_trigram_200"``); it is
+    pinned in the params marker, so loading with a different feature
+    string raises instead of silently scoring mismatched tokens.
+
+    Returns (terms, classes) READ FROM DISK — parquet round-trips
+    doubles exactly, so scores are bit-identical to the training
+    session's.
+    """
+    from .similarity import _check_index_params, _write_index_params
+
+    spark = train_docs.sparkSession
+    params = {"kind": "nb", "label_col": label_col, "feature": feature}
+    if not _check_index_params(spark, path, params):
+        src = (
+            F.col(tokens_col) if tokens_col is not None
+            else search_tokens(text_col)
+        )
+        ttoks = train_docs.select(
+            F.col(label_col).alias("__lbl"), src.alias("__t")
+        ).filter(F.size("__t") > 0)
+        train_ex = ttoks.select("__lbl", F.explode("__t").alias("term"))
+        tmeta = materialize(
+            ttoks.groupBy("__lbl").agg(
+                F.count(F.lit(1)).cast("double").alias("__ndoc")
+            )
+        )
+        cls, lnp = _nb_train(
+            train_ex, tmeta, tmeta.agg(F.sum("__ndoc").alias("__ndocs"))
+        )
+        lnp.write.mode("overwrite").parquet(f"{path}/terms")
+        cls.write.mode("overwrite").parquet(f"{path}/classes")
+        _write_index_params(spark, path, {**params, "version": 1})
+    return (
+        spark.read.parquet(f"{path}/terms"),
+        spark.read.parquet(f"{path}/classes"),
+    )
+
+
+def nb_classify_model(
+    docs: DataFrame,
+    terms: DataFrame,
+    classes: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str | None = None,
+    out_prefix: str = "nb",
+) -> DataFrame:
+    """Score ``docs`` against a trained model (the
+    :func:`nb_model_build` artifact or the in-memory ``_nb_train``
+    output) — no training pass.  Tokenization MUST match the model's
+    ``feature`` contract (the artifact pins it).  Output identical in
+    shape and semantics to :func:`nb_classify_docs`; unseen-term and
+    zero-overlap-class handling identical (the model carries the
+    per-class unseen log-prob)."""
+    src = (
+        F.col(tokens_col) if tokens_col is not None
+        else search_tokens(text_col)
+    )
+    toks = docs.select(
+        F.col(id_col).alias("__did"), src.alias("__t")
+    ).filter(F.size("__t") > 0)
+    ex = toks.select("__did", F.explode("__t").alias("term"))
+    docs_meta = materialize(
+        toks.select("__did", F.size("__t").cast("double").alias("__n"))
+    )
+    return _nb_score(ex, docs_meta, classes, terms, id_col, out_prefix)
 
 
 #: default langid sample: the first N chars of a document.  Language

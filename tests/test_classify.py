@@ -7,6 +7,8 @@ import math
 import re
 from collections import Counter, defaultdict
 
+import pytest
+
 from haensel_ams_data_engineer_challenge_spark.operators.classify import (
     nb_classify_docs,
 )
@@ -213,3 +215,75 @@ def test_held_out_langid_beats_heuristic(spark):
     assert scored["nb"] is not None and scored["heur"] is not None
     assert scored["nb"] > scored["heur"]  # strictly: the stopword-free half
     assert scored["nb"] == 1.0  # trigram NB nails every held-out doc
+
+
+def test_nb_model_artifact_bit_equal_and_committed(spark, sf_dir, tmp_path):
+    """nb_model_build + nb_classify_model == self-trained
+    nb_classify_docs, bit for bit (parquet round-trips doubles
+    exactly); marker protocol: feature mismatch refuses, torn build
+    retrains."""
+    import shutil
+
+    from haensel_ams_data_engineer_challenge_spark.operators.classify import (
+        nb_classify_docs,
+        nb_classify_model,
+        nb_model_build,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "nb_model")
+    terms, classes = nb_model_build(docs, path)
+    got = sorted(map(tuple, nb_classify_model(docs, terms, classes).collect()))
+    want = sorted(map(tuple, nb_classify_docs(docs).collect()))
+    assert got == want
+
+    with pytest.raises(ValueError, match="built with"):
+        nb_model_build(docs, path, feature="char_trigram_200")
+    # committed artifact served as-is: building from a different frame
+    # is a no-op read (scores still match the original training set)
+    t2, c2 = nb_model_build(docs.limit(3), path)
+    assert sorted(
+        map(tuple, nb_classify_model(docs, t2, c2).collect())
+    ) == want
+    # torn build (no marker) -> retrained
+    shutil.rmtree(f"{path}/params")
+    t3, c3 = nb_model_build(docs, path)
+    assert sorted(
+        map(tuple, nb_classify_model(docs, t3, c3).collect())
+    ) == want
+
+
+def test_nb_model_matches_train_docs_path(spark):
+    """Scoring held-out docs with the artifact == the in-query
+    train_docs= split path."""
+    from haensel_ams_data_engineer_challenge_spark.operators.classify import (
+        char_ngram_tokens_col,
+        nb_classify_docs,
+        nb_classify_model,
+        _nb_train,
+    )
+    from pyspark.sql import functions as F
+
+    train_rows, held_rows = _langid_fixture()
+    schema = "doc_id long, lang string, text string"
+    train = char_ngram_tokens_col(spark.createDataFrame(train_rows, schema))
+    held = char_ngram_tokens_col(spark.createDataFrame(held_rows, schema))
+
+    want = sorted(map(tuple, nb_classify_docs(
+        held, tokens_col="__cg", out_prefix="cnb", train_docs=train
+    ).collect()))
+
+    ttoks = train.select(
+        F.col("lang").alias("__lbl"), F.col("__cg").alias("__t")
+    ).filter(F.size("__t") > 0)
+    train_ex = ttoks.select("__lbl", F.explode("__t").alias("term"))
+    tmeta = ttoks.groupBy("__lbl").agg(
+        F.count(F.lit(1)).cast("double").alias("__ndoc")
+    )
+    cls, lnp = _nb_train(
+        train_ex, tmeta, tmeta.agg(F.sum("__ndoc").alias("__ndocs"))
+    )
+    got = sorted(map(tuple, nb_classify_model(
+        held, lnp, cls, tokens_col="__cg", out_prefix="cnb"
+    ).collect()))
+    assert got == want
