@@ -250,6 +250,31 @@ def _parser() -> argparse.ArgumentParser:
         "the regex token stream",
     )
 
+    cl = sub.add_parser(
+        "classify",
+        help="NB document classifier with a persisted train-once "
+        "model artifact: build (or load) the model, score the corpus, "
+        "write per-doc predictions",
+    )
+    cl_src = cl.add_mutually_exclusive_group(required=True)
+    cl_src.add_argument("--sf-dir")
+    cl_src.add_argument("--docs-parquet")
+    cl.add_argument("--work-dir", required=True)
+    cl.add_argument("--model-dir", default=None,
+                    help="model artifact location (default "
+                    "WORK_DIR/nb_model); committed models are served "
+                    "as-is, a feature/label mismatch refuses")
+    cl.add_argument("--train-parquet", default=None,
+                    help="labeled training docs (doc_id, text, "
+                    "LABEL_COL); default = self-train on the scored "
+                    "corpus")
+    cl.add_argument("--label-col", default="lang")
+    cl.add_argument("--feature", choices=("search_tokens", "char_trigram"),
+                    default="search_tokens",
+                    help="tokenizer contract, pinned in the model "
+                    "marker (char_trigram = langid-style lowercase "
+                    "trigrams of a document prefix)")
+
     ig = sub.add_parser(
         "ingest",
         help="streaming corpus ingestion: drain a feed dir into the "
@@ -731,6 +756,50 @@ def main(argv: list[str] | None = None) -> int:
                 f"seqs={stats['seqs']} tokens={stats['tokens']} "
                 f"seq_len={args.seq_len} shards={stats['shards']} "
                 f"-> {args.work_dir}/shards (+ manifest)"
+            )
+            return 0
+
+        if args.command == "classify":
+            from .operators.classify import (
+                LANGID_SAMPLE_CHARS,
+                char_ngram_tokens_col,
+                nb_classify_model,
+                nb_model_build,
+            )
+            from .sources import load_table
+
+            docs = (
+                load_table(spark, args.sf_dir, "documents")
+                if args.sf_dir
+                else spark.read.parquet(args.docs_parquet)
+            )
+            train = (
+                spark.read.parquet(args.train_parquet)
+                if args.train_parquet
+                else docs
+            )
+            tokens_col = None
+            feature = "search_tokens"
+            if args.feature == "char_trigram":
+                train = char_ngram_tokens_col(train)
+                docs = char_ngram_tokens_col(docs)
+                tokens_col = "__cg"
+                feature = f"char_trigram_{LANGID_SAMPLE_CHARS}"
+            model_dir = args.model_dir or f"{args.work_dir}/nb_model"
+            terms, classes = nb_model_build(
+                train, model_dir, label_col=args.label_col,
+                tokens_col=tokens_col, feature=feature,
+            )
+            pred = nb_classify_model(
+                docs, terms, classes, tokens_col=tokens_col
+            )
+            out = f"{args.work_dir}/predictions"
+            pred.write.mode("overwrite").parquet(out)
+            n = spark.read.parquet(out).count()
+            n_classes = classes.count()
+            print(
+                f"model={model_dir} classes={n_classes} "
+                f"scored={n} -> {out}"
             )
             return 0
 

@@ -667,3 +667,47 @@ def test_cli_search_ann_refresh_index(spark, sf_dir, tmp_path, capsys):
         for r in spark.read.parquet(f"{work}/search_hits").collect()
     }
     assert top.get(999999) == 1
+
+
+def test_cli_classify_model_artifact(spark, sf_dir, tmp_path, capsys):
+    """classify: first run trains + persists the model and scores the
+    corpus; second run SERVES the committed artifact (predictions
+    identical); char_trigram feature trains the langid form from a
+    labeled parquet."""
+    work = str(tmp_path / "wd")
+    rc = main(["classify", "--sf-dir", sf_dir, "--work-dir", work])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "scored=" in out and f"model={work}/nb_model" in out
+    first = sorted(
+        map(tuple, spark.read.parquet(f"{work}/predictions").collect())
+    )
+    assert first
+    # re-run: model served from disk, predictions identical
+    rc = main(["classify", "--sf-dir", sf_dir, "--work-dir", work])
+    assert rc == 0
+    capsys.readouterr()
+    assert sorted(
+        map(tuple, spark.read.parquet(f"{work}/predictions").collect())
+    ) == first
+
+    # trained-split langid form: labeled train parquet + char trigrams
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tp = str(tmp_path / "train")
+    docs.limit(50).write.parquet(tp)
+    work2 = str(tmp_path / "wd2")
+    rc = main([
+        "classify", "--sf-dir", sf_dir, "--work-dir", work2,
+        "--train-parquet", tp, "--feature", "char_trigram",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    pred = spark.read.parquet(f"{work2}/predictions")
+    assert pred.count() > 0
+    assert {"doc_id", "nb_pred", "nb_logp"} <= set(pred.columns)
+    # the marker pinned the trigram feature: loading the same model
+    # dir under the default feature refuses
+    rc = main([
+        "classify", "--sf-dir", sf_dir, "--work-dir", work2,
+    ])
+    assert rc == 1
