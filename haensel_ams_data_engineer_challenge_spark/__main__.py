@@ -806,6 +806,11 @@ def main(argv: list[str] | None = None) -> int:
         if args.command == "ingest":
             from .streaming.ingest import run_streaming_ingest
 
+            if args.compact_index and not args.near_dup:
+                print("--compact-index requires --near-dup "
+                      "(there is no band index without it)",
+                      file=sys.stderr)
+                return 1
             sink = f"{args.work_dir}/admitted"
             run_streaming_ingest(
                 spark,

@@ -195,13 +195,18 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
         doc_src = os.path.join(sf, "documents.parquet")
         try:
             mt = os.stat(doc_src).st_mtime_ns
+            idx_path = os.path.join(
+                tempfile.gettempdir(),
+                "spark_graft_mhidx_"
+                + hashlib.md5(f"{doc_src}|{mt}".encode()).hexdigest()[:12],
+            )
         except OSError:
-            mt = 0
-        key = hashlib.md5(f"{doc_src}|{mt}".encode()).hexdigest()[:12]
-        bands = MI.minhash_index_build(
-            idx_part,
-            os.path.join(tempfile.gettempdir(), f"spark_graft_mhidx_{key}"),
-        )
+            # sf_dir the driver cannot stat (object store): no safe
+            # content key -> fresh dir per call.  Rebuilding is only
+            # slower; a pinned key could serve a STALE index after the
+            # source regenerates, which is a correctness bug
+            idx_path = tempfile.mkdtemp(prefix="spark_graft_mhidx_")
+        bands = MI.minhash_index_build(idx_part, idx_path)
         probe = MI.near_dup_probe(batch_part, bands, idx_part).select(
             F.lit("index").alias("method"),
             F.col("doc_id").alias("id_a"),

@@ -98,6 +98,7 @@ def decode_image_meta(
     payload_col: str = "payload",
     id_col: str = "doc_id",
     passthrough: tuple[str, ...] = (),
+    try_header: bool = True,
 ) -> DataFrame:
     """mapInPandas decode: (id, n_bytes, format, width, height, decoder).
 
@@ -112,6 +113,12 @@ def decode_image_meta(
     decode unchanged (appended after the decode schema) — the way a
     real pipeline keeps source metadata next to decoded media without
     a re-join.
+
+    ``try_header=False`` skips the real header parse — for callers
+    whose payloads are KNOWN not to be images (the text-bytes stub
+    arm): 'GIF87a' is pure ASCII, so a document that happens to start
+    with it would otherwise header-parse, while the arm's oracle twin
+    models only the fake decode.
     """
     schema = DECODE_SCHEMA
     if passthrough:
@@ -138,10 +145,11 @@ def decode_image_meta(
                 return fmt, w, h, "fake"
 
         def one(payload: bytes) -> tuple[str, int, int, str]:
-            parsed = parse_image_header(payload)
-            if parsed is not None:
-                fmt, w, h = parsed
-                return fmt, w, h, "header"
+            if try_header:
+                parsed = parse_image_header(payload)
+                if parsed is not None:
+                    fmt, w, h = parsed
+                    return fmt, w, h, "header"
             return codec(payload)
 
         for pdf in batches:
@@ -244,12 +252,14 @@ def decode_stub_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Hash-checked against ``DECODE_STUB_SQL``: the fake decode is pure
     md5-byte arithmetic, so DuckDB mirrors it with hex substrings
-    (text payloads never parse as real images, so the Pillow branch —
+    (``try_header=False``: PNG/JPEG signatures cannot occur in UTF-8
+    text, but 'GIF87a' is pure ASCII — a document starting with it
+    would header-parse and diverge from this twin; the Pillow branch —
     when Pillow even exists — always falls back to the same fake)."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
-    return decode_image_meta(docs)
+    return decode_image_meta(docs, try_header=False)
 
 
 def _hex_int(start: int, n: int) -> str:
@@ -299,7 +309,9 @@ def multimodal_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
-    decoded = decode_image_meta(docs)
+    # text-bytes stand-in payloads: fake-decode only (see
+    # decode_stub_query — an ASCII 'GIF87a' prefix would header-parse)
+    decoded = decode_image_meta(docs, try_header=False)
     resized = resize_image_meta(docs).select(
         "doc_id",
         F.col("width").alias("r_width"),

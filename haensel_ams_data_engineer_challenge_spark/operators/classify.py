@@ -44,6 +44,37 @@ from ..checkpoint import materialize
 from .retrieval import search_tokens
 
 
+def _nb_stage_train(train_docs, src, label_col: str):
+    """Shared train-side staging: (train_ex, tmeta) — the exploded
+    (label, term) stream and the materialized per-class doc counts.
+    One definition so the self-train, train_docs= and persisted-model
+    paths can never drift on the staging contract (the size>0 filter,
+    the double casts)."""
+    ttoks = train_docs.select(
+        F.col(label_col).alias("__lbl"), src.alias("__t")
+    ).filter(F.size("__t") > 0)
+    train_ex = ttoks.select("__lbl", F.explode("__t").alias("term"))
+    tmeta = materialize(
+        ttoks.groupBy("__lbl").agg(
+            F.count(F.lit(1)).cast("double").alias("__ndoc")
+        )
+    )
+    return train_ex, tmeta
+
+
+def _nb_stage_score(docs, src, id_col: str):
+    """Shared score-side staging: (ex, docs_meta) — the exploded
+    (doc, term) stream and the materialized per-doc token counts."""
+    toks = docs.select(
+        F.col(id_col).alias("__did"), src.alias("__t")
+    ).filter(F.size("__t") > 0)
+    ex = toks.select("__did", F.explode("__t").alias("term"))
+    docs_meta = materialize(
+        toks.select("__did", F.size("__t").cast("double").alias("__n"))
+    )
+    return ex, docs_meta
+
+
 def nb_classify_docs(
     docs: DataFrame,
     label_col: str = "lang",
@@ -99,24 +130,10 @@ def nb_classify_docs(
             F.count(F.lit(1)).cast("double").alias("__ndocs")
         )
     else:
-        ttoks = train_docs.select(
-            F.col(label_col).alias("__lbl"), src.alias("__t")
-        ).filter(F.size("__t") > 0)
-        train_ex = ttoks.select("__lbl", F.explode("__t").alias("term"))
-        tmeta = materialize(
-            ttoks.groupBy("__lbl").agg(
-                F.count(F.lit(1)).cast("double").alias("__ndoc")
-            )
-        )
+        train_ex, tmeta = _nb_stage_train(train_docs, src, label_col)
         n_doc_c = tmeta
         n_docs_total = tmeta.agg(F.sum("__ndoc").alias("__ndocs"))
-        toks = docs.select(
-            F.col(id_col).alias("__did"), src.alias("__t")
-        ).filter(F.size("__t") > 0)
-        ex = toks.select("__did", F.explode("__t").alias("term"))
-        docs_meta = materialize(
-            toks.select("__did", F.size("__t").cast("double").alias("__n"))
-        )
+        ex, docs_meta = _nb_stage_score(docs, src, id_col)
     cls, lnp = _nb_train(train_ex, n_doc_c, n_docs_total)
     return _nb_score(ex, docs_meta, cls, lnp, id_col, out_prefix)
 
@@ -187,6 +204,12 @@ def _nb_score(
             for r in cls.collect()
         ),
     )
+    if not cls_rows:
+        raise ValueError(
+            "NB scoring needs at least one trained class — the model "
+            "is empty (training docs had no tokens, or a torn/empty "
+            "artifact was loaded)"
+        )
     if len(cls_rows) <= NB_PIVOT_MAX_CLASSES:
         scored = _nb_score_pivot(ex, docs_meta, lnp, cls_rows)
     else:
@@ -317,15 +340,15 @@ def nb_model_build(
             F.col(tokens_col) if tokens_col is not None
             else search_tokens(text_col)
         )
-        ttoks = train_docs.select(
-            F.col(label_col).alias("__lbl"), src.alias("__t")
-        ).filter(F.size("__t") > 0)
-        train_ex = ttoks.select("__lbl", F.explode("__t").alias("term"))
-        tmeta = materialize(
-            ttoks.groupBy("__lbl").agg(
-                F.count(F.lit(1)).cast("double").alias("__ndoc")
+        train_ex, tmeta = _nb_stage_train(train_docs, src, label_col)
+        # fail BEFORE committing: a zero-class model (every training
+        # doc tokenized to nothing) would otherwise persist a marker
+        # over an empty model and crash every later scoring run
+        if tmeta.limit(1).count() == 0:
+            raise ValueError(
+                "nb_model_build: training produced zero classes "
+                "(no training doc has any token) — nothing committed"
             )
-        )
         cls, lnp = _nb_train(
             train_ex, tmeta, tmeta.agg(F.sum("__ndoc").alias("__ndocs"))
         )
@@ -358,13 +381,7 @@ def nb_classify_model(
         F.col(tokens_col) if tokens_col is not None
         else search_tokens(text_col)
     )
-    toks = docs.select(
-        F.col(id_col).alias("__did"), src.alias("__t")
-    ).filter(F.size("__t") > 0)
-    ex = toks.select("__did", F.explode("__t").alias("term"))
-    docs_meta = materialize(
-        toks.select("__did", F.size("__t").cast("double").alias("__n"))
-    )
+    ex, docs_meta = _nb_stage_score(docs, src, id_col)
     return _nb_score(ex, docs_meta, classes, terms, id_col, out_prefix)
 
 

@@ -45,6 +45,77 @@ RESULT_SCHEMA = (
 )
 
 
+def _chunk_loop(
+    call: Callable,
+    chunk_rows: int,
+    rate_limit_delay: float,
+    max_retries: int,
+    retry_delay: float,
+    fail_fast: bool,
+    emit: Callable,
+):
+    """The ONE chunk-buffering / throttle / retry skeleton behind both
+    chunk operators (audit-only and scoring) — a fix to its subtleties
+    (the sleep-before-retry branch, the fail_fast contract) lands in
+    both by construction.  ``emit(pid, chunk_index, n_rows, attempts,
+    ok, error, result) -> pandas.DataFrame`` renders each chunk's
+    outcome; ``result`` is ``call``'s return value (None on failure).
+    """
+
+    def run(batches):
+        import time
+
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        buf: list = []
+        n_buf = 0
+        chunk_index = 0
+        first_call_done = False
+
+        def flush(frames, n):
+            nonlocal chunk_index, first_call_done
+            chunk = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+            attempts = 0
+            ok, err, result = False, None, None
+            while attempts < max_retries and not ok:
+                if first_call_done:
+                    # the reference sleeps BETWEEN requests (after a
+                    # response, before the next), not before the first
+                    time.sleep(rate_limit_delay if attempts == 0 else retry_delay)
+                attempts += 1
+                first_call_done = True
+                try:
+                    result = call(chunk)
+                    ok, err = True, None
+                except Exception as e:  # noqa: BLE001 — recorded, not dropped
+                    err = f"{type(e).__name__}: {e}"
+            if not ok and fail_fast:
+                raise RuntimeError(
+                    f"chunk {chunk_index} of partition {pid} failed after "
+                    f"{attempts} attempts: {err}"
+                )
+            row = emit(pid, chunk_index, n, attempts, ok, err, result)
+            chunk_index += 1
+            return row
+
+        for pdf in batches:
+            start = 0
+            while start < len(pdf):
+                take = min(chunk_rows - n_buf, len(pdf) - start)
+                buf.append(pdf.iloc[start : start + take])
+                n_buf += take
+                start += take
+                if n_buf == chunk_rows:
+                    yield flush(buf, n_buf)
+                    buf, n_buf = [], 0
+        if n_buf:
+            yield flush(buf, n_buf)
+
+    return run
+
+
 def rate_limited_call_chunks(
     df: DataFrame,
     call: Callable,
@@ -69,67 +140,27 @@ def rate_limited_call_chunks(
     if max_retries < 1:
         raise ValueError(f"max_retries must be >= 1, got {max_retries}")
 
-    def run(batches):
-        import time
-
+    def emit(pid, chunk_index, n, attempts, ok, err, _result):
         import pandas as pd
-        from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
-        buf: list = []
-        n_buf = 0
-        chunk_index = 0
-        first_call_done = False
+        return pd.DataFrame(
+            {
+                "partition_id": [pid],
+                "chunk_index": [chunk_index],
+                "n_rows": [n],
+                "attempts": [attempts],
+                "ok": [ok],
+                "error": [err],
+            }
+        )
 
-        def flush(frames, n):
-            nonlocal chunk_index, first_call_done
-            chunk = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
-            attempts = 0
-            ok, err = False, None
-            while attempts < max_retries and not ok:
-                if first_call_done:
-                    # the reference sleeps BETWEEN requests (after a
-                    # response, before the next), not before the first
-                    time.sleep(rate_limit_delay if attempts == 0 else retry_delay)
-                attempts += 1
-                first_call_done = True
-                try:
-                    call(chunk)
-                    ok, err = True, None
-                except Exception as e:  # noqa: BLE001 — recorded, not dropped
-                    err = f"{type(e).__name__}: {e}"
-            if not ok and fail_fast:
-                raise RuntimeError(
-                    f"chunk {chunk_index} of partition {pid} failed after "
-                    f"{attempts} attempts: {err}"
-                )
-            row = pd.DataFrame(
-                {
-                    "partition_id": [pid],
-                    "chunk_index": [chunk_index],
-                    "n_rows": [n],
-                    "attempts": [attempts],
-                    "ok": [ok],
-                    "error": [err],
-                }
-            )
-            chunk_index += 1
-            return row
-
-        for pdf in batches:
-            start = 0
-            while start < len(pdf):
-                take = min(chunk_rows - n_buf, len(pdf) - start)
-                buf.append(pdf.iloc[start : start + take])
-                n_buf += take
-                start += take
-                if n_buf == chunk_rows:
-                    yield flush(buf, n_buf)
-                    buf, n_buf = [], 0
-        if n_buf:
-            yield flush(buf, n_buf)
-
-    return df.mapInPandas(run, RESULT_SCHEMA)
+    return df.mapInPandas(
+        _chunk_loop(
+            call, chunk_rows, rate_limit_delay, max_retries, retry_delay,
+            fail_fast, emit,
+        ),
+        RESULT_SCHEMA,
+    )
 
 
 #: rate_limited_score_chunks output: the score triplet + the chunk's
@@ -174,73 +205,36 @@ def rate_limited_score_chunks(
     if max_retries < 1:
         raise ValueError(f"max_retries must be >= 1, got {max_retries}")
 
-    def run(batches):
-        import time
-
+    def emit(pid, chunk_index, n, attempts, ok, err, scores):
         import pandas as pd
-        from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
-        buf: list = []
-        n_buf = 0
-        chunk_index = 0
-        first_call_done = False
+        if ok and scores is not None and len(scores) > 0:
+            out = pd.DataFrame(
+                {
+                    "conv_id": scores["conv_id"].astype(str),
+                    "session_id": scores["session_id"].astype(str),
+                    "ihc": scores["ihc"].astype(float),
+                }
+            )
+        else:
+            out = pd.DataFrame(
+                {"conv_id": [None], "session_id": [None], "ihc": [None]}
+            )
+        out["partition_id"] = pid
+        out["chunk_index"] = chunk_index
+        out["n_rows"] = n
+        out["attempts"] = attempts
+        out["ok"] = ok
+        out["error"] = err
+        return out
 
-        def flush(frames, n):
-            nonlocal chunk_index, first_call_done
-            chunk = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
-            attempts = 0
-            ok, err, scores = False, None, None
-            while attempts < max_retries and not ok:
-                if first_call_done:
-                    time.sleep(rate_limit_delay if attempts == 0 else retry_delay)
-                attempts += 1
-                first_call_done = True
-                try:
-                    scores = call(chunk)
-                    ok, err = True, None
-                except Exception as e:  # noqa: BLE001 — recorded, not dropped
-                    err = f"{type(e).__name__}: {e}"
-            if not ok and fail_fast:
-                raise RuntimeError(
-                    f"chunk {chunk_index} of partition {pid} failed after "
-                    f"{attempts} attempts: {err}"
-                )
-            if ok and scores is not None and len(scores) > 0:
-                out = pd.DataFrame(
-                    {
-                        "conv_id": scores["conv_id"].astype(str),
-                        "session_id": scores["session_id"].astype(str),
-                        "ihc": scores["ihc"].astype(float),
-                    }
-                )
-            else:
-                out = pd.DataFrame(
-                    {"conv_id": [None], "session_id": [None], "ihc": [None]}
-                )
-            out["partition_id"] = pid
-            out["chunk_index"] = chunk_index
-            out["n_rows"] = n
-            out["attempts"] = attempts
-            out["ok"] = ok
-            out["error"] = err
-            chunk_index += 1
-            return out
-
-        for pdf in batches:
-            start = 0
-            while start < len(pdf):
-                take = min(chunk_rows - n_buf, len(pdf) - start)
-                buf.append(pdf.iloc[start : start + take])
-                n_buf += take
-                start += take
-                if n_buf == chunk_rows:
-                    yield flush(buf, n_buf)
-                    buf, n_buf = [], 0
-        if n_buf:
-            yield flush(buf, n_buf)
-
-    return df.mapInPandas(run, SCORE_RESULT_SCHEMA)
+    return df.mapInPandas(
+        _chunk_loop(
+            call, chunk_rows, rate_limit_delay, max_retries, retry_delay,
+            fail_fast, emit,
+        ),
+        SCORE_RESULT_SCHEMA,
+    )
 
 
 def http_ihc_scorer(

@@ -15,11 +15,20 @@ Reference analogue: the incremental-skip pattern (db_utils.py:260-302
 applied to the near-dup tier, which the reference has no equivalent
 for.
 
-Scale shape: the per-batch cost is O(batch bands) + one equi-join
-against the index bucket stream — the corpus text is touched only for
-the candidate sliver (the verify join), never re-shingled.  The index
-grows by appended parquet files; no rewrite, no compaction required
-for correctness (band rows are immutable facts about a doc).
+Scale shape: the per-batch SHUFFLE cost is O(batch bands) — the batch
+side broadcasts into the band equi-join, so the index is never
+shuffled — and the corpus text is touched only for the candidate
+sliver (the verify join), never re-shingled.  Two index-wide SCANS
+remain per batch (honest accounting): the flood-cap bucket histogram
+in the probe and the already-indexed-id anti-join in the append, both
+map-side-combined aggregations over the column-pruned band store.
+Scans parallelize flat with executors; if they ever dominate, the
+next step is maintaining the histogram and an id roster as artifact
+sidecars updated at append time (the Bloom-state pattern), not
+changing the probe shape.  The index grows by appended parquet files;
+correctness never requires compaction (band rows are immutable facts
+about a doc), and `minhash_index_compact` exists for the small-files
+hygiene.
 """
 
 from __future__ import annotations
@@ -154,9 +163,18 @@ def minhash_index_compact(
     def p(sub: str):
         return jvm.org.apache.hadoop.fs.Path(f"{path}/{sub}")
 
+    # Hadoop FileSystem delete/rename report failure by RETURNING
+    # false, not raising — an unchecked rename would let the marker
+    # rewrite below commit an artifact whose band store is GONE (and
+    # _check_index_params would then keep serving it).  Any failed
+    # step raises with the marker still deleted = torn = rebuildable.
     fs.delete(p("params"), True)          # -> torn: builders rebuild
-    fs.delete(p("bands"), True)
-    fs.rename(p("bands_compact"), p("bands"))
+    if not fs.delete(p("bands"), True):
+        raise IOError(f"compact: failed to delete {path}/bands "
+                      "(marker removed; artifact is torn/rebuildable)")
+    if not fs.rename(p("bands_compact"), p("bands")):
+        raise IOError(f"compact: failed to rename {path}/bands_compact "
+                      "(marker removed; artifact is torn/rebuildable)")
     _write_index_params(spark, path, params)
     return n_rows
 

@@ -40,15 +40,38 @@ ATTRIBUTION_DDL: dict[str, str] = {
 }
 
 
+#: AnalysisException conditions meaning "no data here yet" — the only
+#: ones sink-existence probes may tolerate (the streaming/ingest.py
+#: round-7 discipline; anything else re-raises).
+_MISSING_SINK = {"PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"}
+
+
+def try_read_sink(spark: SparkSession, path: str) -> DataFrame | None:
+    """Probe a sink THROUGH Spark, not os.path: on HDFS/S3/ABFS a
+    driver-local ``isdir()`` is always False, silently disabling every
+    existence-dependent behavior (round-6 ingest lesson, applied to
+    the batch sinks in round 9).  Returns the DataFrame when readable,
+    None when the path holds no data yet; an existing-yet-unreadable
+    sink re-raises."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = spark.read.parquet(path)
+        df.schema  # force resolution so missing paths surface here
+        return df
+    except AnalysisException as e:
+        if e.getCondition() in _MISSING_SINK:
+            return None
+        raise
+
+
 def create_tables(spark: SparkSession, base_path: str) -> None:
     """S4: DDL bootstrap — empty parquet datasets with declared schemas
     (CREATE TABLE IF NOT EXISTS semantics: existing data is kept)."""
-    import os
-
     ensure_engine_confs(spark)
     for name, ddl in ATTRIBUTION_DDL.items():
         path = f"{base_path}/{name}"
-        if os.path.isdir(path):
+        if try_read_sink(spark, path) is not None:
             continue  # exists -> IF NOT EXISTS no-op
         empty = spark.createDataFrame([], StructType.fromDDL(ddl))
         empty.write.mode("overwrite").parquet(path)
@@ -96,19 +119,21 @@ def insert_if_absent(
     single-action Observation count (a pre-count to guard the write
     would execute the plan twice).
     """
-    import os
-
     from pyspark.sql import Observation
 
     fresh = df.dropDuplicates(keys)
     for k in keys:
         fresh = fresh.filter(F.col(k).isNotNull())
-    # explicit existence check: a missing sink means everything is
-    # fresh, but an EXISTING-yet-unreadable sink must raise — silently
-    # treating it as empty would append duplicates.
-    if os.path.isdir(path):
-        existing = spark.read.parquet(path).select(*keys)
-        fresh = fresh.join(existing, keys, "left_anti")
+    # existence probe THROUGH Spark, not os.path (round-9 fix, the
+    # streaming/ingest.py round-6 lesson applied to the batch sink):
+    # on HDFS/S3/ABFS a driver-local isdir() is always False, which
+    # would silently skip the anti-join and append duplicates on every
+    # run.  A missing/empty sink means everything is fresh; an
+    # existing-yet-unreadable sink still raises (only the two
+    # "no data here yet" conditions are tolerated).
+    existing = try_read_sink(spark, path)
+    if existing is not None:
+        fresh = fresh.join(existing.select(*keys), keys, "left_anti")
     obs = Observation()
     fresh.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("append").parquet(path)
     return int(obs.get["n"])

@@ -109,13 +109,18 @@ def run_pipeline(
         conversions = conversions.filter(F.col("conv_date") <= end_date)
 
     # 4. incremental skip (J5/J6): only conversions not yet scored.
-    # Existence check, not try/except: an unreadable existing sink must
-    # raise rather than silently re-score everything.
-    import os
+    # Probe THROUGH Spark (sinks.try_read_sink, round-9 fix): a
+    # driver-local isdir() is always False on HDFS/S3/ABFS, which
+    # would silently re-score everything every run; an existing-yet-
+    # unreadable sink still raises (only the no-data-yet conditions
+    # are tolerated).
+    from ..operators.sinks import try_read_sink
 
-    if os.path.isdir(attribution_path):
-        existing = spark.read.parquet(attribution_path).select("conv_id").distinct()
-        todo = conversions.join(existing, "conv_id", "left_anti")
+    sink_df = try_read_sink(spark, attribution_path)
+    if sink_df is not None:
+        todo = conversions.join(
+            sink_df.select("conv_id").distinct(), "conv_id", "left_anti"
+        )
     else:
         todo = conversions
 

@@ -309,8 +309,12 @@ def run_streaming_ingest(
 
             # two consumers (the delta bitmap action + the sink
             # insert) — materialize the batch-bounded admit set once
-            # instead of re-running the dedup subtree per action
-            admitted = materialize(admitted)
+            # instead of re-running the dedup subtree per action.
+            # Skip when the near-dup tier already truncated it: a
+            # second localCheckpoint of a checkpointed frame is a pure
+            # extra caching pass
+            if near_dup_index_dir is None:
+                admitted = materialize(admitted)
             # bitmap flush BEFORE the sink insert (docstring crash-
             # ordering argument): orphan bits are only false positives
             for r in bloom_bitmap(

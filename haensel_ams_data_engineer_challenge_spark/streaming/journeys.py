@@ -165,7 +165,7 @@ def run_streaming_attribution(
         )
     )
 
-    import os
+    from ..operators.sinks import try_read_sink
 
     def score_batch(batch: DataFrame, batch_id: int) -> None:
         if on_batch is not None:
@@ -174,10 +174,12 @@ def run_streaming_attribution(
         # F4 across batches: sessions already claimed by earlier
         # micro-batches stay claimed (the reference's
         # assigned_session_ids set, journey_builder.py:92-107,
-        # persisted in the sink instead of driver memory). The
-        # existence check (not try/read) keeps the first batch from
-        # logging a scary AnalysisException stack.
-        if os.path.isdir(sink_path):
+        # persisted in the sink instead of driver memory). Probe
+        # THROUGH Spark (round-9: a driver-local isdir() is always
+        # False on HDFS/S3/ABFS, which would let every batch re-claim
+        # other conversions' sessions).
+        sink_probe = try_read_sink(batch.sparkSession, sink_path)
+        if sink_probe is not None:
             # replay soundness: rows of THIS batch's conversions that a
             # partially-visible earlier attempt already persisted must
             # NOT truncate their own journeys — exclude only sessions
@@ -188,7 +190,7 @@ def run_streaming_attribution(
             # replay writes exactly the missing remainder and the
             # per-conversion sum-to-1 invariant survives partial writes.
             assigned = (
-                batch.sparkSession.read.parquet(sink_path)
+                sink_probe
                 .join(batch.select("conv_id"), "conv_id", "left_anti")
                 .select("session_id")
             )

@@ -287,3 +287,31 @@ def test_nb_model_matches_train_docs_path(spark):
         held, lnp, cls, tokens_col="__cg", out_prefix="cnb"
     ).collect()))
     assert got == want
+
+
+def test_nb_model_build_empty_training_refuses_without_commit(spark, tmp_path):
+    """Review regression: a training set that tokenizes to nothing
+    must raise BEFORE the marker is written — committing an empty
+    model would crash every later scoring run until manual cleanup."""
+    import os
+
+    from haensel_ams_data_engineer_challenge_spark.operators.classify import (
+        nb_model_build,
+    )
+
+    empty_tok = spark.createDataFrame(
+        [(1, "en", "ab")], "doc_id long, lang string, text string"
+    )  # search_tokens of 'ab' -> below min length? use char trigrams of ''
+    path = str(tmp_path / "nb_empty")
+    from haensel_ams_data_engineer_challenge_spark.operators.classify import (
+        char_ngram_tokens_col,
+    )
+
+    staged = char_ngram_tokens_col(
+        spark.createDataFrame(
+            [(1, "en", "ab")], "doc_id long, lang string, text string"
+        )
+    )  # 2 chars < trigram -> zero tokens
+    with pytest.raises(ValueError, match="zero classes"):
+        nb_model_build(staged, path, tokens_col="__cg")
+    assert not os.path.exists(f"{path}/params")

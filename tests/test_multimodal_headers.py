@@ -113,3 +113,27 @@ def test_decode_passthrough_keeps_metadata(spark):
     )
     out = decode_image_meta(df, passthrough=("uri",)).collect()[0]
     assert out.uri == "s3://bucket/a.png" and out.format == "png"
+
+
+def test_text_gif_prefix_stays_fake_in_stub_arm(spark):
+    """Review regression (round 9): 'GIF87a' is pure ASCII, so a
+    DOCUMENT whose text starts with it would header-parse — the stub
+    arm (try_header=False) must keep the fake decode its oracle twin
+    models, while the default ladder does parse the same bytes."""
+    from pyspark.sql import functions as F
+
+    from haensel_ams_data_engineer_challenge_spark.multimodal.binary import (
+        decode_image_meta,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "GIF87a" + "\x10\x00\x20\x00" + "padding so len >= 10")],
+        "doc_id long, text string",
+    ).select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+
+    stub = decode_image_meta(docs, try_header=False).collect()[0]
+    assert stub["decoder"] == "fake"
+
+    real = decode_image_meta(docs).collect()[0]
+    assert real["decoder"] == "header" and real["format"] == "gif"
+    assert (real["width"], real["height"]) == (0x10, 0x20)
