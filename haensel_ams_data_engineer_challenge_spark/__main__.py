@@ -158,6 +158,15 @@ def _parser() -> argparse.ArgumentParser:
         "loadable by bpe_segment)",
     )
     co.add_argument(
+        "--save-near-dup-index",
+        default=None,
+        metavar="DIR",
+        help="after building the corpus, snapshot its MinHash band "
+        "index at DIR (FORCE-rebuilt, commit-marker protocol) — the "
+        "bootstrap artifact `ingest --near-dup` then probes and grows "
+        "incrementally",
+    )
+    co.add_argument(
         "--dedup-method",
         choices=("minhash", "substring", "both"),
         default="minhash",
@@ -556,6 +565,18 @@ def main(argv: list[str] | None = None) -> int:
                 n_merges_learned = len(merges)
                 with open(f"{args.work_dir}/bpe_merges.json", "w") as fh:
                     _json.dump([list(m) for m in merges], fh)
+            if args.save_near_dup_index:
+                from .operators.minhash_index import minhash_index_build
+
+                n_idx = minhash_index_build(
+                    back.select("doc_id", "text"),
+                    args.save_near_dup_index,
+                    force=True,
+                ).count()
+                print(
+                    f"near_dup_index_rows={n_idx} "
+                    f"-> {args.save_near_dup_index}"
+                )
             total_in = docs.count()
             total_out = sum(counts.values())
             print(

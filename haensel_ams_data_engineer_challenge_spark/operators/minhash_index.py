@@ -67,9 +67,13 @@ def minhash_index_build(
     shingle_n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    force: bool = False,
 ) -> DataFrame:
     """Load the (doc_id, band, band_key) MinHash band index artifact
     at ``path``, building it from ``docs`` first if absent.
+    ``force=True`` rebuilds unconditionally (the bootstrap-from-batch
+    surface: ``corpus --save-near-dup-index`` snapshots the CURRENT
+    admitted corpus, it must never serve an older run's artifact).
 
     Commit protocol = similarity.ivf_index_persistent: ``{path}/params``
     is written LAST, so a torn build (killed mid-save) is rebuilt, a
@@ -81,7 +85,16 @@ def minhash_index_build(
     """
     spark = docs.sparkSession
     params = _params(k, band_size, shingle_n)
-    if not _check_index_params(spark, path, params):
+    if force or not _check_index_params(spark, path, params):
+        if force:
+            # tear the marker BEFORE the rebuild: a crash mid-rebuild
+            # must leave the artifact uncommitted-and-rebuildable, not
+            # an older run's marker sitting over half-new band files
+            jvm = spark.sparkContext._jvm
+            pp = jvm.org.apache.hadoop.fs.Path(f"{path}/params")
+            pp.getFileSystem(
+                spark.sparkContext._jsc.hadoopConfiguration()
+            ).delete(pp, True)
         minhash_bands(
             docs, text_col, id_col, k, band_size, shingle_n
         ).write.mode("overwrite").parquet(f"{path}/bands")

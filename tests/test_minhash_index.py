@@ -340,3 +340,62 @@ def test_compact_preserves_rows_and_probe(spark, tmp_path):
     assert rebuilt.count() > 0
     with pytest.raises(ValueError, match="no committed"):
         MI.minhash_index_compact(spark, str(tmp_path / "absent"))
+
+
+def test_cli_corpus_saves_index_then_ingest_probes_it(spark, sf_dir, tmp_path, capsys):
+    """The batch -> incremental bootstrap: `corpus --save-near-dup-index`
+    snapshots the survivors' band index; `ingest --near-dup` pointed at
+    the SAME dir probes it without rebuilding (the committed artifact
+    is served), and a near-dup of a survivor is rejected."""
+    from haensel_ams_data_engineer_challenge_spark.__main__ import main
+
+    work = str(tmp_path / "wd")
+    idx = f"{work}/minhash_index"
+    rc = main([
+        "corpus", "--sf-dir", sf_dir, "--work-dir", work,
+        "--save-near-dup-index", idx,
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "near_dup_index_rows=" in out
+    idx_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{idx}/bands")
+        .select("doc_id").distinct().collect()
+    }
+    assert idx_ids  # survivors are banded
+
+    # pick a survivor's text; feed a near-dup + a novel doc
+    surv = (
+        spark.read.parquet(f"{work}/corpus")
+        .select("doc_id", "text").limit(1).collect()[0]
+    )
+    schema = "doc_id long, text string, lang string, source string, n_chars int"
+    feed = str(tmp_path / "feed")
+    tmp = str(tmp_path / "__stage")
+    novel = ("a wholly novel ingest document with twelve entirely fresh "
+             "words never present in the synthetic corpus vocabulary")
+    spark.createDataFrame(
+        [
+            (900001, surv["text"] + " tail", "en", "synthetic",
+             len(surv["text"]) + 5),
+            (900002, novel, "en", "synthetic", len(novel)),
+        ],
+        schema,
+    ).repartition(1).write.parquet(tmp)
+    import glob
+    import os as _os
+    import shutil as _sh
+
+    _os.makedirs(feed, exist_ok=True)
+    _sh.copy(glob.glob(f"{tmp}/part-*.parquet")[0], f"{feed}/a.parquet")
+
+    rc = main([
+        "ingest",
+        "--corpus-parquet", f"{work}/corpus",
+        "--feed-dir", feed, "--work-dir", work, "--near-dup",
+    ])
+    assert rc == 0
+    assert "admitted_total=1" in capsys.readouterr().out
+    got = {r["doc_id"] for r in spark.read.parquet(f"{work}/admitted").collect()}
+    assert got == {900002}
