@@ -932,6 +932,10 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
                     ),
                     tokens_col="__cg",
                     out_prefix="cnb",
+                    # char-TRIGRAM vocab is alphabet^3-bounded by
+                    # construction -> broadcast is legitimate here
+                    # (word-token NB above stays unhinted)
+                    broadcast_model=True,
                 ).select(
                     "doc_id", F.col("cnb_pred").alias("pred_lang_nb")
                 ),

@@ -83,9 +83,18 @@ def nb_classify_docs(
     tokens_col: str | None = None,
     out_prefix: str = "nb",
     train_docs: DataFrame | None = None,
+    broadcast_model: bool = False,
 ) -> DataFrame:
     """Train multinomial NB (supervision = ``label_col``) and score
     every document of ``docs``.
+
+    ``broadcast_model=True`` broadcasts the (term, class) log-prob
+    table into the scoring join.  Legitimate ONLY when the vocabulary
+    is bounded BY CONSTRUCTION — char n-gram features (alphabet^n
+    terms, e.g. the trigram langid), never word tokens (corpus-growing
+    vocabulary; the SMJ-audit rule in BASELINE.md).  The materialized
+    model hides size statistics from AQE, so without the hint even a
+    40k-row trigram table sort-merges.
 
     ``train_docs`` (round 9): when given, the model trains on THAT
     frame and ``docs`` is scored held-out — the real filter-pipeline
@@ -135,7 +144,9 @@ def nb_classify_docs(
         n_docs_total = tmeta.agg(F.sum("__ndoc").alias("__ndocs"))
         ex, docs_meta = _nb_stage_score(docs, src, id_col)
     cls, lnp = _nb_train(train_ex, n_doc_c, n_docs_total)
-    return _nb_score(ex, docs_meta, cls, lnp, id_col, out_prefix)
+    return _nb_score(
+        ex, docs_meta, cls, lnp, id_col, out_prefix, broadcast_model
+    )
 
 
 def _nb_train(
@@ -191,6 +202,7 @@ def _nb_score(
     lnp: DataFrame,
     id_col: str,
     out_prefix: str,
+    broadcast_model: bool = False,
 ) -> DataFrame:
     q = F.lit(1000000.0)
     # class table driver-side: k rows, the same broadcast-class
@@ -211,9 +223,15 @@ def _nb_score(
             "artifact was loaded)"
         )
     if len(cls_rows) <= NB_PIVOT_MAX_CLASSES:
-        scored = _nb_score_pivot(ex, docs_meta, lnp, cls_rows)
+        scored = _nb_score_pivot(
+            ex, docs_meta,
+            F.broadcast(lnp) if broadcast_model else lnp, cls_rows,
+        )
     else:
-        scored = _nb_score_grid(ex, docs_meta, lnp, cls)
+        scored = _nb_score_grid(
+            ex, docs_meta,
+            F.broadcast(lnp) if broadcast_model else lnp, cls,
+        )
     return scored.select(
         F.col("__did").alias(id_col),
         F.col("__b.l").alias(f"{out_prefix}_pred"),
