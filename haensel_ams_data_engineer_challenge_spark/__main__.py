@@ -316,6 +316,21 @@ def _parser() -> argparse.ArgumentParser:
                     "per-batch append fragments as one compact store "
                     "(torn-safe swap; requires --near-dup)")
 
+    iv = sub.add_parser(
+        "ingest-vectors",
+        help="streaming EMBEDDING feed drain: near-dup dedup (exact "
+        "cosine >= threshold) vs corpus + earlier batches via the "
+        "persisted banded-LSH bucket index (probe + verify + append)",
+    )
+    iv.add_argument("--corpus-parquet", required=True,
+                    help="static base vectors (vec_id, embedding)")
+    iv.add_argument("--feed-dir", required=True)
+    iv.add_argument("--work-dir", required=True)
+    iv.add_argument("--threshold", type=float, default=None,
+                    help="exact-cosine acceptance (default streaming."
+                    "vectors.VECTOR_DUP_THRESHOLD)")
+    iv.add_argument("--max-files-per-trigger", type=int, default=None)
+
     mx = sub.add_parser(
         "mix",
         help="weighted interleave of corpora (training mixture weights); "
@@ -856,6 +871,30 @@ def main(argv: list[str] | None = None) -> int:
                     spark, f"{args.work_dir}/minhash_index"
                 )
                 print(f"compacted_bands={n_bands}")
+            n = spark.read.parquet(sink).count()
+            print(f"admitted_total={n} sink={sink}")
+            return 0
+
+        if args.command == "ingest-vectors":
+            from .streaming.vectors import (
+                VECTOR_DUP_THRESHOLD,
+                run_streaming_vector_ingest,
+            )
+
+            sink = f"{args.work_dir}/admitted_vectors"
+            run_streaming_vector_ingest(
+                spark,
+                args.corpus_parquet,
+                args.feed_dir,
+                sink,
+                f"{args.work_dir}/checkpoint_vectors",
+                f"{args.work_dir}/lsh_index",
+                threshold=(
+                    args.threshold if args.threshold is not None
+                    else VECTOR_DUP_THRESHOLD
+                ),
+                max_files_per_trigger=args.max_files_per_trigger,
+            )
             n = spark.read.parquet(sink).count()
             print(f"admitted_total={n} sink={sink}")
             return 0

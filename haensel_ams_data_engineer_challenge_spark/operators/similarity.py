@@ -841,6 +841,65 @@ def embedding_dup_pairs_lsh(
     )
 
 
+def vector_dup_probe(
+    batch: DataFrame,
+    index_buckets: DataFrame,
+    corpus: DataFrame,
+    threshold: float,
+    bands: int = LSH_DUP_BANDS,
+    planes_per_band: int = LSH_DUP_BAND_PLANES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch vectors near-duplicate (exact cosine >= threshold) of an
+    already-indexed vector — the EMBEDDING twin of
+    minhash_index.near_dup_probe (round 9): probe the persisted
+    ``lsh_index_persistent`` bucket artifact (built with the DEDUP
+    band layout, not the ANN one) with the batch's bucket rows, then
+    exact-verify candidates against the corpus vectors.
+
+    Output: (vec_id, dup_of, cosine).  Shuffle cost is O(batch): the
+    batch bucket rows BROADCAST into the index scan (a micro-batch is
+    bounded by contract — the near_dup_probe argument verbatim), and
+    the candidate set (with the batch-side vectors attached) broadcasts
+    into the corpus scan, so neither the index nor the corpus is ever
+    shuffled.  A candidate whose vector is absent from ``corpus``
+    (orphan index rows from a crash between the index append and the
+    sink insert) drops out at the verify join — never a false drop.
+    False positives are impossible (exact cosine gate); recall is the
+    banded-LSH 1-(1-p^r)^B of embedding_dup_pairs_lsh.
+    """
+    bb = banded_bucket_rows(batch, id_col, vec_col, bands, planes_per_band)
+    cand = (
+        F.broadcast(bb)
+        .join(
+            index_buckets.withColumnRenamed(id_col, "__iid"),
+            ["band", "bucket"],
+        )
+        .select(F.col(id_col), F.col("__iid"))
+        .distinct()
+    )
+    # bounded (batch x bucket occupancy) — materialize once for the
+    # two scan joins below, broadcast explicitly (localCheckpoint
+    # hides size statistics from AQE; BASELINE.md lesson)
+    cand = materialize(cand)
+    withb = F.broadcast(cand).join(
+        batch.select(F.col(id_col), F.col(vec_col).alias("__bv")), id_col
+    )
+    return (
+        F.broadcast(withb)
+        .join(
+            corpus.select(
+                F.col(id_col).alias("__iid"), F.col(vec_col).alias("__iv")
+            ),
+            "__iid",
+        )
+        .withColumn("cosine", cosine_expr("__bv", "__iv"))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col(id_col), F.col("__iid").alias("dup_of"), "cosine")
+    )
+
+
 def banded_buckets_sql(
     col: str,
     bands: int = LSH_DUP_BANDS,

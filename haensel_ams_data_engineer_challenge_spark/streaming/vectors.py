@@ -1,0 +1,128 @@
+"""Streaming EMBEDDING ingestion with incremental near-dup dedup —
+the vector-modality twin of streaming/ingest.py's text tier (round 9).
+
+New embedding batches land in a feed directory; each micro-batch is
+near-dup-collapsed (a) WITHIN itself (embedding_dup_pairs_lsh +
+dedup_survivors, min-id keep), (b) against the base corpus and every
+earlier admitted batch by probing the PERSISTED banded-LSH bucket
+index (similarity.vector_dup_probe — the index is built once from
+corpus+sink and then only appended), and (c) the admitted remainder's
+bucket rows are appended to the index (lsh_index_append,
+replay-idempotent) BEFORE the idempotent sink insert.
+
+Crash ordering is the minhash tier's argument verbatim: orphan bucket
+rows (append landed, insert did not) are only false-positive
+candidates — the probe's verify join finds no corpus vector for them;
+the reverse order would admit vectors no future batch can ever dedup
+against.  At-least-once replays compose with the anti-join append and
+the keyed sink insert to effectively-once admission, with no
+transactional coupling between the two stores.
+
+The index uses the DEDUP band layout (LSH_DUP_BANDS x
+LSH_DUP_BAND_PLANES — thresholded near-dup recall), not the ANN
+top-k layout; the params marker pins it, so pointing an ANN index dir
+here refuses loudly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..checkpoint import materialize
+from ..operators.components import dedup_survivors
+from ..operators.similarity import (
+    LSH_DUP_BAND_PLANES,
+    LSH_DUP_BANDS,
+    embedding_dup_pairs_lsh,
+    lsh_index_append,
+    lsh_index_persistent,
+    vector_dup_probe,
+)
+from ..operators.sinks import insert_if_absent
+from .ingest import _try_read
+
+#: default exact-cosine acceptance — the near-identical regime vector
+#: dedup targets (embedding_dup_pairs_lsh recall ~0.996 here).
+VECTOR_DUP_THRESHOLD = 0.9
+
+
+def run_streaming_vector_ingest(
+    spark: SparkSession,
+    corpus_path: str,
+    feed_dir: str,
+    sink_path: str,
+    checkpoint_dir: str,
+    index_dir: str,
+    threshold: float = VECTOR_DUP_THRESHOLD,
+    feed_glob: str = "*.parquet",
+    max_files_per_trigger: int | None = None,
+    bands: int = LSH_DUP_BANDS,
+    planes_per_band: int = LSH_DUP_BAND_PLANES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Drain the feed with an availableNow trigger, admitting only
+    vectors with no near-duplicate (cosine >= threshold) in the
+    corpus, the admitted store, or earlier in their own batch."""
+    corpus = spark.read.parquet(corpus_path)
+    reader = (
+        spark.readStream.schema(corpus.schema)
+        .option("pathGlobFilter", feed_glob)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    feed = reader.parquet(feed_dir)
+
+    def admit_batch(batch: DataFrame, batch_id: int) -> None:
+        ss = batch.sparkSession
+        existing = corpus
+        sink = _try_read(ss, sink_path, corpus.schema)
+        if sink is not None:
+            existing = existing.unionByName(sink)
+        # build-if-absent over the current dedup target; later batches
+        # read the committed artifact (lsh_index_persistent serves
+        # from disk, and refuses a dir built with other band params)
+        buckets = lsh_index_persistent(
+            existing, index_dir,
+            tables=bands, planes_per_table=planes_per_band,
+            id_col=id_col, vec_col=vec_col,
+        )
+        # the batch feeds the pair search, the survivor filter, the
+        # probe AND the append — materialize the bounded set once
+        batch = materialize(batch)
+        # (a) within-batch near-dup collapse, min-id survivor
+        pairs = embedding_dup_pairs_lsh(
+            batch, threshold, bands, planes_per_band, id_col, vec_col
+        )
+        keep = (
+            dedup_survivors(batch.select(id_col), pairs, id_col=id_col)
+            .filter("is_survivor")
+            .select(id_col)
+        )
+        admitted = batch.join(keep, id_col, "left_semi")
+        # (b) cross-corpus probe: persisted buckets + exact cosine
+        dups = vector_dup_probe(
+            admitted, buckets, existing, threshold,
+            bands, planes_per_band, id_col, vec_col,
+        )
+        admitted = materialize(
+            admitted.join(
+                dups.select(id_col).distinct(), id_col, "left_anti"
+            )
+        )
+        # (c) index append BEFORE the sink insert (crash ordering —
+        # module docstring)
+        lsh_index_append(
+            admitted, index_dir,
+            tables=bands, planes_per_table=planes_per_band,
+            id_col=id_col, vec_col=vec_col,
+        )
+        insert_if_absent(ss, admitted, sink_path, [id_col])
+
+    (
+        feed.writeStream.foreachBatch(admit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

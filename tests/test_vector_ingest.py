@@ -1,0 +1,181 @@
+"""Streaming embedding ingestion (round 9): the vector-modality twin
+of the text near-dup tier — persisted bucket index probe + exact
+cosine verify + replay-idempotent append."""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from haensel_ams_data_engineer_challenge_spark.operators.similarity import (
+    EMBEDDING_DIM,
+    vector_dup_probe,
+    lsh_index_persistent,
+)
+
+DIM = EMBEDDING_DIM
+SCHEMA = "vec_id long, embedding array<double>"
+
+
+def _axis(i, eps_at=None, eps=0.0):
+    v = [0.0] * DIM
+    v[i] = 1.0
+    if eps_at is not None:
+        v[eps_at] = eps
+    return v
+
+
+CORPUS = [(1, _axis(0)), (2, _axis(1)), (3, _axis(2))]
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_vector_probe_finds_only_true_dups(spark, tmp_path):
+    corpus = _vecs(spark, CORPUS)
+    idx = str(tmp_path / "vidx")
+    buckets = lsh_index_persistent(
+        corpus, idx, tables=8, planes_per_table=3
+    )
+    batch = _vecs(spark, [
+        (101, _axis(0, eps_at=5, eps=0.02)),   # near-dup of 1 (cos ~0.9998)
+        (102, _axis(2)),                        # exact dup of 3 (cos 1.0)
+        (103, _axis(9)),                        # novel (cos 0 to corpus)
+    ])
+    got = {
+        (r["vec_id"], r["dup_of"])
+        for r in vector_dup_probe(batch, buckets, corpus, 0.9).collect()
+    }
+    assert got == {(101, 1), (102, 3)}
+    # orphan index rows (no corpus vector) never cause a false drop
+    orphan = buckets.unionByName(
+        spark.createDataFrame(
+            [(999, b, bu) for b, bu in
+             {(r["band"], r["bucket"])
+              for r in buckets.filter("vec_id = 3").collect()}],
+            "vec_id long, band int, bucket long",
+        )
+    )
+    got2 = {
+        (r["vec_id"], r["dup_of"])
+        for r in vector_dup_probe(batch, orphan, corpus, 0.9).collect()
+    }
+    assert got2 == got
+
+
+def test_streaming_vector_ingest_e2e(spark, tmp_path):
+    """(a) within-batch collapse, (b) cross-corpus rejection via the
+    persisted index, (c) cross-BATCH rejection via the appended index;
+    fresh-checkpoint replay admits nothing and leaves the index
+    stable."""
+    from haensel_ams_data_engineer_challenge_spark.streaming.vectors import (
+        run_streaming_vector_ingest,
+    )
+
+    corpus_path = str(tmp_path / "corpus")
+    _vecs(spark, CORPUS).write.parquet(corpus_path)
+    feed = str(tmp_path / "feed")
+
+    def _drop(rows, name):
+        tmp = str(tmp_path / f"__stage_{name}")
+        _vecs(spark, rows).repartition(1).write.parquet(tmp)
+        os.makedirs(feed, exist_ok=True)
+        shutil.copy(_glob.glob(f"{tmp}/part-*.parquet")[0], f"{feed}/{name}")
+
+    # batch A: near-dup of corpus 1 (rejected), novel axis-9 vector
+    # (admitted) and a within-batch near-dup of it (201 survives)
+    _drop([
+        (200, _axis(0, eps_at=5, eps=0.02)),
+        (201, _axis(9)),
+        (202, _axis(9, eps_at=11, eps=0.02)),
+    ], "a.parquet")
+    # batch B: near-dup of batch A's admitted vector — only the
+    # APPENDED index knows about 201
+    _drop([(300, _axis(9, eps_at=12, eps=0.03))], "b.parquet")
+
+    sink = str(tmp_path / "admitted")
+    idx = str(tmp_path / "vidx")
+    run_streaming_vector_ingest(
+        spark, corpus_path, feed, sink, str(tmp_path / "ckpt"), idx,
+        max_files_per_trigger=1,
+    )
+    got = {r["vec_id"] for r in spark.read.parquet(sink).collect()}
+    assert got == {201}
+    idx_ids = {
+        r["vec_id"]
+        for r in spark.read.parquet(f"{idx}/buckets")
+        .select("vec_id").distinct().collect()
+    }
+    assert idx_ids == {1, 2, 3, 201}
+
+    # replay, fresh checkpoint: idempotent sink AND index
+    before = sorted(
+        map(tuple, spark.read.parquet(f"{idx}/buckets").collect())
+    )
+    run_streaming_vector_ingest(
+        spark, corpus_path, feed, sink, str(tmp_path / "ckpt2"), idx,
+        max_files_per_trigger=1,
+    )
+    assert {r["vec_id"] for r in spark.read.parquet(sink).collect()} == {201}
+    assert sorted(
+        map(tuple, spark.read.parquet(f"{idx}/buckets").collect())
+    ) == before
+
+
+def test_vector_ingest_refuses_ann_layout_index(spark, tmp_path):
+    """The params marker pins the band layout: a dir holding the ANN
+    top-k index (32x6) cannot silently serve the dedup tier (8x3)."""
+    import pytest
+
+    from haensel_ams_data_engineer_challenge_spark.streaming.vectors import (
+        run_streaming_vector_ingest,
+    )
+
+    corpus_path = str(tmp_path / "corpus")
+    _vecs(spark, CORPUS).write.parquet(corpus_path)
+    idx = str(tmp_path / "vidx")
+    lsh_index_persistent(
+        _vecs(spark, CORPUS), idx, tables=32, planes_per_table=6
+    )
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed, exist_ok=True)
+    tmp = str(tmp_path / "__stage")
+    _vecs(spark, [(400, _axis(4))]).repartition(1).write.parquet(tmp)
+    shutil.copy(_glob.glob(f"{tmp}/part-*.parquet")[0], f"{feed}/a.parquet")
+    with pytest.raises(Exception, match="built with"):
+        run_streaming_vector_ingest(
+            spark, corpus_path, feed, str(tmp_path / "admitted"),
+            str(tmp_path / "ckpt"), idx,
+        )
+
+
+def test_cli_ingest_vectors(spark, tmp_path, capsys):
+    from haensel_ams_data_engineer_challenge_spark.__main__ import main
+
+    corpus_path = str(tmp_path / "corpus")
+    _vecs(spark, CORPUS).write.parquet(corpus_path)
+    feed = str(tmp_path / "feed")
+    tmp = str(tmp_path / "__stage")
+    _vecs(spark, [
+        (500, _axis(1, eps_at=7, eps=0.02)),  # near-dup of corpus 2
+        (501, _axis(20)),                      # novel
+    ]).repartition(1).write.parquet(tmp)
+    os.makedirs(feed, exist_ok=True)
+    shutil.copy(_glob.glob(f"{tmp}/part-*.parquet")[0], f"{feed}/a.parquet")
+
+    work = str(tmp_path / "wd")
+    rc = main([
+        "ingest-vectors", "--corpus-parquet", corpus_path,
+        "--feed-dir", feed, "--work-dir", work,
+    ])
+    assert rc == 0
+    assert "admitted_total=1" in capsys.readouterr().out
+    got = {
+        r["vec_id"]
+        for r in spark.read.parquet(f"{work}/admitted_vectors").collect()
+    }
+    assert got == {501}
