@@ -311,6 +311,14 @@ def _parser() -> argparse.ArgumentParser:
                     help="exact-Jaccard acceptance for the near-dup "
                     "tier (default operators.minhash_index."
                     "NEAR_DUP_THRESHOLD)")
+    ig.add_argument("--quality-model", default=None, metavar="DIR",
+                    help="trained NB model artifact (classify CLI): "
+                    "score each batch and keep only --keep-pred "
+                    "classes, BEFORE dedup (the FineWeb-Edu-style "
+                    "classifier gate at ingestion time)")
+    ig.add_argument("--keep-pred", default=None, metavar="C1,C2",
+                    help="comma-separated predicted classes to admit "
+                    "(required with --quality-model)")
     ig.add_argument("--compact-index", action="store_true",
                     help="after the drain, rewrite the band index's "
                     "per-batch append fragments as one compact store "
@@ -847,6 +855,10 @@ def main(argv: list[str] | None = None) -> int:
                       "(there is no band index without it)",
                       file=sys.stderr)
                 return 1
+            if bool(args.quality_model) != bool(args.keep_pred):
+                print("--quality-model and --keep-pred go together",
+                      file=sys.stderr)
+                return 1
             sink = f"{args.work_dir}/admitted"
             run_streaming_ingest(
                 spark,
@@ -863,6 +875,10 @@ def main(argv: list[str] | None = None) -> int:
                     f"{args.work_dir}/minhash_index" if args.near_dup else None
                 ),
                 near_dup_threshold=args.near_dup_threshold,
+                quality_model_dir=args.quality_model,
+                keep_pred=(
+                    args.keep_pred.split(",") if args.keep_pred else None
+                ),
             )
             if args.compact_index and args.near_dup:
                 from .operators.minhash_index import minhash_index_compact

@@ -148,6 +148,8 @@ def run_streaming_ingest(
     k: int = BLOOM_K,
     near_dup_index_dir: str | None = None,
     near_dup_threshold: float | None = None,
+    quality_model_dir: str | None = None,
+    keep_pred: list[str] | None = None,
 ) -> None:
     """Drain the feed with an availableNow trigger, admitting only
     genuinely-new documents into ``sink_path``.
@@ -195,6 +197,17 @@ def run_streaming_ingest(
     itself is replay-idempotent (anti-join on already-indexed ids).
     ``near_dup_threshold``: exact-Jaccard acceptance (default
     minhash_index.NEAR_DUP_THRESHOLD).
+
+    ``quality_model_dir`` + ``keep_pred``: the trained-classifier gate
+    (round 9, the FineWeb-Edu/CCNet shape) — score each batch with the
+    PERSISTED NB model artifact (classify.nb_model_build; the marker's
+    ``feature`` key selects the tokenizer, so the gate can never score
+    mismatched tokens) and keep only documents whose predicted class
+    is in ``keep_pred``.  Runs BEFORE dedup, like the Gopher gate: a
+    rejected doc is rejected forever and must not claim an
+    admitted-store slot.  Zero-token documents score as no class and
+    are rejected — a document the tokenizer cannot see is not
+    classifiable, and admitting it unscored would bypass the gate.
     """
     corpus = spark.read.parquet(corpus_path)
     reader = (
@@ -220,6 +233,35 @@ def run_streaming_ingest(
             from ..functions.text import gopher_quality_pass
 
             batch = batch.filter(gopher_quality_pass("text"))
+        if quality_model_dir is not None:
+            from ..operators.classify import nb_classify_model
+            from ..operators.similarity import _read_index_params
+
+            params = _read_index_params(ss, quality_model_dir)
+            if not params:
+                raise ValueError(
+                    f"no committed NB model at {quality_model_dir}; "
+                    "train one first (classify CLI / nb_model_build)"
+                )
+            feature = params.get("feature", "search_tokens")
+            terms = ss.read.parquet(f"{quality_model_dir}/terms")
+            classes = ss.read.parquet(f"{quality_model_dir}/classes")
+            to_score, tokens_col = batch, None
+            if feature.startswith("char_trigram"):
+                from ..operators.classify import char_ngram_tokens_col
+
+                to_score = char_ngram_tokens_col(
+                    batch, max_chars=int(feature.rsplit("_", 1)[1])
+                )
+                tokens_col = "__cg"
+            keep_ids = (
+                nb_classify_model(
+                    to_score, terms, classes, tokens_col=tokens_col
+                )
+                .filter(F.col("nb_pred").isin(list(keep_pred or [])))
+                .select("doc_id")
+            )
+            batch = batch.join(keep_ids, "doc_id", "left_semi")
         existing = corpus
         # probe the sink THROUGH Spark, not os.path: the sink may live
         # on HDFS/S3/ABFS where a driver-local isdir() is always False

@@ -399,3 +399,78 @@ def test_cli_corpus_saves_index_then_ingest_probes_it(spark, sf_dir, tmp_path, c
     assert "admitted_total=1" in capsys.readouterr().out
     got = {r["doc_id"] for r in spark.read.parquet(f"{work}/admitted").collect()}
     assert got == {900002}
+
+
+def test_ingest_quality_model_gate(spark, tmp_path, capsys):
+    """--quality-model + --keep-pred: the trained-classifier gate
+    rejects off-class docs BEFORE dedup; a doc of the kept class is
+    admitted; zero-token docs are rejected (unclassifiable)."""
+    from test_classify import _langid_fixture
+
+    from haensel_ams_data_engineer_challenge_spark.__main__ import main
+    from haensel_ams_data_engineer_challenge_spark.operators.classify import (
+        char_ngram_tokens_col,
+        nb_model_build,
+    )
+
+    # train the langid model artifact on the synthetic fixture
+    train_rows, _held = _langid_fixture()
+    model_dir = str(tmp_path / "nb_model")
+    nb_model_build(
+        char_ngram_tokens_col(
+            spark.createDataFrame(
+                train_rows, "doc_id long, lang string, text string"
+            )
+        ),
+        model_dir,
+        tokens_col="__cg",
+        feature="char_trigram_200",
+    )
+
+    schema = "doc_id long, text string, lang string, source string, n_chars int"
+
+    def _row(i, text):
+        return (i, text, "und", "synthetic", len(text))
+
+    corpus_path = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [_row(1, "die eigenschaften der verarbeitung und entwicklung")],
+        schema,
+    ).write.parquet(corpus_path)
+
+    feed = str(tmp_path / "feed")
+    tmp = str(tmp_path / "__stage")
+    spark.createDataFrame(
+        [
+            _row(600, "the processing and development of throughput "
+                      "properties and performance understanding"),  # en -> kept
+            _row(601, "le traitement et la vitesse du developpement "
+                      "des proprietes et des fonctionnalites"),     # fr -> dropped
+            _row(602, "!!"),                                        # zero tokens -> dropped
+        ],
+        schema,
+    ).repartition(1).write.parquet(tmp)
+    import glob
+    import os as _os
+    import shutil as _sh
+
+    _os.makedirs(feed, exist_ok=True)
+    _sh.copy(glob.glob(f"{tmp}/part-*.parquet")[0], f"{feed}/a.parquet")
+
+    work = str(tmp_path / "wd")
+    rc = main([
+        "ingest", "--corpus-parquet", corpus_path, "--feed-dir", feed,
+        "--work-dir", work,
+        "--quality-model", model_dir, "--keep-pred", "en",
+    ])
+    assert rc == 0
+    assert "admitted_total=1" in capsys.readouterr().out
+    got = {r["doc_id"] for r in spark.read.parquet(f"{work}/admitted").collect()}
+    assert got == {600}
+
+    # the flags go together
+    assert main([
+        "ingest", "--corpus-parquet", corpus_path, "--feed-dir", feed,
+        "--work-dir", work, "--quality-model", model_dir,
+    ]) == 1
+    capsys.readouterr()
