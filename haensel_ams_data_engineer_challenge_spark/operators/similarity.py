@@ -841,6 +841,16 @@ def embedding_dup_pairs_lsh(
     )
 
 
+#: flood cap for the incremental probe's INDEX buckets: a bucket
+#: holding more vectors than this is uninformative for near-dup
+#: detection here (sign-LSH occupancy ~ corpus / 2^planes_per_band —
+#: size the LAYOUT to the corpus first; the cap is the backstop for
+#: skewed regions).  Dropping a flooded bucket loses only that ONE
+#: band's vote: a true near-identical pair (cos >= 0.99) collides in
+#: nearly every band, so its recall survives.
+MAX_VECTOR_BUCKET = 1024
+
+
 def vector_dup_probe(
     batch: DataFrame,
     index_buckets: DataFrame,
@@ -850,26 +860,44 @@ def vector_dup_probe(
     planes_per_band: int = LSH_DUP_BAND_PLANES,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = MAX_VECTOR_BUCKET,
 ) -> DataFrame:
     """Batch vectors near-duplicate (exact cosine >= threshold) of an
     already-indexed vector — the EMBEDDING twin of
     minhash_index.near_dup_probe (round 9): probe the persisted
-    ``lsh_index_persistent`` bucket artifact (built with the DEDUP
-    band layout, not the ANN one) with the batch's bucket rows, then
-    exact-verify candidates against the corpus vectors.
+    ``lsh_index_persistent`` bucket artifact with the batch's bucket
+    rows, then exact-verify candidates against the corpus vectors.
+    ``bands``/``planes_per_band`` MUST match the index's layout (the
+    artifact's params marker enforces it for the build path).
 
-    Output: (vec_id, dup_of, cosine).  Shuffle cost is O(batch): the
-    batch bucket rows BROADCAST into the index scan (a micro-batch is
-    bounded by contract — the near_dup_probe argument verbatim), and
-    the candidate set (with the batch-side vectors attached) broadcasts
-    into the corpus scan, so neither the index nor the corpus is ever
-    shuffled.  A candidate whose vector is absent from ``corpus``
+    Output: (vec_id, dup_of, cosine).  The batch bucket rows BROADCAST
+    into the index scan (a micro-batch is bounded by contract), so the
+    index is never shuffled.  The CANDIDATE volume, however, is
+    occupancy-driven — ~ batch x corpus / 2^planes_per_band per band —
+    NOT batch-bounded: size the layout so buckets stay small
+    (planes_per_band >= log2(corpus / target_occupancy); the streaming
+    tier's 16x10 default holds ~corpus/1024 per bucket), the
+    ``max_bucket_size`` cap backstops skewed regions (groupBy +
+    broadcast anti-join, the minhash shape), and the candidate joins
+    deliberately carry NO broadcast hint — a possibly-large set must
+    be allowed to shuffle (the BASELINE.md contract-bounded-vs-
+    corpus-growing rule; an earlier draft broadcast it and OOMed at
+    10x corpus).  A candidate whose vector is absent from ``corpus``
     (orphan index rows from a crash between the index append and the
     sink insert) drops out at the verify join — never a false drop.
-    False positives are impossible (exact cosine gate); recall is the
-    banded-LSH 1-(1-p^r)^B of embedding_dup_pairs_lsh.
+    False positives are impossible (exact cosine gate).
     """
     bb = banded_bucket_rows(batch, id_col, vec_col, bands, planes_per_band)
+    if max_bucket_size is not None:
+        flooded = (
+            index_buckets.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__bsz"))
+            .filter(F.col("__bsz") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        index_buckets = index_buckets.join(
+            F.broadcast(flooded), ["band", "bucket"], "left_anti"
+        )
     cand = (
         F.broadcast(bb)
         .join(
@@ -879,15 +907,13 @@ def vector_dup_probe(
         .select(F.col(id_col), F.col("__iid"))
         .distinct()
     )
-    # bounded (batch x bucket occupancy) — materialize once for the
-    # two scan joins below, broadcast explicitly (localCheckpoint
-    # hides size statistics from AQE; BASELINE.md lesson)
+    # one materialization for the two vector joins below — no
+    # broadcast hint: cand is occupancy-driven (see docstring)
     cand = materialize(cand)
-    withb = F.broadcast(cand).join(
-        batch.select(F.col(id_col), F.col(vec_col).alias("__bv")), id_col
-    )
     return (
-        F.broadcast(withb)
+        cand.join(
+            batch.select(F.col(id_col), F.col(vec_col).alias("__bv")), id_col
+        )
         .join(
             corpus.select(
                 F.col(id_col).alias("__iid"), F.col(vec_col).alias("__iv")

@@ -18,10 +18,16 @@ against.  At-least-once replays compose with the anti-join append and
 the keyed sink insert to effectively-once admission, with no
 transactional coupling between the two stores.
 
-The index uses the DEDUP band layout (LSH_DUP_BANDS x
-LSH_DUP_BAND_PLANES — thresholded near-dup recall), not the ANN
-top-k layout; the params marker pins it, so pointing an ANN index dir
-here refuses loudly.
+The index uses the INGEST band layout (VECTOR_DEDUP_BANDS x
+VECTOR_DEDUP_PLANES = 16x10 by default), not the small-corpus 8x3
+dedup layout or the ANN top-k layout; the params marker pins it, so
+pointing a differently-built dir here refuses loudly.  Sizing rule:
+bucket occupancy ~ corpus / 2^planes_per_band, and the candidate
+volume (the verify-stage cost) is batch x occupancy x bands — pick
+planes_per_band >= log2(corpus / target_occupancy).  At 16x10,
+recall for a true near-identical pair (cos >= 0.99, the dedup
+regime) is ~1.0 (per-band p^10 with p = 1 - arccos(c)/pi; any of 16
+bands), and ~0.98 at the threshold's edge cos = 0.9.
 """
 
 from __future__ import annotations
@@ -31,8 +37,6 @@ from pyspark.sql import DataFrame, SparkSession
 from ..checkpoint import materialize
 from ..operators.components import dedup_survivors
 from ..operators.similarity import (
-    LSH_DUP_BAND_PLANES,
-    LSH_DUP_BANDS,
     embedding_dup_pairs_lsh,
     lsh_index_append,
     lsh_index_persistent,
@@ -42,8 +46,14 @@ from ..operators.sinks import insert_if_absent
 from .ingest import _try_read
 
 #: default exact-cosine acceptance — the near-identical regime vector
-#: dedup targets (embedding_dup_pairs_lsh recall ~0.996 here).
+#: dedup targets.
 VECTOR_DUP_THRESHOLD = 0.9
+
+#: ingest band layout (module docstring sizing rule): 2^10 = 1024
+#: buckets per band keeps occupancy — and with it the probe's
+#: candidate volume — at corpus/1024 per band.
+VECTOR_DEDUP_BANDS = 16
+VECTOR_DEDUP_PLANES = 10
 
 
 def run_streaming_vector_ingest(
@@ -56,8 +66,8 @@ def run_streaming_vector_ingest(
     threshold: float = VECTOR_DUP_THRESHOLD,
     feed_glob: str = "*.parquet",
     max_files_per_trigger: int | None = None,
-    bands: int = LSH_DUP_BANDS,
-    planes_per_band: int = LSH_DUP_BAND_PLANES,
+    bands: int = VECTOR_DEDUP_BANDS,
+    planes_per_band: int = VECTOR_DEDUP_PLANES,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> None:
