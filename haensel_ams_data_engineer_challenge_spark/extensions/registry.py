@@ -760,7 +760,20 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
             materialize(S.hash_embed(_docs(spark, sf))),
             threshold=HASHED_DUP_THRESHOLD,
         ).withColumn("method", F.lit("hashed"))
-        return lsh_arm.unionByName(hashed_arm)
+        # round 9: SemDeDup arm — cluster-scoped semantic near-dup
+        # (k-means cell self-join instead of LSH banding); shares the
+        # session-cached IVF quantizer with ann_topk_ivf (same
+        # index_cache_key -> same trained index, zero re-training)
+        semdedup_arm = (
+            S.semdedup_pairs(
+                _vecs(spark, sf),
+                threshold=S.SEMDEDUP_THRESHOLD,
+                index_cache_key=sf,
+            )
+            .drop("cell")
+            .withColumn("method", F.lit("semdedup"))
+        )
+        return lsh_arm.unionByName(hashed_arm).unionByName(semdedup_arm)
 
     e["dedup_embedding_cosine"] = (
         _embedding_dups_both,
@@ -785,7 +798,10 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
             FROM hcand
             JOIN he_out a ON a.vec_id = id_a
             JOIN he_out b ON b.vec_id = id_b
-            WHERE {cos_ab} >= CAST({HASHED_DUP_THRESHOLD} AS DOUBLE)""",
+            WHERE {cos_ab} >= CAST({HASHED_DUP_THRESHOLD} AS DOUBLE)
+            UNION ALL
+            SELECT 'semdedup', id_a, id_b, cosine
+            FROM ({S.semdedup_pairs_sql()})""",
     )
 
     # ---- text analysis ---------------------------------------------------

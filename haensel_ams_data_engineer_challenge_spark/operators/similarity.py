@@ -1017,6 +1017,163 @@ def embedding_dup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup for
+# web-scale corpora — k-means cluster the embedding space, then score
+# pairs ONLY within a cluster (the paper's observation: semantic dups
+# land in the same k-means cell, so the n^2 comparison collapses to
+# sum(n_c^2) ~ n^2/k).  The engine already has the two halves with
+# bit-exact oracle twins: the deterministic Lloyd quantizer
+# (``ivf_kmeans`` / ``ivf_kmeans_sql_ctes``) and the IEEE-shared
+# cosine (``cosine_expr`` / ``cosine_sql``) — SemDeDup is their
+# composition plus the paper's survivor rule (keep the cluster member
+# LEAST similar to its centroid: the "edge" example carries the most
+# information).
+# ---------------------------------------------------------------------------
+
+#: same regime as the raw-embedding near-dup tier: the synthetic
+#: testdata's max off-diagonal cosine is ~0.6, so 0.45 is the band
+#: where pairs exist at every SF while staying selective.
+SEMDEDUP_THRESHOLD = 0.45
+
+
+def semdedup_pairs(
+    vectors: DataFrame,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    k: int = IVF_CELLS,
+    iters: int = IVF_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index_cache_key: str | None = None,
+) -> DataFrame:
+    """Semantic near-dup pairs, cluster-scoped: (id_a, id_b, cell,
+    cosine) for same-cell pairs with cosine >= threshold (id_a < id_b).
+
+    Scale shape: one broadcast-centroid assignment pass (the quantizer
+    is k rows), then a self-join keyed on ``cell`` — the quadratic
+    blowup is bounded per cell at ~(n/k)^2, and **k is the knob**: the
+    paper sizes k proportional to n (50k clusters for 600M docs), so
+    per-cell cost stays constant as the corpus grows.  At small k the
+    join has few distinct keys; at production k the key space is wide
+    and AQE's skew split handles lopsided cells.  Nothing here windows
+    or collects.
+
+    Deterministic end to end (seeded k-means, quantized ties, shared
+    IEEE cosine tree), so the DuckDB twin (``semdedup_pairs_sql``)
+    hash-matches, k-means training included.
+
+    ``index_cache_key``: passed through to ``ivf_kmeans`` — the
+    quantizer is shared with ``ann_topk_ivf`` (same key, same trained
+    index), the built-once/used-everywhere artifact shape.
+    """
+    assign, _cents = ivf_kmeans(
+        vectors, k, iters, id_col, vec_col, cache_key=index_cache_key
+    )
+    return _semdedup_pairs_from(vectors, assign, threshold, id_col, vec_col)
+
+
+def _semdedup_pairs_from(
+    vectors: DataFrame,
+    assign: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Same-cell pair scan over an already-trained assignment."""
+    # one materialized (id, vec, cell) relation feeds both sides of
+    # the self-join (the diamond rule: without it the assignment —
+    # itself iters+1 passes — re-executes per side).  Corpus-sized, so
+    # deliberately NOT broadcast (the contract-bounded-vs-corpus-
+    # growing rule from BASELINE.md).
+    tagged = materialize(
+        vectors.select(F.col(id_col), F.col(vec_col)).join(assign, id_col)
+    )
+    a = tagged.select(
+        F.col(id_col).alias("id_a"), "cell", F.col(vec_col).alias("__va")
+    )
+    b = tagged.select(
+        F.col(id_col).alias("id_b"), "cell", F.col(vec_col).alias("__vb")
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_expr("__va", "__vb"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cell", "cosine")
+    )
+
+
+def semdedup_pairs_sql(
+    threshold: float = SEMDEDUP_THRESHOLD,
+    k: int = IVF_CELLS,
+    iters: int = IVF_ITERS,
+    dim: int = EMBEDDING_DIM,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB twin of ``semdedup_pairs``: the unrolled k-means CTE
+    chain, then the same-cell pair scan with the shared cosine tree.
+    Returns a complete WITH query (no trailing comma needed)."""
+    cos = cosine_sql("a.embedding", "b.embedding", dim)
+    return f"""WITH {ivf_kmeans_sql_ctes(k, iters, dim, table)},
+        sd_tagged AS (
+            SELECT e.vec_id, e.embedding, s.cell
+            FROM {table} e JOIN km_assign s ON s.vec_id = e.vec_id)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell AS cell,
+               {cos} AS cosine
+        FROM sd_tagged a JOIN sd_tagged b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE {cos} >= CAST({threshold} AS DOUBLE)"""
+
+
+def semdedup_keep(
+    vectors: DataFrame,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    k: int = IVF_CELLS,
+    iters: int = IVF_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index_cache_key: str | None = None,
+) -> DataFrame:
+    """SemDeDup survivor selection, paper rule 2.1: within each group
+    of semantic duplicates keep the example with the LOWEST cosine to
+    its cluster centroid (the one farthest from the cluster's center
+    carries the most marginal information; ties -> lowest id).
+
+    Groups are connected components of the ``semdedup_pairs`` graph
+    (a >= threshold chain is one group even when its endpoints are
+    < threshold apart — the same canonicalization the MinHash tier
+    uses).  Output: every input id with (component, is_survivor) —
+    the ``dedup_survivors`` contract.
+
+    Centroid similarity is floor-quantized to 1e-6 before ranking so
+    the argmin is bit-stable across engines/partitionings (the
+    float-parity discipline); pytest pins the whole rule against an
+    in-Python reference.
+    """
+    assign, cents = ivf_kmeans(
+        vectors, k, iters, id_col, vec_col, cache_key=index_cache_key
+    )
+    pairs = _semdedup_pairs_from(vectors, assign, threshold, id_col, vec_col)
+    csim = (
+        vectors.select(F.col(id_col), F.col(vec_col))
+        .join(assign, id_col)
+        .join(F.broadcast(cents), "cell")
+        .select(
+            F.col(id_col),
+            # keep = LOWEST centroid sim -> rank by NEGATED quantized
+            # sim under dedup_survivors' keep-the-highest policy
+            (-F.floor(_cos_cell(vec_col) * F.lit(1000000.0)))
+            .cast("double").alias("__neg_csim"),
+        )
+    )
+    from .components import dedup_survivors
+
+    return dedup_survivors(
+        csim, pairs.select("id_a", "id_b"), id_col=id_col,
+        order_col="__neg_csim",
+    ).drop("__neg_csim")
+
+
+# ---------------------------------------------------------------------------
 # feature-hashing text embedder (round 8): documents -> vectors without
 # an external model, so the WHOLE embedding tier (banded near-dup, ANN,
 # persistent indexes) runs end-to-end from raw text.  The hashing trick
