@@ -174,6 +174,200 @@ def decode_image_meta(
     return binary_df.mapInPandas(_decode, schema)
 
 
+# ---------------------------------------------------------------------------
+# audio modality (round 9): WAV/RIFF header decode, stdlib-only — the
+# audio twin of parse_image_header.  Sample rate / channels / bit
+# depth / sample count come from the actual bytes; the same
+# header -> fake decoder ladder keeps unknown containers flowing.
+# ---------------------------------------------------------------------------
+
+AUDIO_DECODE_SCHEMA = (
+    "doc_id long, n_bytes long, format string, channels long, "
+    "sample_rate long, bits_per_sample long, n_samples long, "
+    "duration_ms long, decoder string, content_hash string"
+)
+
+
+def parse_audio_header(payload: bytes) -> tuple[str, int, int, int, int] | None:
+    """REAL (stdlib-only) WAV header decode: ('wav', channels,
+    sample_rate, bits_per_sample, n_samples) for RIFF/WAVE PCM
+    payloads, None otherwise.
+
+    Walks the RIFF chunk list (word-aligned, per the RIFF spec) for
+    the mandatory ``fmt `` chunk (PCM layout: format tag, channels,
+    sample rate, byte rate, block align, bits — all little-endian) and
+    the ``data`` chunk header.  ``n_samples`` derives from the DATA
+    CHUNK'S DECLARED size / block align — the data bytes themselves
+    need not be present (object stores serve ranged header reads; the
+    100 TB pipeline never pulls a full media payload to learn its
+    geometry)."""
+    n = len(payload)
+    if n < 36 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    fmt = None
+    data_size = None
+    i = 12
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        (size,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        if cid == b"fmt " and size >= 16 and i + 24 <= n:
+            audio_fmt, ch, rate, _br, block, bits = struct.unpack(
+                "<HHIIHH", payload[i + 8 : i + 24]
+            )
+            if audio_fmt != 1:  # PCM only; compressed needs a codec
+                return None
+            fmt = (ch, rate, block, bits)
+        elif cid == b"data":
+            data_size = size
+        if fmt is not None and data_size is not None:
+            break
+        i += 8 + size + (size % 2)  # chunks are word-aligned
+    if fmt is None or data_size is None:
+        return None
+    ch, rate, block, bits = fmt
+    if ch == 0 or rate == 0 or block == 0:
+        return None
+    return "wav", ch, rate, bits, data_size // block
+
+
+def _fake_audio_decode(payload: bytes) -> tuple[str, int, int, int, int]:
+    """Deterministic fake audio decode (md5-derived geometry) — the
+    ladder's last rung, same contract as ``_fake_decode``."""
+    digest = hashlib.md5(payload).digest()
+    fmt = ("wav", "mp3", "flac")[digest[0] % 3]
+    channels = 1 + digest[1] % 2
+    rate = (8000, 16000, 22050, 44100)[digest[2] % 4]
+    bits = 8 * (1 + digest[3] % 2)
+    n_samples = 1000 + int.from_bytes(digest[4:7], "big") % 100000
+    return fmt, channels, rate, bits, n_samples
+
+
+def decode_audio_meta(
+    binary_df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    passthrough: tuple[str, ...] = (),
+    try_header: bool = True,
+) -> DataFrame:
+    """mapInPandas audio decode — the audio twin of
+    ``decode_image_meta`` (same Arrow batching, same passthrough
+    contract, same header -> fake ladder).  ``duration_ms`` is
+    integer math ((n_samples * 1000) // rate) so it ports to any
+    engine exactly."""
+    schema = AUDIO_DECODE_SCHEMA
+    if passthrough:
+        fields = dict(
+            (f.name, f.dataType.simpleString()) for f in binary_df.schema.fields
+        )
+        schema += ", " + ", ".join(f"{c} {fields[c]}" for c in passthrough)
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(payload: bytes) -> tuple[str, int, int, int, int, str]:
+            if try_header:
+                parsed = parse_audio_header(payload)
+                if parsed is not None:
+                    return (*parsed, "header")
+            return (*_fake_audio_decode(payload), "fake")
+
+        for pdf in batches:
+            meta = [one(p) for p in pdf[payload_col]]
+            out = {
+                "doc_id": pdf[id_col].values,
+                "n_bytes": [len(p) for p in pdf[payload_col]],
+                "format": [m[0] for m in meta],
+                "channels": [m[1] for m in meta],
+                "sample_rate": [m[2] for m in meta],
+                "bits_per_sample": [m[3] for m in meta],
+                "n_samples": [m[4] for m in meta],
+                "duration_ms": [(m[4] * 1000) // m[2] for m in meta],
+                "decoder": [m[5] for m in meta],
+                "content_hash": [
+                    hashlib.md5(p).hexdigest() for p in pdf[payload_col]
+                ],
+            }
+            for c in passthrough:
+                out[c] = pdf[c].values
+            yield pd.DataFrame(out)
+
+    return binary_df.mapInPandas(_decode, schema)
+
+
+def synthesize_wav_payloads(
+    ids_df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic REAL RIFF/WAVE headers, one per input id — the
+    audio fixture generator (twin of ``synthesize_image_payloads``).
+    Geometry derives from the id with integer math the oracle
+    recomputes; the data chunk is declared-but-absent (see
+    ``parse_audio_header`` on ranged header reads), so every payload
+    is exactly 44 bytes.  ``syn_ch`` = md5(uppercase-hex(payload)),
+    the hex-domain content hash the VARCHAR-only DuckDB md5 can
+    rebuild."""
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                channels = 1 + i % 2
+                rate = (8000, 16000, 44100)[i % 3]
+                bits = 8 * (1 + i % 2)
+                n_samples = 1000 + (i * 11) % 50000
+                block = channels * (bits // 8)
+                data_size = n_samples * block
+                p = (
+                    b"RIFF"
+                    + struct.pack("<I", 36 + data_size)
+                    + b"WAVE"
+                    + b"fmt "
+                    + struct.pack(
+                        "<IHHIIHH",
+                        16, 1, channels, rate, rate * block, block, bits,
+                    )
+                    + b"data"
+                    + struct.pack("<I", data_size)
+                )
+                payloads.append(p)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "payload": payloads,
+                    "syn_ch": [
+                        hashlib.md5(p.hex().upper().encode()).hexdigest()
+                        for p in payloads
+                    ],
+                }
+            )
+
+    return ids_df.select(id_col).mapInPandas(
+        _build, f"{id_col} long, payload binary, syn_ch string"
+    )
+
+
+def audio_header_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry arm (round 9): REAL WAV header decode — synthesized
+    RIFF/WAVE payloads through ``decode_audio_meta``; every row must
+    come back decoder='header' with channels/rate/bits/samples parsed
+    from the actual little-endian bytes."""
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    syn = synthesize_wav_payloads(ids)
+    return decode_audio_meta(syn, passthrough=("syn_ch",)).select(
+        "doc_id",
+        "n_bytes",
+        "format",
+        "channels",
+        "sample_rate",
+        "bits_per_sample",
+        "n_samples",
+        "duration_ms",
+        # the REAL per-row decoder tag: a payload that fell through to
+        # the fake rung shows up as decoder='fake' and fails the hash
+        # gate — the arm asserts header parsing, it doesn't filter to it
+        "decoder",
+        F.col("syn_ch").alias("content_hash"),
+    )
+
+
 RESIZE_SCHEMA = "doc_id long, width long, height long, scale double"
 
 
@@ -466,6 +660,59 @@ SELECT doc_id,
 FROM dims"""
 
 
+def _u16le_sql(expr: str) -> str:
+    """Uppercase hex of ``expr`` as a little-endian u16 (2 bytes
+    swapped) — the audio twin's byte-builder."""
+    h = f"lpad(upper(to_hex({expr})), 4, '0')"
+    return f"substr({h}, 3, 2) || substr({h}, 1, 2)"
+
+
+def _u32le_sql(expr: str) -> str:
+    """Uppercase hex of ``expr`` as a little-endian u32."""
+    h = f"lpad(upper(to_hex({expr})), 8, '0')"
+    return (
+        f"substr({h}, 7, 2) || substr({h}, 5, 2) || "
+        f"substr({h}, 3, 2) || substr({h}, 1, 2)"
+    )
+
+
+#: DuckDB twin of ``audio_header_query``: recomputes the id-derived
+#: geometry, rebuilds the exact 44-byte RIFF/WAVE header as an
+#: uppercase hex string (little-endian fields via byte swaps) and
+#: md5s it — pinning both the decoded values AND the synthesized
+#: bytes, same scheme as HEADER_DECODE_SQL.
+AUDIO_HEADER_SQL = f"""
+WITH adims AS (
+    SELECT doc_id,
+           1 + doc_id % 2 AS channels,
+           CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                ELSE 44100 END AS sample_rate,
+           8 * (1 + doc_id % 2) AS bits_per_sample,
+           1000 + (doc_id * 11) % 50000 AS n_samples
+    FROM documents),
+ameta AS (
+    SELECT *,
+           channels * (bits_per_sample // 8) AS block,
+           n_samples * channels * (bits_per_sample // 8) AS data_size
+    FROM adims)
+SELECT doc_id,
+       CAST(44 AS BIGINT) AS n_bytes,
+       'wav' AS format,
+       CAST(channels AS BIGINT) AS channels,
+       CAST(sample_rate AS BIGINT) AS sample_rate,
+       CAST(bits_per_sample AS BIGINT) AS bits_per_sample,
+       CAST(n_samples AS BIGINT) AS n_samples,
+       CAST((n_samples * 1000) // sample_rate AS BIGINT) AS duration_ms,
+       'header' AS decoder,
+       md5('52494646' || {_u32le_sql("36 + data_size")} || '57415645'
+           || '666D7420' || '10000000' || '0100'
+           || {_u16le_sql("channels")} || {_u32le_sql("sample_rate")}
+           || {_u32le_sql("sample_rate * block")} || {_u16le_sql("block")}
+           || {_u16le_sql("bits_per_sample")}
+           || '64617461' || {_u32le_sql("data_size")}) AS content_hash
+FROM ameta"""
+
+
 _RESIZE_SCALE_SQL = "LEAST(256.0 / width, 256.0 / height, 1.0)"
 
 #: DuckDB twin of ``multimodal_pipeline_query``.  Python's
@@ -497,10 +744,17 @@ def multimodal_both_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     header = header_decode_query(spark, sf_dir).withColumn(
         "method", F.lit("header_decode")
     )
-    return stub.unionByName(header, allowMissingColumns=True)
+    audio = audio_header_query(spark, sf_dir).withColumn(
+        "method", F.lit("audio_header")
+    )
+    return stub.unionByName(header, allowMissingColumns=True).unionByName(
+        audio, allowMissingColumns=True
+    )
 
 
 MULTIMODAL_BOTH_SQL = f"""
 SELECT 'stub_pipeline' AS method, * FROM ({MULTIMODAL_PIPELINE_SQL})
 UNION ALL BY NAME
-SELECT 'header_decode' AS method, * FROM ({HEADER_DECODE_SQL})"""
+SELECT 'header_decode' AS method, * FROM ({HEADER_DECODE_SQL})
+UNION ALL BY NAME
+SELECT 'audio_header' AS method, * FROM ({AUDIO_HEADER_SQL})"""

@@ -137,3 +137,126 @@ def test_text_gif_prefix_stays_fake_in_stub_arm(spark):
     real = decode_image_meta(docs).collect()[0]
     assert real["decoder"] == "header" and real["format"] == "gif"
     assert (real["width"], real["height"]) == (0x10, 0x20)
+
+
+# ---------------------------------------------------------------------------
+# audio (WAV/RIFF) header decode — round 9
+# ---------------------------------------------------------------------------
+
+
+def _real_wav(channels: int, rate: int, n_samples: int) -> bytes:
+    """A complete WAV produced by the stdlib encoder (16-bit PCM) —
+    the parser must agree with the writer on every header field."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(b"\x00\x01" * channels * n_samples)
+    return buf.getvalue()
+
+
+def test_wav_real_stdlib_fixture():
+    from haensel_ams_data_engineer_challenge_spark.multimodal.binary import (
+        parse_audio_header,
+    )
+
+    assert parse_audio_header(_real_wav(1, 8000, 1234)) \
+        == ("wav", 1, 8000, 16, 1234)
+    assert parse_audio_header(_real_wav(2, 44100, 500)) \
+        == ("wav", 2, 44100, 16, 500)
+
+
+def test_wav_header_only_declared_data():
+    """The data chunk's declared size suffices — no data bytes needed
+    (ranged header reads at scale)."""
+    import struct
+
+    from haensel_ams_data_engineer_challenge_spark.multimodal.binary import (
+        parse_audio_header,
+    )
+
+    p = (
+        b"RIFF" + struct.pack("<I", 36 + 4000) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 16000, 64000, 4, 16)
+        + b"data" + struct.pack("<I", 4000)
+    )
+    assert parse_audio_header(p) == ("wav", 2, 16000, 16, 1000)
+
+
+def test_wav_chunk_walk_skips_odd_sized_chunks():
+    """RIFF chunks are word-aligned: an odd-sized LIST chunk before
+    fmt must be skipped with its pad byte."""
+    import struct
+
+    from haensel_ams_data_engineer_challenge_spark.multimodal.binary import (
+        parse_audio_header,
+    )
+
+    lst = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # pad byte
+    p = (
+        b"RIFF" + struct.pack("<I", 100) + b"WAVE" + lst
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+        + b"data" + struct.pack("<I", 800)
+    )
+    assert parse_audio_header(p) == ("wav", 1, 8000, 8, 800)
+
+
+def test_non_wav_returns_none():
+    import struct
+
+    from haensel_ams_data_engineer_challenge_spark.multimodal.binary import (
+        parse_audio_header,
+    )
+
+    assert parse_audio_header(b"plain text") is None
+    assert parse_audio_header(b"") is None
+    assert parse_audio_header(PNG_1x1) is None
+    # non-PCM format tag (3 = IEEE float) needs a codec: fall through
+    p = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, 8000, 32000, 4, 32)
+        + b"data" + struct.pack("<I", 0)
+    )
+    assert parse_audio_header(p) is None
+
+
+def test_audio_decode_operator_ladder(spark):
+    from haensel_ams_data_engineer_challenge_spark.multimodal.binary import (
+        decode_audio_meta,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(_real_wav(2, 22050, 2205))),
+         (2, bytearray(b"definitely not audio"))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in decode_audio_meta(df).collect()}
+    r1 = rows[1]
+    assert (r1.format, r1.channels, r1.sample_rate, r1.bits_per_sample,
+            r1.n_samples, r1.decoder) == ("wav", 2, 22050, 16, 2205, "header")
+    assert r1.duration_ms == 100  # 2205 samples at 22050 Hz
+    assert rows[2].decoder == "fake"
+
+
+def test_synthesized_wavs_decode_as_headers(spark):
+    from haensel_ams_data_engineer_challenge_spark.multimodal.binary import (
+        decode_audio_meta,
+        synthesize_wav_payloads,
+    )
+
+    ids = spark.range(0, 24).withColumnRenamed("id", "doc_id")
+    out = decode_audio_meta(
+        synthesize_wav_payloads(ids), passthrough=("syn_ch",)
+    ).collect()
+    assert len(out) == 24
+    for r in out:
+        assert r.decoder == "header" and r.format == "wav"
+        assert r.channels == 1 + r.doc_id % 2
+        assert r.sample_rate == (8000, 16000, 44100)[r.doc_id % 3]
+        assert r.bits_per_sample == 8 * (1 + r.doc_id % 2)
+        assert r.n_samples == 1000 + (r.doc_id * 11) % 50000
+        assert r.n_bytes == 44
