@@ -25,6 +25,7 @@ from ..operators import lm as LM
 from ..operators import pack as PK
 from ..operators import retrieval as R
 from ..operators import vocab as V
+from ..operators import sampling as SMP
 from ..operators import similarity as S
 from ..sources import load_table
 
@@ -1351,6 +1352,7 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
     # columns: fingerprint carries the term, chunk_idx the rank,
     # n_tokens the occurrence count, doc_id NULL.
     VOCAB_TOP_N = 50
+    SHUFFLE_SHARDS = 16
 
     # ... and the 'bpe' arm: REAL BPE segmentation (operators/bpe.py)
     # under a fixed pretrained merge list — the production shape
@@ -1440,6 +1442,18 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
                 F.col("seq_id").alias("chunk_idx"),
                 "n_tokens",
             )
+        ).unionByName(
+            # round 9: deterministic global training-order shuffle —
+            # the hash gate pins the ENTIRE seeded permutation
+            # (doc -> shard, position-within-shard)
+            SMP.global_shuffle(
+                docs.select("doc_id"), n_shards=SHUFFLE_SHARDS, seed="r9"
+            ).select(
+                F.lit("shuffle").alias("method"), "doc_id",
+                F.lit(None).cast("string").alias("fingerprint"),
+                F.col("shard").alias("chunk_idx"),
+                F.col("pos").alias("n_tokens"),
+            )
         )
 
     e["doc_fingerprint"] = (
@@ -1492,7 +1506,12 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
             UNION ALL
             SELECT 'pack', CAST(NULL AS BIGINT), md5(seq_text),
                    seq_id, n_tokens
-            FROM pk_out""",
+            FROM pk_out
+            UNION ALL
+            SELECT 'shuffle', doc_id, CAST(NULL AS VARCHAR), shard, pos
+            FROM ("""
+        + SMP.global_shuffle_sql("documents", SHUFFLE_SHARDS, seed="r9")
+        + ")",
     )
 
     # ---- multimodal (binary-column plumbing) ----------------------------

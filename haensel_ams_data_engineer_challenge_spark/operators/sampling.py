@@ -396,3 +396,65 @@ def token_budget_cap_sql(
         f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __cum "
         f"FROM {table}) WHERE __cum <= {budget}"
     )
+
+
+def global_shuffle(
+    df: DataFrame,
+    n_shards: int,
+    seed: str = "",
+    id_col: str = "doc_id",
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a
+    ``shard`` in [0, n_shards) and a 1-based ``pos`` within its shard
+    — together a total order that is a seeded pseudo-random
+    permutation of the corpus (the order a trainer consumes shards
+    in).  Reading shard 0 pos 1..k, shard 1 pos 1..k, ... replays the
+    SAME permutation on any engine, any partitioning, any rerun —
+    reshuffling is just a new ``seed``.
+
+    Two independent md5 streams (the hash_embed pattern): the shard
+    assignment keys ``gss|seed|id`` and the within-shard order keys
+    ``gso|seed|id``, so shard membership and intra-shard order are
+    uncorrelated.  ``pos`` comes from the stratified prefix count
+    (``rank.grouped_row_number``) — one range shuffle plus a
+    n_partitions-row offset window, NEVER a single-task global sort:
+    the 100 TB corpus shuffles in fully parallel stages and each
+    shard's order is reproducible independently (a trainer node can
+    materialize just its own shard).
+
+    SQL twin shape: ``ROW_NUMBER() OVER (PARTITION BY shard ORDER BY
+    md5_key, id)`` over ``md5_bucket % n_shards``.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    from .rank import grouped_row_number
+
+    okey = F.md5(
+        F.concat(F.lit(f"gso|{seed}|"), F.col(id_col).cast("string"))
+    )
+    tagged = df.withColumn("__gso", okey).withColumn(
+        shard_col, _bucket(id_col, f"gss|{seed}") % n_shards
+    )
+    return grouped_row_number(
+        tagged, [shard_col], ["__gso", id_col], out_col=pos_col
+    ).drop("__gso")
+
+
+def global_shuffle_sql(
+    table: str,
+    n_shards: int,
+    seed: str = "",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of ``global_shuffle``: emits (id, shard, pos) plus
+    the order key as ``okey`` (callers project what they need)."""
+    okey = f"md5(concat('gso|{seed}|', CAST({id_col} AS VARCHAR)))"
+    shard = f"{_bucket_sql(id_col, f'gss|{seed}')} % {n_shards}"
+    return (
+        f"SELECT {id_col}, {okey} AS okey, CAST({shard} AS BIGINT) AS shard, "
+        f"CAST(ROW_NUMBER() OVER (PARTITION BY {shard} "
+        f"ORDER BY {okey} ASC, {id_col} ASC) AS BIGINT) AS pos "
+        f"FROM {table}"
+    )

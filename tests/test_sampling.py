@@ -350,3 +350,80 @@ def test_temperature_thresholds_match_duckdb_sqrt(spark, duck):
         ).fetchall()
     }
     assert thr == sql_thr
+
+
+# ---------------------------------------------------------------------------
+# deterministic global training-order shuffle — round 9
+# ---------------------------------------------------------------------------
+
+
+def _gs_df(spark, n=200):
+    return spark.range(0, n).withColumnRenamed("id", "doc_id")
+
+
+def test_global_shuffle_is_a_permutation(spark):
+    from haensel_ams_data_engineer_challenge_spark.operators.sampling import (
+        global_shuffle,
+    )
+
+    out = global_shuffle(_gs_df(spark), n_shards=8, seed="t").collect()
+    assert len(out) == 200
+    assert {r.doc_id for r in out} == set(range(200))
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        assert 0 <= r.shard < 8
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    # positions within each shard are exactly 1..len (dense, 1-based)
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+
+
+def test_global_shuffle_partitioning_invariant(spark):
+    """The permutation must not depend on the input's physical layout
+    — the reproducible-training-order contract."""
+    from haensel_ams_data_engineer_challenge_spark.operators.sampling import (
+        global_shuffle,
+    )
+
+    a = global_shuffle(_gs_df(spark), n_shards=4, seed="x")
+    b = global_shuffle(
+        _gs_df(spark).repartition(7, "doc_id"), n_shards=4, seed="x"
+    )
+    ra = {(r.doc_id, r.shard, r.pos) for r in a.collect()}
+    rb = {(r.doc_id, r.shard, r.pos) for r in b.collect()}
+    assert ra == rb
+
+
+def test_global_shuffle_seed_changes_order(spark):
+    from haensel_ams_data_engineer_challenge_spark.operators.sampling import (
+        global_shuffle,
+    )
+
+    a = {(r.doc_id, r.shard, r.pos)
+         for r in global_shuffle(_gs_df(spark), 4, seed="s1").collect()}
+    b = {(r.doc_id, r.shard, r.pos)
+         for r in global_shuffle(_gs_df(spark), 4, seed="s2").collect()}
+    assert a != b  # 200 docs: collision probability ~0
+
+
+def test_global_shuffle_looks_shuffled(spark):
+    """Sanity: the within-shard order must not be the identity order
+    (md5 keys decorrelate position from id)."""
+    from haensel_ams_data_engineer_challenge_spark.operators.sampling import (
+        global_shuffle,
+    )
+
+    rows = [r for r in global_shuffle(_gs_df(spark), 1, seed="t").collect()]
+    in_id_order = sorted(rows, key=lambda r: r.doc_id)
+    assert [r.pos for r in in_id_order] != list(range(1, 201))
+
+
+def test_global_shuffle_rejects_bad_shards(spark):
+    import pytest as _pytest
+
+    from haensel_ams_data_engineer_challenge_spark.operators.sampling import (
+        global_shuffle,
+    )
+
+    with _pytest.raises(ValueError):
+        global_shuffle(_gs_df(spark), 0)
