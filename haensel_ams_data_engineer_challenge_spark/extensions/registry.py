@@ -747,6 +747,12 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
     # documents table; exact-dup texts land at cosine 1.0.
     cos_ab = S.cosine_sql("a.embedding", "b.embedding")
     HASHED_DUP_THRESHOLD = 0.9
+    # hash-embedded text vectors are CORRELATED (shared common-token
+    # directions), so the default 8-bucket bands flood (measured: one
+    # bucket held 68% of sf0.1's vectors; 11.9M candidate pairs).
+    # Round-9 fix per the sizing rule planes >= log2(n / occupancy):
+    # 10 planes/band (1024 buckets) + the MAX_VECTOR_BUCKET backstop.
+    HASHED_DUP_PLANES = 10
 
     def _embedding_dups_both(spark: SparkSession, sf: str) -> DataFrame:
         from ..checkpoint import materialize
@@ -760,6 +766,8 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
         hashed_arm = S.embedding_dup_pairs_lsh(
             materialize(S.hash_embed(_docs(spark, sf))),
             threshold=HASHED_DUP_THRESHOLD,
+            planes_per_band=HASHED_DUP_PLANES,
+            max_bucket=S.MAX_VECTOR_BUCKET,
         ).withColumn("method", F.lit("hashed"))
         # round 9: SemDeDup arm — cluster-scoped semantic near-dup
         # (k-means cell self-join instead of LSH banding); shares the
@@ -780,15 +788,21 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
         _embedding_dups_both,
         f"""WITH {S.hash_embed_sql(R.SEARCH_TOKEN_PATTERN).strip()},
             wb AS ({S.banded_buckets_sql("embedding")}),
-            hwb AS ({S.banded_buckets_sql("embedding", table="he_out")}),
+            hwb AS ({S.banded_buckets_sql("embedding", S.LSH_DUP_BANDS, HASHED_DUP_PLANES, table="he_out")}),
+            hflood AS (SELECT band, bucket FROM hwb
+                       GROUP BY band, bucket
+                       HAVING COUNT(*) > {S.MAX_VECTOR_BUCKET}),
+            hwb_f AS (SELECT w.* FROM hwb w
+                      ANTI JOIN hflood f
+                      ON w.band = f.band AND w.bucket = f.bucket),
             cand AS (
                 SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
                 FROM wb x JOIN wb y ON x.band = y.band AND x.bucket = y.bucket
                                    AND x.vec_id < y.vec_id),
             hcand AS (
                 SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
-                FROM hwb x JOIN hwb y ON x.band = y.band AND x.bucket = y.bucket
-                                     AND x.vec_id < y.vec_id)
+                FROM hwb_f x JOIN hwb_f y ON x.band = y.band AND x.bucket = y.bucket
+                                         AND x.vec_id < y.vec_id)
             SELECT 'lsh' AS method, id_a, id_b, {cos_ab} AS cosine
             FROM cand
             JOIN embeddings a ON a.vec_id = id_a

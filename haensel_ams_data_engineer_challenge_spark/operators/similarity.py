@@ -791,6 +791,7 @@ def embedding_dup_pairs_lsh(
     planes_per_band: int = LSH_DUP_BAND_PLANES,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Banded-LSH near-duplicate pairs: candidates share a sign-pattern
     bucket in ANY band; every candidate is then scored with the exact
@@ -809,6 +810,20 @@ def embedding_dup_pairs_lsh(
     is 0.6) the theoretical recall floor is ~0.92; the registered
     oracle mirrors the banded semantics exactly, so parity is
     bit-exact regardless.
+
+    ``max_bucket`` (round 9): flood cap — drop (band, bucket) cells
+    holding more vectors than this before the self-join (groupBy +
+    broadcast anti-join, the pinned flood-cap shape).  CORRELATED
+    vector sets (e.g. hash-embedded text, where every document shares
+    the common-token directions) collapse sign patterns into few
+    buckets: measured at sf0.1, one 8-bucket band held 68% of 5000
+    hash-embedded vectors and the uncapped candidate set hit 11.9M
+    pairs (~26 s; the quadratic cliff).  A capped cell costs only that
+    ONE band's vote — a true near-dup pair collides in nearly every
+    band — and the exact-cosine verify keeps false positives
+    impossible either way.  Size the LAYOUT first (planes_per_band >=
+    log2(n / target_occupancy)); the cap backstops what sizing
+    misses.
     """
     wb = banded_bucket_rows(vectors, id_col, vec_col, bands, planes_per_band)
     # the bucket stream feeds both sides of the self-join and exchange
@@ -817,6 +832,14 @@ def embedding_dup_pairs_lsh(
     # bands x planes_per_band hyperplane dot products compute twice.
     # The stream is (id, band, bucket): far smaller than the vectors.
     wb = materialize(wb)
+    if max_bucket is not None:
+        flooded = (
+            wb.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__bsz"))
+            .filter(F.col("__bsz") > max_bucket)
+            .select("band", "bucket")
+        )
+        wb = wb.join(F.broadcast(flooded), ["band", "bucket"], "left_anti")
     a, b = wb.alias("a"), wb.alias("b")
     cand = (
         a.join(
