@@ -1067,9 +1067,18 @@ def semdedup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     index_cache_key: str | None = None,
+    train_vectors: DataFrame | None = None,
 ) -> DataFrame:
     """Semantic near-dup pairs, cluster-scoped: (id_a, id_b, cell,
     cosine) for same-cell pairs with cosine >= threshold (id_a < id_b).
+
+    ``train_vectors`` (the nb_classify_docs ``train_docs=`` split):
+    when given, the Lloyd quantizer trains on THAT frame and the full
+    ``vectors`` corpus is only ASSIGNED (one broadcast-centroid pass)
+    — the production shape at large k, where training on a sample
+    caps the k x n-per-round train cost while the scan still covers
+    everything.  When None, train on the corpus itself (the
+    hash-gated form).
 
     Scale shape: one broadcast-centroid assignment pass (the quantizer
     is k rows), then a self-join keyed on ``cell`` — the quadratic
@@ -1086,11 +1095,19 @@ def semdedup_pairs(
 
     ``index_cache_key``: passed through to ``ivf_kmeans`` — the
     quantizer is shared with ``ann_topk_ivf`` (same key, same trained
-    index), the built-once/used-everywhere artifact shape.
+    index), the built-once/used-everywhere artifact shape.  With
+    ``train_vectors`` the key names THAT frame's data.
     """
-    assign, _cents = ivf_kmeans(
-        vectors, k, iters, id_col, vec_col, cache_key=index_cache_key
-    )
+    if train_vectors is not None:
+        _tr, cents = ivf_kmeans(
+            train_vectors, k, iters, id_col, vec_col,
+            cache_key=index_cache_key,
+        )
+        assign = _assign_cells(vectors, cents, id_col, vec_col)
+    else:
+        assign, _cents = ivf_kmeans(
+            vectors, k, iters, id_col, vec_col, cache_key=index_cache_key
+        )
     return _semdedup_pairs_from(vectors, assign, threshold, id_col, vec_col)
 
 

@@ -153,3 +153,20 @@ def test_semdedup_pairs_subset_of_bruteforce(spark, k):
     brute = {(r.id_a, r.id_b) for r in
              S.embedding_dup_pairs(df, threshold=0.6).collect()}
     assert sd <= brute
+
+
+def test_semdedup_sampled_train_split(spark):
+    """train_vectors= (the production large-k shape): the quantizer
+    trains on a sample, the full corpus is only assigned — planted
+    near-identical twins must still land in one cell and be found."""
+    df = _planted_df(spark, n_groups=12, seed=21)
+    sample = df.filter("vec_id % 3 = 0")  # every 3rd vector
+    pairs = S.semdedup_pairs(
+        df, threshold=0.9, k=4, iters=2, train_vectors=sample
+    )
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    planted = {(2 * i, 2 * i + 1) for i in range(12)}
+    assert planted <= found
+    brute = {(r.id_a, r.id_b)
+             for r in S.embedding_dup_pairs(df, threshold=0.9).collect()}
+    assert found <= brute
