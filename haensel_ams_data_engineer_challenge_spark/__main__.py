@@ -168,12 +168,31 @@ def _parser() -> argparse.ArgumentParser:
     )
     co.add_argument(
         "--dedup-method",
-        choices=("minhash", "substring", "both"),
+        choices=("minhash", "substring", "semantic", "both"),
         default="minhash",
         help="near-dup pair source: word-shingle MinHash LSH (default), "
         "exact-substring anchors (verbatim-run dedup, Lee et al. 2021 "
-        "style), or the union of both signals feeding one cluster "
-        "resolution",
+        "style), SemDeDup semantic pairs over feature-hashed "
+        "embeddings (Abbas et al. 2023 — k-means cell-scoped cosine, "
+        "no external model needed), or the union of the two text "
+        "signals ('both') feeding one cluster resolution",
+    )
+    co.add_argument(
+        "--semantic-threshold",
+        type=float,
+        default=0.9,
+        metavar="COS",
+        help="(--dedup-method semantic) cosine above which same-cell "
+        "pairs are semantic duplicates",
+    )
+    co.add_argument(
+        "--semantic-k",
+        type=int,
+        default=None,
+        metavar="K",
+        help="(--dedup-method semantic) k-means cell count; default "
+        "sizes by the paper's rule (n_docs / 400, floor 4) so the "
+        "per-cell scan stays constant as the corpus grows",
     )
     co.add_argument("--train", type=float, default=0.98)
     co.add_argument("--val", type=float, default=0.01)
@@ -474,7 +493,24 @@ def main(argv: list[str] | None = None) -> int:
                 pairs = dedup_minhash_lsh(docs)
             elif args.dedup_method == "substring":
                 pairs = substring_dup_pairs(docs).select("id_a", "id_b")
-            else:  # both signals, one cluster resolution (CC dedups edges)
+            elif args.dedup_method == "semantic":
+                # SemDeDup over feature-hashed embeddings: no external
+                # model — hash_embed derives the vectors from the text,
+                # k sizes by the constant-cell rule (BASELINE.md knob
+                # table), the pair graph feeds the same CC resolution
+                from .checkpoint import materialize
+                from .operators.similarity import hash_embed, semdedup_pairs
+
+                vecs = materialize(hash_embed(docs))
+                k = args.semantic_k
+                if k is None:
+                    k = max(4, vecs.count() // 400)
+                pairs = semdedup_pairs(
+                    vecs, threshold=args.semantic_threshold, k=k
+                ).select(
+                    F.col("id_a").alias("id_a"), F.col("id_b").alias("id_b")
+                )
+            else:  # both text signals, one cluster resolution (CC dedups edges)
                 pairs = dedup_minhash_lsh(docs).unionByName(
                     substring_dup_pairs(docs).select("id_a", "id_b")
                 )

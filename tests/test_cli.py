@@ -711,3 +711,31 @@ def test_cli_classify_model_artifact(spark, sf_dir, tmp_path, capsys):
         "classify", "--sf-dir", sf_dir, "--work-dir", work2,
     ])
     assert rc == 1
+
+
+def test_cli_corpus_dedup_method_semantic(spark, sf_dir, tmp_path, capsys):
+    """--dedup-method semantic: SemDeDup over feature-hashed
+    embeddings — exact-dup texts are cosine-1.0 semantic pairs, so
+    the survivor set must be no larger than exact text dedup's and
+    every survivor unique."""
+    from pyspark.sql import functions as F
+
+    from haensel_ams_data_engineer_challenge_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    n_exact = docs.select(F.md5("text")).distinct().count()
+    work = str(tmp_path / "wd_sem")
+    rc = main([
+        "corpus", "--sf-dir", sf_dir, "--work-dir", work,
+        "--dedup-method", "semantic",
+        "--semantic-threshold", "0.999",
+    ])
+    assert rc == 0
+    assert "survivors=" in capsys.readouterr().out
+    back = spark.read.parquet(f"{work}/corpus")
+    kept = back.count()
+    # identical texts hash-embed to identical vectors (cosine 1.0 in
+    # the same cell), so semantic dedup subsumes exact dedup
+    assert 0 < kept <= n_exact <= n
+    assert back.select("doc_id").distinct().count() == kept
