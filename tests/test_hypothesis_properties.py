@@ -371,3 +371,79 @@ def test_hash_embed_matches_python_model(spark, corpora):
             v[b] += s
         exp[i] = v
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# round 9: WAV header parse — encode/parse roundtrip over arbitrary
+# geometry, and arbitrary byte noise never crashes (returns None or a
+# consistent parse; the decode ladder depends on totality)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    channels=st.integers(1, 8),
+    rate=st.integers(1, 192_000),
+    bits=st.sampled_from([8, 16, 24, 32]),
+    n_samples=st.integers(0, 10_000_000),
+)
+@SETTINGS
+def test_wav_header_roundtrip(channels, rate, bits, n_samples):
+    import struct
+
+    from haensel_ams_data_engineer_challenge_spark.multimodal.binary import (
+        parse_audio_header,
+    )
+
+    block = channels * (bits // 8)
+    data_size = n_samples * block
+    payload = (
+        b"RIFF" + struct.pack("<I", (36 + data_size) & 0xFFFFFFFF) + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, channels, rate,
+                      rate * block & 0xFFFFFFFF, block, bits)
+        + b"data" + struct.pack("<I", data_size & 0xFFFFFFFF)
+    )
+    parsed = parse_audio_header(payload)
+    assert parsed == (
+        "wav", channels, rate, bits, (data_size & 0xFFFFFFFF) // block
+    )
+
+
+@given(st.binary(min_size=0, max_size=200))
+@SETTINGS
+def test_wav_parser_total_on_noise(payload):
+    from haensel_ams_data_engineer_challenge_spark.multimodal.binary import (
+        parse_audio_header,
+        parse_image_header,
+    )
+
+    # must never raise — the ladder's first rung sees every payload
+    parse_audio_header(payload)
+    parse_image_header(payload)
+
+
+# ---------------------------------------------------------------------------
+# round 9: global training-order shuffle — permutation property over
+# adversarial id sets (sparse, negative, colliding ranges)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    ids=st.sets(st.integers(-1000, 1000), min_size=1, max_size=40),
+    n_shards=st.integers(1, 5),
+)
+@SETTINGS
+def test_global_shuffle_permutation_property(spark, ids, n_shards):
+    from haensel_ams_data_engineer_challenge_spark.operators.sampling import (
+        global_shuffle,
+    )
+
+    df = spark.createDataFrame([(i,) for i in sorted(ids)], "doc_id long")
+    out = global_shuffle(df, n_shards=n_shards, seed="h").collect()
+    assert {r.doc_id for r in out} == ids
+    by_shard = {}
+    for r in out:
+        assert 0 <= r.shard < n_shards
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
