@@ -501,15 +501,39 @@ def main(argv: list[str] | None = None) -> int:
                 from .checkpoint import materialize
                 from .operators.similarity import hash_embed, semdedup_pairs
 
+                if args.semantic_k is not None and args.semantic_k <= 0:
+                    print(
+                        "--semantic-k must be a positive integer "
+                        f"(got {args.semantic_k}); omit it for the "
+                        "constant-cell auto sizing",
+                        file=sys.stderr,
+                    )
+                    return 1
                 vecs = materialize(hash_embed(docs))
                 k = args.semantic_k
                 if k is None:
                     k = max(4, vecs.count() // 400)
                 pairs = semdedup_pairs(
                     vecs, threshold=args.semantic_threshold, k=k
-                ).select(
-                    F.col("id_a").alias("id_a"), F.col("id_b").alias("id_b")
+                ).select("id_a", "id_b")
+                # zero-token docs never hash-embed (hash_embed drops
+                # them), yet md5-identical tokenless texts ('!!!')
+                # are still exact dups — pair them by text hash so
+                # semantic dedup keeps subsuming exact dedup
+                tokenless = docs.join(
+                    vecs.select(F.col("vec_id").alias("doc_id")),
+                    "doc_id",
+                    "left_anti",
+                ).select("doc_id", F.md5("text").alias("__h"))
+                zmins = tokenless.groupBy("__h").agg(
+                    F.min("doc_id").alias("id_a")
                 )
+                zpairs = (
+                    tokenless.join(zmins, "__h")
+                    .filter(F.col("doc_id") != F.col("id_a"))
+                    .select("id_a", F.col("doc_id").alias("id_b"))
+                )
+                pairs = pairs.unionByName(zpairs)
             else:  # both text signals, one cluster resolution (CC dedups edges)
                 pairs = dedup_minhash_lsh(docs).unionByName(
                     substring_dup_pairs(docs).select("id_a", "id_b")

@@ -833,13 +833,7 @@ def embedding_dup_pairs_lsh(
     # The stream is (id, band, bucket): far smaller than the vectors.
     wb = materialize(wb)
     if max_bucket is not None:
-        flooded = (
-            wb.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("__bsz"))
-            .filter(F.col("__bsz") > max_bucket)
-            .select("band", "bucket")
-        )
-        wb = wb.join(F.broadcast(flooded), ["band", "bucket"], "left_anti")
+        wb = _drop_flooded_buckets(wb, max_bucket)
     a, b = wb.alias("a"), wb.alias("b")
     cand = (
         a.join(
@@ -872,6 +866,21 @@ def embedding_dup_pairs_lsh(
 #: band's vote: a true near-identical pair (cos >= 0.99) collides in
 #: nearly every band, so its recall survives.
 MAX_VECTOR_BUCKET = 1024
+
+
+def _drop_flooded_buckets(buckets: DataFrame, max_bucket: int) -> DataFrame:
+    """The pinned flood-cap shape (one definition for the batch pair
+    scan AND the index probe, so the > semantics and their SQL twins
+    can never drift): drop every (band, bucket) cell holding more than
+    ``max_bucket`` rows — groupBy + broadcast anti-join, never a
+    window; the flooded set is tiny by construction."""
+    flooded = (
+        buckets.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("__bsz"))
+        .filter(F.col("__bsz") > max_bucket)
+        .select("band", "bucket")
+    )
+    return buckets.join(F.broadcast(flooded), ["band", "bucket"], "left_anti")
 
 
 def vector_dup_probe(
@@ -912,15 +921,7 @@ def vector_dup_probe(
     """
     bb = banded_bucket_rows(batch, id_col, vec_col, bands, planes_per_band)
     if max_bucket_size is not None:
-        flooded = (
-            index_buckets.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("__bsz"))
-            .filter(F.col("__bsz") > max_bucket_size)
-            .select("band", "bucket")
-        )
-        index_buckets = index_buckets.join(
-            F.broadcast(flooded), ["band", "bucket"], "left_anti"
-        )
+        index_buckets = _drop_flooded_buckets(index_buckets, max_bucket_size)
     cand = (
         F.broadcast(bb)
         .join(
@@ -1108,25 +1109,31 @@ def semdedup_pairs(
         assign, _cents = ivf_kmeans(
             vectors, k, iters, id_col, vec_col, cache_key=index_cache_key
         )
-    return _semdedup_pairs_from(vectors, assign, threshold, id_col, vec_col)
+    tagged = _semdedup_tagged(vectors, assign, id_col, vec_col)
+    return _semdedup_pairs_from(tagged, threshold, id_col, vec_col)
+
+
+def _semdedup_tagged(
+    vectors: DataFrame, assign: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """One materialized (id, vec, cell) relation — it feeds both sides
+    of the pair self-join AND (in semdedup_keep) the centroid-
+    similarity branch (the diamond rule: without it the assignment —
+    itself iters+1 passes — re-executes per consumer).  Corpus-sized,
+    so deliberately NOT broadcast (the contract-bounded-vs-corpus-
+    growing rule from BASELINE.md)."""
+    return materialize(
+        vectors.select(F.col(id_col), F.col(vec_col)).join(assign, id_col)
+    )
 
 
 def _semdedup_pairs_from(
-    vectors: DataFrame,
-    assign: DataFrame,
+    tagged: DataFrame,
     threshold: float,
     id_col: str,
     vec_col: str,
 ) -> DataFrame:
-    """Same-cell pair scan over an already-trained assignment."""
-    # one materialized (id, vec, cell) relation feeds both sides of
-    # the self-join (the diamond rule: without it the assignment —
-    # itself iters+1 passes — re-executes per side).  Corpus-sized, so
-    # deliberately NOT broadcast (the contract-bounded-vs-corpus-
-    # growing rule from BASELINE.md).
-    tagged = materialize(
-        vectors.select(F.col(id_col), F.col(vec_col)).join(assign, id_col)
-    )
+    """Same-cell pair scan over the materialized tagged relation."""
     a = tagged.select(
         F.col(id_col).alias("id_a"), "cell", F.col(vec_col).alias("__va")
     )
@@ -1192,11 +1199,13 @@ def semdedup_keep(
     assign, cents = ivf_kmeans(
         vectors, k, iters, id_col, vec_col, cache_key=index_cache_key
     )
-    pairs = _semdedup_pairs_from(vectors, assign, threshold, id_col, vec_col)
+    # ONE materialized tagged relation feeds the pair scan and the
+    # centroid-similarity branch (review fix: the csim branch used to
+    # recompute the corpus-scale assignment join a second time)
+    tagged = _semdedup_tagged(vectors, assign, id_col, vec_col)
+    pairs = _semdedup_pairs_from(tagged, threshold, id_col, vec_col)
     csim = (
-        vectors.select(F.col(id_col), F.col(vec_col))
-        .join(assign, id_col)
-        .join(F.broadcast(cents), "cell")
+        tagged.join(F.broadcast(cents), "cell")
         .select(
             F.col(id_col),
             # keep = LOWEST centroid sim -> rank by NEGATED quantized

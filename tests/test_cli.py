@@ -739,3 +739,48 @@ def test_cli_corpus_dedup_method_semantic(spark, sf_dir, tmp_path, capsys):
     # the same cell), so semantic dedup subsumes exact dedup
     assert 0 < kept <= n_exact <= n
     assert back.select("doc_id").distinct().count() == kept
+
+
+def test_cli_corpus_semantic_zero_token_exact_dups(spark, tmp_path, capsys):
+    """Review regression (round 9): hash_embed drops zero-token docs,
+    so md5-identical tokenless texts ('!!!!') must still collapse via
+    the exact-hash fallback pairs — semantic dedup subsumes exact
+    dedup even off the token path."""
+    src = tmp_path / "docs.jsonl"
+    rows = [
+        # two tokenless exact dups + one distinct tokenless + two
+        # normal docs that are word-identical (semantic pair)
+        {"id": 1, "text": "!!!!", "lang": "en", "source": "s"},
+        {"id": 2, "text": "!!!!", "lang": "en", "source": "s"},
+        {"id": 3, "text": "????", "lang": "en", "source": "s"},
+        {"id": 4, "text": "alpha beta gamma delta", "lang": "en", "source": "s"},
+        {"id": 5, "text": "alpha beta gamma delta", "lang": "en", "source": "s"},
+    ]
+    import json as _json
+
+    src.write_text("\n".join(_json.dumps(r) for r in rows) + "\n")
+    work = str(tmp_path / "wd")
+    rc = main([
+        "corpus", "--docs-jsonl", str(src), "--work-dir", work,
+        "--dedup-method", "semantic", "--semantic-threshold", "0.999",
+        "--semantic-k", "2",
+    ])
+    assert rc == 0
+    back = spark.read.parquet(f"{work}/corpus")
+    # wire ids are xxhash64-mapped (sources/jsonl.py), so assert on
+    # text: one survivor per distinct text, tokenless dups collapsed
+    per_text = {r.text: r["count"]
+                for r in back.groupBy("text").count().collect()}
+    assert per_text == {
+        "!!!!": 1, "????": 1, "alpha beta gamma delta": 1,
+    }
+
+
+def test_cli_corpus_semantic_rejects_bad_k(tmp_path, capsys):
+    rc = main([
+        "corpus", "--sf-dir", "/root/testdata/sf0.001",
+        "--work-dir", str(tmp_path / "wd"),
+        "--dedup-method", "semantic", "--semantic-k", "0",
+    ])
+    assert rc == 1
+    assert "--semantic-k" in capsys.readouterr().err

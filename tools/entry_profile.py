@@ -3,9 +3,9 @@
 Usage: python tools/entry_profile.py <entry> [entry ...]
 
 Runs each entry twice (same best-of-two discipline as bench.py) and
-reports, for the SECOND (warm) run: wall seconds, number of Spark jobs,
-number of stages, total task count, and the top-5 jobs by duration —
-pulled from the local Spark UI REST API. On stage-count-floor entries
+reports, for the SECOND (warm) run: wall seconds, job/stage/task
+counts, and the per-job stage/task breakdown in job order — pulled
+from the local Spark UI REST API. On stage-count-floor entries
 (sf0.1's ~1.5 MB corpus) job/stage count is the cost model, so this is
 the feedback loop for fusing actions and shaving diamonds.
 """
@@ -53,10 +53,6 @@ def main() -> None:
         jobs = [j for j in _api(base, "/jobs") if j["jobId"] not in jobs_before]
         n_stages = sum(len(j["stageIds"]) for j in jobs)
         n_tasks = sum(j["numTasks"] for j in jobs)
-        top = sorted(
-            jobs,
-            key=lambda j: -(j["numCompletedTasks"] or 0),
-        )[:8]
         print(f"\n=== {name}: {wall:.2f}s warm | jobs={len(jobs)} "
               f"stages={n_stages} tasks={n_tasks}")
         for j in sorted(jobs, key=lambda j: j["jobId"]):
