@@ -342,6 +342,14 @@ def _parser() -> argparse.ArgumentParser:
                     help="after the drain, rewrite the band index's "
                     "per-batch append fragments as one compact store "
                     "(torn-safe swap; requires --near-dup)")
+    ig.add_argument("--semantic-dedup", action="store_true",
+                    help="semantic tier: probe + grow the banded-LSH "
+                    "bucket index over feature-hashed embeddings at "
+                    "WORK_DIR/semantic_index (SemDeDup-style "
+                    "ingestion dedup, no external model)")
+    ig.add_argument("--semantic-threshold", type=float, default=0.9,
+                    help="exact-cosine acceptance for the semantic "
+                    "tier (over hash_embed vectors)")
 
     iv = sub.add_parser(
         "ingest-vectors",
@@ -939,6 +947,11 @@ def main(argv: list[str] | None = None) -> int:
                 keep_pred=(
                     args.keep_pred.split(",") if args.keep_pred else None
                 ),
+                semantic_index_dir=(
+                    f"{args.work_dir}/semantic_index"
+                    if args.semantic_dedup else None
+                ),
+                semantic_threshold=args.semantic_threshold,
             )
             if args.compact_index and args.near_dup:
                 from .operators.minhash_index import minhash_index_compact

@@ -950,6 +950,83 @@ def vector_dup_probe(
     )
 
 
+def semantic_dup_probe(
+    batch_docs: DataFrame,
+    index_buckets: DataFrame,
+    existing_docs: DataFrame,
+    threshold: float,
+    bands: int,
+    planes_per_band: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket_size: int | None = MAX_VECTOR_BUCKET,
+) -> DataFrame:
+    """Batch DOCUMENTS semantically near-dup (exact cosine of their
+    feature-hashed embeddings >= threshold) of an already-indexed
+    document — the TEXT twin of :func:`vector_dup_probe`, closing the
+    incremental tier set: exact (Bloom), lexical (MinHash bands),
+    semantic (this).  Output: (id_col, dup_of, cosine).
+
+    Same scale shape as the vector probe: the batch's bucket rows
+    BROADCAST into the index scan (batch bounded by contract; the
+    index is never shuffled), flooded index buckets are capped, and
+    false positives are impossible (exact cosine gate).  The one new
+    move: corpus-side embeddings are computed for CANDIDATE documents
+    only (a semi-join BEFORE hash_embed — the minhash tier's
+    candidate-only re-expansion), so a micro-batch never pays an
+    O(corpus) tokenize+embed.  Orphan index rows (crash between the
+    index append and the sink insert) have no text in
+    ``existing_docs`` and vanish at that semi-join — never a false
+    drop, exactly the minhash tier's orphan argument.
+    """
+    bvecs = materialize(
+        hash_embed(batch_docs, id_col=id_col, text_col=text_col)
+    )
+    bb = banded_bucket_rows(
+        bvecs, "vec_id", "embedding", bands, planes_per_band
+    )
+    if max_bucket_size is not None:
+        index_buckets = _drop_flooded_buckets(index_buckets, max_bucket_size)
+    cand = materialize(
+        F.broadcast(bb)
+        .join(
+            index_buckets.withColumnRenamed("vec_id", "__iid"),
+            ["band", "bucket"],
+        )
+        .select("vec_id", "__iid")
+        .distinct()
+    )
+    cvecs = hash_embed(
+        existing_docs.join(
+            cand.select(F.col("__iid").alias(id_col)).distinct(),
+            id_col,
+            "left_semi",
+        ),
+        id_col=id_col,
+        text_col=text_col,
+    )
+    return (
+        cand.join(
+            bvecs.select("vec_id", F.col("embedding").alias("__bv")),
+            "vec_id",
+        )
+        .join(
+            cvecs.select(
+                F.col("vec_id").alias("__iid"),
+                F.col("embedding").alias("__iv"),
+            ),
+            "__iid",
+        )
+        .withColumn("cosine", cosine_expr("__bv", "__iv"))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("vec_id").alias(id_col),
+            F.col("__iid").alias("dup_of"),
+            "cosine",
+        )
+    )
+
+
 def banded_buckets_sql(
     col: str,
     bands: int = LSH_DUP_BANDS,

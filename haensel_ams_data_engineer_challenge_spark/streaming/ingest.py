@@ -150,6 +150,8 @@ def run_streaming_ingest(
     near_dup_threshold: float | None = None,
     quality_model_dir: str | None = None,
     keep_pred: list[str] | None = None,
+    semantic_index_dir: str | None = None,
+    semantic_threshold: float = 0.9,
 ) -> None:
     """Drain the feed with an availableNow trigger, admitting only
     genuinely-new documents into ``sink_path``.
@@ -197,6 +199,22 @@ def run_streaming_ingest(
     itself is replay-idempotent (anti-join on already-indexed ids).
     ``near_dup_threshold``: exact-Jaccard acceptance (default
     minhash_index.NEAR_DUP_THRESHOLD).
+
+    ``semantic_index_dir``: the SEMANTIC tier (round 9, closing the
+    incremental set: exact Bloom / lexical MinHash / semantic) — a
+    persisted banded-LSH bucket index over FEATURE-HASHED embeddings
+    of the dedup target (hash_embed: no external model), built from
+    corpus+sink on first use with the streaming 16x10 layout.  Each
+    batch's surviving docs are (a) semantically collapsed WITHIN the
+    batch (embedding_dup_pairs_lsh over the batch's hashed vectors +
+    min-id survivors), (b) probed against the index with exact-cosine
+    verify >= ``semantic_threshold`` (similarity.semantic_dup_probe —
+    corpus-side embeddings computed for CANDIDATE docs only, so no
+    batch pays an O(corpus) embed), and (c) the admitted remainder's
+    bucket rows APPENDED before the sink insert (the same orphan-rows-
+    are-only-false-positives crash ordering as the other tiers; the
+    probe's candidate semi-join against the text store is what kills
+    orphans).  Runs AFTER the lexical tier: it is the loosest signal.
 
     ``quality_model_dir`` + ``keep_pred``: the trained-classifier gate
     (round 9, the FineWeb-Edu/CCNet shape) — score each batch with the
@@ -346,16 +364,83 @@ def run_streaming_ingest(
             # orphan band rows are only false-positive candidates;
             # unindexed admitted docs would be permanent blind spots)
             minhash_index_append(admitted, near_dup_index_dir)
+        if semantic_index_dir is not None:
+            from ..checkpoint import materialize
+            from ..operators.components import dedup_survivors
+            from ..operators.similarity import (
+                MAX_VECTOR_BUCKET,
+                embedding_dup_pairs_lsh,
+                hash_embed,
+                lsh_index_append,
+                lsh_index_persistent,
+                semantic_dup_probe,
+            )
+            from .vectors import VECTOR_DEDUP_BANDS, VECTOR_DEDUP_PLANES
+
+            # build-if-absent over the current dedup target (one-time
+            # O(corpus) embed); later batches read the committed
+            # artifact and append batch-bounded bucket rows
+            sbuckets = lsh_index_persistent(
+                hash_embed(existing),
+                semantic_index_dir,
+                tables=VECTOR_DEDUP_BANDS,
+                planes_per_table=VECTOR_DEDUP_PLANES,
+            )
+            admitted = materialize(admitted)
+            # (a) within-batch semantic collapse over the batch's
+            # hashed vectors (batch-bounded; flood cap because text-
+            # derived vectors are correlated)
+            bvecs = materialize(hash_embed(admitted))
+            spairs = embedding_dup_pairs_lsh(
+                bvecs, semantic_threshold,
+                VECTOR_DEDUP_BANDS, VECTOR_DEDUP_PLANES,
+                max_bucket=MAX_VECTOR_BUCKET,
+            )
+            skeep = (
+                dedup_survivors(
+                    bvecs.select(F.col("vec_id").alias("doc_id")),
+                    spairs,
+                )
+                .filter("is_survivor")
+                .select("doc_id")
+            )
+            # docs with no tokens have no vector: they pass this tier
+            # untouched (the exact tier already byte-deduped them)
+            tokenless = admitted.join(
+                bvecs.select(F.col("vec_id").alias("doc_id")),
+                "doc_id", "left_anti",
+            ).select("doc_id")
+            admitted = admitted.join(
+                skeep.unionByName(tokenless), "doc_id", "left_semi"
+            )
+            # (b) cross-corpus probe: persisted buckets + exact cosine
+            # over candidate-only corpus embeddings
+            sdups = semantic_dup_probe(
+                admitted, sbuckets, existing, semantic_threshold,
+                VECTOR_DEDUP_BANDS, VECTOR_DEDUP_PLANES,
+            )
+            admitted = materialize(
+                admitted.join(
+                    sdups.select("doc_id").distinct(), "doc_id", "left_anti"
+                )
+            )
+            # (c) index append BEFORE the sink insert (same crash
+            # ordering; the probe's text-store semi-join kills orphans)
+            lsh_index_append(
+                hash_embed(admitted), semantic_index_dir,
+                tables=VECTOR_DEDUP_BANDS,
+                planes_per_table=VECTOR_DEDUP_PLANES,
+            )
         if bloom_state_dir is not None:
             from ..checkpoint import materialize
 
             # two consumers (the delta bitmap action + the sink
             # insert) — materialize the batch-bounded admit set once
             # instead of re-running the dedup subtree per action.
-            # Skip when the near-dup tier already truncated it: a
-            # second localCheckpoint of a checkpointed frame is a pure
-            # extra caching pass
-            if near_dup_index_dir is None:
+            # Skip when a dedup tier already truncated it: a second
+            # localCheckpoint of a checkpointed frame is a pure extra
+            # caching pass
+            if near_dup_index_dir is None and semantic_index_dir is None:
                 admitted = materialize(admitted)
             # bitmap flush BEFORE the sink insert (docstring crash-
             # ordering argument): orphan bits are only false positives

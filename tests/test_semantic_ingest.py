@@ -1,0 +1,206 @@
+"""Streaming SEMANTIC dedup tier (round 9): the third incremental
+signal beside exact-Bloom and lexical-MinHash.
+
+The discriminating fixture is a WORD-SCRAMBLED duplicate: the same
+word multiset in a different order has an IDENTICAL feature-hashed
+embedding (bag-of-words; cosine exactly 1.0) but low shingle Jaccard —
+the lexical tier misses it, the semantic tier must not.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+import shutil
+
+SCHEMA = "doc_id long, text string, lang string, source string, n_chars int"
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the rain "
+    "falls softly on the quiet village roofs and the river slides "
+    "past the old stone bridge toward the distant sea"
+)
+NOVEL = (
+    "entirely novel text about semantic bucket indexes probed "
+    "incrementally by streaming batches under a commit marker "
+    "protocol with exact cosine verification restricted to "
+    "candidate documents only never the corpus"
+)
+
+
+def _scramble(text: str) -> str:
+    """Deterministic word shuffle: same multiset, different order ->
+    identical hash_embed vector, low shingle overlap."""
+    words = text.split()
+    return " ".join(words[1::2] + words[0::2])
+
+
+CORPUS_ROWS = [
+    (1, BASE),
+    (2, "completely different content about spark shuffles and "
+        "partition pruning with adaptive execution and broadcast "
+        "joins feeding columnar scans through whole stage codegen "
+        "into vectorized parquet readers at terabyte scale daily"),
+]
+
+
+def _row(i, text):
+    return (i, text, "en", "synthetic", len(text))
+
+
+def _write_corpus(spark, tmp_path):
+    corpus_path = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [_row(i, t) for i, t in CORPUS_ROWS], SCHEMA
+    ).write.parquet(corpus_path)
+    return corpus_path
+
+
+def _drop(spark, tmp_path, feed, rows, name):
+    tmp = str(tmp_path / f"__stage_{name}")
+    spark.createDataFrame(
+        [_row(i, t) for i, t in rows], SCHEMA
+    ).repartition(1).write.parquet(tmp)
+    os.makedirs(feed, exist_ok=True)
+    shutil.copy(_glob.glob(f"{tmp}/part-*.parquet")[0], f"{feed}/{name}")
+
+
+def test_scrambled_dup_is_semantic_not_lexical(spark):
+    """The fixture's premise, asserted directly: a word scramble has
+    hash_embed cosine exactly 1.0 but shingle Jaccard below the
+    lexical threshold."""
+    from pyspark.sql import functions as F
+
+    from haensel_ams_data_engineer_challenge_spark.operators.dedup import (
+        verify_candidates,
+    )
+    from haensel_ams_data_engineer_challenge_spark.operators.similarity import (
+        cosine_expr,
+        hash_embed,
+    )
+
+    docs = spark.createDataFrame(
+        [_row(1, BASE), _row(2, _scramble(BASE))], SCHEMA
+    )
+    he = hash_embed(docs)
+    a = he.filter("vec_id = 1").select(F.col("embedding").alias("__a"))
+    cos = (
+        a.crossJoin(he.filter("vec_id = 2")
+                    .select(F.col("embedding").alias("__b")))
+        .select(cosine_expr("__a", "__b").alias("c"))
+        .collect()[0]["c"]
+    )
+    # identical vectors: dot == |v|^2 but sqrt(x)*sqrt(x) can differ
+    # from x by one ulp — cosine is 1.0 within float error
+    assert abs(cos - 1.0) < 1e-12
+    # the lexical (shingle) signal does NOT pair them at its threshold
+    assert verify_candidates(docs, threshold=0.5).count() == 0
+
+
+def test_streaming_ingest_semantic_tier(spark, tmp_path):
+    """E2E: the semantic tier rejects (a) a word-scrambled dup of the
+    base corpus, (b) a within-batch scramble pair (one survivor), (c)
+    a scramble of an earlier batch's admitted doc via the APPENDED
+    index; zero-token docs pass the tier untouched; replay with a
+    fresh checkpoint admits nothing more and leaves the index stable."""
+    from haensel_ams_data_engineer_challenge_spark.streaming.ingest import (
+        run_streaming_ingest,
+    )
+
+    corpus_path = _write_corpus(spark, tmp_path)
+    feed = str(tmp_path / "feed")
+    # batch A: scramble of corpus doc 1 (rejected), novel (admitted),
+    # scramble of the novel (within-batch pair -> min-id survivor 201)
+    _drop(spark, tmp_path, feed, [
+        (200, _scramble(BASE)),
+        (201, NOVEL),
+        (202, _scramble(NOVEL)),
+    ], "a.parquet")
+    # batch B: another scramble of 201's text (cross-batch: only the
+    # appended index knows 201) + a zero-token doc (no vector — must
+    # pass the semantic tier and be admitted)
+    _drop(spark, tmp_path, feed, [
+        (300, " ".join(reversed(NOVEL.split()))),
+        (400, "!!!!"),
+    ], "b.parquet")
+
+    sink = str(tmp_path / "admitted")
+    idx = str(tmp_path / "semidx")
+    run_streaming_ingest(
+        spark, corpus_path, feed, sink, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, semantic_index_dir=idx,
+    )
+    got = {r["doc_id"] for r in spark.read.parquet(sink).collect()}
+    assert got == {201, 400}
+    # admitted docs with vectors were appended; rejected/tokenless not
+    idx_ids = {
+        r["vec_id"]
+        for r in spark.read.parquet(f"{idx}/buckets")
+        .select("vec_id").distinct().collect()
+    }
+    assert idx_ids == {1, 2, 201}
+
+    # full replay, fresh checkpoint: idempotent sink AND index
+    before = sorted(
+        map(tuple, spark.read.parquet(f"{idx}/buckets").collect())
+    )
+    run_streaming_ingest(
+        spark, corpus_path, feed, sink, str(tmp_path / "ckpt2"),
+        max_files_per_trigger=1, semantic_index_dir=idx,
+    )
+    assert {r["doc_id"] for r in spark.read.parquet(sink).collect()} \
+        == {201, 400}
+    assert sorted(
+        map(tuple, spark.read.parquet(f"{idx}/buckets").collect())
+    ) == before
+
+
+def test_semantic_tier_catches_what_lexical_misses(spark, tmp_path):
+    """Contrast run: the SAME feed through the lexical (minhash) tier
+    alone admits the scrambled dup — proving the semantic tier is a
+    distinct signal, not a re-spelling of the lexical one."""
+    from haensel_ams_data_engineer_challenge_spark.streaming.ingest import (
+        run_streaming_ingest,
+    )
+
+    corpus_path = _write_corpus(spark, tmp_path)
+    feed = str(tmp_path / "feed")
+    _drop(spark, tmp_path, feed, [(200, _scramble(BASE))], "a.parquet")
+
+    lex_sink = str(tmp_path / "admitted_lex")
+    run_streaming_ingest(
+        spark, corpus_path, feed, lex_sink, str(tmp_path / "ckpt_lex"),
+        near_dup_index_dir=str(tmp_path / "mhidx"),
+    )
+    assert {r["doc_id"] for r in spark.read.parquet(lex_sink).collect()} \
+        == {200}
+
+    sem_sink = str(tmp_path / "admitted_sem")
+    run_streaming_ingest(
+        spark, corpus_path, feed, sem_sink, str(tmp_path / "ckpt_sem"),
+        semantic_index_dir=str(tmp_path / "semidx"),
+    )
+    # nothing was admitted (the sink may exist as an empty write)
+    assert spark.read.parquet(sem_sink).count() == 0
+
+
+def test_cli_ingest_semantic(spark, tmp_path, capsys):
+    """CLI e2e: ingest --semantic-dedup wires the tier and reports the
+    admitted total."""
+    from haensel_ams_data_engineer_challenge_spark.__main__ import main
+
+    corpus_path = _write_corpus(spark, tmp_path)
+    feed = str(tmp_path / "feed")
+    _drop(spark, tmp_path, feed, [
+        (200, _scramble(BASE)), (201, NOVEL),
+    ], "a.parquet")
+    work = str(tmp_path / "wd")
+    rc = main([
+        "ingest", "--corpus-parquet", corpus_path, "--feed-dir", feed,
+        "--work-dir", work, "--semantic-dedup",
+    ])
+    assert rc == 0
+    assert "admitted_total=1" in capsys.readouterr().out
+    got = {r["doc_id"]
+           for r in spark.read.parquet(f"{work}/admitted").collect()}
+    assert got == {201}
