@@ -500,8 +500,17 @@ def multimodal_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     float32 exactly like the Arrow schema) — is portable arithmetic
     DuckDB reproduces bit-for-bit.
     """
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    from ..checkpoint import materialize
+
+    # ONE materialized payload relation feeds all four mapInPandas
+    # chains (decode/resize/frames/features) — the diamond rule:
+    # without it each chain re-scans the parquet and re-encodes the
+    # text (4 scans measured; the payload column dominates the frame,
+    # so the checkpoint costs what one scan costs)
+    docs = materialize(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+        )
     )
     # text-bytes stand-in payloads: fake-decode only (see
     # decode_stub_query — an ASCII 'GIF87a' prefix would header-parse)
