@@ -946,7 +946,12 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
             # distributed core of fasttext-style quality/domain
             # filtering; pred + score hash-gated
             .join(
-                nb_classify_docs(toked, tokens_col="__toks"),
+                # model_cache_key: self-train is deterministic, so
+                # the trained tables amortize across the entry's
+                # re-plans (the session-cached-index precedent)
+                nb_classify_docs(
+                    toked, tokens_col="__toks", model_cache_key=sf
+                ),
                 "doc_id", "left",
             )
             # round 9 (r8 verdict task 4): REAL langid — the same NB
@@ -967,6 +972,7 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
                     # construction -> broadcast is legitimate here
                     # (word-token NB above stays unhinted)
                     broadcast_model=True,
+                    model_cache_key=sf,
                 ).select(
                     "doc_id", F.col("cnb_pred").alias("pred_lang_nb")
                 ),

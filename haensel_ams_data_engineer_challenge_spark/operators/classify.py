@@ -84,6 +84,7 @@ def nb_classify_docs(
     out_prefix: str = "nb",
     train_docs: DataFrame | None = None,
     broadcast_model: bool = False,
+    model_cache_key: str | None = None,
 ) -> DataFrame:
     """Train multinomial NB (supervision = ``label_col``) and score
     every document of ``docs``.
@@ -101,6 +102,16 @@ def nb_classify_docs(
     shape (train the classifier on a labeled slice, apply it to the
     corpus); when None, self-train-and-score as before (the
     hash-gated form).
+
+    ``model_cache_key`` (round 9): when given, the TRAINED model
+    tables (cls, lnp) are lineage-truncated and cached for the Spark
+    application's lifetime under (appId, key, label_col, out_prefix,
+    feature source) — the ivf_kmeans ``cache_key`` precedent: training
+    is deterministic, so caching is pure amortization for
+    train-once/score-many callers (the registry's per-attempt
+    re-planning, repeated batch scoring).  The caller must guarantee
+    the key uniquely names the TRAINING data.  Scoring always runs
+    fresh over ``docs``.
 
     Output: (doc_id, {out_prefix}_pred, {out_prefix}_logp) — the
     argmax class and its total quantized log-score (nats).  Zero-token
@@ -143,10 +154,29 @@ def nb_classify_docs(
         n_doc_c = tmeta
         n_docs_total = tmeta.agg(F.sum("__ndoc").alias("__ndocs"))
         ex, docs_meta = _nb_stage_score(docs, src, id_col)
-    cls, lnp = _nb_train(train_ex, n_doc_c, n_docs_total)
+    if model_cache_key is not None:
+        full_key = (
+            docs.sparkSession.sparkContext.applicationId,
+            model_cache_key, label_col, out_prefix,
+            tokens_col if tokens_col is not None else text_col,
+        )
+        hit = _NB_MODEL_CACHE.get(full_key)
+        if hit is None:
+            cls, lnp = _nb_train(train_ex, n_doc_c, n_docs_total)
+            hit = (materialize(cls), materialize(lnp))
+            _NB_MODEL_CACHE[full_key] = hit
+        cls, lnp = hit
+    else:
+        cls, lnp = _nb_train(train_ex, n_doc_c, n_docs_total)
     return _nb_score(
         ex, docs_meta, cls, lnp, id_col, out_prefix, broadcast_model
     )
+
+
+#: Session-scoped trained-model cache (ivf_kmeans._IVF_INDEX_CACHE
+#: precedent): (appId, caller key, label col, out prefix, feature
+#: source) -> (cls, lnp), both lineage-truncated.
+_NB_MODEL_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
 
 
 def _nb_train(
