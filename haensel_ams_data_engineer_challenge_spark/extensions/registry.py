@@ -906,7 +906,9 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
             )
         )
         scores = ntile_exact(
-            unigram_doc_scores(toked, tokens_col="__toks"), 3,
+            unigram_doc_scores(
+                toked, tokens_col="__toks", model_cache_key=sf
+            ), 3,
             ["lm_xent", "doc_id"], out_col="lm_bucket",
         )
         # round 8: SOFT quality sampling (the DCLM-style alternative
@@ -940,7 +942,12 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
             # round 8 (r6 verdict task 4): bigram arm — count key
             # (prev, term), validating lm.py's claim that the unigram
             # shape generalizes to higher-order models unchanged
-            .join(bigram_doc_scores(toked, tokens_col="__toks"), "doc_id", "left")
+            .join(
+                bigram_doc_scores(
+                    toked, tokens_col="__toks", model_cache_key=sf
+                ),
+                "doc_id", "left",
+            )
             # round 8: classifier-filter tier (operators/classify.py)
             # — multinomial NB self-trained with lang supervision, the
             # distributed core of fasttext-style quality/domain
