@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions import text as T
 from ..operators import dedup as D
+from ..operators import embed as EM
 from ..operators import minhash_index as MI
 from ..operators import bpe as B
 from ..operators import classify as CLF
@@ -106,6 +107,30 @@ def _vecs(spark: SparkSession, sf: str) -> DataFrame:
     return load_table(spark, sf, "embeddings")
 
 
+def _mtime_artifact_path(sf: str, src_name: str, prefix: str) -> str:
+    """STABLE artifact dir keyed by the source file's mtime: repeated
+    calls (bench warm attempts, repeated gate runs) reuse the committed
+    artifact — build-once/use-many, the production shape the artifact
+    arms certify — while a regenerated testdata set changes the key and
+    can never be served a stale artifact.  A source the driver cannot
+    stat (object store) gets a fresh dir per call: rebuilding is only
+    slower; a pinned key could serve a STALE artifact after the source
+    regenerates, which is a correctness bug."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf, src_name)
+    try:
+        mt = os.stat(src).st_mtime_ns
+        return os.path.join(
+            tempfile.gettempdir(),
+            prefix + hashlib.md5(f"{src}|{mt}".encode()).hexdigest()[:12],
+        )
+    except OSError:
+        return tempfile.mkdtemp(prefix=prefix)
+
+
 def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
     e: dict[str, tuple[QueryFn, str | None]] = {}
     prelude = "WITH " + DOC_SHINGLES_CTE.strip()
@@ -176,8 +201,6 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
         'new batch', exact-verify the candidates.  The oracle
         recomputes both arms from scratch with the shared band CTEs —
         the artifact round-trip itself is what the arm certifies."""
-        import tempfile
-
         docs = _docs(spark, sf)
         full = D.dedup_minhash_lsh(docs).select(
             F.lit("full").alias("method"), "id_a", "id_b",
@@ -185,28 +208,11 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
         )
         idx_part = docs.filter("doc_id % 10 != 0")
         batch_part = docs.filter("doc_id % 10 = 0")
-        # STABLE index path keyed by the source file's mtime: repeated
-        # calls (bench warm attempts, repeated gate runs) reuse the
-        # committed artifact — build-once/probe-many, the production
-        # shape this arm certifies — while a regenerated testdata set
-        # changes the key and can never be served a stale index
-        import hashlib
-        import os
-
-        doc_src = os.path.join(sf, "documents.parquet")
-        try:
-            mt = os.stat(doc_src).st_mtime_ns
-            idx_path = os.path.join(
-                tempfile.gettempdir(),
-                "spark_graft_mhidx_"
-                + hashlib.md5(f"{doc_src}|{mt}".encode()).hexdigest()[:12],
-            )
-        except OSError:
-            # sf_dir the driver cannot stat (object store): no safe
-            # content key -> fresh dir per call.  Rebuilding is only
-            # slower; a pinned key could serve a STALE index after the
-            # source regenerates, which is a correctness bug
-            idx_path = tempfile.mkdtemp(prefix="spark_graft_mhidx_")
+        # mtime-keyed index dir: build-once/probe-many (see
+        # _mtime_artifact_path on the staleness contract)
+        idx_path = _mtime_artifact_path(
+            sf, "documents.parquet", "spark_graft_mhidx_"
+        )
         bands = MI.minhash_index_build(idx_part, idx_path)
         probe = MI.near_dup_probe(batch_part, bands, idx_part).select(
             F.lit("index").alias("method"),
@@ -782,18 +788,50 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
             .drop("cell")
             .withColumn("method", F.lit("semdedup"))
         )
-        return lsh_arm.unionByName(hashed_arm).unionByName(semdedup_arm)
+        # round 10: 'model' arm — the SAME near-dup machinery over
+        # vectors produced by the batched model-inference seam
+        # (operators/embed.embed_with_model: executor-cached encoder
+        # artifact, mapInPandas).  The synproj-v1 reference encoder
+        # keeps the arm hash-gated (the oracle recomputes it, trained
+        # stop list included) while exercising the exact plumbing a
+        # learned encoder drops into.  Artifact is mtime-keyed:
+        # build-once/encode-many across gate/bench attempts.
+        enc_path = _mtime_artifact_path(
+            sf, "documents.parquet", "spark_graft_encoder_"
+        )
+        EM.encoder_model_build(_docs(spark, sf), enc_path)
+        model_arm = S.embedding_dup_pairs_lsh(
+            # 3-consumer diamond (bucket stream + both verify sides):
+            # materialize once, same as the hashed arm
+            materialize(EM.embed_with_model(_docs(spark, sf), enc_path)),
+            threshold=HASHED_DUP_THRESHOLD,
+            planes_per_band=HASHED_DUP_PLANES,
+            max_bucket=S.MAX_VECTOR_BUCKET,
+        ).withColumn("method", F.lit("model"))
+        return (
+            lsh_arm.unionByName(hashed_arm)
+            .unionByName(semdedup_arm)
+            .unionByName(model_arm)
+        )
 
     e["dedup_embedding_cosine"] = (
         _embedding_dups_both,
         f"""WITH {S.hash_embed_sql(R.SEARCH_TOKEN_PATTERN).strip()},
+            {EM.embed_model_sql(R.SEARCH_TOKEN_PATTERN).strip()},
             wb AS ({S.banded_buckets_sql("embedding")}),
             hwb AS ({S.banded_buckets_sql("embedding", S.LSH_DUP_BANDS, HASHED_DUP_PLANES, table="he_out")}),
+            mwb AS ({S.banded_buckets_sql("embedding", S.LSH_DUP_BANDS, HASHED_DUP_PLANES, table="em_out")}),
             hflood AS (SELECT band, bucket FROM hwb
                        GROUP BY band, bucket
                        HAVING COUNT(*) > {S.MAX_VECTOR_BUCKET}),
             hwb_f AS (SELECT w.* FROM hwb w
                       ANTI JOIN hflood f
+                      ON w.band = f.band AND w.bucket = f.bucket),
+            mflood AS (SELECT band, bucket FROM mwb
+                       GROUP BY band, bucket
+                       HAVING COUNT(*) > {S.MAX_VECTOR_BUCKET}),
+            mwb_f AS (SELECT w.* FROM mwb w
+                      ANTI JOIN mflood f
                       ON w.band = f.band AND w.bucket = f.bucket),
             cand AS (
                 SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
@@ -802,6 +840,10 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
             hcand AS (
                 SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
                 FROM hwb_f x JOIN hwb_f y ON x.band = y.band AND x.bucket = y.bucket
+                                         AND x.vec_id < y.vec_id),
+            mcand AS (
+                SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+                FROM mwb_f x JOIN mwb_f y ON x.band = y.band AND x.bucket = y.bucket
                                          AND x.vec_id < y.vec_id)
             SELECT 'lsh' AS method, id_a, id_b, {cos_ab} AS cosine
             FROM cand
@@ -813,6 +855,12 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
             FROM hcand
             JOIN he_out a ON a.vec_id = id_a
             JOIN he_out b ON b.vec_id = id_b
+            WHERE {cos_ab} >= CAST({HASHED_DUP_THRESHOLD} AS DOUBLE)
+            UNION ALL
+            SELECT 'model', id_a, id_b, {cos_ab} AS cosine
+            FROM mcand
+            JOIN em_out a ON a.vec_id = id_a
+            JOIN em_out b ON b.vec_id = id_b
             WHERE {cos_ab} >= CAST({HASHED_DUP_THRESHOLD} AS DOUBLE)
             UNION ALL
             SELECT 'semdedup', id_a, id_b, cosine
