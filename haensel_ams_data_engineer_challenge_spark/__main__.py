@@ -186,6 +186,14 @@ def _parser() -> argparse.ArgumentParser:
         "pairs are semantic duplicates",
     )
     co.add_argument(
+        "--encoder-model", default=None, metavar="DIR",
+        help="(--dedup-method semantic) run the semantic pair scan on "
+        "the model-inference seam (operators/embed): encode documents "
+        "through the persisted encoder artifact at DIR (built from "
+        "the corpus on first use) instead of hash_embed — catches "
+        "synonym-swapped paraphrases the lexical signals miss",
+    )
+    co.add_argument(
         "--semantic-k",
         type=int,
         default=None,
@@ -227,6 +235,14 @@ def _parser() -> argparse.ArgumentParser:
         "from the committed index — assign-to-frozen-centroids, no "
         "retrain; without this, documents added after the index "
         "build are invisible to ANN search",
+    )
+    se.add_argument(
+        "--encoder-model", default=None, metavar="DIR",
+        help="(ann) embed documents AND queries through the "
+        "model-inference seam (encoder artifact at DIR, built from "
+        "the corpus on first use) instead of hash_embed; the ANN "
+        "index lives under WORK_DIR/ann_index_model so the two "
+        "vector spaces never share an artifact",
     )
     se.add_argument(
         "--max-df-frac",
@@ -350,6 +366,12 @@ def _parser() -> argparse.ArgumentParser:
     ig.add_argument("--semantic-threshold", type=float, default=0.9,
                     help="exact-cosine acceptance for the semantic "
                     "tier (over hash_embed vectors)")
+    ig.add_argument("--encoder-model", default=None, metavar="DIR",
+                    help="(--semantic-dedup) run the semantic tier on "
+                    "the model-inference seam: encoder artifact at DIR "
+                    "(built from corpus+sink on first use); the "
+                    "encoder identity is pinned in the semantic "
+                    "index's marker so vector spaces never mix")
 
     iv = sub.add_parser(
         "ingest-vectors",
@@ -517,7 +539,23 @@ def main(argv: list[str] | None = None) -> int:
                         file=sys.stderr,
                     )
                     return 1
-                vecs = materialize(hash_embed(docs))
+                if args.encoder_model:
+                    # the model-inference seam: encoder artifact
+                    # build-if-absent from this corpus, encoding via
+                    # the executor-cached mapInPandas path — SemDeDup
+                    # on (stand-in) model embeddings, the paper's
+                    # actual regime
+                    from .operators.embed import (
+                        embed_with_model,
+                        encoder_model_ensure,
+                    )
+
+                    encoder_model_ensure(docs, args.encoder_model)
+                    vecs = materialize(
+                        embed_with_model(docs, args.encoder_model)
+                    )
+                else:
+                    vecs = materialize(hash_embed(docs))
                 k = args.semantic_k
                 if k is None:
                     k = max(4, vecs.count() // 400)
@@ -700,9 +738,25 @@ def main(argv: list[str] | None = None) -> int:
                     ivf_index_append,
                 )
 
-                dvecs = hash_embed(docs)
-                qvecs = hash_embed(queries, id_col="query_id")
-                index_path = f"{args.work_dir}/ann_index"
+                if args.encoder_model:
+                    # the model seam: one encoder for docs AND queries
+                    # (a query embedded in a different space than the
+                    # index finds noise); separate index dir per space
+                    from .operators.embed import (
+                        embed_with_model,
+                        encoder_model_ensure,
+                    )
+
+                    encoder_model_ensure(docs, args.encoder_model)
+                    dvecs = embed_with_model(docs, args.encoder_model)
+                    qvecs = embed_with_model(
+                        queries, args.encoder_model, id_col="query_id"
+                    )
+                    index_path = f"{args.work_dir}/ann_index_model"
+                else:
+                    dvecs = hash_embed(docs)
+                    qvecs = hash_embed(queries, id_col="query_id")
+                    index_path = f"{args.work_dir}/ann_index"
                 if args.refresh_index:
                     try:
                         # anti-joins already-indexed ids, so handing it
@@ -923,6 +977,11 @@ def main(argv: list[str] | None = None) -> int:
                       "(there is no band index without it)",
                       file=sys.stderr)
                 return 1
+            if args.encoder_model and not args.semantic_dedup:
+                print("--encoder-model requires --semantic-dedup "
+                      "(it selects that tier's embedder)",
+                      file=sys.stderr)
+                return 1
             if bool(args.quality_model) != bool(args.keep_pred):
                 print("--quality-model and --keep-pred go together",
                       file=sys.stderr)
@@ -952,6 +1011,7 @@ def main(argv: list[str] | None = None) -> int:
                     if args.semantic_dedup else None
                 ),
                 semantic_threshold=args.semantic_threshold,
+                encoder_model_dir=args.encoder_model,
             )
             if args.compact_index and args.near_dup:
                 from .operators.minhash_index import minhash_index_compact

@@ -158,6 +158,34 @@ def encoder_model_build(
     _write_index_params(spark, path, {**params, "version": 1})
 
 
+def encoder_model_ensure(
+    train_docs: DataFrame,
+    path: str,
+    **build_kwargs,
+) -> None:
+    """Serve ANY committed synproj-v1 encoder at ``path`` as-is, else
+    build one from ``train_docs`` with ``build_kwargs`` — the
+    bring-your-own-artifact contract for CLI/ingest surfaces: a user's
+    PRE-TRAINED encoder (different stop list, different dim) must not
+    be rejected just because it differs from the builder's defaults
+    (``encoder_model_build`` pins exact hyperparameters; that is the
+    right check for a caller asserting a specific configuration, the
+    wrong one for "use the model at this path").  A committed artifact
+    of a DIFFERENT kind still raises."""
+    spark = train_docs.sparkSession
+    params = _read_index_params(spark, path)
+    if params:
+        if (
+            params.get("kind") == "encoder"
+            and params.get("encoder") == ENCODER_KIND
+        ):
+            return
+        raise ValueError(
+            f"artifact at {path} is not a {ENCODER_KIND} encoder: {params}"
+        )
+    encoder_model_build(train_docs, path, **build_kwargs)
+
+
 # --------------------------------------------------------------------------
 # executor-side model cache: (artifact path, version) -> prepared
 # encoder, surviving ACROSS TASKS on a reused Python worker

@@ -594,15 +594,23 @@ def lsh_index_persistent(
     planes_per_table: int = ANN_LSH_PLANES_PER_TABLE,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    extra_params: dict | None = None,
 ) -> DataFrame:
     """Load the banded (id, band, bucket) LSH index artifact at
     ``path``, building and saving it first if absent (see
-    :func:`ivf_index_persistent` for the commit protocol)."""
+    :func:`ivf_index_persistent` for the commit protocol).
+
+    ``extra_params``: extra identity keys pinned in the marker and
+    checked on reuse — the semantic-ingest tier pins the EMBEDDER
+    identity here (round 10), because bucket rows from two different
+    encoders in one artifact would silently poison every probe (a
+    vector-space change is as hard a mismatch as a layout change)."""
     spark = vectors.sparkSession
     params = {
         "kind": "lsh", "tables": tables,
         "planes_per_table": planes_per_table,
         "id_col": id_col, "vec_col": vec_col,
+        **(extra_params or {}),
     }
     if not _check_index_params(spark, path, params):
         banded_bucket_rows(
@@ -675,6 +683,7 @@ def lsh_index_append(
     planes_per_table: int = ANN_LSH_PLANES_PER_TABLE,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    extra_params: dict | None = None,
 ) -> None:
     """Grow a committed LSH index: rehash the new vectors into bucket
     rows with the SAME deterministic hyperplanes (a pure function of
@@ -683,12 +692,15 @@ def lsh_index_append(
     grown artifact is bit-identical to a from-scratch rebuild over the
     union (pytest-pinned).  Version bump after the data append;
     replay-idempotent like :func:`ivf_index_append`.
+    ``extra_params``: see :func:`lsh_index_persistent` — appending
+    under a different embedder identity than the artifact's raises.
     """
     spark = new_vectors.sparkSession
     params = {
         "kind": "lsh", "tables": tables,
         "planes_per_table": planes_per_table,
         "id_col": id_col, "vec_col": vec_col,
+        **(extra_params or {}),
     }
     if not _check_index_params(spark, path, params):
         raise ValueError(
@@ -960,12 +972,19 @@ def semantic_dup_probe(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bucket_size: int | None = MAX_VECTOR_BUCKET,
+    embed_fn=None,
 ) -> DataFrame:
     """Batch DOCUMENTS semantically near-dup (exact cosine of their
-    feature-hashed embeddings >= threshold) of an already-indexed
-    document — the TEXT twin of :func:`vector_dup_probe`, closing the
-    incremental tier set: exact (Bloom), lexical (MinHash bands),
-    semantic (this).  Output: (id_col, dup_of, cosine).
+    embeddings >= threshold) of an already-indexed document — the TEXT
+    twin of :func:`vector_dup_probe`, closing the incremental tier
+    set: exact (Bloom), lexical (MinHash bands), semantic (this).
+    Output: (id_col, dup_of, cosine).
+
+    ``embed_fn`` (round 10): docs -> (vec_id, embedding) — the encoder
+    behind the tier.  Default is :func:`hash_embed`; pass a
+    :func:`~.embed.embed_with_model` partial to run the probe on the
+    model seam.  MUST be the same encoder the index was built with
+    (the ingest tier pins it in the index marker).
 
     Same scale shape as the vector probe: the batch's bucket rows
     BROADCAST into the index scan (batch bounded by contract; the
@@ -979,9 +998,11 @@ def semantic_dup_probe(
     ``existing_docs`` and vanish at that semi-join — never a false
     drop, exactly the minhash tier's orphan argument.
     """
-    bvecs = materialize(
-        hash_embed(batch_docs, id_col=id_col, text_col=text_col)
-    )
+    if embed_fn is None:
+        def embed_fn(d):
+            return hash_embed(d, id_col=id_col, text_col=text_col)
+
+    bvecs = materialize(embed_fn(batch_docs))
     bb = banded_bucket_rows(
         bvecs, "vec_id", "embedding", bands, planes_per_band
     )
@@ -996,14 +1017,12 @@ def semantic_dup_probe(
         .select("vec_id", "__iid")
         .distinct()
     )
-    cvecs = hash_embed(
+    cvecs = embed_fn(
         existing_docs.join(
             cand.select(F.col("__iid").alias(id_col)).distinct(),
             id_col,
             "left_semi",
-        ),
-        id_col=id_col,
-        text_col=text_col,
+        )
     )
     return (
         cand.join(

@@ -152,6 +152,7 @@ def run_streaming_ingest(
     keep_pred: list[str] | None = None,
     semantic_index_dir: str | None = None,
     semantic_threshold: float = 0.9,
+    encoder_model_dir: str | None = None,
 ) -> None:
     """Drain the feed with an availableNow trigger, admitting only
     genuinely-new documents into ``sink_path``.
@@ -215,6 +216,19 @@ def run_streaming_ingest(
     are-only-false-positives crash ordering as the other tiers; the
     probe's candidate semi-join against the text store is what kills
     orphans).  Runs AFTER the lexical tier: it is the loosest signal.
+
+    ``encoder_model_dir`` (round 10): run the semantic tier on the
+    MODEL-INFERENCE SEAM (operators/embed.embed_with_model —
+    executor-cached encoder artifact) instead of ``hash_embed``.  The
+    encoder artifact is built from the current dedup target on first
+    use (build-if-absent, the tiers' shared discipline) and its
+    IDENTITY (encoder kind + artifact version) is pinned in the
+    semantic index's params marker: probing or appending an index
+    built under a different encoder — including a REBUILT one, whose
+    vector space differs — raises instead of silently mixing spaces.
+    This is the paraphrase upgrade: synonym-swapped near-dups that the
+    lexical tier and hash_embed both admit are caught here
+    (pytest-contrast-proven).
 
     ``quality_model_dir`` + ``keep_pred``: the trained-classifier gate
     (round 9, the FineWeb-Edu/CCNet shape) — score each batch with the
@@ -377,20 +391,44 @@ def run_streaming_ingest(
             )
             from .vectors import VECTOR_DEDUP_BANDS, VECTOR_DEDUP_PLANES
 
+            if encoder_model_dir is not None:
+                from ..operators.embed import (
+                    embed_with_model,
+                    encoder_model_ensure,
+                )
+                from ..operators.similarity import _read_index_params
+
+                # encoder artifact build-if-absent from the current
+                # dedup target (the tiers' shared discipline); its
+                # identity rides into the index marker below so two
+                # vector spaces can never mix in one bucket store
+                encoder_model_ensure(existing, encoder_model_dir)
+                enc = _read_index_params(ss, encoder_model_dir)
+                embedder = {
+                    "embedder":
+                        f"{enc['encoder']}@v{enc.get('version', '1')}"
+                }
+
+                def embed(d):
+                    return embed_with_model(d, encoder_model_dir)
+            else:
+                embedder = {"embedder": "hash_embed"}
+                embed = hash_embed
             # build-if-absent over the current dedup target (one-time
             # O(corpus) embed); later batches read the committed
             # artifact and append batch-bounded bucket rows
             sbuckets = lsh_index_persistent(
-                hash_embed(existing),
+                embed(existing),
                 semantic_index_dir,
                 tables=VECTOR_DEDUP_BANDS,
                 planes_per_table=VECTOR_DEDUP_PLANES,
+                extra_params=embedder,
             )
             admitted = materialize(admitted)
             # (a) within-batch semantic collapse over the batch's
-            # hashed vectors (batch-bounded; flood cap because text-
-            # derived vectors are correlated)
-            bvecs = materialize(hash_embed(admitted))
+            # vectors (batch-bounded; flood cap because text-derived
+            # vectors are correlated)
+            bvecs = materialize(embed(admitted))
             spairs = embedding_dup_pairs_lsh(
                 bvecs, semantic_threshold,
                 VECTOR_DEDUP_BANDS, VECTOR_DEDUP_PLANES,
@@ -418,6 +456,7 @@ def run_streaming_ingest(
             sdups = semantic_dup_probe(
                 admitted, sbuckets, existing, semantic_threshold,
                 VECTOR_DEDUP_BANDS, VECTOR_DEDUP_PLANES,
+                embed_fn=embed,
             )
             admitted = materialize(
                 admitted.join(
@@ -427,9 +466,10 @@ def run_streaming_ingest(
             # (c) index append BEFORE the sink insert (same crash
             # ordering; the probe's text-store semi-join kills orphans)
             lsh_index_append(
-                hash_embed(admitted), semantic_index_dir,
+                embed(admitted), semantic_index_dir,
                 tables=VECTOR_DEDUP_BANDS,
                 planes_per_table=VECTOR_DEDUP_PLANES,
+                extra_params=embedder,
             )
         if bloom_state_dir is not None:
             from ..checkpoint import materialize

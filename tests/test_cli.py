@@ -784,3 +784,86 @@ def test_cli_corpus_semantic_rejects_bad_k(tmp_path, capsys):
     ])
     assert rc == 1
     assert "--semantic-k" in capsys.readouterr().err
+
+
+def test_cli_corpus_semantic_encoder_model(spark, tmp_path, capsys):
+    """corpus --dedup-method semantic --encoder-model: the SemDeDup
+    pass runs on the model-inference seam — a synonym-swapped
+    paraphrase pair (hash_embed cosine ~0.80, invisible at 0.9)
+    collapses to one survivor; the hash_embed run keeps both."""
+    base = "the quick brown fox jumps over the lazy dog"
+    para = "the rapid brown fox hops over the sluggish dog"
+    other = ("entirely different content about broadcast joins and "
+             "adaptive execution feeding columnar parquet scans")
+    import json
+
+    src = str(tmp_path / "docs.jsonl")
+    with open(src, "w") as fh:
+        for i, t in ((1, base), (2, para), (3, other)):
+            fh.write(json.dumps({
+                "doc_id": i, "text": t, "lang": "en",
+                "source": "s", "n_chars": len(t),
+            }) + "\n")
+
+    work_h = str(tmp_path / "wd_hash")
+    rc = main([
+        "corpus", "--docs-jsonl", src, "--work-dir", work_h,
+        "--dedup-method", "semantic", "--semantic-threshold", "0.9",
+        "--semantic-k", "1",
+    ])
+    assert rc == 0
+    assert spark.read.parquet(f"{work_h}/corpus").count() == 3
+
+    # bring-your-own-artifact flow: a PRE-TRAINED encoder at the path
+    # is served as-is (build-if-absent) — here trained with
+    # stop_top_n=0 because the default top-16 stop list would swallow
+    # this tiny fixture's whole vocabulary (zero kept tokens = no
+    # vector = no semantic signal, the honest degradation)
+    from haensel_ams_data_engineer_challenge_spark.operators import (
+        embed as E,
+    )
+
+    work_m = str(tmp_path / "wd_model")
+    train = spark.createDataFrame(
+        [(1, base), (2, para), (3, other)], "doc_id long, text string"
+    )
+    E.encoder_model_build(train, f"{work_m}/encoder", stop_top_n=0)
+    rc = main([
+        "corpus", "--docs-jsonl", src, "--work-dir", work_m,
+        "--dedup-method", "semantic", "--semantic-threshold", "0.9",
+        "--semantic-k", "1", "--encoder-model", f"{work_m}/encoder",
+    ])
+    assert rc == 0
+    kept = {r["text"]
+            for r in spark.read.parquet(f"{work_m}/corpus").collect()}
+    # exactly one of the paraphrase pair survives, plus the other doc
+    assert other in kept and len(kept) == 2
+    assert len(kept & {base, para}) == 1
+
+
+def test_cli_search_ann_encoder_model(spark, sf_dir, tmp_path, capsys):
+    """search --method ann --encoder-model: docs AND queries embed
+    through the seam; the index lands under ann_index_model with the
+    IVF marker committed."""
+    import os
+
+    queries = str(tmp_path / "queries")
+    spark.createDataFrame(
+        [(0, "the quick brown fox"), (1, "revenue and conversion")],
+        "query_id long, text string",
+    ).write.parquet(queries)
+    work = str(tmp_path / "wd")
+    rc = main([
+        "search", "--sf-dir", sf_dir, "--work-dir", work,
+        "--queries-parquet", queries, "--method", "ann", "--k", "3",
+        "--encoder-model", f"{work}/encoder",
+    ])
+    assert rc == 0
+    hits = spark.read.parquet(f"{work}/search_hits")
+    assert hits.count() > 0
+    assert os.path.isdir(f"{work}/ann_index_model")
+    from haensel_ams_data_engineer_challenge_spark.operators.similarity import (
+        _read_index_params,
+    )
+    assert _read_index_params(spark, f"{work}/ann_index_model").get(
+        "kind") == "ivf"

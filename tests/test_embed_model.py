@@ -127,6 +127,19 @@ def test_encoder_artifact_guards(spark, tmp_path):
     # rebuild-free reuse: second identical build is a committed no-op
     E.encoder_model_build(docs, path, dim=16, stop_top_n=0)
     assert E.embed_with_model(docs, path).count() == 1
+    # ensure() serves a pre-built artifact regardless of the builder
+    # defaults (bring-your-own-artifact contract)...
+    E.encoder_model_ensure(docs, path)
+    assert E.embed_with_model(docs, path).count() == 1
+    # ...but still refuses a committed artifact of another kind
+    from haensel_ams_data_engineer_challenge_spark.operators.similarity import (
+        _write_index_params,
+    )
+
+    other = str(tmp_path / "notenc")
+    _write_index_params(spark, other, {"kind": "lsh"})
+    with pytest.raises(ValueError, match="not a synproj-v1 encoder"):
+        E.encoder_model_ensure(docs, other)
 
 
 PARAPHRASE_A = "the quick brown fox jumps over the lazy dog"

@@ -204,3 +204,111 @@ def test_cli_ingest_semantic(spark, tmp_path, capsys):
     got = {r["doc_id"]
            for r in spark.read.parquet(f"{work}/admitted").collect()}
     assert got == {201}
+
+
+# ---------------------------------------------------------------------------
+# round 10: the semantic tier on the MODEL-INFERENCE SEAM
+# (--encoder-model): synonym-swapped paraphrases — invisible to BOTH the
+# lexical tier and hash_embed at the 0.9 threshold — are caught when the
+# tier runs on embed_with_model vectors.
+# ---------------------------------------------------------------------------
+
+SHORT_BASE = "the quick brown fox jumps over the lazy dog"
+#: synonym swap along DEFAULT_SYNONYMS equivalence classes
+#: (quick/rapid -> fast, jumps/hops -> leaps, lazy/sluggish -> idle):
+#: identical canonical token multiset, hash_embed cosine ~0.80 < 0.9.
+SHORT_PARA = "the rapid brown fox hops over the sluggish dog"
+
+
+def test_encoder_model_tier_catches_paraphrase_hash_tier_admits(
+    spark, tmp_path
+):
+    """Contrast run (the distinct-signal proof, encoder edition): the
+    SAME paraphrase feed is ADMITTED by the hash_embed semantic tier
+    and REJECTED by the encoder-model tier; the index marker pins the
+    encoder identity."""
+    from haensel_ams_data_engineer_challenge_spark.streaming.ingest import (
+        run_streaming_ingest,
+    )
+
+    corpus_path = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [_row(1, SHORT_BASE), _row(2, CORPUS_ROWS[1][1])], SCHEMA
+    ).write.parquet(corpus_path)
+    feed = str(tmp_path / "feed")
+    _drop(spark, tmp_path, feed, [
+        (200, SHORT_PARA),
+        (201, NOVEL),
+    ], "a.parquet")
+
+    # hash_embed tier: paraphrase slips through (cosine < 0.9)
+    hash_sink = str(tmp_path / "admitted_hash")
+    run_streaming_ingest(
+        spark, corpus_path, feed, hash_sink, str(tmp_path / "ckpt_h"),
+        semantic_index_dir=str(tmp_path / "semidx_h"),
+    )
+    assert {r["doc_id"]
+            for r in spark.read.parquet(hash_sink).collect()} == {200, 201}
+
+    # encoder-model tier: paraphrase rejected, novel admitted
+    model_sink = str(tmp_path / "admitted_model")
+    model_idx = str(tmp_path / "semidx_m")
+    run_streaming_ingest(
+        spark, corpus_path, feed, model_sink, str(tmp_path / "ckpt_m"),
+        semantic_index_dir=model_idx,
+        encoder_model_dir=str(tmp_path / "encoder"),
+    )
+    assert {r["doc_id"]
+            for r in spark.read.parquet(model_sink).collect()} == {201}
+
+    # the index marker pins the encoder identity...
+    from haensel_ams_data_engineer_challenge_spark.operators.similarity import (
+        _read_index_params,
+    )
+
+    got = _read_index_params(spark, model_idx)
+    assert got.get("embedder", "").startswith("synproj-v1@v")
+
+    # ...so running the tier under a DIFFERENT embedder against the
+    # same index refuses loudly instead of silently mixing spaces
+    import pytest as _pytest
+
+    _drop(spark, tmp_path, feed, [(300, "one more fresh doc")], "b.parquet")
+    with _pytest.raises(Exception, match="built with"):
+        run_streaming_ingest(
+            spark, corpus_path, feed, model_sink, str(tmp_path / "ckpt_x"),
+            semantic_index_dir=model_idx,  # model-built index
+        )
+
+
+def test_cli_ingest_encoder_model(spark, tmp_path, capsys):
+    """CLI e2e: ingest --semantic-dedup --encoder-model wires the seam
+    (and refuses --encoder-model without the tier)."""
+    from haensel_ams_data_engineer_challenge_spark.__main__ import main
+
+    corpus_path = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [_row(1, SHORT_BASE), _row(2, CORPUS_ROWS[1][1])], SCHEMA
+    ).write.parquet(corpus_path)
+    feed = str(tmp_path / "feed")
+    _drop(spark, tmp_path, feed, [
+        (200, SHORT_PARA), (201, NOVEL),
+    ], "a.parquet")
+    work = str(tmp_path / "wd")
+    rc = main([
+        "ingest", "--corpus-parquet", corpus_path, "--feed-dir", feed,
+        "--work-dir", work, "--semantic-dedup",
+        "--encoder-model", f"{work}/encoder",
+    ])
+    assert rc == 0
+    assert "admitted_total=1" in capsys.readouterr().out
+    got = {r["doc_id"]
+           for r in spark.read.parquet(f"{work}/admitted").collect()}
+    assert got == {201}
+
+    rc = main([
+        "ingest", "--corpus-parquet", corpus_path, "--feed-dir", feed,
+        "--work-dir", work, "--encoder-model", f"{work}/encoder",
+    ])
+    assert rc == 1
+    assert "--semantic-dedup" in capsys.readouterr().err
