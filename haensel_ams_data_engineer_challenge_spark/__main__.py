@@ -65,6 +65,14 @@ def _parser() -> argparse.ArgumentParser:
                      help="journeys per request (journey_builder.py:185)")
     run.add_argument("--scorer-max-retries", type=int, default=3)
     run.add_argument("--scorer-retry-delay", type=float, default=2.0)
+    run.add_argument(
+        "--hot-user-threshold", type=int, default=None, metavar="N",
+        help="route users whose session+conversion timeline exceeds N "
+        "rows through the as-of join's chunked hot-key path "
+        "(bot-traffic straggler mitigation; recommended 100000 for "
+        "bot-exposed data — see BASELINE.md's measured cliff). "
+        "Default: plain single-window plan",
+    )
 
     db = sub.add_parser("create-db", help="DDL bootstrap + schema verification")
     db.add_argument("--work-dir", required=True)
@@ -446,6 +454,7 @@ def main(argv: list[str] | None = None) -> int:
                 scorer_max_retries=args.scorer_max_retries,
                 scorer_retry_delay=args.scorer_retry_delay,
                 audit_path=audit_path,
+                hot_user_threshold=args.hot_user_threshold,
             )
             print(
                 f"conversions={result.conversions_total} "

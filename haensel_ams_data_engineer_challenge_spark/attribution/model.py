@@ -90,10 +90,18 @@ def sessions_with_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions(spark, sf_dir).join(costs(spark, sf_dir), "session_id", "left")
 
 
-def journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+def journeys(
+    spark: SparkSession, sf_dir: str, hot_threshold: int | None = None
+) -> DataFrame:
     """J4 journey rows: sessions claimed by their earliest following
-    conversion (closed form of journey_builder.py:26-115)."""
-    return journey_asof_join(sessions(spark, sf_dir), conversions(spark, sf_dir))
+    conversion (closed form of journey_builder.py:26-115).
+    ``hot_threshold``: see journey_asof_join — None keeps the
+    production default; the registry gate passes a small value so the
+    chunked hot-user path is itself hash-verified."""
+    kw = {} if hot_threshold is None else {"hot_threshold": hot_threshold}
+    return journey_asof_join(
+        sessions(spark, sf_dir), conversions(spark, sf_dir), **kw
+    )
 
 
 def scored(spark: SparkSession, sf_dir: str) -> DataFrame:

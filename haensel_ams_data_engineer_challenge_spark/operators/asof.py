@@ -40,6 +40,7 @@ def asof_join(
     tie_cols: Sequence[str] = (),
     how: str = "inner",
     strategy: str = "stream",
+    hot_threshold: int | None = None,
 ) -> DataFrame:
     """Generic distributed as-of join.
 
@@ -61,12 +62,25 @@ def asof_join(
       independent cross-check and for inputs where a name collision
       makes the union awkward. ``left_key`` must uniquely identify
       left rows (only used here).
+
+    ``hot_threshold`` (round 10, stream strategy only): heavy-hitter
+    mitigation for the one skew point the stream form has — its window
+    partitions by the ``by`` keys, and AQE's skew-join splitting does
+    NOT apply to window exchanges, so one bot user with a 10M-row
+    timeline is one straggler task.  Keys whose merged timeline
+    exceeds the threshold are CHUNKED by ordinate range and scanned as
+    ``ceil(n/threshold)`` parallel window partitions, with a per-chunk
+    summary pass stitching the carry across chunks (see
+    ``_asof_stream``).  Cold keys run the existing single-window path
+    unchanged.  None (default) disables detection entirely (no extra
+    aggregation pass).
     """
     if direction not in ("forward", "backward"):
         raise ValueError(f"direction must be forward|backward, got {direction!r}")
     if strategy == "stream":
         return _asof_stream(
-            left, right, by, left_on, right_on, direction, allow_exact, tie_cols, how
+            left, right, by, left_on, right_on, direction, allow_exact,
+            tie_cols, how, hot_threshold,
         )
     if strategy != "join":
         raise ValueError(f"strategy must be stream|join, got {strategy!r}")
@@ -114,6 +128,7 @@ def _asof_stream(
     allow_exact: bool,
     tie_cols: Sequence[str],
     how: str,
+    hot_threshold: int | None = None,
 ) -> DataFrame:
     """Merged-stream as-of (see asof_join docstring).
 
@@ -124,6 +139,36 @@ def _asof_stream(
     The right payload rides in ONE struct so the carried row is atomic
     (per-column ``last(ignorenulls)`` could mix rows when a payload
     field is legitimately NULL).
+
+    Hot-key hybrid (``hot_threshold``, round 10): a key whose merged
+    timeline exceeds the threshold would serialize through one window
+    task.  The two-phase remedy exploits the carry's decomposability:
+
+    1. CHUNK the hot key's rows by ordinate range into
+       ``ceil(n/threshold)`` buckets — row-local arithmetic off a
+       broadcast (key -> count, min, max) stats table, so every row of
+       a later chunk has a STRICTLY greater ordinate than every row of
+       an earlier one (equal ordinates share a bucket by construction);
+       cold keys take bucket 0, making the chunked window IDENTICAL to
+       the plain one for them.
+    2. run the SAME window partitioned by (keys..., chunk) — parallel
+       across chunks; the within-chunk carry is exact for any left row
+       whose match lives in its own chunk.
+    3. stitch across chunks with a BOUNDED summary: per (key, chunk)
+       the best right row as a (ordinate, ties..., payload) struct
+       (min for forward / max for backward — the same total order the
+       window scan uses), then a running min/max over the ~n/threshold
+       summary rows gives each chunk its carry-in from later (forward)
+       / earlier (backward) chunks.  Strict cross-chunk ordinate
+       inequality makes every carried-in row qualify under both strict
+       and ``allow_exact`` semantics, and the within-chunk match — when
+       present — is always nearer, so ``coalesce(within, carry_in)``
+       is exact (pytest: bit-equality vs the plain stream AND the
+       join+window form on a 90%-hot fixture).
+
+    Cost when no key is hot: one extra map-side-combinable stats
+    aggregation and empty summary joins — the plan shape is otherwise
+    unchanged.
     """
     right_payload = [c for c in right.columns if c not in by]
     clash = set(right_payload) & set(left.columns)
@@ -160,14 +205,20 @@ def _asof_stream(
         on_order = F.col("__on").asc()
         tie_order = [F.col(f"__tie_{c}").asc() for c in tie_cols]
     flag_order = F.col("__is_r").desc() if allow_exact else F.col("__is_r").asc()
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(on_order, flag_order, *tie_order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = merged.withColumn(
-        "__match", F.last("__rpay", ignorenulls=True).over(w)
-    )
+    if hot_threshold is None:
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(on_order, flag_order, *tie_order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = merged.withColumn(
+            "__match", F.last("__rpay", ignorenulls=True).over(w)
+        )
+    else:
+        carried = _carry_hot_hybrid(
+            merged, by, direction, hot_threshold,
+            on_order, flag_order, tie_order, tie_cols,
+        )
     out = carried.filter(F.col("__is_r") == 0)
     if how == "inner":
         out = out.filter(F.col("__match").isNotNull())
@@ -180,7 +231,141 @@ def _asof_stream(
     )
 
 
-def journey_asof_join(sessions: DataFrame, conversions: DataFrame) -> DataFrame:
+def _carry_hot_hybrid(
+    merged: DataFrame,
+    by: Sequence[str],
+    direction: str,
+    hot_threshold: int,
+    on_order,
+    flag_order,
+    tie_order,
+    tie_cols: Sequence[str],
+) -> DataFrame:
+    """The chunked two-phase carry (see ``_asof_stream`` docstring) —
+    returns ``merged`` + ``__match``, semantics identical to the plain
+    window."""
+    # numeric ordinate for range bucketing — only MONOTONICITY matters,
+    # so any order-preserving map per dtype works (timestamps cannot
+    # cast straight to double)
+    dt = dict(merged.dtypes)["__on"]
+    if dt.startswith("timestamp"):
+        def _num(c):
+            return F.unix_micros(c.cast("timestamp")).cast("double")
+    elif dt == "date":
+        def _num(c):
+            return F.unix_date(c).cast("double")
+    else:
+        def _num(c):
+            return c.cast("double")
+
+    # heavy-hitter stats: one map-side-combinable aggregation; the hot
+    # set is bounded (each hot key holds > threshold rows, so there are
+    # at most |merged|/threshold of them) -> broadcast-class
+    stats = (
+        merged.groupBy(*by)
+        .agg(
+            F.count(F.lit(1)).alias("__kcnt"),
+            F.min(_num(F.col("__on"))).alias("__kmin"),
+            F.max(_num(F.col("__on"))).alias("__kmax"),
+        )
+        .filter(F.col("__kcnt") > hot_threshold)
+    )
+    tagged = merged.join(F.broadcast(stats), list(by), "left")
+    n_chunks = F.ceil(
+        F.col("__kcnt") / F.lit(float(hot_threshold))
+    ).cast("long")
+    # range bucket: monotone in the ordinate, equal ordinates share a
+    # bucket (the strict cross-chunk inequality the stitch relies on);
+    # bucket(max) <= n_chunks-1 because range/(range+1) < 1
+    bucket = F.least(
+        n_chunks - F.lit(1),
+        F.floor(
+            (_num(F.col("__on")) - F.col("__kmin"))
+            * n_chunks
+            / (F.col("__kmax") - F.col("__kmin") + F.lit(1.0))
+        ),
+    )
+    tagged = tagged.select(
+        "*",
+        F.col("__kcnt").isNotNull().alias("__hot"),
+        F.when(F.col("__kcnt").isNull(), F.lit(0).cast("long"))
+        .otherwise(F.coalesce(bucket, F.lit(0)).cast("long"))
+        .alias("__chunk"),
+    ).drop("__kcnt", "__kmin", "__kmax")
+    w1 = (
+        Window.partitionBy(*by, "__chunk")
+        .orderBy(on_order, flag_order, *tie_order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = tagged.withColumn(
+        "__match", F.last("__rpay", ignorenulls=True).over(w1)
+    )
+    # bounded per-(key, chunk) summaries: best right row under the SAME
+    # total order the window scan uses, as one atomic struct
+    best = F.struct(
+        F.col("__on").alias("o"),
+        *[F.col(f"__tie_{c}").alias(f"t{i}") for i, c in enumerate(tie_cols)],
+        F.col("__rpay").alias("p"),
+    )
+    agg_best = F.min(best) if direction == "forward" else F.max(best)
+    rbest = (
+        tagged.filter(F.col("__hot") & (F.col("__is_r") == 1))
+        .groupBy(*by, "__chunk")
+        .agg(agg_best.alias("__best"))
+    )
+    # carry domain = every chunk a hot key HAS (a chunk holding only
+    # left rows still needs its carry-in), left-joined with the best
+    chunks_dom = (
+        tagged.filter("__hot").select(*by, "__chunk").distinct()
+    )
+    if direction == "forward":
+        wc = (
+            Window.partitionBy(*by)
+            .orderBy(F.col("__chunk").desc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry = F.min("__best").over(wc)
+    else:
+        wc = (
+            Window.partitionBy(*by)
+            .orderBy(F.col("__chunk").asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry = F.max("__best").over(wc)
+    summ = (
+        chunks_dom.join(rbest, [*by, "__chunk"], "left")
+        .select(*by, "__chunk", carry.alias("__carry"))
+    )
+    # stitch: within-chunk match (always nearer when present) else the
+    # cross-chunk carry-in; cold keys never joined a summary row
+    return (
+        within.join(summ, [*by, "__chunk"], "left")
+        .withColumn(
+            "__match", F.coalesce(F.col("__match"), F.col("__carry.p"))
+        )
+        .drop("__carry", "__chunk", "__hot")
+    )
+
+
+#: the RECOMMENDED hot_threshold for bot-exposed journey data: a user
+#: timeline past this many rows (sessions+conversions) routes through
+#: the chunked hybrid.  Sized to a comfortable single-task sort (~100k
+#: rows) — below it the plain window is faster; far above it (bot/test
+#: users at 100 TB) the single partition is THE straggler, measured in
+#: tools/asof_skew_bench.py / BASELINE.md.  NOT the default: detection
+#: costs a fixed extra aggregation pass + summary joins (~1.3 s of
+#: stages locally, one reduced shuffle at scale), pure overhead on
+#: organic data (45-99 rows/user) — so the plain 1-exchange/0-join
+#: plan stays the default (test_plans pins it) and callers opt in
+#: where hot keys are possible (CLI: pipeline --hot-user-threshold).
+JOURNEY_HOT_THRESHOLD = 100_000
+
+
+def journey_asof_join(
+    sessions: DataFrame,
+    conversions: DataFrame,
+    hot_threshold: int | None = None,
+) -> DataFrame:
     """J4: build journey rows (SURVEY.md §2.3) — merged-stream form.
 
     Output: one row per (conv_id, session_id) — every session of the
@@ -210,8 +395,13 @@ def journey_asof_join(sessions: DataFrame, conversions: DataFrame) -> DataFrame:
 
     Cost: one shuffle+sort of |sessions|+|conversions| rows on
     user_id — linear, no fan-out. Per-user timelines are bounded in
-    practice; a pathological hot user is a single sorted partition
-    (same bound as any per-entity sessionization).
+    practice; a pathological hot user (bot traffic at 100 TB) would be
+    a single sorted partition, so timelines past ``hot_threshold``
+    rows route through the chunked hybrid (``_asof_stream`` round-10
+    docstring; reference analogue: journey_builder.py:54-61 bounded
+    the same loop with batching).  Results are identical either way —
+    the registry gate runs this entry with a LOW threshold so the
+    hybrid path itself is hash-verified against the oracle.
     """
     return asof_join(
         sessions,
@@ -224,6 +414,7 @@ def journey_asof_join(sessions: DataFrame, conversions: DataFrame) -> DataFrame:
         allow_exact=False,  # strict <, journey_builder.py:84
         tie_cols=["conv_id"],
         strategy="stream",
+        hot_threshold=hot_threshold,
     )
 
 

@@ -69,6 +69,7 @@ def run_pipeline(
     scorer_max_retries: int = 3,
     scorer_retry_delay: float = 2.0,
     audit_path: str | None = None,
+    hot_user_threshold: int | None = None,
 ) -> PipelineResult:
     """Run extract -> journeys -> score -> upsert -> report.
 
@@ -98,6 +99,12 @@ def run_pipeline(
     are recorded-and-skipped (the reference's continue-with-next-chunk,
     api_utils.py:209-211): their conversions stay unscored, so the J6
     incremental anti-join retries exactly those on the next run.
+
+    ``hot_user_threshold`` (round 10): route users whose merged
+    timeline exceeds it through the as-of join's chunked hybrid
+    (asof.JOURNEY_HOT_THRESHOLD is the recommended value for
+    bot-exposed traffic; None keeps the plain 1-exchange plan —
+    detection is a fixed extra pass, pure overhead on organic data).
     """
     validate_date(start_date, "start_date")
     validate_date(end_date, "end_date")
@@ -130,7 +137,9 @@ def run_pipeline(
     # scan->as-of->window chain executes once, not twice.  At cluster
     # scale this is the attribution table itself (rows = sessions of
     # converted users, 3 narrow columns) — bounded by the sink size.
-    journeys = journey_asof_join(M.sessions(spark, sf_dir), todo)
+    journeys = journey_asof_join(
+        M.sessions(spark, sf_dir), todo, hot_threshold=hot_user_threshold
+    )
     if scorer == "external":
         if scorer_call is None:
             raise ValueError("scorer='external' requires scorer_call")

@@ -180,9 +180,14 @@ def _attribution_entries() -> dict[str, tuple[QueryFn, str | None]]:
              FROM sessions""",
     )
 
-    # J4: flagship reverse as-of join (journey_builder.py:26-115)
+    # J4: flagship reverse as-of join (journey_builder.py:26-115).
+    # hot_threshold=64 deliberately sits INSIDE the per-user timeline
+    # range (sf0.01: 49-86 rows, sf0.1: 45-99), so the gate runs BOTH
+    # the chunked hot-user hybrid and the plain cold path and hashes
+    # the union against the oracle — the hybrid must be semantically
+    # invisible, and this row proves it per round
     e["journey_asof_join"] = (
-        lambda spark, sf: _journeys(spark, sf),
+        lambda spark, sf: _journeys(spark, sf, hot_threshold=64),
         _pipeline_prelude(JOURNEYS_CTE) + "SELECT * FROM journeys",
     )
 

@@ -867,3 +867,21 @@ def test_cli_search_ann_encoder_model(spark, sf_dir, tmp_path, capsys):
     )
     assert _read_index_params(spark, f"{work}/ann_index_model").get(
         "kind") == "ivf"
+
+
+def test_cli_pipeline_hot_user_threshold(spark, sf_dir, tmp_path, capsys):
+    """pipeline --hot-user-threshold: the chunked hot-user as-of path
+    produces the identical attribution sink (bit-equal rows) as the
+    plain plan — threshold 10 forces EVERY sf0.001 user hot."""
+    plain = str(tmp_path / "wd_plain")
+    rc = main(["pipeline", "--sf-dir", sf_dir, "--work-dir", plain])
+    assert rc == 0
+    hot = str(tmp_path / "wd_hot")
+    rc = main(["pipeline", "--sf-dir", sf_dir, "--work-dir", hot,
+               "--hot-user-threshold", "10"])
+    assert rc == 0
+    read = lambda wd: sorted(
+        map(tuple, spark.read.parquet(
+            f"{wd}/attribution_customer_journey").collect())
+    )
+    assert read(plain) == read(hot)

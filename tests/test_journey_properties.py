@@ -181,3 +181,73 @@ def test_asof_hot_user_partition(spark):
         expected = f"c{nxt}" if nxt <= 49 else None
         assert got.get(str(i)) == expected, (i, got.get(str(i)), expected)
     assert not any(k.startswith("9") and len(k) == 4 for k in got)  # other users unmatched
+
+
+@pytest.mark.parametrize("direction,allow_exact,how", [
+    ("forward", False, "inner"),
+    ("forward", True, "inner"),
+    ("backward", False, "left"),
+    ("backward", True, "inner"),
+])
+def test_asof_hot_hybrid_matches_join_strategy(
+    spark, direction, allow_exact, how
+):
+    """Round 10: the chunked hot-key hybrid must be semantically
+    invisible on every (direction, exactness, how) combination —
+    hot_threshold=2 forces multi-chunk routing for key 'a' (5+ rows)
+    while 'b'/'c' stay cold, so both paths and the stitch are live."""
+    left = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("a", 3, 20), ("b", 4, 5), ("c", 5, 7)],
+        "k string, id int, ts int",
+    )
+    right = spark.createDataFrame(
+        [("a", 100, 10, 1.0), ("a", 101, 20, None), ("a", 102, 25, 3.0),
+         ("b", 103, 5, 4.0), ("d", 104, 1, 5.0)],
+        "k string, rid int, rts int, payload double",
+    )
+    kw = dict(
+        by=["k"], left_on="ts", right_on="rts", left_key=["id"],
+        direction=direction, allow_exact=allow_exact,
+        tie_cols=["rid"], how=how,
+    )
+    hybrid = asof_join(left, right, strategy="stream", hot_threshold=2, **kw)
+    join = asof_join(left, right, strategy="join", **kw)
+    key = lambda r: r["id"]
+    h = sorted(({c: r[c] for c in hybrid.columns} for r in hybrid.collect()), key=key)
+    j = sorted(({c: r[c] for c in hybrid.columns} for r in join.collect()), key=key)
+    assert h == j
+
+
+def test_asof_hot_hybrid_journey_90pct_hot(spark):
+    """The 90%-hot fixture (one user owns ~99% of the timeline):
+    journey assignments under the chunked hybrid are identical to the
+    plain single-window stream, row for row — including conversions at
+    chunk boundaries, ties, and the cold users."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    sessions = [(str(i), "hot", base + timedelta(seconds=i)) for i in range(5000)]
+    sessions += [(str(9000 + i), f"u{i}", base + timedelta(seconds=i)) for i in range(50)]
+    convs = [(f"c{j}", "hot", base + timedelta(seconds=j * 100), 1.0) for j in range(1, 50)]
+    # a cold user with its own conversion: must route through the
+    # unchanged plain path inside the SAME call
+    convs += [("ccold", "u7", base + timedelta(seconds=30), 2.0)]
+    s_df = spark.createDataFrame(
+        sessions, "session_id string, user_id string, ts timestamp_ntz"
+    ).selectExpr(
+        "session_id", "user_id", "ts",
+        "date_format(ts,'yyyy-MM-dd') as event_date",
+        "date_format(ts,'HH:mm:ss') as event_time",
+        "'x' as channel_name", "0 as holder_engagement",
+        "0 as closer_engagement", "0 as impression_interaction",
+    )
+    c_df = spark.createDataFrame(
+        convs, "conv_id string, user_id string, conv_ts timestamp_ntz, revenue double"
+    )
+    plain = journey_asof_join(s_df, c_df, hot_threshold=None)
+    hybrid = journey_asof_join(s_df, c_df, hot_threshold=100)  # ~50 chunks
+    key = lambda r: r["session_id"]
+    p = sorted(({c: r[c] for c in plain.columns} for r in plain.collect()), key=key)
+    h = sorted(({c: r[c] for c in plain.columns} for r in hybrid.collect()), key=key)
+    assert p == h
+    assert len(p) == 4900 + 1  # hot sessions before c49 + u7's session
