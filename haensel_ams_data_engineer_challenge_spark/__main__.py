@@ -66,6 +66,12 @@ def _parser() -> argparse.ArgumentParser:
     run.add_argument("--scorer-max-retries", type=int, default=3)
     run.add_argument("--scorer-retry-delay", type=float, default=2.0)
     run.add_argument(
+        "--compact-sink", action="store_true",
+        help="after the run, rewrite the append-fragmented attribution "
+        "sink as one file set (writer-lease + recoverable backup swap; "
+        "per-run appends otherwise accumulate small files forever)",
+    )
+    run.add_argument(
         "--hot-user-threshold", type=int, default=None, metavar="N",
         help="route users whose session+conversion timeline exceeds N "
         "rows through the as-of join's chunked hot-key path "
@@ -456,6 +462,13 @@ def main(argv: list[str] | None = None) -> int:
                 audit_path=audit_path,
                 hot_user_threshold=args.hot_user_threshold,
             )
+            if args.compact_sink:
+                from .operators.sinks import compact_parquet_sink
+
+                n_compacted = compact_parquet_sink(
+                    spark, f"{args.work_dir}/attribution_customer_journey"
+                )
+                print(f"compacted_rows={n_compacted}")
             print(
                 f"conversions={result.conversions_total} "
                 f"scored={result.conversions_scored} "

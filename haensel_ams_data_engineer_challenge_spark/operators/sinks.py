@@ -92,6 +92,112 @@ def verify_tables(spark: SparkSession, base_path: str) -> dict[str, str]:
     return out
 
 
+class ConcurrentWriterError(RuntimeError):
+    """A second writer holds the sink's lease — refusing loudly instead
+    of racing the read->anti-join->append window (round 10)."""
+
+
+#: a lease older than this is presumed abandoned (crashed writer) and
+#: may be taken over.  Generous: longer than any sane insert, far
+#: shorter than an operator's pager response.
+LEASE_TTL_MS = 15 * 60 * 1000
+
+#: lease file INSIDE the sink dir: underscore-prefixed paths are
+#: invisible to Spark's file listing, so readers never see it.
+_LEASE_NAME = "_writer_lease"
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, p, p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+
+
+def acquire_writer_lease(
+    spark: SparkSession, path: str, ttl_ms: int = LEASE_TTL_MS
+) -> str:
+    """Exclusively create ``{path}/_writer_lease`` and return its token.
+
+    The reference got single-writer safety for free from SQLite's
+    file lock + PRIMARY KEY (db_utils.py:201-204); plain parquet has
+    neither, and two simultaneous ``insert_if_absent`` runs could both
+    pass the anti-join and double-append.  The lease makes the
+    single-writer assumption ENFORCED: creation uses the Hadoop
+    FileSystem's create(overwrite=false) — atomic on HDFS/ABFS/local;
+    on S3 it is best-effort (no atomic create-exclusive), which is the
+    documented limit of any marker-file lock there.
+
+    Stale-lease takeover: a lease older than ``ttl_ms`` (by file
+    mtime) is presumed abandoned by a crashed writer, deleted with a
+    warning, and re-acquired — two racing takeovers still serialize on
+    the exclusive create, so at most one wins.
+    """
+    import uuid
+
+    from py4j.protocol import Py4JJavaError
+
+    jvm, p, fs = _hadoop_fs(spark, f"{path}/{_LEASE_NAME}")
+    token = uuid.uuid4().hex
+    for attempt in (0, 1):
+        try:
+            out = fs.create(p, False)
+            out.write(bytearray(token.encode("utf-8")))
+            out.close()
+            return token
+        except Py4JJavaError as e:
+            if "FileAlreadyExistsException" not in str(e.java_exception):
+                raise
+            st = fs.getFileStatus(p) if fs.exists(p) else None
+            now_ms = jvm.java.lang.System.currentTimeMillis()
+            if (
+                attempt == 0
+                and st is not None
+                and now_ms - st.getModificationTime() > ttl_ms
+            ):
+                import warnings
+
+                warnings.warn(
+                    f"taking over stale writer lease at {path} "
+                    f"(age {(now_ms - st.getModificationTime()) / 1000:.0f}s "
+                    f"> ttl {ttl_ms / 1000:.0f}s — presumed crashed writer)",
+                    stacklevel=2,
+                )
+                fs.delete(p, False)
+                continue
+            raise ConcurrentWriterError(
+                f"another writer holds the lease on {path} "
+                f"({_LEASE_NAME} exists and is fresh); concurrent "
+                "insert_if_absent/compaction would race the "
+                "read->anti-join->append window. Retry after it "
+                "finishes, or delete the lease if its writer is dead."
+            ) from None
+    raise ConcurrentWriterError(f"lost the takeover race on {path}")
+
+
+def release_writer_lease(spark: SparkSession, path: str, token: str) -> None:
+    """Delete the lease IF it still carries ``token`` — after a
+    stale-lease takeover the original (slow, presumed-dead) writer may
+    wake up and must not release the new owner's lease."""
+    jvm, p, fs = _hadoop_fs(spark, f"{path}/{_LEASE_NAME}")
+    if not fs.exists(p):
+        return
+    stream = fs.open(p)
+    try:
+        held = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    if held == token:
+        fs.delete(p, False)
+    else:
+        import warnings
+
+        warnings.warn(
+            f"not releasing lease at {path}: it was taken over by "
+            "another writer (this writer exceeded the TTL)",
+            stacklevel=2,
+        )
+
+
 def insert_if_absent(
     spark: SparkSession, df: DataFrame, path: str, keys: list[str]
 ) -> int:
@@ -118,25 +224,124 @@ def insert_if_absent(
     with a stable schema after any pipeline run — and the price of the
     single-action Observation count (a pre-count to guard the write
     would execute the plan twice).
+
+    Round 10: the whole read->anti-join->append window runs under the
+    WRITER LEASE (:func:`acquire_writer_lease`) — two simultaneous
+    runs could otherwise both pass the anti-join and double-append
+    (the race SQLite's PK closed for the reference).  A concurrent
+    second writer raises :class:`ConcurrentWriterError`; a crashed
+    writer's lease is taken over after its TTL.  The lease is released
+    in ``finally``: a failed Spark write job leaves no committed files
+    (parquet commit protocol), so releasing after a failure is safe.
     """
     from pyspark.sql import Observation
 
     fresh = df.dropDuplicates(keys)
     for k in keys:
         fresh = fresh.filter(F.col(k).isNotNull())
-    # existence probe THROUGH Spark, not os.path (round-9 fix, the
-    # streaming/ingest.py round-6 lesson applied to the batch sink):
-    # on HDFS/S3/ABFS a driver-local isdir() is always False, which
-    # would silently skip the anti-join and append duplicates on every
-    # run.  A missing/empty sink means everything is fresh; an
-    # existing-yet-unreadable sink still raises (only the two
-    # "no data here yet" conditions are tolerated).
-    existing = try_read_sink(spark, path)
-    if existing is not None:
-        fresh = fresh.join(existing.select(*keys), keys, "left_anti")
-    obs = Observation()
-    fresh.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("append").parquet(path)
-    return int(obs.get["n"])
+    token = acquire_writer_lease(spark, path)
+    try:
+        # existence probe THROUGH Spark, not os.path (round-9 fix, the
+        # streaming/ingest.py round-6 lesson applied to the batch
+        # sink): on HDFS/S3/ABFS a driver-local isdir() is always
+        # False, which would silently skip the anti-join and append
+        # duplicates on every run.  A missing/empty sink means
+        # everything is fresh; an existing-yet-unreadable sink still
+        # raises (only the two "no data here yet" conditions are
+        # tolerated).
+        existing = try_read_sink(spark, path)
+        if existing is not None:
+            fresh = fresh.join(existing.select(*keys), keys, "left_anti")
+        obs = Observation()
+        fresh.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+            "append"
+        ).parquet(path)
+        return int(obs.get["n"])
+    finally:
+        release_writer_lease(spark, path, token)
+
+
+def compact_parquet_sink(
+    spark: SparkSession, path: str, target_partitions: int | None = None
+) -> int:
+    """Rewrite an append-fragmented sink as ``target_partitions`` files
+    (default: the session's shuffle parallelism) — the small-files
+    remedy for a sink that grows by one parquet fragment per pipeline
+    run (round 10; the reference's single SQLite file never had this).
+    Returns the number of rows compacted.
+
+    Unlike the index artifacts (minhash_index_compact), the sink is
+    SOURCE OF TRUTH — "torn = rebuildable" is not an acceptable crash
+    state.  Swap protocol, under the writer lease (so a concurrent
+    insert_if_absent refuses instead of appending into the swap):
+
+    1. write the compacted copy BESIDE the sink (``{path}__compact``);
+    2. rename sink -> ``{path}__old`` (backup), rename compact -> sink,
+       delete backup.
+
+    A crash between the two renames leaves the sink path missing but
+    the backup intact; this function RECOVERS that state on entry
+    (rename the backup back) before doing anything else, so no crash
+    window loses a row.  Every rename/delete return code is checked —
+    Hadoop FS reports failure by returning false, not raising.
+    """
+    jvm, sink_p, fs = _hadoop_fs(spark, path)
+
+    def p(suffix: str):
+        return jvm.org.apache.hadoop.fs.Path(path + suffix)
+
+    # crash recovery from a previous compaction dying between renames
+    if not fs.exists(sink_p) and fs.exists(p("__old")):
+        if not fs.rename(p("__old"), sink_p):
+            raise IOError(
+                f"compact: failed to restore {path} from {path}__old"
+            )
+    elif fs.exists(sink_p) and fs.exists(p("__old")):
+        # sink present + backup present = a previous swap COMPLETED but
+        # died before deleting its backup; the backup is superseded
+        fs.delete(p("__old"), True)
+    token = acquire_writer_lease(spark, path)
+    try:
+        # a leftover compacted copy from a crash BEFORE the first
+        # rename is stale (the sink may have grown since) — discard
+        fs.delete(p("__compact"), True)
+        rows = spark.read.parquet(path)
+        n_parts = target_partitions or int(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        )
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        rows.observe(obs, F.count(F.lit(1)).alias("n")).repartition(
+            int(n_parts)
+        ).write.mode("overwrite").parquet(path + "__compact")
+        n_rows = int(obs.get["n"])
+        # the lease lives INSIDE the sink dir and must survive the
+        # swap (we still hold it): move it into the compacted copy
+        # before the renames
+        lease_src = jvm.org.apache.hadoop.fs.Path(f"{path}/{_LEASE_NAME}")
+        lease_dst = jvm.org.apache.hadoop.fs.Path(
+            f"{path}__compact/{_LEASE_NAME}"
+        )
+        if not fs.rename(lease_src, lease_dst):
+            raise IOError(f"compact: failed to carry the lease at {path}")
+        if not fs.rename(sink_p, p("__old")):
+            raise IOError(f"compact: failed to back up {path}")
+        if not fs.rename(p("__compact"), sink_p):
+            # put the backup straight back — never leave the sink gone
+            fs.rename(p("__old"), sink_p)
+            raise IOError(f"compact: failed to swap in {path}__compact")
+        if not fs.delete(p("__old"), True):
+            raise IOError(
+                f"compact: swapped OK but failed to delete {path}__old "
+                "(harmless leftover; delete manually)"
+            )
+        # the path's CONTENT identity changed: drop any cached file
+        # listing so same-session readers don't chase deleted fragments
+        spark.catalog.refreshByPath(path)
+        return n_rows
+    finally:
+        release_writer_lease(spark, path, token)
 
 
 def overwrite_partitions(df: DataFrame, path: str, partition_col: str) -> None:

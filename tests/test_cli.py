@@ -885,3 +885,21 @@ def test_cli_pipeline_hot_user_threshold(spark, sf_dir, tmp_path, capsys):
             f"{wd}/attribution_customer_journey").collect())
     )
     assert read(plain) == read(hot)
+
+
+def test_cli_pipeline_compact_sink(spark, sf_dir, tmp_path, capsys):
+    """pipeline --compact-sink: post-run sink compaction — row set
+    invariant, fragment count drops across multiple runs."""
+    work = str(tmp_path / "wd")
+    # two runs (second is an incremental no-op append) fragment the sink
+    assert main(["pipeline", "--sf-dir", sf_dir, "--work-dir", work]) == 0
+    sink = f"{work}/attribution_customer_journey"
+    before = sorted(map(tuple, spark.read.parquet(sink).collect()))
+    n_files_before = len(list(Path(sink).glob("*.parquet")))
+    rc = main(["pipeline", "--sf-dir", sf_dir, "--work-dir", work,
+               "--compact-sink"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert f"compacted_rows={len(before)}" in out
+    assert sorted(map(tuple, spark.read.parquet(sink).collect())) == before
+    assert len(list(Path(sink).glob("*.parquet"))) <= n_files_before
