@@ -368,6 +368,308 @@ def audio_header_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# video modality (round 10): MP4 / ISO-BMFF box-walk header decode,
+# stdlib-only — the video rung completing the modality ladder
+# (image: PNG/JPEG/GIF markers; audio: RIFF chunk walk; video: the
+# ISO 14496-12 box tree).  Movie timescale/duration from moov/mvhd,
+# track count + per-track codec fourcc from trak/mdia/minf/stbl/stsd;
+# everything decodes from DECLARED header structure, so ranged reads
+# suffice at scale (mdat never needs to be present).
+# ---------------------------------------------------------------------------
+
+VIDEO_DECODE_SCHEMA = (
+    "doc_id long, n_bytes long, format string, major_brand string, "
+    "timescale long, duration long, duration_ms long, n_tracks long, "
+    "codecs string, decoder string, content_hash string"
+)
+
+#: ISO-BMFF pure-container boxes worth descending into for metadata.
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def _mp4_boxes(payload: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for the box list in
+    payload[start:end] — size==1 reads the 64-bit largesize, size==0
+    means to-end-of-enclosing (ISO 14496-12 §4.2); a malformed size
+    stops the walk (header decode must never loop or overrun)."""
+    i = start
+    while i + 8 <= end:
+        (size,) = struct.unpack(">I", payload[i : i + 4])
+        btype = payload[i + 4 : i + 8]
+        body = i + 8
+        if size == 1:
+            if i + 16 > end:
+                return
+            (size,) = struct.unpack(">Q", payload[i + 8 : i + 16])
+            body = i + 16
+        elif size == 0:
+            size = end - i
+        if size < 8 or i + size > end:
+            return
+        yield btype, body, i + size
+        i += size
+
+
+def parse_video_header(
+    payload: bytes,
+) -> tuple[str, str, int, int, int, str] | None:
+    """REAL (stdlib-only) MP4 header decode: ('mp4', major_brand,
+    timescale, duration, n_tracks, codecs) for ISO-BMFF payloads, None
+    otherwise.  ``codecs`` joins each trak's first stsd sample-entry
+    fourcc with '+', in file order.  Handles mvhd version 0 and 1
+    (v1 widens the times to 64 bits, ISO 14496-12 §8.2.2)."""
+    n = len(payload)
+    if n < 16 or payload[4:8] != b"ftyp":
+        return None
+    brand = None
+    timescale = duration = None
+    codecs: list[str] = []
+    n_tracks = 0
+
+    def walk(start: int, end: int) -> None:
+        nonlocal brand, timescale, duration, n_tracks
+        for btype, b0, b1 in _mp4_boxes(payload, start, end):
+            if btype == b"ftyp" and b0 + 4 <= b1 and brand is None:
+                brand = payload[b0 : b0 + 4].decode("ascii", "replace")
+            elif btype == b"mvhd" and b0 + 4 <= b1:
+                ver = payload[b0]
+                if ver == 1 and b0 + 28 <= b1:
+                    (timescale,) = struct.unpack(
+                        ">I", payload[b0 + 20 : b0 + 24]
+                    )
+                    (duration,) = struct.unpack(
+                        ">Q", payload[b0 + 24 : b0 + 32]
+                    )
+                elif ver == 0 and b0 + 20 <= b1:
+                    timescale, duration = struct.unpack(
+                        ">II", payload[b0 + 12 : b0 + 20]
+                    )
+            elif btype == b"trak":
+                n_tracks += 1
+                walk(b0, b1)
+            elif btype == b"stsd" and b0 + 16 <= b1:
+                # verflags(4) entry_count(4) entry_size(4) fourcc(4)
+                codecs.append(
+                    payload[b0 + 12 : b0 + 16].decode("ascii", "replace")
+                )
+            elif btype in _MP4_CONTAINERS:
+                walk(b0, b1)
+
+    walk(0, n)
+    if brand is None or timescale in (None, 0) or duration is None:
+        return None
+    return "mp4", brand, timescale, duration, n_tracks, "+".join(codecs)
+
+
+def _fake_video_decode(payload: bytes) -> tuple[str, str, int, int, int, str]:
+    """Deterministic fake video decode (md5-derived geometry) — the
+    ladder's last rung for non-ISO-BMFF containers."""
+    digest = hashlib.md5(payload).digest()
+    fmt = ("mp4", "webm", "mkv")[digest[0] % 3]
+    timescale = (600, 1000, 90000)[digest[1] % 3]
+    duration = 1000 + int.from_bytes(digest[2:5], "big") % 1000000
+    n_tracks = 1 + digest[5] % 2
+    codecs = ("avc1", "avc1+mp4a")[n_tracks - 1]
+    return fmt, "fake", timescale, duration, n_tracks, codecs
+
+
+def decode_video_meta(
+    binary_df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    passthrough: tuple[str, ...] = (),
+    try_header: bool = True,
+) -> DataFrame:
+    """mapInPandas video decode — the video twin of
+    ``decode_image_meta`` / ``decode_audio_meta`` (same Arrow batching,
+    passthrough contract, header -> fake ladder).  ``duration_ms`` is
+    integer math ((duration * 1000) // timescale)."""
+    schema = VIDEO_DECODE_SCHEMA
+    if passthrough:
+        fields = dict(
+            (f.name, f.dataType.simpleString()) for f in binary_df.schema.fields
+        )
+        schema += ", " + ", ".join(f"{c} {fields[c]}" for c in passthrough)
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(payload: bytes):
+            if try_header:
+                parsed = parse_video_header(payload)
+                if parsed is not None:
+                    fmt, brand, ts, dur, nt, codecs = parsed
+                    return fmt, brand, ts, dur, nt, codecs, "header"
+            fmt, brand, ts, dur, nt, codecs = _fake_video_decode(payload)
+            return fmt, brand, ts, dur, nt, codecs, "fake"
+
+        for pdf in batches:
+            meta = [one(p) for p in pdf[payload_col]]
+            out = {
+                "doc_id": pdf[id_col].values,
+                "n_bytes": [len(p) for p in pdf[payload_col]],
+                "format": [m[0] for m in meta],
+                "major_brand": [m[1] for m in meta],
+                "timescale": [m[2] for m in meta],
+                "duration": [m[3] for m in meta],
+                "duration_ms": [(m[3] * 1000) // m[2] for m in meta],
+                "n_tracks": [m[4] for m in meta],
+                "codecs": [m[5] for m in meta],
+                "decoder": [m[6] for m in meta],
+                "content_hash": [
+                    hashlib.md5(p).hexdigest() for p in pdf[payload_col]
+                ],
+            }
+            for c in passthrough:
+                out[c] = pdf[c].values
+            yield pd.DataFrame(out)
+
+    return binary_df.mapInPandas(_decode, schema)
+
+
+def _mp4_box(btype: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def _mp4_trak(handler: bytes, codec: bytes) -> bytes:
+    """Minimal-but-real trak subtree: mdia(hdlr + minf(stbl(stsd)))."""
+    hdlr = _mp4_box(
+        b"hdlr", b"\x00" * 4 + b"\x00" * 4 + handler + b"\x00" * 12 + b"\x00"
+    )
+    stsd = _mp4_box(
+        b"stsd",
+        b"\x00" * 4 + struct.pack(">I", 1) + struct.pack(">I", 8) + codec,
+    )
+    minf = _mp4_box(b"minf", _mp4_box(b"stbl", stsd))
+    return _mp4_box(b"trak", _mp4_box(b"mdia", hdlr + minf))
+
+
+#: the two track subtrees are id-independent byte constants — built
+#: once here, reused by the synthesizer AND (as hex) the DuckDB twin.
+_TRAK_VIDEO = _mp4_trak(b"vide", b"avc1")
+_TRAK_AUDIO = _mp4_trak(b"soun", b"mp4a")
+_FTYP = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512))
+
+#: unity matrix + rate/volume + reserved fields of an mvhd v0 body,
+#: after the duration field up to next_track_id (ISO 14496-12 §8.2.2).
+_MVHD_TAIL = (
+    struct.pack(">I", 0x00010000)  # rate 1.0
+    + struct.pack(">H", 0x0100)    # volume 1.0
+    + b"\x00" * 10                 # reserved
+    + struct.pack(">9I", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+    + b"\x00" * 24                 # pre_defined
+)
+
+
+def synthesize_mp4_payloads(
+    ids_df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic REAL ISO-BMFF payloads, one per input id — the
+    video fixture generator (twin of ``synthesize_wav_payloads``).
+    ftyp + moov(mvhd + 1-2 trak subtrees); timescale/duration derive
+    from the id with integer math the oracle recomputes; mdat is
+    absent (declared structure suffices — ranged header reads).
+    ``syn_ch`` = md5(uppercase-hex(payload)), the hex-domain content
+    hash the VARCHAR-only DuckDB md5 can rebuild."""
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                timescale = (600, 1000, 90000)[i % 3]
+                duration = 1000 + (i * 17) % 100000
+                n_tracks = 1 + i % 2
+                mvhd = _mp4_box(
+                    b"mvhd",
+                    b"\x00" * 4          # version 0 + flags
+                    + b"\x00" * 8        # creation/modification time
+                    + struct.pack(">II", timescale, duration)
+                    + _MVHD_TAIL
+                    + struct.pack(">I", n_tracks + 1),  # next_track_id
+                )
+                traks = _TRAK_VIDEO + (_TRAK_AUDIO if n_tracks == 2 else b"")
+                payloads.append(_FTYP + _mp4_box(b"moov", mvhd + traks))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "payload": payloads,
+                    "syn_ch": [
+                        hashlib.md5(p.hex().upper().encode()).hexdigest()
+                        for p in payloads
+                    ],
+                }
+            )
+
+    return ids_df.select(id_col).mapInPandas(
+        _build, f"{id_col} long, payload binary, syn_ch string"
+    )
+
+
+def video_header_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry arm (round 10): REAL MP4 box-walk decode — synthesized
+    ISO-BMFF payloads through ``decode_video_meta``; every row must
+    come back decoder='header' with brand/timescale/duration/tracks/
+    codecs parsed from the actual big-endian boxes."""
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    syn = synthesize_mp4_payloads(ids)
+    return decode_video_meta(syn, passthrough=("syn_ch",)).select(
+        "doc_id",
+        "n_bytes",
+        "format",
+        "major_brand",
+        "timescale",
+        "duration",
+        "duration_ms",
+        "n_tracks",
+        "codecs",
+        "decoder",
+        F.col("syn_ch").alias("content_hash"),
+    )
+
+
+def _u32be_sql(expr: str) -> str:
+    return f"lpad(upper(to_hex({expr})), 8, '0')"
+
+
+#: DuckDB twin of ``video_header_query``: recomputes the id-derived
+#: geometry, rebuilds the exact payload as an uppercase hex string
+#: (the id-independent ftyp/trak subtrees ride as constants exported
+#: from the SAME byte-builder the synthesizer uses) and md5s it —
+#: pinning the decoded values AND the synthesized bytes, the
+#: HEADER_DECODE_SQL scheme.
+VIDEO_HEADER_SQL = f"""
+WITH vdims AS (
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+                ELSE 90000 END AS timescale,
+           1000 + (doc_id * 17) % 100000 AS duration,
+           1 + doc_id % 2 AS n_tracks
+    FROM documents)
+SELECT doc_id,
+       CAST({len(_FTYP)} + 8 + 108
+            + n_tracks * {len(_TRAK_VIDEO)} AS BIGINT) AS n_bytes,
+       'mp4' AS format,
+       'isom' AS major_brand,
+       CAST(timescale AS BIGINT) AS timescale,
+       CAST(duration AS BIGINT) AS duration,
+       CAST((duration * 1000) // timescale AS BIGINT) AS duration_ms,
+       CAST(n_tracks AS BIGINT) AS n_tracks,
+       CASE n_tracks WHEN 1 THEN 'avc1' ELSE 'avc1+mp4a' END AS codecs,
+       'header' AS decoder,
+       md5('{_FTYP.hex().upper()}'
+           || {_u32be_sql(f"8 + 108 + n_tracks * {len(_TRAK_VIDEO)}")}
+           || '6D6F6F76'
+           || '0000006C6D766864' || '000000000000000000000000'
+           || {_u32be_sql("timescale")} || {_u32be_sql("duration")}
+           || '{_MVHD_TAIL.hex().upper()}'
+           || {_u32be_sql("n_tracks + 1")}
+           || '{_TRAK_VIDEO.hex().upper()}'
+           || CASE n_tracks WHEN 2
+                THEN '{_TRAK_AUDIO.hex().upper()}' ELSE '' END
+       ) AS content_hash
+FROM vdims"""
+
+
 RESIZE_SCHEMA = "doc_id long, width long, height long, scale double"
 
 
@@ -756,8 +1058,13 @@ def multimodal_both_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     audio = audio_header_query(spark, sf_dir).withColumn(
         "method", F.lit("audio_header")
     )
-    return stub.unionByName(header, allowMissingColumns=True).unionByName(
-        audio, allowMissingColumns=True
+    video = video_header_query(spark, sf_dir).withColumn(
+        "method", F.lit("video_header")
+    )
+    return (
+        stub.unionByName(header, allowMissingColumns=True)
+        .unionByName(audio, allowMissingColumns=True)
+        .unionByName(video, allowMissingColumns=True)
     )
 
 
@@ -766,4 +1073,6 @@ SELECT 'stub_pipeline' AS method, * FROM ({MULTIMODAL_PIPELINE_SQL})
 UNION ALL BY NAME
 SELECT 'header_decode' AS method, * FROM ({HEADER_DECODE_SQL})
 UNION ALL BY NAME
-SELECT 'audio_header' AS method, * FROM ({AUDIO_HEADER_SQL})"""
+SELECT 'audio_header' AS method, * FROM ({AUDIO_HEADER_SQL})
+UNION ALL BY NAME
+SELECT 'video_header' AS method, * FROM ({VIDEO_HEADER_SQL})"""

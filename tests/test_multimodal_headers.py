@@ -260,3 +260,119 @@ def test_synthesized_wavs_decode_as_headers(spark):
         assert r.bits_per_sample == 8 * (1 + r.doc_id % 2)
         assert r.n_samples == 1000 + (r.doc_id * 11) % 50000
         assert r.n_bytes == 44
+
+
+# ---------------------------------------------------------------------------
+# round 10: MP4 / ISO-BMFF box-walk video headers
+# ---------------------------------------------------------------------------
+
+
+def _mp4(timescale=1000, duration=5000, tracks=("vide",), ver=0,
+         largesize_moov=False):
+    """Hand-rolled minimal MP4 exercising specific box-walk branches."""
+    import struct
+
+    from haensel_ams_data_engineer_challenge_spark.multimodal.binary import (
+        _FTYP,
+        _MVHD_TAIL,
+        _mp4_box,
+        _mp4_trak,
+    )
+
+    if ver == 1:
+        body = (
+            b"\x01" + b"\x00" * 3 + b"\x00" * 16
+            + struct.pack(">I", timescale) + struct.pack(">Q", duration)
+            + _MVHD_TAIL + struct.pack(">I", len(tracks) + 1)
+        )
+    else:
+        body = (
+            b"\x00" * 4 + b"\x00" * 8
+            + struct.pack(">II", timescale, duration)
+            + _MVHD_TAIL + struct.pack(">I", len(tracks) + 1)
+        )
+    mvhd = _mp4_box(b"mvhd", body)
+    traks = b"".join(
+        _mp4_trak(h.encode(), b"avc1" if h == "vide" else b"mp4a")
+        for h in tracks
+    )
+    moov_body = mvhd + traks
+    if largesize_moov:
+        moov = (
+            struct.pack(">I", 1) + b"moov"
+            + struct.pack(">Q", 16 + len(moov_body)) + moov_body
+        )
+    else:
+        moov = _mp4_box(b"moov", moov_body)
+    return _FTYP + moov
+
+
+def test_mp4_v0_and_v1_mvhd():
+    from haensel_ams_data_engineer_challenge_spark.multimodal.binary import (
+        parse_video_header,
+    )
+
+    got = parse_video_header(_mp4(90000, 123456, ("vide", "soun")))
+    assert got == ("mp4", "isom", 90000, 123456, 2, "avc1+mp4a")
+    # version-1 mvhd: 64-bit times, timescale/duration at wider offsets
+    got = parse_video_header(_mp4(600, 2**33, ("vide",), ver=1))
+    assert got == ("mp4", "isom", 600, 2**33, 1, "avc1")
+
+
+def test_mp4_largesize_box_and_malformed():
+    from haensel_ams_data_engineer_challenge_spark.multimodal.binary import (
+        parse_video_header,
+    )
+
+    got = parse_video_header(_mp4(1000, 99, ("soun",), largesize_moov=True))
+    assert got == ("mp4", "isom", 1000, 99, 1, "mp4a")
+    # non-MP4 payloads return None
+    assert parse_video_header(b"not a video at all") is None
+    assert parse_video_header(b"") is None
+    # truncated mid-moov: the walk stops instead of overrunning; the
+    # mvhd never parsed -> None
+    p = _mp4()
+    assert parse_video_header(p[:20]) is None
+    # a box whose declared size overruns the payload stops the walk
+    import struct
+    bad = p[:16] + struct.pack(">I", 10**6) + b"moov" + p[24:]
+    assert parse_video_header(bad) is None
+
+
+def test_video_decode_operator_ladder(spark):
+    from haensel_ams_data_engineer_challenge_spark.multimodal.binary import (
+        decode_video_meta,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(_mp4(1000, 2500, ("vide", "soun")))),
+         (2, bytearray(b"definitely not a video"))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in decode_video_meta(df).collect()}
+    r1 = rows[1]
+    assert (r1.format, r1.major_brand, r1.timescale, r1.duration,
+            r1.n_tracks, r1.codecs, r1.decoder) == (
+        "mp4", "isom", 1000, 2500, 2, "avc1+mp4a", "header")
+    assert r1.duration_ms == 2500
+    assert rows[2].decoder == "fake"
+
+
+def test_synthesized_mp4s_decode_as_headers(spark):
+    from haensel_ams_data_engineer_challenge_spark.multimodal.binary import (
+        decode_video_meta,
+        synthesize_mp4_payloads,
+    )
+
+    ids = spark.range(0, 24).withColumnRenamed("id", "doc_id")
+    out = decode_video_meta(
+        synthesize_mp4_payloads(ids), passthrough=("syn_ch",)
+    ).collect()
+    assert len(out) == 24
+    for r in out:
+        assert r.decoder == "header" and r.format == "mp4"
+        assert r.major_brand == "isom"
+        assert r.timescale == (600, 1000, 90000)[r.doc_id % 3]
+        assert r.duration == 1000 + (r.doc_id * 17) % 100000
+        assert r.n_tracks == 1 + r.doc_id % 2
+        assert r.codecs == ("avc1", "avc1+mp4a")[r.doc_id % 2]
