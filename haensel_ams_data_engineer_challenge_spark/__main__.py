@@ -368,6 +368,11 @@ def _parser() -> argparse.ArgumentParser:
     ig.add_argument("--keep-pred", default=None, metavar="C1,C2",
                     help="comma-separated predicted classes to admit "
                     "(required with --quality-model)")
+    ig.add_argument("--compact-sink", action="store_true",
+                    help="after the drain, rewrite the append-"
+                    "fragmented admitted store as one file set "
+                    "(writer-lease + recoverable backup swap — one "
+                    "parquet fragment lands per micro-batch otherwise)")
     ig.add_argument("--compact-index", action="store_true",
                     help="after the drain, rewrite the band index's "
                     "per-batch append fragments as one compact store "
@@ -1042,6 +1047,11 @@ def main(argv: list[str] | None = None) -> int:
                     spark, f"{args.work_dir}/minhash_index"
                 )
                 print(f"compacted_bands={n_bands}")
+            if args.compact_sink:
+                from .operators.sinks import compact_parquet_sink
+
+                n_rows = compact_parquet_sink(spark, sink)
+                print(f"compacted_rows={n_rows}")
             n = spark.read.parquet(sink).count()
             print(f"admitted_total={n} sink={sink}")
             return 0

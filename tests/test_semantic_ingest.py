@@ -312,3 +312,30 @@ def test_cli_ingest_encoder_model(spark, tmp_path, capsys):
     ])
     assert rc == 1
     assert "--semantic-dedup" in capsys.readouterr().err
+
+
+def test_cli_ingest_compact_sink(spark, tmp_path, capsys):
+    """ingest --compact-sink: the admitted store (one fragment per
+    micro-batch) compacts post-drain with the row set intact."""
+    from pathlib import Path as _P
+
+    from haensel_ams_data_engineer_challenge_spark.__main__ import main
+
+    corpus_path = _write_corpus(spark, tmp_path)
+    feed = str(tmp_path / "feed")
+    _drop(spark, tmp_path, feed, [(201, NOVEL)], "a.parquet")
+    _drop(spark, tmp_path, feed, [(202, NOVEL + " extra words here")],
+          "b.parquet")
+    work = str(tmp_path / "wd")
+    rc = main([
+        "ingest", "--corpus-parquet", corpus_path, "--feed-dir", feed,
+        "--work-dir", work, "--max-files-per-trigger", "1",
+        "--compact-sink",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "compacted_rows=2" in out and "admitted_total=2" in out
+    sink = f"{work}/admitted"
+    assert {r["doc_id"] for r in spark.read.parquet(sink).collect()} \
+        == {201, 202}
+    assert not _P(sink + "__old").exists()
