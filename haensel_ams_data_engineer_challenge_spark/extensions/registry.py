@@ -645,23 +645,50 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
     )
 
     # ---- similarity search ----------------------------------------------
+    # round 10 adds the 'int8' arm: the same two-stage exact top-k over
+    # SCALAR-QUANTIZED vectors (similarity.quantize_embedding — floor
+    # grid, per-vector scale cancels in cosine) — the 8x index-memory
+    # cut, recall measured essentially free (49-50/50 @5; BASELINE.md)
     cos = S.cosine_sql("q.embedding", "c.embedding")
-    e["ann_topk_bruteforce"] = (
-        lambda spark, sf: S.ann_topk_brute(
+
+    def _ann_brute_both(spark: SparkSession, sf: str) -> DataFrame:
+        exact = S.ann_topk_brute(
             _vecs(spark, sf),
             _vecs(spark, sf).filter(F.col("vec_id") < N_QUERIES),
             k=ANN_K,
-        ),
-        f"""WITH scored AS (
+        ).withColumn("method", F.lit("exact"))
+        int8 = S.ann_topk_brute_int8(
+            _vecs(spark, sf),
+            _vecs(spark, sf).filter(F.col("vec_id") < N_QUERIES),
+            k=ANN_K,
+        ).withColumn("method", F.lit("int8"))
+        return exact.unionByName(int8)
+
+    e["ann_topk_bruteforce"] = (
+        _ann_brute_both,
+        f"""WITH {S.quantize_sql().strip()},
+            scored AS (
                 SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                        {cos} AS cosine
                 FROM embeddings q, embeddings c
                 WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+            ),
+            qscored AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       {cos} AS cosine
+                FROM qz_out q, qz_out c
+                WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
             )
-            SELECT query_id, neighbor_id, cosine, rank
+            SELECT 'exact' AS method, query_id, neighbor_id, cosine, rank
             FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                           ORDER BY cosine DESC, neighbor_id) AS rank
                   FROM scored) t
+            WHERE rank <= {ANN_K}
+            UNION ALL
+            SELECT 'int8', query_id, neighbor_id, cosine, rank
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id) AS rank
+                  FROM qscored) t
             WHERE rank <= {ANN_K}""",
     )
 

@@ -163,6 +163,89 @@ def ann_topk_brute(
     )
 
 
+#: symmetric int8 quantization levels (the FAISS SQ8 convention):
+#: q_i = floor(v_i * 127 / max|v|) — per-vector scale, so the scale
+#: cancels inside cosine and never needs to ride along for ranking.
+QUANT_LEVELS = 127.0
+
+
+def quantize_embedding(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, embedding) with each component floor-quantized to the
+    symmetric int8 grid — the 100 TB ANN memory cut (a scalar-quantized
+    index stores 1 byte/component instead of 8: at 64-dim x 10^10
+    vectors that is 640 GB of index instead of 5 TB, the difference
+    between in-memory cells and disk-bound probes).  Components stay
+    integer-VALUED doubles here so every existing consumer (cosine
+    tree, banding, IVF) composes unchanged and sums stay exact — a
+    storage layer would cast to tinyint + keep the per-vector scale
+    column; ranking never needs the scale (it cancels in cosine).
+
+    floor (not round) for cross-engine bit-parity: round-half rules
+    differ between engines, floor does not.  The max|v| scale is
+    STAGED in its own column before the transform ([[spark-lambda-
+    binding]]: a lambda over an inline array_max would recompute the
+    max per element).  All-zero vectors quantize to all-zero.
+    """
+    mx = F.array_max(F.transform(_d(vec_col), lambda x: F.abs(x)))
+    staged = vectors.select(
+        F.col(id_col), _d(vec_col).alias("__v"), mx.alias("__mx")
+    )
+    quant = F.when(F.col("__mx") == 0.0, F.col("__v")).otherwise(
+        F.transform(
+            F.col("__v"),
+            lambda x: F.floor(x * F.lit(QUANT_LEVELS) / F.col("__mx"))
+            .cast("double"),
+        )
+    )
+    return staged.select(F.col(id_col), quant.alias(vec_col))
+
+
+def quantize_sql(pfx: str = "qz", table: str = "embeddings") -> str:
+    """DuckDB twin CTE chain ending in ``{pfx}_out`` (vec_id,
+    embedding) — stage-for-stage with :func:`quantize_embedding`
+    (staged max, floor grid, zero-vector passthrough)."""
+    return f"""
+        {pfx}_mx AS (
+            SELECT vec_id, embedding,
+                   list_max(list_transform(embedding, x -> abs(x))) AS mx
+            FROM {table}),
+        {pfx}_out AS (
+            SELECT vec_id,
+                   CASE WHEN mx = 0.0 THEN embedding
+                        ELSE list_transform(embedding,
+                            x -> CAST(floor(x * CAST({QUANT_LEVELS} AS DOUBLE)
+                                            / mx)
+                                      AS DOUBLE)) END AS embedding
+            FROM {pfx}_mx)"""
+
+
+def ann_topk_brute_int8(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k over the int8-QUANTIZED vectors — the scalar-
+    quantization ANN arm: both sides quantize to the symmetric grid,
+    then the same two-stage distributed top-k runs on the integer-
+    valued vectors (cosine of quantized vectors; the per-vector scale
+    cancels).  Measured recall@5 vs full precision: 50/50 (sf0.01),
+    49/50 (sf0.1) — the 8x memory cut is essentially free on this
+    embedding distribution (BASELINE.md)."""
+    return ann_topk_brute(
+        quantize_embedding(vectors, id_col, vec_col),
+        quantize_embedding(queries, id_col, vec_col),
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+
 #: multi-table ANN LSH layout (round-5 verdict #7): single-bucket LSH
 #: on near-isotropic embeddings has recall ~0 (measured 0.03 at
 #: sf0.01) — the standard fix is L independent tables whose candidate

@@ -1056,3 +1056,46 @@ def test_hash_embed_feeds_embedding_dedup(spark, sf_dir):
     got_pairs = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     for i in range(3):
         assert (i, i + 1_000_000) in got_pairs, i
+
+
+def test_quantize_embedding_matches_python(spark):
+    """Symmetric int8 floor quantization is bit-reproducible by a
+    python model, per-vector scale, zero-vector passthrough."""
+    import math
+
+    rows = [
+        (1, [0.5, -1.0, 0.25, 0.0]),     # negative max
+        (2, [2.0, 1.0, -0.5, 0.125]),    # positive max
+        (3, [0.0, 0.0, 0.0, 0.0]),       # zero vector -> unchanged
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: list(r["embedding"])
+           for r in S.quantize_embedding(df).collect()}
+
+    def py(v):
+        mx = max(abs(x) for x in v)
+        if mx == 0.0:
+            return v
+        return [float(math.floor(x * 127.0 / mx)) for x in v]
+
+    for i, v in rows:
+        assert got[i] == py(v), i
+    # the grid is symmetric int8: -127 at the negative max (floor can
+    # reach -128 only through off-grid float noise, absent here)
+    assert got[1][1] == -127.0 and got[2][0] == 127.0
+
+
+def test_int8_ann_recall_floor(spark, sf_dir):
+    """Scalar-quantized brute top-k keeps >= 0.9 recall@5 vs full
+    precision on the driver embeddings (measured 0.98-1.0; the 8x
+    memory cut must never silently trash ranking quality)."""
+    from haensel_ams_data_engineer_challenge_spark.sources import load_table
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    queries = vecs.filter(F.col("vec_id") < 10)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in S.ann_topk_brute(vecs, queries, k=5).collect()}
+    int8 = {(r["query_id"], r["neighbor_id"])
+            for r in S.ann_topk_brute_int8(vecs, queries, k=5).collect()}
+    assert len(exact) == 50 and len(int8) == 50
+    assert len(exact & int8) / len(exact) >= 0.9
