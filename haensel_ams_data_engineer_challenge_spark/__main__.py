@@ -255,8 +255,9 @@ def _parser() -> argparse.ArgumentParser:
         help="(ann) embed documents AND queries through the "
         "model-inference seam (encoder artifact at DIR, built from "
         "the corpus on first use) instead of hash_embed; the ANN "
-        "index lives under WORK_DIR/ann_index_model so the two "
-        "vector spaces never share an artifact",
+        "index lives under WORK_DIR/ann_index_model_v<encoder-content-"
+        "version>, so no two vector spaces (hash vs model, or two "
+        "differently-trained encoders) ever share an artifact",
     )
     se.add_argument(
         "--max-df-frac",
@@ -768,18 +769,28 @@ def main(argv: list[str] | None = None) -> int:
                 if args.encoder_model:
                     # the model seam: one encoder for docs AND queries
                     # (a query embedded in a different space than the
-                    # index finds noise); separate index dir per space
+                    # index finds noise); the index dir is keyed by the
+                    # encoder's CONTENT version (review fix) so an
+                    # index built under encoder A can never be probed
+                    # or --refresh-index-appended with B-space vectors
+                    # — a different/rebuilt encoder simply builds its
+                    # own artifact (the stale one is an orphan dir,
+                    # explicit and harmless)
                     from .operators.embed import (
                         embed_with_model,
                         encoder_model_ensure,
                     )
+                    from .operators.similarity import _read_index_params
 
                     encoder_model_ensure(docs, args.encoder_model)
+                    enc_v = _read_index_params(
+                        spark, args.encoder_model
+                    ).get("version", "1")
                     dvecs = embed_with_model(docs, args.encoder_model)
                     qvecs = embed_with_model(
                         queries, args.encoder_model, id_col="query_id"
                     )
-                    index_path = f"{args.work_dir}/ann_index_model"
+                    index_path = f"{args.work_dir}/ann_index_model_v{enc_v}"
                 else:
                     dvecs = hash_embed(docs)
                     qvecs = hash_embed(queries, id_col="query_id")

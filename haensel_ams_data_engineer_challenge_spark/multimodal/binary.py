@@ -434,7 +434,11 @@ def parse_video_header(
                 brand = payload[b0 : b0 + 4].decode("ascii", "replace")
             elif btype == b"mvhd" and b0 + 4 <= b1:
                 ver = payload[b0]
-                if ver == 1 and b0 + 28 <= b1:
+                # bounds cover the FULL reads below (review fix: a
+                # 28-31-byte v1 body slipped the old b0+28 guard and
+                # struct.unpack raised inside the task instead of the
+                # ladder falling back to the fake decoder)
+                if ver == 1 and b0 + 32 <= b1:
                     (timescale,) = struct.unpack(
                         ">I", payload[b0 + 20 : b0 + 24]
                     )

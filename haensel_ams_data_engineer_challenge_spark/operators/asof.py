@@ -166,9 +166,12 @@ def _asof_stream(
        is exact (pytest: bit-equality vs the plain stream AND the
        join+window form on a 90%-hot fixture).
 
-    Cost when no key is hot: one extra map-side-combinable stats
-    aggregation and empty summary joins — the plan shape is otherwise
-    unchanged.
+    Cost when no key is hot: exactly one extra map-side-combinable
+    stats aggregation (+ its bounded isEmpty probe) — detection then
+    falls through to the plain single-window plan (review fix: the
+    chunk/summary machinery is built only when a hot key exists, and
+    the tagged stream is then materialized once for its three
+    consumers instead of re-scanning the source per branch).
     """
     right_payload = [c for c in right.columns if c not in by]
     clash = set(right_payload) & set(left.columns)
@@ -258,10 +261,13 @@ def _carry_hot_hybrid(
         def _num(c):
             return c.cast("double")
 
+    from ..checkpoint import materialize
+
     # heavy-hitter stats: one map-side-combinable aggregation; the hot
     # set is bounded (each hot key holds > threshold rows, so there are
-    # at most |merged|/threshold of them) -> broadcast-class
-    stats = (
+    # at most |merged|/threshold of them) -> broadcast-class.
+    # Materialized: it feeds an isEmpty probe + the broadcast join.
+    stats = materialize(
         merged.groupBy(*by)
         .agg(
             F.count(F.lit(1)).alias("__kcnt"),
@@ -270,7 +276,23 @@ def _carry_hot_hybrid(
         )
         .filter(F.col("__kcnt") > hot_threshold)
     )
-    tagged = merged.join(F.broadcast(stats), list(by), "left")
+    # no hot keys -> the plain single window IS the plan (review fix:
+    # the chunk/summary machinery would otherwise re-scan the merged
+    # stream three more times for nothing); detection then costs
+    # exactly the one stats aggregation the docstring promises
+    if stats.isEmpty():
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(on_order, flag_order, *tie_order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return merged.withColumn(
+            "__match", F.last("__rpay", ignorenulls=True).over(w)
+        )
+    # hot keys exist: the tagged stream is a 3-consumer diamond (the
+    # chunked window + the rbest summary + the chunk domain) —
+    # materialize once instead of re-running scan+union+join per branch
+    tagged = materialize(merged.join(F.broadcast(stats), list(by), "left"))
     n_chunks = F.ceil(
         F.col("__kcnt") / F.lit(float(hot_threshold))
     ).cast("long")
@@ -337,9 +359,12 @@ def _carry_hot_hybrid(
         .select(*by, "__chunk", carry.alias("__carry"))
     )
     # stitch: within-chunk match (always nearer when present) else the
-    # cross-chunk carry-in; cold keys never joined a summary row
+    # cross-chunk carry-in; cold keys never joined a summary row.
+    # summ is bounded by construction (~n_hot/threshold rows) but
+    # derives from a materialized stream whose stats AQE cannot see —
+    # broadcast explicitly ([[localcheckpoint-hides-stats]])
     return (
-        within.join(summ, [*by, "__chunk"], "left")
+        within.join(F.broadcast(summ), [*by, "__chunk"], "left")
         .withColumn(
             "__match", F.coalesce(F.col("__match"), F.col("__carry.p"))
         )

@@ -155,7 +155,25 @@ def encoder_model_build(
     if not syn:
         syn_df = syn_df.filter(F.col("term").isNotNull())
     syn_df.write.mode("overwrite").parquet(f"{path}/synonyms")
-    _write_index_params(spark, path, {**params, "version": 1})
+    # version = CONTENT hash of the trained tables (review fix: a
+    # constant version made every stale-guard keyed on it a no-op —
+    # the per-worker cache and the index markers' embedder pin both
+    # need rebuild-from-different-data to CHANGE the version, and an
+    # identical retrain to keep it: same tables = same model = same
+    # vector space).  The stop list is bounded (stop_top_n rows), so
+    # the collect is broadcast-class.
+    import hashlib
+
+    stop_terms = sorted(
+        r["term"] for r in spark.read.parquet(f"{path}/stopterms").collect()
+    )
+    content = "|".join(
+        [f"{k}>{v}" for k, v in sorted(syn.items())]
+        + stop_terms
+        + [f"dim={dim}", f"stop_top_n={stop_top_n}"]
+    )
+    version = hashlib.md5(content.encode("utf-8")).hexdigest()[:12]
+    _write_index_params(spark, path, {**params, "version": version})
 
 
 def encoder_model_ensure(
@@ -270,19 +288,35 @@ class _PreparedEncoder:
 def _load_prepared(model_path: str, version: str, dim: int) -> _PreparedEncoder:
     """Read the artifact tables with pyarrow (the worker has no
     SparkSession; a real encoder loads its weight files the same way —
-    directly from shared storage)."""
-    import glob
+    directly from shared storage).
 
+    Paths resolve through ``pyarrow.fs.FileSystem.from_uri`` (review
+    fix: a plain glob is driver-local-filesystem-only — the exact bug
+    class try_read_sink fixed in round 9 — and would return zero files
+    for hdfs:// or s3:// artifact dirs on every worker), falling back
+    to the local filesystem for scheme-less paths."""
+    import pyarrow.fs as pafs
     import pyarrow.parquet as pq
 
+    if "://" in model_path:
+        fs, root = pafs.FileSystem.from_uri(model_path)
+    else:
+        fs, root = pafs.LocalFileSystem(), model_path
+
     def read_tbl(sub: str) -> pd.DataFrame:
-        files = sorted(glob.glob(f"{model_path}/{sub}/*.parquet"))
+        sel = pafs.FileSelector(f"{root}/{sub}", allow_not_found=True)
+        files = sorted(
+            info.path
+            for info in fs.get_file_info(sel)
+            if info.is_file and info.path.endswith(".parquet")
+        )
         if not files:
             raise FileNotFoundError(
                 f"encoder artifact table missing: {model_path}/{sub}"
             )
         return pd.concat(
-            [pq.read_table(f).to_pandas() for f in files], ignore_index=True
+            [pq.read_table(f, filesystem=fs).to_pandas() for f in files],
+            ignore_index=True,
         )
 
     syn_pdf = read_tbl("synonyms")

@@ -102,9 +102,19 @@ class ConcurrentWriterError(RuntimeError):
 #: shorter than an operator's pager response.
 LEASE_TTL_MS = 15 * 60 * 1000
 
-#: lease file INSIDE the sink dir: underscore-prefixed paths are
-#: invisible to Spark's file listing, so readers never see it.
-_LEASE_NAME = "_writer_lease"
+#: lease file BESIDE the sink dir (``{path}__lease``), NOT inside it.
+#: Round-10 review fix: an in-dir lease would have to MOVE during the
+#: compaction swap (the sink dir itself is renamed), opening a window
+#: where the lease location is vacant and a concurrent insert could
+#: acquire a fresh lease mid-swap — appending into a directory about
+#: to be deleted.  A sibling file never moves, so the lease stays held
+#: across the entire swap; being outside the dir, readers never see it
+#: either.
+_LEASE_SUFFIX = "__lease"
+
+
+def _lease_path(path: str) -> str:
+    return path.rstrip("/") + _LEASE_SUFFIX
 
 
 def _hadoop_fs(spark: SparkSession, path: str):
@@ -116,7 +126,7 @@ def _hadoop_fs(spark: SparkSession, path: str):
 def acquire_writer_lease(
     spark: SparkSession, path: str, ttl_ms: int = LEASE_TTL_MS
 ) -> str:
-    """Exclusively create ``{path}/_writer_lease`` and return its token.
+    """Exclusively create ``{path}__lease`` and return its token.
 
     The reference got single-writer safety for free from SQLite's
     file lock + PRIMARY KEY (db_utils.py:201-204); plain parquet has
@@ -136,7 +146,7 @@ def acquire_writer_lease(
 
     from py4j.protocol import Py4JJavaError
 
-    jvm, p, fs = _hadoop_fs(spark, f"{path}/{_LEASE_NAME}")
+    jvm, p, fs = _hadoop_fs(spark, _lease_path(path))
     token = uuid.uuid4().hex
     for attempt in (0, 1):
         try:
@@ -166,7 +176,7 @@ def acquire_writer_lease(
                 continue
             raise ConcurrentWriterError(
                 f"another writer holds the lease on {path} "
-                f"({_LEASE_NAME} exists and is fresh); concurrent "
+                f"({_lease_path(path)} exists and is fresh); concurrent "
                 "insert_if_absent/compaction would race the "
                 "read->anti-join->append window. Retry after it "
                 "finishes, or delete the lease if its writer is dead."
@@ -178,7 +188,7 @@ def release_writer_lease(spark: SparkSession, path: str, token: str) -> None:
     """Delete the lease IF it still carries ``token`` — after a
     stale-lease takeover the original (slow, presumed-dead) writer may
     wake up and must not release the new owner's lease."""
-    jvm, p, fs = _hadoop_fs(spark, f"{path}/{_LEASE_NAME}")
+    jvm, p, fs = _hadoop_fs(spark, _lease_path(path))
     if not fs.exists(p):
         return
     stream = fs.open(p)
@@ -272,36 +282,38 @@ def compact_parquet_sink(
 
     Unlike the index artifacts (minhash_index_compact), the sink is
     SOURCE OF TRUTH — "torn = rebuildable" is not an acceptable crash
-    state.  Swap protocol, under the writer lease (so a concurrent
-    insert_if_absent refuses instead of appending into the swap):
+    state.  Swap protocol, under the writer lease (the lease is a
+    SIBLING file, so it stays held across the renames — a concurrent
+    insert_if_absent refuses for the whole swap window, review fix):
 
     1. write the compacted copy BESIDE the sink (``{path}__compact``);
     2. rename sink -> ``{path}__old`` (backup), rename compact -> sink,
        delete backup.
 
     A crash between the two renames leaves the sink path missing but
-    the backup intact; this function RECOVERS that state on entry
-    (rename the backup back) before doing anything else, so no crash
-    window loses a row.  Every rename/delete return code is checked —
-    Hadoop FS reports failure by returning false, not raising.
+    the backup intact; this function RECOVERS that state — under the
+    lease, so two concurrent compactors cannot race the recovery
+    renames — before doing anything else, so no crash window loses a
+    row.  Every rename/delete return code is checked — Hadoop FS
+    reports failure by returning false, not raising.
     """
     jvm, sink_p, fs = _hadoop_fs(spark, path)
 
     def p(suffix: str):
         return jvm.org.apache.hadoop.fs.Path(path + suffix)
 
-    # crash recovery from a previous compaction dying between renames
-    if not fs.exists(sink_p) and fs.exists(p("__old")):
-        if not fs.rename(p("__old"), sink_p):
-            raise IOError(
-                f"compact: failed to restore {path} from {path}__old"
-            )
-    elif fs.exists(sink_p) and fs.exists(p("__old")):
-        # sink present + backup present = a previous swap COMPLETED but
-        # died before deleting its backup; the backup is superseded
-        fs.delete(p("__old"), True)
     token = acquire_writer_lease(spark, path)
     try:
+        # crash recovery from a previous compaction dying mid-swap
+        if not fs.exists(sink_p) and fs.exists(p("__old")):
+            if not fs.rename(p("__old"), sink_p):
+                raise IOError(
+                    f"compact: failed to restore {path} from {path}__old"
+                )
+        elif fs.exists(sink_p) and fs.exists(p("__old")):
+            # sink present + backup present = a previous swap COMPLETED
+            # but died before deleting its backup; backup is superseded
+            fs.delete(p("__old"), True)
         # a leftover compacted copy from a crash BEFORE the first
         # rename is stale (the sink may have grown since) — discard
         fs.delete(p("__compact"), True)
@@ -316,15 +328,9 @@ def compact_parquet_sink(
             int(n_parts)
         ).write.mode("overwrite").parquet(path + "__compact")
         n_rows = int(obs.get["n"])
-        # the lease lives INSIDE the sink dir and must survive the
-        # swap (we still hold it): move it into the compacted copy
-        # before the renames
-        lease_src = jvm.org.apache.hadoop.fs.Path(f"{path}/{_LEASE_NAME}")
-        lease_dst = jvm.org.apache.hadoop.fs.Path(
-            f"{path}__compact/{_LEASE_NAME}"
-        )
-        if not fs.rename(lease_src, lease_dst):
-            raise IOError(f"compact: failed to carry the lease at {path}")
+        # the lease is a sibling file: it survives the renames below
+        # untouched, so the insert_if_absent exclusion holds through
+        # the entire swap window (no hand-off, no vacancy)
         if not fs.rename(sink_p, p("__old")):
             raise IOError(f"compact: failed to back up {path}")
         if not fs.rename(p("__compact"), sink_p):

@@ -414,6 +414,23 @@ def run_streaming_ingest(
             else:
                 embedder = {"embedder": "hash_embed"}
                 embed = hash_embed
+            # one-time migration (review fix): pre-round-10 semantic
+            # indexes carry no embedder key — they were hash_embed by
+            # construction, so backfill the marker instead of failing
+            # every legacy drain.  A legacy index under a MODEL run
+            # still mismatches after the backfill (correct: it holds
+            # hash-space buckets).
+            from ..operators.similarity import (
+                _read_index_params,
+                _write_index_params,
+            )
+
+            got = _read_index_params(ss, semantic_index_dir)
+            if got and "embedder" not in got:
+                _write_index_params(
+                    ss, semantic_index_dir,
+                    {**got, "embedder": "hash_embed"},
+                )
             # build-if-absent over the current dedup target (one-time
             # O(corpus) embed); later batches read the committed
             # artifact and append batch-bounded bucket rows

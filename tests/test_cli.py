@@ -861,12 +861,22 @@ def test_cli_search_ann_encoder_model(spark, sf_dir, tmp_path, capsys):
     assert rc == 0
     hits = spark.read.parquet(f"{work}/search_hits")
     assert hits.count() > 0
-    assert os.path.isdir(f"{work}/ann_index_model")
+    import glob as _glob
+
+    idx_dirs = _glob.glob(f"{work}/ann_index_model_v*")
+    assert len(idx_dirs) == 1 and os.path.isdir(idx_dirs[0])
     from haensel_ams_data_engineer_challenge_spark.operators.similarity import (
         _read_index_params,
     )
-    assert _read_index_params(spark, f"{work}/ann_index_model").get(
-        "kind") == "ivf"
+    assert _read_index_params(spark, idx_dirs[0]).get("kind") == "ivf"
+    # the dir is keyed by the encoder's CONTENT version: the index can
+    # never be probed by a differently-trained encoder's vectors
+    from haensel_ams_data_engineer_challenge_spark.operators.embed import (
+        ENCODER_KIND,
+    )
+    enc = _read_index_params(spark, f"{work}/encoder")
+    assert enc["encoder"] == ENCODER_KIND
+    assert idx_dirs[0].endswith(f"_v{enc['version']}")
 
 
 def test_cli_pipeline_hot_user_threshold(spark, sf_dir, tmp_path, capsys):

@@ -186,3 +186,36 @@ def test_paraphrase_pair_model_catches_hash_embed_misses(spark, tmp_path):
 
     assert (1, 2) in lsh_pairs(E.embed_with_model(docs, path))
     assert (1, 2) not in lsh_pairs(S.hash_embed(docs))
+
+
+def test_encoder_version_tracks_trained_content(spark, tmp_path):
+    """Review fix: the artifact version is a CONTENT hash of the
+    trained tables — a rebuild from different data changes it (so the
+    worker cache and index embedder pins go stale), an identical
+    retrain keeps it (same tables = same vector space)."""
+    import shutil
+
+    from haensel_ams_data_engineer_challenge_spark.operators.similarity import (
+        _read_index_params,
+    )
+
+    d1 = spark.createDataFrame(
+        [(1, "aaa aaa bbb ccc")], "doc_id long, text string"
+    )
+    d2 = spark.createDataFrame(
+        [(1, "zzz zzz bbb ccc")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "enc")
+    E.encoder_model_build(d1, path, stop_top_n=1)
+    v1 = _read_index_params(spark, path)["version"]
+    shutil.rmtree(path)
+    E.encoder_model_build(d2, path, stop_top_n=1)  # stop list: zzz not aaa
+    v2 = _read_index_params(spark, path)["version"]
+    assert v1 != v2
+    # the rebuilt model is actually SERVED (not a stale worker cache):
+    # 'zzz' is now stopped, so a zzz-only doc has no vector
+    probe = spark.createDataFrame([(9, "zzz zzz")], "doc_id long, text string")
+    assert E.embed_with_model(probe, path).count() == 0
+    shutil.rmtree(path)
+    E.encoder_model_build(d1, path, stop_top_n=1)  # identical retrain
+    assert _read_index_params(spark, path)["version"] == v1

@@ -337,6 +337,18 @@ def test_mp4_largesize_box_and_malformed():
     import struct
     bad = p[:16] + struct.pack(">I", 10**6) + b"moov" + p[24:]
     assert parse_video_header(bad) is None
+    # review regression: a SHORT v1 mvhd body (28-31 bytes — enough for
+    # the old guard, not for the 64-bit duration read) must return
+    # None, never raise mid-task
+    from haensel_ams_data_engineer_challenge_spark.multimodal.binary import (
+        _FTYP,
+        _mp4_box,
+    )
+
+    short_v1 = _FTYP + _mp4_box(
+        b"moov", _mp4_box(b"mvhd", b"\x01" + b"\x00" * 27)
+    )
+    assert parse_video_header(short_v1) is None
 
 
 def test_video_decode_operator_ladder(spark):

@@ -189,7 +189,7 @@ def test_writer_lease_blocks_concurrent_insert(spark, tmp_path):
     path = str(tmp_path / "sink")
     assert sinks.insert_if_absent(spark, _df(spark, [1, 2]), path, ["k"]) == 2
     # the lease is released after a successful insert
-    assert not (Path(path) / "_writer_lease").exists()
+    assert not Path(path + "__lease").exists()
 
     # writer A holds the lease mid-window; writer B must refuse
     token = sinks.acquire_writer_lease(spark, path)
@@ -211,7 +211,7 @@ def test_writer_lease_stale_takeover(spark, tmp_path):
 
     path = str(tmp_path / "sink")
     sinks.acquire_writer_lease(spark, path)  # crashed writer: no release
-    lease = Path(path) / "_writer_lease"
+    lease = Path(path + "__lease")
     old = time.time() - (sinks.LEASE_TTL_MS / 1000 + 60)
     os.utime(lease, (old, old))
     with pytest.warns(UserWarning, match="stale writer lease"):
@@ -225,7 +225,7 @@ def test_release_lease_verifies_token(spark, tmp_path):
     new owner's lease."""
     path = str(tmp_path / "sink")
     sinks.acquire_writer_lease(spark, path)
-    lease = Path(path) / "_writer_lease"
+    lease = Path(path + "__lease")
     with pytest.warns(UserWarning, match="taken over"):
         sinks.release_writer_lease(spark, path, "not-my-token")
     assert lease.exists()
@@ -244,7 +244,7 @@ def test_compact_sink_row_invariant_and_file_count(spark, tmp_path):
     assert sorted(map(tuple, spark.read.parquet(path).collect())) == before
     files_after = len(list(Path(path).glob("*.parquet")))
     assert files_after == 1 < files_before
-    assert not (Path(path) / "_writer_lease").exists()
+    assert not Path(path + "__lease").exists()
     assert not Path(path + "__old").exists()
     assert not Path(path + "__compact").exists()
     # still a normal sink afterwards
