@@ -181,6 +181,13 @@ def _parser() -> argparse.ArgumentParser:
         "incrementally",
     )
     co.add_argument(
+        "--save-lm-model", default=None, metavar="DIR",
+        help="after building the corpus, train the unigram LM artifact "
+        "on the TRAIN split and persist it at DIR (commit-marker "
+        "protocol; the `ingest --lm-model --max-xent` perplexity "
+        "gate's bootstrap — the CCNet train-once lifecycle)",
+    )
+    co.add_argument(
         "--dedup-method",
         choices=("minhash", "substring", "semantic", "both"),
         default="minhash",
@@ -392,6 +399,15 @@ def _parser() -> argparse.ArgumentParser:
                     "(built from corpus+sink on first use); the "
                     "encoder identity is pinned in the semantic "
                     "index's marker so vector spaces never mix")
+    ig.add_argument("--lm-model", default=None, metavar="DIR",
+                    help="perplexity gate: score each batch against "
+                    "the persisted unigram LM artifact at DIR and keep "
+                    "only docs with cross-entropy <= --max-xent "
+                    "(CCNet filter; OOV gibberish lands at max xent "
+                    "and is dropped); runs BEFORE dedup")
+    ig.add_argument("--max-xent", type=float, default=None,
+                    metavar="NATS",
+                    help="cross-entropy acceptance bar for --lm-model")
 
     iv = sub.add_parser(
         "ingest-vectors",
@@ -734,6 +750,16 @@ def main(argv: list[str] | None = None) -> int:
                     f"near_dup_index_rows={n_idx} "
                     f"-> {args.save_near_dup_index}"
                 )
+            if args.save_lm_model:
+                from .operators.lm import lm_model_build
+
+                lm_terms, _lm_stats = lm_model_build(
+                    back.filter(F.col("split") == "train"),
+                    args.save_lm_model,
+                )
+                print(
+                    f"lm_vocab={lm_terms.count()} -> {args.save_lm_model}"
+                )
             total_in = docs.count()
             total_out = sum(counts.values())
             print(
@@ -1020,6 +1046,10 @@ def main(argv: list[str] | None = None) -> int:
                       "(it selects that tier's embedder)",
                       file=sys.stderr)
                 return 1
+            if bool(args.lm_model) != (args.max_xent is not None):
+                print("--lm-model and --max-xent go together",
+                      file=sys.stderr)
+                return 1
             if bool(args.quality_model) != bool(args.keep_pred):
                 print("--quality-model and --keep-pred go together",
                       file=sys.stderr)
@@ -1050,6 +1080,8 @@ def main(argv: list[str] | None = None) -> int:
                 ),
                 semantic_threshold=args.semantic_threshold,
                 encoder_model_dir=args.encoder_model,
+                lm_model_dir=args.lm_model,
+                max_xent=args.max_xent,
             )
             if args.compact_index and args.near_dup:
                 from .operators.minhash_index import minhash_index_compact

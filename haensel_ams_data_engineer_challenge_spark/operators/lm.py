@@ -247,6 +247,126 @@ def bigram_doc_scores(
     )
 
 
+def lm_model_build(
+    train_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    tokens_col: str | None = None,
+    feature: str = "search_tokens",
+) -> tuple[DataFrame, DataFrame]:
+    """Round-10: the unigram LM as a PERSISTED ARTIFACT — train once,
+    score every later batch (the CCNet lifecycle: the perplexity
+    filter's LM is trained on a reference corpus, e.g. Wikipedia, and
+    applied across every ingestion run; completing the train-once trio
+    beside the NB classifier and the encoder artifacts).
+
+    The persisted form needs the one thing the self-trained form never
+    meets: OUT-OF-VOCABULARY tokens.  The artifact therefore carries
+    ``{path}/terms`` (term, lnp_s) AND ``{path}/stats`` with the
+    unseen-term log-prob ``lnp0_s = floor(ln(1/(n_tok+V)) * 1e6)`` —
+    the same Laplace mass a count-0 term would get, quantized once so
+    OOV contributions stay integer-valued doubles (float-parity
+    discipline).  Commit-marker protocol; tokenizer contract pinned
+    via ``feature``; zero-token training refuses BEFORE committing
+    (the nb_model_build arguments, verbatim).
+
+    Returns (terms, stats) READ FROM DISK.
+    """
+    from .similarity import _check_index_params, _write_index_params
+
+    spark = train_docs.sparkSession
+    params = {"kind": "lm", "order": "unigram", "feature": feature}
+    if not _check_index_params(spark, path, params):
+        toks = (
+            F.col(tokens_col) if tokens_col is not None
+            else search_tokens(text_col)
+        )
+        ex = train_docs.select(F.explode(toks).alias("term"))
+        counts = materialize(
+            ex.groupBy("term").agg(
+                F.count(F.lit(1)).cast("double").alias("__c")
+            )
+        )
+        stats = counts.agg(
+            F.sum("__c").alias("__n_tok"),
+            F.count(F.lit(1)).cast("double").alias("__v"),
+        )
+        if not stats.collect()[0]["__v"]:  # 0.0 over an empty count table
+            raise ValueError(
+                "lm_model_build: training produced an empty vocabulary "
+                "(no training doc has any token) — nothing committed"
+            )
+        q = F.lit(1000000.0)
+        counts.crossJoin(F.broadcast(stats)).select(
+            "term",
+            F.floor(
+                F.log(
+                    (F.col("__c") + F.lit(1.0))
+                    / (F.col("__n_tok") + F.col("__v"))
+                )
+                * q
+            )
+            .cast("double")
+            .alias("__lnp_s"),
+        ).write.mode("overwrite").parquet(f"{path}/terms")
+        stats.select(
+            F.floor(
+                F.log(F.lit(1.0) / (F.col("__n_tok") + F.col("__v"))) * q
+            )
+            .cast("double")
+            .alias("__lnp0_s"),
+        ).write.mode("overwrite").parquet(f"{path}/stats")
+        _write_index_params(spark, path, {**params, "version": 1})
+    return (
+        spark.read.parquet(f"{path}/terms"),
+        spark.read.parquet(f"{path}/stats"),
+    )
+
+
+def lm_score_model(
+    docs: DataFrame,
+    terms: DataFrame,
+    stats: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Score ``docs`` against a trained unigram LM artifact — no
+    training pass.  Model-unseen tokens contribute the artifact's
+    unseen-term log-prob (so a held-out gibberish document lands at
+    the MAXIMUM cross-entropy — the CCNet tail — instead of silently
+    dropping its OOV tokens from the average).  Output identical in
+    shape to :func:`unigram_doc_scores`; zero-token docs absent.
+
+    Scale shape: the token stream LEFT-joins the |V|-row model (small
+    side, broadcasts when it fits) and the 1-row stats rides in as a
+    driver constant (broadcast-class collect precedent)."""
+    lnp0_s = float(stats.collect()[0]["__lnp0_s"])
+    toks = (
+        F.col(tokens_col) if tokens_col is not None
+        else search_tokens(text_col)
+    )
+    ex = docs.select(
+        F.col(id_col).alias("__did"), F.explode(toks).alias("term")
+    )
+    return (
+        ex.join(terms, "term", "left")
+        .groupBy("__did")
+        .agg(
+            (
+                F.sum(F.coalesce(F.col("__lnp_s"), F.lit(lnp0_s)))
+                / F.lit(1000000.0)
+            ).alias("lm_logprob"),
+            F.count(F.lit(1)).cast("double").alias("__n"),
+        )
+        .select(
+            F.col("__did").alias(id_col),
+            "lm_logprob",
+            (-F.col("lm_logprob") / F.col("__n")).alias("lm_xent"),
+        )
+    )
+
+
 def bigram_sql(token_pattern: str, pfx: str = "lm2") -> str:
     """DuckDB twin CTE chain ending in ``{pfx}_doc``
     (doc_id, lm2_logprob, lm2_xent), stage-for-stage with

@@ -153,6 +153,8 @@ def run_streaming_ingest(
     semantic_index_dir: str | None = None,
     semantic_threshold: float = 0.9,
     encoder_model_dir: str | None = None,
+    lm_model_dir: str | None = None,
+    max_xent: float | None = None,
 ) -> None:
     """Drain the feed with an availableNow trigger, admitting only
     genuinely-new documents into ``sink_path``.
@@ -230,6 +232,17 @@ def run_streaming_ingest(
     lexical tier and hash_embed both admit are caught here
     (pytest-contrast-proven).
 
+    ``lm_model_dir`` + ``max_xent`` (round 10): the PERPLEXITY gate —
+    the CCNet filter proper: score each batch against the persisted
+    unigram LM artifact (lm.lm_model_build; feature key pins the
+    tokenizer) and keep only documents whose cross-entropy is at most
+    ``max_xent`` nats.  Model-unseen tokens score at the artifact's
+    unseen-term mass, so OOV gibberish lands at maximum xent and is
+    dropped — exactly the tail the filter exists to cut.  Runs BEFORE
+    dedup like the other quality gates (a rejected doc must never
+    claim an admitted-store slot); zero-token docs are unscorable and
+    rejected, the classifier gate's argument verbatim.
+
     ``quality_model_dir`` + ``keep_pred``: the trained-classifier gate
     (round 9, the FineWeb-Edu/CCNet shape) — score each batch with the
     PERSISTED NB model artifact (classify.nb_model_build; the marker's
@@ -265,6 +278,25 @@ def run_streaming_ingest(
             from ..functions.text import gopher_quality_pass
 
             batch = batch.filter(gopher_quality_pass("text"))
+        if lm_model_dir is not None:
+            from ..operators.lm import lm_score_model
+            from ..operators.similarity import _read_index_params
+
+            lm_params = _read_index_params(ss, lm_model_dir)
+            if not lm_params:
+                raise ValueError(
+                    f"no committed LM artifact at {lm_model_dir}; "
+                    "train one first (lm.lm_model_build / corpus "
+                    "--save-lm-model)"
+                )
+            lm_terms = ss.read.parquet(f"{lm_model_dir}/terms")
+            lm_stats = ss.read.parquet(f"{lm_model_dir}/stats")
+            keep_lm = (
+                lm_score_model(batch, lm_terms, lm_stats)
+                .filter(F.col("lm_xent") <= float(max_xent))
+                .select("doc_id")
+            )
+            batch = batch.join(keep_lm, "doc_id", "left_semi")
         if quality_model_dir is not None:
             from ..operators.classify import nb_classify_model
             from ..operators.similarity import _read_index_params

@@ -151,3 +151,69 @@ def test_bigram_partitioning_invariance(spark):
     a = sorted(bigram_doc_scores(docs.coalesce(1)).collect())
     b = sorted(bigram_doc_scores(docs.repartition(7)).collect())
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# round 10: persisted LM artifact + perplexity ingestion gate
+# ---------------------------------------------------------------------------
+
+
+def test_lm_artifact_matches_self_train_and_scores_oov(spark, tmp_path):
+    """Scoring the training corpus through the artifact is bit-equal to
+    the self-trained form (every token in-vocab); held-out OOV tokens
+    score at the artifact's unseen-term mass (python-verified)."""
+    from haensel_ams_data_engineer_challenge_spark.operators.lm import (
+        lm_model_build,
+        lm_score_model,
+    )
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    path = str(tmp_path / "lm")
+    terms, stats = lm_model_build(docs, path)
+    got = {
+        r["doc_id"]: (r["lm_logprob"], r["lm_xent"])
+        for r in lm_score_model(docs, terms, stats).collect()
+    }
+    assert got == _py_scores()
+
+    # held-out doc: 'the' in-vocab, 'zebra'/'quux' OOV -> lnp0 each
+    toks = {i: re.findall(r"[a-z0-9]+", t.lower()) for i, t in DOCS}
+    c = Counter(t for ts in toks.values() for t in ts)
+    n, v = sum(c.values()), len(c)
+    lnp0 = math.floor(math.log(1.0 / (n + v)) * 1e6)
+    lnp_the = math.floor(math.log((c["the"] + 1.0) / (n + v)) * 1e6)
+    held = spark.createDataFrame(
+        [(9, "the zebra quux")], "doc_id long, text string"
+    )
+    r = lm_score_model(held, terms, stats).collect()[0]
+    exp_lp = (lnp_the + 2 * lnp0) / 1e6
+    assert r["lm_logprob"] == exp_lp
+    assert r["lm_xent"] == -exp_lp / 3
+
+    # all-OOV gibberish lands at the MAXIMUM xent (the CCNet tail)
+    gib = spark.createDataFrame(
+        [(10, "xqzv wvvk pqrj")], "doc_id long, text string"
+    )
+    g = lm_score_model(gib, terms, stats).collect()[0]
+    assert g["lm_xent"] == -((3 * lnp0) / 1e6) / 3  # engine's op order
+    assert g["lm_xent"] > max(x for _, x in _py_scores().values())
+
+
+def test_lm_artifact_guards(spark, tmp_path):
+    from haensel_ams_data_engineer_challenge_spark.operators.lm import (
+        lm_model_build,
+    )
+    import pytest
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    path = str(tmp_path / "lm")
+    lm_model_build(docs, path)
+    # feature mismatch refuses (tokenizer contract pinned)
+    with pytest.raises(ValueError, match="built with"):
+        lm_model_build(docs, path, feature="char_trigram_200")
+    # zero-token training refuses BEFORE committing
+    empty = spark.createDataFrame([(1, "???")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="empty vocabulary"):
+        lm_model_build(empty, str(tmp_path / "lm2"))
+    import os
+    assert not os.path.exists(str(tmp_path / "lm2") + "/params")

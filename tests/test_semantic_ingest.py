@@ -339,3 +339,69 @@ def test_cli_ingest_compact_sink(spark, tmp_path, capsys):
     assert {r["doc_id"] for r in spark.read.parquet(sink).collect()} \
         == {201, 202}
     assert not _P(sink + "__old").exists()
+
+
+def test_ingest_perplexity_gate(spark, tmp_path, capsys):
+    """The CCNet perplexity gate e2e: corpus --save-lm-model trains the
+    artifact; ingest --lm-model --max-xent drops OOV gibberish (max
+    xent by construction) and keeps in-distribution text; the pairing
+    contract refuses half-specified flags."""
+    import json as _json
+
+    from haensel_ams_data_engineer_challenge_spark.__main__ import main
+    from haensel_ams_data_engineer_challenge_spark.operators.lm import (
+        lm_score_model,
+    )
+
+    corpus_path = _write_corpus(spark, tmp_path)
+    # train the LM artifact from the corpus via the bootstrap CLI
+    src = str(tmp_path / "docs.jsonl")
+    with open(src, "w") as fh:
+        for i, t in CORPUS_ROWS:
+            fh.write(_json.dumps({
+                "doc_id": i, "text": t, "lang": "en",
+                "source": "s", "n_chars": len(t),
+            }) + "\n")
+    work = str(tmp_path / "wd")
+    lm_dir = f"{work}/lm"
+    rc = main([
+        "corpus", "--docs-jsonl", src, "--work-dir", work,
+        "--train", "1.0", "--val", "0.0", "--test", "0.0",
+        "--save-lm-model", lm_dir,
+    ])
+    assert rc == 0
+    assert "lm_vocab=" in capsys.readouterr().out
+
+    # threshold: between the in-distribution doc's xent and gibberish's
+    terms = spark.read.parquet(f"{lm_dir}/terms")
+    stats = spark.read.parquet(f"{lm_dir}/stats")
+    probe = spark.createDataFrame(
+        [(1, CORPUS_ROWS[0][1]), (2, "xq zv wk pj qq zz xx vv ww kk")],
+        "doc_id long, text string",
+    )
+    xents = {r["doc_id"]: r["lm_xent"]
+             for r in lm_score_model(probe, terms, stats).collect()}
+    assert xents[2] > xents[1]
+    bar = (xents[1] + xents[2]) / 2
+
+    feed = str(tmp_path / "feed")
+    _drop(spark, tmp_path, feed, [
+        (200, CORPUS_ROWS[0][1] + " with a few extra words"),  # in-dist
+        (201, "xq zv wk pj qq zz xx vv ww kk"),                # gibberish
+    ], "a.parquet")
+    rc = main([
+        "ingest", "--corpus-parquet", corpus_path, "--feed-dir", feed,
+        "--work-dir", work, "--lm-model", lm_dir, "--max-xent", str(bar),
+    ])
+    assert rc == 0
+    got = {r["doc_id"]
+           for r in spark.read.parquet(f"{work}/admitted").collect()}
+    assert got == {200}
+
+    # pairing contract
+    rc = main([
+        "ingest", "--corpus-parquet", corpus_path, "--feed-dir", feed,
+        "--work-dir", work, "--lm-model", lm_dir,
+    ])
+    assert rc == 1
+    assert "--max-xent" in capsys.readouterr().err
