@@ -385,7 +385,11 @@ VIDEO_DECODE_SCHEMA = (
 )
 
 #: ISO-BMFF pure-container boxes worth descending into for metadata.
-_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+#: mvex is the fragmented-MP4 (fMP4 / DASH) extension container: its
+#: mehd child carries the WHOLE-MOVIE duration when mvhd's is 0 (the
+#: fMP4 convention — per-fragment durations live in the moof boxes,
+#: which a header read never fetches).
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"mvex"}
 
 
 def _mp4_boxes(payload: bytes, start: int, end: int):
@@ -418,17 +422,23 @@ def parse_video_header(
     timescale, duration, n_tracks, codecs) for ISO-BMFF payloads, None
     otherwise.  ``codecs`` joins each trak's first stsd sample-entry
     fourcc with '+', in file order.  Handles mvhd version 0 and 1
-    (v1 widens the times to 64 bits, ISO 14496-12 §8.2.2)."""
+    (v1 widens the times to 64 bits, ISO 14496-12 §8.2.2).
+
+    Fragmented MP4 (fMP4/DASH): an mvhd duration of 0 means "see the
+    fragments"; the whole-movie duration then comes from moov/mvex/mehd
+    (ISO 14496-12 §8.8.2, versions 0 and 1) — still a header-only
+    read, the moof boxes themselves are never needed."""
     n = len(payload)
     if n < 16 or payload[4:8] != b"ftyp":
         return None
     brand = None
     timescale = duration = None
+    mehd_duration = None
     codecs: list[str] = []
     n_tracks = 0
 
     def walk(start: int, end: int) -> None:
-        nonlocal brand, timescale, duration, n_tracks
+        nonlocal brand, timescale, duration, n_tracks, mehd_duration
         for btype, b0, b1 in _mp4_boxes(payload, start, end):
             if btype == b"ftyp" and b0 + 4 <= b1 and brand is None:
                 brand = payload[b0 : b0 + 4].decode("ascii", "replace")
@@ -452,6 +462,16 @@ def parse_video_header(
             elif btype == b"trak":
                 n_tracks += 1
                 walk(b0, b1)
+            elif btype == b"mehd" and b0 + 4 <= b1:
+                ver = payload[b0]
+                if ver == 1 and b0 + 12 <= b1:
+                    (mehd_duration,) = struct.unpack(
+                        ">Q", payload[b0 + 4 : b0 + 12]
+                    )
+                elif ver == 0 and b0 + 8 <= b1:
+                    (mehd_duration,) = struct.unpack(
+                        ">I", payload[b0 + 4 : b0 + 8]
+                    )
             elif btype == b"stsd" and b0 + 16 <= b1:
                 # verflags(4) entry_count(4) entry_size(4) fourcc(4)
                 codecs.append(
@@ -463,6 +483,8 @@ def parse_video_header(
     walk(0, n)
     if brand is None or timescale in (None, 0) or duration is None:
         return None
+    if duration == 0 and mehd_duration is not None:
+        duration = mehd_duration  # fMP4: whole-movie duration from mehd
     return "mp4", brand, timescale, duration, n_tracks, "+".join(codecs)
 
 

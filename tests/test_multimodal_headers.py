@@ -388,3 +388,47 @@ def test_synthesized_mp4s_decode_as_headers(spark):
         assert r.duration == 1000 + (r.doc_id * 17) % 100000
         assert r.n_tracks == 1 + r.doc_id % 2
         assert r.codecs == ("avc1", "avc1+mp4a")[r.doc_id % 2]
+
+
+def test_mp4_fragmented_mehd_duration():
+    """fMP4/DASH: mvhd duration 0 + moov/mvex/mehd carrying the
+    whole-movie duration — header-only read, no moof needed (versions
+    0 and 1); without an mehd, a 0 duration stays 0 (live stream)."""
+    import struct
+
+    from haensel_ams_data_engineer_challenge_spark.multimodal.binary import (
+        _FTYP,
+        _MVHD_TAIL,
+        _mp4_box,
+        _mp4_trak,
+        parse_video_header,
+    )
+
+    def frag(mehd_body: bytes | None, tracks=("vide",)):
+        mvhd = _mp4_box(
+            b"mvhd",
+            b"\x00" * 4 + b"\x00" * 8
+            + struct.pack(">II", 1000, 0)  # duration 0: see fragments
+            + _MVHD_TAIL + struct.pack(">I", len(tracks) + 1),
+        )
+        traks = b"".join(_mp4_trak(h.encode(), b"avc1") for h in tracks)
+        mvex = (
+            _mp4_box(b"mvex", _mp4_box(b"mehd", mehd_body))
+            if mehd_body is not None else b""
+        )
+        return _FTYP + _mp4_box(b"moov", mvhd + mvex + traks)
+
+    # mehd version 0 (u32 duration)
+    got = parse_video_header(frag(b"\x00" * 4 + struct.pack(">I", 77000)))
+    assert got == ("mp4", "isom", 1000, 77000, 1, "avc1")
+    # mehd version 1 (u64 duration)
+    got = parse_video_header(
+        frag(b"\x01" + b"\x00" * 3 + struct.pack(">Q", 2**34))
+    )
+    assert got == ("mp4", "isom", 1000, 2**34, 1, "avc1")
+    # no mehd: duration stays 0 (live/indeterminate), still parsed
+    got = parse_video_header(frag(None))
+    assert got == ("mp4", "isom", 1000, 0, 1, "avc1")
+    # a truncated mehd body is ignored, never a crash
+    got = parse_video_header(frag(b"\x01\x00\x00"))
+    assert got == ("mp4", "isom", 1000, 0, 1, "avc1")
