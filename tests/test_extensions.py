@@ -1099,3 +1099,27 @@ def test_int8_ann_recall_floor(spark, sf_dir):
             for r in S.ann_topk_brute_int8(vecs, queries, k=5).collect()}
     assert len(exact) == 50 and len(int8) == 50
     assert len(exact & int8) / len(exact) >= 0.9
+
+
+def test_int8_composes_through_ivf_index(spark, sf_dir):
+    """Quantized vectors are plain integer-valued embeddings, so the
+    WHOLE index stack composes unchanged: IVF (train + probe) over
+    int8-quantized vectors keeps >= 0.8 of full-precision IVF's own
+    top-k agreement with exact search — the storage cut applies to the
+    index path, not just brute force."""
+    from haensel_ams_data_engineer_challenge_spark.sources import load_table
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    queries = vecs.filter(F.col("vec_id") < 10)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in S.ann_topk_brute(vecs, queries, k=3).collect()}
+
+    def ivf_hits(vv, qq):
+        return {(r["query_id"], r["neighbor_id"])
+                for r in S.ann_topk_ivf(vv, qq, k=3).collect()}
+
+    full = ivf_hits(vecs, queries)
+    q8 = ivf_hits(S.quantize_embedding(vecs), S.quantize_embedding(queries))
+    recall_full = len(full & exact) / len(exact)
+    recall_q8 = len(q8 & exact) / len(exact)
+    assert recall_q8 >= 0.8 * recall_full
