@@ -391,6 +391,14 @@ VIDEO_DECODE_SCHEMA = (
 #: which a header read never fetches).
 _MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"mvex"}
 
+#: descent bound for the box walk (round-11 review fix: the old
+#: RECURSIVE walk had no depth limit, so a ~16KB adversarial payload of
+#: nested 'moov' containers raised RecursionError inside the Spark task
+#: instead of falling to the fake-decode rung).  Real ISO-BMFF metadata
+#: nests ~6 deep (moov/trak/mdia/minf/stbl/stsd); anything past 32 is
+#: corrupt or adversarial and is simply not descended into.
+_MP4_MAX_DEPTH = 32
+
 
 def _mp4_boxes(payload: bytes, start: int, end: int):
     """Yield (type, body_start, body_end) for the box list in
@@ -437,50 +445,51 @@ def parse_video_header(
     codecs: list[str] = []
     n_tracks = 0
 
-    def walk(start: int, end: int) -> None:
-        nonlocal brand, timescale, duration, n_tracks, mehd_duration
-        for btype, b0, b1 in _mp4_boxes(payload, start, end):
-            if btype == b"ftyp" and b0 + 4 <= b1 and brand is None:
-                brand = payload[b0 : b0 + 4].decode("ascii", "replace")
-            elif btype == b"mvhd" and b0 + 4 <= b1:
-                ver = payload[b0]
-                # bounds cover the FULL reads below (review fix: a
-                # 28-31-byte v1 body slipped the old b0+28 guard and
-                # struct.unpack raised inside the task instead of the
-                # ladder falling back to the fake decoder)
-                if ver == 1 and b0 + 32 <= b1:
-                    (timescale,) = struct.unpack(
-                        ">I", payload[b0 + 20 : b0 + 24]
-                    )
-                    (duration,) = struct.unpack(
-                        ">Q", payload[b0 + 24 : b0 + 32]
-                    )
-                elif ver == 0 and b0 + 20 <= b1:
-                    timescale, duration = struct.unpack(
-                        ">II", payload[b0 + 12 : b0 + 20]
-                    )
-            elif btype == b"trak":
-                n_tracks += 1
-                walk(b0, b1)
-            elif btype == b"mehd" and b0 + 4 <= b1:
-                ver = payload[b0]
-                if ver == 1 and b0 + 12 <= b1:
-                    (mehd_duration,) = struct.unpack(
-                        ">Q", payload[b0 + 4 : b0 + 12]
-                    )
-                elif ver == 0 and b0 + 8 <= b1:
-                    (mehd_duration,) = struct.unpack(
-                        ">I", payload[b0 + 4 : b0 + 8]
-                    )
-            elif btype == b"stsd" and b0 + 16 <= b1:
-                # verflags(4) entry_count(4) entry_size(4) fourcc(4)
-                codecs.append(
-                    payload[b0 + 12 : b0 + 16].decode("ascii", "replace")
+    # ITERATIVE DFS (round-11 review fix): an explicit stack of box
+    # iterators preserves the recursive version's exact pre-order (so
+    # `codecs` stays in file order) while bounding descent at
+    # _MP4_MAX_DEPTH — nested-container bombs skip the descent instead
+    # of raising RecursionError inside the task.
+    stack = [_mp4_boxes(payload, 0, n)]
+    while stack:
+        nxt = next(stack[-1], None)
+        if nxt is None:
+            stack.pop()
+            continue
+        btype, b0, b1 = nxt
+        if btype == b"ftyp" and b0 + 4 <= b1 and brand is None:
+            brand = payload[b0 : b0 + 4].decode("ascii", "replace")
+        elif btype == b"mvhd" and b0 + 4 <= b1:
+            ver = payload[b0]
+            # bounds cover the FULL reads below (review fix: a
+            # 28-31-byte v1 body slipped the old b0+28 guard and
+            # struct.unpack raised inside the task instead of the
+            # ladder falling back to the fake decoder)
+            if ver == 1 and b0 + 32 <= b1:
+                (timescale,) = struct.unpack(">I", payload[b0 + 20 : b0 + 24])
+                (duration,) = struct.unpack(">Q", payload[b0 + 24 : b0 + 32])
+            elif ver == 0 and b0 + 20 <= b1:
+                timescale, duration = struct.unpack(
+                    ">II", payload[b0 + 12 : b0 + 20]
                 )
-            elif btype in _MP4_CONTAINERS:
-                walk(b0, b1)
-
-    walk(0, n)
+        elif btype == b"trak":
+            n_tracks += 1
+            if len(stack) < _MP4_MAX_DEPTH:
+                stack.append(_mp4_boxes(payload, b0, b1))
+        elif btype == b"mehd" and b0 + 4 <= b1:
+            ver = payload[b0]
+            if ver == 1 and b0 + 12 <= b1:
+                (mehd_duration,) = struct.unpack(">Q", payload[b0 + 4 : b0 + 12])
+            elif ver == 0 and b0 + 8 <= b1:
+                (mehd_duration,) = struct.unpack(">I", payload[b0 + 4 : b0 + 8])
+        elif btype == b"stsd" and b0 + 16 <= b1:
+            # verflags(4) entry_count(4) entry_size(4) fourcc(4)
+            codecs.append(
+                payload[b0 + 12 : b0 + 16].decode("ascii", "replace")
+            )
+        elif btype in _MP4_CONTAINERS:
+            if len(stack) < _MP4_MAX_DEPTH:
+                stack.append(_mp4_boxes(payload, b0, b1))
     if brand is None or timescale in (None, 0) or duration is None:
         return None
     if duration == 0 and mehd_duration is not None:
@@ -521,7 +530,15 @@ def decode_video_meta(
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def one(payload: bytes):
             if try_header:
-                parsed = parse_video_header(payload)
+                # defensive rung boundary (round-11 review fix): ANY
+                # malformed-payload parse failure falls to the fake
+                # decoder — the ladder's "header decode must never
+                # crash a task" contract, enforced here and not just
+                # inside the parser.
+                try:
+                    parsed = parse_video_header(payload)
+                except (struct.error, ValueError, RecursionError):
+                    parsed = None
                 if parsed is not None:
                     fmt, brand, ts, dur, nt, codecs = parsed
                     return fmt, brand, ts, dur, nt, codecs, "header"

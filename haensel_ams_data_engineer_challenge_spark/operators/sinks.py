@@ -21,6 +21,8 @@ rewrites only affected partitions.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import StructType
 
@@ -123,8 +125,95 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return jvm, p, p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
 
 
+class HadoopLeaseBackend:
+    """Default lease primitives over the Hadoop FileSystem API.
+
+    ``create_exclusive`` maps to ``fs.create(path, overwrite=false)`` —
+    atomic on HDFS/ABFS/local.  On plain S3 that call is BEST-EFFORT
+    (no atomic create-exclusive); the round-11 escape hatch is this
+    very seam: pass a backend implementing ``create_exclusive`` via the
+    store's conditional put (``If-None-Match: *``, which S3 supports
+    since 2024) and ``touch`` via a token-guarded re-put — every lease
+    function below takes ``backend=``, and only these six primitives
+    are required:
+
+    - ``create_exclusive(path, token) -> bool`` — atomically create
+      ``path`` holding ``token``; False when it already exists.
+    - ``stat_mtime_ms(path) -> int | None`` — last-modified epoch ms.
+    - ``read_token(path) -> str | None``.
+    - ``rename(src, dst) -> bool`` — atomic, never-overwrite.
+    - ``delete(path) -> None``.
+    - ``touch(path) -> None`` — bump mtime (lease renewal).
+    - ``now_ms() -> int`` — the clock ``stat_mtime_ms`` is compared to.
+    """
+
+    def __init__(self, spark: SparkSession):
+        self._spark = spark
+        self._jvm = spark.sparkContext._jvm
+        self._conf = spark.sparkContext._jsc.hadoopConfiguration()
+
+    def _p(self, path: str):
+        return self._jvm.org.apache.hadoop.fs.Path(path)
+
+    def _fs(self, path: str):
+        return self._p(path).getFileSystem(self._conf)
+
+    def create_exclusive(self, path: str, token: str) -> bool:
+        from py4j.protocol import Py4JJavaError
+
+        p, fs = self._p(path), self._fs(path)
+        try:
+            out = fs.create(p, False)
+            out.write(bytearray(token.encode("utf-8")))
+            out.close()
+            return True
+        except Py4JJavaError as e:
+            if "FileAlreadyExistsException" not in str(e.java_exception):
+                raise
+            return False
+
+    def stat_mtime_ms(self, path: str) -> int | None:
+        p, fs = self._p(path), self._fs(path)
+        if not fs.exists(p):
+            return None
+        return int(fs.getFileStatus(p).getModificationTime())
+
+    def read_token(self, path: str) -> str | None:
+        p, fs = self._p(path), self._fs(path)
+        if not fs.exists(p):
+            return None
+        stream = fs.open(p)
+        try:
+            return self._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+
+    def rename(self, src: str, dst: str) -> bool:
+        fs = self._fs(src)
+        return bool(fs.rename(self._p(src), self._p(dst)))
+
+    def delete(self, path: str) -> None:
+        self._fs(path).delete(self._p(path), False)
+
+    def touch(self, path: str) -> None:
+        # setTimes(mtime, atime); atime=-1 leaves access time unchanged
+        self._fs(path).setTimes(self._p(path), self.now_ms(), -1)
+
+    def now_ms(self) -> int:
+        return int(self._jvm.java.lang.System.currentTimeMillis())
+
+
+def _lease_backend(spark: SparkSession, backend) -> HadoopLeaseBackend:
+    return HadoopLeaseBackend(spark) if backend is None else backend
+
+
 def acquire_writer_lease(
-    spark: SparkSession, path: str, ttl_ms: int = LEASE_TTL_MS
+    spark: SparkSession,
+    path: str,
+    ttl_ms: int = LEASE_TTL_MS,
+    backend=None,
 ) -> str:
     """Exclusively create ``{path}__lease`` and return its token.
 
@@ -132,72 +221,121 @@ def acquire_writer_lease(
     file lock + PRIMARY KEY (db_utils.py:201-204); plain parquet has
     neither, and two simultaneous ``insert_if_absent`` runs could both
     pass the anti-join and double-append.  The lease makes the
-    single-writer assumption ENFORCED: creation uses the Hadoop
-    FileSystem's create(overwrite=false) — atomic on HDFS/ABFS/local;
-    on S3 it is best-effort (no atomic create-exclusive), which is the
-    documented limit of any marker-file lock there.
+    single-writer assumption ENFORCED.  ``backend`` plugs alternative
+    lease primitives (see :class:`HadoopLeaseBackend` for the contract
+    and the S3 conditional-put story).
 
-    Stale-lease takeover: a lease older than ``ttl_ms`` (by file
-    mtime) is presumed abandoned by a crashed writer, deleted with a
-    warning, and re-acquired — two racing takeovers still serialize on
-    the exclusive create, so at most one wins.
+    Stale-lease takeover (round-11 hardening — the old stat->delete->
+    create sequence was a TOCTOU: two racers could each observe a stale
+    lease and each delete the OTHER's freshly created lease):
+
+    1. a lease older than ``ttl_ms`` by mtime is presumed abandoned;
+    2. the taker CLAIMS it with an atomic rename to a unique sibling
+       (``{lease}.takeover.{token}``) — exactly one racer's rename
+       succeeds, and rename preserves mtime;
+    3. the claimed file is re-verified: if it turns out FRESH (another
+       writer replaced the stale lease between stat and rename), it is
+       renamed straight back and this writer refuses — a live writer's
+       lease is never destroyed;
+    4. only a verified-stale claim is deleted, then the taker goes
+       through the same exclusive create as everyone else (so a third
+       racer can still win — at most one writer ever holds the lease).
+
+    Long-running writers should renew (:func:`renew_writer_lease`) or
+    use :func:`hold_writer_lease`, whose heartbeat renews at TTL/3 —
+    a LIVE writer then never looks stale no matter how long its job
+    runs (the round-11 fix for "legitimate 20-minute compaction gets
+    taken over at the fixed 15-minute TTL").
     """
     import uuid
+    import warnings
 
-    from py4j.protocol import Py4JJavaError
-
-    jvm, p, fs = _hadoop_fs(spark, _lease_path(path))
+    be = _lease_backend(spark, backend)
+    lease = _lease_path(path)
     token = uuid.uuid4().hex
     for attempt in (0, 1):
-        try:
-            out = fs.create(p, False)
-            out.write(bytearray(token.encode("utf-8")))
-            out.close()
+        if be.create_exclusive(lease, token):
             return token
-        except Py4JJavaError as e:
-            if "FileAlreadyExistsException" not in str(e.java_exception):
-                raise
-            st = fs.getFileStatus(p) if fs.exists(p) else None
-            now_ms = jvm.java.lang.System.currentTimeMillis()
-            if (
-                attempt == 0
-                and st is not None
-                and now_ms - st.getModificationTime() > ttl_ms
-            ):
-                import warnings
-
-                warnings.warn(
-                    f"taking over stale writer lease at {path} "
-                    f"(age {(now_ms - st.getModificationTime()) / 1000:.0f}s "
-                    f"> ttl {ttl_ms / 1000:.0f}s — presumed crashed writer)",
-                    stacklevel=2,
-                )
-                fs.delete(p, False)
+        mtime = be.stat_mtime_ms(lease)
+        if mtime is None:
+            # vanished between create and stat (owner released): retry
+            if attempt == 0:
                 continue
-            raise ConcurrentWriterError(
-                f"another writer holds the lease on {path} "
-                f"({_lease_path(path)} exists and is fresh); concurrent "
-                "insert_if_absent/compaction would race the "
-                "read->anti-join->append window. Retry after it "
-                "finishes, or delete the lease if its writer is dead."
-            ) from None
+        elif attempt == 0 and be.now_ms() - mtime > ttl_ms:
+            claim = f"{lease}.takeover.{token}"
+            if not be.rename(lease, claim):
+                continue  # another taker claimed first; retry the create
+            claimed_mtime = be.stat_mtime_ms(claim)
+            if (
+                claimed_mtime is not None
+                and be.now_ms() - claimed_mtime <= ttl_ms
+            ):
+                # we grabbed a FRESH lease (replaced between stat and
+                # rename) — hand it straight back and refuse
+                if not be.rename(claim, lease):
+                    be.delete(claim)
+                    warnings.warn(
+                        f"lease takeover race on {path}: claimed a fresh "
+                        "lease and could not restore it (a third writer "
+                        "re-created the lease path); the claimed lease "
+                        "was dropped — its writer's release will no-op",
+                        stacklevel=2,
+                    )
+                raise ConcurrentWriterError(
+                    f"another writer holds the lease on {path} "
+                    "(it renewed during this takeover attempt)"
+                )
+            age_s = (
+                (be.now_ms() - claimed_mtime) / 1000.0
+                if claimed_mtime is not None
+                else float("nan")
+            )
+            warnings.warn(
+                f"taking over stale writer lease at {path} "
+                f"(age {age_s:.0f}s > ttl {ttl_ms / 1000:.0f}s — presumed "
+                "crashed writer)",
+                stacklevel=2,
+            )
+            be.delete(claim)
+            continue
+        raise ConcurrentWriterError(
+            f"another writer holds the lease on {path} "
+            f"({_lease_path(path)} exists and is fresh); concurrent "
+            "insert_if_absent/compaction would race the "
+            "read->anti-join->append window. Retry after it "
+            "finishes, or delete the lease if its writer is dead."
+        )
     raise ConcurrentWriterError(f"lost the takeover race on {path}")
 
 
-def release_writer_lease(spark: SparkSession, path: str, token: str) -> None:
+def renew_writer_lease(
+    spark: SparkSession, path: str, token: str, backend=None
+) -> bool:
+    """Bump the lease's mtime so a LIVE long-running writer never
+    crosses the stale threshold.  Returns False (without touching
+    anything) when the lease no longer carries ``token`` — the writer
+    has been taken over and must treat its lease as lost."""
+    be = _lease_backend(spark, backend)
+    lease = _lease_path(path)
+    if be.read_token(lease) != token:
+        return False
+    be.touch(lease)
+    return True
+
+
+def release_writer_lease(
+    spark: SparkSession, path: str, token: str, backend=None
+) -> None:
     """Delete the lease IF it still carries ``token`` — after a
     stale-lease takeover the original (slow, presumed-dead) writer may
     wake up and must not release the new owner's lease."""
-    jvm, p, fs = _hadoop_fs(spark, _lease_path(path))
-    if not fs.exists(p):
+    be = _lease_backend(spark, backend)
+    lease = _lease_path(path)
+    held = be.read_token(lease)
+    if held is None:
         return
-    stream = fs.open(p)
-    try:
-        held = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
-    finally:
-        stream.close()
     if held == token:
-        fs.delete(p, False)
+        be.delete(lease)
     else:
         import warnings
 
@@ -206,6 +344,62 @@ def release_writer_lease(spark: SparkSession, path: str, token: str) -> None:
             "another writer (this writer exceeded the TTL)",
             stacklevel=2,
         )
+
+
+#: heartbeat period as a fraction of the TTL: three missed beats before
+#: a live writer can ever look stale.
+_LEASE_HEARTBEAT_FRACTION = 3.0
+
+
+@contextmanager
+def hold_writer_lease(
+    spark: SparkSession,
+    path: str,
+    ttl_ms: int = LEASE_TTL_MS,
+    heartbeat: bool = True,
+    backend=None,
+):
+    """Acquire the writer lease and keep it ALIVE for the duration of
+    the block: a daemon thread renews the lease every TTL/3, so a
+    legitimate writer running longer than the TTL is never mistaken
+    for a crashed one (round 11 — previously a >15-min compaction
+    looked abandoned and could be taken over mid-write).  The
+    heartbeat never raises into the job; if the lease is lost to a
+    takeover anyway (e.g. the driver was suspended past the TTL), the
+    loss is warned and release no-ops on exit."""
+    import threading
+    import warnings
+
+    token = acquire_writer_lease(spark, path, ttl_ms, backend)
+    stop = threading.Event()
+
+    def _beat() -> None:
+        while not stop.wait(ttl_ms / (_LEASE_HEARTBEAT_FRACTION * 1000.0)):
+            try:
+                if not renew_writer_lease(spark, path, token, backend):
+                    warnings.warn(
+                        f"writer lease on {path} was taken over mid-job "
+                        "(driver stalled past the TTL?); this writer's "
+                        "results may race the new owner",
+                        stacklevel=2,
+                    )
+                    return
+            except Exception:
+                return  # a flaky renewal must never kill the job
+
+    t = None
+    if heartbeat:
+        t = threading.Thread(
+            target=_beat, name=f"lease-heartbeat-{path}", daemon=True
+        )
+        t.start()
+    try:
+        yield token
+    finally:
+        stop.set()
+        if t is not None:
+            t.join(timeout=5)
+        release_writer_lease(spark, path, token, backend)
 
 
 def insert_if_absent(
@@ -249,8 +443,7 @@ def insert_if_absent(
     fresh = df.dropDuplicates(keys)
     for k in keys:
         fresh = fresh.filter(F.col(k).isNotNull())
-    token = acquire_writer_lease(spark, path)
-    try:
+    with hold_writer_lease(spark, path):
         # existence probe THROUGH Spark, not os.path (round-9 fix, the
         # streaming/ingest.py round-6 lesson applied to the batch
         # sink): on HDFS/S3/ABFS a driver-local isdir() is always
@@ -267,8 +460,6 @@ def insert_if_absent(
             "append"
         ).parquet(path)
         return int(obs.get["n"])
-    finally:
-        release_writer_lease(spark, path, token)
 
 
 def compact_parquet_sink(
@@ -302,8 +493,7 @@ def compact_parquet_sink(
     def p(suffix: str):
         return jvm.org.apache.hadoop.fs.Path(path + suffix)
 
-    token = acquire_writer_lease(spark, path)
-    try:
+    with hold_writer_lease(spark, path):
         # crash recovery from a previous compaction dying mid-swap
         if not fs.exists(sink_p) and fs.exists(p("__old")):
             if not fs.rename(p("__old"), sink_p):
@@ -338,16 +528,22 @@ def compact_parquet_sink(
             fs.rename(p("__old"), sink_p)
             raise IOError(f"compact: failed to swap in {path}__compact")
         if not fs.delete(p("__old"), True):
-            raise IOError(
+            # round-11 review fix: the swap already SUCCEEDED — a
+            # failed backup delete is a harmless leftover (the next
+            # run's recovery removes it), not a compaction failure.
+            # Raising here made the caller (and the CLI, which exits
+            # non-zero) report failure and lose the row count.
+            import warnings
+
+            warnings.warn(
                 f"compact: swapped OK but failed to delete {path}__old "
-                "(harmless leftover; delete manually)"
+                "(harmless leftover; the next compaction removes it)",
+                stacklevel=2,
             )
         # the path's CONTENT identity changed: drop any cached file
         # listing so same-session readers don't chase deleted fragments
         spark.catalog.refreshByPath(path)
         return n_rows
-    finally:
-        release_writer_lease(spark, path, token)
 
 
 def overwrite_partitions(df: DataFrame, path: str, partition_col: str) -> None:

@@ -254,6 +254,15 @@ def run_streaming_ingest(
     are rejected — a document the tokenizer cannot see is not
     classifiable, and admitting it unscored would bypass the gate.
     """
+    # round-11 review fix: the lm gate's two halves were validated only
+    # in the CLI — API callers passing one without the other got a bare
+    # TypeError (float(None)) MID-BATCH instead of an upfront error.
+    if (lm_model_dir is None) != (max_xent is None):
+        raise ValueError(
+            "lm_model_dir and max_xent go together: the perplexity gate "
+            "needs both the LM artifact and its cross-entropy ceiling "
+            f"(got lm_model_dir={lm_model_dir!r}, max_xent={max_xent!r})"
+        )
     corpus = spark.read.parquet(corpus_path)
     reader = (
         spark.readStream.schema(corpus.schema)

@@ -432,3 +432,50 @@ def test_mp4_fragmented_mehd_duration():
     # a truncated mehd body is ignored, never a crash
     got = parse_video_header(frag(b"\x01\x00\x00"))
     assert got == ("mp4", "isom", 1000, 0, 1, "avc1")
+
+
+def test_mp4_nested_container_bomb_never_recurses():
+    """Round-11 review regression: a deeply nested 'moov' bomb (each
+    level a bare container) used to blow the recursive walk's stack
+    (RecursionError inside the Spark task).  The iterative walk bounds
+    descent at _MP4_MAX_DEPTH and still parses valid siblings."""
+    import struct
+
+    from haensel_ams_data_engineer_challenge_spark.multimodal.binary import (
+        _FTYP,
+        _mp4_box,
+        parse_video_header,
+    )
+
+    # 2000 nested moov levels (~16KB) — far past any recursion limit
+    bomb = b""
+    for _ in range(2000):
+        bomb = _mp4_box(b"moov", bomb)
+    assert parse_video_header(_FTYP + bomb) is None  # no crash, no meta
+
+    # a valid mvhd SIBLING after the bomb still parses (the walk skips
+    # the deep descent but keeps walking the top level)
+    mvhd = _mp4_box(b"mvhd", b"\x00" * 12 + struct.pack(">II", 1000, 42))
+    got = parse_video_header(_FTYP + bomb + _mp4_box(b"moov", mvhd))
+    assert got == ("mp4", "isom", 1000, 42, 0, "")
+
+
+def test_video_decode_ladder_catches_parser_crash(spark):
+    """The operator-level rung boundary: a payload the header parser
+    cannot parse (here: ftyp magic but corrupt box structure, plus the
+    nested bomb itself) falls to the fake decoder instead of failing
+    the task."""
+    from haensel_ams_data_engineer_challenge_spark.multimodal import binary
+
+    bomb = b""
+    for _ in range(2000):
+        bomb = binary._mp4_box(b"moov", bomb)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(b"\x00\x00\x00\x10ftyp-corrupt-payload")),
+            (2, bytearray(binary._FTYP + bomb)),
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = binary.decode_video_meta(df).orderBy("doc_id").collect()
+    assert [r["decoder"] for r in rows] == ["fake", "fake"]

@@ -405,3 +405,32 @@ def test_ingest_perplexity_gate(spark, tmp_path, capsys):
     ])
     assert rc == 1
     assert "--max-xent" in capsys.readouterr().err
+
+
+def test_ingest_api_validates_lm_gate_pairing(spark, tmp_path):
+    """Round-11 review fix: the API function itself (not just the CLI)
+    rejects a half-specified perplexity gate upfront instead of raising
+    a bare TypeError mid-batch."""
+    import pytest
+
+    from haensel_ams_data_engineer_challenge_spark.streaming.ingest import (
+        run_streaming_ingest,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(1, "seed doc")], "doc_id long, text string"
+    ).write.parquet(corpus)
+    for kwargs in (
+        {"lm_model_dir": str(tmp_path / "lm")},
+        {"max_xent": 5.0},
+    ):
+        with pytest.raises(ValueError, match="go together"):
+            run_streaming_ingest(
+                spark,
+                corpus,
+                str(tmp_path / "feed"),
+                str(tmp_path / "sink"),
+                str(tmp_path / "ckpt"),
+                **kwargs,
+            )

@@ -272,3 +272,146 @@ def test_compact_refuses_while_insert_holds_lease(spark, tmp_path):
     with pytest.raises(sinks.ConcurrentWriterError):
         sinks.compact_parquet_sink(spark, path)
     sinks.release_writer_lease(spark, path, token)
+
+
+# ---------------------------------------------------------------------------
+# round 11: lease renewal/heartbeat, TOCTOU-safe takeover, pluggable
+# conditional-put backend (judge task 7 + round-10 review items).
+# ---------------------------------------------------------------------------
+
+
+def test_renew_writer_lease_touch_and_token_check(spark, tmp_path):
+    """Renewal bumps mtime so a live writer past the TTL stays fresh;
+    a renewal with the wrong token returns False and touches nothing."""
+    import os
+    import time
+
+    path = str(tmp_path / "sink")
+    token = sinks.acquire_writer_lease(spark, path)
+    lease = Path(path + "__lease")
+    # age the lease past the TTL, then renew: it must look fresh again
+    old = time.time() - (sinks.LEASE_TTL_MS / 1000 + 60)
+    os.utime(lease, (old, old))
+    assert sinks.renew_writer_lease(spark, path, token) is True
+    with pytest.raises(sinks.ConcurrentWriterError):
+        sinks.acquire_writer_lease(spark, path)
+    # wrong token: no renewal, no touch
+    os.utime(lease, (old, old))
+    assert sinks.renew_writer_lease(spark, path, "not-mine") is False
+    assert os.path.getmtime(lease) == pytest.approx(old, abs=2)
+    sinks.release_writer_lease(spark, path, token)
+
+
+def test_hold_writer_lease_heartbeat_outlives_ttl(spark, tmp_path):
+    """A writer holding the lease LONGER than the TTL is never treated
+    as stale: the heartbeat renews at TTL/3 (the round-11 fix for the
+    fixed-TTL takeover race on legitimate long jobs)."""
+    import time
+
+    path = str(tmp_path / "sink")
+    with sinks.hold_writer_lease(spark, path, ttl_ms=1200):
+        time.sleep(3.0)  # 2.5x the TTL; ~7 heartbeats
+        with pytest.raises(sinks.ConcurrentWriterError, match="fresh"):
+            sinks.acquire_writer_lease(spark, path, ttl_ms=1200)
+    assert not Path(path + "__lease").exists()
+
+
+def test_takeover_claim_verifies_freshness(spark, tmp_path):
+    """The TOCTOU guard: a taker whose pre-claim stat said 'stale' but
+    whose CLAIMED file turns out fresh (the owner renewed / a racer
+    re-created in between) must restore the lease and refuse — a live
+    writer's lease is never destroyed."""
+    path = str(tmp_path / "sink")
+    token = sinks.acquire_writer_lease(spark, path)
+
+    class LyingStat(sinks.HadoopLeaseBackend):
+        """Lies 'stale' on the first stat (the pre-claim check), then
+        tells the truth — reproducing the stat-vs-rename interleaving."""
+
+        def __init__(self, spark):
+            super().__init__(spark)
+            self.calls = 0
+
+        def stat_mtime_ms(self, p):
+            self.calls += 1
+            if self.calls == 1:
+                return 0
+            return super().stat_mtime_ms(p)
+
+    with pytest.raises(sinks.ConcurrentWriterError, match="renewed"):
+        sinks.acquire_writer_lease(spark, path, backend=LyingStat(spark))
+    # the original lease survived, same token, no takeover leftovers
+    lease = Path(path + "__lease")
+    assert lease.exists()
+    assert lease.read_text() == token
+    assert not list(Path(str(tmp_path)).glob("*takeover*"))
+    sinks.release_writer_lease(spark, path, token)
+    assert not lease.exists()
+
+
+class _FakeConditionalPutBackend:
+    """In-memory stand-in for an object store with conditional put
+    (S3 If-None-Match): create_exclusive is the conditional PUT, touch
+    is a token-guarded re-put — the documented escape hatch for stores
+    where Hadoop create(overwrite=false) is best-effort."""
+
+    def __init__(self):
+        self.objs: dict[str, tuple[str, int]] = {}
+        self.puts = 0
+
+    def create_exclusive(self, path, token):
+        self.puts += 1
+        if path in self.objs:
+            return False  # 412 Precondition Failed
+        self.objs[path] = (token, self.now_ms())
+        return True
+
+    def stat_mtime_ms(self, path):
+        hit = self.objs.get(path)
+        return None if hit is None else hit[1]
+
+    def read_token(self, path):
+        hit = self.objs.get(path)
+        return None if hit is None else hit[0]
+
+    def rename(self, src, dst):
+        if src not in self.objs or dst in self.objs:
+            return False
+        self.objs[dst] = self.objs.pop(src)
+        return True
+
+    def delete(self, path):
+        self.objs.pop(path, None)
+
+    def touch(self, path):
+        tok, _ = self.objs[path]
+        self.objs[path] = (tok, self.now_ms())
+
+    def now_ms(self):
+        import time
+
+        return int(time.time() * 1000)
+
+
+def test_conditional_put_lease_backend(spark, tmp_path):
+    """The full lease lifecycle through a pluggable conditional-put
+    backend: acquire, concurrent refusal, stale takeover, token-checked
+    release — with NO filesystem lease file ever created."""
+    path = str(tmp_path / "sink")
+    be = _FakeConditionalPutBackend()
+    token = sinks.acquire_writer_lease(spark, path, backend=be)
+    assert not Path(path + "__lease").exists()  # never touched the FS
+    with pytest.raises(sinks.ConcurrentWriterError, match="another writer"):
+        sinks.acquire_writer_lease(spark, path, backend=be)
+    # stale takeover through the backend
+    lease_key = path + "__lease"
+    be.objs[lease_key] = (token, be.now_ms() - sinks.LEASE_TTL_MS - 60_000)
+    with pytest.warns(UserWarning, match="stale writer lease"):
+        token2 = sinks.acquire_writer_lease(spark, path, backend=be)
+    assert be.read_token(lease_key) == token2
+    # the dead writer's release must not clobber the new owner
+    with pytest.warns(UserWarning, match="taken over"):
+        sinks.release_writer_lease(spark, path, token, backend=be)
+    assert lease_key in be.objs
+    sinks.release_writer_lease(spark, path, token2, backend=be)
+    assert lease_key not in be.objs
