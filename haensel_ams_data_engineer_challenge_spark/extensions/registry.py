@@ -835,19 +835,39 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
             planes_per_band=HASHED_DUP_PLANES,
             max_bucket=S.MAX_VECTOR_BUCKET,
         ).withColumn("method", F.lit("model"))
+        # round 11: 'wordvec' arm — the FLOAT-WEIGHT encoder kind
+        # through the same seam (embed.wordvec_model_build: dense
+        # (term -> vector) table, mean pooling on the integer grid so
+        # the twin recomputes it bit-for-bit).  Same artifact marker
+        # protocol, same worker cache, same consumers — the
+        # "a real word2vec export drops in" demonstration
+        # (wordvec_model_import is the actual import path, pytest'd).
+        wv_path = _mtime_artifact_path(
+            sf, "documents.parquet", "spark_graft_wordvec_"
+        )
+        EM.wordvec_model_build(_docs(spark, sf), wv_path)
+        wordvec_arm = S.embedding_dup_pairs_lsh(
+            materialize(EM.embed_with_model(_docs(spark, sf), wv_path)),
+            threshold=HASHED_DUP_THRESHOLD,
+            planes_per_band=HASHED_DUP_PLANES,
+            max_bucket=S.MAX_VECTOR_BUCKET,
+        ).withColumn("method", F.lit("wordvec"))
         return (
             lsh_arm.unionByName(hashed_arm)
             .unionByName(semdedup_arm)
             .unionByName(model_arm)
+            .unionByName(wordvec_arm)
         )
 
     e["dedup_embedding_cosine"] = (
         _embedding_dups_both,
         f"""WITH {S.hash_embed_sql(R.SEARCH_TOKEN_PATTERN).strip()},
             {EM.embed_model_sql(R.SEARCH_TOKEN_PATTERN).strip()},
+            {EM.wordvec_model_sql(R.SEARCH_TOKEN_PATTERN).strip()},
             wb AS ({S.banded_buckets_sql("embedding")}),
             hwb AS ({S.banded_buckets_sql("embedding", S.LSH_DUP_BANDS, HASHED_DUP_PLANES, table="he_out")}),
             mwb AS ({S.banded_buckets_sql("embedding", S.LSH_DUP_BANDS, HASHED_DUP_PLANES, table="em_out")}),
+            wvb AS ({S.banded_buckets_sql("embedding", S.LSH_DUP_BANDS, HASHED_DUP_PLANES, table="wv_out")}),
             hflood AS (SELECT band, bucket FROM hwb
                        GROUP BY band, bucket
                        HAVING COUNT(*) > {S.MAX_VECTOR_BUCKET}),
@@ -860,6 +880,12 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
             mwb_f AS (SELECT w.* FROM mwb w
                       ANTI JOIN mflood f
                       ON w.band = f.band AND w.bucket = f.bucket),
+            wvflood AS (SELECT band, bucket FROM wvb
+                        GROUP BY band, bucket
+                        HAVING COUNT(*) > {S.MAX_VECTOR_BUCKET}),
+            wvb_f AS (SELECT w.* FROM wvb w
+                      ANTI JOIN wvflood f
+                      ON w.band = f.band AND w.bucket = f.bucket),
             cand AS (
                 SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
                 FROM wb x JOIN wb y ON x.band = y.band AND x.bucket = y.bucket
@@ -871,6 +897,10 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
             mcand AS (
                 SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
                 FROM mwb_f x JOIN mwb_f y ON x.band = y.band AND x.bucket = y.bucket
+                                         AND x.vec_id < y.vec_id),
+            wvcand AS (
+                SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+                FROM wvb_f x JOIN wvb_f y ON x.band = y.band AND x.bucket = y.bucket
                                          AND x.vec_id < y.vec_id)
             SELECT 'lsh' AS method, id_a, id_b, {cos_ab} AS cosine
             FROM cand
@@ -888,6 +918,12 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
             FROM mcand
             JOIN em_out a ON a.vec_id = id_a
             JOIN em_out b ON b.vec_id = id_b
+            WHERE {cos_ab} >= CAST({HASHED_DUP_THRESHOLD} AS DOUBLE)
+            UNION ALL
+            SELECT 'wordvec', id_a, id_b, {cos_ab} AS cosine
+            FROM wvcand
+            JOIN wv_out a ON a.vec_id = id_a
+            JOIN wv_out b ON b.vec_id = id_b
             WHERE {cos_ab} >= CAST({HASHED_DUP_THRESHOLD} AS DOUBLE)
             UNION ALL
             SELECT 'semdedup', id_a, id_b, cosine

@@ -58,6 +58,20 @@ from .similarity import (
 
 ENCODER_KIND = "synproj-v1"
 
+#: round-11 second encoder kind: a dense (term -> float vector) table
+#: with mean pooling — the artifact SHAPE of a real word2vec/fastText
+#: export, proving the seam is encoder-agnostic (r10 verdict task 1).
+WORDVEC_KIND = "wordvec-v1"
+
+#: the wordvec grid denominator: stored components are INTEGER-VALUED
+#: doubles (true value = grid / scale).  Integer-valued terms make the
+#: mean-pooling sum bit-equal in ANY accumulation order (the repo's
+#: fixed-point float discipline), and the scale divides out of cosine.
+WORDVEC_SCALE = 1024
+
+#: every encoder kind ``embed_with_model`` can serve.
+SUPPORTED_ENCODERS = (ENCODER_KIND, WORDVEC_KIND)
+
 #: trained stop-list size: the top-N most frequent canonical terms
 #: (stopword-class mass) are dropped before projection — the SIF-style
 #: "frequent directions dominate cosine" remedy, and the part of the
@@ -181,7 +195,8 @@ def encoder_model_ensure(
     path: str,
     **build_kwargs,
 ) -> None:
-    """Serve ANY committed synproj-v1 encoder at ``path`` as-is, else
+    """Serve ANY committed supported encoder (synproj-v1 OR
+    wordvec-v1) at ``path`` as-is, else
     build one from ``train_docs`` with ``build_kwargs`` — the
     bring-your-own-artifact contract for CLI/ingest surfaces: a user's
     PRE-TRAINED encoder (different stop list, different dim) must not
@@ -195,11 +210,12 @@ def encoder_model_ensure(
     if params:
         if (
             params.get("kind") == "encoder"
-            and params.get("encoder") == ENCODER_KIND
+            and params.get("encoder") in SUPPORTED_ENCODERS
         ):
             return
         raise ValueError(
-            f"artifact at {path} is not a {ENCODER_KIND} encoder: {params}"
+            f"artifact at {path} is not a supported encoder "
+            f"({', '.join(SUPPORTED_ENCODERS)}): {params}"
         )
     encoder_model_build(train_docs, path, **build_kwargs)
 
@@ -359,12 +375,14 @@ def embed_with_model(
             f"no committed encoder artifact at {model_path}; build it "
             "first (encoder_model_build)"
         )
-    if params.get("kind") != "encoder" or params.get("encoder") != ENCODER_KIND:
+    encoder = params.get("encoder")
+    if params.get("kind") != "encoder" or encoder not in SUPPORTED_ENCODERS:
         raise ValueError(
-            f"artifact at {model_path} is not a {ENCODER_KIND} encoder: "
-            f"{params}"
+            f"artifact at {model_path} is not a supported encoder "
+            f"({', '.join(SUPPORTED_ENCODERS)}): {params}"
         )
     dim = int(params["dim"])
+    scale = float(params.get("scale", WORDVEC_SCALE))
     version = params.get("version", "1")
     src = (
         F.col(tokens_col) if tokens_col is not None else search_tokens(text_col)
@@ -379,7 +397,10 @@ def embed_with_model(
         worker_cache = _worker_encoder_cache()
         enc = worker_cache.get(cache_key)
         if enc is None:
-            enc = _load_prepared(model_path, version, dim)
+            if encoder == WORDVEC_KIND:
+                enc = _load_prepared_wordvec(model_path, dim, scale)
+            else:
+                enc = _load_prepared(model_path, version, dim)
             worker_cache[cache_key] = enc
             if load_log_dir is not None:
                 import os
@@ -478,3 +499,318 @@ def embed_model_sql(
                        bb -> CAST(COALESCE(map_extract(m, bb)[1], 0.0)
                                   AS DOUBLE)) AS embedding
             FROM {pfx}_m)"""
+
+
+# --------------------------------------------------------------------------
+# wordvec-v1: the float-weight encoder kind (round 11).  The artifact
+# is exactly what a real user exports from word2vec/fastText — a dense
+# (term, vector) table — plus the same commit marker every other
+# artifact rides.  Scoring is pure lookup + mean pooling: NO synonym
+# table, no stop logic at inference time (OOV terms — which include
+# the builder's stopped terms, simply absent from the table — are
+# skipped, standard word-vector semantics), so ANY vector table drops
+# in through wordvec_model_import without code changes.
+# --------------------------------------------------------------------------
+
+
+def _wordvec_version(vectors: DataFrame, dim: int, scale: int) -> str:
+    """Content-hash version for a committed vector table: an
+    order-insensitive xxhash64 fold over (term, vec) — one aggregate,
+    one collected row — so retraining from different data CHANGES the
+    version (unreachable stale worker caches, distinguishable index
+    pins) and an identical retrain keeps it."""
+    import hashlib
+
+    row = vectors.select(
+        F.expr("bit_xor(xxhash64(term, cast(vec as string)))").alias("h"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    content = f"{row['h']}|{row['n']}|dim={dim}|scale={scale}"
+    return hashlib.md5(content.encode("utf-8")).hexdigest()[:12]
+
+
+def wordvec_model_build(
+    train_docs: DataFrame,
+    path: str,
+    dim: int = EMBEDDING_DIM,
+    stop_top_n: int = ENCODER_STOP_TOP_N,
+    synonyms: dict[str, str] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str | None = None,
+) -> None:
+    """Train and persist a DETERMINISTIC stand-in word-vector table at
+    ``path`` (no-op when a matching committed artifact exists).
+
+    Real word vectors place similar meanings nearby; the deterministic
+    stand-in gets that property the same way synproj-v1 does — through
+    the synonym table — but expressed as GEOMETRY instead of exact
+    collision: every surface term's vector is its CANONICAL form's
+    md5-derived base direction (weight 8) plus a per-surface-term
+    md5-derived noise component (weight 1), so synonym pairs land at
+    cosine ~0.99 and unrelated terms near 0.  Terms whose canonical
+    form is in the trained stop list (top ``stop_top_n`` by corpus
+    frequency — the SIF-style frequent-mass cut) are simply OMITTED
+    from the table: at scoring time they are OOV, which is how real
+    word-vector pipelines drop stopwords too.
+
+    All vector math is JVM-side integer expression work (md5 -> conv
+    -> %), one row per vocab term; the DuckDB twin
+    (:func:`wordvec_model_sql`) re-derives the identical table.
+
+    Artifact: ``{path}/vectors`` (term string, vec array<double>,
+    integer-valued grid) + params marker (``encoder: wordvec-v1``,
+    ``scale``, ``pooling: mean``), version = content hash.
+    """
+    spark = train_docs.sparkSession
+    syn = DEFAULT_SYNONYMS if synonyms is None else synonyms
+    params = {
+        "kind": "encoder",
+        "encoder": WORDVEC_KIND,
+        "dim": dim,
+        "scale": WORDVEC_SCALE,
+        "pooling": "mean",
+        "stop_top_n": stop_top_n,
+        "n_synonyms": len(syn),
+    }
+    if _check_index_params(spark, path, params):
+        return
+    src = (
+        F.col(tokens_col) if tokens_col is not None else search_tokens(text_col)
+    )
+    terms = train_docs.select(F.explode(src).alias("term"))
+    canon_all = terms.select(_canon_col(syn, "term").alias("canon"))
+    stop = (
+        canon_all.groupBy("canon")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(F.col("__c").desc(), F.col("canon").asc())
+        .limit(int(stop_top_n))
+        .select("canon")
+    )
+    vocab = (
+        terms.select("term")
+        .distinct()
+        .withColumn("canon", _canon_col(syn, "term"))
+        .join(F.broadcast(stop), "canon", "left_anti")
+    )
+
+    def md5_int(prefix: str, term_col: str, i):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(prefix), F.col(term_col), F.lit("|"),
+                        i.cast("string"),
+                    )
+                ),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long")
+
+    vec = F.transform(
+        F.sequence(F.lit(0).cast("long"), F.lit(dim - 1).cast("long")),
+        lambda i: (
+            (md5_int("wv|", "canon", i) % 15 - 7) * 8
+            + (md5_int("wn|", "term", i) % 3 - 1)
+        ).cast("double"),
+    )
+    vectors = vocab.select("term", vec.alias("vec"))
+    vectors.write.mode("overwrite").parquet(f"{path}/vectors")
+    committed = spark.read.parquet(f"{path}/vectors")
+    version = _wordvec_version(committed, dim, WORDVEC_SCALE)
+    _write_index_params(spark, path, {**params, "version": version})
+
+
+def wordvec_model_import(
+    vectors: DataFrame,
+    path: str,
+    scale: int = WORDVEC_SCALE,
+    term_col: str = "term",
+    vec_col: str = "vec",
+) -> None:
+    """Import a REAL float word-vector table (parsed word2vec/fastText
+    export: one row per term, ``array<double>`` vector) as a committed
+    wordvec-v1 artifact — the bring-your-own-weights path that makes
+    the seam demonstrably encoder-agnostic.
+
+    Components are quantized onto the ``1/scale`` grid
+    (``floor(v * scale)``, stored as integer-valued doubles): the
+    repo's fixed-point discipline, so downstream pooling sums are
+    order-independent and oracle-able.  At the default scale the grid
+    error is <0.1% per component — noise relative to any cosine
+    threshold.  Rows with a NULL term or vector are rejected; ragged
+    dims raise (a vector table with mixed dims is corrupt).
+    """
+    spark = vectors.sparkSession
+    clean = vectors.select(
+        F.col(term_col).cast("string").alias("term"),
+        F.col(vec_col).alias("__v"),
+    ).filter(F.col("term").isNotNull() & F.col("__v").isNotNull())
+    dims = [
+        r["d"]
+        for r in clean.select(F.size("__v").alias("d")).distinct().collect()
+    ]
+    if len(dims) != 1:
+        raise ValueError(
+            f"wordvec import needs one consistent vector dim, got {sorted(dims)}"
+        )
+    dim = int(dims[0])
+    quant = F.transform(
+        "__v",
+        lambda x: F.floor(x * F.lit(float(scale))).cast("double"),
+    )
+    out = clean.select("term", quant.alias("vec"))
+    out.write.mode("overwrite").parquet(f"{path}/vectors")
+    committed = spark.read.parquet(f"{path}/vectors")
+    version = _wordvec_version(committed, dim, scale)
+    _write_index_params(
+        spark,
+        path,
+        {
+            "kind": "encoder",
+            "encoder": WORDVEC_KIND,
+            "dim": dim,
+            "scale": scale,
+            "pooling": "mean",
+            "source": "import",
+            "version": version,
+        },
+    )
+
+
+class _PreparedWordvec:
+    """Worker-side prepared state for a wordvec-v1 artifact: the dense
+    (term -> grid row) table as a numpy matrix + index dict.  Encoding
+    is lookup + exact integer-valued accumulation + ONE division —
+    bit-equal to the DuckDB twin's SUM/divide in any token order."""
+
+    __slots__ = ("idx", "mat", "dim", "scale")
+
+    def __init__(self, terms, mat, dim: int, scale: float):
+        self.idx = {t: j for j, t in enumerate(terms)}
+        self.mat = mat
+        self.dim = dim
+        self.scale = scale
+
+    def encode(self, tokens) -> list[float] | None:
+        import numpy as np
+
+        acc = None
+        n = 0
+        idx, mat = self.idx, self.mat
+        for t in tokens:
+            j = idx.get(t)
+            if j is None:
+                continue  # OOV (includes builder-stopped terms): skip
+            row = mat[j]
+            acc = row.copy() if acc is None else acc + row
+            n += 1
+        if n == 0:
+            return None
+        return (acc / (self.scale * float(n))).tolist()
+
+
+def _load_prepared_wordvec(
+    model_path: str, dim: int, scale: float
+) -> _PreparedWordvec:
+    """Load the vector table with pyarrow (workers have no
+    SparkSession) into a numpy matrix — one contiguous float64 block,
+    ~dim*8 bytes per term, the memory shape a 10^6-term vocabulary
+    needs (vs a dict of python lists at ~10x)."""
+    import numpy as np
+    import pyarrow.fs as pafs
+    import pyarrow.parquet as pq
+
+    if "://" in model_path:
+        fs, root = pafs.FileSystem.from_uri(model_path)
+    else:
+        fs, root = pafs.LocalFileSystem(), model_path
+    sel = pafs.FileSelector(f"{root}/vectors", allow_not_found=True)
+    files = sorted(
+        info.path
+        for info in fs.get_file_info(sel)
+        if info.is_file and info.path.endswith(".parquet")
+    )
+    if not files:
+        raise FileNotFoundError(
+            f"wordvec artifact table missing: {model_path}/vectors"
+        )
+    pdf = pd.concat(
+        [pq.read_table(f, filesystem=fs).to_pandas() for f in files],
+        ignore_index=True,
+    )
+    mat = np.empty((len(pdf), dim), dtype=np.float64)
+    for j, v in enumerate(pdf["vec"]):
+        mat[j, :] = v
+    return _PreparedWordvec(list(pdf["term"]), mat, dim, float(scale))
+
+
+def wordvec_model_sql(
+    token_pattern: str,
+    dim: int = EMBEDDING_DIM,
+    scale: int = WORDVEC_SCALE,
+    stop_top_n: int = ENCODER_STOP_TOP_N,
+    synonyms: dict[str, str] | None = None,
+    pfx: str = "wv",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin CTE chain ending in ``{pfx}_out`` (vec_id,
+    embedding), stage-for-stage with wordvec_model_build +
+    mean-pooling inference: tokenize, re-derive the trained vector
+    table (stop list, canonical base + surface noise grid), then per
+    document sum the looked-up grid rows (counts folded in as exact
+    integer products) and divide once by ``scale * n_found``."""
+    syn = DEFAULT_SYNONYMS if synonyms is None else synonyms
+    if syn:
+        vals = ", ".join(
+            f"({_sql_quote(k)}, {_sql_quote(v)})" for k, v in sorted(syn.items())
+        )
+        syn_cte = f"{pfx}_syn(term, canon) AS (VALUES {vals})"
+    else:
+        syn_cte = f"{pfx}_syn(term, canon) AS (SELECT NULL, NULL WHERE 1=0)"
+    return f"""
+        {pfx}_tok AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '{token_pattern}')) AS term
+            FROM {table}),
+        {syn_cte},
+        {pfx}_stop AS (
+            SELECT canon FROM (
+                SELECT COALESCE(s.canon, t.term) AS canon, COUNT(*) AS c
+                FROM {pfx}_tok t LEFT JOIN {pfx}_syn s ON s.term = t.term
+                GROUP BY 1)
+            ORDER BY c DESC, canon ASC LIMIT {stop_top_n}),
+        {pfx}_vocab AS (
+            SELECT v.term, COALESCE(s.canon, v.term) AS canon
+            FROM (SELECT DISTINCT term FROM {pfx}_tok) v
+            LEFT JOIN {pfx}_syn s ON s.term = v.term),
+        {pfx}_kept AS (
+            SELECT k.term, k.canon FROM {pfx}_vocab k
+            ANTI JOIN {pfx}_stop st ON st.canon = k.canon),
+        {pfx}_vec AS (
+            SELECT k.term, r.i,
+                   (CAST(concat('0x', substr(md5('wv|' || k.canon || '|'
+                        || CAST(r.i AS VARCHAR)), 1, 15)) AS BIGINT)
+                        % 15 - 7) * 8
+                   + (CAST(concat('0x', substr(md5('wn|' || k.term || '|'
+                        || CAST(r.i AS VARCHAR)), 1, 15)) AS BIGINT)
+                        % 3 - 1) AS g
+            FROM {pfx}_kept k CROSS JOIN range(0, {dim}) r(i)),
+        {pfx}_cnt AS (
+            SELECT doc_id, term, COUNT(*) AS c
+            FROM {pfx}_tok GROUP BY doc_id, term),
+        {pfx}_n AS (
+            SELECT c.doc_id, SUM(c.c) AS n
+            FROM {pfx}_cnt c SEMI JOIN {pfx}_kept k ON k.term = c.term
+            GROUP BY c.doc_id),
+        {pfx}_sum AS (
+            SELECT c.doc_id, v.i, CAST(SUM(c.c * v.g) AS DOUBLE) AS sg
+            FROM {pfx}_cnt c JOIN {pfx}_vec v ON v.term = c.term
+            GROUP BY c.doc_id, v.i),
+        {pfx}_out AS (
+            SELECT s.doc_id AS vec_id,
+                   list(s.sg / (CAST({scale} AS DOUBLE) * n.n) ORDER BY s.i)
+                       AS embedding
+            FROM {pfx}_sum s JOIN {pfx}_n n ON n.doc_id = s.doc_id
+            GROUP BY s.doc_id)"""
