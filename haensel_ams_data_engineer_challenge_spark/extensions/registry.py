@@ -735,17 +735,37 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
     # twin, so even the k-means training is hash-checked.
     cos_qc = S.cosine_sql("q.embedding", "c.cvec")
     cos_qn = S.cosine_sql("p.__qvec", "n.embedding")
-    e["ann_topk_ivf"] = (
-        lambda spark, sf: S.ann_topk_ivf(
-            _vecs(spark, sf),
-            _vecs(spark, sf).filter(F.col("vec_id") < N_QUERIES),
-            k=ANN_LSH_K,
+
+    # round 11 adds the 'int8' arm: the SAME probed cells, but the
+    # inverted lists score from the PERSISTED quantized artifact
+    # (ivf_index_persistent(quantize=True): tinyint components +
+    # per-vector scale on disk, ~8x smaller vector storage) —
+    # asymmetric scoring, float query vs integer grid; the oracle
+    # re-derives the quantized corpus (quantize_sql) and hash-matches
+    # the stored-tinyint scores exactly (integers are integers).
+    # Artifact is mtime-keyed: build-once/probe-many across attempts.
+    def _ann_ivf_both(spark: SparkSession, sf: str) -> DataFrame:
+        queries = _vecs(spark, sf).filter(F.col("vec_id") < N_QUERIES)
+        float_arm = S.ann_topk_ivf(
+            _vecs(spark, sf), queries, k=ANN_LSH_K,
             # train once per session per sf (deterministic training →
             # identical results; the oracle twin retrains in-query and
             # still hash-matches) — the built-once/query-many shape
             index_cache_key=sf,
-        ),
+        ).withColumn("method", F.lit("float"))
+        qidx = _mtime_artifact_path(
+            sf, "embeddings.parquet", "spark_graft_ivfq_"
+        )
+        int8_arm = S.ann_topk_ivf(
+            _vecs(spark, sf), queries, k=ANN_LSH_K,
+            index_path=qidx, quantize=True,
+        ).withColumn("method", F.lit("int8"))
+        return float_arm.unionByName(int8_arm)
+
+    e["ann_topk_ivf"] = (
+        _ann_ivf_both,
         f"""WITH {S.ivf_kmeans_sql_ctes()},
+            {S.quantize_sql().strip()},
             probed AS (
                 SELECT query_id, cell, __qvec FROM (
                     SELECT q.vec_id AS query_id, c.cell, q.embedding AS __qvec,
@@ -762,11 +782,25 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
                 JOIN km_assign a ON a.cell = p.cell
                 JOIN embeddings n ON n.vec_id = a.vec_id
                 WHERE n.vec_id <> p.query_id
+            ),
+            qscored AS (
+                SELECT p.query_id, a.cell, n.vec_id AS neighbor_id,
+                       {cos_qn} AS cosine
+                FROM probed p
+                JOIN km_assign a ON a.cell = p.cell
+                JOIN qz_out n ON n.vec_id = a.vec_id
+                WHERE n.vec_id <> p.query_id
             )
-            SELECT query_id, cell, neighbor_id, cosine, rank
+            SELECT 'float' AS method, query_id, cell, neighbor_id, cosine, rank
             FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                           ORDER BY cosine DESC, neighbor_id) AS rank
                   FROM scored) t
+            WHERE rank <= {ANN_LSH_K}
+            UNION ALL
+            SELECT 'int8', query_id, cell, neighbor_id, cosine, rank
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id) AS rank
+                  FROM qscored) t
             WHERE rank <= {ANN_LSH_K}""",
     )
 

@@ -223,6 +223,55 @@ def quantize_sql(pfx: str = "qz", table: str = "embeddings") -> str:
             FROM {pfx}_mx)"""
 
 
+def quantize_to_storage(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, qvec array<tinyint>, scale double): the 1-byte/component
+    STORAGE layout for persisted ANN artifacts (round 11) — the same
+    symmetric floor grid as :func:`quantize_embedding`, actually cast
+    to tinyint, plus the per-vector scale (max|v| / 127) a reader
+    would need to RECONSTRUCT approximate float components
+    (v_i ~ q_i * scale).  Probing never reads ``scale``: cosine is
+    scale-invariant, so ranking runs directly on the integer grid
+    (``ann_topk_brute_int8`` proves the recall).  All-zero vectors
+    store all-zero with scale 0.0."""
+    mx = F.array_max(F.transform(_d(vec_col), lambda x: F.abs(x)))
+    staged = vectors.select(
+        F.col(id_col), _d(vec_col).alias("__v"), mx.alias("__mx")
+    )
+    qvec = F.when(
+        F.col("__mx") == 0.0,
+        F.transform(F.col("__v"), lambda x: x.cast("tinyint")),
+    ).otherwise(
+        F.transform(
+            F.col("__v"),
+            lambda x: F.floor(x * F.lit(QUANT_LEVELS) / F.col("__mx"))
+            .cast("tinyint"),
+        )
+    )
+    return staged.select(
+        F.col(id_col),
+        qvec.alias("qvec"),
+        (F.col("__mx") / F.lit(QUANT_LEVELS)).alias("scale"),
+    )
+
+
+def stored_vectors_as_double(
+    stored: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, {vec_col} array<double>) from the quantized storage layout
+    — a pure elementwise cast (values stay on the integer grid, NO
+    scale multiply: the scale cancels in cosine, and keeping integer-
+    valued doubles keeps every downstream sum exact and oracle-able).
+    """
+    return stored.select(
+        F.col(id_col),
+        F.transform("qvec", lambda x: x.cast("double")).alias(vec_col),
+    )
+
+
 def ann_topk_brute_int8(
     vectors: DataFrame,
     queries: DataFrame,
@@ -274,6 +323,7 @@ def ann_topk_lsh(
     planes_per_table: int = ANN_LSH_PLANES_PER_TABLE,
     index_cache_key: str | None = None,
     index_path: str | None = None,
+    quantize: bool = False,
 ) -> DataFrame:
     """Approximate top-k via MULTI-TABLE sign-LSH: a candidate is any
     vector sharing the query's sign-pattern bucket in >= 1 of
@@ -298,7 +348,8 @@ def ann_topk_lsh(
     # (lsh_index_persistent) — the production index form.
     if index_path is not None:
         wb = lsh_index_persistent(
-            vectors, index_path, tables, planes_per_table, id_col, vec_col
+            vectors, index_path, tables, planes_per_table, id_col, vec_col,
+            quantize=quantize,
         )
     else:
         ck = None
@@ -332,7 +383,18 @@ def ann_topk_lsh(
         .distinct()
     )
     qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
-    cv = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+    if index_path is not None and quantize:
+        # self-contained artifact: candidates verify against the
+        # STORED int8 vectors (asymmetric scoring — float query vs
+        # integer-grid neighbor; the per-vector scale cancels)
+        cv = stored_vectors_as_double(
+            vectors.sparkSession.read.parquet(f"{index_path}/vectors"),
+            id_col, "__cvec",
+        ).withColumnRenamed(id_col, "neighbor_id")
+    else:
+        cv = vectors.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+        )
     scored = (
         cand.join(F.broadcast(qv), "query_id")
         .join(cv, "neighbor_id")
@@ -512,6 +574,7 @@ def ann_topk_ivf(
     n_probe: int = IVF_PROBES,
     index_cache_key: str | None = None,
     index_path: str | None = None,
+    quantize: bool = False,
 ) -> DataFrame:
     """IVF ANN: k-means coarse quantizer (``ivf_kmeans``), each query
     probes its ``n_probe`` nearest cells, and only those cells'
@@ -533,7 +596,14 @@ def ann_topk_ivf(
     """
     if index_path is not None:
         assign, cents = ivf_index_persistent(
-            vectors, index_path, cells, iters, id_col, vec_col
+            vectors, index_path, cells, iters, id_col, vec_col,
+            quantize=quantize,
+        )
+    elif quantize:
+        raise ValueError(
+            "quantize=True needs a persistent artifact (index_path): the "
+            "int8 layout IS the stored index; quantizing a session-only "
+            "index would cut recall without saving any storage"
         )
     else:
         assign, cents = ivf_kmeans(
@@ -549,9 +619,21 @@ def ann_topk_ivf(
         .filter(F.col("__rn") <= n_probe)
         .select("query_id", "__qvec", "cell")
     )
-    inverted = (
-        vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec2"))
-        .join(assign.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
+    if index_path is not None and quantize:
+        # self-contained artifact: inverted lists score from the STORED
+        # int8 vectors (asymmetric — float query vs integer grid; the
+        # per-vector scale cancels in cosine), never re-reading the
+        # float corpus
+        corpus_side = stored_vectors_as_double(
+            vectors.sparkSession.read.parquet(f"{index_path}/vectors"),
+            id_col, "__cvec2",
+        ).withColumnRenamed(id_col, "neighbor_id")
+    else:
+        corpus_side = vectors.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec2")
+        )
+    inverted = corpus_side.join(
+        assign.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id"
     )
     scored = (
         inverted.join(F.broadcast(probed), "cell")
@@ -641,6 +723,24 @@ def _write_index_params(spark, path: str, params: dict) -> None:
     ).write.mode("overwrite").parquet(f"{path}/params")
 
 
+def _check_quantized_layout(spark, path: str, quantize: bool) -> None:
+    """The round-11 storage pin: a committed artifact's vector layout
+    (float corpus vs int8-in-artifact) must match what the caller
+    expects — a float reader served quantized rows (or vice versa)
+    would silently score a different space.  Legacy artifacts carry no
+    ``quantized`` key and are float by construction."""
+    got = _read_index_params(spark, path).get("quantized", "false")
+    want = "true" if quantize else "false"
+    if got != want:
+        stored = "int8-quantized" if got == "true" else "float"
+        asked = "int8-quantized" if quantize else "float"
+        raise ValueError(
+            f"ANN index at {path} stores {stored} vectors; caller "
+            f"expects a {asked} layout — pass quantize="
+            f"{got == 'true'} or use a different path"
+        )
+
+
 def ivf_index_persistent(
     vectors: DataFrame,
     path: str,
@@ -648,12 +748,26 @@ def ivf_index_persistent(
     iters: int = IVF_ITERS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantize: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Load the IVF index artifact at ``path``, training and saving it
     first if absent.  Returns (assignments (id, cell), centroids
     (cell, cvec)) READ FROM DISK in both cases — the queried index is
     always the artifact itself (lineage-truncated, identical across
-    sessions), never the in-memory training lineage."""
+    sessions), never the in-memory training lineage.
+
+    ``quantize=True`` (round 11): the artifact additionally stores the
+    corpus vectors themselves in the int8 layout
+    (:func:`quantize_to_storage` — ``{path}/vectors``: tinyint
+    components + per-vector scale), making the index SELF-CONTAINED:
+    probes score the inverted lists from the artifact instead of
+    re-reading the float corpus — the FAISS SQ8 shape, and the 8x
+    memory lever where it matters (BASELINE.md's 10^10-vector example:
+    640 GB of index instead of 5 TB).  Training still runs on the
+    FULL-PRECISION vectors (train-full/store-compressed, the standard
+    discipline), so cell layouts are identical to the float index.
+    The layout is marker-pinned: reading a quantized artifact with
+    ``quantize=False`` (or vice versa) raises."""
     spark = vectors.sparkSession
     params = {
         "kind": "ivf", "k": k, "iters": iters,
@@ -663,7 +777,15 @@ def ivf_index_persistent(
         assign, cents = ivf_kmeans(vectors, k, iters, id_col, vec_col)
         assign.write.mode("overwrite").parquet(f"{path}/assignments")
         cents.write.mode("overwrite").parquet(f"{path}/centroids")
-        _write_index_params(spark, path, {**params, "version": 1})
+        if quantize:
+            quantize_to_storage(vectors, id_col, vec_col).write.mode(
+                "overwrite"
+            ).parquet(f"{path}/vectors")
+        _write_index_params(
+            spark, path,
+            {**params, "quantized": str(quantize).lower(), "version": 1},
+        )
+    _check_quantized_layout(spark, path, quantize)
     return (
         spark.read.parquet(f"{path}/assignments"),
         spark.read.parquet(f"{path}/centroids"),
@@ -678,6 +800,7 @@ def lsh_index_persistent(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     extra_params: dict | None = None,
+    quantize: bool = False,
 ) -> DataFrame:
     """Load the banded (id, band, bucket) LSH index artifact at
     ``path``, building and saving it first if absent (see
@@ -687,7 +810,14 @@ def lsh_index_persistent(
     checked on reuse — the semantic-ingest tier pins the EMBEDDER
     identity here (round 10), because bucket rows from two different
     encoders in one artifact would silently poison every probe (a
-    vector-space change is as hard a mismatch as a layout change)."""
+    vector-space change is as hard a mismatch as a layout change).
+
+    ``quantize=True`` (round 11): additionally store the vectors in
+    the int8 layout (``{path}/vectors``) so candidate verification can
+    run from the artifact — see :func:`ivf_index_persistent`.  Bucket
+    signatures are still computed from the FULL-PRECISION vectors
+    (sign flips near the hyperplane under quantization would silently
+    change candidate sets between build and append otherwise)."""
     spark = vectors.sparkSession
     params = {
         "kind": "lsh", "tables": tables,
@@ -699,7 +829,15 @@ def lsh_index_persistent(
         banded_bucket_rows(
             vectors, id_col, vec_col, tables, planes_per_table
         ).write.mode("overwrite").parquet(f"{path}/buckets")
-        _write_index_params(spark, path, {**params, "version": 1})
+        if quantize:
+            quantize_to_storage(vectors, id_col, vec_col).write.mode(
+                "overwrite"
+            ).parquet(f"{path}/vectors")
+        _write_index_params(
+            spark, path,
+            {**params, "quantized": str(quantize).lower(), "version": 1},
+        )
+    _check_quantized_layout(spark, path, quantize)
     return spark.read.parquet(f"{path}/buckets")
 
 
@@ -752,10 +890,22 @@ def ivf_index_append(
     existing = (
         spark.read.parquet(f"{path}/assignments").select(id_col).distinct()
     )
+    # quantized artifacts also grow their stored-vectors table; fresh
+    # is a 2-consumer diamond there (assignments + vectors), so
+    # materialize it once instead of re-running the anti-join
+    quantized = (
+        _read_index_params(spark, path).get("quantized", "false") == "true"
+    )
     fresh = new_vectors.join(existing, id_col, "left_anti")
+    if quantized:
+        fresh = materialize(fresh)
     _assign_cells(fresh, cents, id_col, vec_col).write.mode(
         "append"
     ).parquet(f"{path}/assignments")
+    if quantized:
+        quantize_to_storage(fresh, id_col, vec_col).write.mode(
+            "append"
+        ).parquet(f"{path}/vectors")
     _bump_index_version(spark, path)
 
 
@@ -793,10 +943,19 @@ def lsh_index_append(
     existing = (
         spark.read.parquet(f"{path}/buckets").select(id_col).distinct()
     )
+    quantized = (
+        _read_index_params(spark, path).get("quantized", "false") == "true"
+    )
     fresh = new_vectors.join(existing, id_col, "left_anti")
+    if quantized:
+        fresh = materialize(fresh)
     banded_bucket_rows(
         fresh, id_col, vec_col, tables, planes_per_table
     ).write.mode("append").parquet(f"{path}/buckets")
+    if quantized:
+        quantize_to_storage(fresh, id_col, vec_col).write.mode(
+            "append"
+        ).parquet(f"{path}/vectors")
     _bump_index_version(spark, path)
 
 

@@ -187,3 +187,124 @@ def test_append_requires_committed_matching_index(spark, sf_dir, tmp_path):
     S.ivf_index_persistent(vecs, path, k=5)
     with pytest.raises(ValueError, match="built with"):
         S.ivf_index_append(vecs, path, k=10)
+
+
+# ---------------------------------------------------------------------------
+# round 11: int8-quantized storage INSIDE the persistent artifacts
+# (r10 verdict task 2) — tinyint components + per-vector scale, the 8x
+# vector-memory lever, marker-pinned against float readers.
+# ---------------------------------------------------------------------------
+
+
+def test_quantized_ivf_recall_floor_and_size(spark, sf_dir, tmp_path):
+    """The quantized index must (a) rank from the STORED int8 vectors,
+    (b) keep recall within a whisker of the float index, (c) actually
+    be small: the vectors table beats the float corpus parquet by >=4x
+    on disk (the arrays themselves are 8x — 1 byte vs 8 per component;
+    parquet headers + id/scale columns dilute the file-level ratio)."""
+    import os
+
+    # one output file for the size comparison: at the 500-row fixture
+    # scale, per-file parquet headers would otherwise dominate the
+    # vectors-table size (training math is partitioning-independent)
+    vecs = load_table(spark, sf_dir, "embeddings").repartition(1)
+    q = vecs.filter(F.col("vec_id") < 20)
+    fpath, qpath = str(tmp_path / "ivf_f"), str(tmp_path / "ivf_q")
+
+    got_f = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ann_topk_ivf(vecs, q, k=5, index_path=fpath).collect()
+    }
+    got_q = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ann_topk_ivf(
+            vecs, q, k=5, index_path=qpath, quantize=True
+        ).collect()
+    }
+    # recall floor vs the float index (sf0.01 measures 247/250
+    # identical pairs; the floor leaves slack for grid ties)
+    assert len(got_q & got_f) / len(got_f) >= 0.9
+
+    # the stored layout is genuinely tinyint + scale
+    stored = spark.read.parquet(f"{qpath}/vectors")
+    assert dict(stored.dtypes)["qvec"] == "array<tinyint>"
+    assert dict(stored.dtypes)["scale"] == "double"
+    assert stored.count() == vecs.count()
+
+    # on-disk size: quantized vectors table vs the float corpus
+    def _sz(p):
+        if os.path.isfile(p):
+            return os.path.getsize(p)
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(p)
+            for f in fs
+        )
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    assert _sz(src) / _sz(f"{qpath}/vectors") >= 4.0
+
+
+def test_quantized_layout_marker_pins_readers(spark, sf_dir, tmp_path):
+    """A float reader on a quantized artifact refuses (and vice versa)
+    — the two layouts score different spaces and must never be served
+    interchangeably.  Legacy artifacts (no 'quantized' key) read as
+    float."""
+    vecs = load_table(spark, sf_dir, "embeddings")
+    qpath = str(tmp_path / "ivf_q")
+    S.ivf_index_persistent(vecs, qpath, quantize=True)
+    with pytest.raises(ValueError, match="stores int8-quantized"):
+        S.ivf_index_persistent(vecs, qpath)  # float reader refuses
+    fpath = str(tmp_path / "ivf_f")
+    S.ivf_index_persistent(vecs, fpath)
+    with pytest.raises(ValueError, match="stores float"):
+        S.ivf_index_persistent(vecs, fpath, quantize=True)
+    # legacy marker (no 'quantized' key) == float layout
+    got = S._read_index_params(spark, fpath)
+    got.pop("quantized")
+    S._write_index_params(spark, fpath, got)
+    S.ivf_index_persistent(vecs, fpath)  # still serves
+    # quantize without a persistent path is a contract error
+    q = vecs.filter(F.col("vec_id") < 3)
+    with pytest.raises(ValueError, match="needs a persistent artifact"):
+        S.ann_topk_ivf(vecs, q, quantize=True)
+
+
+def test_quantized_append_grows_stored_vectors(spark, sf_dir, tmp_path):
+    """Appends to a quantized artifact extend BOTH tables (assignments
+    + stored int8 vectors), replay-idempotently; the grown index is
+    probeable and finds the appended vector."""
+    vecs = load_table(spark, sf_dir, "embeddings")
+    base = vecs.filter(F.col("vec_id") % 2 == 0)
+    extra = vecs.filter(F.col("vec_id") % 2 == 1)
+    qpath = str(tmp_path / "ivf_q")
+    S.ivf_index_persistent(base, qpath, quantize=True)
+    n0 = spark.read.parquet(f"{qpath}/vectors").count()
+    S.ivf_index_append(extra, qpath)
+    n1 = spark.read.parquet(f"{qpath}/vectors").count()
+    assert n1 == vecs.count() and n1 > n0
+    # replay is a no-op on both tables
+    S.ivf_index_append(extra, qpath)
+    assert spark.read.parquet(f"{qpath}/vectors").count() == n1
+    assert (
+        spark.read.parquet(f"{qpath}/assignments").count() == n1
+    )
+    # the appended vectors are findable through the quantized probe
+    q = extra.limit(3)
+    hits = S.ann_topk_ivf(
+        vecs, q, k=5, index_path=qpath, quantize=True
+    )
+    assert hits.count() > 0
+
+    # LSH twin: same grow-both-tables contract
+    lpath = str(tmp_path / "lsh_q")
+    S.lsh_index_persistent(base, lpath, quantize=True)
+    S.lsh_index_append(extra, lpath)
+    assert spark.read.parquet(f"{lpath}/vectors").count() == vecs.count()
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ann_topk_lsh(
+            vecs, q, k=3, index_path=lpath, quantize=True
+        ).collect()
+    }
+    assert got  # quantized LSH probe scores from the artifact
