@@ -72,12 +72,22 @@ def _parser() -> argparse.ArgumentParser:
         "per-run appends otherwise accumulate small files forever)",
     )
     run.add_argument(
+        "--sink-protocol", choices=("swap", "manifest"), default="swap",
+        help="attribution sink write protocol: 'swap' = plain "
+        "lease-guarded parquet appends; 'manifest' = manifest-committed "
+        "sink (round 11) — each run's rows become visible atomically "
+        "and --compact-sink never leaves a window where readers see "
+        "the sink missing (legacy swap sinks are adopted in place; "
+        "do not switch a manifest sink back to swap)",
+    )
+    run.add_argument(
         "--hot-user-threshold", type=int, default=None, metavar="N",
         help="route users whose session+conversion timeline exceeds N "
         "rows through the as-of join's chunked hot-key path "
-        "(bot-traffic straggler mitigation; recommended 100000 for "
-        "bot-exposed data — see BASELINE.md's measured cliff). "
-        "Default: plain single-window plan",
+        "(bot-traffic straggler mitigation — see BASELINE.md's "
+        "measured cliff).  Default since round 11: 100000 (the knob "
+        "sweep's flat part) — the pipeline is skew-safe out of the "
+        "box; pass 0 to opt out and keep the plain single-window plan",
     )
 
     db = sub.add_parser("create-db", help="DDL bootstrap + schema verification")
@@ -449,7 +459,7 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("haensel-ams-cli")
     try:
         if args.command == "pipeline":
-            from .plans.pipeline import run_pipeline
+            from .plans.pipeline import HOT_USER_THRESHOLD_DEFAULT, run_pipeline
 
             scorer_call = None
             audit_path = None
@@ -482,14 +492,25 @@ def main(argv: list[str] | None = None) -> int:
                 scorer_max_retries=args.scorer_max_retries,
                 scorer_retry_delay=args.scorer_retry_delay,
                 audit_path=audit_path,
-                hot_user_threshold=args.hot_user_threshold,
+                # unset -> the pipeline's default-on protection; 0 opts
+                # out (run_pipeline treats 0 as None)
+                hot_user_threshold=(
+                    args.hot_user_threshold
+                    if args.hot_user_threshold is not None
+                    else HOT_USER_THRESHOLD_DEFAULT
+                ),
+                sink_protocol=args.sink_protocol,
             )
             if args.compact_sink:
-                from .operators.sinks import compact_parquet_sink
+                sink_path = f"{args.work_dir}/attribution_customer_journey"
+                if args.sink_protocol == "manifest":
+                    from .operators.manifest_sink import manifest_compact
 
-                n_compacted = compact_parquet_sink(
-                    spark, f"{args.work_dir}/attribution_customer_journey"
-                )
+                    n_compacted = manifest_compact(spark, sink_path)
+                else:
+                    from .operators.sinks import compact_parquet_sink
+
+                    n_compacted = compact_parquet_sink(spark, sink_path)
                 print(f"compacted_rows={n_compacted}")
             print(
                 f"conversions={result.conversions_total} "

@@ -1,0 +1,323 @@
+"""Manifest-committed parquet sink: reader-stable inserts and
+compaction (round 11, r10 verdict task 3).
+
+The swap-based sink (:func:`.sinks.compact_parquet_sink`) is crash-safe
+and writer-exclusive, but between its two directory renames a
+concurrent READER sees the sink path missing.  This module closes that
+gap with the mini-Delta shape: data part files accumulate in the sink
+directory under unique names, and a versioned MANIFEST file — the only
+thing a reader resolves — lists exactly the committed files.  Every
+state change is ONE atomic manifest write:
+
+- ``{path}/part-*.parquet`` — data files.  Spark's append commit
+  protocol already generates collision-free names, so concurrent-
+  looking files never clash; files NOT listed in a manifest are
+  invisible to readers (uncommitted or superseded).
+- ``{path}/_manifest_v{N}.json`` — version-numbered manifests; readers
+  resolve the highest N.  Underscore-prefixed, so a plain
+  ``spark.read.parquet(path)`` (which ignores hidden files) still sees
+  only data files — but the supported read path is
+  :func:`read_manifest_sink`.
+- commit = write ``_manifest_v{N+1}`` beside the data via a unique tmp
+  name + one atomic rename.  Readers observe either vN or vN+1, never
+  an absent sink and never a partial file set.
+- compaction rewrites the rows into fresh part files, commits a
+  manifest listing ONLY those, and leaves the old files on disk —
+  a reader that resolved vN mid-compaction still reads every vN file.
+  Superseded files are removed by :func:`manifest_vacuum` only once
+  they are referenced by NEITHER the latest NOR the previous manifest
+  (one-generation retention), which runs under the writer lease at the
+  start of every mutating operation.
+
+Crash matrix (all under the heartbeat writer lease, so no second
+writer interleaves):
+
+- die after data append, before manifest commit: readers keep vN; the
+  orphan files are vacuumed by the next mutating run.
+- die mid-manifest-write: the tmp file is ignored by version
+  resolution and vacuumed later.
+- die after commit: done — the commit IS the rename.
+
+Single-writer is enforced by the same lease as the swap sink
+(:func:`.sinks.hold_writer_lease`); readers take no lease.
+
+The reference analogue is still SQLite's single-file atomicity
+(db_utils.py:185-225) — this is what that guarantee costs on a
+distributed object store.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StructType
+
+from .sinks import hold_writer_lease
+
+_MANIFEST_RE = re.compile(r"^_manifest_v(\d{12})\.json$")
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+
+
+def _jpath(jvm, path: str):
+    return jvm.org.apache.hadoop.fs.Path(path)
+
+
+def _list_names(spark: SparkSession, path: str) -> list[str]:
+    """Basenames in the sink dir ([] when the dir does not exist)."""
+    jvm, fs = _fs(spark, path)
+    p = _jpath(jvm, path)
+    if not fs.exists(p):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(p)]
+
+
+def _data_files(names: list[str]) -> set[str]:
+    return {
+        n
+        for n in names
+        if n.endswith(".parquet") and not n.startswith(("_", "."))
+    }
+
+
+def _manifest_versions(names: list[str]) -> list[int]:
+    out = []
+    for n in names:
+        m = _MANIFEST_RE.match(n)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _manifest_name(version: int) -> str:
+    return f"_manifest_v{version:012d}.json"
+
+
+def _read_manifest(spark: SparkSession, path: str, version: int) -> dict:
+    jvm, fs = _fs(spark, path)
+    p = _jpath(jvm, f"{path}/{_manifest_name(version)}")
+    stream = fs.open(p)
+    try:
+        raw = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return json.loads(raw)
+
+
+def _commit_manifest(
+    spark: SparkSession, path: str, version: int, files: list[str], schema
+) -> None:
+    """Write the manifest under a unique tmp name, then ONE atomic
+    rename to its final versioned name — the commit point.  The rename
+    target never pre-exists (versions are allocated under the writer
+    lease), so never-overwrite rename semantics suffice everywhere."""
+    import uuid
+
+    jvm, fs = _fs(spark, path)
+    body = json.dumps(
+        {
+            "version": version,
+            "files": sorted(files),
+            "n_files": len(files),
+            "schema": schema.jsonValue(),
+        },
+        sort_keys=True,
+    )
+    tmp = f"{path}/.manifest_tmp_{uuid.uuid4().hex}"
+    out = fs.create(_jpath(jvm, tmp), False)
+    out.write(bytearray(body.encode("utf-8")))
+    out.close()
+    final = f"{path}/{_manifest_name(version)}"
+    if not fs.rename(_jpath(jvm, tmp), _jpath(jvm, final)):
+        fs.delete(_jpath(jvm, tmp), False)
+        raise IOError(
+            f"manifest commit failed: could not rename to {final} "
+            "(a manifest with this version already exists — was the "
+            "writer lease bypassed?)"
+        )
+
+
+def _resolve_latest(
+    spark: SparkSession, path: str
+) -> tuple[int, dict] | None:
+    """(version, manifest) of the highest committed manifest, or None
+    when the sink has never been manifest-committed."""
+    versions = _manifest_versions(_list_names(spark, path))
+    if not versions:
+        return None
+    v = versions[-1]
+    return v, _read_manifest(spark, path, v)
+
+
+def read_manifest_sink(spark: SparkSession, path: str) -> DataFrame | None:
+    """The manifest sink's read path: resolve the latest manifest and
+    read EXACTLY its files.  Returns None when no manifest was ever
+    committed (use the plain parquet reader for legacy sinks); an
+    empty committed file list returns an empty DataFrame with the
+    manifest's recorded schema.  Readers take no lease: resolution is
+    one atomic listing, and superseded files survive one further
+    generation (see module docstring), so a resolved snapshot stays
+    readable across a concurrent compaction."""
+    got = _resolve_latest(spark, path)
+    if got is None:
+        return None
+    _, man = got
+    files = man["files"]
+    schema = StructType.fromJson(man["schema"])
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(
+        *[f"{path}/{name}" for name in files]
+    )
+
+
+def manifest_vacuum(spark: SparkSession, path: str) -> int:
+    """Delete data files referenced by NEITHER the latest NOR the
+    previous manifest (crash orphans + files superseded two commits
+    ago), stale manifest tmp files, and manifests older than the
+    previous.  Returns the number of files deleted.  MUST run under
+    the writer lease — mutating operations call it on entry; standalone
+    callers get their own lease via :func:`manifest_maintain`."""
+    names = _list_names(spark, path)
+    versions = _manifest_versions(names)
+    if not versions:
+        return 0
+    keep_versions = set(versions[-2:])
+    referenced: set[str] = set()
+    for v in keep_versions:
+        referenced.update(_read_manifest(spark, path, v)["files"])
+    jvm, fs = _fs(spark, path)
+    deleted = 0
+    for n in names:
+        doomed = False
+        if n in _data_files([n]) and n not in referenced:
+            doomed = True
+        elif n.startswith(".manifest_tmp_"):
+            doomed = True
+        else:
+            m = _MANIFEST_RE.match(n)
+            if m and int(m.group(1)) not in keep_versions:
+                doomed = True
+        if doomed:
+            fs.delete(_jpath(jvm, f"{path}/{n}"), False)
+            deleted += 1
+    return deleted
+
+
+def manifest_maintain(spark: SparkSession, path: str) -> int:
+    """Standalone vacuum under its own writer lease."""
+    with hold_writer_lease(spark, path):
+        return manifest_vacuum(spark, path)
+
+
+def _adopt_or_latest(
+    spark: SparkSession, path: str
+) -> tuple[int, list[str], StructType | None]:
+    """(latest_version, committed_files, schema) — adopting a LEGACY
+    sink (data files but no manifest: a pre-manifest insert_if_absent
+    sink) by treating every current data file as committed content of
+    an implicit version 0.  Returns version 0 with the adopted list;
+    the caller's commit then writes v1 including them."""
+    got = _resolve_latest(spark, path)
+    if got is not None:
+        v, man = got
+        return v, list(man["files"]), StructType.fromJson(man["schema"])
+    legacy = sorted(_data_files(_list_names(spark, path)))
+    return 0, legacy, None
+
+
+def manifest_insert_if_absent(
+    spark: SparkSession, df: DataFrame, path: str, keys: list[str]
+) -> int:
+    """INSERT OR IGNORE with a manifest commit — the exact semantics of
+    :func:`.sinks.insert_if_absent` (dedup within the batch, NULL keys
+    rejected, anti-join against committed content, Observation count)
+    but readers never observe a partial append: the new part files
+    become visible only at the single atomic manifest rename.
+
+    A legacy swap-sink at ``path`` (data, no manifest) is ADOPTED: its
+    current files become the first manifest's base content, so
+    existing pipelines upgrade in place."""
+    from pyspark.sql import Observation
+
+    fresh = df.dropDuplicates(keys)
+    for k in keys:
+        fresh = fresh.filter(F.col(k).isNotNull())
+    with hold_writer_lease(spark, path):
+        version, committed, schema = _adopt_or_latest(spark, path)
+        if version > 0:
+            manifest_vacuum(spark, path)
+            # vacuum never touches the latest two manifests' files, so
+            # re-resolving is unnecessary: `committed` is still exact
+        if committed:
+            existing = spark.read.parquet(
+                *[f"{path}/{n}" for n in committed]
+            )
+            fresh = fresh.join(existing.select(*keys), keys, "left_anti")
+        before = _data_files(_list_names(spark, path))
+        obs = Observation()
+        fresh.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+            "append"
+        ).parquet(path)
+        n = int(obs.get["n"])
+        after = _data_files(_list_names(spark, path))
+        new_files = sorted(after - before)
+        _commit_manifest(
+            spark, path, version + 1, committed + new_files, fresh.schema
+        )
+        return n
+
+
+def manifest_compact(
+    spark: SparkSession, path: str, target_partitions: int | None = None
+) -> int:
+    """Reader-stable compaction: rewrite the committed rows as
+    ``target_partitions`` fresh part files and commit a manifest
+    listing only them — no rename-out window, readers holding the
+    previous manifest keep a complete row set (its files stay on disk
+    for one more generation).  Returns the number of rows compacted.
+
+    The compacted files are written to a sibling staging dir and
+    MOVED (per-file rename, same filesystem) into the sink under
+    their unique Spark-generated names before the commit."""
+    import uuid
+
+    from pyspark.sql import Observation
+
+    with hold_writer_lease(spark, path):
+        version, committed, schema = _adopt_or_latest(spark, path)
+        if version == 0 and not committed:
+            raise ValueError(f"nothing to compact at {path} (no data)")
+        manifest_vacuum(spark, path)
+        rows = spark.read.parquet(*[f"{path}/{n}" for n in committed])
+        n_parts = target_partitions or int(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        )
+        stage = f"{path}__stage_{uuid.uuid4().hex}"
+        obs = Observation()
+        rows.observe(obs, F.count(F.lit(1)).alias("n")).repartition(
+            int(n_parts)
+        ).write.mode("overwrite").parquet(stage)
+        n_rows = int(obs.get["n"])
+        jvm, fs = _fs(spark, path)
+        staged = sorted(_data_files(_list_names(spark, stage)))
+        for name in staged:
+            if not fs.rename(
+                _jpath(jvm, f"{stage}/{name}"), _jpath(jvm, f"{path}/{name}")
+            ):
+                # pre-commit: nothing is visible yet — clean up and die
+                fs.delete(_jpath(jvm, stage), True)
+                raise IOError(
+                    f"compact: failed to move staged file {name} into {path}"
+                )
+        fs.delete(_jpath(jvm, stage), True)
+        _commit_manifest(spark, path, version + 1, staged, rows.schema)
+        # same-session readers may hold a cached listing of the path
+        spark.catalog.refreshByPath(path)
+        return n_rows

@@ -99,6 +99,22 @@ class ConcurrentWriterError(RuntimeError):
     of racing the read->anti-join->append window (round 10)."""
 
 
+def _refuse_manifest_sink(spark: SparkSession, path: str, alt: str) -> None:
+    """Round 11: a sink that has been manifest-committed
+    (operators/manifest_sink.py) must never be written through the
+    plain swap protocol — the appended files would be invisible to
+    manifest readers and DELETED by the next manifest vacuum.  Mixing
+    protocols is a caller error; fail loudly with the right tool."""
+    from .manifest_sink import _manifest_versions, _list_names
+
+    if _manifest_versions(_list_names(spark, path)):
+        raise ValueError(
+            f"sink at {path} is manifest-committed; use {alt} "
+            "(operators/manifest_sink.py) — swap-protocol writes would "
+            "be invisible to manifest readers and vacuumed away"
+        )
+
+
 #: a lease older than this is presumed abandoned (crashed writer) and
 #: may be taken over.  Generous: longer than any sane insert, far
 #: shorter than an operator's pager response.
@@ -440,6 +456,7 @@ def insert_if_absent(
     """
     from pyspark.sql import Observation
 
+    _refuse_manifest_sink(spark, path, "manifest_insert_if_absent")
     fresh = df.dropDuplicates(keys)
     for k in keys:
         fresh = fresh.filter(F.col(k).isNotNull())
@@ -488,6 +505,7 @@ def compact_parquet_sink(
     row.  Every rename/delete return code is checked — Hadoop FS
     reports failure by returning false, not raising.
     """
+    _refuse_manifest_sink(spark, path, "manifest_compact")
     jvm, sink_p, fs = _hadoop_fs(spark, path)
 
     def p(suffix: str):

@@ -28,7 +28,13 @@ from datetime import datetime
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..attribution import model as M
-from ..operators.asof import journey_asof_join
+from ..operators.asof import JOURNEY_HOT_THRESHOLD, journey_asof_join
+
+#: the pipeline's default hot-key protection (round 11, default-ON):
+#: the measured flat part of the chunk-threshold knob sweep — far
+#: above any organic per-user session count, well below the window
+#: cliff (BASELINE.md hot-key table).  0/None opts out.
+HOT_USER_THRESHOLD_DEFAULT = JOURNEY_HOT_THRESHOLD
 from ..operators.ihc import attribute_by_conv_type, attribution_sum_violations
 from ..operators.sinks import export_csv, insert_if_absent, overwrite_partitions
 from .report import channel_report, report_metrics
@@ -69,7 +75,8 @@ def run_pipeline(
     scorer_max_retries: int = 3,
     scorer_retry_delay: float = 2.0,
     audit_path: str | None = None,
-    hot_user_threshold: int | None = None,
+    hot_user_threshold: int | None = HOT_USER_THRESHOLD_DEFAULT,
+    sink_protocol: str = "swap",
 ) -> PipelineResult:
     """Run extract -> journeys -> score -> upsert -> report.
 
@@ -100,14 +107,31 @@ def run_pipeline(
     api_utils.py:209-211): their conversions stay unscored, so the J6
     incremental anti-join retries exactly those on the next run.
 
-    ``hot_user_threshold`` (round 10): route users whose merged
-    timeline exceeds it through the as-of join's chunked hybrid
-    (asof.JOURNEY_HOT_THRESHOLD is the recommended value for
-    bot-exposed traffic; None keeps the plain 1-exchange plan —
-    detection is a fixed extra pass, pure overhead on organic data).
+    ``hot_user_threshold`` (round 10; DEFAULT-ON since round 11):
+    route users whose merged timeline exceeds it through the as-of
+    join's chunked hybrid.  The default is asof.JOURNEY_HOT_THRESHOLD
+    (100k — the measured flat part of the knob sweep), so the
+    PRODUCTION surface is skew-safe out of the box: one bot-grade user
+    no longer single-tasks the window stage.  The price on organic
+    data is one map-side-combinable count pass + an isEmpty probe
+    (measured at sf0.1: ~0.6 s on a ~4.4 s run, BASELINE.md round-11
+    note); pass 0 or None to opt out and keep the plain 1-exchange
+    plan.
+
+    ``sink_protocol`` (round 11): ``"swap"`` writes the attribution
+    sink through the plain lease-guarded ``insert_if_absent``;
+    ``"manifest"`` routes it through the manifest-committed sink
+    (operators/manifest_sink.py) — reader-stable compaction, atomic
+    visibility of each run's appended rows, legacy sinks adopted in
+    place.  The two protocols must not be mixed on one path (both
+    sides refuse loudly).
     """
     validate_date(start_date, "start_date")
     validate_date(end_date, "end_date")
+    if sink_protocol not in ("swap", "manifest"):
+        raise ValueError(
+            f"sink_protocol must be 'swap' or 'manifest', got {sink_protocol!r}"
+        )
 
     conversions = M.conversions(spark, sf_dir)
     if start_date:
@@ -123,7 +147,17 @@ def run_pipeline(
     # are tolerated).
     from ..operators.sinks import try_read_sink
 
-    sink_df = try_read_sink(spark, attribution_path)
+    if sink_protocol == "manifest":
+        from ..operators.manifest_sink import read_manifest_sink
+
+        # falls back to the plain read pre-adoption (first manifest
+        # run over a legacy sink): the plain listing sees the same
+        # committed rows the adoption will
+        sink_df = read_manifest_sink(spark, attribution_path)
+        if sink_df is None:
+            sink_df = try_read_sink(spark, attribution_path)
+    else:
+        sink_df = try_read_sink(spark, attribution_path)
     if sink_df is not None:
         todo = conversions.join(
             sink_df.select("conv_id").distinct(), "conv_id", "left_anti"
@@ -138,7 +172,9 @@ def run_pipeline(
     # scale this is the attribution table itself (rows = sessions of
     # converted users, 3 narrow columns) — bounded by the sink size.
     journeys = journey_asof_join(
-        M.sessions(spark, sf_dir), todo, hot_threshold=hot_user_threshold
+        M.sessions(spark, sf_dir), todo,
+        # 0 and None both opt out (the CLI's disable spelling is 0)
+        hot_threshold=hot_user_threshold or None,
     )
     if scorer == "external":
         if scorer_call is None:
@@ -208,13 +244,25 @@ def run_pipeline(
         conversions_scored = int(counts["scored"])
 
         # 6a. INSERT OR IGNORE upsert (S5)
-        written = insert_if_absent(
-            spark, scored, attribution_path, ["conv_id", "session_id"]
-        )
+        if sink_protocol == "manifest":
+            from ..operators.manifest_sink import manifest_insert_if_absent
+
+            written = manifest_insert_if_absent(
+                spark, scored, attribution_path, ["conv_id", "session_id"]
+            )
+        else:
+            written = insert_if_absent(
+                spark, scored, attribution_path, ["conv_id", "session_id"]
+            )
     finally:
         scored.unpersist()
 
-    all_attribution = spark.read.parquet(attribution_path)
+    if sink_protocol == "manifest":
+        from ..operators.manifest_sink import read_manifest_sink
+
+        all_attribution = read_manifest_sink(spark, attribution_path)
+    else:
+        all_attribution = spark.read.parquet(attribution_path)
 
     # 6c. channel report rebuild (S6 partition overwrite) + metrics
     report = channel_report(

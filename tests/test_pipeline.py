@@ -88,3 +88,66 @@ def test_conv_type_id_unknown_raises(spark, sf_dir, tmp_path):
             spark, sf_dir, str(tmp_path / "a"), str(tmp_path / "r"),
             conv_type_id="nope",
         )
+
+
+def test_manifest_sink_protocol_e2e(spark, sf_dir, tmp_path):
+    """Round 11: sink_protocol='manifest' — same pipeline results as
+    the swap protocol, plus reader-stable compaction and atomic
+    visibility; mixing protocols on one path refuses loudly."""
+    from haensel_ams_data_engineer_challenge_spark.operators import (
+        manifest_sink as MS,
+        sinks,
+    )
+
+    acj = str(tmp_path / "acj")
+    rep = str(tmp_path / "report")
+
+    r1 = run_pipeline(spark, sf_dir, acj, rep, sink_protocol="manifest")
+    expected = M.scored(spark, sf_dir).count()
+    assert r1.attribution_rows_written == expected
+    assert r1.sum_violations == 0
+    committed = MS.read_manifest_sink(spark, acj)
+    assert committed is not None and committed.count() == expected
+
+    # incremental re-run: nothing new, manifest version advances but
+    # the committed row set is unchanged
+    r2 = run_pipeline(spark, sf_dir, acj, rep, sink_protocol="manifest")
+    assert r2.attribution_rows_written == 0
+    assert MS.read_manifest_sink(spark, acj).count() == expected
+
+    # reader-stable compaction through the pipeline's sink
+    reader = MS.read_manifest_sink(spark, acj)
+    assert MS.manifest_compact(spark, acj, target_partitions=1) == expected
+    assert reader.count() == expected  # pre-compaction snapshot intact
+
+    # the swap protocol refuses a manifest-committed sink
+    with pytest.raises(ValueError, match="manifest-committed"):
+        sinks.compact_parquet_sink(spark, acj)
+    with pytest.raises(ValueError, match="unknown|swap"):
+        run_pipeline(spark, sf_dir, acj, rep, sink_protocol="nope")
+
+
+def test_hot_user_default_on_and_results_invariant(spark, sf_dir, tmp_path):
+    """Round 11: the pipeline's hot-key protection defaults ON
+    (JOURNEY_HOT_THRESHOLD) and is results-invariant vs the plain
+    plan; 0 opts out."""
+    from haensel_ams_data_engineer_challenge_spark.operators.asof import (
+        JOURNEY_HOT_THRESHOLD,
+    )
+    from haensel_ams_data_engineer_challenge_spark.plans.pipeline import (
+        HOT_USER_THRESHOLD_DEFAULT,
+    )
+
+    assert HOT_USER_THRESHOLD_DEFAULT == JOURNEY_HOT_THRESHOLD == 100_000
+
+    acj_d, rep_d = str(tmp_path / "acj_d"), str(tmp_path / "rep_d")
+    acj_0, rep_0 = str(tmp_path / "acj_0"), str(tmp_path / "rep_0")
+    r_default = run_pipeline(spark, sf_dir, acj_d, rep_d)  # default ON
+    r_plain = run_pipeline(
+        spark, sf_dir, acj_0, rep_0, hot_user_threshold=0  # opt-out
+    )
+    assert r_default.attribution_rows_written == r_plain.attribution_rows_written
+    assert r_default.sum_violations == r_plain.sum_violations == 0
+    got_d = sorted(map(tuple, spark.read.parquet(acj_d).collect()))
+    got_0 = sorted(map(tuple, spark.read.parquet(acj_0).collect()))
+    assert got_d == got_0
