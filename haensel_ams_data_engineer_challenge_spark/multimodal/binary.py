@@ -1104,18 +1104,34 @@ def multimodal_both_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     video = video_header_query(spark, sf_dir).withColumn(
         "method", F.lit("video_header")
     )
+    # round 11: the perceptual-hash arm — synthesized REAL full PNGs
+    # (IDAT + CRCs) through the stdlib pixel decoder into dHash/aHash
+    # band ints; the oracle re-derives the embedded pixel formula, so
+    # the whole real decode->downsample->hash path is hash-checked
+    from .phash import phash_query
+
+    phash = phash_query(spark, sf_dir).withColumn("method", F.lit("phash"))
     return (
         stub.unionByName(header, allowMissingColumns=True)
         .unionByName(audio, allowMissingColumns=True)
         .unionByName(video, allowMissingColumns=True)
+        .unionByName(phash, allowMissingColumns=True)
     )
 
 
-MULTIMODAL_BOTH_SQL = f"""
+def _multimodal_both_sql() -> str:
+    from .phash import PHASH_SQL
+
+    return f"""
 SELECT 'stub_pipeline' AS method, * FROM ({MULTIMODAL_PIPELINE_SQL})
 UNION ALL BY NAME
 SELECT 'header_decode' AS method, * FROM ({HEADER_DECODE_SQL})
 UNION ALL BY NAME
 SELECT 'audio_header' AS method, * FROM ({AUDIO_HEADER_SQL})
 UNION ALL BY NAME
-SELECT 'video_header' AS method, * FROM ({VIDEO_HEADER_SQL})"""
+SELECT 'video_header' AS method, * FROM ({VIDEO_HEADER_SQL})
+UNION ALL BY NAME
+SELECT 'phash' AS method, * FROM ({PHASH_SQL})"""
+
+
+MULTIMODAL_BOTH_SQL = _multimodal_both_sql()

@@ -1,0 +1,498 @@
+"""Image perceptual-hash near-dup tier (round 11, r10 verdict task 4).
+
+Dedup covers text (exact, MinHash, SimHash, substring, semantic) and
+generic vectors; this module extends it to IMAGE PAYLOADS themselves —
+the LAION-style dedup pass: a perceptual hash over decoded pixels,
+banded exactly like SimHash, so re-encoded / resized duplicates
+collide while distinct images do not.
+
+Everything here is stdlib-real, not stubbed:
+
+- :func:`decode_png_pixels` is a genuine PNG decoder (zlib inflate +
+  per-scanline unfilter, ISO 15948 §9) for 8-bit gray / gray+alpha /
+  RGB / RGBA non-interlaced images — the pixel rung the round-9 header
+  ladder was missing, with no codec library required.
+- :func:`png_encode_gray` is its writer twin (correct CRCs, filter 0),
+  used by the fixture synthesizer and tests; any external PNG encoder
+  produces payloads this decoder reads.
+- grayscale, box-downsample and both hashes (dHash: neighbor
+  gradient; aHash: above-mean) are PURE INTEGER math, so the DuckDB
+  twin recomputes them bit-for-bit and the gate certifies the real
+  decode end-to-end: the synthesizer embeds a pixel FORMULA into real
+  PNG bytes, Spark decodes the bytes back, and the oracle re-derives
+  the formula — byte-level round-trip pinned by equality (the round-9
+  header-arm scheme, extended from headers to pixels).
+
+The decode ladder: real PNG decode (decoder='pixels') -> deterministic
+fake grays from the payload's md5 stream (decoder='fake') for formats
+the container cannot decode — same contract as decode_image_meta.
+
+Pairing: the 64-bit hash splits into 4 x 16-bit bands; any shared band
+is a candidate (a pair within hamming distance t<=... shares at least
+one exact band whenever its differing bits fall in <=3 bands — the
+standard pigeonhole guarantee: hamming <= 3 ALWAYS collides), then
+the exact hamming distance (bit_count of xor, per band) keeps pairs
+at <= max_hamming.  Shape: the only shuffle carries (band_value, id);
+no all-pairs path exists.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources import load_table
+
+#: dHash grid: 9x8 grays -> 8x8 horizontal-gradient bits.
+DHASH_GRID_W, DHASH_GRID_H = 9, 8
+#: aHash grid: 8x8 grays -> above-mean bits.
+AHASH_GRID = 8
+#: default pair threshold: <=10/64 differing bits is the conventional
+#: "same image" band for dHash (re-encode: 0; mild resize: 0-6).
+PHASH_MAX_HAMMING = 10
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+# ---------------------------------------------------------------------------
+# real stdlib PNG codec (pixel rung)
+# ---------------------------------------------------------------------------
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def png_encode_gray(
+    grays: list[int], width: int, height: int, level: int = 6
+) -> bytes:
+    """A REAL (stdlib-only) 8-bit grayscale PNG: IHDR + one zlib IDAT
+    (filter 0 per scanline) + IEND, CRCs included — decodable by any
+    PNG reader.  ``level`` varies the zlib effort: different levels
+    produce DIFFERENT bytes for the SAME pixels, which is exactly what
+    the re-encoded-duplicate tests exercise."""
+    if len(grays) != width * height:
+        raise ValueError(f"need {width * height} grays, got {len(grays)}")
+    raw = b"".join(
+        b"\x00" + bytes(grays[y * width : (y + 1) * width])
+        for y in range(height)
+    )
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, level))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+#: PNG color type -> samples per pixel (8-bit depth only).
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def decode_png_pixels(payload: bytes) -> tuple[int, int, list[int]] | None:
+    """REAL PNG pixel decode: (width, height, row-major GRAYSCALE
+    values) for 8-bit non-interlaced gray / gray+alpha / RGB / RGBA
+    payloads, None for anything else (other formats, other depths,
+    truncated or corrupt streams — the ladder falls to the fake rung,
+    never raises).
+
+    Grayscale conversion is the integer ITU-R 601 luma
+    ``(299*r + 587*g + 114*b) // 1000`` — engine-portable exact math.
+    Alpha is ignored (hash the color, not the transparency).
+    """
+    try:
+        if payload[:8] != _PNG_SIG:
+            return None
+        i = 8
+        width = height = None
+        ctype_channels = None
+        idat = b""
+        n = len(payload)
+        while i + 8 <= n:
+            (clen,) = struct.unpack(">I", payload[i : i + 4])
+            ctype = payload[i + 4 : i + 8]
+            body = payload[i + 8 : i + 8 + clen]
+            if len(body) != clen:
+                return None
+            if ctype == b"IHDR":
+                width, height, depth, color, comp, filt, ilace = struct.unpack(
+                    ">IIBBBBB", body
+                )
+                if depth != 8 or ilace != 0 or color not in _PNG_CHANNELS:
+                    return None
+                ctype_channels = _PNG_CHANNELS[color]
+            elif ctype == b"IDAT":
+                idat += body
+            elif ctype == b"IEND":
+                break
+            i += 12 + clen
+        if width is None or not idat or width == 0 or height == 0:
+            return None
+        raw = zlib.decompress(idat)
+        ch = ctype_channels
+        stride = width * ch
+        if len(raw) != height * (stride + 1):
+            return None
+        grays: list[int] = []
+        prev = bytes(stride)
+        pos = 0
+        for _y in range(height):
+            ftype = raw[pos]
+            line = bytearray(raw[pos + 1 : pos + 1 + stride])
+            pos += 1 + stride
+            if ftype == 1:  # Sub
+                for x in range(ch, stride):
+                    line[x] = (line[x] + line[x - ch]) & 0xFF
+            elif ftype == 2:  # Up
+                for x in range(stride):
+                    line[x] = (line[x] + prev[x]) & 0xFF
+            elif ftype == 3:  # Average
+                for x in range(stride):
+                    a = line[x - ch] if x >= ch else 0
+                    line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+            elif ftype == 4:  # Paeth
+                for x in range(stride):
+                    a = line[x - ch] if x >= ch else 0
+                    c = prev[x - ch] if x >= ch else 0
+                    line[x] = (line[x] + _paeth(a, prev[x], c)) & 0xFF
+            elif ftype != 0:
+                return None
+            prev = bytes(line)
+            if ch == 1:
+                grays.extend(line)
+            elif ch == 2:
+                grays.extend(line[0::2])
+            else:
+                for x in range(0, stride, ch):
+                    grays.append(
+                        (299 * line[x] + 587 * line[x + 1] + 114 * line[x + 2])
+                        // 1000
+                    )
+        return int(width), int(height), grays
+    except (zlib.error, struct.error, IndexError, ValueError):
+        return None
+
+
+# ---------------------------------------------------------------------------
+# integer box-downsample + hashes (shared by python and the SQL twin)
+# ---------------------------------------------------------------------------
+
+
+def box_grays(
+    grays: list[int], width: int, height: int, gw: int, gh: int
+) -> list[int]:
+    """gw x gh box means over an arbitrary-size image, all-integer:
+    pixel (x, y) belongs to box ((x*gw)//width, (y*gh)//height) — the
+    exact partition whose boundaries are (k*width)//gw — and each box
+    value is ``sum // count``.  Identical in any engine; no float
+    resampling kernel to disagree about."""
+    sums = [0] * (gw * gh)
+    counts = [0] * (gw * gh)
+    for y in range(height):
+        gy = (y * gh) // height
+        base = gy * gw
+        row = y * width
+        for x in range(width):
+            gx = (x * gw) // width
+            sums[base + gx] += grays[row + x]
+            counts[base + gx] += 1
+    return [s // c for s, c in zip(sums, counts)]
+
+
+def dhash_bands(grays9x8: list[int]) -> list[int]:
+    """dHash as four 16-bit band integers (band k = grid rows 2k and
+    2k+1): bit ((r%2)*8 + c) of band r//2 is 1 when the right neighbor
+    is strictly brighter.  Band-int form keeps every value far inside
+    a signed 64-bit range for both engines (a single 64-bit hash would
+    overflow BIGINT's sign on bit 63)."""
+    bands = [0, 0, 0, 0]
+    for r in range(8):
+        for c in range(8):
+            if grays9x8[r * 9 + c + 1] > grays9x8[r * 9 + c]:
+                bands[r // 2] |= 1 << ((r % 2) * 8 + c)
+    return bands
+
+
+def ahash_bands(grays8x8: list[int]) -> list[int]:
+    """aHash band ints: bit set when the box gray exceeds the integer
+    mean (``sum // 64``) of all 64 boxes."""
+    mean = sum(grays8x8) // 64
+    bands = [0, 0, 0, 0]
+    for r in range(8):
+        for c in range(8):
+            if grays8x8[r * 8 + c] > mean:
+                bands[r // 2] |= 1 << ((r % 2) * 8 + c)
+    return bands
+
+
+def _hex16(bands: list[int]) -> str:
+    # uppercase: DuckDB's to_hex() is uppercase, and the twin compares
+    return "".join(f"{b:04X}" for b in bands)
+
+
+def _fake_grays(payload: bytes, n: int) -> list[int]:
+    """Deterministic fake pixel rung for undecodable payloads: ``n``
+    gray values from the payload's chained md5 stream — stable across
+    runs/engines/partitionings, the _fake_decode discipline."""
+    out: list[int] = []
+    block = 0
+    while len(out) < n:
+        out.extend(
+            hashlib.md5(payload + b"|%d" % block).digest()
+        )
+        block += 1
+    return out[:n]
+
+
+def image_phash(
+    binary_df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, phash, ahash, p0..p3, decoder): perceptual hashes per image
+    payload through the decode ladder (real PNG pixels ->
+    deterministic fake grays).  ``p0..p3`` are the dHash band integers
+    the pair scan joins on; ``phash``/``ahash`` are their 16-hex-digit
+    spellings.  Arrow-batched mapInPandas, no shuffle."""
+    schema = (
+        f"{id_col} long, phash string, ahash string, "
+        "p0 long, p1 long, p2 long, p3 long, decoder string"
+    )
+    if passthrough:
+        fields = dict(
+            (f.name, f.dataType.simpleString()) for f in binary_df.schema.fields
+        )
+        schema += ", " + ", ".join(f"{c} {fields[c]}" for c in passthrough)
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(payload: bytes):
+            decoded = decode_png_pixels(payload)
+            if decoded is not None:
+                w, h, grays = decoded
+                decoder = "pixels"
+            else:
+                w, h = DHASH_GRID_W, DHASH_GRID_H
+                grays = _fake_grays(payload, w * h)
+                decoder = "fake"
+            d_bands = dhash_bands(
+                box_grays(grays, w, h, DHASH_GRID_W, DHASH_GRID_H)
+            )
+            a_bands = ahash_bands(
+                box_grays(grays, w, h, AHASH_GRID, AHASH_GRID)
+            )
+            return (_hex16(d_bands), _hex16(a_bands), *d_bands, decoder)
+
+        for pdf in batches:
+            meta = [one(p) for p in pdf[payload_col]]
+            out = {
+                id_col: pdf[id_col].values,
+                "phash": [m[0] for m in meta],
+                "ahash": [m[1] for m in meta],
+                "p0": [m[2] for m in meta],
+                "p1": [m[3] for m in meta],
+                "p2": [m[4] for m in meta],
+                "p3": [m[5] for m in meta],
+                "decoder": [m[6] for m in meta],
+            }
+            for c in passthrough:
+                out[c] = pdf[c].values
+            yield pd.DataFrame(out)
+
+    return binary_df.mapInPandas(_hash, schema)
+
+
+def phash_dup_pairs(
+    hashes: DataFrame,
+    max_hamming: int = PHASH_MAX_HAMMING,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_a, id_b, hamming) near-duplicate image pairs from
+    :func:`image_phash` output: candidates share at least one exact
+    16-bit dHash band (4 bands — pigeonhole-guaranteed recall for
+    hamming <= 3, high for the re-encode/resize regime which measures
+    0-6), verified by the exact 64-bit hamming distance.
+
+    Shape: one (band, value) explode + self-join per band via a UNION
+    — the SimHash banding plan verbatim; candidate pairs then fetch
+    their 4 band ints by id and verify with bit_count(xor).  No
+    all-pairs path at any scale."""
+    bands = hashes.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(k).alias("band"), F.col(f"p{k}").alias("v"))
+                    for k in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.v").alias("v"))
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.v") == F.col("y.v"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    a = hashes.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"p{k}").alias(f"a{k}") for k in range(4)],
+    )
+    b = hashes.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"p{k}").alias(f"b{k}") for k in range(4)],
+    )
+    ham = sum(
+        F.expr(f"bit_count(a{k} ^ b{k})") for k in range(4)
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# gate arm: synthesized REAL PNGs whose pixels follow an id-derived
+# integer formula; Spark decodes the actual bytes, the oracle
+# re-derives the formula — the whole real pixel path is hash-checked.
+# ---------------------------------------------------------------------------
+
+#: pixel formula shared (as integer math) by the synthesizer and the
+#: DuckDB twin: varied enough that distinct ids produce distinct
+#: hashes, structured enough (x*y interaction) that gradients exist.
+_PIX_SQL = "(doc_id * 31 + x * 7 + y * 13 + ((x * y) % 17) * 5) % 256"
+
+
+def _pix(i: int, x: int, y: int) -> int:
+    return (i * 31 + x * 7 + y * 13 + ((x * y) % 17) * 5) % 256
+
+
+def _syn_dims(i: int) -> tuple[int, int]:
+    return 18 + (i * 5) % 30, 16 + (i * 3) % 17
+
+
+def synthesize_pixel_pngs(
+    ids_df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """One REAL grayscale PNG per id (full IDAT, correct CRCs), pixels
+    from the shared integer formula at id-varied non-grid-aligned
+    dimensions (18-47 x 16-32) — so the gate exercises the general
+    integer box partition, not a lucky multiple."""
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = _syn_dims(i)
+                grays = [
+                    _pix(i, x, y) for y in range(h) for x in range(w)
+                ]
+                payloads.append(png_encode_gray(grays, w, h))
+            yield pd.DataFrame({id_col: pdf[id_col].values, "payload": payloads})
+
+    return ids_df.select(id_col).mapInPandas(
+        _build, f"{id_col} long, payload binary"
+    )
+
+
+def phash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry arm (round 11): synthesized real PNGs -> REAL pixel
+    decode -> dHash/aHash; every row must come back decoder='pixels'
+    (a fake-rung fallback would hash different grays and fail the
+    oracle)."""
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    return image_phash(synthesize_pixel_pngs(ids)).select(
+        "doc_id", "phash", "ahash", "p0", "p1", "p2", "p3", "decoder"
+    )
+
+
+def _band_hex_sql(table: str, pfx: str) -> str:
+    """SELECT doc_id, band hex + band ints from a (doc_id, band, bits)
+    relation pivoted wide."""
+    cols = ", ".join(
+        f"MAX(CASE WHEN band = {k} THEN bits END) AS {pfx}{k}"
+        for k in range(4)
+    )
+    return f"SELECT doc_id, {cols} FROM {table} GROUP BY doc_id"
+
+
+PHASH_SQL = f"""
+WITH pdims AS (
+    SELECT doc_id,
+           18 + (doc_id * 5) % 30 AS w,
+           16 + (doc_id * 3) % 17 AS h
+    FROM documents),
+ppix AS (
+    SELECT doc_id, w, h,
+           unnest(range(0, w * h)) % w AS x,
+           unnest(range(0, w * h)) // w AS y
+    FROM pdims),
+pgray AS (
+    SELECT doc_id, w, h, x, y, {_PIX_SQL} AS g
+    FROM ppix),
+dbox AS (
+    SELECT doc_id, (y * {DHASH_GRID_H}) // h AS gy, (x * {DHASH_GRID_W}) // w AS gx,
+           SUM(g) // COUNT(*) AS gray
+    FROM pgray GROUP BY doc_id, (y * {DHASH_GRID_H}) // h, (x * {DHASH_GRID_W}) // w),
+dbits AS (
+    SELECT l.doc_id, l.gy // 2 AS band,
+           SUM(CASE WHEN r.gray > l.gray
+                    THEN 1 << ((l.gy % 2) * 8 + l.gx) ELSE 0 END) AS bits
+    FROM dbox l JOIN dbox r
+      ON r.doc_id = l.doc_id AND r.gy = l.gy AND r.gx = l.gx + 1
+    WHERE l.gx < 8
+    GROUP BY l.doc_id, l.gy // 2),
+abox AS (
+    SELECT doc_id, (y * {AHASH_GRID}) // h AS gy, (x * {AHASH_GRID}) // w AS gx,
+           SUM(g) // COUNT(*) AS gray
+    FROM pgray GROUP BY doc_id, (y * {AHASH_GRID}) // h, (x * {AHASH_GRID}) // w),
+amean AS (
+    SELECT doc_id, SUM(gray) // 64 AS mean FROM abox GROUP BY doc_id),
+abits AS (
+    SELECT b.doc_id, b.gy // 2 AS band,
+           SUM(CASE WHEN b.gray > m.mean
+                    THEN 1 << ((b.gy % 2) * 8 + b.gx) ELSE 0 END) AS bits
+    FROM abox b JOIN amean m ON m.doc_id = b.doc_id
+    GROUP BY b.doc_id, b.gy // 2),
+dwide AS ({_band_hex_sql('dbits', 'p')}),
+awide AS ({_band_hex_sql('abits', 'a')})
+SELECT d.doc_id AS doc_id,
+       lpad(to_hex(p0), 4, '0') || lpad(to_hex(p1), 4, '0')
+           || lpad(to_hex(p2), 4, '0') || lpad(to_hex(p3), 4, '0') AS phash,
+       lpad(to_hex(a0), 4, '0') || lpad(to_hex(a1), 4, '0')
+           || lpad(to_hex(a2), 4, '0') || lpad(to_hex(a3), 4, '0') AS ahash,
+       CAST(p0 AS BIGINT) AS p0, CAST(p1 AS BIGINT) AS p1,
+       CAST(p2 AS BIGINT) AS p2, CAST(p3 AS BIGINT) AS p3,
+       'pixels' AS decoder
+FROM dwide d JOIN awide a ON a.doc_id = d.doc_id"""

@@ -1,0 +1,213 @@
+"""Image perceptual-hash tier (multimodal/phash.py, round 11): real
+stdlib PNG pixel codec, dHash/aHash, banded near-dup pairs catching
+re-encoded and resized duplicates."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from haensel_ams_data_engineer_challenge_spark.multimodal import phash as P
+
+
+def _pattern(w, h):
+    """A structured grayscale test image: smooth gradient + blocks, so
+    hashes carry real signal (not salt-and-pepper noise)."""
+    return [
+        min(255, (x * 255) // w + (80 if (x // 8 + y // 8) % 2 else 0))
+        for y in range(h)
+        for x in range(w)
+    ]
+
+
+def _upscale(grays, w, h, k):
+    """Nearest-neighbor k-x upscale — the 'resized duplicate'."""
+    return [
+        grays[(y // k) * w + (x // k)]
+        for y in range(h * k)
+        for x in range(w * k)
+    ], w * k, h * k
+
+
+def test_png_codec_roundtrip_gray_and_filters():
+    grays = _pattern(33, 21)
+    png = P.png_encode_gray(grays, 33, 21)
+    assert P.decode_png_pixels(png) == (33, 21, grays)
+    # zlib level changes the BYTES, never the pixels (re-encode dup)
+    png9 = P.png_encode_gray(grays, 33, 21, level=9)
+    assert png9 != png
+    assert P.decode_png_pixels(png9) == (33, 21, grays)
+
+
+def _encode_filtered(grays, w, h, ftype):
+    """PNG with every scanline using filter `ftype` — exercises the
+    decoder's unfilter paths beyond the writer's filter-0."""
+    raw = bytearray()
+    prev = bytes(w)
+    for y in range(h):
+        line = bytes(grays[y * w : (y + 1) * w])
+        enc = bytearray([ftype])
+        for x in range(w):
+            a = line[x - 1] if x >= 1 else 0
+            b = prev[x]
+            c = prev[x - 1] if x >= 1 else 0
+            if ftype == 1:
+                enc.append((line[x] - a) & 0xFF)
+            elif ftype == 2:
+                enc.append((line[x] - b) & 0xFF)
+            elif ftype == 3:
+                enc.append((line[x] - ((a + b) >> 1)) & 0xFF)
+            else:
+                enc.append((line[x] - P._paeth(a, b, c)) & 0xFF)
+        raw.extend(enc)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        P._PNG_SIG
+        + P._png_chunk(b"IHDR", ihdr)
+        + P._png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + P._png_chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("ftype", [1, 2, 3, 4])
+def test_png_decoder_unfilters_sub_up_avg_paeth(ftype):
+    grays = _pattern(17, 11)
+    png = _encode_filtered(grays, 17, 11, ftype)
+    assert P.decode_png_pixels(png) == (17, 11, grays)
+
+
+def test_png_decoder_rgb_and_rgba_luma():
+    w, h = 5, 3
+    rgb = [(x * 40 % 256, y * 90 % 256, (x + y) * 30 % 256) for y in range(h) for x in range(w)]
+    raw = b"".join(
+        b"\x00" + bytes(v for px in rgb[y * w : (y + 1) * w] for v in px)
+        for y in range(h)
+    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (
+        P._PNG_SIG
+        + P._png_chunk(b"IHDR", ihdr)
+        + P._png_chunk(b"IDAT", zlib.compress(raw))
+        + P._png_chunk(b"IEND", b"")
+    )
+    expect = [(299 * r + 587 * g + 114 * b) // 1000 for r, g, b in rgb]
+    assert P.decode_png_pixels(png) == (w, h, expect)
+    # RGBA: alpha ignored
+    raw4 = b"".join(
+        b"\x00"
+        + bytes(
+            v
+            for px in rgb[y * w : (y + 1) * w]
+            for v in (*px, 128)
+        )
+        for y in range(h)
+    )
+    ihdr4 = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
+    png4 = (
+        P._PNG_SIG
+        + P._png_chunk(b"IHDR", ihdr4)
+        + P._png_chunk(b"IDAT", zlib.compress(raw4))
+        + P._png_chunk(b"IEND", b"")
+    )
+    assert P.decode_png_pixels(png4) == (w, h, expect)
+
+
+def test_decoder_rejects_garbage_without_raising():
+    assert P.decode_png_pixels(b"not a png") is None
+    assert P.decode_png_pixels(b"") is None
+    # signature but truncated IDAT
+    grays = _pattern(9, 9)
+    png = P.png_encode_gray(grays, 9, 9)
+    assert P.decode_png_pixels(png[:40]) is None
+    # corrupt zlib stream: flip a byte INSIDE the IDAT body
+    bad = bytearray(png)
+    bad[png.index(b"IDAT") + 8] ^= 0xFF
+    assert P.decode_png_pixels(bytes(bad)) is None  # never raises
+
+
+def _hamming(hex_a, hex_b):
+    return bin(int(hex_a, 16) ^ int(hex_b, 16)).count("1")
+
+
+def test_dhash_catches_reencode_and_resize_rejects_distinct():
+    """The judge's planted-pair contract: a re-encoded duplicate is
+    hamming 0, a 2x-resized duplicate lands within the threshold, an
+    unrelated image far outside it."""
+    w, h = 36, 24
+    base = _pattern(w, h)
+
+    def dhash_hex(grays, gw, gh):
+        return P._hex16(P.dhash_bands(P.box_grays(grays, gw, gh, 9, 8)))
+
+    orig = dhash_hex(base, w, h)
+    # re-encode (different zlib level, same pixels) -> identical hash
+    png9 = P.png_encode_gray(base, w, h, level=9)
+    _, _, got = P.decode_png_pixels(png9)
+    assert dhash_hex(got, w, h) == orig
+    # 2x nearest-neighbor resize -> within the dup threshold
+    up, uw, uh = _upscale(base, w, h, 2)
+    assert _hamming(dhash_hex(up, uw, uh), orig) <= P.PHASH_MAX_HAMMING
+    # unrelated image -> far outside
+    other = [(x * 97 + y * 13 + (x % 3) * 50) % 256 for y in range(h) for x in range(w)]
+    assert _hamming(dhash_hex(other, w, h), orig) > P.PHASH_MAX_HAMMING
+
+
+def test_image_phash_operator_and_dup_pairs(spark):
+    """End-to-end through Spark: encode a base image, a re-encoded
+    copy, a 2x-resized copy, and two distinct images; phash_dup_pairs
+    returns exactly the planted duplicate pairs."""
+    w, h = 36, 24
+    base = _pattern(w, h)
+    up, uw, uh = _upscale(base, w, h, 2)
+    other = [(x * 97 + y * 13 + (x % 3) * 50) % 256 for y in range(h) for x in range(w)]
+    third = [((x * x) % 251 + y * 29) % 256 for y in range(h) for x in range(w)]
+    rows = [
+        (1, bytearray(P.png_encode_gray(base, w, h))),
+        (2, bytearray(P.png_encode_gray(base, w, h, level=9))),  # re-encode
+        (3, bytearray(P.png_encode_gray(up, uw, uh))),           # resize
+        (4, bytearray(P.png_encode_gray(other, w, h))),
+        (5, bytearray(P.png_encode_gray(third, w, h))),
+        (6, bytearray(b"not an image at all")),                  # fake rung
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    hashes = P.image_phash(df)
+    got = {r["doc_id"]: r for r in hashes.collect()}
+    assert got[6]["decoder"] == "fake"
+    assert all(got[i]["decoder"] == "pixels" for i in range(1, 6))
+    assert got[1]["phash"] == got[2]["phash"]  # re-encode: hamming 0
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in P.phash_dup_pairs(hashes).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and pairs[(1, 3)] <= P.PHASH_MAX_HAMMING
+    assert (2, 3) in pairs
+    flagged_ids = {i for pair in pairs for i in pair}
+    assert 4 not in flagged_ids and 5 not in flagged_ids and 6 not in flagged_ids
+
+
+def test_box_grays_general_partition():
+    """Non-multiple dims hit the general integer partition: every box
+    is the mean of its exact pixel set."""
+    w, h = 13, 10
+    grays = list(range(w * h))
+    for i, v in enumerate(grays):
+        grays[i] = v % 256
+    boxes = P.box_grays(grays, w, h, 9, 8)
+    # brute-force reference
+    import collections
+
+    sums = collections.defaultdict(list)
+    for y in range(h):
+        for x in range(w):
+            sums[((y * 8) // h, (x * 9) // w)].append(grays[y * w + x])
+    expect = [
+        sum(sums[(gy, gx)]) // len(sums[(gy, gx)])
+        for gy in range(8)
+        for gx in range(9)
+    ]
+    assert boxes == expect
