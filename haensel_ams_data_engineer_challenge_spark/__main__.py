@@ -285,6 +285,31 @@ def _parser() -> argparse.ArgumentParser:
         "frequency exceeds FRAC of the corpus (bounds the scoring "
         "join on Zipf head terms; an explicit approximation)",
     )
+    se.add_argument(
+        "--quantize-index",
+        action="store_true",
+        help="(ann) store the persistent index's vectors int8-"
+        "quantized (tinyint + per-vector scale — ~8x smaller vector "
+        "storage, recall within a whisker; round 11) and score probes "
+        "from the artifact; the quantized artifact lives under its "
+        "own _int8-suffixed dir so the two layouts never mix",
+    )
+
+    wv = sub.add_parser(
+        "import-wordvec",
+        help="import a float word-vector table (term, vec "
+        "array<double> — a parsed word2vec/fastText export) as a "
+        "committed wordvec-v1 encoder artifact servable by every "
+        "--encoder-model surface (search/ingest/corpus)",
+    )
+    wv.add_argument("--vectors-parquet", required=True, metavar="PARQUET")
+    wv.add_argument("--model-dir", required=True, metavar="DIR")
+    wv.add_argument(
+        "--scale", type=int, default=None, metavar="N",
+        help="fixed-point grid denominator (default 1024): components "
+        "store as floor(v*N) integer-valued doubles — order-"
+        "independent pooling sums, <0.1%% grid error at the default",
+    )
 
     tk = sub.add_parser(
         "tokenize",
@@ -842,6 +867,11 @@ def main(argv: list[str] | None = None) -> int:
                     dvecs = hash_embed(docs)
                     qvecs = hash_embed(queries, id_col="query_id")
                     index_path = f"{args.work_dir}/ann_index"
+                if args.quantize_index:
+                    # a layout is an artifact identity: the quantized
+                    # index lives in its own dir so a plain run never
+                    # trips the marker pin on a quantized artifact
+                    index_path += "_int8"
                 if args.refresh_index:
                     try:
                         # anti-joins already-indexed ids, so handing it
@@ -856,6 +886,7 @@ def main(argv: list[str] | None = None) -> int:
                     qvecs,
                     k=args.k,
                     index_path=index_path,
+                    quantize=args.quantize_index,
                 ).select(
                     "query_id",
                     F.col("neighbor_id").alias("doc_id"),
@@ -877,6 +908,25 @@ def main(argv: list[str] | None = None) -> int:
             back = spark.read.parquet(out)
             n_q = back.select("query_id").distinct().count()
             print(f"method={args.method} queries={n_q} hits={back.count()} -> {out}")
+            return 0
+
+        if args.command == "import-wordvec":
+            from .operators.embed import WORDVEC_SCALE, wordvec_model_import
+            from .operators.similarity import _read_index_params
+
+            vectors = spark.read.parquet(args.vectors_parquet)
+            wordvec_model_import(
+                vectors,
+                args.model_dir,
+                scale=args.scale if args.scale is not None else WORDVEC_SCALE,
+            )
+            params = _read_index_params(spark, args.model_dir)
+            n = spark.read.parquet(f"{args.model_dir}/vectors").count()
+            print(
+                f"imported terms={n} dim={params['dim']} "
+                f"scale={params['scale']} version={params['version']} "
+                f"-> {args.model_dir}"
+            )
             return 0
 
         if args.command == "tokenize":

@@ -913,3 +913,58 @@ def test_cli_pipeline_compact_sink(spark, sf_dir, tmp_path, capsys):
     assert f"compacted_rows={len(before)}" in out
     assert sorted(map(tuple, spark.read.parquet(sink).collect())) == before
     assert len(list(Path(sink).glob("*.parquet"))) <= n_files_before
+
+
+def test_cli_import_wordvec_then_search(spark, sf_dir, tmp_path, capsys):
+    """Round 11: import-wordvec turns a float vector table into a
+    committed encoder artifact; search --encoder-model serves it; the
+    --quantize-index ANN path builds the int8 artifact beside the
+    float one."""
+    from haensel_ams_data_engineer_challenge_spark.__main__ import main
+
+    # a tiny "word2vec export": vectors aligned so related terms match
+    vec_path = str(tmp_path / "w2v.parquet")
+    spark.createDataFrame(
+        [
+            ("data", [1.0, 0.5, -0.25, 0.0]),
+            ("engine", [0.9, 0.55, -0.2, 0.05]),
+            ("banana", [-1.0, 0.8, 0.7, -0.6]),
+        ],
+        "term string, vec array<double>",
+    ).write.parquet(vec_path)
+    model_dir = str(tmp_path / "wv_model")
+    rc = main(
+        ["import-wordvec", "--vectors-parquet", vec_path,
+         "--model-dir", model_dir]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "imported terms=3 dim=4" in out
+
+    # the imported artifact serves through the search seam
+    queries = str(tmp_path / "q.parquet")
+    spark.createDataFrame(
+        [(0, "data engine")], "query_id long, text string"
+    ).write.parquet(queries)
+    work = str(tmp_path / "work")
+    rc = main(
+        ["search", "--sf-dir", sf_dir, "--work-dir", work,
+         "--queries-parquet", queries, "--method", "ann", "--k", "3",
+         "--encoder-model", model_dir]
+    )
+    assert rc == 0
+    assert "method=ann" in capsys.readouterr().out
+
+    # quantized index path: separate _int8 artifact, runs end-to-end
+    rc = main(
+        ["search", "--sf-dir", sf_dir, "--work-dir", work,
+         "--queries-parquet", queries, "--method", "ann", "--k", "3",
+         "--quantize-index"]
+    )
+    assert rc == 0
+    assert "method=ann" in capsys.readouterr().out
+    import os
+
+    int8_dirs = [d for d in os.listdir(work) if d.endswith("_int8")]
+    assert int8_dirs, os.listdir(work)
+    assert os.path.isdir(f"{work}/{int8_dirs[0]}/vectors")
