@@ -147,10 +147,17 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, list[int]] | None:
             i += 12 + clen
         if width is None or not idat or width == 0 or height == 0:
             return None
-        raw = zlib.decompress(idat)
         ch = ctype_channels
         stride = width * ch
-        if len(raw) != height * (stride + 1):
+        expected = height * (stride + 1)
+        # bounded inflate (round-11 review fix): the raw size is fully
+        # determined by IHDR, so cap decompression at expected+1 — a
+        # decompression-bomb IDAT (small declared dims, ~1000:1 blob)
+        # can no longer allocate gigabytes before the size check; any
+        # overrun or shortfall is malformed -> fake rung
+        d = zlib.decompressobj()
+        raw = d.decompress(idat, expected + 1)
+        if len(raw) != expected:
             return None
         grays: list[int] = []
         prev = bytes(stride)
@@ -204,7 +211,23 @@ def box_grays(
     pixel (x, y) belongs to box ((x*gw)//width, (y*gh)//height) — the
     exact partition whose boundaries are (k*width)//gw — and each box
     value is ``sum // count``.  Identical in any engine; no float
-    resampling kernel to disagree about."""
+    resampling kernel to disagree about.
+
+    Images SMALLER than the grid are pixel-replicated up to it first
+    (nearest-neighbor, integer factor — round-11 review fix: a 4x4
+    icon used to leave empty boxes and divide by zero inside the
+    task); replication is deterministic and preserves the hash of the
+    already-big form of the same image exactly (each source pixel
+    becomes a kxk constant block whose box means equal the original)."""
+    if width < gw or height < gh:
+        kx = -(-gw // width)  # ceil
+        ky = -(-gh // height)
+        grays = [
+            grays[(y // ky) * width + (x // kx)]
+            for y in range(height * ky)
+            for x in range(width * kx)
+        ]
+        width, height = width * kx, height * ky
     sums = [0] * (gw * gh)
     counts = [0] * (gw * gh)
     for y in range(height):
@@ -321,10 +344,19 @@ def image_phash(
     return binary_df.mapInPandas(_hash, schema)
 
 
+#: band-bucket flood cap: near-uniform images (solid backgrounds,
+#: blank scans) pile thousands of ids onto band value 0 — the same
+#: correlated-input failure the vector LSH paths cap.  A flooded
+#: bucket is skipped (recall loss on degenerate images only, loudly
+#: bounded work), exactly the MAX_VECTOR_BUCKET discipline.
+PHASH_MAX_BAND_BUCKET = 1024
+
+
 def phash_dup_pairs(
     hashes: DataFrame,
     max_hamming: int = PHASH_MAX_HAMMING,
     id_col: str = "doc_id",
+    max_bucket: int | None = PHASH_MAX_BAND_BUCKET,
 ) -> DataFrame:
     """(id_a, id_b, hamming) near-duplicate image pairs from
     :func:`image_phash` output: candidates share at least one exact
@@ -333,9 +365,19 @@ def phash_dup_pairs(
     0-6), verified by the exact 64-bit hamming distance.
 
     Shape: one (band, value) explode + self-join per band via a UNION
-    — the SimHash banding plan verbatim; candidate pairs then fetch
-    their 4 band ints by id and verify with bit_count(xor).  No
-    all-pairs path at any scale."""
+    — the SimHash banding plan verbatim, with the repo's flood cap
+    (``max_bucket``, round-11 review fix: without it a corpus of
+    near-uniform images turns the self-join O(n^2) in one bucket);
+    candidate pairs then fetch their 4 band ints by id and verify
+    with bit_count(xor).  No all-pairs path at any scale.
+
+    ``hashes`` is materialized once (lineage truncation): it feeds
+    the band stream AND both verify sides, and its lineage carries
+    the per-pixel Python decode — re-running that 4x was the dominant
+    cost (review fix, the embed-arm diamond rule)."""
+    from ..checkpoint import materialize
+
+    hashes = materialize(hashes)
     bands = hashes.select(
         F.col(id_col),
         F.explode(
@@ -347,6 +389,16 @@ def phash_dup_pairs(
             )
         ).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.v").alias("v"))
+    if max_bucket is not None:
+        flooded = (
+            bands.groupBy("band", "v")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .filter(F.col("__c") > max_bucket)
+            .select("band", "v")
+        )
+        # flooded buckets are FEW by construction (count > cap over a
+        # bounded band space) — broadcast the anti side
+        bands = bands.join(F.broadcast(flooded), ["band", "v"], "left_anti")
     x, y = bands.alias("x"), bands.alias("y")
     cand = (
         x.join(

@@ -292,8 +292,13 @@ def manifest_compact(
 
     with hold_writer_lease(spark, path):
         version, committed, schema = _adopt_or_latest(spark, path)
-        if version == 0 and not committed:
-            raise ValueError(f"nothing to compact at {path} (no data)")
+        # covers never-written paths AND a committed-but-empty manifest
+        # (round-11 review fix: spark.read.parquet(*[]) on the latter
+        # raised instead of refusing cleanly)
+        if not committed:
+            raise ValueError(
+                f"nothing to compact at {path} (no committed data files)"
+            )
         manifest_vacuum(spark, path)
         rows = spark.read.parquet(*[f"{path}/{n}" for n in committed])
         n_parts = target_partitions or int(

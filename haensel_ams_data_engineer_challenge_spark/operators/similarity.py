@@ -351,6 +351,12 @@ def ann_topk_lsh(
             vectors, index_path, tables, planes_per_table, id_col, vec_col,
             quantize=quantize,
         )
+    elif quantize:
+        raise ValueError(
+            "quantize=True needs a persistent artifact (index_path): the "
+            "int8 layout IS the stored index; quantizing a session-only "
+            "index would cut recall without saving any storage"
+        )
     else:
         ck = None
         if index_cache_key is not None:
@@ -890,22 +896,27 @@ def ivf_index_append(
     existing = (
         spark.read.parquet(f"{path}/assignments").select(id_col).distinct()
     )
-    # quantized artifacts also grow their stored-vectors table; fresh
-    # is a 2-consumer diamond there (assignments + vectors), so
-    # materialize it once instead of re-running the anti-join
     quantized = (
         _read_index_params(spark, path).get("quantized", "false") == "true"
     )
     fresh = new_vectors.join(existing, id_col, "left_anti")
-    if quantized:
-        fresh = materialize(fresh)
     _assign_cells(fresh, cents, id_col, vec_col).write.mode(
         "append"
     ).parquet(f"{path}/assignments")
     if quantized:
-        quantize_to_storage(fresh, id_col, vec_col).write.mode(
-            "append"
-        ).parquet(f"{path}/vectors")
+        # the stored-vectors table anti-joins its OWN ids (round-11
+        # review fix): anti-joining on assignments would make a crash
+        # between the two appends permanent — the replay would skip
+        # rows already assigned but never vector-stored, silently
+        # dropping them from every quantized probe.  Per-table
+        # anti-joins make each table self-heal on replay.
+        vec_existing = (
+            spark.read.parquet(f"{path}/vectors").select(id_col).distinct()
+        )
+        quantize_to_storage(
+            new_vectors.join(vec_existing, id_col, "left_anti"),
+            id_col, vec_col,
+        ).write.mode("append").parquet(f"{path}/vectors")
     _bump_index_version(spark, path)
 
 
@@ -947,15 +958,19 @@ def lsh_index_append(
         _read_index_params(spark, path).get("quantized", "false") == "true"
     )
     fresh = new_vectors.join(existing, id_col, "left_anti")
-    if quantized:
-        fresh = materialize(fresh)
     banded_bucket_rows(
         fresh, id_col, vec_col, tables, planes_per_table
     ).write.mode("append").parquet(f"{path}/buckets")
     if quantized:
-        quantize_to_storage(fresh, id_col, vec_col).write.mode(
-            "append"
-        ).parquet(f"{path}/vectors")
+        # per-table anti-join — see ivf_index_append (round-11 review
+        # fix: replay must self-heal a crash between the two appends)
+        vec_existing = (
+            spark.read.parquet(f"{path}/vectors").select(id_col).distinct()
+        )
+        quantize_to_storage(
+            new_vectors.join(vec_existing, id_col, "left_anti"),
+            id_col, vec_col,
+        ).write.mode("append").parquet(f"{path}/vectors")
     _bump_index_version(spark, path)
 
 

@@ -401,7 +401,13 @@ def hold_writer_lease(
                     )
                     return
             except Exception:
-                return  # a flaky renewal must never kill the job
+                # round-11 review fix: a TRANSIENT renewal failure (one
+                # flaky FS call) must not end the heartbeat — exiting
+                # here silently re-exposed the long writer to the very
+                # stale-takeover race the heartbeat exists to prevent.
+                # Keep beating; three consecutive failures within one
+                # TTL is what it takes to actually go stale.
+                continue
 
     t = None
     if heartbeat:

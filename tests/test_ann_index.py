@@ -308,3 +308,42 @@ def test_quantized_append_grows_stored_vectors(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got  # quantized LSH probe scores from the artifact
+
+
+def test_quantized_append_replay_heals_partial_crash(spark, sf_dir, tmp_path, monkeypatch):
+    """Round-11 review fix: a crash BETWEEN the assignments append and
+    the vectors append must be healed by the replay — each table
+    anti-joins its OWN ids, so the missing vectors land on retry."""
+    vecs = load_table(spark, sf_dir, "embeddings")
+    base = vecs.filter(F.col("vec_id") % 2 == 0)
+    extra = vecs.filter(F.col("vec_id") % 2 == 1)
+    qpath = str(tmp_path / "ivf_q")
+    S.ivf_index_persistent(base, qpath, quantize=True)
+
+    # inject the crash: quantize_to_storage raises on the append call
+    real = S.quantize_to_storage
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected crash between the two appends")
+
+    monkeypatch.setattr(S, "quantize_to_storage", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        S.ivf_index_append(extra, qpath)
+    monkeypatch.setattr(S, "quantize_to_storage", real)
+
+    # assignments grew, vectors did not — the crash window
+    n_all = vecs.count()
+    assert spark.read.parquet(f"{qpath}/assignments").count() == n_all
+    assert spark.read.parquet(f"{qpath}/vectors").count() < n_all
+
+    # replay heals the vectors table (and double-appends nothing)
+    S.ivf_index_append(extra, qpath)
+    assert spark.read.parquet(f"{qpath}/vectors").count() == n_all
+    assert spark.read.parquet(f"{qpath}/assignments").count() == n_all
+
+
+def test_lsh_quantize_without_index_path_refuses(spark, sf_dir):
+    vecs = load_table(spark, sf_dir, "embeddings")
+    q = vecs.filter(F.col("vec_id") < 3)
+    with pytest.raises(ValueError, match="needs a persistent artifact"):
+        S.ann_topk_lsh(vecs, q, quantize=True)

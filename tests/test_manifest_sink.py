@@ -185,3 +185,20 @@ def test_manifest_is_hidden_from_plain_readers(spark, tmp_path):
         (tmp_path / "sink" / M._manifest_name(1)).read_text()
     )
     assert man["n_files"] == len(man["files"])
+
+
+def test_compact_empty_manifest_refuses_cleanly(spark, tmp_path):
+    """Round-11 review fix: a committed manifest whose file list is
+    EMPTY (possible when a zero-row append produces no part file —
+    writer-version dependent) refuses compaction with the clean
+    ValueError, not an AnalysisException from a zero-path read."""
+    from pyspark.sql.types import StructType
+
+    path = str(tmp_path / "sink")
+    (tmp_path / "sink").mkdir()
+    M._commit_manifest(
+        spark, path, 1, [], StructType.fromDDL("k string, v double")
+    )
+    assert M.read_manifest_sink(spark, path).count() == 0
+    with pytest.raises(ValueError, match="nothing to compact"):
+        M.manifest_compact(spark, path)

@@ -211,3 +211,58 @@ def test_box_grays_general_partition():
         for gx in range(9)
     ]
     assert boxes == expect
+
+
+# ---------------------------------------------------------------------------
+# round-11 review fixes
+# ---------------------------------------------------------------------------
+
+
+def test_tiny_png_never_divides_by_zero(spark):
+    """A decodable PNG smaller than the hash grid (4x4 favicon) used
+    to leave empty boxes and raise ZeroDivisionError in the task; it
+    now pixel-replicates up to the grid — and the replication is
+    hash-preserving: the same image pre-upscaled by an integer factor
+    hashes identically."""
+    small = [(x * 60 + y * 40) % 256 for y in range(4) for x in range(4)]
+    df = spark.createDataFrame(
+        [(1, bytearray(P.png_encode_gray(small, 4, 4)))],
+        "doc_id long, payload binary",
+    )
+    row = P.image_phash(df).collect()[0]
+    assert row["decoder"] == "pixels"
+    # 3x-blocked form of the same image -> same dHash
+    big, bw, bh = _upscale(small, 4, 4, 3)
+    assert P.box_grays(small, 4, 4, 9, 8) == P.box_grays(big, bw, bh, 9, 8)
+
+
+def test_png_decompression_bomb_is_bounded():
+    """IDAT inflating far past the IHDR-declared size is rejected by a
+    BOUNDED inflate (max_length) — no gigabyte allocation first."""
+    import zlib as z
+
+    bomb_raw = b"\x00" * 10_000_000  # ~10 MB of zeros, inflates from ~10 KB
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    png = (
+        P._PNG_SIG
+        + P._png_chunk(b"IHDR", ihdr)
+        + P._png_chunk(b"IDAT", z.compress(bomb_raw))
+        + P._png_chunk(b"IEND", b"")
+    )
+    assert P.decode_png_pixels(png) is None  # fast, bounded, no crash
+
+
+def test_phash_pair_flood_cap(spark):
+    """Many identical (blank-scan) images: the capped band self-join
+    skips the flooded bucket instead of emitting O(n^2) pairs."""
+    blank = [128] * (16 * 16)
+    png = P.png_encode_gray(blank, 16, 16)
+    df = spark.createDataFrame(
+        [(i, bytearray(png)) for i in range(30)],
+        "doc_id long, payload binary",
+    )
+    hashes = P.image_phash(df)
+    uncapped = P.phash_dup_pairs(hashes, max_bucket=None).count()
+    assert uncapped == 30 * 29 // 2  # the blowup the cap prevents
+    capped = P.phash_dup_pairs(hashes, max_bucket=10).count()
+    assert capped == 0
