@@ -295,6 +295,21 @@ def _parser() -> argparse.ArgumentParser:
         "own _int8-suffixed dir so the two layouts never mix",
     )
 
+    di = sub.add_parser(
+        "dedup-images",
+        help="perceptual-hash near-dup over an image-payload parquet "
+        "(doc_id, payload binary): real PNG pixel decode -> dHash "
+        "banding -> hamming verify -> connected components -> one "
+        "survivor per duplicate cluster (round 11)",
+    )
+    di.add_argument("--images-parquet", required=True, metavar="PARQUET")
+    di.add_argument("--work-dir", required=True)
+    di.add_argument(
+        "--max-hamming", type=int, default=None, metavar="T",
+        help="duplicate threshold on the 64-bit dHash (default 10: "
+        "re-encodes measure 0, mild resizes 0-6)",
+    )
+
     wv = sub.add_parser(
         "import-wordvec",
         help="import a float word-vector table (term, vec "
@@ -908,6 +923,50 @@ def main(argv: list[str] | None = None) -> int:
             back = spark.read.parquet(out)
             n_q = back.select("query_id").distinct().count()
             print(f"method={args.method} queries={n_q} hits={back.count()} -> {out}")
+            return 0
+
+        if args.command == "dedup-images":
+            from pyspark.sql import functions as F
+
+            from .checkpoint import materialize
+            from .multimodal.phash import (
+                PHASH_MAX_HAMMING,
+                image_phash,
+                phash_dup_pairs,
+            )
+            from .operators.components import dedup_survivors
+
+            images = spark.read.parquet(args.images_parquet)
+            # the hash frame feeds the pair scan AND the survivor join
+            # AND the hashes sink — materialize once (python decode)
+            hashes = materialize(image_phash(images))
+            hashes.write.mode("overwrite").parquet(
+                f"{args.work_dir}/image_hashes"
+            )
+            pairs = phash_dup_pairs(
+                hashes,
+                max_hamming=(
+                    args.max_hamming
+                    if args.max_hamming is not None
+                    else PHASH_MAX_HAMMING
+                ),
+            )
+            surv = dedup_survivors(hashes.select("doc_id"), pairs)
+            out = f"{args.work_dir}/image_survivors"
+            surv.write.mode("overwrite").parquet(out)
+            back = spark.read.parquet(out)
+            n = back.count()
+            kept = back.filter("is_survivor").count()
+            decoders = {
+                r["decoder"]: r["n"]
+                for r in hashes.groupBy("decoder")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            print(
+                f"images={n} survivors={kept} dropped={n - kept} "
+                f"decoders={decoders} -> {out}"
+            )
             return 0
 
         if args.command == "import-wordvec":

@@ -266,3 +266,35 @@ def test_phash_pair_flood_cap(spark):
     assert uncapped == 30 * 29 // 2  # the blowup the cap prevents
     capped = P.phash_dup_pairs(hashes, max_bucket=10).count()
     assert capped == 0
+
+
+def test_cli_dedup_images_e2e(spark, tmp_path, capsys):
+    """The product surface: dedup-images drops the re-encoded and
+    resized copies, keeps one survivor per cluster plus the distinct
+    images."""
+    from haensel_ams_data_engineer_challenge_spark.__main__ import main
+
+    w, h = 36, 24
+    base = _pattern(w, h)
+    up, uw, uh = _upscale(base, w, h, 2)
+    other = [(x * 97 + y * 13 + (x % 3) * 50) % 256 for y in range(h) for x in range(w)]
+    rows = [
+        (1, bytearray(P.png_encode_gray(base, w, h))),
+        (2, bytearray(P.png_encode_gray(base, w, h, level=9))),
+        (3, bytearray(P.png_encode_gray(up, uw, uh))),
+        (4, bytearray(P.png_encode_gray(other, w, h))),
+    ]
+    src = str(tmp_path / "images.parquet")
+    spark.createDataFrame(rows, "doc_id long, payload binary").write.parquet(src)
+    work = str(tmp_path / "work")
+    rc = main(
+        ["dedup-images", "--images-parquet", src, "--work-dir", work]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "images=4 survivors=2 dropped=2" in out
+    surv = {
+        r["doc_id"]: r["is_survivor"]
+        for r in spark.read.parquet(f"{work}/image_survivors").collect()
+    }
+    assert surv == {1: True, 2: False, 3: False, 4: True}
