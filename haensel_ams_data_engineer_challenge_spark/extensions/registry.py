@@ -871,15 +871,18 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
         ).withColumn("method", F.lit("model"))
         # round 11: 'wordvec' arm — the FLOAT-WEIGHT encoder kind
         # through the same seam (embed.wordvec_model_build: dense
-        # (term -> vector) table, mean pooling on the integer grid so
-        # the twin recomputes it bit-for-bit).  Same artifact marker
-        # protocol, same worker cache, same consumers — the
-        # "a real word2vec export drops in" demonstration
-        # (wordvec_model_import is the actual import path, pytest'd).
+        # (term -> vector) table on the integer grid so the twin
+        # recomputes it bit-for-bit).  Same artifact marker protocol,
+        # same worker cache, same consumers — the "a real word2vec
+        # export drops in" demonstration (wordvec_model_import is the
+        # actual import path, pytest'd).  The gated arm runs the SIF
+        # pooling form (integer floor-division weights — the richer
+        # path: it subsumes the mean machinery plus the frequency
+        # table; mean pooling is pytest-pinned vs python).
         wv_path = _mtime_artifact_path(
-            sf, "documents.parquet", "spark_graft_wordvec_"
+            sf, "documents.parquet", "spark_graft_wordvec_sif_"
         )
-        EM.wordvec_model_build(_docs(spark, sf), wv_path)
+        EM.wordvec_model_build(_docs(spark, sf), wv_path, pooling="sif")
         wordvec_arm = S.embedding_dup_pairs_lsh(
             materialize(EM.embed_with_model(_docs(spark, sf), wv_path)),
             threshold=HASHED_DUP_THRESHOLD,
@@ -897,7 +900,7 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
         _embedding_dups_both,
         f"""WITH {S.hash_embed_sql(R.SEARCH_TOKEN_PATTERN).strip()},
             {EM.embed_model_sql(R.SEARCH_TOKEN_PATTERN).strip()},
-            {EM.wordvec_model_sql(R.SEARCH_TOKEN_PATTERN).strip()},
+            {EM.wordvec_model_sql(R.SEARCH_TOKEN_PATTERN, pooling="sif").strip()},
             wb AS ({S.banded_buckets_sql("embedding")}),
             hwb AS ({S.banded_buckets_sql("embedding", S.LSH_DUP_BANDS, HASHED_DUP_PLANES, table="he_out")}),
             mwb AS ({S.banded_buckets_sql("embedding", S.LSH_DUP_BANDS, HASHED_DUP_PLANES, table="em_out")}),

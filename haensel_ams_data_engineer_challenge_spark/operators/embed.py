@@ -72,6 +72,18 @@ WORDVEC_SCALE = 1024
 #: every encoder kind ``embed_with_model`` can serve.
 SUPPORTED_ENCODERS = (ENCODER_KIND, WORDVEC_KIND)
 
+#: SIF pooling constants (Arora et al. 2017, "A Simple but Tough-to-
+#: Beat Baseline"): weight(t) = a / (a + p(t)) with a = 1/SIF_A_DENOM.
+#: With p(t) = c/N that is N / (N + SIF_A_DENOM * c) — so the
+#: SIF_SCALE-quantized weight floor(SIF_SCALE * N / (N + 1000c)) is
+#: ONE integer floor-division, exactly computable in both engines (no
+#: float division anywhere in the weight).  At SIF_SCALE = 2^16 the
+#: weight is never quantized to zero (that would need c > 65535/1000
+#: of the corpus... i.e. impossible since c <= N), so the weighted
+#: denominator is always positive.
+WORDVEC_SIF_A_DENOM = 1000
+WORDVEC_SIF_SCALE = 1 << 16
+
 #: trained stop-list size: the top-N most frequent canonical terms
 #: (stopword-class mass) are dropped before projection — the SIF-style
 #: "frequent directions dominate cosine" remedy, and the part of the
@@ -383,6 +395,7 @@ def embed_with_model(
         )
     dim = int(params["dim"])
     scale = float(params.get("scale", WORDVEC_SCALE))
+    pooling = params.get("pooling", "mean")
     version = params.get("version", "1")
     src = (
         F.col(tokens_col) if tokens_col is not None else search_tokens(text_col)
@@ -398,7 +411,7 @@ def embed_with_model(
         enc = worker_cache.get(cache_key)
         if enc is None:
             if encoder == WORDVEC_KIND:
-                enc = _load_prepared_wordvec(model_path, dim, scale)
+                enc = _load_prepared_wordvec(model_path, dim, scale, pooling)
             else:
                 enc = _load_prepared(model_path, version, dim)
             worker_cache[cache_key] = enc
@@ -513,19 +526,24 @@ def embed_model_sql(
 # --------------------------------------------------------------------------
 
 
-def _wordvec_version(vectors: DataFrame, dim: int, scale: int) -> str:
+def _wordvec_version(
+    vectors: DataFrame, dim: int, scale: int, pooling: str = "mean"
+) -> str:
     """Content-hash version for a committed vector table: an
-    order-insensitive xxhash64 fold over (term, vec) — one aggregate,
-    one collected row — so retraining from different data CHANGES the
-    version (unreachable stale worker caches, distinguishable index
-    pins) and an identical retrain keeps it."""
+    order-insensitive xxhash64 fold over (term, vec[, cnt]) — one
+    aggregate, one collected row — so retraining from different data
+    CHANGES the version (unreachable stale worker caches,
+    distinguishable index pins) and an identical retrain keeps it."""
     import hashlib
 
+    cols = "xxhash64(term, cast(vec as string))"
+    if "cnt" in vectors.columns:
+        cols = "xxhash64(term, cast(vec as string), cnt)"
     row = vectors.select(
-        F.expr("bit_xor(xxhash64(term, cast(vec as string)))").alias("h"),
+        F.expr(f"bit_xor({cols})").alias("h"),
         F.count(F.lit(1)).alias("n"),
     ).collect()[0]
-    content = f"{row['h']}|{row['n']}|dim={dim}|scale={scale}"
+    content = f"{row['h']}|{row['n']}|dim={dim}|scale={scale}|{pooling}"
     return hashlib.md5(content.encode("utf-8")).hexdigest()[:12]
 
 
@@ -538,9 +556,20 @@ def wordvec_model_build(
     id_col: str = "doc_id",
     text_col: str = "text",
     tokens_col: str | None = None,
+    pooling: str = "mean",
 ) -> None:
     """Train and persist a DETERMINISTIC stand-in word-vector table at
     ``path`` (no-op when a matching committed artifact exists).
+
+    ``pooling``: ``"mean"`` (default) or ``"sif"`` — SIF-weighted
+    pooling (round 11): the vectors table additionally stores each
+    kept surface term's corpus occurrence count, and scoring weights
+    every contribution by the integer-quantized SIF weight
+    ``floor(SIF_SCALE * N / (N + SIF_A_DENOM * c))`` (see the module
+    constants — one integer floor-division, bit-equal in any engine)
+    before the single normalizing division.  SIF downweights frequent
+    terms continuously, the smooth counterpart of the hard stop-list
+    cut (which still applies first).
 
     Real word vectors place similar meanings nearby; the deterministic
     stand-in gets that property the same way synproj-v1 does — through
@@ -569,10 +598,15 @@ def wordvec_model_build(
         "encoder": WORDVEC_KIND,
         "dim": dim,
         "scale": WORDVEC_SCALE,
-        "pooling": "mean",
+        "pooling": pooling,
         "stop_top_n": stop_top_n,
         "n_synonyms": len(syn),
     }
+    if pooling not in ("mean", "sif"):
+        raise ValueError(f"pooling must be 'mean' or 'sif', got {pooling!r}")
+    if pooling == "sif":
+        params["sif_scale"] = WORDVEC_SIF_SCALE
+        params["sif_a_denom"] = WORDVEC_SIF_A_DENOM
     if _check_index_params(spark, path, params):
         return
     src = (
@@ -616,9 +650,15 @@ def wordvec_model_build(
         ).cast("double"),
     )
     vectors = vocab.select("term", vec.alias("vec"))
+    if pooling == "sif":
+        freq = (
+            terms.groupBy("term")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+        vectors = vectors.join(freq, "term")
     vectors.write.mode("overwrite").parquet(f"{path}/vectors")
     committed = spark.read.parquet(f"{path}/vectors")
-    version = _wordvec_version(committed, dim, WORDVEC_SCALE)
+    version = _wordvec_version(committed, dim, WORDVEC_SCALE, pooling)
     _write_index_params(spark, path, {**params, "version": version})
 
 
@@ -683,36 +723,44 @@ class _PreparedWordvec:
     """Worker-side prepared state for a wordvec-v1 artifact: the dense
     (term -> grid row) table as a numpy matrix + index dict.  Encoding
     is lookup + exact integer-valued accumulation + ONE division —
-    bit-equal to the DuckDB twin's SUM/divide in any token order."""
+    bit-equal to the DuckDB twin's SUM/divide in any token order.
 
-    __slots__ = ("idx", "mat", "dim", "scale")
+    ``weights`` (SIF pooling) is the per-term integer SIF weight row
+    aligned with ``mat``; None = mean pooling.  SIF accumulation is
+    weight * grid — still integer-valued doubles, still exact."""
 
-    def __init__(self, terms, mat, dim: int, scale: float):
+    __slots__ = ("idx", "mat", "dim", "scale", "weights")
+
+    def __init__(self, terms, mat, dim: int, scale: float, weights=None):
         self.idx = {t: j for j, t in enumerate(terms)}
         self.mat = mat
         self.dim = dim
         self.scale = scale
+        self.weights = weights
 
     def encode(self, tokens) -> list[float] | None:
-        import numpy as np
-
         acc = None
-        n = 0
-        idx, mat = self.idx, self.mat
+        idx, mat, w = self.idx, self.mat, self.weights
+        denom = 0
         for t in tokens:
             j = idx.get(t)
             if j is None:
                 continue  # OOV (includes builder-stopped terms): skip
-            row = mat[j]
-            acc = row.copy() if acc is None else acc + row
-            n += 1
-        if n == 0:
+            if w is None:
+                row = mat[j]
+                denom += 1
+            else:
+                wq = int(w[j])
+                row = mat[j] * wq
+                denom += wq
+            acc = row if acc is None else acc + row
+        if denom == 0:
             return None
-        return (acc / (self.scale * float(n))).tolist()
+        return (acc / (self.scale * float(denom))).tolist()
 
 
 def _load_prepared_wordvec(
-    model_path: str, dim: int, scale: float
+    model_path: str, dim: int, scale: float, pooling: str = "mean"
 ) -> _PreparedWordvec:
     """Load the vector table with pyarrow (workers have no
     SparkSession) into a numpy matrix — one contiguous float64 block,
@@ -743,7 +791,23 @@ def _load_prepared_wordvec(
     mat = np.empty((len(pdf), dim), dtype=np.float64)
     for j, v in enumerate(pdf["vec"]):
         mat[j, :] = v
-    return _PreparedWordvec(list(pdf["term"]), mat, dim, float(scale))
+    weights = None
+    if pooling == "sif":
+        if "cnt" not in pdf.columns:
+            raise ValueError(
+                f"wordvec artifact at {model_path} has pooling=sif but "
+                "no cnt column — torn or hand-edited artifact"
+            )
+        cnt = pdf["cnt"].to_numpy(dtype=np.int64)
+        n_total = int(cnt.sum())
+        # floor(S*N / (N + A*c)): one int64 floor-division per term —
+        # exact, and never zero (see the module constants)
+        weights = (WORDVEC_SIF_SCALE * n_total) // (
+            n_total + WORDVEC_SIF_A_DENOM * cnt
+        )
+    return _PreparedWordvec(
+        list(pdf["term"]), mat, dim, float(scale), weights
+    )
 
 
 def wordvec_model_sql(
@@ -754,13 +818,20 @@ def wordvec_model_sql(
     synonyms: dict[str, str] | None = None,
     pfx: str = "wv",
     table: str = "documents",
+    pooling: str = "mean",
 ) -> str:
     """DuckDB twin CTE chain ending in ``{pfx}_out`` (vec_id,
-    embedding), stage-for-stage with wordvec_model_build +
-    mean-pooling inference: tokenize, re-derive the trained vector
-    table (stop list, canonical base + surface noise grid), then per
-    document sum the looked-up grid rows (counts folded in as exact
-    integer products) and divide once by ``scale * n_found``."""
+    embedding), stage-for-stage with wordvec_model_build + inference:
+    tokenize, re-derive the trained vector table (stop list, canonical
+    base + surface noise grid), then per document sum the looked-up
+    grid rows (counts folded in as exact integer products) and divide
+    once.  ``pooling="mean"`` divides by ``scale * n_found``;
+    ``pooling="sif"`` weights every contribution by the integer SIF
+    weight floor(S*N/(N + A*c)) and divides by ``scale * sum(w)`` —
+    every weight is one BIGINT floor-division, so the whole SIF path
+    stays bit-exact cross-engine."""
+    if pooling not in ("mean", "sif"):
+        raise ValueError(f"pooling must be 'mean' or 'sif', got {pooling!r}")
     syn = DEFAULT_SYNONYMS if synonyms is None else synonyms
     if syn:
         vals = ", ".join(
@@ -799,7 +870,8 @@ def wordvec_model_sql(
             FROM {pfx}_kept k CROSS JOIN range(0, {dim}) r(i)),
         {pfx}_cnt AS (
             SELECT doc_id, term, COUNT(*) AS c
-            FROM {pfx}_tok GROUP BY doc_id, term),
+            FROM {pfx}_tok GROUP BY doc_id, term),""" + (
+        f"""
         {pfx}_n AS (
             SELECT c.doc_id, SUM(c.c) AS n
             FROM {pfx}_cnt c SEMI JOIN {pfx}_kept k ON k.term = c.term
@@ -814,3 +886,33 @@ def wordvec_model_sql(
                        AS embedding
             FROM {pfx}_sum s JOIN {pfx}_n n ON n.doc_id = s.doc_id
             GROUP BY s.doc_id)"""
+        if pooling == "mean"
+        else f"""
+        {pfx}_freq AS (
+            SELECT t.term, COUNT(*) AS fc
+            FROM {pfx}_tok t SEMI JOIN {pfx}_kept k ON k.term = t.term
+            GROUP BY t.term),
+        {pfx}_tot AS (SELECT SUM(fc) AS nn FROM {pfx}_freq),
+        {pfx}_w AS (
+            SELECT f.term,
+                   ({WORDVEC_SIF_SCALE} * t.nn)
+                       // (t.nn + {WORDVEC_SIF_A_DENOM} * f.fc) AS w
+            FROM {pfx}_freq f CROSS JOIN {pfx}_tot t),
+        {pfx}_n AS (
+            SELECT c.doc_id, SUM(c.c * w.w) AS n
+            FROM {pfx}_cnt c JOIN {pfx}_w w ON w.term = c.term
+            GROUP BY c.doc_id),
+        {pfx}_sum AS (
+            SELECT c.doc_id, v.i,
+                   CAST(SUM(c.c * w.w * v.g) AS DOUBLE) AS sg
+            FROM {pfx}_cnt c
+            JOIN {pfx}_w w ON w.term = c.term
+            JOIN {pfx}_vec v ON v.term = c.term
+            GROUP BY c.doc_id, v.i),
+        {pfx}_out AS (
+            SELECT s.doc_id AS vec_id,
+                   list(s.sg / (CAST({scale} AS DOUBLE) * n.n) ORDER BY s.i)
+                       AS embedding
+            FROM {pfx}_sum s JOIN {pfx}_n n ON n.doc_id = s.doc_id
+            GROUP BY s.doc_id)"""
+    )

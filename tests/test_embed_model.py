@@ -432,3 +432,84 @@ def test_wordvec_version_and_index_pin_distinguish_kinds(spark, tmp_path):
             idx,
             extra_params={"embedder": pin_sp},
         )
+
+
+def test_wordvec_sif_pooling_matches_python_reference(spark, tmp_path):
+    """SIF pooling (round 11): integer floor-division weights
+    floor(S*N/(N + 1000c)), weighted sum / (scale * sum(w)) — pinned
+    component-for-component against a pure python model, and the
+    weighting demonstrably downweights the frequent term."""
+    rows = [
+        (1, "filler alpha beta"),
+        (2, "filler filler filler filler filler filler alpha"),
+        (3, "beta gamma"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "wv_sif")
+    dim = 8
+    E.wordvec_model_build(docs, path, dim=dim, stop_top_n=0, pooling="sif")
+
+    # python reference: table + counts + weights + weighted pooling
+    syn = E.DEFAULT_SYNONYMS
+    all_tokens = [
+        t for _, text in rows for t in re.findall(r"[a-z0-9]+", text.lower())
+    ]
+    table = _py_wordvec_table(
+        {t: syn.get(t, t) for t in set(all_tokens)}, dim
+    )
+    counts = {t: all_tokens.count(t) for t in set(all_tokens)}
+    n_total = sum(counts.values())
+    weights = {
+        t: (E.WORDVEC_SIF_SCALE * n_total)
+        // (n_total + E.WORDVEC_SIF_A_DENOM * c)
+        for t, c in counts.items()
+    }
+    # the frequent term gets a strictly smaller weight
+    assert weights["filler"] < weights["gamma"]
+
+    def py_sif(text):
+        acc = [0.0] * dim
+        denom = 0
+        for t in re.findall(r"[a-z0-9]+", text.lower()):
+            w = weights[t]
+            denom += w
+            for i in range(dim):
+                acc[i] += w * table[t][i]
+        return [a / (float(E.WORDVEC_SCALE) * float(denom)) for a in acc]
+
+    got = {
+        r["vec_id"]: list(r["embedding"])
+        for r in E.embed_with_model(docs, path).collect()
+    }
+    for did, text in rows:
+        assert got[did] == py_sif(text), did
+
+    # marker carries the pooling + sif params; version differs from
+    # the mean-pooled build of the same corpus (layout is identity)
+    params = S._read_index_params(spark, path)
+    assert params["pooling"] == "sif"
+    path_mean = str(tmp_path / "wv_mean")
+    E.wordvec_model_build(docs, path_mean, dim=dim, stop_top_n=0)
+    assert (
+        S._read_index_params(spark, path_mean)["version"]
+        != params["version"]
+    )
+
+
+def test_wordvec_sif_artifact_without_counts_refuses(spark, tmp_path):
+    """A sif-marked artifact whose vectors table lost its cnt column is
+    torn: the worker loader refuses instead of silently mean-pooling."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "wv_sif")
+    E.wordvec_model_build(docs, path, stop_top_n=0, pooling="sif")
+    # strip the cnt column (simulated hand-edit/torn rewrite)
+    vecs = spark.read.parquet(f"{path}/vectors").select("term", "vec")
+    vecs.write.mode("overwrite").parquet(f"{path}/vectors_tmp")
+    import shutil
+
+    shutil.rmtree(f"{path}/vectors")
+    shutil.move(f"{path}/vectors_tmp", f"{path}/vectors")
+    with pytest.raises(Exception, match="cnt|Py4JJavaError|torn"):
+        E.embed_with_model(docs, path).collect()
