@@ -435,6 +435,14 @@ def _parser() -> argparse.ArgumentParser:
                     help="after the drain, rewrite the band index's "
                     "per-batch append fragments as one compact store "
                     "(torn-safe swap; requires --near-dup)")
+    ig.add_argument("--sink-protocol", choices=("swap", "manifest"),
+                    default="swap",
+                    help="admitted-store write protocol (round 11): "
+                    "'manifest' commits each micro-batch's rows with "
+                    "one atomic manifest rename — concurrent readers "
+                    "always see a complete committed row set, and "
+                    "--compact-sink never vacates the path; do not "
+                    "switch a manifest sink back to swap")
     ig.add_argument("--semantic-dedup", action="store_true",
                     help="semantic tier: probe + grow the banded-LSH "
                     "bucket index over feature-hashed embeddings at "
@@ -1212,6 +1220,7 @@ def main(argv: list[str] | None = None) -> int:
                 encoder_model_dir=args.encoder_model,
                 lm_model_dir=args.lm_model,
                 max_xent=args.max_xent,
+                sink_protocol=args.sink_protocol,
             )
             if args.compact_index and args.near_dup:
                 from .operators.minhash_index import minhash_index_compact
@@ -1221,11 +1230,21 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 print(f"compacted_bands={n_bands}")
             if args.compact_sink:
-                from .operators.sinks import compact_parquet_sink
+                if args.sink_protocol == "manifest":
+                    from .operators.manifest_sink import manifest_compact
 
-                n_rows = compact_parquet_sink(spark, sink)
+                    n_rows = manifest_compact(spark, sink)
+                else:
+                    from .operators.sinks import compact_parquet_sink
+
+                    n_rows = compact_parquet_sink(spark, sink)
                 print(f"compacted_rows={n_rows}")
-            n = spark.read.parquet(sink).count()
+            if args.sink_protocol == "manifest":
+                from .operators.manifest_sink import read_manifest_sink
+
+                n = read_manifest_sink(spark, sink).count()
+            else:
+                n = spark.read.parquet(sink).count()
             print(f"admitted_total={n} sink={sink}")
             return 0
 

@@ -155,6 +155,7 @@ def run_streaming_ingest(
     encoder_model_dir: str | None = None,
     lm_model_dir: str | None = None,
     max_xent: float | None = None,
+    sink_protocol: str = "swap",
 ) -> None:
     """Drain the feed with an availableNow trigger, admitting only
     genuinely-new documents into ``sink_path``.
@@ -263,6 +264,15 @@ def run_streaming_ingest(
             "needs both the LM artifact and its cross-entropy ceiling "
             f"(got lm_model_dir={lm_model_dir!r}, max_xent={max_xent!r})"
         )
+    # round 11: the admitted store can run on the manifest-committed
+    # protocol — each micro-batch's rows become visible to readers
+    # ATOMICALLY at one manifest rename, and compaction never leaves a
+    # window where the sink path reads empty.  Replay semantics are
+    # unchanged (manifest_insert_if_absent anti-joins committed rows).
+    if sink_protocol not in ("swap", "manifest"):
+        raise ValueError(
+            f"sink_protocol must be 'swap' or 'manifest', got {sink_protocol!r}"
+        )
     corpus = spark.read.parquet(corpus_path)
     reader = (
         spark.readStream.schema(corpus.schema)
@@ -344,7 +354,16 @@ def run_streaming_ingest(
         # (PATH_NOT_FOUND / UNABLE_TO_INFER_SCHEMA) at read time —
         # exactly the "first batch" case; only those conditions are
         # tolerated (round-7 advice #3, `_try_read`).
-        sink = _try_read(ss, sink_path, corpus.schema)
+        if sink_protocol == "manifest":
+            from ..operators.manifest_sink import read_manifest_sink
+
+            # committed rows only; pre-adoption (first manifest run
+            # over a legacy sink) falls back to the plain listing
+            sink = read_manifest_sink(ss, sink_path)
+            if sink is None:
+                sink = _try_read(ss, sink_path, corpus.schema)
+        else:
+            sink = _try_read(ss, sink_path, corpus.schema)
         if sink is not None:
             existing = existing.unionByName(sink)
         once = dedup_batch_within(batch)
@@ -552,7 +571,12 @@ def run_streaming_ingest(
                     bloom_words.get(r["word_idx"], 0) | r["bits"]
                 )
             _write_bloom_state(ss, bloom_state_dir, bloom_words, m_bits, k)
-        insert_if_absent(ss, admitted, sink_path, ["doc_id"])
+        if sink_protocol == "manifest":
+            from ..operators.manifest_sink import manifest_insert_if_absent
+
+            manifest_insert_if_absent(ss, admitted, sink_path, ["doc_id"])
+        else:
+            insert_if_absent(ss, admitted, sink_path, ["doc_id"])
 
     (
         feed.writeStream.foreachBatch(admit_batch)

@@ -434,3 +434,54 @@ def test_ingest_api_validates_lm_gate_pairing(spark, tmp_path):
                 str(tmp_path / "ckpt"),
                 **kwargs,
             )
+
+
+def test_cli_ingest_manifest_protocol(spark, tmp_path, capsys):
+    """Round 11: ingest --sink-protocol manifest — each micro-batch
+    commits atomically (one manifest version per writing batch),
+    cross-batch duplicates still drop, compaction is reader-stable,
+    and a replayed drain is a no-op."""
+    from haensel_ams_data_engineer_challenge_spark.__main__ import main
+    from haensel_ams_data_engineer_challenge_spark.operators import (
+        manifest_sink as MS,
+    )
+
+    corpus_path = _write_corpus(spark, tmp_path)
+    feed = str(tmp_path / "feed")
+    _drop(spark, tmp_path, feed, [(301, NOVEL)], "a.parquet")
+    # batch b: one duplicate of batch a + one novel doc
+    _drop(
+        spark, tmp_path, feed,
+        [(302, NOVEL), (303, NOVEL + " with more words")],
+        "b.parquet",
+    )
+    work = str(tmp_path / "wd")
+    args = [
+        "ingest", "--corpus-parquet", corpus_path, "--feed-dir", feed,
+        "--work-dir", work, "--max-files-per-trigger", "1",
+        "--sink-protocol", "manifest", "--compact-sink",
+    ]
+    rc = main(args)
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "admitted_total=2" in out and "compacted_rows=2" in out
+    sink = f"{work}/admitted"
+    committed = MS.read_manifest_sink(spark, sink)
+    assert {r["doc_id"] for r in committed.collect()} == {301, 303}
+    # the swap protocol refuses this sink now
+    import pytest as _pytest
+
+    from haensel_ams_data_engineer_challenge_spark.operators.sinks import (
+        compact_parquet_sink,
+    )
+
+    with _pytest.raises(ValueError, match="manifest-committed"):
+        compact_parquet_sink(spark, sink)
+    # replayed drain (same work dir, fresh checkpoint => the feed
+    # re-fires): the committed-rows anti-join makes it a no-op
+    import shutil
+
+    shutil.rmtree(f"{work}/checkpoint")
+    rc = main(args)
+    assert rc == 0
+    assert "admitted_total=2" in capsys.readouterr().out
