@@ -936,7 +936,6 @@ def main(argv: list[str] | None = None) -> int:
         if args.command == "dedup-images":
             from pyspark.sql import functions as F
 
-            from .checkpoint import materialize
             from .multimodal.phash import (
                 PHASH_MAX_HAMMING,
                 image_phash,
@@ -945,12 +944,15 @@ def main(argv: list[str] | None = None) -> int:
             from .operators.components import dedup_survivors
 
             images = spark.read.parquet(args.images_parquet)
-            # the hash frame feeds the pair scan AND the survivor join
-            # AND the hashes sink — materialize once (python decode)
-            hashes = materialize(image_phash(images))
-            hashes.write.mode("overwrite").parquet(
+            # ONE python decode pass: land the hash table (it is a
+            # product artifact anyway) and run every downstream
+            # consumer off the parquet read-back — no localCheckpoint
+            # copies (second review pass: materialize here + the
+            # pair scan's internal one made three copies)
+            image_phash(images).write.mode("overwrite").parquet(
                 f"{args.work_dir}/image_hashes"
             )
+            hashes = spark.read.parquet(f"{args.work_dir}/image_hashes")
             pairs = phash_dup_pairs(
                 hashes,
                 max_hamming=(
@@ -958,6 +960,7 @@ def main(argv: list[str] | None = None) -> int:
                     if args.max_hamming is not None
                     else PHASH_MAX_HAMMING
                 ),
+                pre_materialized=True,
             )
             surv = dedup_survivors(hashes.select("doc_id"), pairs)
             out = f"{args.work_dir}/image_survivors"
@@ -1242,7 +1245,14 @@ def main(argv: list[str] | None = None) -> int:
             if args.sink_protocol == "manifest":
                 from .operators.manifest_sink import read_manifest_sink
 
-                n = read_manifest_sink(spark, sink).count()
+                committed = read_manifest_sink(spark, sink)
+                # no manifest yet (legacy sink + no writing batch this
+                # drain): count the plain listing, as before
+                n = (
+                    committed.count()
+                    if committed is not None
+                    else spark.read.parquet(sink).count()
+                )
             else:
                 n = spark.read.parquet(sink).count()
             print(f"admitted_total={n} sink={sink}")

@@ -107,6 +107,12 @@ def _paeth(a: int, b: int, c: int) -> int:
 #: PNG color type -> samples per pixel (8-bit depth only).
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
+#: pixel-count ceiling for the decoder (16.7M px ~ a 4096x4096 image,
+#: far above anything a perceptual hash needs): IHDR dims are
+#: attacker-controlled and size the bounded inflate, so they get a
+#: ceiling of their own.
+_PNG_MAX_PIXELS = 1 << 24
+
 
 def decode_png_pixels(payload: bytes) -> tuple[int, int, list[int]] | None:
     """REAL PNG pixel decode: (width, height, row-major GRAYSCALE
@@ -120,7 +126,7 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, list[int]] | None:
     Alpha is ignored (hash the color, not the transparency).
     """
     try:
-        if payload[:8] != _PNG_SIG:
+        if payload is None or payload[:8] != _PNG_SIG:
             return None
         i = 8
         width = height = None
@@ -147,17 +153,28 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, list[int]] | None:
             i += 12 + clen
         if width is None or not idat or width == 0 or height == 0:
             return None
+        # attacker-controlled dims bound the inflate below, so THEY
+        # need a ceiling first (second review pass: a bomb declaring
+        # 40000x40000 made 'expected' itself multi-GB)
+        if width * height > _PNG_MAX_PIXELS:
+            return None
         ch = ctype_channels
         stride = width * ch
         expected = height * (stride + 1)
         # bounded inflate (round-11 review fix): the raw size is fully
-        # determined by IHDR, so cap decompression at expected+1 — a
-        # decompression-bomb IDAT (small declared dims, ~1000:1 blob)
-        # can no longer allocate gigabytes before the size check; any
-        # overrun or shortfall is malformed -> fake rung
+        # determined by (capped) IHDR, so limit decompression to
+        # expected+1 — a decompression-bomb IDAT can no longer
+        # allocate gigabytes before the size check.  A valid stream's
+        # trailer may sit in unconsumed_tail after the bounded call;
+        # draining it (still bounded) reaches eof and verifies the
+        # adler32 — a TRUNCATED stream (old zlib.decompress raised)
+        # leaves eof False and is rejected, preserving the
+        # 'truncated/corrupt -> fake rung' contract.
         d = zlib.decompressobj()
         raw = d.decompress(idat, expected + 1)
-        if len(raw) != expected:
+        if d.unconsumed_tail:
+            raw += d.decompress(d.unconsumed_tail, 2)
+        if len(raw) != expected or not d.eof:
             return None
         grays: list[int] = []
         prev = bytes(stride)
@@ -195,7 +212,7 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, list[int]] | None:
                         // 1000
                     )
         return int(width), int(height), grays
-    except (zlib.error, struct.error, IndexError, ValueError):
+    except (zlib.error, struct.error, IndexError, ValueError, TypeError):
         return None
 
 
@@ -309,6 +326,8 @@ def image_phash(
 
     def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def one(payload: bytes):
+            if payload is None:
+                payload = b""  # NULL payload: fake rung, never a crash
             decoded = decode_png_pixels(payload)
             if decoded is not None:
                 w, h, grays = decoded
@@ -357,6 +376,7 @@ def phash_dup_pairs(
     max_hamming: int = PHASH_MAX_HAMMING,
     id_col: str = "doc_id",
     max_bucket: int | None = PHASH_MAX_BAND_BUCKET,
+    pre_materialized: bool = False,
 ) -> DataFrame:
     """(id_a, id_b, hamming) near-duplicate image pairs from
     :func:`image_phash` output: candidates share at least one exact
@@ -374,10 +394,14 @@ def phash_dup_pairs(
     ``hashes`` is materialized once (lineage truncation): it feeds
     the band stream AND both verify sides, and its lineage carries
     the per-pixel Python decode — re-running that 4x was the dominant
-    cost (review fix, the embed-arm diamond rule)."""
+    cost (review fix, the embed-arm diamond rule).  Callers whose
+    frame is ALREADY cheap to rescan (a parquet read-back, an outer
+    materialize) pass ``pre_materialized=True`` to skip the redundant
+    second checkpoint."""
     from ..checkpoint import materialize
 
-    hashes = materialize(hashes)
+    if not pre_materialized:
+        hashes = materialize(hashes)
     bands = hashes.select(
         F.col(id_col),
         F.explode(

@@ -899,6 +899,11 @@ def ivf_index_append(
     quantized = (
         _read_index_params(spark, path).get("quantized", "false") == "true"
     )
+    if quantized:
+        # two appends consume new_vectors (a 2-consumer diamond whose
+        # lineage may carry a Python encode) — compute it once; the
+        # PER-TABLE anti-joins below stay separate (replay self-heal)
+        new_vectors = materialize(new_vectors)
     fresh = new_vectors.join(existing, id_col, "left_anti")
     _assign_cells(fresh, cents, id_col, vec_col).write.mode(
         "append"
@@ -957,6 +962,10 @@ def lsh_index_append(
     quantized = (
         _read_index_params(spark, path).get("quantized", "false") == "true"
     )
+    if quantized:
+        # 2-consumer diamond: compute the incoming lineage once (the
+        # per-table anti-joins stay separate — replay self-heal)
+        new_vectors = materialize(new_vectors)
     fresh = new_vectors.join(existing, id_col, "left_anti")
     banded_bucket_rows(
         fresh, id_col, vec_col, tables, planes_per_table

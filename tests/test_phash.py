@@ -298,3 +298,55 @@ def test_cli_dedup_images_e2e(spark, tmp_path, capsys):
         for r in spark.read.parquet(f"{work}/image_survivors").collect()
     }
     assert surv == {1: True, 2: False, 3: False, 4: True}
+
+
+def test_null_payload_and_dim_bomb_hit_fake_rung(spark):
+    """Second review pass: a NULL payload row routes to the fake rung
+    (no TypeError in the task), and a bomb declaring huge IHDR dims is
+    rejected by the pixel-count ceiling before any inflate."""
+    import zlib as z
+
+    # dim bomb: declares 40000x40000 RGBA with a 1 MB zero IDAT
+    ihdr = struct.pack(">IIBBBBB", 40000, 40000, 8, 6, 0, 0, 0)
+    bomb = (
+        P._PNG_SIG
+        + P._png_chunk(b"IHDR", ihdr)
+        + P._png_chunk(b"IDAT", z.compress(b"\x00" * 1_000_000))
+        + P._png_chunk(b"IEND", b"")
+    )
+    assert P.decode_png_pixels(bomb) is None
+    df = spark.createDataFrame(
+        [(1, None), (2, bytearray(bomb))], "doc_id long, payload binary"
+    )
+    rows = {r["doc_id"]: r["decoder"] for r in P.image_phash(df).collect()}
+    assert rows == {1: "fake", 2: "fake"}
+
+
+def test_truncated_trailer_rejected():
+    """The bounded inflate still enforces stream COMPLETION: an IDAT
+    cut right before the adler32 trailer decodes to the exact expected
+    byte count but must fall to the fake rung (eof check)."""
+    import zlib as z
+
+    grays = _pattern(9, 9)
+    raw = b"".join(
+        b"\x00" + bytes(grays[y * 9 : (y + 1) * 9]) for y in range(9)
+    )
+    full = z.compress(raw)
+    truncated = full[:-4]  # drop the adler32 trailer
+    ihdr = struct.pack(">IIBBBBB", 9, 9, 8, 0, 0, 0, 0)
+    png = (
+        P._PNG_SIG
+        + P._png_chunk(b"IHDR", ihdr)
+        + P._png_chunk(b"IDAT", truncated)
+        + P._png_chunk(b"IEND", b"")
+    )
+    assert P.decode_png_pixels(png) is None
+    # and the intact stream still decodes
+    ok = (
+        P._PNG_SIG
+        + P._png_chunk(b"IHDR", ihdr)
+        + P._png_chunk(b"IDAT", full)
+        + P._png_chunk(b"IEND", b"")
+    )
+    assert P.decode_png_pixels(ok) == (9, 9, grays)

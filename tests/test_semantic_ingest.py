@@ -485,3 +485,34 @@ def test_cli_ingest_manifest_protocol(spark, tmp_path, capsys):
     rc = main(args)
     assert rc == 0
     assert "admitted_total=2" in capsys.readouterr().out
+
+
+def test_cli_ingest_manifest_empty_drain_counts_legacy(spark, tmp_path, capsys):
+    """Second review pass: --sink-protocol manifest over a LEGACY swap
+    sink with nothing to drain (no manifest ever committed) must count
+    the plain listing, not crash on None.count()."""
+    from haensel_ams_data_engineer_challenge_spark.__main__ import main
+    from haensel_ams_data_engineer_challenge_spark.operators.sinks import (
+        insert_if_absent,
+    )
+
+    corpus_path = _write_corpus(spark, tmp_path)
+    feed = str(tmp_path / "feed")
+    import os
+
+    os.makedirs(feed, exist_ok=True)  # empty feed: no batch ever fires
+    work = str(tmp_path / "wd")
+    os.makedirs(work, exist_ok=True)
+    # a legacy swap-protocol admitted store
+    insert_if_absent(
+        spark,
+        spark.createDataFrame([(999, "legacy row")], "doc_id long, text string"),
+        f"{work}/admitted",
+        ["doc_id"],
+    )
+    rc = main([
+        "ingest", "--corpus-parquet", corpus_path, "--feed-dir", feed,
+        "--work-dir", work, "--sink-protocol", "manifest",
+    ])
+    assert rc == 0
+    assert "admitted_total=1" in capsys.readouterr().out

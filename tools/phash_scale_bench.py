@@ -108,7 +108,7 @@ def main() -> None:
         n_hashed = hashes.count()
         t_hash = time.perf_counter() - t0
         t0 = time.perf_counter()
-        pairs = P.phash_dup_pairs(hashes)
+        pairs = P.phash_dup_pairs(hashes, pre_materialized=True)
         pair_rows = pairs.collect()
         t_pairs = time.perf_counter() - t0
         got = {(r["id_a"], r["id_b"]) for r in pair_rows}
