@@ -76,13 +76,24 @@ def main() -> None:
 
     enc_path = tempfile.mkdtemp(prefix="paraphrase_enc_")
     E.encoder_model_build(docs, enc_path)
+    # round 11: the float-weight kind, both pooling forms — synonym
+    # pairs land NEARBY (cosine ~0.99 via shared canonical base
+    # directions) rather than identical, the realistic geometry
+    wv_mean = tempfile.mkdtemp(prefix="paraphrase_wv_")
+    E.wordvec_model_build(docs, wv_mean)
+    wv_sif = tempfile.mkdtemp(prefix="paraphrase_wvs_")
+    E.wordvec_model_build(docs, wv_sif, pooling="sif")
 
     def embedder(kind: str):
         if kind == "hash_embed":
             return S.hash_embed(docs)
+        if kind == "wordvec_mean":
+            return E.embed_with_model(docs, wv_mean)
+        if kind == "wordvec_sif":
+            return E.embed_with_model(docs, wv_sif)
         return E.embed_with_model(docs, enc_path)
 
-    for kind in ("hash_embed", "model"):
+    for kind in ("hash_embed", "model", "wordvec_mean", "wordvec_sif"):
         best, pairs = None, None
         for _ in range(2):
             t0 = time.perf_counter()
