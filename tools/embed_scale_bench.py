@@ -49,14 +49,20 @@ def main() -> None:
             )
         docs = docs.repartition(32).localCheckpoint()
         enc_path = tempfile.mkdtemp(prefix="embed_scale_enc_")
+        wv_path = tempfile.mkdtemp(prefix="embed_scale_wv_")
         log_dir = tempfile.mkdtemp(prefix="embed_scale_loads_")
         E.encoder_model_build(docs, enc_path)
-        for kind in ("hash_embed", "model"):
+        # round 11: the float-weight kind (numpy vocab matrix + SIF
+        # integer weights) through the same seam/cache
+        E.wordvec_model_build(docs, wv_path, pooling="sif")
+        for kind in ("hash_embed", "model", "wordvec_sif"):
             best = None
             for _ in range(2):
                 t0 = time.perf_counter()
                 if kind == "hash_embed":
                     out = S.hash_embed(docs)
+                elif kind == "wordvec_sif":
+                    out = E.embed_with_model(docs, wv_path)
                 else:
                     out = E.embed_with_model(
                         docs, enc_path, load_log_dir=log_dir
