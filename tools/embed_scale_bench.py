@@ -51,9 +51,12 @@ def main() -> None:
         enc_path = tempfile.mkdtemp(prefix="embed_scale_enc_")
         wv_path = tempfile.mkdtemp(prefix="embed_scale_wv_")
         log_dir = tempfile.mkdtemp(prefix="embed_scale_loads_")
+        wv_log_dir = tempfile.mkdtemp(prefix="embed_scale_wv_loads_")
         E.encoder_model_build(docs, enc_path)
         # round 11: the float-weight kind (numpy vocab matrix + SIF
-        # integer weights) through the same seam/cache
+        # integer weights) through the same seam/cache; its load-once
+        # claim is MEASURED via its own log dir (review fix: a shared
+        # dir would cross-contaminate the model arm's count)
         E.wordvec_model_build(docs, wv_path, pooling="sif")
         for kind in ("hash_embed", "model", "wordvec_sif"):
             best = None
@@ -62,7 +65,9 @@ def main() -> None:
                 if kind == "hash_embed":
                     out = S.hash_embed(docs)
                 elif kind == "wordvec_sif":
-                    out = E.embed_with_model(docs, wv_path)
+                    out = E.embed_with_model(
+                        docs, wv_path, load_log_dir=wv_log_dir
+                    )
                 else:
                     out = E.embed_with_model(
                         docs, enc_path, load_log_dir=log_dir
@@ -73,10 +78,11 @@ def main() -> None:
                 "embedder": kind, "mult": m, "docs": n_base * m,
                 "vectors": n, "sec": round(best, 2),
             }
-            if kind == "model":
+            if kind != "hash_embed":
                 import glob
 
-                rec["worker_loads"] = len(glob.glob(f"{log_dir}/*.loaded"))
+                d = log_dir if kind == "model" else wv_log_dir
+                rec["worker_loads"] = len(glob.glob(f"{d}/*.loaded"))
             print(json.dumps(rec), flush=True)
         docs.unpersist()
 

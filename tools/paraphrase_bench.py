@@ -97,16 +97,20 @@ def main() -> None:
         best, pairs = None, None
         for _ in range(2):
             t0 = time.perf_counter()
+            vecs = materialize(embedder(kind))
             pairs = {
                 (r["id_a"], r["id_b"])
                 for r in S.embedding_dup_pairs_lsh(
-                    materialize(embedder(kind)),
+                    vecs,
                     threshold=0.9,
                     planes_per_band=10,
                     max_bucket=S.MAX_VECTOR_BUCKET,
                 ).collect()
             }
             dt = time.perf_counter() - t0
+            # release the checkpointed vectors before the next rep/arm
+            # (review fix: 8 retained copies skewed later arms)
+            vecs.unpersist()
             best = dt if best is None else min(best, dt)
         caught = sum(1 for p in want if p in pairs)
         print(json.dumps({
