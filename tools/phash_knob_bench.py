@@ -1,0 +1,106 @@
+"""phash max_hamming knob curve (round 11): planted-duplicate recall
+vs total pair volume per threshold — the evidence behind the default
+PHASH_MAX_HAMMING=10.
+
+One corpus (the scale bench's planted re-encode/resize generator), ONE
+pair scan at the loosest threshold, then per-threshold metrics are
+aggregated driver-side from the returned hamming distances (the knob
+only filters, so a single scan prices every setting).
+
+Usage: python tools/phash_knob_bench.py [n_images] [max_t]
+Prints one JSON line per threshold.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8000
+    max_t = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+
+    from pyspark.sql import SparkSession
+
+    from haensel_ams_data_engineer_challenge_spark.checkpoint import (
+        materialize,
+    )
+    from haensel_ams_data_engineer_challenge_spark.multimodal import (
+        phash as P,
+    )
+    from tools.phash_scale_bench import main as _unused  # noqa: F401
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+
+    # the scale bench's corpus shape, inlined (ids i%7==1 re-encode
+    # i-1; i%7==2 2x-resize i-2)
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for i in pdf["id"]:
+                i = int(i)
+                if i % 7 == 1:
+                    src, level, k = i - 1, 9, 1
+                elif i % 7 == 2:
+                    src, level, k = i - 2, 6, 2
+                else:
+                    src, level, k = i, 6, 1
+                w, h = 24 + (src * 3) % 16, 16 + (src * 5) % 12
+                sx, sy = 3 + src % 11, 5 + src % 7
+                grays = [
+                    (src * 31 + x * sx + y * sy + ((x * (y + src)) % 13) * 9)
+                    % 256
+                    for y in range(h)
+                    for x in range(w)
+                ]
+                if k > 1:
+                    grays = [
+                        grays[(y // k) * w + (x // k)]
+                        for y in range(h * k)
+                        for x in range(w * k)
+                    ]
+                    w, h = w * k, h * k
+                payloads.append(P.png_encode_gray(grays, w, h, level))
+            yield pd.DataFrame(
+                {"doc_id": pdf["id"].values, "payload": payloads}
+            )
+
+    images = spark.range(n).mapInPandas(gen, "doc_id long, payload binary")
+    hashes = materialize(P.image_phash(images))
+    rows = P.phash_dup_pairs(
+        hashes, max_hamming=max_t, pre_materialized=True
+    ).collect()
+    reenc = {(i - 1, i) for i in range(n) if i % 7 == 1}
+    resized = {(i - 2, i) for i in range(n) if i % 7 == 2 and i >= 2}
+    for t in range(0, max_t + 1, 2):
+        got = {(r["id_a"], r["id_b"]) for r in rows if r["hamming"] <= t}
+        print(
+            json.dumps(
+                {
+                    "max_hamming": t,
+                    "reencode_recall": round(
+                        len(got & reenc) / max(1, len(reenc)), 4
+                    ),
+                    "resize_recall": round(
+                        len(got & resized) / max(1, len(resized)), 4
+                    ),
+                    "total_pairs": len(got),
+                }
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
