@@ -32,7 +32,6 @@ def main() -> None:
     from haensel_ams_data_engineer_challenge_spark.multimodal import (
         phash as P,
     )
-    from tools.phash_scale_bench import main as _unused  # noqa: F401
 
     spark = (
         SparkSession.builder.master("local[32]")
