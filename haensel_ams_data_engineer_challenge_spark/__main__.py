@@ -307,7 +307,10 @@ def _parser() -> argparse.ArgumentParser:
     di.add_argument(
         "--max-hamming", type=int, default=None, metavar="T",
         help="duplicate threshold on the 64-bit dHash (default 10: "
-        "re-encodes measure 0, mild resizes 0-6)",
+        "re-encodes measure 0, mild resizes 0-6); recall is "
+        "GUARANTEED only at T<=3 (4x16-bit band pigeonhole) and "
+        "probabilistic-but-measured-high above it — pairs whose "
+        "differing bits spread across all 4 bands are missed",
     )
 
     wv = sub.add_parser(

@@ -54,6 +54,12 @@ DHASH_GRID_W, DHASH_GRID_H = 9, 8
 AHASH_GRID = 8
 #: default pair threshold: <=10/64 differing bits is the conventional
 #: "same image" band for dHash (re-encode: 0; mild resize: 0-6).
+#: HONEST RECALL NOTE (round 12, r11 advice): the 4x16-bit banding's
+#: pigeonhole guarantee only covers hamming <= 3 — a pair at distance
+#: 4-10 is found iff its differing bits leave at least one band
+#: untouched, which for the re-encode/resize regime (localized bit
+#: flips) is the common case but NOT a guarantee.  tools/
+#: phash_knob_bench.py measures the actual recall knee at t=10.
 PHASH_MAX_HAMMING = 10
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -107,11 +113,14 @@ def _paeth(a: int, b: int, c: int) -> int:
 #: PNG color type -> samples per pixel (8-bit depth only).
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
-#: pixel-count ceiling for the decoder (16.7M px ~ a 4096x4096 image,
-#: far above anything a perceptual hash needs): IHDR dims are
+#: pixel-count ceiling for the decoder (4.2M px ~ a 2048x2048 image —
+#: a 9x8/8x8 hash needs far less, and the pure-Python per-pixel
+#: unfilter loop makes admitted pixels CPU, not just memory: a crafted
+#: 4096x4096 Paeth-filtered RGBA cost ~10^8 ops/payload at the old
+#: 1<<24 ceiling — round-12, r11 advice).  IHDR dims are
 #: attacker-controlled and size the bounded inflate, so they get a
-#: ceiling of their own.
-_PNG_MAX_PIXELS = 1 << 24
+#: ceiling of their own; anything larger falls to the fake rung.
+_PNG_MAX_PIXELS = 1 << 22
 
 
 def decode_png_pixels(payload: bytes) -> tuple[int, int, list[int]] | None:
@@ -383,6 +392,15 @@ def phash_dup_pairs(
     16-bit dHash band (4 bands — pigeonhole-guaranteed recall for
     hamming <= 3, high for the re-encode/resize regime which measures
     0-6), verified by the exact 64-bit hamming distance.
+
+    Recall above distance 3 is PROBABILISTIC, not guaranteed (r11
+    advice): a pair at hamming 4..max_hamming whose differing bits
+    spread across all four bands shares no band and is missed.  The
+    re-encode/resize regime flips SPATIALLY CLUSTERED bits (each band
+    is two adjacent hash rows), which is why measured recall at the
+    t=10 default stays high (tools/phash_knob_bench.py); callers
+    needing a hard guarantee at t<=7 should band into 8x8-bit bands —
+    at 4x the candidate-join volume.
 
     Shape: one (band, value) explode + self-join per band via a UNION
     — the SimHash banding plan verbatim, with the repo's flood cap

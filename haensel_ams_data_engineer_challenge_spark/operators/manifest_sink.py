@@ -29,6 +29,21 @@ state change is ONE atomic manifest write:
   (one-generation retention), which runs under the writer lease at the
   start of every mutating operation.
 
+One-generation retention has a documented hazard for LONG-RUNNING
+readers: a reader that resolved vN keeps a complete file set across
+ONE concurrent mutation, but two quick mutations (insert then compact)
+age vN out and its superseded files become vacuum-eligible mid-scan.
+Deployments with slow readers pass ``min_retention_minutes`` (threaded
+through every mutating op): vacuum then also keeps every manifest —
+and all files it references — younger than the floor, so a reader is
+safe for at least that long after resolving (round 12, r11 advice).
+
+Appended files are recorded EXPLICITLY, never inferred: each insert
+writes its part files to a private staging directory and moves exactly
+those into the sink (round 12, r11 advice) — a stray file dropped into
+the sink dir by a process bypassing the lease is never silently
+adopted as committed content (it is vacuumed as an orphan).
+
 Crash matrix (all under the heartbeat writer lease, so no second
 writer interleaves):
 
@@ -177,22 +192,38 @@ def read_manifest_sink(spark: SparkSession, path: str) -> DataFrame | None:
     )
 
 
-def manifest_vacuum(spark: SparkSession, path: str) -> int:
+def manifest_vacuum(
+    spark: SparkSession, path: str, min_retention_minutes: float = 0.0
+) -> int:
     """Delete data files referenced by NEITHER the latest NOR the
     previous manifest (crash orphans + files superseded two commits
     ago), stale manifest tmp files, and manifests older than the
     previous.  Returns the number of files deleted.  MUST run under
     the writer lease — mutating operations call it on entry; standalone
-    callers get their own lease via :func:`manifest_maintain`."""
+    callers get their own lease via :func:`manifest_maintain`.
+
+    ``min_retention_minutes`` > 0 adds a TIME floor for long-running
+    readers (module docstring: the two-quick-commits hazard): any
+    manifest whose file modification time is within the floor is kept
+    along with every file it references, regardless of how many
+    generations have superseded it."""
     names = _list_names(spark, path)
     versions = _manifest_versions(names)
     if not versions:
         return 0
     keep_versions = set(versions[-2:])
+    jvm, fs = _fs(spark, path)
+    if min_retention_minutes > 0:
+        import time
+
+        floor_ms = (time.time() - min_retention_minutes * 60.0) * 1000.0
+        for v in versions[:-2]:
+            st = fs.getFileStatus(_jpath(jvm, f"{path}/{_manifest_name(v)}"))
+            if st.getModificationTime() >= floor_ms:
+                keep_versions.add(v)
     referenced: set[str] = set()
     for v in keep_versions:
         referenced.update(_read_manifest(spark, path, v)["files"])
-    jvm, fs = _fs(spark, path)
     deleted = 0
     for n in names:
         doomed = False
@@ -210,10 +241,33 @@ def manifest_vacuum(spark: SparkSession, path: str) -> int:
     return deleted
 
 
-def manifest_maintain(spark: SparkSession, path: str) -> int:
+def manifest_maintain(
+    spark: SparkSession, path: str, min_retention_minutes: float = 0.0
+) -> int:
     """Standalone vacuum under its own writer lease."""
     with hold_writer_lease(spark, path):
-        return manifest_vacuum(spark, path)
+        return manifest_vacuum(spark, path, min_retention_minutes)
+
+
+def _move_staged_files(spark: SparkSession, stage: str, path: str) -> list[str]:
+    """Move every data file from the private staging dir into the sink
+    (per-file rename, same filesystem) and return their names — the
+    EXPLICIT record of what this job wrote.  All moves happen before
+    any manifest commit, so a failure here is pre-commit: nothing is
+    visible, the staging dir is deleted, and the caller dies clean."""
+    jvm, fs = _fs(spark, path)
+    staged = sorted(_data_files(_list_names(spark, stage)))
+    for name in staged:
+        if not fs.rename(
+            _jpath(jvm, f"{stage}/{name}"), _jpath(jvm, f"{path}/{name}")
+        ):
+            fs.delete(_jpath(jvm, stage), True)
+            raise IOError(
+                f"manifest commit: failed to move staged file {name} "
+                f"into {path}"
+            )
+    fs.delete(_jpath(jvm, stage), True)
+    return staged
 
 
 def _adopt_or_latest(
@@ -233,7 +287,11 @@ def _adopt_or_latest(
 
 
 def manifest_insert_if_absent(
-    spark: SparkSession, df: DataFrame, path: str, keys: list[str]
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    keys: list[str],
+    min_retention_minutes: float = 0.0,
 ) -> int:
     """INSERT OR IGNORE with a manifest commit — the exact semantics of
     :func:`.sinks.insert_if_absent` (dedup within the batch, NULL keys
@@ -241,9 +299,18 @@ def manifest_insert_if_absent(
     but readers never observe a partial append: the new part files
     become visible only at the single atomic manifest rename.
 
+    The appended part files are written to a PRIVATE staging directory
+    and moved in (round 12, r11 advice): the committed file set is the
+    explicit list of what this job wrote, never a before/after listing
+    diff — a stray data file dropped into the sink dir by a process
+    bypassing the lease is not adopted as committed content (and is
+    vacuumed as an orphan on the next mutating run).
+
     A legacy swap-sink at ``path`` (data, no manifest) is ADOPTED: its
     current files become the first manifest's base content, so
     existing pipelines upgrade in place."""
+    import uuid
+
     from pyspark.sql import Observation
 
     fresh = df.dropDuplicates(keys)
@@ -252,7 +319,7 @@ def manifest_insert_if_absent(
     with hold_writer_lease(spark, path):
         version, committed, schema = _adopt_or_latest(spark, path)
         if version > 0:
-            manifest_vacuum(spark, path)
+            manifest_vacuum(spark, path, min_retention_minutes)
             # vacuum never touches the latest two manifests' files, so
             # re-resolving is unnecessary: `committed` is still exact
         if committed:
@@ -260,22 +327,26 @@ def manifest_insert_if_absent(
                 *[f"{path}/{n}" for n in committed]
             )
             fresh = fresh.join(existing.select(*keys), keys, "left_anti")
-        before = _data_files(_list_names(spark, path))
+        stage = f"{path}__append_{uuid.uuid4().hex}"
         obs = Observation()
         fresh.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
-            "append"
-        ).parquet(path)
+            "overwrite"
+        ).parquet(stage)
         n = int(obs.get["n"])
-        after = _data_files(_list_names(spark, path))
-        new_files = sorted(after - before)
+        new_files = _move_staged_files(spark, stage, path)
         _commit_manifest(
             spark, path, version + 1, committed + new_files, fresh.schema
         )
+        # same-session readers may hold a cached listing of the path
+        spark.catalog.refreshByPath(path)
         return n
 
 
 def manifest_compact(
-    spark: SparkSession, path: str, target_partitions: int | None = None
+    spark: SparkSession,
+    path: str,
+    target_partitions: int | None = None,
+    min_retention_minutes: float = 0.0,
 ) -> int:
     """Reader-stable compaction: rewrite the committed rows as
     ``target_partitions`` fresh part files and commit a manifest
@@ -285,21 +356,34 @@ def manifest_compact(
 
     The compacted files are written to a sibling staging dir and
     MOVED (per-file rename, same filesystem) into the sink under
-    their unique Spark-generated names before the commit."""
+    their unique Spark-generated names before the commit.
+
+    A COMMITTED sink whose file list is empty (a zero-row first run)
+    is a successful no-op returning 0 (round 12, r11 advice: the
+    pipeline CLI compacts after a date-range run that may admit zero
+    rows); a path with no manifest and no data still raises."""
     import uuid
 
     from pyspark.sql import Observation
 
     with hold_writer_lease(spark, path):
         version, committed, schema = _adopt_or_latest(spark, path)
-        # covers never-written paths AND a committed-but-empty manifest
-        # (round-11 review fix: spark.read.parquet(*[]) on the latter
-        # raised instead of refusing cleanly)
         if not committed:
+            if version > 0:
+                # committed-but-empty: nothing to rewrite, nothing to
+                # gain — succeed without burning a manifest generation
+                import warnings
+
+                warnings.warn(
+                    f"manifest sink at {path} is committed but empty; "
+                    "compaction is a no-op",
+                    stacklevel=2,
+                )
+                return 0
             raise ValueError(
                 f"nothing to compact at {path} (no committed data files)"
             )
-        manifest_vacuum(spark, path)
+        manifest_vacuum(spark, path, min_retention_minutes)
         rows = spark.read.parquet(*[f"{path}/{n}" for n in committed])
         n_parts = target_partitions or int(
             spark.conf.get("spark.sql.shuffle.partitions")
@@ -310,18 +394,7 @@ def manifest_compact(
             int(n_parts)
         ).write.mode("overwrite").parquet(stage)
         n_rows = int(obs.get["n"])
-        jvm, fs = _fs(spark, path)
-        staged = sorted(_data_files(_list_names(spark, stage)))
-        for name in staged:
-            if not fs.rename(
-                _jpath(jvm, f"{stage}/{name}"), _jpath(jvm, f"{path}/{name}")
-            ):
-                # pre-commit: nothing is visible yet — clean up and die
-                fs.delete(_jpath(jvm, stage), True)
-                raise IOError(
-                    f"compact: failed to move staged file {name} into {path}"
-                )
-        fs.delete(_jpath(jvm, stage), True)
+        staged = _move_staged_files(spark, stage, path)
         _commit_manifest(spark, path, version + 1, staged, rows.schema)
         # same-session readers may hold a cached listing of the path
         spark.catalog.refreshByPath(path)

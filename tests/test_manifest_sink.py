@@ -187,11 +187,12 @@ def test_manifest_is_hidden_from_plain_readers(spark, tmp_path):
     assert man["n_files"] == len(man["files"])
 
 
-def test_compact_empty_manifest_refuses_cleanly(spark, tmp_path):
-    """Round-11 review fix: a committed manifest whose file list is
-    EMPTY (possible when a zero-row append produces no part file —
-    writer-version dependent) refuses compaction with the clean
-    ValueError, not an AnalysisException from a zero-path read."""
+def test_compact_empty_manifest_is_a_noop(spark, tmp_path):
+    """Round-12 (r11 advice): a committed manifest whose file list is
+    EMPTY (a zero-row first run) compacts as a successful no-op
+    returning 0 — the pipeline CLI compacts after date-range runs that
+    may legitimately admit nothing.  A never-committed path (no
+    manifest, no data) still refuses with the clean ValueError."""
     from pyspark.sql.types import StructType
 
     path = str(tmp_path / "sink")
@@ -200,5 +201,59 @@ def test_compact_empty_manifest_refuses_cleanly(spark, tmp_path):
         spark, path, 1, [], StructType.fromDDL("k string, v double")
     )
     assert M.read_manifest_sink(spark, path).count() == 0
+    with pytest.warns(UserWarning, match="committed but empty"):
+        assert M.manifest_compact(spark, path) == 0
+    # no manifest generation burned by the no-op
+    assert M._resolve_latest(spark, path)[0] == 1
+
+    never = str(tmp_path / "never")
     with pytest.raises(ValueError, match="nothing to compact"):
-        M.manifest_compact(spark, path)
+        M.manifest_compact(spark, never)
+
+
+def test_stray_file_is_not_adopted_as_committed(spark, tmp_path):
+    """Round-12 (r11 advice): the insert records its OWN staged files
+    explicitly — a data file dropped into the sink dir by a process
+    bypassing the lease never becomes committed content (and is
+    vacuumed as an orphan by the next mutating op)."""
+    path = str(tmp_path / "sink")
+    M.manifest_insert_if_absent(spark, _df(spark, [1]), path, ["k"])
+    # a stray spark.write.parquet lands DURING the append window's
+    # worst case: simulated by dropping the file before the next insert
+    _df(spark, [77]).write.mode("append").parquet(path)
+    M.manifest_insert_if_absent(spark, _df(spark, [2]), path, ["k"])
+    assert _keys(spark, path) == ["1", "2"]  # 77 never adopted
+    committed = set(M._resolve_latest(spark, path)[1]["files"])
+    on_disk = M._data_files(M._list_names(spark, path))
+    assert committed == on_disk  # stray vacuumed, not retained
+
+
+def test_vacuum_retention_floor_keeps_young_generations(spark, tmp_path):
+    """Round-12 (r11 advice): with ``min_retention_minutes`` set, a
+    manifest younger than the floor — and every file it references —
+    survives vacuum even after two quick subsequent mutations, so a
+    long-running reader that resolved it keeps a complete file set."""
+    path = str(tmp_path / "sink")
+    M.manifest_insert_if_absent(spark, _df(spark, [1, 2]), path, ["k"])
+    v1_files = set(M._resolve_latest(spark, path)[1]["files"])
+    # two quick mutations age v1 out of the two-generation window
+    M.manifest_compact(spark, path, target_partitions=1)
+    M.manifest_insert_if_absent(spark, _df(spark, [3]), path, ["k"])
+    # floor: everything committed in the last hour stays readable
+    with sinks.hold_writer_lease(spark, path):
+        deleted = M.manifest_vacuum(spark, path, min_retention_minutes=60.0)
+    on_disk = M._data_files(M._list_names(spark, path))
+    assert v1_files <= on_disk, "retention floor must keep v1's files"
+    # ... and v1 itself is still resolvable for a reader holding it
+    assert set(M._read_manifest(spark, path, 1)["files"]) == v1_files
+    # without the floor the same vacuum reclaims v1's superseded files
+    with sinks.hold_writer_lease(spark, path):
+        deleted = M.manifest_vacuum(spark, path)
+    assert deleted > 0
+    versions = M._manifest_versions(M._list_names(spark, path))
+    assert 1 not in versions  # v1 aged out once the floor is dropped
+    kept = set()
+    for v in versions:
+        kept.update(M._read_manifest(spark, path, v)["files"])
+    assert M._data_files(M._list_names(spark, path)) <= kept
+    assert M.read_manifest_sink(spark, path).count() == 3
