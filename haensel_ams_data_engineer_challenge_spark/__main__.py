@@ -320,7 +320,16 @@ def _parser() -> argparse.ArgumentParser:
         "committed wordvec-v1 encoder artifact servable by every "
         "--encoder-model surface (search/ingest/corpus)",
     )
-    wv.add_argument("--vectors-parquet", required=True, metavar="PARQUET")
+    wv_src = wv.add_mutually_exclusive_group(required=True)
+    wv_src.add_argument("--vectors-parquet", metavar="PARQUET")
+    wv_src.add_argument(
+        "--vec-file", metavar="VEC",
+        help="a word2vec/fastText TEXT export (optional 'N dim' header "
+        "line, then 'term v1..vd' rows; GloVe's headerless rows work "
+        "too) — parsed distributed (spark.read.text + split/cast, no "
+        "driver loop); malformed lines are quarantined verbatim under "
+        "MODEL_DIR/vec_quarantine, never silently dropped (round 12)",
+    )
     wv.add_argument("--model-dir", required=True, metavar="DIR")
     wv.add_argument(
         "--scale", type=int, default=None, metavar="N",
@@ -984,21 +993,40 @@ def main(argv: list[str] | None = None) -> int:
             return 0
 
         if args.command == "import-wordvec":
-            from .operators.embed import WORDVEC_SCALE, wordvec_model_import
+            from .operators.embed import (
+                WORDVEC_SCALE,
+                wordvec_import_vec_file,
+                wordvec_model_import,
+            )
             from .operators.similarity import _read_index_params
 
-            vectors = spark.read.parquet(args.vectors_parquet)
-            wordvec_model_import(
-                vectors,
-                args.model_dir,
-                scale=args.scale if args.scale is not None else WORDVEC_SCALE,
-            )
+            scale = args.scale if args.scale is not None else WORDVEC_SCALE
+            extra = ""
+            if args.vec_file is not None:
+                stats = wordvec_import_vec_file(
+                    spark, args.vec_file, args.model_dir, scale=scale
+                )
+                extra = f" quarantined={stats['quarantined']}"
+                if (
+                    stats["declared_terms"] is not None
+                    and stats["declared_terms"]
+                    != stats["imported"] + stats["quarantined"]
+                ):
+                    extra += (
+                        f" WARNING: header declares "
+                        f"{stats['declared_terms']} terms but the file "
+                        f"holds {stats['imported'] + stats['quarantined']}"
+                        " — truncated export?"
+                    )
+            else:
+                vectors = spark.read.parquet(args.vectors_parquet)
+                wordvec_model_import(vectors, args.model_dir, scale=scale)
             params = _read_index_params(spark, args.model_dir)
             n = spark.read.parquet(f"{args.model_dir}/vectors").count()
             print(
                 f"imported terms={n} dim={params['dim']} "
                 f"scale={params['scale']} version={params['version']} "
-                f"-> {args.model_dir}"
+                f"-> {args.model_dir}{extra}"
             )
             return 0
 

@@ -719,6 +719,129 @@ def wordvec_model_import(
     )
 
 
+def _read_first_line(path: str) -> str:
+    """First line of a text file via pyarrow fs (works for local and
+    scheme'd paths), bounded to 1 MiB — a .vec header or first data
+    row is a few KB at most."""
+    import pyarrow.fs as pafs
+
+    if "://" in path:
+        fs, root = pafs.FileSystem.from_uri(path)
+    else:
+        fs, root = pafs.LocalFileSystem(), path
+    with fs.open_input_stream(root) as f:
+        buf = f.read(1 << 20)
+    return buf.split(b"\n", 1)[0].decode("utf-8", "replace")
+
+
+def wordvec_read_vec_text(
+    spark, vec_path: str
+) -> tuple[DataFrame, DataFrame, dict]:
+    """Parse a standard word2vec/fastText TEXT export (round 12, r11
+    verdict task 6 — the missing first metre of bring-your-own-weights:
+    the file a user actually has is ``model.vec``, not parquet).
+
+    Format: optional header line ``"<n_terms> <dim>"``, then one row
+    per term: ``term v1 v2 ... vdim`` (whitespace-separated).  GloVe
+    exports are the same rows without the header — both are accepted
+    (dim is inferred from the first line's arity when it is not a
+    two-integer header).
+
+    Returns ``(vectors, quarantine, info)``: ``vectors`` is
+    (term string, vec array<double>) ready for
+    :func:`wordvec_model_import`; ``quarantine`` holds every malformed
+    line VERBATIM (wrong arity, unparseable component, empty term) —
+    malformed rows are never silently dropped; ``info`` carries
+    ``dim``, ``has_header`` and the header's ``declared_terms`` (None
+    without a header) so callers can cross-check for truncation.
+
+    Scale shape: the parse is one distributed ``spark.read.text`` scan
+    + JVM split/cast expressions — no driver loop, no Python UDF; only
+    the first line is read driver-side (bounded) to fix ``dim``.
+    """
+    first = _read_first_line(vec_path)
+    head_fields = first.split()
+    declared: int | None = None
+    has_header = False
+    if len(head_fields) == 2:
+        try:
+            declared, dim = int(head_fields[0]), int(head_fields[1])
+            has_header = True
+        except ValueError:
+            declared = None
+    if not has_header:
+        dim = len(head_fields) - 1
+    if dim < 1:
+        raise ValueError(
+            f"cannot infer a vector dim from the first line of "
+            f"{vec_path}: {first[:80]!r}"
+        )
+    lines = spark.read.text(vec_path)
+    # blank lines (a trailing newline is a format artifact, not data)
+    # and the exact header line are structural, not malformed
+    lines = lines.filter(~F.col("value").rlike(r"^\s*$"))
+    if has_header:
+        lines = lines.filter(F.col("value") != F.lit(first))
+    fields = F.split(F.trim("value"), r"\s+")
+    parsed = lines.select(
+        "value",
+        F.element_at(fields, 1).alias("term"),
+        F.transform(
+            # try_cast, not cast: ANSI mode makes a plain cast THROW on
+            # the malformed component we are trying to quarantine
+            F.slice(fields, 2, dim), lambda s: s.try_cast("double")
+        ).alias("vec"),
+        F.size(fields).alias("__n"),
+    )
+    is_good = (
+        (F.col("__n") == dim + 1)
+        & (F.col("term") != "")
+        & ~F.exists("vec", lambda x: x.isNull())
+    )
+    good = parsed.filter(is_good).select("term", "vec")
+    quarantine = parsed.filter(~is_good).select("value")
+    return good, quarantine, {
+        "dim": dim, "has_header": has_header, "declared_terms": declared,
+    }
+
+
+def wordvec_import_vec_file(
+    spark,
+    vec_path: str,
+    model_dir: str,
+    scale: int = WORDVEC_SCALE,
+    quarantine_dir: str | None = None,
+) -> dict:
+    """One-call bring-your-own-weights: parse a ``.vec``/GloVe text
+    export (:func:`wordvec_read_vec_text`) and commit it as a servable
+    wordvec-v1 artifact (:func:`wordvec_model_import`).  Malformed
+    lines land verbatim under ``quarantine_dir`` (default
+    ``{model_dir}/vec_quarantine`` — written BEFORE the params marker,
+    so it rides inside the artifact's commit discipline).  Returns
+    stats: imported/quarantined counts, dim, and the header's declared
+    term count for truncation cross-checks."""
+    good, quarantine, info = wordvec_read_vec_text(spark, vec_path)
+    qdir = quarantine_dir or f"{model_dir}/vec_quarantine"
+    # the malformed set feeds a count and a write: bounded by
+    # construction? No — quarantine verbosity is data-dependent; the
+    # write is the record, the count comes from the written store.
+    quarantine.write.mode("overwrite").parquet(qdir)
+    n_bad = spark.read.parquet(qdir).count()
+    n_good = good.count()
+    if n_good == 0:
+        raise ValueError(
+            f"no valid vector rows in {vec_path} "
+            f"({n_bad} malformed lines quarantined at {qdir})"
+        )
+    wordvec_model_import(good, model_dir, scale=scale)
+    return {
+        "imported": n_good,
+        "quarantined": n_bad,
+        "quarantine_dir": qdir,
+        **info,
+    }
+
+
 class _PreparedWordvec:
     """Worker-side prepared state for a wordvec-v1 artifact: the dense
     (term -> grid row) table as a numpy matrix + index dict.  Encoding

@@ -513,3 +513,134 @@ def test_wordvec_sif_artifact_without_counts_refuses(spark, tmp_path):
     shutil.move(f"{path}/vectors_tmp", f"{path}/vectors")
     with pytest.raises(Exception, match="cnt|Py4JJavaError|torn"):
         E.embed_with_model(docs, path).collect()
+
+
+# ---------------------------------------------------------------------------
+# .vec text-format reader (round 12, r11 verdict task 6)
+# ---------------------------------------------------------------------------
+
+
+def _write_vec(tmp_path, name: str, lines: list[str]) -> str:
+    p = tmp_path / name
+    p.write_text("\n".join(lines) + "\n", encoding="utf-8")
+    return str(p)
+
+
+def test_vec_file_roundtrips_to_servable_artifact(spark, tmp_path):
+    """A standard fastText text export (header 'N dim', rows
+    'term v1..vd') parses distributed and commits as a wordvec-v1
+    artifact identical to importing the same table as parquet."""
+    vec_path = _write_vec(tmp_path, "model.vec", [
+        "3 4",
+        "alpha 0.5 -0.25 0.125 1.0",
+        "beta -0.3 0.7 0.0009765625 -1.5",
+        "gamma 0.1 0.2 0.3 0.4",
+    ])
+    path = str(tmp_path / "wv_vec")
+    stats = E.wordvec_import_vec_file(spark, vec_path, path)
+    assert stats["imported"] == 3
+    assert stats["quarantined"] == 0
+    assert stats["dim"] == 4
+    assert stats["has_header"] and stats["declared_terms"] == 3
+    params = S._read_index_params(spark, path)
+    assert params["encoder"] == E.WORDVEC_KIND and int(params["dim"]) == 4
+
+    # bit-equal to the parquet import of the same table
+    table = spark.createDataFrame(
+        [
+            ("alpha", [0.5, -0.25, 0.125, 1.0]),
+            ("beta", [-0.3, 0.7, 0.0009765625, -1.5]),
+            ("gamma", [0.1, 0.2, 0.3, 0.4]),
+        ],
+        "term string, vec array<double>",
+    )
+    pq_path = str(tmp_path / "wv_pq")
+    E.wordvec_model_import(table, pq_path)
+    via_vec = {
+        r["term"]: list(r["vec"])
+        for r in spark.read.parquet(f"{path}/vectors").collect()
+    }
+    via_pq = {
+        r["term"]: list(r["vec"])
+        for r in spark.read.parquet(f"{pq_path}/vectors").collect()
+    }
+    assert via_vec == via_pq
+
+    # ... and serves through the seam
+    docs = spark.createDataFrame(
+        [(1, "alpha beta")], "doc_id long, text string"
+    )
+    assert E.embed_with_model(docs, path).count() == 1
+
+
+def test_vec_file_quarantines_malformed_not_silently(spark, tmp_path):
+    """Wrong arity, unparseable floats and empty terms land VERBATIM
+    in the quarantine store; blank lines and the header are structural
+    (not quarantined); good rows still import."""
+    vec_path = _write_vec(tmp_path, "dirty.vec", [
+        "5 3",
+        "alpha 0.5 -0.25 0.125",
+        "beta 0.1 0.2",                 # wrong arity (short)
+        "gamma 0.1 0.2 0.3 0.4",        # wrong arity (long)
+        "delta 0.1 oops 0.3",           # unparseable component
+        "epsilon 1.0 2.0 3.0",
+        "",                              # trailing blank: structural
+    ])
+    path = str(tmp_path / "wv_dirty")
+    stats = E.wordvec_import_vec_file(spark, vec_path, path)
+    assert stats["imported"] == 2
+    assert stats["quarantined"] == 3
+    bad = {
+        r["value"]
+        for r in spark.read.parquet(stats["quarantine_dir"]).collect()
+    }
+    assert bad == {
+        "beta 0.1 0.2",
+        "gamma 0.1 0.2 0.3 0.4",
+        "delta 0.1 oops 0.3",
+    }
+    terms = {
+        r["term"] for r in spark.read.parquet(f"{path}/vectors").collect()
+    }
+    assert terms == {"alpha", "epsilon"}
+    # declared 5 vs 2+3 held: consistent, no truncation signal
+    assert stats["declared_terms"] == 5
+
+
+def test_vec_file_headerless_glove_infers_dim(spark, tmp_path):
+    """GloVe-style headerless rows: dim inferred from the first line's
+    arity; an all-malformed file refuses loudly."""
+    vec_path = _write_vec(tmp_path, "glove.txt", [
+        "alpha 0.5 -0.25",
+        "beta 0.125 1.0",
+    ])
+    path = str(tmp_path / "wv_glove")
+    stats = E.wordvec_import_vec_file(spark, vec_path, path)
+    assert stats["imported"] == 2 and stats["dim"] == 2
+    assert not stats["has_header"] and stats["declared_terms"] is None
+
+    trash = _write_vec(tmp_path, "trash.vec", ["2 3", "a b c d e f g"])
+    with pytest.raises(ValueError, match="no valid vector rows"):
+        E.wordvec_import_vec_file(spark, trash, str(tmp_path / "wv_trash"))
+
+
+def test_cli_import_wordvec_vec_file(spark, tmp_path, capsys):
+    """CLI: --vec-file beside --vectors-parquet, with the truncation
+    warning when the header over-declares."""
+    from haensel_ams_data_engineer_challenge_spark.__main__ import main
+
+    vec_path = _write_vec(tmp_path, "short.vec", [
+        "9 3",
+        "alpha 0.5 -0.25 0.125",
+        "beta 1.0 2.0 3.0",
+    ])
+    model_dir = str(tmp_path / "cli_model")
+    assert main([
+        "import-wordvec", "--vec-file", vec_path, "--model-dir", model_dir,
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "imported terms=2" in out
+    assert "quarantined=0" in out
+    assert "truncated export?" in out  # 9 declared, 2 held
+    params = S._read_index_params(spark, model_dir)
+    assert params["encoder"] == E.WORDVEC_KIND
