@@ -889,22 +889,56 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
             planes_per_band=HASHED_DUP_PLANES,
             max_bucket=S.MAX_VECTOR_BUCKET,
         ).withColumn("method", F.lit("wordvec"))
+        # round 12: 'image' arm — SEMANTIC IMAGE dedup through the
+        # same seam (multimodal/imgembed.py, r11 verdict task 2): real
+        # synthesized PNGs (one per doc_id + a brightness-shifted twin
+        # for every 5th — the planted recolored duplicates, exact
+        # feature equality so they score cosine 1.0 in both engines)
+        # -> real pixel decode -> integer box features via the
+        # image-v1 artifact -> the SAME banded-LSH pair machinery.
+        # The crop regime phash misses is pinned by pytest
+        # (test_image_embed.py); the gate certifies decode ->
+        # features -> banding -> exact verify bit-for-bit.
+        from ..multimodal import imgembed as IE
+
+        img_path = _mtime_artifact_path(
+            sf, "documents.parquet", "spark_graft_imgenc_"
+        )
+        IE.image_encoder_build(spark, img_path)
+        image_arm = S.embedding_dup_pairs_lsh(
+            materialize(
+                EM.embed_with_model(
+                    IE.synthesize_embed_pngs(
+                        _docs(spark, sf).select("doc_id")
+                    ),
+                    img_path,
+                )
+            ),
+            threshold=HASHED_DUP_THRESHOLD,
+            planes_per_band=HASHED_DUP_PLANES,
+            max_bucket=S.MAX_VECTOR_BUCKET,
+        ).withColumn("method", F.lit("image"))
         return (
             lsh_arm.unionByName(hashed_arm)
             .unionByName(semdedup_arm)
             .unionByName(model_arm)
             .unionByName(wordvec_arm)
+            .unionByName(image_arm)
         )
+
+    from ..multimodal.imgembed import image_embed_sql
 
     e["dedup_embedding_cosine"] = (
         _embedding_dups_both,
         f"""WITH {S.hash_embed_sql(R.SEARCH_TOKEN_PATTERN).strip()},
             {EM.embed_model_sql(R.SEARCH_TOKEN_PATTERN).strip()},
             {EM.wordvec_model_sql(R.SEARCH_TOKEN_PATTERN, pooling="sif").strip()},
+            {image_embed_sql().strip()},
             wb AS ({S.banded_buckets_sql("embedding")}),
             hwb AS ({S.banded_buckets_sql("embedding", S.LSH_DUP_BANDS, HASHED_DUP_PLANES, table="he_out")}),
             mwb AS ({S.banded_buckets_sql("embedding", S.LSH_DUP_BANDS, HASHED_DUP_PLANES, table="em_out")}),
             wvb AS ({S.banded_buckets_sql("embedding", S.LSH_DUP_BANDS, HASHED_DUP_PLANES, table="wv_out")}),
+            ivb AS ({S.banded_buckets_sql("embedding", S.LSH_DUP_BANDS, HASHED_DUP_PLANES, table="ie_out")}),
             hflood AS (SELECT band, bucket FROM hwb
                        GROUP BY band, bucket
                        HAVING COUNT(*) > {S.MAX_VECTOR_BUCKET}),
@@ -923,6 +957,12 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
             wvb_f AS (SELECT w.* FROM wvb w
                       ANTI JOIN wvflood f
                       ON w.band = f.band AND w.bucket = f.bucket),
+            ivflood AS (SELECT band, bucket FROM ivb
+                        GROUP BY band, bucket
+                        HAVING COUNT(*) > {S.MAX_VECTOR_BUCKET}),
+            ivb_f AS (SELECT w.* FROM ivb w
+                      ANTI JOIN ivflood f
+                      ON w.band = f.band AND w.bucket = f.bucket),
             cand AS (
                 SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
                 FROM wb x JOIN wb y ON x.band = y.band AND x.bucket = y.bucket
@@ -938,6 +978,10 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
             wvcand AS (
                 SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
                 FROM wvb_f x JOIN wvb_f y ON x.band = y.band AND x.bucket = y.bucket
+                                         AND x.vec_id < y.vec_id),
+            ivcand AS (
+                SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+                FROM ivb_f x JOIN ivb_f y ON x.band = y.band AND x.bucket = y.bucket
                                          AND x.vec_id < y.vec_id)
             SELECT 'lsh' AS method, id_a, id_b, {cos_ab} AS cosine
             FROM cand
@@ -961,6 +1005,12 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
             FROM wvcand
             JOIN wv_out a ON a.vec_id = id_a
             JOIN wv_out b ON b.vec_id = id_b
+            WHERE {cos_ab} >= CAST({HASHED_DUP_THRESHOLD} AS DOUBLE)
+            UNION ALL
+            SELECT 'image', id_a, id_b, {cos_ab} AS cosine
+            FROM ivcand
+            JOIN ie_out a ON a.vec_id = id_a
+            JOIN ie_out b ON b.vec_id = id_b
             WHERE {cos_ab} >= CAST({HASHED_DUP_THRESHOLD} AS DOUBLE)
             UNION ALL
             SELECT 'semdedup', id_a, id_b, cosine

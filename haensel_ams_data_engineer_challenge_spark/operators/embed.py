@@ -69,8 +69,13 @@ WORDVEC_KIND = "wordvec-v1"
 #: fixed-point float discipline), and the scale divides out of cosine.
 WORDVEC_SCALE = 1024
 
+#: round-12 third encoder kind: image payloads -> deterministic
+#: integer pixel features through the same seam (multimodal/
+#: imgembed.py — semantic image dedup, r11 verdict task 2).
+IMAGE_KIND = "image-v1"
+
 #: every encoder kind ``embed_with_model`` can serve.
-SUPPORTED_ENCODERS = (ENCODER_KIND, WORDVEC_KIND)
+SUPPORTED_ENCODERS = (ENCODER_KIND, WORDVEC_KIND, IMAGE_KIND)
 
 #: SIF pooling constants (Arora et al. 2017, "A Simple but Tough-to-
 #: Beat Baseline"): weight(t) = a / (a + p(t)) with a = 1/SIF_A_DENOM.
@@ -363,6 +368,7 @@ def embed_with_model(
     text_col: str = "text",
     tokens_col: str | None = None,
     load_log_dir: str | None = None,
+    payload_col: str = "payload",
 ) -> DataFrame:
     """(vec_id, embedding array<double>) through the persisted encoder
     artifact at ``model_path`` — the batched model-inference seam.
@@ -392,6 +398,17 @@ def embed_with_model(
         raise ValueError(
             f"artifact at {model_path} is not a supported encoder "
             f"({', '.join(SUPPORTED_ENCODERS)}): {params}"
+        )
+    if encoder == IMAGE_KIND:
+        # image payloads, not text: the input column is ``payload_col``
+        # (binary) and the whole pipeline is one decode+feature
+        # mapInPandas — multimodal/imgembed.py owns the branch
+        from ..multimodal.imgembed import image_embed_frame
+
+        return image_embed_frame(
+            docs, model_path, params,
+            id_col=id_col, payload_col=payload_col,
+            load_log_dir=load_log_dir,
         )
     dim = int(params["dim"])
     scale = float(params.get("scale", WORDVEC_SCALE))

@@ -41,14 +41,58 @@ def main() -> None:
     )
 
     # the scale bench's corpus shape, inlined (ids i%7==1 re-encode
-    # i-1; i%7==2 2x-resize i-2)
+    # i-1; i%7==2 2x-resize i-2), plus the round-12 SMOOTH class (r11
+    # verdict task 7): i%7==3 is a photo-like low-frequency texture
+    # and i%7==4 its fractional box-resize — the regime the per-pixel-
+    # random generator's ~0.78 resize-recall plateau does NOT measure
+    # (real photographs are smooth; their resizes land at hamming<=6).
+    import math
+
     import pandas as pd
+
+    SINE = [
+        int(round(127 * math.sin(2 * math.pi * k / 64))) for k in range(64)
+    ]
+
+    def smooth(src: int):
+        w, h = 64 + (src * 3) % 32, 56 + (src * 5) % 24
+        p1, p2, p3 = src % 64, (src * 7) % 64, (src * 13) % 64
+        grays = [
+            max(
+                0,
+                min(
+                    255,
+                    128
+                    + SINE[(x * 64 // w + p1) % 64] * 28 // 64
+                    + SINE[(y * 64 // h + p2) % 64] * 22 // 64
+                    + SINE[(x * 64 // w + y * 96 // h + p3) % 64] * 18 // 64
+                    + SINE[(x * 512 // w + p2) % 64] * 6 // 64
+                    + SINE[(y * 512 // h + p1) % 64] * 6 // 64,
+                ),
+            )
+            for y in range(h)
+            for x in range(w)
+        ]
+        return grays, w, h
 
     def gen(batches):
         for pdf in batches:
             payloads = []
             for i in pdf["id"]:
                 i = int(i)
+                if i % 7 == 3:
+                    grays, w, h = smooth(i)
+                    payloads.append(P.png_encode_gray(grays, w, h))
+                    continue
+                if i % 7 == 4:
+                    grays, w, h = smooth(i - 1)
+                    nw, nh = w * 2 // 3, h * 2 // 3
+                    payloads.append(
+                        P.png_encode_gray(
+                            P.box_grays(grays, w, h, nw, nh), nw, nh
+                        )
+                    )
+                    continue
                 if i % 7 == 1:
                     src, level, k = i - 1, 9, 1
                 elif i % 7 == 2:
@@ -82,6 +126,7 @@ def main() -> None:
     ).collect()
     reenc = {(i - 1, i) for i in range(n) if i % 7 == 1}
     resized = {(i - 2, i) for i in range(n) if i % 7 == 2 and i >= 2}
+    smooth_resized = {(i - 1, i) for i in range(n) if i % 7 == 4}
     for t in range(0, max_t + 1, 2):
         got = {(r["id_a"], r["id_b"]) for r in rows if r["hamming"] <= t}
         print(
@@ -93,6 +138,11 @@ def main() -> None:
                     ),
                     "resize_recall": round(
                         len(got & resized) / max(1, len(resized)), 4
+                    ),
+                    "smooth_resize_recall": round(
+                        len(got & smooth_resized)
+                        / max(1, len(smooth_resized)),
+                        4,
                     ),
                     "total_pairs": len(got),
                 }
