@@ -294,6 +294,22 @@ def _parser() -> argparse.ArgumentParser:
         "from the artifact; the quantized artifact lives under its "
         "own _int8-suffixed dir so the two layouts never mix",
     )
+    se.add_argument(
+        "--train-sample-cap", type=int, default=None, metavar="N",
+        help="(ann) train the IVF quantizer on a deterministic hash "
+        "sample of ~N vectors instead of the full corpus (the FAISS "
+        "train-on-sample discipline; assignment still covers every "
+        "vector) — pinned in the index marker; size cells by "
+        "k~sqrt(corpus) (round 12)",
+    )
+    se.add_argument(
+        "--index-stats", action="store_true",
+        help="(ann) after the run, print the index marker's stats — "
+        "version, cell occupancy profile from training, and "
+        "drift_stat (max cell-share growth vs training; ~1.0 under "
+        "uniform appends, rising when appends skew — retrain past "
+        "~2x; round 12)",
+    )
 
     di = sub.add_parser(
         "dedup-images",
@@ -922,12 +938,28 @@ def main(argv: list[str] | None = None) -> int:
                     k=args.k,
                     index_path=index_path,
                     quantize=args.quantize_index,
+                    train_sample_cap=args.train_sample_cap,
                 ).select(
                     "query_id",
                     F.col("neighbor_id").alias("doc_id"),
                     F.col("cosine").alias("score"),
                     "rank",
                 )
+                if args.index_stats:
+                    from .operators.similarity import (
+                        _read_index_params as _rip,
+                    )
+
+                    st = _rip(spark, index_path)
+                    print(
+                        "index-stats "
+                        f"path={index_path} "
+                        f"version={st.get('version')} "
+                        f"drift_stat={st.get('drift_stat')} "
+                        f"train_sample_cap={st.get('train_sample_cap')} "
+                        f"n_train_total={st.get('n_train_total')} "
+                        f"cell_profile={st.get('cell_profile')}"
+                    )
             else:
                 from .operators.retrieval import bm25_topk
 

@@ -1,0 +1,117 @@
+"""IVF training wall: full-corpus vs hash-sampled Lloyd rounds at Nx
+corpus (round 12, r11 verdict task 3).
+
+Production-scale IVF trains its quantizer on a bounded sample — each
+Lloyd round over the full corpus is a complete scan + broadcast-assign
+for no recall gain once the sample covers k*dim comfortably.  This
+bench multiplies the testdata embeddings (fresh ids, jittered vectors
+so the copies are distinct points), trains full vs sampled at the
+k~sqrt(N) suggestion, and reports wall clock + recall@3 vs brute force
+over the ORIGINAL vectors' queries.
+
+Usage: python tools/ivf_train_bench.py [sf_dir] [multiplier] [cap]
+Prints one JSON line per arm; summary lives in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    mult = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    cap = int(sys.argv[3]) if len(sys.argv) > 3 else 2000
+
+    from pyspark.sql import SparkSession, functions as F
+
+    from haensel_ams_data_engineer_challenge_spark.checkpoint import (
+        materialize,
+    )
+    from haensel_ams_data_engineer_challenge_spark.operators import (
+        similarity as S,
+    )
+    from haensel_ams_data_engineer_challenge_spark.sources import load_table
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    n_base = base.count()
+    # Nx corpus: copy c shifts ids and adds a tiny deterministic
+    # per-copy jitter to dim 0 so copies are distinct points
+    copies = [
+        base.select(
+            (F.col("vec_id") + F.lit(c * n_base * 10)).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: x
+                + F.when(i == 0, F.lit(float(c)) * 0.001).otherwise(0.0),
+            ).alias("embedding"),
+        )
+        for c in range(mult)
+    ]
+    corpus = copies[0]
+    for c in copies[1:]:
+        corpus = corpus.unionByName(c)
+    corpus = materialize(corpus.repartition(32))
+    n = corpus.count()
+    k = S.ivf_suggest_cells(n)
+    queries = base.limit(25)
+
+    brute = S.ann_topk_brute(corpus, queries, k=3)
+    exact = {}
+    for r in brute.collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def recall(hits) -> float:
+        got = {}
+        for r in hits.collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return sum(
+            len(got.get(q, set()) & nb) / len(nb) for q, nb in exact.items()
+        ) / len(exact)
+
+    for label, sample_cap in (("full", None), ("sampled", cap)):
+        t0 = time.monotonic()
+        assign, cents = S.ivf_kmeans(
+            corpus, k=k, train_sample_cap=sample_cap
+        )
+        # force the training: materialize centroids + assignments
+        n_cells = cents.count()
+        n_assigned = assign.count()
+        train_wall = time.monotonic() - t0
+        hits = S.ann_topk_ivf(
+            corpus, queries, k=3, cells=k,
+            train_sample_cap=sample_cap,
+        )
+        r = recall(hits)
+        print(
+            json.dumps(
+                {
+                    "arm": label,
+                    "n_vectors": n,
+                    "k_cells": k,
+                    "train_sample_cap": sample_cap,
+                    "train_wall_sec": round(train_wall, 3),
+                    "n_cells": n_cells,
+                    "n_assigned": n_assigned,
+                    "recall_at_3": round(r, 4),
+                }
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
