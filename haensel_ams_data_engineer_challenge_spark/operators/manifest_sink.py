@@ -125,28 +125,20 @@ def _read_manifest(spark: SparkSession, path: str, version: int) -> dict:
     return json.loads(raw)
 
 
-def _commit_manifest(
-    spark: SparkSession, path: str, version: int, files: list[str], schema
-) -> None:
-    """Write the manifest under a unique tmp name, then ONE atomic
-    rename to its final versioned name — the commit point.  The rename
-    target never pre-exists (versions are allocated under the writer
-    lease), so never-overwrite rename semantics suffice everywhere."""
+def _commit_json(spark: SparkSession, path: str, version: int, body: dict) -> None:
+    """Write a JSON manifest body under a unique tmp name, then ONE
+    atomic rename to its final versioned name — the commit point.  The
+    rename target never pre-exists (versions are allocated under the
+    writer lease), so never-overwrite rename semantics suffice
+    everywhere.  Shared by the sink manifest and the multi-table
+    artifact manifest (artifact_manifest.py)."""
     import uuid
 
     jvm, fs = _fs(spark, path)
-    body = json.dumps(
-        {
-            "version": version,
-            "files": sorted(files),
-            "n_files": len(files),
-            "schema": schema.jsonValue(),
-        },
-        sort_keys=True,
-    )
+    raw = json.dumps(body, sort_keys=True)
     tmp = f"{path}/.manifest_tmp_{uuid.uuid4().hex}"
     out = fs.create(_jpath(jvm, tmp), False)
-    out.write(bytearray(body.encode("utf-8")))
+    out.write(bytearray(raw.encode("utf-8")))
     out.close()
     final = f"{path}/{_manifest_name(version)}"
     if not fs.rename(_jpath(jvm, tmp), _jpath(jvm, final)):
@@ -156,6 +148,22 @@ def _commit_manifest(
             "(a manifest with this version already exists — was the "
             "writer lease bypassed?)"
         )
+
+
+def _commit_manifest(
+    spark: SparkSession, path: str, version: int, files: list[str], schema
+) -> None:
+    _commit_json(
+        spark,
+        path,
+        version,
+        {
+            "version": version,
+            "files": sorted(files),
+            "n_files": len(files),
+            "schema": schema.jsonValue(),
+        },
+    )
 
 
 def _resolve_latest(

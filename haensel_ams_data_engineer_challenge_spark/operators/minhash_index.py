@@ -37,12 +37,17 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..checkpoint import materialize
 from ..functions.text import word_shingles
+from .artifact_manifest import (
+    artifact_adopt,
+    artifact_append,
+    artifact_compact,
+    artifact_overwrite,
+)
 from .dedup import MAX_BAND_BUCKET, MINHASH_BAND_SIZE, MINHASH_K, minhash_bands
 from .similarity import (
-    _bump_index_version,
     _check_index_params,
+    _index_table,
     _read_index_params,
-    _write_index_params,
 )
 
 #: default exact-Jaccard acceptance for the incremental probe — same
@@ -75,31 +80,31 @@ def minhash_index_build(
     surface: ``corpus --save-near-dup-index`` snapshots the CURRENT
     admitted corpus, it must never serve an older run's artifact).
 
-    Commit protocol = similarity.ivf_index_persistent: ``{path}/params``
-    is written LAST, so a torn build (killed mid-save) is rebuilt, a
-    committed artifact with different hyperparameters raises, and the
-    returned rows are always READ FROM DISK — the probed index is the
-    artifact itself, identical across sessions, never the in-memory
-    banding lineage.  Single builder per path assumed (as all the
-    parquet index artifacts); concurrent readers are safe.
+    Commit protocol = the MANIFEST (round 12, r11 verdict task 4 —
+    artifact_manifest.py): the band files and the params commit in one
+    atomic manifest rename, so a torn build (killed mid-save) left no
+    manifest and is rebuilt, a committed artifact with different
+    hyperparameters raises, a ``force`` rebuild is just a new
+    generation (no marker-tear window — readers of the previous
+    generation keep a complete band set), and the returned rows are
+    always READ FROM DISK via the manifest.  Legacy marker-protocol
+    artifacts (rounds 9-11) are still served and are upgraded in place
+    by their next mutating operation.  Single WRITER per path enforced
+    by the heartbeat lease; concurrent readers are safe.
     """
     spark = docs.sparkSession
     params = _params(k, band_size, shingle_n)
     if force or not _check_index_params(spark, path, params):
-        if force:
-            # tear the marker BEFORE the rebuild: a crash mid-rebuild
-            # must leave the artifact uncommitted-and-rebuildable, not
-            # an older run's marker sitting over half-new band files
-            jvm = spark.sparkContext._jvm
-            pp = jvm.org.apache.hadoop.fs.Path(f"{path}/params")
-            pp.getFileSystem(
-                spark.sparkContext._jsc.hadoopConfiguration()
-            ).delete(pp, True)
-        minhash_bands(
-            docs, text_col, id_col, k, band_size, shingle_n
-        ).write.mode("overwrite").parquet(f"{path}/bands")
-        _write_index_params(spark, path, params)
-    return spark.read.parquet(f"{path}/bands")
+        artifact_overwrite(
+            spark, path,
+            {
+                "bands": minhash_bands(
+                    docs, text_col, id_col, k, band_size, shingle_n
+                )
+            },
+            {**params, "version": 1},
+        )
+    return _index_table(spark, path, "bands")
 
 
 def minhash_index_append(
@@ -127,12 +132,15 @@ def minhash_index_append(
             f"no committed MinHash index at {path}; build it first "
             "(minhash_index_build)"
         )
-    existing = spark.read.parquet(f"{path}/bands").select(id_col).distinct()
+    existing = _index_table(spark, path, "bands").select(id_col).distinct()
     fresh = minhash_bands(
         new_docs, text_col, id_col, k, band_size, shingle_n
     ).join(existing, id_col, "left_anti")
-    fresh.write.mode("append").parquet(f"{path}/bands")
-    _bump_index_version(spark, path)
+    got = _read_index_params(spark, path)
+    got["version"] = str(int(got.get("version", "1")) + 1)
+    artifact_append(
+        spark, path, {"bands": fresh}, got, adopt_tables=("bands",)
+    )
 
 
 def minhash_index_compact(
@@ -145,51 +153,20 @@ def minhash_index_compact(
     small-files remedy for an index that grows by one parquet fragment
     per ingested batch.  Returns the number of band rows compacted.
 
-    Swap protocol (single writer, as all the artifacts): the compacted
-    copy is written BESIDE the live store, then the ``params`` marker
-    is DELETED, the stores are swapped by rename, and the marker is
-    rewritten.  A crash anywhere in the swap window leaves the
-    artifact without its commit marker, which every builder already
-    treats as torn-and-rebuild (`minhash_index_build`) — momentarily
-    uncommitted, never silently wrong.  File ops go through the Hadoop
-    FileSystem API, so the same code works on HDFS/S3, not just the
-    local FS.
+    Manifest protocol (round 12, replacing the round-9 swap): the
+    compacted files stage privately, move in under fresh names, and
+    ONE manifest rename commits them — there is no torn window at all
+    now (the swap left the artifact momentarily uncommitted; a crashed
+    compaction forced a full retrain).  A reader that resolved the
+    previous manifest keeps its complete band set for one more
+    generation.  A legacy marker-protocol artifact is adopted in place
+    first.
     """
     # compaction is hyperparameter-agnostic (it moves rows, it does
-    # not interpret them): the only requirement is a COMMITTED marker
-    params = _read_index_params(spark, path)
-    if not params:
+    # not interpret them): the only requirement is a COMMITTED artifact
+    if not artifact_adopt(spark, path, ("bands",)):
         raise ValueError(f"no committed MinHash index at {path}")
-    n_parts = target_partitions or spark.conf.get(
-        "spark.sql.shuffle.partitions"
-    )
-    bands = spark.read.parquet(f"{path}/bands")
-    n_rows = bands.count()
-    bands.repartition(int(n_parts)).write.mode("overwrite").parquet(
-        f"{path}/bands_compact"
-    )
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    fs_path = jvm.org.apache.hadoop.fs.Path(path)
-    fs = fs_path.getFileSystem(conf)
-
-    def p(sub: str):
-        return jvm.org.apache.hadoop.fs.Path(f"{path}/{sub}")
-
-    # Hadoop FileSystem delete/rename report failure by RETURNING
-    # false, not raising — an unchecked rename would let the marker
-    # rewrite below commit an artifact whose band store is GONE (and
-    # _check_index_params would then keep serving it).  Any failed
-    # step raises with the marker still deleted = torn = rebuildable.
-    fs.delete(p("params"), True)          # -> torn: builders rebuild
-    if not fs.delete(p("bands"), True):
-        raise IOError(f"compact: failed to delete {path}/bands "
-                      "(marker removed; artifact is torn/rebuildable)")
-    if not fs.rename(p("bands_compact"), p("bands")):
-        raise IOError(f"compact: failed to rename {path}/bands_compact "
-                      "(marker removed; artifact is torn/rebuildable)")
-    _write_index_params(spark, path, params)
-    return n_rows
+    return artifact_compact(spark, path, target_partitions)
 
 
 def near_dup_probe(

@@ -394,7 +394,7 @@ def ann_topk_lsh(
         # STORED int8 vectors (asymmetric scoring — float query vs
         # integer-grid neighbor; the per-vector scale cancels)
         cv = stored_vectors_as_double(
-            vectors.sparkSession.read.parquet(f"{index_path}/vectors"),
+            _index_table(vectors.sparkSession, index_path, "vectors"),
             id_col, "__cvec",
         ).withColumnRenamed(id_col, "neighbor_id")
     else:
@@ -687,7 +687,7 @@ def ann_topk_ivf(
         # per-vector scale cancels in cosine), never re-reading the
         # float corpus
         corpus_side = stored_vectors_as_double(
-            vectors.sparkSession.read.parquet(f"{index_path}/vectors"),
+            _index_table(vectors.sparkSession, index_path, "vectors"),
             id_col, "__cvec2",
         ).withColumnRenamed(id_col, "neighbor_id")
     else:
@@ -745,6 +745,22 @@ def _try_read_parquet(spark, path: str) -> DataFrame | None:
         raise
 
 
+def _index_table(spark, path: str, table: str):
+    """Manifest-resolved read of an index artifact table (round 12 —
+    every mutation commits via artifact_manifest, so reads MUST
+    resolve the manifest: files moved in ahead of a crashed commit are
+    invisible orphans, and a mid-compaction reader keeps a complete
+    generation).  LEGACY artifacts (rounds 6-11: bare table dirs +
+    params parquet) fall back to the plain dir read — still readable,
+    upgraded in place by their next mutating operation."""
+    from .artifact_manifest import artifact_table
+
+    df = artifact_table(spark, path, table)
+    if df is not None:
+        return df
+    return spark.read.parquet(f"{path}/{table}")
+
+
 def _check_index_params(spark, path: str, expect: dict) -> bool:
     """True when a committed artifact with matching params exists;
     False when absent; ValueError when present but built differently
@@ -755,10 +771,9 @@ def _check_index_params(spark, path: str, expect: dict) -> bool:
     streaming/ingest.py): bookkeeping keys like the append-bumped
     ``version`` ride in the same table without breaking the
     hyperparameter check."""
-    pdf = _try_read_parquet(spark, f"{path}/params")
-    if pdf is None:
+    got = _read_index_params(spark, path)
+    if not got:
         return False
-    got = {r["key"]: r["value"] for r in pdf.collect()}
     exp = {k: str(v) for k, v in expect.items()}
     if {k: got.get(k) for k in exp} != exp:
         raise ValueError(
@@ -769,6 +784,14 @@ def _check_index_params(spark, path: str, expect: dict) -> bool:
 
 
 def _read_index_params(spark, path: str) -> dict:
+    """Committed params, manifest-first (round 12): a manifest-
+    committed artifact's params live in the manifest body (atomic with
+    its file set); legacy artifacts' in the params parquet table."""
+    from .artifact_manifest import artifact_params
+
+    got = artifact_params(spark, path)
+    if got:
+        return got
     pdf = _try_read_parquet(spark, f"{path}/params")
     return {} if pdf is None else {r["key"]: r["value"] for r in pdf.collect()}
 
@@ -862,20 +885,21 @@ def ivf_index_persistent(
     if train_sample_cap is not None:
         params["train_sample_cap"] = train_sample_cap
     if not _check_index_params(spark, path, params):
+        from .artifact_manifest import artifact_overwrite
+
         assign, cents = ivf_kmeans(
             vectors, k, iters, id_col, vec_col,
             train_sample_cap=train_sample_cap,
         )
-        assign.write.mode("overwrite").parquet(f"{path}/assignments")
-        cents.write.mode("overwrite").parquet(f"{path}/centroids")
+        # the assignments feed the occupancy profile AND the staged
+        # write — truncate the training lineage once
+        assign = materialize(assign)
+        profile = _cell_profile(assign)
+        tables = {"assignments": assign, "centroids": cents}
         if quantize:
-            quantize_to_storage(vectors, id_col, vec_col).write.mode(
-                "overwrite"
-            ).parquet(f"{path}/vectors")
-        committed = spark.read.parquet(f"{path}/assignments")
-        profile = _cell_profile(committed)
-        _write_index_params(
-            spark, path,
+            tables["vectors"] = quantize_to_storage(vectors, id_col, vec_col)
+        artifact_overwrite(
+            spark, path, tables,
             {
                 **params,
                 "quantized": str(quantize).lower(),
@@ -887,8 +911,8 @@ def ivf_index_persistent(
         )
     _check_quantized_layout(spark, path, quantize)
     return (
-        spark.read.parquet(f"{path}/assignments"),
-        spark.read.parquet(f"{path}/centroids"),
+        _index_table(spark, path, "assignments"),
+        _index_table(spark, path, "centroids"),
     )
 
 
@@ -926,30 +950,23 @@ def lsh_index_persistent(
         **(extra_params or {}),
     }
     if not _check_index_params(spark, path, params):
-        banded_bucket_rows(
-            vectors, id_col, vec_col, tables, planes_per_table
-        ).write.mode("overwrite").parquet(f"{path}/buckets")
+        from .artifact_manifest import artifact_overwrite
+
+        art_tables = {
+            "buckets": banded_bucket_rows(
+                vectors, id_col, vec_col, tables, planes_per_table
+            )
+        }
         if quantize:
-            quantize_to_storage(vectors, id_col, vec_col).write.mode(
-                "overwrite"
-            ).parquet(f"{path}/vectors")
-        _write_index_params(
-            spark, path,
+            art_tables["vectors"] = quantize_to_storage(
+                vectors, id_col, vec_col
+            )
+        artifact_overwrite(
+            spark, path, art_tables,
             {**params, "quantized": str(quantize).lower(), "version": 1},
         )
     _check_quantized_layout(spark, path, quantize)
-    return spark.read.parquet(f"{path}/buckets")
-
-
-def _bump_index_version(spark, path: str) -> None:
-    """Rewrite the params marker with version += 1 — the auditable
-    record that the artifact grew past its original build.  Runs AFTER
-    the data append: a crash between the two leaves appended rows with
-    a stale version (bookkeeping drift only), never a bumped version
-    pointing at missing rows."""
-    got = _read_index_params(spark, path)
-    got["version"] = str(int(got.get("version", "1")) + 1)
-    _write_index_params(spark, path, got)
+    return _index_table(spark, path, "buckets")
 
 
 def ivf_index_append(
@@ -1002,37 +1019,34 @@ def ivf_index_append(
             f"no committed IVF index at {path}; build it first "
             "(ivf_index_persistent)"
         )
-    cents = spark.read.parquet(f"{path}/centroids")
-    existing = (
-        spark.read.parquet(f"{path}/assignments").select(id_col).distinct()
-    )
-    quantized = (
-        _read_index_params(spark, path).get("quantized", "false") == "true"
-    )
+    from .artifact_manifest import artifact_append
+
+    cents = _index_table(spark, path, "centroids")
+    existing = _index_table(spark, path, "assignments").select(
+        id_col
+    ).distinct()
+    got = _read_index_params(spark, path)
+    quantized = got.get("quantized", "false") == "true"
     if quantized:
-        # two appends consume new_vectors (a 2-consumer diamond whose
-        # lineage may carry a Python encode) — compute it once; the
-        # PER-TABLE anti-joins below stay separate (replay self-heal)
+        # both staged tables consume new_vectors (a 2-consumer diamond
+        # whose lineage may carry a Python encode) — compute it once;
+        # the PER-TABLE anti-joins below stay separate (they self-heal
+        # a legacy artifact whose tables diverged under the old
+        # two-write protocol; under the manifest both tables commit
+        # atomically, so new divergence is impossible)
         new_vectors = materialize(new_vectors)
     fresh = new_vectors.join(existing, id_col, "left_anti")
-    _assign_cells(fresh, cents, id_col, vec_col).write.mode(
-        "append"
-    ).parquet(f"{path}/assignments")
+    # the new assignments feed the staged append AND the drift union
+    new_assign = materialize(_assign_cells(fresh, cents, id_col, vec_col))
+    tables_to_append = {"assignments": new_assign}
     if quantized:
-        # the stored-vectors table anti-joins its OWN ids (round-11
-        # review fix): anti-joining on assignments would make a crash
-        # between the two appends permanent — the replay would skip
-        # rows already assigned but never vector-stored, silently
-        # dropping them from every quantized probe.  Per-table
-        # anti-joins make each table self-heal on replay.
-        vec_existing = (
-            spark.read.parquet(f"{path}/vectors").select(id_col).distinct()
-        )
-        quantize_to_storage(
+        vec_existing = _index_table(spark, path, "vectors").select(
+            id_col
+        ).distinct()
+        tables_to_append["vectors"] = quantize_to_storage(
             new_vectors.join(vec_existing, id_col, "left_anti"),
             id_col, vec_col,
-        ).write.mode("append").parquet(f"{path}/vectors")
-    got = _read_index_params(spark, path)
+        )
     raw_profile = got.get("cell_profile")
     if raw_profile:
         train_profile = {
@@ -1040,7 +1054,9 @@ def ivf_index_append(
         }
         train_total = max(1, sum(train_profile.values()))
         current = _cell_profile(
-            spark.read.parquet(f"{path}/assignments")
+            _index_table(spark, path, "assignments")
+            .select("cell")
+            .unionByName(new_assign.select("cell"))
         )
         cur_total = max(1, sum(current.values()))
         drift = max(
@@ -1049,7 +1065,10 @@ def ivf_index_append(
         )
         got["drift_stat"] = f"{drift:.4f}"
     got["version"] = str(int(got.get("version", "1")) + 1)
-    _write_index_params(spark, path, got)
+    artifact_append(
+        spark, path, tables_to_append, got,
+        adopt_tables=("assignments", "centroids", "vectors"),
+    )
 
 
 def lsh_index_append(
@@ -1083,31 +1102,37 @@ def lsh_index_append(
             f"no committed LSH index at {path}; build it first "
             "(lsh_index_persistent)"
         )
-    existing = (
-        spark.read.parquet(f"{path}/buckets").select(id_col).distinct()
-    )
-    quantized = (
-        _read_index_params(spark, path).get("quantized", "false") == "true"
-    )
+    from .artifact_manifest import artifact_append
+
+    got = _read_index_params(spark, path)
+    quantized = got.get("quantized", "false") == "true"
     if quantized:
         # 2-consumer diamond: compute the incoming lineage once (the
-        # per-table anti-joins stay separate — replay self-heal)
+        # per-table anti-joins stay separate — legacy-divergence
+        # self-heal; see ivf_index_append)
         new_vectors = materialize(new_vectors)
+    existing = _index_table(spark, path, "buckets").select(
+        id_col
+    ).distinct()
     fresh = new_vectors.join(existing, id_col, "left_anti")
-    banded_bucket_rows(
-        fresh, id_col, vec_col, tables, planes_per_table
-    ).write.mode("append").parquet(f"{path}/buckets")
-    if quantized:
-        # per-table anti-join — see ivf_index_append (round-11 review
-        # fix: replay must self-heal a crash between the two appends)
-        vec_existing = (
-            spark.read.parquet(f"{path}/vectors").select(id_col).distinct()
+    tables_to_append = {
+        "buckets": banded_bucket_rows(
+            fresh, id_col, vec_col, tables, planes_per_table
         )
-        quantize_to_storage(
+    }
+    if quantized:
+        vec_existing = _index_table(spark, path, "vectors").select(
+            id_col
+        ).distinct()
+        tables_to_append["vectors"] = quantize_to_storage(
             new_vectors.join(vec_existing, id_col, "left_anti"),
             id_col, vec_col,
-        ).write.mode("append").parquet(f"{path}/vectors")
-    _bump_index_version(spark, path)
+        )
+    got["version"] = str(int(got.get("version", "1")) + 1)
+    artifact_append(
+        spark, path, tables_to_append, got,
+        adopt_tables=("buckets", "vectors"),
+    )
 
 
 LSH_DUP_BANDS = 8

@@ -82,15 +82,26 @@ def test_persistent_index_param_mismatch_refuses(spark, sf_dir, tmp_path):
         S.lsh_index_persistent(vecs, lpath, tables=8)
 
 
+def _tear_manifests(path):
+    """Simulate a torn build under the round-12 manifest protocol: a
+    job killed before its manifest rename leaves data files but no
+    committed manifest — builders must retrain, readers see nothing."""
+    import glob
+    import os
+
+    for f in glob.glob(f"{path}/_manifest_v*.json"):
+        os.remove(f)
+
+
 def test_persistent_index_torn_write_retrains(spark, sf_dir, tmp_path):
-    """The params table is the commit marker, written last: an
-    artifact without it (job killed mid-save) must retrain and
-    overwrite instead of serving torn data."""
+    """The manifest is the commit: an artifact without one (job killed
+    mid-save) must retrain and overwrite instead of serving torn
+    data."""
     vecs = load_table(spark, sf_dir, "embeddings")
     path = str(tmp_path / "ivf_idx")
     a1, c1 = S.ivf_index_persistent(vecs, path, k=5)
     want_a, want_c = _rows(a1), _rows(c1)
-    shutil.rmtree(f"{path}/params")  # simulate the torn write
+    _tear_manifests(path)  # simulate the torn write
     a2, c2 = S.ivf_index_persistent(vecs, path, k=5)
     assert _rows(a2) == want_a and _rows(c2) == want_c
 
@@ -100,10 +111,7 @@ def test_persistent_index_torn_write_retrains(spark, sf_dir, tmp_path):
 # ---------------------------------------------------------------------------
 
 def _params_version(spark, path):
-    return {
-        r["key"]: r["value"]
-        for r in spark.read.parquet(f"{path}/params").collect()
-    }.get("version")
+    return S._read_index_params(spark, path).get("version")
 
 
 def test_lsh_append_equals_rebuild_bit_exact(spark, sf_dir, tmp_path):
@@ -310,36 +318,40 @@ def test_quantized_append_grows_stored_vectors(spark, sf_dir, tmp_path):
     assert got  # quantized LSH probe scores from the artifact
 
 
-def test_quantized_append_replay_heals_partial_crash(spark, sf_dir, tmp_path, monkeypatch):
-    """Round-11 review fix: a crash BETWEEN the assignments append and
-    the vectors append must be healed by the replay — each table
-    anti-joins its OWN ids, so the missing vectors land on retry."""
+def test_quantized_append_crash_is_atomic_and_replayable(spark, sf_dir, tmp_path, monkeypatch):
+    """Round-12 (manifest protocol): a crash mid-append can no longer
+    leave the assignments and vectors tables DIVERGED — both commit in
+    one atomic manifest rename.  A crash before the commit leaves the
+    artifact exactly at its previous generation; the replay appends
+    the full remainder to both tables."""
     vecs = load_table(spark, sf_dir, "embeddings")
     base = vecs.filter(F.col("vec_id") % 2 == 0)
     extra = vecs.filter(F.col("vec_id") % 2 == 1)
     qpath = str(tmp_path / "ivf_q")
     S.ivf_index_persistent(base, qpath, quantize=True)
+    n_base = base.count()
 
-    # inject the crash: quantize_to_storage raises on the append call
+    # inject the crash mid-append (before anything can commit)
     real = S.quantize_to_storage
 
     def boom(*a, **kw):
-        raise RuntimeError("injected crash between the two appends")
+        raise RuntimeError("injected crash during the append")
 
     monkeypatch.setattr(S, "quantize_to_storage", boom)
     with pytest.raises(RuntimeError, match="injected"):
         S.ivf_index_append(extra, qpath)
     monkeypatch.setattr(S, "quantize_to_storage", real)
 
-    # assignments grew, vectors did not — the crash window
+    # ATOMIC: neither table grew — readers stayed on the previous
+    # generation through the whole failed append
     n_all = vecs.count()
-    assert spark.read.parquet(f"{qpath}/assignments").count() == n_all
-    assert spark.read.parquet(f"{qpath}/vectors").count() < n_all
+    assert S._index_table(spark, qpath, "assignments").count() == n_base
+    assert S._index_table(spark, qpath, "vectors").count() == n_base
 
-    # replay heals the vectors table (and double-appends nothing)
+    # replay appends the full remainder to BOTH tables in one commit
     S.ivf_index_append(extra, qpath)
-    assert spark.read.parquet(f"{qpath}/vectors").count() == n_all
-    assert spark.read.parquet(f"{qpath}/assignments").count() == n_all
+    assert S._index_table(spark, qpath, "vectors").count() == n_all
+    assert S._index_table(spark, qpath, "assignments").count() == n_all
 
 
 def test_lsh_quantize_without_index_path_refuses(spark, sf_dir):

@@ -570,7 +570,12 @@ def test_cli_search_ann_with_persistent_index(spark, sf_dir, tmp_path, capsys):
     top = {r[0]: r[1] for r in hits1 if r[3] == 1}  # (query_id, doc_id, score, rank)
     assert top == {9001: src[0]["doc_id"], 9002: src[1]["doc_id"]}
     # the persistent index was created and the rerun reuses it
-    assert spark.read.parquet(f"{work}/ann_index/params").count() > 0
+    # (round 12: params live in the artifact manifest, not a parquet)
+    from haensel_ams_data_engineer_challenge_spark.operators import (
+        similarity as S,
+    )
+
+    assert S._read_index_params(spark, f"{work}/ann_index")
     assert main(argv) == 0
     capsys.readouterr()
     spark.catalog.refreshByPath(f"{work}/search_hits")

@@ -90,6 +90,16 @@ def test_probe_matches_from_scratch(spark, tmp_path):
     assert (102, 3, 1.0) in got
 
 
+def _tear_manifests(path):
+    """Simulate a torn build under the round-12 manifest protocol:
+    data files on disk, no committed manifest."""
+    import glob
+    import os
+
+    for f in glob.glob(f"{path}/_manifest_v*.json"):
+        os.remove(f)
+
+
 def test_commit_marker_protocol(spark, tmp_path):
     corpus = _docs(spark, CORPUS_ROWS)
     path = str(tmp_path / "mhidx")
@@ -97,8 +107,8 @@ def test_commit_marker_protocol(spark, tmp_path):
     # params mismatch is a hard error, not a silent rebuild
     with pytest.raises(ValueError, match="built with"):
         MI.minhash_index_build(corpus, path, band_size=4)
-    # torn build (params missing) -> rebuilt from the given docs
-    shutil.rmtree(f"{path}/params")
+    # torn build (no committed manifest) -> rebuilt from the given docs
+    _tear_manifests(path)
     b2 = sorted(map(tuple, MI.minhash_index_build(corpus, path).collect()))
     assert b1 == b2
     # committed index is served as-is (build from a different frame is
@@ -278,12 +288,16 @@ def test_cli_ingest_near_dup(spark, tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "admitted_total=1" in out and "compacted_bands=" in out
-    # post-compact store is a single pass of files with the marker back
-    assert spark.read.parquet(f"{work}/minhash_index/params").count() > 0
+    # post-compact store is committed (manifest params resolvable)
+    from haensel_ams_data_engineer_challenge_spark.operators import (
+        similarity as S,
+    )
+
+    assert S._read_index_params(spark, f"{work}/minhash_index")
     got = {r["doc_id"] for r in spark.read.parquet(f"{work}/admitted").collect()}
     assert got == {402}
     # both state artifacts exist
-    assert spark.read.parquet(f"{work}/minhash_index/bands").count() > 0
+    assert S._index_table(spark, f"{work}/minhash_index", "bands").count() > 0
     assert spark.read.parquet(f"{work}/bloom_state/bitmap").count() > 0
 
     # replay with a fresh checkpoint: nothing more admitted
@@ -298,8 +312,14 @@ def test_cli_ingest_near_dup(spark, tmp_path, capsys):
 
 def test_compact_preserves_rows_and_probe(spark, tmp_path):
     """Compaction rewrites the append-fragmented band store into few
-    files with identical rows; probe results are unchanged; a torn
-    compact (marker deleted, swap not finished) is rebuildable."""
+    files with identical rows; probe results are unchanged; a reader
+    that resolved the PREVIOUS manifest keeps a complete band set
+    through the compaction (the swap protocol's reader gap, closed by
+    the round-12 manifest port)."""
+    from haensel_ams_data_engineer_challenge_spark.operators import (
+        artifact_manifest as AM,
+    )
+
     corpus = _docs(spark, CORPUS_ROWS)
     path = str(tmp_path / "mhidx")
     MI.minhash_index_build(corpus, path)
@@ -311,31 +331,38 @@ def test_compact_preserves_rows_and_probe(spark, tmp_path):
                           for j in range(3)]),
             path,
         )
-    before = sorted(map(tuple, spark.read.parquet(f"{path}/bands").collect()))
-    n_files_before = len(_glob.glob(f"{path}/bands/part-*.parquet"))
-    assert n_files_before >= 4  # build + 3 append fragments
+    bands_df = MI.minhash_index_build(corpus.limit(1), path)  # served read
+    before = sorted(map(tuple, bands_df.collect()))
+    v_pre, man_pre = AM.artifact_resolve(spark, path)
+    assert len(man_pre["tables"]["bands"]["files"]) >= 4  # build + 3
+
+    # a reader holding the pre-compaction generation...
+    reader = bands_df
 
     n = MI.minhash_index_compact(spark, path, target_partitions=1)
     assert n == len(before)
-    after = sorted(map(tuple, spark.read.parquet(f"{path}/bands").collect()))
-    assert after == before
-    assert len(_glob.glob(f"{path}/bands/part-*.parquet")) == 1
-    # marker survived the swap: build-if-absent serves, append works
-    assert sorted(
+    after = sorted(
         map(tuple, MI.minhash_index_build(corpus.limit(1), path).collect())
-    ) == before
+    )
+    assert after == before
+    _, man_post = AM.artifact_resolve(spark, path)
+    assert len(man_post["tables"]["bands"]["files"]) == 1
+    # ...still collects a complete row set mid-/post-compaction: its
+    # files survive one further generation
+    assert sorted(map(tuple, reader.collect())) == before
 
     got = {
         (r["doc_id"], r["dup_of"])
         for r in MI.near_dup_probe(
             _docs(spark, BATCH_ROWS),
-            spark.read.parquet(f"{path}/bands"), corpus,
+            MI.minhash_index_build(corpus.limit(1), path), corpus,
         ).collect()
     }
     assert {(101, 1), (102, 3)} <= got
 
-    # torn compact: marker gone -> builders rebuild instead of serving
-    shutil.rmtree(f"{path}/params")
+    # torn compact-equivalent: no committed manifest -> builders
+    # rebuild instead of serving
+    _tear_manifests(path)
     rebuilt = MI.minhash_index_build(corpus, path)
     assert rebuilt.count() > 0
     with pytest.raises(ValueError, match="no committed"):
