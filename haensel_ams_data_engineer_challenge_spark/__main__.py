@@ -509,6 +509,13 @@ def _parser() -> argparse.ArgumentParser:
                     help="exact-cosine acceptance (default streaming."
                     "vectors.VECTOR_DUP_THRESHOLD)")
     iv.add_argument("--max-files-per-trigger", type=int, default=None)
+    iv.add_argument(
+        "--sink-protocol", choices=("swap", "manifest"), default="swap",
+        help="admitted-vector store commit protocol (round 12): "
+        "'manifest' makes each batch visible at one atomic manifest "
+        "rename (readers never see a partial append); 'swap' is the "
+        "pre-round-12 keyed insert",
+    )
 
     mx = sub.add_parser(
         "mix",
@@ -1340,8 +1347,14 @@ def main(argv: list[str] | None = None) -> int:
                     else VECTOR_DUP_THRESHOLD
                 ),
                 max_files_per_trigger=args.max_files_per_trigger,
+                sink_protocol=args.sink_protocol,
             )
-            n = spark.read.parquet(sink).count()
+            if args.sink_protocol == "manifest":
+                from .operators.manifest_sink import read_manifest_sink
+
+                n = read_manifest_sink(spark, sink).count()
+            else:
+                n = spark.read.parquet(sink).count()
             print(f"admitted_total={n} sink={sink}")
             return 0
 

@@ -70,10 +70,25 @@ def run_streaming_vector_ingest(
     planes_per_band: int = VECTOR_DEDUP_PLANES,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sink_protocol: str = "swap",
 ) -> None:
     """Drain the feed with an availableNow trigger, admitting only
     vectors with no near-duplicate (cosine >= threshold) in the
-    corpus, the admitted store, or earlier in their own batch."""
+    corpus, the admitted store, or earlier in their own batch.
+
+    ``sink_protocol="manifest"`` (round 12, r11 verdict task 5 — the
+    option the document stream got in round 11): the admitted store
+    commits each batch at ONE atomic manifest rename and is read back
+    committed-rows-only, so a concurrent reader never observes a
+    partial append or a compaction window.  Admission semantics are
+    unchanged (the keyed insert anti-joins committed rows); a legacy
+    swap-protocol store is adopted in place on the first manifest
+    batch."""
+    if sink_protocol not in ("swap", "manifest"):
+        raise ValueError(
+            f"sink_protocol must be 'swap' or 'manifest', got "
+            f"{sink_protocol!r}"
+        )
     corpus = spark.read.parquet(corpus_path)
     reader = (
         spark.readStream.schema(corpus.schema)
@@ -86,7 +101,16 @@ def run_streaming_vector_ingest(
     def admit_batch(batch: DataFrame, batch_id: int) -> None:
         ss = batch.sparkSession
         existing = corpus
-        sink = _try_read(ss, sink_path, corpus.schema)
+        if sink_protocol == "manifest":
+            from ..operators.manifest_sink import read_manifest_sink
+
+            # committed rows only; pre-adoption (first manifest run
+            # over a legacy sink) falls back to the plain listing
+            sink = read_manifest_sink(ss, sink_path)
+            if sink is None:
+                sink = _try_read(ss, sink_path, corpus.schema)
+        else:
+            sink = _try_read(ss, sink_path, corpus.schema)
         if sink is not None:
             existing = existing.unionByName(sink)
         # build-if-absent over the current dedup target; later batches
@@ -127,7 +151,12 @@ def run_streaming_vector_ingest(
             tables=bands, planes_per_table=planes_per_band,
             id_col=id_col, vec_col=vec_col,
         )
-        insert_if_absent(ss, admitted, sink_path, [id_col])
+        if sink_protocol == "manifest":
+            from ..operators.manifest_sink import manifest_insert_if_absent
+
+            manifest_insert_if_absent(ss, admitted, sink_path, [id_col])
+        else:
+            insert_if_absent(ss, admitted, sink_path, [id_col])
 
     (
         feed.writeStream.foreachBatch(admit_batch)
