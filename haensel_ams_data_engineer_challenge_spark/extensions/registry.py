@@ -196,7 +196,7 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
         """full = the in-frame LSH candidate pairs (the original arm);
         index = round 9's PRODUCTION incremental path — build the
         PERSISTED MinHash band index artifact over 90% of the corpus
-        (operators/minhash_index.py, commit-marker protocol, probed
+        (operators/minhash_index.py, manifest protocol, probed
         rows read from disk), probe it with the remaining 10% as the
         'new batch', exact-verify the candidates.  The oracle
         recomputes both arms from scratch with the shared band CTEs —

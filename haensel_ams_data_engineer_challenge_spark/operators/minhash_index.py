@@ -7,7 +7,7 @@ near-duplicate of anything the corpus already holds?" — without
 re-banding the corpus per batch.  The answer is the same artifact
 discipline as the ANN indexes (similarity.ivf_index_persistent):
 persist the `minhash_bands` output (doc_id, band, band_key) as a disk
-index under the commit-marker protocol, probe it with the new batch's
+index under the manifest commit protocol, probe it with the new batch's
 band rows, and exact-verify the candidates.
 
 Reference analogue: the incremental-skip pattern (db_utils.py:260-302

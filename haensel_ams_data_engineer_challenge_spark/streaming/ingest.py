@@ -181,7 +181,7 @@ def run_streaming_ingest(
     orphan bits, which are only false positives (caught by the exact
     verify); the reverse order could leave admitted docs without bits,
     i.e. false negatives that re-admit duplicates.  First batch (or a
-    torn state with no params marker) rebuilds from corpus+sink.
+    torn state with no committed manifest) rebuilds from corpus+sink.
     SINGLE WRITER assumed — one streaming query owns a state dir (the
     checkpoint dir already enforces that for the stream itself);
     concurrent writers would race the overwrite like any
@@ -189,7 +189,8 @@ def run_streaming_ingest(
 
     ``near_dup_index_dir``: add the NEAR-dup tier beside the exact
     one (round-9, r8 verdict task 2).  A persisted MinHash band index
-    (operators/minhash_index.py, commit-marker protocol) is built from
+    (operators/minhash_index.py, manifest protocol since round 12) is
+    built from
     corpus+sink on first use; each batch's exact-tier survivors are
     (a) near-dup-collapsed WITHIN the batch (verify_candidates pairs
     -> dedup_survivors, min-id keep — the batch operators, reused),
@@ -226,7 +227,7 @@ def run_streaming_ingest(
     encoder artifact is built from the current dedup target on first
     use (build-if-absent, the tiers' shared discipline) and its
     IDENTITY (encoder kind + artifact version) is pinned in the
-    semantic index's params marker: probing or appending an index
+    semantic index's committed params: probing or appending an index
     built under a different encoder — including a REBUILT one, whose
     vector space differs — raises instead of silently mixing spaces.
     This is the paraphrase upgrade: synonym-swapped near-dups that the

@@ -20,7 +20,7 @@ transactional coupling between the two stores.
 
 The index uses the INGEST band layout (VECTOR_DEDUP_BANDS x
 VECTOR_DEDUP_PLANES = 16x10 by default), not the small-corpus 8x3
-dedup layout or the ANN top-k layout; the params marker pins it, so
+dedup layout or the ANN top-k layout; the committed params pin it, so
 pointing a differently-built dir here refuses loudly.  Sizing rule:
 bucket occupancy ~ corpus / 2^planes_per_band, and the candidate
 volume (the verify-stage cost) is batch x occupancy x bands — pick
