@@ -1061,7 +1061,11 @@ def main(argv: list[str] | None = None) -> int:
                 vectors = spark.read.parquet(args.vectors_parquet)
                 wordvec_model_import(vectors, args.model_dir, scale=scale)
             params = _read_index_params(spark, args.model_dir)
-            n = spark.read.parquet(f"{args.model_dir}/vectors").count()
+            from .operators.similarity import _index_table
+
+            # manifest-resolved: a RE-import leaves the superseded
+            # generation on disk for one more commit (round 12)
+            n = _index_table(spark, args.model_dir, "vectors").count()
             print(
                 f"imported terms={n} dim={params['dim']} "
                 f"scale={params['scale']} version={params['version']} "

@@ -55,11 +55,11 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+from ..operators.artifact_manifest import artifact_overwrite
 from ..operators.embed import IMAGE_KIND, _worker_encoder_cache
 from ..operators.similarity import (
     EMBEDDING_DIM,
     _check_index_params,
-    _write_index_params,
 )
 from .phash import _fake_grays, box_grays, decode_png_pixels, png_encode_gray
 
@@ -121,7 +121,9 @@ def image_encoder_build(
         return
     content = f"image-v1|dim={dim}|grid={grid}"
     version = hashlib.md5(content.encode("utf-8")).hexdigest()[:12]
-    _write_index_params(spark, path, {**params, "version": version})
+    # a zero-table manifest: the commit IS the params (round 12 —
+    # unified artifact protocol; weight files would ride as tables)
+    artifact_overwrite(spark, path, {}, {**params, "version": version})
 
 
 class _PreparedImage:

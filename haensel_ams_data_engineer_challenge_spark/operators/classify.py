@@ -379,7 +379,8 @@ def nb_model_build(
     doubles exactly, so scores are bit-identical to the training
     session's.
     """
-    from .similarity import _check_index_params, _write_index_params
+    from .artifact_manifest import artifact_overwrite
+    from .similarity import _check_index_params, _index_table
 
     spark = train_docs.sparkSession
     params = {"kind": "nb", "label_col": label_col, "feature": feature}
@@ -400,12 +401,16 @@ def nb_model_build(
         cls, lnp = _nb_train(
             train_ex, tmeta, tmeta.agg(F.sum("__ndoc").alias("__ndocs"))
         )
-        lnp.write.mode("overwrite").parquet(f"{path}/terms")
-        cls.write.mode("overwrite").parquet(f"{path}/classes")
-        _write_index_params(spark, path, {**params, "version": 1})
+        # one atomic manifest commit covers both tables + params
+        # (round 12: the index artifacts' protocol, unified here too)
+        artifact_overwrite(
+            spark, path,
+            {"terms": lnp, "classes": cls},
+            {**params, "version": 1},
+        )
     return (
-        spark.read.parquet(f"{path}/terms"),
-        spark.read.parquet(f"{path}/classes"),
+        _index_table(spark, path, "terms"),
+        _index_table(spark, path, "classes"),
     )
 
 

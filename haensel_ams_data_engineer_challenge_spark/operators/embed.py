@@ -53,7 +53,6 @@ from .similarity import (
     EMBEDDING_DIM,
     _check_index_params,
     _read_index_params,
-    _write_index_params,
 )
 
 ENCODER_KIND = "synproj-v1"
@@ -164,6 +163,8 @@ def encoder_model_build(
     }
     if _check_index_params(spark, path, params):
         return
+    from .artifact_manifest import artifact_overwrite
+
     src = (
         F.col(tokens_col) if tokens_col is not None else search_tokens(text_col)
     )
@@ -178,33 +179,40 @@ def encoder_model_build(
         .limit(int(stop_top_n))
         .select("term")
     )
-    stop.write.mode("overwrite").parquet(f"{path}/stopterms")
+    # the stop list feeds the content-version collect AND the staged
+    # write; it is bounded (stop_top_n rows) — truncate the training
+    # lineage once
+    from ..checkpoint import materialize
+
+    stop = materialize(stop)
     syn_rows = [(k, v) for k, v in sorted(syn.items())] or [(None, None)]
     syn_df = spark.createDataFrame(
         spark.sparkContext.parallelize(syn_rows, 1), "term string, canon string"
     )
     if not syn:
         syn_df = syn_df.filter(F.col("term").isNotNull())
-    syn_df.write.mode("overwrite").parquet(f"{path}/synonyms")
     # version = CONTENT hash of the trained tables (review fix: a
     # constant version made every stale-guard keyed on it a no-op —
     # the per-worker cache and the index markers' embedder pin both
     # need rebuild-from-different-data to CHANGE the version, and an
     # identical retrain to keep it: same tables = same model = same
-    # vector space).  The stop list is bounded (stop_top_n rows), so
-    # the collect is broadcast-class.
+    # vector space).
     import hashlib
 
-    stop_terms = sorted(
-        r["term"] for r in spark.read.parquet(f"{path}/stopterms").collect()
-    )
+    stop_terms = sorted(r["term"] for r in stop.collect())
     content = "|".join(
         [f"{k}>{v}" for k, v in sorted(syn.items())]
         + stop_terms
         + [f"dim={dim}", f"stop_top_n={stop_top_n}"]
     )
     version = hashlib.md5(content.encode("utf-8")).hexdigest()[:12]
-    _write_index_params(spark, path, {**params, "version": version})
+    # one atomic manifest commit: trained tables + params together
+    # (round 12 — the unified artifact protocol)
+    artifact_overwrite(
+        spark, path,
+        {"stopterms": stop, "synonyms": syn_df},
+        {**params, "version": version},
+    )
 
 
 def encoder_model_ensure(
@@ -318,6 +326,43 @@ class _PreparedEncoder:
         return [float(acc.get(i, 0)) for i in range(self.dim)]
 
 
+def _worker_table_files(fs, root: str, table: str) -> list[str]:
+    """Resolve an artifact table's data files on a WORKER (no
+    SparkSession): MANIFEST-first — exactly the committed files, so a
+    superseded generation still on disk (one-generation retention) or
+    a crashed commit's orphans are never read — with the legacy bare
+    table-dir glob as fallback for pre-round-12 artifacts."""
+    import json
+    import re
+
+    import pyarrow.fs as pafs
+
+    sel = pafs.FileSelector(root, allow_not_found=True)
+    manifests = sorted(
+        info.path
+        for info in fs.get_file_info(sel)
+        if info.is_file
+        and re.match(
+            r"^_manifest_v\d{12}\.json$", info.path.rsplit("/", 1)[-1]
+        )
+    )
+    if manifests:
+        with fs.open_input_stream(manifests[-1]) as f:
+            body = json.loads(f.read().decode("utf-8"))
+        entry = body.get("tables", {}).get(table)
+        if entry is None:
+            raise FileNotFoundError(
+                f"artifact at {root} has no committed table {table!r}"
+            )
+        return [f"{root}/{table}/{n}" for n in entry["files"]]
+    sub = pafs.FileSelector(f"{root}/{table}", allow_not_found=True)
+    return sorted(
+        info.path
+        for info in fs.get_file_info(sub)
+        if info.is_file and info.path.endswith(".parquet")
+    )
+
+
 def _load_prepared(model_path: str, version: str, dim: int) -> _PreparedEncoder:
     """Read the artifact tables with pyarrow (the worker has no
     SparkSession; a real encoder loads its weight files the same way —
@@ -327,7 +372,8 @@ def _load_prepared(model_path: str, version: str, dim: int) -> _PreparedEncoder:
     fix: a plain glob is driver-local-filesystem-only — the exact bug
     class try_read_sink fixed in round 9 — and would return zero files
     for hdfs:// or s3:// artifact dirs on every worker), falling back
-    to the local filesystem for scheme-less paths."""
+    to the local filesystem for scheme-less paths.  Files resolve
+    through the artifact MANIFEST when present (round 12)."""
     import pyarrow.fs as pafs
     import pyarrow.parquet as pq
 
@@ -337,12 +383,7 @@ def _load_prepared(model_path: str, version: str, dim: int) -> _PreparedEncoder:
         fs, root = pafs.LocalFileSystem(), model_path
 
     def read_tbl(sub: str) -> pd.DataFrame:
-        sel = pafs.FileSelector(f"{root}/{sub}", allow_not_found=True)
-        files = sorted(
-            info.path
-            for info in fs.get_file_info(sel)
-            if info.is_file and info.path.endswith(".parquet")
-        )
+        files = _worker_table_files(fs, root, sub)
         if not files:
             raise FileNotFoundError(
                 f"encoder artifact table missing: {model_path}/{sub}"
@@ -673,10 +714,16 @@ def wordvec_model_build(
             .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         )
         vectors = vectors.join(freq, "term")
-    vectors.write.mode("overwrite").parquet(f"{path}/vectors")
-    committed = spark.read.parquet(f"{path}/vectors")
-    version = _wordvec_version(committed, dim, WORDVEC_SCALE, pooling)
-    _write_index_params(spark, path, {**params, "version": version})
+    from ..checkpoint import materialize
+    from .artifact_manifest import artifact_overwrite
+
+    # the vector table feeds the content-version agg AND the staged
+    # write — truncate the md5 lattice lineage once
+    vectors = materialize(vectors)
+    version = _wordvec_version(vectors, dim, WORDVEC_SCALE, pooling)
+    artifact_overwrite(
+        spark, path, {"vectors": vectors}, {**params, "version": version}
+    )
 
 
 def wordvec_model_import(
@@ -717,13 +764,15 @@ def wordvec_model_import(
         "__v",
         lambda x: F.floor(x * F.lit(float(scale))).cast("double"),
     )
-    out = clean.select("term", quant.alias("vec"))
-    out.write.mode("overwrite").parquet(f"{path}/vectors")
-    committed = spark.read.parquet(f"{path}/vectors")
-    version = _wordvec_version(committed, dim, scale)
-    _write_index_params(
+    from ..checkpoint import materialize
+    from .artifact_manifest import artifact_overwrite
+
+    out = materialize(clean.select("term", quant.alias("vec")))
+    version = _wordvec_version(out, dim, scale)
+    artifact_overwrite(
         spark,
         path,
+        {"vectors": out},
         {
             "kind": "encoder",
             "encoder": WORDVEC_KIND,
@@ -914,12 +963,7 @@ def _load_prepared_wordvec(
         fs, root = pafs.FileSystem.from_uri(model_path)
     else:
         fs, root = pafs.LocalFileSystem(), model_path
-    sel = pafs.FileSelector(f"{root}/vectors", allow_not_found=True)
-    files = sorted(
-        info.path
-        for info in fs.get_file_info(sel)
-        if info.is_file and info.path.endswith(".parquet")
-    )
+    files = _worker_table_files(fs, root, "vectors")
     if not files:
         raise FileNotFoundError(
             f"wordvec artifact table missing: {model_path}/vectors"

@@ -272,7 +272,8 @@ def lm_model_build(
 
     Returns (terms, stats) READ FROM DISK.
     """
-    from .similarity import _check_index_params, _write_index_params
+    from .artifact_manifest import artifact_overwrite
+    from .similarity import _check_index_params, _index_table
 
     spark = train_docs.sparkSession
     params = {"kind": "lm", "order": "unigram", "feature": feature}
@@ -297,7 +298,7 @@ def lm_model_build(
                 "(no training doc has any token) — nothing committed"
             )
         q = F.lit(1000000.0)
-        counts.crossJoin(F.broadcast(stats)).select(
+        terms_df = counts.crossJoin(F.broadcast(stats)).select(
             "term",
             F.floor(
                 F.log(
@@ -308,18 +309,24 @@ def lm_model_build(
             )
             .cast("double")
             .alias("__lnp_s"),
-        ).write.mode("overwrite").parquet(f"{path}/terms")
-        stats.select(
+        )
+        stats_df = stats.select(
             F.floor(
                 F.log(F.lit(1.0) / (F.col("__n_tok") + F.col("__v"))) * q
             )
             .cast("double")
             .alias("__lnp0_s"),
-        ).write.mode("overwrite").parquet(f"{path}/stats")
-        _write_index_params(spark, path, {**params, "version": 1})
+        )
+        # one atomic manifest commit covers both tables + params
+        # (round 12: the index artifacts' protocol, unified here too)
+        artifact_overwrite(
+            spark, path,
+            {"terms": terms_df, "stats": stats_df},
+            {**params, "version": 1},
+        )
     return (
-        spark.read.parquet(f"{path}/terms"),
-        spark.read.parquet(f"{path}/stats"),
+        _index_table(spark, path, "terms"),
+        _index_table(spark, path, "stats"),
     )
 
 

@@ -245,8 +245,12 @@ def test_nb_model_artifact_bit_equal_and_committed(spark, sf_dir, tmp_path):
     assert sorted(
         map(tuple, nb_classify_model(docs, t2, c2).collect())
     ) == want
-    # torn build (no marker) -> retrained
-    shutil.rmtree(f"{path}/params")
+    # torn build (no committed manifest) -> retrained
+    import glob as _glob
+    import os as _os
+
+    for f in _glob.glob(f"{path}/_manifest_v*.json"):
+        _os.remove(f)
     t3, c3 = nb_model_build(docs, path)
     assert sorted(
         map(tuple, nb_classify_model(docs, t3, c3).collect())
@@ -314,4 +318,8 @@ def test_nb_model_build_empty_training_refuses_without_commit(spark, tmp_path):
     )  # 2 chars < trigram -> zero tokens
     with pytest.raises(ValueError, match="zero classes"):
         nb_model_build(staged, path, tokens_col="__cg")
-    assert not os.path.exists(f"{path}/params")
+    from haensel_ams_data_engineer_challenge_spark.operators import (
+        similarity as _S,
+    )
+
+    assert _S._read_index_params(spark, path) == {}

@@ -504,13 +504,14 @@ def test_wordvec_sif_artifact_without_counts_refuses(spark, tmp_path):
     )
     path = str(tmp_path / "wv_sif")
     E.wordvec_model_build(docs, path, stop_top_n=0, pooling="sif")
-    # strip the cnt column (simulated hand-edit/torn rewrite)
-    vecs = spark.read.parquet(f"{path}/vectors").select("term", "vec")
-    vecs.write.mode("overwrite").parquet(f"{path}/vectors_tmp")
-    import shutil
+    # strip the cnt column IN PLACE (simulated hand-edit: file names —
+    # and with them the round-12 manifest — stay valid, the content is
+    # what's torn)
+    import pyarrow.parquet as pq
 
-    shutil.rmtree(f"{path}/vectors")
-    shutil.move(f"{path}/vectors_tmp", f"{path}/vectors")
+    for f in glob.glob(f"{path}/vectors/*.parquet"):
+        t = pq.read_table(f)
+        pq.write_table(t.drop_columns(["cnt"]), f)
     with pytest.raises(Exception, match="cnt|Py4JJavaError|torn"):
         E.embed_with_model(docs, path).collect()
 

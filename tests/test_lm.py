@@ -215,5 +215,8 @@ def test_lm_artifact_guards(spark, tmp_path):
     empty = spark.createDataFrame([(1, "???")], "doc_id long, text string")
     with pytest.raises(ValueError, match="empty vocabulary"):
         lm_model_build(empty, str(tmp_path / "lm2"))
-    import os
-    assert not os.path.exists(str(tmp_path / "lm2") + "/params")
+    from haensel_ams_data_engineer_challenge_spark.operators import (
+        similarity as _S,
+    )
+
+    assert _S._read_index_params(spark, str(tmp_path / "lm2")) == {}
