@@ -458,3 +458,31 @@ def test_drift_stat_moves_under_skewed_appends(spark, sf_dir, tmp_path):
     assert int(p1["version"]) == int(p0["version"]) + 1
     # profile is real occupancy: counts sum to the training corpus
     assert sum(json.loads(p0["cell_profile"]).values()) == base.count()
+
+
+def test_cli_ann_train_sample_cap_and_index_stats(spark, sf_dir, tmp_path, capsys):
+    """CLI wiring (round 12): --train-sample-cap pins the cap in the
+    built index's params; --index-stats prints version/drift/profile."""
+    from haensel_ams_data_engineer_challenge_spark.__main__ import main
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.orderBy("doc_id").limit(1).collect()
+    q = spark.createDataFrame(
+        [(9001, src[0]["text"])], "query_id long, text string"
+    )
+    qpath = str(tmp_path / "queries")
+    q.write.parquet(qpath)
+    work = str(tmp_path / "wd")
+    rc = main([
+        "search", "--sf-dir", sf_dir, "--work-dir", work,
+        "--queries-parquet", qpath, "--k", "3", "--method", "ann",
+        "--train-sample-cap", "200", "--index-stats",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "index-stats" in out
+    assert "drift_stat=1.0" in out
+    assert "train_sample_cap=200" in out
+    params = S._read_index_params(spark, f"{work}/ann_index")
+    assert params["train_sample_cap"] == "200"
+    assert params["cell_profile"]
