@@ -218,3 +218,19 @@ def run_streaming_attribution(
         time.sleep(0.2)
     query.stop()
     query.awaitTermination()
+    # awaitTermination returns when the STREAM thread ends, but
+    # foreachBatch runs on a py4j callback thread that may still be
+    # unwinding an interrupted insert_if_absent — holding the sink's
+    # writer lease.  A caller that immediately resumes (the
+    # kill-and-resume tests) would trip ConcurrentWriterError on a
+    # lease that is about to be released; wait it out (bounded — a
+    # genuinely crashed holder is the stale-takeover path, not ours).
+    from ..operators.sinks import _lease_backend, _lease_path
+
+    be = _lease_backend(spark, None)
+    lease = _lease_path(sink_path)
+    deadline = time.monotonic() + 60.0
+    while (
+        be.read_token(lease) is not None and time.monotonic() < deadline
+    ):
+        time.sleep(0.1)
