@@ -85,11 +85,22 @@ def main() -> int:
     from haensel_ams_data_engineer_challenge_spark.session import get_spark
 
     spark = get_spark("paritycheck")
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+
+    def fresh_con():
+        # one connection PER QUERY: a long-lived connection accumulates
+        # allocator state across the 50 oracles and was observed to die
+        # with "Allocation failure" on the heaviest query late in the
+        # run, even though that query needs <4GB standalone; the
+        # explicit limit + spill dir make each oracle self-contained
+        c = duckdb.connect()
+        c.execute("SET memory_limit='16GB'")
+        c.execute("SET temp_directory='/tmp/paritycheck_duckdb_spill'")
+        for t in TABLES:
+            c.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        return c
 
     qs, oracles = E.queries(), E.oracle_sql()
     failed, passed, rows_only = [], [], []
@@ -107,7 +118,11 @@ def main() -> int:
             print(f"ROWS  {name}: {len(spark_pd)} rows (no oracle)")
             continue
         try:
-            oracle_pd = con.execute(oracles[name]).fetchdf()
+            con = fresh_con()
+            try:
+                oracle_pd = con.execute(oracles[name]).fetchdf()
+            finally:
+                con.close()
         except Exception as exc:  # noqa: BLE001
             failed.append(name)
             print(f"FAIL  {name}: oracle error: {exc}")
