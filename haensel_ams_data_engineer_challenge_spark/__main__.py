@@ -321,6 +321,25 @@ def _parser() -> argparse.ArgumentParser:
     di.add_argument("--images-parquet", required=True, metavar="PARQUET")
     di.add_argument("--work-dir", required=True)
     di.add_argument(
+        "--method", choices=["phash", "embed", "both"], default="phash",
+        help="phash = near-exact tier (re-encodes, mild resizes; "
+        "dHash banding + hamming verify); embed = SEMANTIC tier "
+        "(crops, recolors, same-scene — the regime phash misses at "
+        "any t: a 20%% crop measures hamming 14) through the image-v1 "
+        "encoder artifact -> banded sign-LSH + exact-cosine verify; "
+        "both = the production posture — ONE pixel-decode pass feeds "
+        "both tiers and their pair sets union before clustering "
+        "(round 12)",
+    )
+    di.add_argument(
+        "--cosine-threshold", type=float, default=0.9, metavar="C",
+        help="(embed/both) semantic-duplicate bar on the exact cosine "
+        "of the mean-centered box features (default 0.9: a 20%% crop "
+        "of a smooth texture measures ~0.92, a recolor exactly 1.0; "
+        "false positives are impossible — every LSH candidate is "
+        "verified with the exact cosine)",
+    )
+    di.add_argument(
         "--max-hamming", type=int, default=None, metavar="T",
         help="duplicate threshold on the 64-bit dHash (default 10: "
         "re-encodes measure 0, mild resizes 0-6); recall is "
@@ -995,24 +1014,71 @@ def main(argv: list[str] | None = None) -> int:
             from .operators.components import dedup_survivors
 
             images = spark.read.parquet(args.images_parquet)
-            # ONE python decode pass: land the hash table (it is a
-            # product artifact anyway) and run every downstream
-            # consumer off the parquet read-back — no localCheckpoint
-            # copies (second review pass: materialize here + the
-            # pair scan's internal one made three copies)
-            image_phash(images).write.mode("overwrite").parquet(
+            # ONE python decode pass regardless of method: land the
+            # per-image table (hashes; for the semantic tiers also the
+            # box features) as a product artifact and run every
+            # downstream consumer off the parquet read-back — no
+            # localCheckpoint copies (second review pass: materialize
+            # here + the pair scan's internal one made three copies),
+            # and for --method both the two tiers SHARE the decode
+            # (the per-pixel Python unfilter is the dominant cost).
+            if args.method == "phash":
+                decoded = image_phash(images)
+            else:
+                from .multimodal.imgembed import (
+                    image_encoder_build,
+                    image_hash_embed,
+                )
+                from .operators.similarity import _read_index_params
+
+                # commit the feature space the semantic tier runs in
+                # (the encoder-artifact discipline: index markers and
+                # worker caches key on it)
+                enc = f"{args.work_dir}/image_encoder"
+                image_encoder_build(spark, enc)
+                grid = int(_read_index_params(spark, enc)["grid"])
+                decoded = image_hash_embed(images, grid=grid)
+            decoded.write.mode("overwrite").parquet(
                 f"{args.work_dir}/image_hashes"
             )
             hashes = spark.read.parquet(f"{args.work_dir}/image_hashes")
-            pairs = phash_dup_pairs(
-                hashes,
-                max_hamming=(
-                    args.max_hamming
-                    if args.max_hamming is not None
-                    else PHASH_MAX_HAMMING
-                ),
-                pre_materialized=True,
-            )
+            tier_counts = {}
+            tiers = []
+            if args.method in ("phash", "both"):
+                p = phash_dup_pairs(
+                    hashes,
+                    max_hamming=(
+                        args.max_hamming
+                        if args.max_hamming is not None
+                        else PHASH_MAX_HAMMING
+                    ),
+                    pre_materialized=True,
+                ).select("id_a", "id_b")
+                tier_counts["phash_pairs"] = p.count()
+                tiers.append(p)
+            if args.method in ("embed", "both"):
+                from .operators.similarity import (
+                    MAX_VECTOR_BUCKET,
+                    embedding_dup_pairs_lsh,
+                )
+
+                # constant images carry no feature direction (NULL
+                # embedding — the zero-vector contract): singletons
+                # for this tier, still in the doc list below
+                e = embedding_dup_pairs_lsh(
+                    hashes.filter(F.col("embedding").isNotNull()).select(
+                        "doc_id", "embedding"
+                    ),
+                    threshold=args.cosine_threshold,
+                    planes_per_band=10,
+                    id_col="doc_id",
+                    max_bucket=MAX_VECTOR_BUCKET,
+                ).select("id_a", "id_b")
+                tier_counts["embed_pairs"] = e.count()
+                tiers.append(e)
+            pairs = tiers[0]
+            if len(tiers) > 1:
+                pairs = pairs.unionByName(tiers[1]).distinct()
             surv = dedup_survivors(hashes.select("doc_id"), pairs)
             out = f"{args.work_dir}/image_survivors"
             surv.write.mode("overwrite").parquet(out)
@@ -1025,8 +1091,10 @@ def main(argv: list[str] | None = None) -> int:
                 .agg(F.count(F.lit(1)).alias("n"))
                 .collect()
             }
+            tier_str = "".join(f" {k}={v}" for k, v in tier_counts.items())
             print(
-                f"images={n} survivors={kept} dropped={n - kept} "
+                f"method={args.method} images={n} survivors={kept} "
+                f"dropped={n - kept}{tier_str} "
                 f"decoders={decoders} -> {out}"
             )
             return 0

@@ -204,6 +204,79 @@ def image_embed_frame(
     return src.mapInPandas(_encode, f"vec_id {id_type}, embedding array<double>")
 
 
+def image_hash_embed(
+    binary_df: DataFrame,
+    grid: int = IMG_GRID,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Both image-dedup tiers' inputs from ONE pixel-decode pass:
+    ``(id, phash, ahash, p0..p3, decoder, embedding array<double>)``.
+
+    The tiered CLI (``dedup-images --method both``) needs the dHash
+    bands (near-exact tier) AND the box-mean features (semantic tier)
+    for every image; decoding the payload twice — once per tier —
+    would double the dominant cost (the pure-Python per-pixel
+    unfilter).  This runs the decode ladder once per payload and emits
+    both representations; ``embedding`` is NULL for a constant image
+    (no direction — the zero-vector contract) and for nothing else.
+
+    Output composes unchanged with both pair scanners:
+    :func:`.phash.phash_dup_pairs` consumes (id, p0..p3);
+    ``embedding_dup_pairs_lsh`` consumes the non-null
+    (id, embedding) slice.  Arrow mapInPandas, no shuffle.
+    """
+    from .phash import (
+        AHASH_GRID,
+        DHASH_GRID_H,
+        DHASH_GRID_W,
+        _hex16,
+        ahash_bands,
+        dhash_bands,
+    )
+
+    schema = (
+        f"{id_col} long, phash string, ahash string, "
+        "p0 long, p1 long, p2 long, p3 long, decoder string, "
+        "embedding array<double>"
+    )
+
+    def _both(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(payload):
+            if payload is None:
+                payload = b""
+            decoded = decode_png_pixels(bytes(payload))
+            if decoded is not None:
+                w, h, grays = decoded
+                decoder = "pixels"
+            else:
+                w, h = DHASH_GRID_W, DHASH_GRID_H
+                grays = _fake_grays(bytes(payload), w * h)
+                decoder = "fake"
+            d_bands = dhash_bands(box_grays(grays, w, h, DHASH_GRID_W, DHASH_GRID_H))
+            a_bands = ahash_bands(box_grays(grays, w, h, AHASH_GRID, AHASH_GRID))
+            feats = image_features(grays, w, h, grid)
+            return (_hex16(d_bands), _hex16(a_bands), *d_bands, decoder, feats)
+
+        for pdf in batches:
+            meta = [one(p) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "phash": [m[0] for m in meta],
+                    "ahash": [m[1] for m in meta],
+                    "p0": [m[2] for m in meta],
+                    "p1": [m[3] for m in meta],
+                    "p2": [m[4] for m in meta],
+                    "p3": [m[5] for m in meta],
+                    "decoder": [m[6] for m in meta],
+                    "embedding": pd.Series([m[7] for m in meta], dtype=object),
+                }
+            )
+
+    return binary_df.mapInPandas(_both, schema)
+
+
 # ---------------------------------------------------------------------------
 # gate arm: synthesized REAL PNGs (base image per doc_id + a planted
 # BRIGHTNESS-SHIFTED twin for every IMG_TWIN_EVERY-th id — exact

@@ -206,3 +206,83 @@ def test_planted_twin_synthesis_matches_oracle_shape(spark, image_model):
     }
     for i in (5, 10):
         assert vecs[i] == vecs[i + IE.IMG_TWIN_OFFSET]
+
+
+def test_cli_dedup_images_tiered(spark, tmp_path, capsys):
+    """The product surface for semantic image dedup (round 12):
+    --method both runs ONE decode pass, unions the near-exact and
+    semantic pair sets, and clusters crop + recolor + resize copies
+    under one survivor — where --method phash (the old default) keeps
+    the crop as a false survivor."""
+    from haensel_ams_data_engineer_challenge_spark.__main__ import main
+
+    base = _texture(_W, _H)
+    cg, cw, ch = _crop(base, _W, _H, _CROP_X, _CROP_Y)
+    recolored = [min(255, v + 15) for v in base]
+    resized = PH.box_grays(base, _W, _H, 64, 52)
+    other = [(255 - v) for v in _texture(80, 96)]
+    rows = [
+        (1, bytearray(PH.png_encode_gray(base, _W, _H))),
+        (2, bytearray(PH.png_encode_gray(cg, cw, ch))),
+        (3, bytearray(PH.png_encode_gray(recolored, _W, _H))),
+        (4, bytearray(PH.png_encode_gray(other, 80, 96))),
+        (5, bytearray(PH.png_encode_gray(resized, 64, 52))),
+    ]
+    src = str(tmp_path / "images.parquet")
+    spark.createDataFrame(rows, "doc_id long, payload binary").write.parquet(src)
+
+    work = str(tmp_path / "work_both")
+    rc = main(
+        [
+            "dedup-images", "--images-parquet", src,
+            "--work-dir", work, "--method", "both",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "method=both images=5 survivors=2 dropped=3" in out
+    assert "phash_pairs=" in out and "embed_pairs=" in out
+    surv = {
+        r["doc_id"]: (r["component"], r["is_survivor"])
+        for r in spark.read.parquet(f"{work}/image_survivors").collect()
+    }
+    # crop (embed-only), recolor (both tiers), resize (phash tier)
+    # all cluster under the base; the unrelated image survives alone
+    assert surv == {
+        1: (1, True), 2: (1, False), 3: (1, False),
+        5: (1, False), 4: (4, True),
+    }
+    # the decode table carries BOTH representations from one pass
+    hashes = spark.read.parquet(f"{work}/image_hashes")
+    assert {"p0", "p3", "embedding"} <= set(hashes.columns)
+
+    # --method phash on the same corpus misses the crop: 3 survivors
+    work_p = str(tmp_path / "work_phash")
+    rc = main(
+        [
+            "dedup-images", "--images-parquet", src,
+            "--work-dir", work_p, "--method", "phash",
+        ]
+    )
+    assert rc == 0
+    out_p = capsys.readouterr().out
+    assert "method=phash images=5 survivors=3" in out_p
+
+    # --method embed alone catches crop + recolor (semantic tier)
+    work_e = str(tmp_path / "work_embed")
+    rc = main(
+        [
+            "dedup-images", "--images-parquet", src,
+            "--work-dir", work_e, "--method", "embed",
+        ]
+    )
+    assert rc == 0
+    out_e = capsys.readouterr().out
+    assert "method=embed images=5" in out_e
+    surv_e = {
+        r["doc_id"]: r["component"]
+        for r in spark.read.parquet(
+            f"{work_e}/image_survivors"
+        ).collect()
+    }
+    assert surv_e[2] == 1 and surv_e[3] == 1 and surv_e[4] == 4
