@@ -303,6 +303,16 @@ def _parser() -> argparse.ArgumentParser:
         "k~sqrt(corpus) (round 12)",
     )
     se.add_argument(
+        "--retrain-if-drift", type=float, default=None, metavar="X",
+        help="(ann) after the optional --refresh-index append, read "
+        "the committed index's drift_stat and RETRAIN in place when "
+        "it exceeds X: fresh Lloyd rounds over the current corpus, "
+        "k resized by the sqrt-N rule, committed as one atomic "
+        "manifest swap (a reader mid-query keeps the complete old "
+        "generation — no delete-then-rebuild gap); ~2.0 is the "
+        "documented operating point (round 12)",
+    )
+    se.add_argument(
         "--index-stats", action="store_true",
         help="(ann) after the run, print the index marker's stats — "
         "version, cell occupancy profile from training, and "
@@ -958,6 +968,38 @@ def main(argv: list[str] | None = None) -> int:
                         # no committed index yet — the query below
                         # builds it fresh over the full corpus anyway
                         pass
+                from .operators.similarity import _read_index_params
+
+                committed = _read_index_params(spark, index_path)
+                if args.retrain_if_drift is not None and committed:
+                    drift = float(committed.get("drift_stat", "1.0"))
+                    if drift > args.retrain_if_drift:
+                        from .operators.similarity import ivf_index_retrain
+
+                        committed = ivf_index_retrain(
+                            dvecs,
+                            index_path,
+                            train_sample_cap=args.train_sample_cap,
+                        )
+                        print(
+                            f"retrained: drift_stat={drift:.4f} > "
+                            f"{args.retrain_if_drift} "
+                            f"k={committed.get('retrained_from_k')}"
+                            f"->{committed.get('k')} "
+                            f"version={committed.get('version')}"
+                        )
+                # adopt the committed artifact's own size: a retrained
+                # (or differently-built) index pins its k/iters in the
+                # marker, and querying it with the session defaults
+                # would refuse to serve (the hyperparameter check)
+                ivf_shape = (
+                    {
+                        "cells": int(committed["k"]),
+                        "iters": int(committed["iters"]),
+                    }
+                    if committed
+                    else {}
+                )
                 hits = ann_topk_ivf(
                     dvecs,
                     qvecs,
@@ -965,6 +1007,7 @@ def main(argv: list[str] | None = None) -> int:
                     index_path=index_path,
                     quantize=args.quantize_index,
                     train_sample_cap=args.train_sample_cap,
+                    **ivf_shape,
                 ).select(
                     "query_id",
                     F.col("neighbor_id").alias("doc_id"),

@@ -1071,6 +1071,82 @@ def ivf_index_append(
     )
 
 
+def ivf_index_retrain(
+    vectors: DataFrame,
+    path: str,
+    k: int | None = None,
+    iters: int = IVF_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample_cap: int | None = None,
+) -> dict:
+    """Retrain a committed IVF index IN PLACE over the current corpus
+    — the operator response to a high ``drift_stat`` (round 12; closes
+    the loop :func:`ivf_index_append`'s drift accounting opened: the
+    stat said WHEN to retrain, this is the HOW).
+
+    Fresh Lloyd rounds over ``vectors`` (every downstream list layout
+    is recomputed — appends since the last training stop being
+    second-class citizens assigned to frozen centroids), committed as
+    one atomic manifest swap (:func:`..artifact_manifest.
+    artifact_overwrite`): a reader mid-query keeps its complete old
+    generation; there is no delete-then-rebuild gap, which is exactly
+    why "retrain by deleting the artifact" stopped being the
+    documented answer.  ``k`` defaults to ``ivf_suggest_cells(N)`` —
+    drift usually means the corpus OUTGREW its cell count, so the
+    rebuild resizes by the sqrt-N rule instead of repeating the stale
+    k.  ``train_sample_cap`` defaults to the committed marker's (a
+    sampled-training index stays sampled), the quantized layout is
+    preserved, and the marker's ``version`` bumps so every session /
+    worker cache keyed on it refreshes.
+
+    Returns the new marker params (the CLI prints them).  Raises when
+    ``path`` holds no committed IVF index — retraining nothing is a
+    caller bug, not a build request."""
+    import json
+
+    spark = vectors.sparkSession
+    got = _read_index_params(spark, path)
+    if not got or got.get("kind") != "ivf":
+        raise ValueError(
+            f"no committed IVF index at {path}; build it first "
+            "(ivf_index_persistent)"
+        )
+    from .artifact_manifest import artifact_overwrite
+
+    quantized = got.get("quantized", "false") == "true"
+    if train_sample_cap is None and got.get("train_sample_cap"):
+        train_sample_cap = int(got["train_sample_cap"])
+    if k is None:
+        k = ivf_suggest_cells(vectors.count())
+    if quantized:
+        # assignments + int8 vectors both consume the corpus lineage
+        vectors = materialize(vectors)
+    assign, cents = ivf_kmeans(
+        vectors, k, iters, id_col, vec_col,
+        train_sample_cap=train_sample_cap,
+    )
+    assign = materialize(assign)
+    profile = _cell_profile(assign)
+    tables = {"assignments": assign, "centroids": cents}
+    if quantized:
+        tables["vectors"] = quantize_to_storage(vectors, id_col, vec_col)
+    params = {
+        "kind": "ivf", "k": k, "iters": iters,
+        "id_col": id_col, "vec_col": vec_col,
+        "quantized": str(quantized).lower(),
+        "version": int(got.get("version", "1")) + 1,
+        "cell_profile": json.dumps(profile, sort_keys=True),
+        "n_train_total": sum(profile.values()),
+        "drift_stat": "1.0",
+        "retrained_from_k": got.get("k"),
+    }
+    if train_sample_cap is not None:
+        params["train_sample_cap"] = train_sample_cap
+    artifact_overwrite(spark, path, tables, params)
+    return _read_index_params(spark, path)
+
+
 def lsh_index_append(
     new_vectors: DataFrame,
     path: str,

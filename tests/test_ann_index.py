@@ -486,3 +486,135 @@ def test_cli_ann_train_sample_cap_and_index_stats(spark, sf_dir, tmp_path, capsy
     params = S._read_index_params(spark, f"{work}/ann_index")
     assert params["train_sample_cap"] == "200"
     assert params["cell_profile"]
+
+
+def test_ivf_index_retrain_resets_drift_and_resizes(spark, sf_dir, tmp_path):
+    """Round 12: the HOW of retraining the drift stat asks for — fresh
+    Lloyd rounds over the grown corpus, k resized by the sqrt-N rule,
+    one atomic manifest swap (no delete-then-rebuild gap), drift back
+    to 1.0, version bumped so every cache keyed on it refreshes."""
+    import json
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    base = vecs.filter(F.col("vec_id") < 400)
+    path = str(tmp_path / "ivf_rt")
+    S.ivf_index_persistent(base, path)
+    one = base.orderBy("vec_id").limit(1)
+    skew = one.crossJoin(
+        spark.range(1000, 1200).select(F.col("id").alias("new_id"))
+    ).select(
+        (F.col("new_id") + 100000).alias("vec_id"),
+        F.col("embedding"),
+        *[c for c in base.columns if c not in ("vec_id", "embedding")],
+    ).select(*base.columns)
+    S.ivf_index_append(skew, path)
+    p1 = S._read_index_params(spark, path)
+    assert float(p1["drift_stat"]) > 1.3
+
+    grown = base.unionByName(skew)
+    p2 = S.ivf_index_retrain(grown, path)
+    assert float(p2["drift_stat"]) == 1.0
+    assert int(p2["version"]) == int(p1["version"]) + 1
+    assert int(p2["k"]) == S.ivf_suggest_cells(grown.count())
+    assert p2["retrained_from_k"] == p1["k"]
+    # the new training profile covers the FULL grown corpus (appended
+    # vectors stop being frozen-centroid second-class citizens)
+    assert sum(json.loads(p2["cell_profile"]).values()) == grown.count()
+    # the retrained artifact serves at its own committed shape; the
+    # stale session default refuses (hyperparameter check)
+    q = base.filter(F.col("vec_id") < 3)
+    hits = S.ann_topk_ivf(
+        grown, q, index_path=path,
+        cells=int(p2["k"]), iters=int(p2["iters"]),
+    )
+    # each query gets a full ranked top-k (self excluded by contract);
+    # a skew CLONE of the planted vector must be findable at cosine 1
+    got = {(r["query_id"], r["rank"]) for r in hits.collect()}
+    assert got == {(q, r) for q in (0, 1, 2) for r in (1, 2, 3)}
+    planted = base.orderBy("vec_id").limit(1).collect()[0]["vec_id"]
+    clone_hits = S.ann_topk_ivf(
+        grown, grown.filter(F.col("vec_id") == planted),
+        k=1, index_path=path,
+        cells=int(p2["k"]), iters=int(p2["iters"]),
+    ).collect()
+    assert clone_hits[0]["cosine"] > 0.9999  # its clones share the cell
+    with pytest.raises(ValueError, match="built with"):
+        S.ann_topk_ivf(grown, q, index_path=path)
+    # retraining nothing is a caller bug
+    with pytest.raises(ValueError, match="no committed IVF index"):
+        S.ivf_index_retrain(grown, str(tmp_path / "nope"))
+
+
+def test_ivf_index_retrain_preserves_quantized_layout(spark, sf_dir, tmp_path):
+    """A quantized index retrains INTO the quantized layout: int8
+    vectors table rebuilt over the current corpus, layout pin intact,
+    sampled-training cap inherited from the marker."""
+    vecs = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf_rt_q")
+    S.ivf_index_persistent(vecs, path, quantize=True, train_sample_cap=300)
+    p = S.ivf_index_retrain(vecs, path)
+    assert p["quantized"] == "true"
+    assert p["train_sample_cap"] == "300"  # inherited, still pinned
+    stored = S._index_table(spark, path, "vectors")
+    assert stored.count() == vecs.count()
+    q = vecs.filter(F.col("vec_id") < 3)
+    hits = S.ann_topk_ivf(
+        vecs, q, index_path=path, quantize=True,
+        cells=int(p["k"]), iters=int(p["iters"]),
+        train_sample_cap=300,
+    )
+    # serves a full ranked top-k per query from the rebuilt artifact
+    got = {(r["query_id"], r["rank"]) for r in hits.collect()}
+    assert got == {(q, r) for q in (0, 1, 2) for r in (1, 2, 3)}
+
+
+def test_cli_ann_retrain_if_drift(spark, sf_dir, tmp_path, capsys):
+    """CLI wiring: --retrain-if-drift X retrains when the committed
+    drift_stat exceeds X (printing the resize), is a no-op below it,
+    and subsequent plain queries adopt the retrained k instead of
+    refusing on the session default."""
+    from haensel_ams_data_engineer_challenge_spark.__main__ import main
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.orderBy("doc_id").limit(1).collect()
+    q = spark.createDataFrame(
+        [(9001, src[0]["text"])], "query_id long, text string"
+    )
+    qpath = str(tmp_path / "queries")
+    q.write.parquet(qpath)
+    work = str(tmp_path / "wd")
+    base_cli = [
+        "search", "--sf-dir", sf_dir, "--work-dir", work,
+        "--queries-parquet", qpath, "--k", "3", "--method", "ann",
+    ]
+    assert main(base_cli) == 0  # builds the index
+    capsys.readouterr()
+    path = f"{work}/ann_index"
+    # skew-append clones of one doc's vector (new ids, one cell)
+    dvecs = S.hash_embed(docs)
+    one = dvecs.orderBy("vec_id").limit(1)
+    skew = one.crossJoin(
+        spark.range(0, 300).select(F.col("id").alias("new_id"))
+    ).select(
+        (F.col("new_id") + 500000).alias("vec_id"), F.col("embedding")
+    )
+    S.ivf_index_append(skew, path)
+    drifted = float(S._read_index_params(spark, path)["drift_stat"])
+    assert drifted > 1.1
+
+    # below-threshold: no retrain happens
+    assert main(base_cli + ["--retrain-if-drift", str(drifted + 1)]) == 0
+    assert "retrained:" not in capsys.readouterr().out
+    assert S._read_index_params(spark, path)["drift_stat"] != "1.0"
+
+    # above-threshold: retrain over the CURRENT corpus + adopt new k
+    assert main(base_cli + ["--retrain-if-drift", "1.1", "--index-stats"]) == 0
+    out = capsys.readouterr().out
+    assert "retrained: drift_stat=" in out
+    p = S._read_index_params(spark, path)
+    assert p["drift_stat"] == "1.0"
+    assert int(p["k"]) == S.ivf_suggest_cells(docs.count())
+    assert "drift_stat=1.0" in out  # --index-stats sees the new marker
+    # a plain follow-up query serves the resized artifact
+    assert main(base_cli) == 0
+    assert "hits=" in capsys.readouterr().out
