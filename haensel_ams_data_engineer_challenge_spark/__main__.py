@@ -358,6 +358,26 @@ def _parser() -> argparse.ArgumentParser:
         "differing bits spread across all 4 bands are missed",
     )
 
+    da = sub.add_parser(
+        "dedup-audio",
+        help="audio near-dup over an audio-payload parquet (doc_id, "
+        "payload binary): real stdlib PCM decode (16/8-bit WAV, "
+        "multi-channel mixdown) -> gain-invariant energy-envelope "
+        "features (audio-v1 encoder artifact) -> banded sign-LSH + "
+        "exact-cosine verify -> connected components -> one survivor "
+        "per duplicate cluster (round 12)",
+    )
+    da.add_argument("--audio-parquet", required=True, metavar="PARQUET")
+    da.add_argument("--work-dir", required=True)
+    da.add_argument(
+        "--cosine-threshold", type=float, default=0.9, metavar="C",
+        help="duplicate bar on the exact cosine of the mean-centered "
+        "envelope features (default 0.9: a re-gained/volume-normalized "
+        "copy measures 1.0 to within one ulp, a few-percent trim "
+        "~0.97+; false positives are impossible — every LSH candidate "
+        "is verified with the exact cosine)",
+    )
+
     wv = sub.add_parser(
         "import-wordvec",
         help="import a float word-vector table (term, vec "
@@ -1139,6 +1159,49 @@ def main(argv: list[str] | None = None) -> int:
                 f"method={args.method} images={n} survivors={kept} "
                 f"dropped={n - kept}{tier_str} "
                 f"decoders={decoders} -> {out}"
+            )
+            return 0
+
+        if args.command == "dedup-audio":
+            from pyspark.sql import functions as F
+
+            from .multimodal.audioembed import audio_encoder_build
+            from .operators.components import dedup_survivors
+            from .operators.embed import embed_with_model
+            from .operators.similarity import (
+                MAX_VECTOR_BUCKET,
+                embedding_dup_pairs_lsh,
+            )
+
+            clips = spark.read.parquet(args.audio_parquet)
+            # the feature space is a committed artifact (index markers
+            # and worker caches key on it); features land as a product
+            # parquet and every consumer runs off the read-back (one
+            # Python decode pass — the dedup-images discipline)
+            enc = f"{args.work_dir}/audio_encoder"
+            audio_encoder_build(spark, enc)
+            embed_with_model(clips, enc).write.mode("overwrite").parquet(
+                f"{args.work_dir}/audio_features"
+            )
+            vecs = spark.read.parquet(f"{args.work_dir}/audio_features")
+            # silence / flat clips carry no feature direction (absent
+            # from vecs): singletons below, never false-paired
+            pairs = embedding_dup_pairs_lsh(
+                vecs,
+                threshold=args.cosine_threshold,
+                planes_per_band=10,
+                max_bucket=MAX_VECTOR_BUCKET,
+            ).select("id_a", "id_b")
+            n_pairs = pairs.count()
+            surv = dedup_survivors(clips.select("doc_id"), pairs)
+            out = f"{args.work_dir}/audio_survivors"
+            surv.write.mode("overwrite").parquet(out)
+            back = spark.read.parquet(out)
+            n = back.count()
+            kept = back.filter("is_survivor").count()
+            print(
+                f"clips={n} survivors={kept} dropped={n - kept} "
+                f"pairs={n_pairs} featured={vecs.count()} -> {out}"
             )
             return 0
 

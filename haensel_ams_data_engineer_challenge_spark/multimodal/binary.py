@@ -1111,15 +1111,27 @@ def multimodal_both_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .phash import phash_query
 
     phash = phash_query(spark, sf_dir).withColumn("method", F.lit("phash"))
+    # round 12: the audio SAMPLE tier — synthesized real PCM WAVs
+    # (data chunk present) through the stdlib decoder into envelope
+    # features; the oracle re-derives the embedded sample formula, so
+    # real decode->mixdown->window->center is hash-checked, including
+    # the planted gain twins' exact-2x feature relation
+    from .audioembed import audio_embed_query
+
+    audio_pcm = audio_embed_query(spark, sf_dir).withColumn(
+        "method", F.lit("audio_embed")
+    )
     return (
         stub.unionByName(header, allowMissingColumns=True)
         .unionByName(audio, allowMissingColumns=True)
         .unionByName(video, allowMissingColumns=True)
         .unionByName(phash, allowMissingColumns=True)
+        .unionByName(audio_pcm, allowMissingColumns=True)
     )
 
 
 def _multimodal_both_sql() -> str:
+    from .audioembed import AUDIO_EMBED_SQL
     from .phash import PHASH_SQL
 
     return f"""
@@ -1131,7 +1143,9 @@ SELECT 'audio_header' AS method, * FROM ({AUDIO_HEADER_SQL})
 UNION ALL BY NAME
 SELECT 'video_header' AS method, * FROM ({VIDEO_HEADER_SQL})
 UNION ALL BY NAME
-SELECT 'phash' AS method, * FROM ({PHASH_SQL})"""
+SELECT 'phash' AS method, * FROM ({PHASH_SQL})
+UNION ALL BY NAME
+SELECT 'audio_embed' AS method, * FROM ({AUDIO_EMBED_SQL})"""
 
 
 MULTIMODAL_BOTH_SQL = _multimodal_both_sql()

@@ -73,8 +73,14 @@ WORDVEC_SCALE = 1024
 #: imgembed.py — semantic image dedup, r11 verdict task 2).
 IMAGE_KIND = "image-v1"
 
+#: round-12 fourth encoder kind: audio payloads -> gain-invariant
+#: energy-envelope features through the same seam (multimodal/
+#: audioembed.py — audio near-dup, the sample tier above the
+#: header-only audio modality).
+AUDIO_KIND = "audio-v1"
+
 #: every encoder kind ``embed_with_model`` can serve.
-SUPPORTED_ENCODERS = (ENCODER_KIND, WORDVEC_KIND, IMAGE_KIND)
+SUPPORTED_ENCODERS = (ENCODER_KIND, WORDVEC_KIND, IMAGE_KIND, AUDIO_KIND)
 
 #: SIF pooling constants (Arora et al. 2017, "A Simple but Tough-to-
 #: Beat Baseline"): weight(t) = a / (a + p(t)) with a = 1/SIF_A_DENOM.
@@ -447,6 +453,16 @@ def embed_with_model(
         from ..multimodal.imgembed import image_embed_frame
 
         return image_embed_frame(
+            docs, model_path, params,
+            id_col=id_col, payload_col=payload_col,
+            load_log_dir=load_log_dir,
+        )
+    if encoder == AUDIO_KIND:
+        # audio payloads: real PCM decode -> envelope features, one
+        # mapInPandas — multimodal/audioembed.py owns the branch
+        from ..multimodal.audioembed import audio_embed_frame
+
+        return audio_embed_frame(
             docs, model_path, params,
             id_col=id_col, payload_col=payload_col,
             load_log_dir=load_log_dir,

@@ -1,0 +1,242 @@
+"""Audio near-dup through the audio-v1 encoder kind
+(multimodal/audioembed.py, round 12).
+
+The headline semantics: a GAIN-scaled copy (re-mastered / volume-
+normalized — the audio analogue of the image recolor) lands at cosine
+exactly 1.0 by the envelope identity, a small trim degrades gracefully
+(the semantic regime), silence has no direction, and every payload —
+including undecodable bytes — takes a deterministic rung of the decode
+ladder.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from haensel_ams_data_engineer_challenge_spark.multimodal import audioembed as A
+from haensel_ams_data_engineer_challenge_spark.operators import embed as E
+from haensel_ams_data_engineer_challenge_spark.operators import similarity as S
+
+
+def _wav(samples, rate=8000, bits=16, channels=1):
+    """A real RIFF/WAVE PCM payload (data present)."""
+    n = len(samples) // channels
+    if bits == 16:
+        data = struct.pack(f"<{len(samples)}h", *samples)
+    else:
+        data = bytes((s + 128) & 0xFF for s in samples)
+    block = channels * (bits // 8)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack(
+            "<IHHIIHH", 16, 1, channels, rate, rate * block, block, bits
+        )
+        + b"data"
+        + struct.pack("<I", n * block)
+        + data
+    )
+
+
+def _clip(n=1000, gain=1, skip=0):
+    """Music-like deterministic samples: a short-period tone (period 5
+    << the ~31-sample feature windows, so window energy tracks the
+    ENVELOPE rather than tone phase) under a smooth triangular
+    envelope — the window-scale shape a real track has.  Gain
+    multiplies AFTER the floor division, so a gain copy scales every
+    sample (and with it the features) exactly."""
+    out = []
+    for j in range(skip, skip + n):
+        tri = j if j < 1000 else abs(2000 - j)
+        out.append(((j % 5) - 2) * (100 + tri) // 100 * gain)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# decoder unit tests
+# ---------------------------------------------------------------------------
+
+def test_decode_16bit_mono_roundtrip():
+    samples = _clip(500)
+    rate, got = A.decode_wav_samples(_wav(samples))
+    assert rate == 8000 and got == samples
+
+
+def test_decode_stereo_mixdown_integer_mean():
+    left = _clip(300)
+    right = [s + 10 for s in left]
+    interleaved = [v for pair in zip(left, right) for v in pair]
+    _, got = A.decode_wav_samples(_wav(interleaved, channels=2))
+    assert got == [(a + b) // 2 for a, b in zip(left, right)]
+
+
+def test_decode_8bit_unsigned():
+    samples = [(j % 100) - 50 for j in range(400)]
+    _, got = A.decode_wav_samples(_wav(samples, bits=8))
+    assert got == samples
+
+
+def test_decode_ladder_rejections():
+    # non-WAV, header-only (declared data absent), compressed fmt
+    assert A.decode_wav_samples(b"not audio") is None
+    samples = _clip(100)
+    full = _wav(samples)
+    header_only = full[:44]  # data chunk declared but bytes absent
+    assert A.decode_wav_samples(header_only) is None
+    compressed = bytearray(full)
+    compressed[20] = 85  # fmt tag != 1 (PCM)
+    assert A.decode_wav_samples(bytes(compressed)) is None
+
+
+def test_decode_truncated_data_decodes_prefix():
+    samples = _clip(200)
+    full = _wav(samples)
+    cut = full[: 44 + 2 * 150 + 1]  # 150 complete blocks + a torn byte
+    _, got = A.decode_wav_samples(cut)
+    assert got == samples[:150]
+
+
+def test_decode_sample_ceiling(monkeypatch):
+    """An adversarial payload whose PRESENT samples exceed the ceiling
+    falls to None (fake rung upstream) — bounded CPU per payload."""
+    monkeypatch.setattr(A, "_WAV_MAX_SAMPLES", 100)
+    assert A.decode_wav_samples(_wav(_clip(101))) is None
+    assert A.decode_wav_samples(_wav(_clip(100))) is not None
+
+
+# ---------------------------------------------------------------------------
+# feature identities
+# ---------------------------------------------------------------------------
+
+def test_gain_scales_features_exactly():
+    base = A.audio_features(_clip(1000))
+    doubled = A.audio_features(_clip(1000, gain=2))
+    assert doubled == [2 * v for v in base]
+
+
+def test_flat_envelope_has_no_direction():
+    assert A.audio_features([0] * 500) is None          # silence
+    assert A.audio_features([7] * 640) is None          # DC
+    assert A.audio_features([]) is None
+
+
+# ---------------------------------------------------------------------------
+# the encoder seam
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def audio_model(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("audenc") / "model")
+    A.audio_encoder_build(spark, path)
+    return path
+
+
+def test_artifact_contract(spark, audio_model, tmp_path):
+    params = S._read_index_params(spark, audio_model)
+    assert params["kind"] == "encoder"
+    assert params["encoder"] == E.AUDIO_KIND
+    assert int(params["dim"]) == S.EMBEDDING_DIM
+    A.audio_encoder_build(spark, audio_model)  # matching rebuild no-op
+    with pytest.raises(ValueError, match="dim must equal grid"):
+        A.audio_encoder_build(spark, str(tmp_path / "bad"), dim=32, grid=64)
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    E.encoder_model_ensure(docs, audio_model)
+    assert S._read_index_params(spark, audio_model)["encoder"] == E.AUDIO_KIND
+
+
+def test_gain_copy_cosine_one_trim_degrades(spark, audio_model):
+    """THE audio-dedup case: 1 = base, 2 = gain-doubled copy (cosine
+    exactly 1.0), 3 = 2% front trim (high cosine, < 1), 4 = unrelated.
+    The LSH pair scan finds (1,2) and (1,3) at the 0.9 bar and never
+    pairs 4."""
+    rows = [
+        (1, _wav(_clip(2000))),
+        (2, _wav(_clip(2000, gain=2))),
+        (3, _wav(_clip(1960, skip=40))),
+        (4, _wav([((j * 37) % 120) - 60 for j in range(2000)])),
+    ]
+    clips = spark.createDataFrame(rows, "doc_id long, payload binary")
+    vecs = E.embed_with_model(clips, audio_model)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in S.embedding_dup_pairs_lsh(
+            vecs, threshold=0.9, planes_per_band=10,
+            max_bucket=S.MAX_VECTOR_BUCKET,
+        ).collect()
+    }
+    # exact feature scaling; the cosine EXPRESSION rounds within 1 ulp
+    assert pairs[(1, 2)] >= 1.0 - 1e-12
+    assert 0.9 <= pairs[(1, 3)] < 1.0
+    assert not any(4 in p for p in pairs)
+
+
+def test_fake_rung_and_silence_contract(spark, audio_model):
+    """Undecodable payloads embed through the deterministic fake rung
+    (byte dups still cosine 1.0); silence is absent."""
+    rows = [
+        (1, b"opus bytes the stdlib cannot decode"),
+        (2, b"opus bytes the stdlib cannot decode"),
+        (3, b"different bytes"),
+        (4, _wav([0] * 500)),
+    ]
+    clips = spark.createDataFrame(rows, "doc_id long, payload binary")
+    vecs = {
+        r["vec_id"]: list(r["embedding"])
+        for r in E.embed_with_model(clips, audio_model).collect()
+    }
+    assert set(vecs) == {1, 2, 3}  # silence absent
+    assert vecs[1] == vecs[2]
+    assert vecs[1] != vecs[3]
+
+
+def test_planted_twin_synthesis_matches_oracle_shape(spark, sf_dir):
+    """The gate arm's synthesizer: every AUD_TWIN_EVERY-th id gets a
+    gain-doubled twin, every payload really decodes (decoder='pcm'),
+    and the twin's stats are exactly 2x the base's."""
+    ids = spark.createDataFrame([(i,) for i in range(1, 11)], "doc_id long")
+    n = A.synthesize_pcm_wavs(ids).count()
+    assert n == 12  # 10 base + twins for 5, 10
+
+    rows = A.audio_embed_query(spark, sf_dir).collect()
+    assert {r["decoder"] for r in rows} == {"pcm"}
+    by_id = {r["doc_id"]: r for r in rows}
+    twins = [i for i in by_id if i >= A.AUD_TWIN_OFFSET][:5]
+    for t in twins:
+        b = by_id[t - A.AUD_TWIN_OFFSET]
+        assert by_id[t]["env_total"] == 2 * b["env_total"]
+        assert by_id[t]["f0"] == 2 * b["f0"]
+
+
+def test_cli_dedup_audio_e2e(spark, tmp_path, capsys):
+    """Product surface: dedup-audio clusters the gain copy and the
+    trim under the base, keeps the unrelated clip and the silent clip
+    (no direction -> singleton)."""
+    from haensel_ams_data_engineer_challenge_spark.__main__ import main
+
+    rows = [
+        (1, bytearray(_wav(_clip(2000)))),
+        (2, bytearray(_wav(_clip(2000, gain=3)))),
+        (3, bytearray(_wav(_clip(1960, skip=40)))),
+        (4, bytearray(_wav([((j * 37) % 120) - 60 for j in range(2000)]))),
+        (5, bytearray(_wav([0] * 800))),
+    ]
+    src = str(tmp_path / "clips.parquet")
+    spark.createDataFrame(rows, "doc_id long, payload binary").write.parquet(src)
+    work = str(tmp_path / "work")
+    rc = main(["dedup-audio", "--audio-parquet", src, "--work-dir", work])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "clips=5 survivors=3 dropped=2" in out
+    assert "featured=4" in out  # silence carries no features
+    surv = {
+        r["doc_id"]: (r["component"], r["is_survivor"])
+        for r in spark.read.parquet(f"{work}/audio_survivors").collect()
+    }
+    assert surv == {
+        1: (1, True), 2: (1, False), 3: (1, False),
+        4: (4, True), 5: (5, True),
+    }

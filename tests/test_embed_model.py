@@ -106,7 +106,12 @@ def test_encoder_loads_once_per_worker_not_per_task(spark, tmp_path):
     for _ in range(2):
         assert E.embed_with_model(docs, path, load_log_dir=log_dir).count() == 64
     loads = glob.glob(f"{log_dir}/*.loaded")
-    assert 1 <= len(loads) <= 4, loads  # <= local[4] workers, << 16 tasks
+    # strictly below task count (16): the per-task/per-batch failure
+    # mode this test exists to catch.  The exact worker count is NOT
+    # pinned at 4: Spark's python-worker pool can exceed core count
+    # when earlier suites in the same session grew it (observed 8 in
+    # cross-module runs) — the invariant is one load PER WORKER.
+    assert 1 <= len(loads) < 16, loads
     # distinct pids bound the loads exactly: one load per worker process
     pids = {f.rsplit("-", 1)[1].split(".")[0] for f in loads}
     assert len(loads) == len(pids), loads
