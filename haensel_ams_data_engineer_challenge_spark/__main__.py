@@ -566,6 +566,43 @@ def _parser() -> argparse.ArgumentParser:
         "pre-round-12 keyed insert",
     )
 
+    im = sub.add_parser(
+        "ingest-media",
+        help="streaming MEDIA feed drain (round 12): (id, payload) "
+        "parquet batches embed through a committed encoder artifact "
+        "(image-v1 / audio-v1 — the dedup-images/dedup-audio feature "
+        "space), near-dup dedup (exact cosine >= threshold) vs corpus "
+        "+ earlier batches via the persisted banded-LSH index + a "
+        "vectors side-store (payloads are never re-decoded after "
+        "admission); featureless payloads (constant image, silence) "
+        "bypass the semantic tier",
+    )
+    im.add_argument("--corpus-parquet", required=True,
+                    help="static base media (doc_id, payload binary)")
+    im.add_argument("--feed-dir", required=True)
+    im.add_argument("--work-dir", required=True)
+    im.add_argument(
+        "--modality", choices=("image", "audio"), default=None,
+        help="builds the stateless feature-space artifact under the "
+        "work dir; required unless --encoder-model points at a "
+        "committed encoder",
+    )
+    im.add_argument(
+        "--encoder-model", default=None, metavar="DIR",
+        help="use an existing committed encoder artifact instead of "
+        "the stateless --modality default (e.g. a learned image "
+        "encoder imported at this seam); the index pins its identity",
+    )
+    im.add_argument("--threshold", type=float, default=None,
+                    help="exact-cosine acceptance (default streaming."
+                    "vectors.VECTOR_DUP_THRESHOLD)")
+    im.add_argument("--max-files-per-trigger", type=int, default=None)
+    im.add_argument(
+        "--sink-protocol", choices=("swap", "manifest"), default="swap",
+        help="admitted-media store commit protocol: 'manifest' makes "
+        "each batch visible at one atomic manifest rename",
+    )
+
     mx = sub.add_parser(
         "mix",
         help="weighted interleave of corpora (training mixture weights); "
@@ -1520,6 +1557,51 @@ def main(argv: list[str] | None = None) -> int:
                 sink,
                 f"{args.work_dir}/checkpoint_vectors",
                 f"{args.work_dir}/lsh_index",
+                threshold=(
+                    args.threshold if args.threshold is not None
+                    else VECTOR_DUP_THRESHOLD
+                ),
+                max_files_per_trigger=args.max_files_per_trigger,
+                sink_protocol=args.sink_protocol,
+            )
+            if args.sink_protocol == "manifest":
+                from .operators.manifest_sink import read_manifest_sink
+
+                n = read_manifest_sink(spark, sink).count()
+            else:
+                n = spark.read.parquet(sink).count()
+            print(f"admitted_total={n} sink={sink}")
+            return 0
+
+        if args.command == "ingest-media":
+            from .streaming.media import run_streaming_media_ingest
+            from .streaming.vectors import VECTOR_DUP_THRESHOLD
+
+            if args.encoder_model is None and args.modality is None:
+                print("ingest-media needs --modality or --encoder-model",
+                      file=sys.stderr)
+                return 2
+            enc = args.encoder_model
+            if enc is None:
+                enc = f"{args.work_dir}/media_encoder_{args.modality}"
+                if args.modality == "image":
+                    from .multimodal.imgembed import image_encoder_build
+
+                    image_encoder_build(spark, enc)
+                else:
+                    from .multimodal.audioembed import audio_encoder_build
+
+                    audio_encoder_build(spark, enc)
+            sink = f"{args.work_dir}/admitted_media"
+            run_streaming_media_ingest(
+                spark,
+                args.corpus_parquet,
+                args.feed_dir,
+                sink,
+                f"{args.work_dir}/checkpoint_media",
+                f"{args.work_dir}/media_lsh_index",
+                f"{args.work_dir}/media_vectors",
+                enc,
                 threshold=(
                     args.threshold if args.threshold is not None
                     else VECTOR_DUP_THRESHOLD
