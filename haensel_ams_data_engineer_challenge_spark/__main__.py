@@ -1028,6 +1028,11 @@ def main(argv: list[str] | None = None) -> int:
                 from .operators.similarity import _read_index_params
 
                 committed = _read_index_params(spark, index_path)
+                if committed.get("kind") != "ivf":
+                    # absent (first run builds below) or a foreign
+                    # artifact (ivf_index_persistent refuses loudly) —
+                    # either way there is nothing to adopt or retrain
+                    committed = {}
                 if args.retrain_if_drift is not None and committed:
                     drift = float(committed.get("drift_stat", "1.0"))
                     if drift > args.retrain_if_drift:
