@@ -242,13 +242,22 @@ def _parser() -> argparse.ArgumentParser:
         help="BM25 top-k corpus docs per query (ranked retrieval / "
         "retrieval-based decontamination)",
     )
-    se.add_argument("--sf-dir", required=True)
+    se.add_argument("--sf-dir", required=False, default=None)
+    se.add_argument(
+        "--media-parquet", default=None, metavar="PARQUET",
+        help="search MEDIA instead of the sf-dir documents (round 12): "
+        "corpus (doc_id, payload binary) and queries (query_id, "
+        "payload binary) embed through --encoder-model (a committed "
+        "image-v1/audio-v1 artifact — query-by-example over the same "
+        "persistent ANN index machinery); requires --method ann",
+    )
     se.add_argument("--work-dir", required=True)
     se.add_argument(
         "--queries-parquet",
         required=True,
         metavar="PARQUET_PATH",
-        help="query table (query_id, text)",
+        help="query table (query_id, text) — or (query_id, payload) "
+        "with --media-parquet",
     )
     se.add_argument("--k", type=int, default=5)
     se.add_argument(
@@ -968,7 +977,22 @@ def main(argv: list[str] | None = None) -> int:
         if args.command == "search":
             from .sources import load_table
 
-            docs = load_table(spark, args.sf_dir, "documents")
+            if args.media_parquet is not None:
+                if args.method != "ann" or not args.encoder_model:
+                    print(
+                        "--media-parquet requires --method ann and "
+                        "--encoder-model (a committed image-v1/audio-v1 "
+                        "artifact)",
+                        file=sys.stderr,
+                    )
+                    return 2
+                docs = spark.read.parquet(args.media_parquet)
+            elif args.sf_dir is None:
+                print("search needs --sf-dir or --media-parquet",
+                      file=sys.stderr)
+                return 2
+            else:
+                docs = load_table(spark, args.sf_dir, "documents")
             queries = spark.read.parquet(args.queries_parquet)
             if args.method == "ann":
                 # text -> feature-hashed vectors -> IVF ANN against a
@@ -998,7 +1022,12 @@ def main(argv: list[str] | None = None) -> int:
                     )
                     from .operators.similarity import _read_index_params
 
-                    encoder_model_ensure(docs, args.encoder_model)
+                    if args.media_parquet is None:
+                        # text corpora may BUILD the encoder on first
+                        # use; media needs a committed artifact (there
+                        # is no text to train from — embed_with_model
+                        # raises the clear error if it is absent)
+                        encoder_model_ensure(docs, args.encoder_model)
                     enc_v = _read_index_params(
                         spark, args.encoder_model
                     ).get("version", "1")

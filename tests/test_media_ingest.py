@@ -212,3 +212,56 @@ def test_cli_ingest_media_manifest(spark, tmp_path, capsys):
         for r in read_manifest_sink(spark, f"{work}/admitted_media").collect()
     }
     assert got == {201, 203, 204}
+
+
+def test_cli_search_media(spark, tmp_path, capsys):
+    """Query-by-example over media (round 12): a gain copy of corpus
+    clip 5 finds doc 5 at rank 1 / cosine ~1 through the persistent
+    ANN index + the audio-v1 seam; flag misuse errors cleanly."""
+    from haensel_ams_data_engineer_challenge_spark.__main__ import main
+    from haensel_ams_data_engineer_challenge_spark.multimodal.audioembed import (
+        audio_encoder_build,
+    )
+
+    src = str(tmp_path / "media.parquet")
+    _media(
+        spark, [(i, _wav(_clip(i))) for i in range(1, 31)]
+    ).write.parquet(src)
+    enc = str(tmp_path / "enc")
+    audio_encoder_build(spark, enc)
+    qp = str(tmp_path / "queries.parquet")
+    spark.createDataFrame(
+        [
+            (9001, bytearray(_wav(_clip(5, gain=2)))),
+            (9002, bytearray(_wav(_clip(99)))),
+        ],
+        "query_id long, payload binary",
+    ).write.parquet(qp)
+    work = str(tmp_path / "wd")
+    rc = main([
+        "search", "--media-parquet", src, "--work-dir", work,
+        "--queries-parquet", qp, "--k", "3", "--method", "ann",
+        "--encoder-model", enc,
+    ])
+    assert rc == 0
+    assert "method=ann queries=2" in capsys.readouterr().out
+    hits = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+        for r in spark.read.parquet(f"{work}/search_hits").collect()
+    }
+    doc, score = hits[(9001, 1)]
+    assert doc == 5 and score >= 1.0 - 1e-12
+    assert hits[(9002, 1)][1] < 0.9  # novel clip matches nothing well
+
+    # flag misuse: media without ann/encoder, or no corpus at all
+    assert main([
+        "search", "--media-parquet", src, "--work-dir", work,
+        "--queries-parquet", qp, "--method", "ann",
+    ]) == 2
+    assert main([
+        "search", "--media-parquet", src, "--work-dir", work,
+        "--queries-parquet", qp, "--method", "bm25",
+    ]) == 2
+    assert main([
+        "search", "--work-dir", work, "--queries-parquet", qp,
+    ]) == 2
