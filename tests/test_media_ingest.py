@@ -265,3 +265,42 @@ def test_cli_search_media(spark, tmp_path, capsys):
     assert main([
         "search", "--work-dir", work, "--queries-parquet", qp,
     ]) == 2
+
+
+def test_cli_ingest_media_image_modality(spark, tmp_path, capsys):
+    """The image side of the same flow: a brightness-shifted PNG
+    recolor (feature-identical by the centering identity) rejects
+    against the corpus; a novel texture admits; a constant image is
+    featureless and admits by contract."""
+    from haensel_ams_data_engineer_challenge_spark.__main__ import main
+    from haensel_ams_data_engineer_challenge_spark.multimodal import phash as PH
+
+    def tex(seed, w=40, h=32, shift=0):
+        return [
+            (seed * 31 + x * 7 + y * 13 + ((x * y) % 17) * 5) % 200 + shift
+            for y in range(h) for x in range(w)
+        ]
+
+    corpus_path = str(tmp_path / "icorpus")
+    _media(spark, [
+        (1, PH.png_encode_gray(tex(1), 40, 32)),
+        (2, PH.png_encode_gray(tex(2), 40, 32)),
+    ]).write.parquet(corpus_path)
+    feed = str(tmp_path / "ifeed")
+    _drop(spark, tmp_path, feed, [
+        (100, PH.png_encode_gray(tex(1, shift=30), 40, 32)),  # recolor of 1
+        (101, PH.png_encode_gray(tex(7), 40, 32)),            # novel
+        (102, PH.png_encode_gray([128] * (16 * 16), 16, 16)),  # constant
+    ], "a.parquet")
+    work = str(tmp_path / "iwd")
+    rc = main([
+        "ingest-media", "--corpus-parquet", corpus_path,
+        "--feed-dir", feed, "--work-dir", work, "--modality", "image",
+    ])
+    assert rc == 0
+    assert "admitted_total=2" in capsys.readouterr().out
+    got = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{work}/admitted_media").collect()
+    }
+    assert got == {101, 102}
