@@ -1045,23 +1045,33 @@ def main(argv: list[str] | None = None) -> int:
                     # index lives in its own dir so a plain run never
                     # trips the marker pin on a quantized artifact
                     index_path += "_int8"
-                if args.refresh_index:
-                    try:
-                        # anti-joins already-indexed ids, so handing it
-                        # the full corpus appends exactly the new docs
-                        ivf_index_append(dvecs, index_path)
-                    except ValueError:
-                        # no committed index yet — the query below
-                        # builds it fresh over the full corpus anyway
-                        pass
                 from .operators.similarity import _read_index_params
 
-                committed = _read_index_params(spark, index_path)
-                if committed.get("kind") != "ivf":
+                def _committed():
+                    got = _read_index_params(spark, index_path)
                     # absent (first run builds below) or a foreign
                     # artifact (ivf_index_persistent refuses loudly) —
                     # either way there is nothing to adopt or retrain
-                    committed = {}
+                    return got if got.get("kind") == "ivf" else {}
+
+                committed = _committed()
+                if args.refresh_index and committed:
+                    # anti-joins already-indexed ids, so handing it the
+                    # full corpus appends exactly the new docs — AT THE
+                    # COMMITTED SHAPE: a retrained index pins a resized
+                    # k, and appending with the session default would
+                    # refuse (review fix: the old blanket ValueError
+                    # swallow turned that refusal into silently never
+                    # indexing new documents again)
+                    ivf_index_append(
+                        dvecs, index_path,
+                        k=int(committed["k"]),
+                        iters=int(committed["iters"]),
+                    )
+                    # the append refreshed drift_stat — re-read it
+                    committed = _committed()
+                # (with no committed index, --refresh-index is moot:
+                # the query below builds fresh over the full corpus)
                 if args.retrain_if_drift is not None and committed:
                     drift = float(committed.get("drift_stat", "1.0"))
                     if drift > args.retrain_if_drift:
@@ -1134,6 +1144,19 @@ def main(argv: list[str] | None = None) -> int:
             hits.write.mode("overwrite").parquet(out)
             back = spark.read.parquet(out)
             n_q = back.select("query_id").distinct().count()
+            if args.media_parquet is not None:
+                # a featureless media query (constant image, silence)
+                # has no vector and can match nothing — say so instead
+                # of letting it silently vanish from the hit set
+                n_total = queries.select("query_id").distinct().count()
+                if n_q < n_total:
+                    print(
+                        f"note: {n_total - n_q} of {n_total} media "
+                        "queries are featureless (constant image / "
+                        "silence — no direction to search with) and "
+                        "have no hit rows",
+                        file=sys.stderr,
+                    )
             print(f"method={args.method} queries={n_q} hits={back.count()} -> {out}")
             return 0
 
@@ -1646,9 +1669,13 @@ def main(argv: list[str] | None = None) -> int:
             if args.sink_protocol == "manifest":
                 from .operators.manifest_sink import read_manifest_sink
 
-                n = read_manifest_sink(spark, sink).count()
+                committed = read_manifest_sink(spark, sink)
             else:
-                n = spark.read.parquet(sink).count()
+                from .streaming.ingest import _try_read
+
+                committed = _try_read(spark, sink)
+            # zero writing batches (empty feed) leaves no sink at all
+            n = committed.count() if committed is not None else 0
             print(f"admitted_total={n} sink={sink}")
             return 0
 

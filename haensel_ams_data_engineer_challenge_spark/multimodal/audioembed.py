@@ -87,9 +87,12 @@ def decode_wav_samples(payload: bytes) -> tuple[int, list[int]] | None:
     bytes: only complete blocks present in the payload are decoded
     (``min(declared, available)``), so a truncated object decodes its
     prefix instead of crashing.  16-bit signed and 8-bit unsigned PCM
-    (the two classic WAV layouts); multi-channel mixes down by integer
-    mean — gain applied per-channel scales the mix exactly, keeping
-    the feature identity."""
+    (the two classic WAV layouts); multi-channel mixes down by channel
+    SUM, not mean — ``(k*a + k*b) // ch`` is not ``k * ((a+b) // ch)``
+    under floor division, so a mean mixdown would break the EXACT gain
+    identity the feature contract promises for stereo re-gains; the
+    sum scales by k exactly, and the constant channel-count factor
+    cancels in cosine like any other gain."""
     n = len(payload)
     if n < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
@@ -129,7 +132,7 @@ def decode_wav_samples(payload: bytes) -> tuple[int, list[int]] | None:
     if ch == 1:
         return rate, list(flat)
     return rate, [
-        sum(flat[j * ch : (j + 1) * ch]) // ch for j in range(usable)
+        sum(flat[j * ch : (j + 1) * ch]) for j in range(usable)
     ]
 
 

@@ -249,13 +249,23 @@ def image_hash_embed(
             if decoded is not None:
                 w, h, grays = decoded
                 decoder = "pixels"
+                feats = image_features(grays, w, h, grid)
             else:
                 w, h = DHASH_GRID_W, DHASH_GRID_H
                 grays = _fake_grays(bytes(payload), w * h)
                 decoder = "fake"
+                # the EMBEDDING must match _PreparedImage's fake rung
+                # (grid x grid fake grays), not the hash ladder's 9x8
+                # — the committed image-v1 identity promises one vector
+                # per byte sequence across every surface (review fix:
+                # box-meaning the 9x8 fakes gave a different vector
+                # than the seam for the same undecodable bytes)
+                feats = image_features(
+                    _fake_grays(bytes(payload), grid * grid),
+                    grid, grid, grid,
+                )
             d_bands = dhash_bands(box_grays(grays, w, h, DHASH_GRID_W, DHASH_GRID_H))
             a_bands = ahash_bands(box_grays(grays, w, h, AHASH_GRID, AHASH_GRID))
-            feats = image_features(grays, w, h, grid)
             return (_hex16(d_bands), _hex16(a_bands), *d_bands, decoder, feats)
 
         for pdf in batches:

@@ -1075,9 +1075,9 @@ def ivf_index_retrain(
     vectors: DataFrame,
     path: str,
     k: int | None = None,
-    iters: int = IVF_ITERS,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    iters: int | None = None,
+    id_col: str | None = None,
+    vec_col: str | None = None,
     train_sample_cap: int | None = None,
 ) -> dict:
     """Retrain a committed IVF index IN PLACE over the current corpus
@@ -1095,10 +1095,12 @@ def ivf_index_retrain(
     documented answer.  ``k`` defaults to ``ivf_suggest_cells(N)`` —
     drift usually means the corpus OUTGREW its cell count, so the
     rebuild resizes by the sqrt-N rule instead of repeating the stale
-    k.  ``train_sample_cap`` defaults to the committed marker's (a
-    sampled-training index stays sampled), the quantized layout is
-    preserved, and the marker's ``version`` bumps so every session /
-    worker cache keyed on it refreshes.
+    k.  Every OTHER unspecified knob inherits the committed marker:
+    ``train_sample_cap`` (a sampled-training index stays sampled),
+    ``iters``, the id/vector columns, and the quantized layout — a
+    retrain changes the cell layout, never the artifact's pinned
+    training discipline.  The marker's ``version`` bumps so every
+    session / worker cache keyed on it refreshes.
 
     Returns the new marker params (the CLI prints them).  Raises when
     ``path`` holds no committed IVF index — retraining nothing is a
@@ -1115,13 +1117,26 @@ def ivf_index_retrain(
     from .artifact_manifest import artifact_overwrite
 
     quantized = got.get("quantized", "false") == "true"
+    # every unspecified knob inherits the COMMITTED marker (review
+    # fix: iters/columns were silently reset to the session defaults,
+    # breaking callers who pinned e.g. iters=5 at build time) — only
+    # k defaults to a recompute, because resizing is retrain's job
     if train_sample_cap is None and got.get("train_sample_cap"):
         train_sample_cap = int(got["train_sample_cap"])
-    if k is None:
-        k = ivf_suggest_cells(vectors.count())
+    if iters is None:
+        iters = int(got.get("iters", IVF_ITERS))
+    if id_col is None:
+        id_col = got.get("id_col", "vec_id")
+    if vec_col is None:
+        vec_col = got.get("vec_col", "embedding")
     if quantized:
         # assignments + int8 vectors both consume the corpus lineage
+        # (materialize BEFORE the sizing count, or the count replays
+        # a possibly-expensive lineage — e.g. a media decode — once
+        # more than needed; review fix)
         vectors = materialize(vectors)
+    if k is None:
+        k = ivf_suggest_cells(vectors.count())
     assign, cents = ivf_kmeans(
         vectors, k, iters, id_col, vec_col,
         train_sample_cap=train_sample_cap,

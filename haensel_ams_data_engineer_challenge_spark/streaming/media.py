@@ -57,18 +57,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..checkpoint import materialize
-from ..operators.components import dedup_survivors
 from ..operators.embed import embed_with_model
-from ..operators.similarity import (
-    _read_index_params,
-    embedding_dup_pairs_lsh,
-    lsh_index_append,
-    lsh_index_persistent,
-    vector_dup_probe,
-)
+from ..operators.similarity import _read_index_params
 from ..operators.sinks import insert_if_absent
 from .ingest import _try_read
-from .vectors import VECTOR_DEDUP_BANDS, VECTOR_DEDUP_PLANES, VECTOR_DUP_THRESHOLD
+from .vectors import (
+    VECTOR_DEDUP_BANDS,
+    VECTOR_DEDUP_PLANES,
+    VECTOR_DUP_THRESHOLD,
+    dedup_and_index_batch,
+)
 
 
 def run_streaming_media_ingest(
@@ -136,11 +134,6 @@ def run_streaming_media_ingest(
                 ["vec_id"],
             )
             vecs_existing = ss.read.parquet(vectors_path)
-        buckets = lsh_index_persistent(
-            vecs_existing, index_dir,
-            tables=bands, planes_per_table=planes_per_band,
-            extra_params=embedder,
-        )
         # the batch feeds the embed, the featureless split and both
         # admits — materialize the bounded set once; same for its
         # vectors (pair scan + probe + append + insert)
@@ -148,23 +141,13 @@ def run_streaming_media_ingest(
         bvecs = materialize(
             embed_with_model(batch_m, encoder_path, id_col=id_col)
         )
-        # (a) within-batch collapse, min-id survivor
-        pairs = embedding_dup_pairs_lsh(
-            bvecs, threshold, bands, planes_per_band
-        )
-        keep = (
-            dedup_survivors(bvecs.select("vec_id"), pairs, id_col="vec_id")
-            .filter("is_survivor")
-            .select("vec_id")
-        )
-        kept = bvecs.join(keep, "vec_id", "left_semi")
-        # (b) cross probe: persisted buckets + exact cosine vs the store
-        dups = vector_dup_probe(
-            kept, buckets, vecs_existing, threshold,
-            bands, planes_per_band,
-        )
-        admitted_vecs = materialize(
-            kept.join(dups.select("vec_id").distinct(), "vec_id", "left_anti")
+        # the family's shared dedup core (streaming/vectors.py):
+        # within-batch collapse, probe vs the store, index append
+        # BEFORE any sink insert — one home for the crash ordering
+        admitted_vecs = dedup_and_index_batch(
+            bvecs, vecs_existing, index_dir,
+            threshold, bands, planes_per_band,
+            extra_params=embedder,
         )
         admitted_ids = admitted_vecs.select(
             F.col("vec_id").alias(id_col)
@@ -176,13 +159,8 @@ def run_streaming_media_ingest(
         admitted_media = batch_m.join(
             admitted_ids, id_col, "left_semi"
         ).unionByName(featureless)
-        # (c) write order: index -> media sink -> vectors store
-        # (module docstring: every gap self-heals under replay)
-        lsh_index_append(
-            admitted_vecs, index_dir,
-            tables=bands, planes_per_table=planes_per_band,
-            extra_params=embedder,
-        )
+        # write order: index (inside the core) -> media sink ->
+        # vectors store (module docstring: every gap self-heals)
         if sink_protocol == "manifest":
             from ..operators.manifest_sink import manifest_insert_if_absent
 

@@ -56,6 +56,65 @@ VECTOR_DEDUP_BANDS = 16
 VECTOR_DEDUP_PLANES = 10
 
 
+def dedup_and_index_batch(
+    batch_vecs: DataFrame,
+    existing_vecs: DataFrame,
+    index_dir: str,
+    threshold: float,
+    bands: int,
+    planes_per_band: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    extra_params: dict | None = None,
+) -> DataFrame:
+    """The vector family's shared dedup core — ONE home for the
+    crash-ordering invariant (review fix: the media flow had grown its
+    own copy of these four steps):
+
+    (a) within-batch near-dup collapse (min-id survivor),
+    (b) probe the persisted LSH index (built-if-absent over
+        ``existing_vecs``) + exact-cosine verify against
+        ``existing_vecs``,
+    (c) append the admitted remainder's bucket rows to the index
+        (replay-idempotent) — BEFORE the caller's sink insert, so a
+        crash leaves at worst orphan index rows (false-positive
+        candidates the verify join discards), never admitted rows no
+        future batch can dedup against.
+
+    Returns the admitted vectors, MATERIALIZED (they feed the caller's
+    sink insert and any side-store).  ``batch_vecs`` should already be
+    materialized by the caller (it is a bounded micro-batch consumed
+    several times here).  ``extra_params`` pins extra artifact
+    identity (e.g. the embedder) on both the build and the append."""
+    buckets = lsh_index_persistent(
+        existing_vecs, index_dir,
+        tables=bands, planes_per_table=planes_per_band,
+        id_col=id_col, vec_col=vec_col, extra_params=extra_params,
+    )
+    pairs = embedding_dup_pairs_lsh(
+        batch_vecs, threshold, bands, planes_per_band, id_col, vec_col
+    )
+    keep = (
+        dedup_survivors(batch_vecs.select(id_col), pairs, id_col=id_col)
+        .filter("is_survivor")
+        .select(id_col)
+    )
+    admitted = batch_vecs.join(keep, id_col, "left_semi")
+    dups = vector_dup_probe(
+        admitted, buckets, existing_vecs, threshold,
+        bands, planes_per_band, id_col, vec_col,
+    )
+    admitted = materialize(
+        admitted.join(dups.select(id_col).distinct(), id_col, "left_anti")
+    )
+    lsh_index_append(
+        admitted, index_dir,
+        tables=bands, planes_per_table=planes_per_band,
+        id_col=id_col, vec_col=vec_col, extra_params=extra_params,
+    )
+    return admitted
+
+
 def run_streaming_vector_ingest(
     spark: SparkSession,
     corpus_path: str,
@@ -113,43 +172,13 @@ def run_streaming_vector_ingest(
             sink = _try_read(ss, sink_path, corpus.schema)
         if sink is not None:
             existing = existing.unionByName(sink)
-        # build-if-absent over the current dedup target; later batches
-        # read the committed artifact (lsh_index_persistent serves
-        # from disk, and refuses a dir built with other band params)
-        buckets = lsh_index_persistent(
-            existing, index_dir,
-            tables=bands, planes_per_table=planes_per_band,
-            id_col=id_col, vec_col=vec_col,
-        )
         # the batch feeds the pair search, the survivor filter, the
-        # probe AND the append — materialize the bounded set once
-        batch = materialize(batch)
-        # (a) within-batch near-dup collapse, min-id survivor
-        pairs = embedding_dup_pairs_lsh(
-            batch, threshold, bands, planes_per_band, id_col, vec_col
-        )
-        keep = (
-            dedup_survivors(batch.select(id_col), pairs, id_col=id_col)
-            .filter("is_survivor")
-            .select(id_col)
-        )
-        admitted = batch.join(keep, id_col, "left_semi")
-        # (b) cross-corpus probe: persisted buckets + exact cosine
-        dups = vector_dup_probe(
-            admitted, buckets, existing, threshold,
-            bands, planes_per_band, id_col, vec_col,
-        )
-        admitted = materialize(
-            admitted.join(
-                dups.select(id_col).distinct(), id_col, "left_anti"
-            )
-        )
-        # (c) index append BEFORE the sink insert (crash ordering —
-        # module docstring)
-        lsh_index_append(
-            admitted, index_dir,
-            tables=bands, planes_per_table=planes_per_band,
-            id_col=id_col, vec_col=vec_col,
+        # probe AND the append — materialize the bounded set once,
+        # then run the family's shared dedup core (build-if-absent
+        # index, within-batch collapse, probe, append-before-insert)
+        admitted = dedup_and_index_batch(
+            materialize(batch), existing, index_dir,
+            threshold, bands, planes_per_band, id_col, vec_col,
         )
         if sink_protocol == "manifest":
             from ..operators.manifest_sink import manifest_insert_if_absent

@@ -618,3 +618,12 @@ def test_cli_ann_retrain_if_drift(spark, sf_dir, tmp_path, capsys):
     # a plain follow-up query serves the resized artifact
     assert main(base_cli) == 0
     assert "hits=" in capsys.readouterr().out
+    # --refresh-index after the resize APPENDS at the committed shape
+    # instead of silently swallowing the hyperparameter refusal
+    # (review fix): the append bumps the marker version even when the
+    # corpus holds nothing new
+    v_before = int(S._read_index_params(spark, path)["version"])
+    assert main(base_cli + ["--refresh-index"]) == 0
+    p2 = S._read_index_params(spark, path)
+    assert int(p2["version"]) == v_before + 1
+    assert p2["k"] == p["k"]  # shape untouched by the append

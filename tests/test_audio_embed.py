@@ -66,12 +66,20 @@ def test_decode_16bit_mono_roundtrip():
     assert rate == 8000 and got == samples
 
 
-def test_decode_stereo_mixdown_integer_mean():
+def test_decode_stereo_mixdown_channel_sum():
+    """Channel-SUM mixdown, not mean: floor-division means would break
+    the exact gain identity for stereo re-gains (review fix); the
+    channel-count factor cancels in cosine like any gain."""
     left = _clip(300)
     right = [s + 10 for s in left]
     interleaved = [v for pair in zip(left, right) for v in pair]
     _, got = A.decode_wav_samples(_wav(interleaved, channels=2))
-    assert got == [(a + b) // 2 for a, b in zip(left, right)]
+    assert got == [a + b for a, b in zip(left, right)]
+    # the identity the sum preserves: a 2x-gain STEREO copy decodes to
+    # exactly 2x the base mix
+    doubled = [2 * v for v in interleaved]
+    _, got2 = A.decode_wav_samples(_wav(doubled, channels=2))
+    assert got2 == [2 * v for v in got]
 
 
 def test_decode_8bit_unsigned():

@@ -286,3 +286,25 @@ def test_cli_dedup_images_tiered(spark, tmp_path, capsys):
         ).collect()
     }
     assert surv_e[2] == 1 and surv_e[3] == 1 and surv_e[4] == 4
+
+
+def test_fake_rung_embedding_agrees_across_surfaces(spark, image_model):
+    """One committed image-v1 identity = one vector per byte sequence
+    on EVERY surface (review fix): the combined hash+embed pass and
+    the encoder seam must produce the same embedding for the same
+    undecodable payload (and for real pixels)."""
+    rows = [
+        (1, b"not a png at all"),
+        (2, PH.png_encode_gray(_texture(40, 32), 40, 32)),
+    ]
+    imgs = spark.createDataFrame(rows, "doc_id long, payload binary")
+    via_seam = {
+        r["vec_id"]: list(r["embedding"])
+        for r in E.embed_with_model(imgs, image_model).collect()
+    }
+    via_combined = {
+        r["doc_id"]: list(r["embedding"])
+        for r in IE.image_hash_embed(imgs).collect()
+        if r["embedding"] is not None
+    }
+    assert via_seam == via_combined
