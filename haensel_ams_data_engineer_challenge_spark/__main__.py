@@ -340,15 +340,19 @@ def _parser() -> argparse.ArgumentParser:
     di.add_argument("--images-parquet", required=True, metavar="PARQUET")
     di.add_argument("--work-dir", required=True)
     di.add_argument(
-        "--method", choices=["phash", "embed", "both"], default="phash",
+        "--method", choices=["phash", "embed", "both", "semdedup"],
+        default="phash",
         help="phash = near-exact tier (re-encodes, mild resizes; "
         "dHash banding + hamming verify); embed = SEMANTIC tier "
         "(crops, recolors, same-scene — the regime phash misses at "
         "any t: a 20%% crop measures hamming 14) through the image-v1 "
         "encoder artifact -> banded sign-LSH + exact-cosine verify; "
         "both = the production posture — ONE pixel-decode pass feeds "
-        "both tiers and their pair sets union before clustering "
-        "(round 12)",
+        "both tiers and their pair sets union before clustering; "
+        "semdedup = the SemDeDup rule on the same features (keep the "
+        "example FARTHEST from its k-means cluster centroid per "
+        "duplicate group — diversity-preserving pruning, the paper's "
+        "native image use) (round 12)",
     )
     di.add_argument(
         "--cosine-threshold", type=float, default=0.9, metavar="C",
@@ -1199,6 +1203,45 @@ def main(argv: list[str] | None = None) -> int:
                 f"{args.work_dir}/image_hashes"
             )
             hashes = spark.read.parquet(f"{args.work_dir}/image_hashes")
+            if args.method == "semdedup":
+                from .operators.similarity import semdedup_keep
+
+                featured = hashes.filter(
+                    F.col("embedding").isNotNull()
+                ).select(F.col("doc_id").alias("vec_id"), "embedding")
+                n_feat = featured.count()
+                # SemDeDup compares WITHIN k-means cells: k sizes the
+                # occupancy trade (too many cells splits true groups
+                # across cell borders — at k=n every image is alone
+                # and nothing dedups; too few makes the in-cell pair
+                # scan quadratic). ~dozens per cell, capped at the
+                # session default.
+                kept = semdedup_keep(
+                    featured,
+                    threshold=args.cosine_threshold,
+                    k=max(1, min(10, n_feat // 4)),
+                ).select(
+                    F.col("vec_id").alias("doc_id"),
+                    "component", "is_survivor",
+                )
+                # featureless images (no direction) are singletons
+                flat = (
+                    hashes.filter(F.col("embedding").isNull())
+                    .select("doc_id")
+                    .withColumn("component", F.col("doc_id"))
+                    .withColumn("is_survivor", F.lit(True))
+                )
+                surv = kept.unionByName(flat)
+                out = f"{args.work_dir}/image_survivors"
+                surv.write.mode("overwrite").parquet(out)
+                back = spark.read.parquet(out)
+                n = back.count()
+                n_kept = back.filter("is_survivor").count()
+                print(
+                    f"method=semdedup images={n} survivors={n_kept} "
+                    f"dropped={n - n_kept} featured={n_feat} -> {out}"
+                )
+                return 0
             tier_counts = {}
             tiers = []
             if args.method in ("phash", "both"):

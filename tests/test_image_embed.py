@@ -308,3 +308,41 @@ def test_fake_rung_embedding_agrees_across_surfaces(spark, image_model):
         if r["embedding"] is not None
     }
     assert via_seam == via_combined
+
+
+def test_cli_dedup_images_semdedup(spark, tmp_path, capsys):
+    """SemDeDup from the CLI: the crop/recolor group keeps exactly one
+    survivor (the farthest-from-centroid rule), the unrelated image
+    survives, and a constant image (featureless) is a singleton."""
+    from haensel_ams_data_engineer_challenge_spark.__main__ import main
+
+    base = _texture(_W, _H)
+    cg, cw, ch = _crop(base, _W, _H, _CROP_X, _CROP_Y)
+    rows = [
+        (1, bytearray(PH.png_encode_gray(base, _W, _H))),
+        (2, bytearray(PH.png_encode_gray(cg, cw, ch))),
+        (3, bytearray(PH.png_encode_gray(
+            [min(255, v + 15) for v in base], _W, _H))),
+        (4, bytearray(PH.png_encode_gray(
+            [(255 - v) for v in _texture(80, 96)], 80, 96))),
+        (5, bytearray(PH.png_encode_gray([128] * 256, 16, 16))),
+    ]
+    src = str(tmp_path / "images.parquet")
+    spark.createDataFrame(rows, "doc_id long, payload binary").write.parquet(src)
+    work = str(tmp_path / "work")
+    rc = main([
+        "dedup-images", "--images-parquet", src,
+        "--work-dir", work, "--method", "semdedup",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "method=semdedup images=5 survivors=3 dropped=2" in out
+    assert "featured=4" in out
+    surv = {
+        r["doc_id"]: (r["component"], r["is_survivor"])
+        for r in spark.read.parquet(f"{work}/image_survivors").collect()
+    }
+    assert surv[4] == (4, True) and surv[5] == (5, True)
+    group = {surv[i][0] for i in (1, 2, 3)}
+    assert group == {1}  # one semantic group...
+    assert sum(surv[i][1] for i in (1, 2, 3)) == 1  # ...one survivor
