@@ -324,6 +324,7 @@ def ann_topk_lsh(
     index_cache_key: str | None = None,
     index_path: str | None = None,
     quantize: bool = False,
+    dim: int = EMBEDDING_DIM,
 ) -> DataFrame:
     """Approximate top-k via MULTI-TABLE sign-LSH: a candidate is any
     vector sharing the query's sign-pattern bucket in >= 1 of
@@ -349,7 +350,7 @@ def ann_topk_lsh(
     if index_path is not None:
         wb = lsh_index_persistent(
             vectors, index_path, tables, planes_per_table, id_col, vec_col,
-            quantize=quantize,
+            quantize=quantize, dim=dim,
         )
     elif quantize:
         raise ValueError(
@@ -363,11 +364,12 @@ def ann_topk_lsh(
             ck = (
                 vectors.sparkSession.sparkContext.applicationId,
                 index_cache_key, tables, planes_per_table, id_col, vec_col,
+                dim,
             )
         wb = _LSH_INDEX_CACHE.get(ck) if ck is not None else None
         if wb is None:
             wb = materialize(
-                banded_bucket_rows(vectors, id_col, vec_col, tables, planes_per_table)
+                banded_bucket_rows(vectors, id_col, vec_col, tables, planes_per_table, dim)
             )
             if ck is not None:
                 _LSH_INDEX_CACHE[ck] = wb
@@ -925,6 +927,7 @@ def lsh_index_persistent(
     vec_col: str = "embedding",
     extra_params: dict | None = None,
     quantize: bool = False,
+    dim: int = EMBEDDING_DIM,
 ) -> DataFrame:
     """Load the banded (id, band, bucket) LSH index artifact at
     ``path``, building and saving it first if absent (see
@@ -949,12 +952,19 @@ def lsh_index_persistent(
         "id_col": id_col, "vec_col": vec_col,
         **(extra_params or {}),
     }
+    if dim != EMBEDDING_DIM:
+        # pin non-default hyperplane dims (round 12): an artifact's
+        # bucket rows are a function of its plane family, and mixing
+        # two dims in one index silently degrades every probe.  The
+        # default dim stays UNPINNED for legacy-marker compatibility
+        # (every pre-round-12 artifact is implicitly 64).
+        params["dim"] = dim
     if not _check_index_params(spark, path, params):
         from .artifact_manifest import artifact_overwrite
 
         art_tables = {
             "buckets": banded_bucket_rows(
-                vectors, id_col, vec_col, tables, planes_per_table
+                vectors, id_col, vec_col, tables, planes_per_table, dim
             )
         }
         if quantize:
@@ -1170,6 +1180,7 @@ def lsh_index_append(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     extra_params: dict | None = None,
+    dim: int = EMBEDDING_DIM,
 ) -> None:
     """Grow a committed LSH index: rehash the new vectors into bucket
     rows with the SAME deterministic hyperplanes (a pure function of
@@ -1196,6 +1207,13 @@ def lsh_index_append(
     from .artifact_manifest import artifact_append
 
     got = _read_index_params(spark, path)
+    if got.get("dim", str(EMBEDDING_DIM)) != str(dim):
+        # the marker's plane dim is the artifact's identity: appending
+        # rows hashed at another dim would silently poison every probe
+        raise ValueError(
+            f"LSH index at {path} was built at dim="
+            f"{got.get('dim', EMBEDDING_DIM)}; caller appends dim={dim}"
+        )
     quantized = got.get("quantized", "false") == "true"
     if quantized:
         # 2-consumer diamond: compute the incoming lineage once (the
@@ -1208,7 +1226,7 @@ def lsh_index_append(
     fresh = new_vectors.join(existing, id_col, "left_anti")
     tables_to_append = {
         "buckets": banded_bucket_rows(
-            fresh, id_col, vec_col, tables, planes_per_table
+            fresh, id_col, vec_col, tables, planes_per_table, dim
         )
     }
     if quantized:
@@ -1236,10 +1254,22 @@ def banded_bucket_rows(
     vec_col: str = "embedding",
     bands: int = LSH_DUP_BANDS,
     planes_per_band: int = LSH_DUP_BAND_PLANES,
+    dim: int = EMBEDDING_DIM,
 ) -> DataFrame:
     """(id, band, bucket) rows: band b's bucket is the sign pattern of
     ``planes_per_band`` dedicated hyperplanes (plane rows b*r ..
     (b+1)*r-1 of the shared deterministic family).
+
+    ``dim`` MUST match the vectors' length (round 12): hyperplanes are
+    a driver-side literal matrix, and ``zip_with`` against a plane of
+    the WRONG length yields null products — every sign reads false and
+    every vector collapses into bucket 0, silently turning the banded
+    self-join into all-pairs (measured: 100-dim vectors under the
+    64-dim default produced constant-zero buckets; the exact-cosine
+    verify keeps answers right, so nothing fails loudly — only the
+    scale posture dies).  Surfaces serving an encoder artifact pass
+    the artifact's ``dim``; the default covers every built-in 64-dim
+    space.
 
     Expression shape matters here (round 6): the per-band
     ``bucket_expr`` form builds bands x planes_per_band SEPARATE
@@ -1254,7 +1284,7 @@ def banded_bucket_rows(
     per-plane dot keeps the same zip_with/aggregate association order,
     and sign > 0 is the same predicate.
     """
-    hp = hyperplanes(bands * planes_per_band)
+    hp = hyperplanes(bands * planes_per_band, dim=dim)
     # one JVM-parsed SQL literal for the whole plane matrix: building
     # it as nested F.array(F.lit(...)) issues one py4j call per
     # component (12,288 at the 32x6 ANN layout) and costs ~8 s of
@@ -1313,6 +1343,7 @@ def embedding_dup_pairs_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket: int | None = None,
+    dim: int = EMBEDDING_DIM,
 ) -> DataFrame:
     """Banded-LSH near-duplicate pairs: candidates share a sign-pattern
     bucket in ANY band; every candidate is then scored with the exact
@@ -1346,7 +1377,7 @@ def embedding_dup_pairs_lsh(
     log2(n / target_occupancy)); the cap backstops what sizing
     misses.
     """
-    wb = banded_bucket_rows(vectors, id_col, vec_col, bands, planes_per_band)
+    wb = banded_bucket_rows(vectors, id_col, vec_col, bands, planes_per_band, dim)
     # the bucket stream feeds both sides of the self-join and exchange
     # reuse does not fire across the branches (same finding as
     # dedup.minhash_bands) — without materialization every row's
@@ -1414,6 +1445,7 @@ def vector_dup_probe(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket_size: int | None = MAX_VECTOR_BUCKET,
+    dim: int = EMBEDDING_DIM,
 ) -> DataFrame:
     """Batch vectors near-duplicate (exact cosine >= threshold) of an
     already-indexed vector — the EMBEDDING twin of
@@ -1440,7 +1472,7 @@ def vector_dup_probe(
     sink insert) drops out at the verify join — never a false drop.
     False positives are impossible (exact cosine gate).
     """
-    bb = banded_bucket_rows(batch, id_col, vec_col, bands, planes_per_band)
+    bb = banded_bucket_rows(batch, id_col, vec_col, bands, planes_per_band, dim)
     if max_bucket_size is not None:
         index_buckets = _drop_flooded_buckets(index_buckets, max_bucket_size)
     cand = (
@@ -1482,6 +1514,7 @@ def semantic_dup_probe(
     text_col: str = "text",
     max_bucket_size: int | None = MAX_VECTOR_BUCKET,
     embed_fn=None,
+    dim: int = EMBEDDING_DIM,
 ) -> DataFrame:
     """Batch DOCUMENTS semantically near-dup (exact cosine of their
     embeddings >= threshold) of an already-indexed document — the TEXT
@@ -1513,7 +1546,7 @@ def semantic_dup_probe(
 
     bvecs = materialize(embed_fn(batch_docs))
     bb = banded_bucket_rows(
-        bvecs, "vec_id", "embedding", bands, planes_per_band
+        bvecs, "vec_id", "embedding", bands, planes_per_band, dim
     )
     if max_bucket_size is not None:
         index_buckets = _drop_flooded_buckets(index_buckets, max_bucket_size)

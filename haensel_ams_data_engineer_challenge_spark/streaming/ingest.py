@@ -472,9 +472,17 @@ def run_streaming_ingest(
 
                 def embed(d):
                     return embed_with_model(d, encoder_model_dir)
+
+                # the artifact's dim sizes the hyperplane family: a
+                # non-64-dim imported encoder under the 64-dim default
+                # collapses every bucket to 0 and the banded joins go
+                # quadratic (round-12 fix; the exact-cosine verify
+                # hides it from correctness checks)
+                enc_dim = int(enc.get("dim", 64))
             else:
                 embedder = {"embedder": "hash_embed"}
                 embed = hash_embed
+                enc_dim = 64
             # one-time migration (review fix): pre-round-10 semantic
             # indexes carry no embedder key — they were hash_embed by
             # construction, so backfill the marker instead of failing
@@ -501,6 +509,7 @@ def run_streaming_ingest(
                 tables=VECTOR_DEDUP_BANDS,
                 planes_per_table=VECTOR_DEDUP_PLANES,
                 extra_params=embedder,
+                dim=enc_dim,
             )
             admitted = materialize(admitted)
             # (a) within-batch semantic collapse over the batch's
@@ -511,6 +520,7 @@ def run_streaming_ingest(
                 bvecs, semantic_threshold,
                 VECTOR_DEDUP_BANDS, VECTOR_DEDUP_PLANES,
                 max_bucket=MAX_VECTOR_BUCKET,
+                dim=enc_dim,
             )
             skeep = (
                 dedup_survivors(
@@ -535,6 +545,7 @@ def run_streaming_ingest(
                 admitted, sbuckets, existing, semantic_threshold,
                 VECTOR_DEDUP_BANDS, VECTOR_DEDUP_PLANES,
                 embed_fn=embed,
+                dim=enc_dim,
             )
             admitted = materialize(
                 admitted.join(
@@ -548,6 +559,7 @@ def run_streaming_ingest(
                 tables=VECTOR_DEDUP_BANDS,
                 planes_per_table=VECTOR_DEDUP_PLANES,
                 extra_params=embedder,
+                dim=enc_dim,
             )
         if bloom_state_dir is not None:
             from ..checkpoint import materialize

@@ -109,6 +109,7 @@ def run_streaming_media_ingest(
             "first (image_encoder_build / audio_encoder_build)"
         )
     embedder = {"embedder": f"{enc['encoder']}@{enc.get('version', '1')}"}
+    enc_dim = int(enc.get("dim", 64))
 
     corpus = spark.read.parquet(corpus_path)
     reader = (
@@ -147,7 +148,7 @@ def run_streaming_media_ingest(
         admitted_vecs = dedup_and_index_batch(
             bvecs, vecs_existing, index_dir,
             threshold, bands, planes_per_band,
-            extra_params=embedder,
+            extra_params=embedder, dim=enc_dim,
         )
         admitted_ids = admitted_vecs.select(
             F.col("vec_id").alias(id_col)

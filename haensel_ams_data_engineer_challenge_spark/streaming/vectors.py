@@ -66,6 +66,7 @@ def dedup_and_index_batch(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     extra_params: dict | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """The vector family's shared dedup core — ONE home for the
     crash-ordering invariant (review fix: the media flow had grown its
@@ -85,14 +86,23 @@ def dedup_and_index_batch(
     sink insert and any side-store).  ``batch_vecs`` should already be
     materialized by the caller (it is a bounded micro-batch consumed
     several times here).  ``extra_params`` pins extra artifact
-    identity (e.g. the embedder) on both the build and the append."""
+    identity (e.g. the embedder) on both the build and the append.
+    ``dim`` sizes the hyperplane family (None = the 64-dim default) —
+    a wrong dim collapses every bucket to 0 and the banded joins go
+    quadratic (round-12 fix; see banded_bucket_rows)."""
+    from ..operators.similarity import EMBEDDING_DIM
+
+    if dim is None:
+        dim = EMBEDDING_DIM
     buckets = lsh_index_persistent(
         existing_vecs, index_dir,
         tables=bands, planes_per_table=planes_per_band,
         id_col=id_col, vec_col=vec_col, extra_params=extra_params,
+        dim=dim,
     )
     pairs = embedding_dup_pairs_lsh(
-        batch_vecs, threshold, bands, planes_per_band, id_col, vec_col
+        batch_vecs, threshold, bands, planes_per_band, id_col, vec_col,
+        dim=dim,
     )
     keep = (
         dedup_survivors(batch_vecs.select(id_col), pairs, id_col=id_col)
@@ -103,6 +113,7 @@ def dedup_and_index_batch(
     dups = vector_dup_probe(
         admitted, buckets, existing_vecs, threshold,
         bands, planes_per_band, id_col, vec_col,
+        dim=dim,
     )
     admitted = materialize(
         admitted.join(dups.select(id_col).distinct(), id_col, "left_anti")
@@ -111,6 +122,7 @@ def dedup_and_index_batch(
         admitted, index_dir,
         tables=bands, planes_per_table=planes_per_band,
         id_col=id_col, vec_col=vec_col, extra_params=extra_params,
+        dim=dim,
     )
     return admitted
 
@@ -149,6 +161,12 @@ def run_streaming_vector_ingest(
             f"{sink_protocol!r}"
         )
     corpus = spark.read.parquet(corpus_path)
+    # one driver-side probe of the corpus vector dim (round 12): raw
+    # embedding feeds carry no artifact to read it from, and a
+    # non-64-dim corpus under the default plane family would bucket
+    # everything to 0 (quadratic candidates, silently)
+    first = corpus.select(vec_col).first()
+    dim = len(first[0]) if first is not None and first[0] is not None else None
     reader = (
         spark.readStream.schema(corpus.schema)
         .option("pathGlobFilter", feed_glob)
@@ -179,6 +197,7 @@ def run_streaming_vector_ingest(
         admitted = dedup_and_index_batch(
             materialize(batch), existing, index_dir,
             threshold, bands, planes_per_band, id_col, vec_col,
+            dim=dim,
         )
         if sink_protocol == "manifest":
             from ..operators.manifest_sink import manifest_insert_if_absent

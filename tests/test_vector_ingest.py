@@ -274,3 +274,104 @@ def test_cli_ingest_vectors_manifest(spark, tmp_path, capsys):
     assert "admitted_total=1" in capsys.readouterr().out
     committed = MS.read_manifest_sink(spark, f"{work}/admitted_vectors")
     assert {r["vec_id"] for r in committed.collect()} == {501}
+
+
+def _nd(i, dim, eps_at=None, eps=0.0):
+    v = [0.0] * dim
+    v[i] = 1.0
+    if eps_at is not None:
+        v[eps_at] = eps
+    return v
+
+
+def test_lsh_family_handles_non_default_dim(spark, tmp_path):
+    """Round-12 fix: a non-64-dim vector space under the 64-dim
+    hyperplane default collapsed EVERY bucket to 0 (zip_with against a
+    wrong-length plane nulls the dot) — correct answers via the exact
+    verify, quadratic candidates at scale.  With dim threaded, buckets
+    spread; the index marker pins non-default dims so a mismatched
+    append refuses."""
+    import pytest
+
+    from haensel_ams_data_engineer_challenge_spark.operators.similarity import (
+        banded_bucket_rows,
+        lsh_index_append,
+    )
+
+    DIM = 100
+    rows = [(i, _nd(i % DIM, DIM)) for i in range(40)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # the failure mode: default planes -> one bucket for everything
+    degenerate = banded_bucket_rows(vecs, bands=4, planes_per_band=3)
+    assert degenerate.select("bucket").distinct().count() == 1
+    # the fix: dim-sized planes spread the buckets
+    spread = banded_bucket_rows(vecs, bands=4, planes_per_band=3, dim=DIM)
+    assert spread.select("bucket").distinct().count() > 4
+
+    idx = str(tmp_path / "vidx100")
+    buckets = lsh_index_persistent(
+        vecs, idx, tables=8, planes_per_table=3, dim=DIM
+    )
+    assert buckets.select("bucket").distinct().count() > 4
+    from haensel_ams_data_engineer_challenge_spark.operators.similarity import (
+        _read_index_params,
+    )
+
+    assert _read_index_params(spark, idx)["dim"] == str(DIM)
+    # appending at the default dim refuses (would poison every probe)
+    more = spark.createDataFrame(
+        [(1000, _nd(7, DIM))], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="dim"):
+        lsh_index_append(more, idx, tables=8, planes_per_table=3)
+    lsh_index_append(more, idx, tables=8, planes_per_table=3, dim=DIM)
+    # and a 64-dim index refuses a non-default-dim append
+    idx64 = str(tmp_path / "vidx64")
+    v64 = spark.createDataFrame(
+        [(1, _nd(0, 64))], "vec_id long, embedding array<double>"
+    )
+    lsh_index_persistent(v64, idx64, tables=8, planes_per_table=3)
+    with pytest.raises(ValueError, match="dim"):
+        lsh_index_append(v64, idx64, tables=8, planes_per_table=3, dim=100)
+
+
+def test_streaming_vector_ingest_non_default_dim(spark, tmp_path):
+    """The vector stream probes the corpus dim once driver-side: a
+    100-dim feed dedups correctly AND its index buckets spread (not
+    the bucket-0 collapse)."""
+    import glob as g
+    import os as o
+    import shutil as sh
+
+    from haensel_ams_data_engineer_challenge_spark.streaming.vectors import (
+        run_streaming_vector_ingest,
+    )
+
+    DIM = 100
+    schema = "vec_id long, embedding array<double>"
+    corpus_path = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(i, _nd(i, DIM)) for i in range(3)], schema
+    ).write.parquet(corpus_path)
+    feed = str(tmp_path / "feed")
+    o.makedirs(feed, exist_ok=True)
+    tmp = str(tmp_path / "__stage")
+    spark.createDataFrame(
+        [
+            (100, _nd(0, DIM, eps_at=50, eps=0.02)),  # near-dup of 0
+            (101, _nd(77, DIM)),                       # novel
+        ],
+        schema,
+    ).repartition(1).write.parquet(tmp)
+    sh.copy(g.glob(f"{tmp}/part-*.parquet")[0], f"{feed}/a.parquet")
+    sink = str(tmp_path / "admitted")
+    idx = str(tmp_path / "vidx")
+    run_streaming_vector_ingest(
+        spark, corpus_path, feed, sink, str(tmp_path / "ckpt"), idx,
+    )
+    assert {r["vec_id"] for r in spark.read.parquet(sink).collect()} == {101}
+    n_buckets = (
+        spark.read.parquet(f"{idx}/buckets")
+        .select("bucket").distinct().count()
+    )
+    assert n_buckets > 4  # spread, not the bucket-0 collapse
