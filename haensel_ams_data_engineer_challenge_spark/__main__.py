@@ -363,6 +363,15 @@ def _parser() -> argparse.ArgumentParser:
         "verified with the exact cosine)",
     )
     di.add_argument(
+        "--encoder-model", default=None, metavar="DIR",
+        help="(embed/semdedup) use a committed image encoder artifact "
+        "(e.g. an import-imageenc projection) instead of the stateless "
+        "default; the semantic tier runs in ITS feature space at ITS "
+        "dim. Refused for phash/both: phash uses no encoder, and "
+        "both's one-decode-pass contract is stateless-only (a custom "
+        "encoder would force a second decode)",
+    )
+    di.add_argument(
         "--max-hamming", type=int, default=None, metavar="T",
         help="duplicate threshold on the 64-bit dHash (default 10: "
         "re-encodes measure 0, mild resizes 0-6); recall is "
@@ -370,6 +379,20 @@ def _parser() -> argparse.ArgumentParser:
         "probabilistic-but-measured-high above it — pairs whose "
         "differing bits spread across all 4 bands are missed",
     )
+
+    ii = sub.add_parser(
+        "import-imageenc",
+        help="import a linear image-projection matrix (row long, vec "
+        "array<double> of len grid^2 — a PCA basis or distilled linear "
+        "head over the box features) as a committed PROJECTED image-v1 "
+        "encoder artifact; output dim = row count, and every consumer "
+        "(dedup-images --encoder-model, ingest-media, search "
+        "--media-parquet) sizes itself from the artifact (round 12)",
+    )
+    ii.add_argument("--weights-parquet", required=True, metavar="PARQUET")
+    ii.add_argument("--model-dir", required=True)
+    ii.add_argument("--grid", type=int, default=None,
+                    help="box-feature grid (default 8 -> inner dim 64)")
 
     da = sub.add_parser(
         "dedup-audio",
@@ -1183,8 +1206,38 @@ def main(argv: list[str] | None = None) -> int:
             # here + the pair scan's internal one made three copies),
             # and for --method both the two tiers SHARE the decode
             # (the per-pixel Python unfilter is the dominant cost).
+            if args.encoder_model is not None and args.method in (
+                "phash", "both",
+            ):
+                print(
+                    "--encoder-model applies to --method embed/semdedup "
+                    "only (phash uses no encoder; both's one-decode-pass "
+                    "contract is stateless-only)",
+                    file=sys.stderr,
+                )
+                return 2
+            enc_dim = 64
             if args.method == "phash":
                 decoded = image_phash(images)
+            elif args.encoder_model is not None:
+                # a committed (possibly PROJECTED) encoder: the
+                # semantic tier runs in ITS space at ITS dim
+                from .operators.embed import embed_with_model
+                from .operators.similarity import _read_index_params
+
+                enc_dim = int(
+                    _read_index_params(spark, args.encoder_model).get(
+                        "dim", 64
+                    )
+                )
+                vecs = embed_with_model(
+                    images, args.encoder_model
+                ).select(F.col("vec_id").alias("doc_id"), "embedding")
+                decoded = (
+                    images.select("doc_id")
+                    .join(vecs, "doc_id", "left")
+                    .withColumn("decoder", F.lit("encoder"))
+                )
             else:
                 from .multimodal.imgembed import (
                     image_encoder_build,
@@ -1273,6 +1326,7 @@ def main(argv: list[str] | None = None) -> int:
                     planes_per_band=10,
                     id_col="doc_id",
                     max_bucket=MAX_VECTOR_BUCKET,
+                    dim=enc_dim,
                 ).select("id_a", "id_b")
                 tier_counts["embed_pairs"] = e.count()
                 tiers.append(e)
@@ -1339,6 +1393,21 @@ def main(argv: list[str] | None = None) -> int:
             print(
                 f"clips={n} survivors={kept} dropped={n - kept} "
                 f"pairs={n_pairs} featured={vecs.count()} -> {out}"
+            )
+            return 0
+
+        if args.command == "import-imageenc":
+            from .multimodal.imgembed import IMG_GRID, image_encoder_import
+
+            weights = spark.read.parquet(args.weights_parquet)
+            params = image_encoder_import(
+                spark, weights, args.model_dir,
+                grid=args.grid if args.grid is not None else IMG_GRID,
+            )
+            print(
+                f"imported image projection: dim={params['dim']} "
+                f"grid={params['grid']} version={params['version']} "
+                f"-> {args.model_dir}"
             )
             return 0
 

@@ -128,14 +128,17 @@ def image_encoder_build(
 
 class _PreparedImage:
     """Worker-side prepared image encoder: the decode ladder (real PNG
-    pixels -> deterministic fake grays) + integer features.  A learned
-    encoder would hold its loaded weights here — the once-per-worker
-    cache in embed_with_model already gives it the right lifetime."""
+    pixels -> deterministic fake grays) + integer features, optionally
+    followed by a LEARNED linear projection (``mat``, D x grid^2 —
+    the bring-your-own-weights form a distilled/PCA'd image embedder
+    exports; round 12).  The once-per-worker cache in embed_with_model
+    gives the loaded matrix the right lifetime."""
 
-    __slots__ = ("grid",)
+    __slots__ = ("grid", "mat")
 
-    def __init__(self, grid: int):
+    def __init__(self, grid: int, mat=None):
         self.grid = grid
+        self.mat = mat
 
     def encode_payload(self, payload) -> list[float] | None:
         if payload is None:
@@ -146,7 +149,116 @@ class _PreparedImage:
         else:
             w, h = self.grid, self.grid
             grays = _fake_grays(bytes(payload), w * h)
-        return image_features(grays, w, h, self.grid)
+        feats = image_features(grays, w, h, self.grid)
+        if feats is None or self.mat is None:
+            return feats
+        import numpy as np
+
+        out = self.mat @ np.asarray(feats, dtype=np.float64)
+        if not out.any():
+            # a projection can null a direction the raw features had:
+            # no direction -> absent (the zero-vector contract)
+            return None
+        return [float(v) for v in out]
+
+
+#: bound on an imported projection's OUTPUT dim: the matrix broadcasts
+#: to every worker (D * grid^2 float64); past a few thousand rows it
+#: stops being a projection and starts being a model checkpoint —
+#: which belongs behind a real inference seam, not a literal matrix.
+IMG_PROJ_MAX_DIM = 4096
+
+
+def image_encoder_import(
+    spark,
+    weights_df: DataFrame,
+    path: str,
+    grid: int = IMG_GRID,
+) -> dict:
+    """Commit a PROJECTED ``image-v1`` encoder (round 12 — the image
+    analogue of ``wordvec_model_import``'s bring-your-own-weights):
+    ``weights_df`` is ``(row long, vec array<double>)`` — a D x grid^2
+    projection matrix (a PCA basis, a distilled linear head), applied
+    on top of the stateless box features.  Output dim = D; every
+    embedding consumer sizes itself from the artifact's dim (LSH plane
+    family, index markers), so D need not be 64.
+
+    Validation refuses ragged inner dims, a wrong inner dim, duplicate
+    or non-dense row ids, and D past ``IMG_PROJ_MAX_DIM`` — a torn
+    export must fail the import, not the first worker batch.  Version
+    is a content hash, so a re-import with different weights serves
+    under a new identity (index dirs keyed on it never mix spaces)."""
+    import hashlib as _hl
+
+    inner = grid * grid
+    rows = weights_df.select(
+        F.col("row").cast("long").alias("row"),
+        F.col("vec").cast("array<double>").alias("vec"),
+    )
+    dims = [
+        r["d"]
+        for r in rows.select(F.size("vec").alias("d")).distinct().collect()
+    ]
+    if len(dims) != 1 or int(dims[0]) != inner:
+        raise ValueError(
+            f"image projection needs consistent inner dim {inner} "
+            f"(grid {grid}); got sizes {sorted(dims)}"
+        )
+    n = rows.count()
+    if n == 0 or n > IMG_PROJ_MAX_DIM:
+        raise ValueError(
+            f"image projection needs 1..{IMG_PROJ_MAX_DIM} rows, got {n}"
+        )
+    collected = rows.orderBy("row").collect()
+    ids = [r["row"] for r in collected]
+    if ids != list(range(n)):
+        raise ValueError(
+            f"image projection row ids must be dense 0..{n - 1}; got "
+            f"{ids[:5]}..."
+        )
+    h = _hl.md5()
+    for r in collected:
+        h.update(repr((r["row"], tuple(r["vec"]))).encode())
+    version = h.hexdigest()[:12]
+    params = {
+        "kind": "encoder",
+        "encoder": IMAGE_KIND,
+        "dim": n,
+        "grid": grid,
+        "projected": "true",
+        "version": version,
+    }
+    artifact_overwrite(spark, path, {"weights": rows}, params)
+    return params
+
+
+def _load_prepared_image(model_path: str, grid: int, dim: int) -> _PreparedImage:
+    """Worker-side load of a projected image encoder's weight matrix
+    (pyarrow — workers have no SparkSession; manifest-resolved like
+    every artifact read)."""
+    import numpy as np
+    import pyarrow.fs as pafs
+    import pyarrow.parquet as pq
+
+    from ..operators.embed import _worker_table_files
+
+    if "://" in model_path:
+        fs, root = pafs.FileSystem.from_uri(model_path)
+    else:
+        fs, root = pafs.LocalFileSystem(), model_path
+    files = _worker_table_files(fs, root, "weights")
+    if not files:
+        raise FileNotFoundError(
+            f"projected image encoder weights missing: {model_path}/weights"
+        )
+    pdf = pd.concat(
+        [pq.read_table(f, filesystem=fs).to_pandas() for f in files],
+        ignore_index=True,
+    ).sort_values("row")
+    mat = np.empty((dim, grid * grid), dtype=np.float64)
+    for j, v in zip(pdf["row"], pdf["vec"]):
+        mat[int(j), :] = v
+    return _PreparedImage(grid, mat)
 
 
 def image_embed_frame(
@@ -163,6 +275,8 @@ def image_embed_frame(
     same output contract as every text encoder kind."""
     grid = int(params.get("grid", IMG_GRID))
     version = params.get("version", "1")
+    projected = params.get("projected") == "true"
+    proj_dim = int(params.get("dim", grid * grid))
     src = docs.select(
         F.col(id_col).alias("vec_id"), F.col(payload_col).alias("__p")
     )
@@ -173,7 +287,10 @@ def image_embed_frame(
         cache = _worker_encoder_cache()
         enc = cache.get(cache_key)
         if enc is None:
-            enc = _PreparedImage(grid)
+            if projected:
+                enc = _load_prepared_image(model_path, grid, proj_dim)
+            else:
+                enc = _PreparedImage(grid)
             cache[cache_key] = enc
             if load_log_dir is not None:
                 import os

@@ -346,3 +346,125 @@ def test_cli_dedup_images_semdedup(spark, tmp_path, capsys):
     group = {surv[i][0] for i in (1, 2, 3)}
     assert group == {1}  # one semantic group...
     assert sum(surv[i][1] for i in (1, 2, 3)) == 1  # ...one survivor
+
+
+def test_image_encoder_import_projection(spark, image_model, tmp_path):
+    """Bring-your-own-weights image encoder (round 12): an identity
+    matrix reproduces the stateless features exactly; a D-row slice
+    serves D-dim vectors with the recolor identity intact (linearity);
+    torn/ragged exports refuse at import, not on a worker."""
+    imgs = _fixture_images(spark)
+
+    def _weights(rows):
+        return spark.createDataFrame(rows, "row long, vec array<double>")
+
+    ident = _weights(
+        [(i, [1.0 if j == i else 0.0 for j in range(64)]) for i in range(64)]
+    )
+    ipath = str(tmp_path / "ident")
+    params = IE.image_encoder_import(spark, ident, ipath)
+    assert params["projected"] == "true" and int(params["dim"]) == 64
+    via_proj = {
+        r["vec_id"]: list(r["embedding"])
+        for r in E.embed_with_model(imgs, ipath).collect()
+    }
+    via_plain = {
+        r["vec_id"]: list(r["embedding"])
+        for r in E.embed_with_model(imgs, image_model).collect()
+    }
+    assert via_proj == via_plain
+
+    # a 16-dim slice: served dim shrinks, and a NON-CLAMPING recolor
+    # twin (bit-equal raw features — range-compressed so +15 never
+    # clips) stays bit-equal after the linear map
+    slim = _weights(
+        [(i, [1.0 if j == i * 4 else 0.0 for j in range(64)])
+         for i in range(16)]
+    )
+    spath = str(tmp_path / "slim")
+    assert int(IE.image_encoder_import(spark, slim, spath)["dim"]) == 16
+    base = [v * 3 // 4 + 20 for v in _texture(_W, _H)]
+    pair = spark.createDataFrame(
+        [
+            (1, PH.png_encode_gray(base, _W, _H)),
+            (2, PH.png_encode_gray([v + 15 for v in base], _W, _H)),
+        ],
+        "doc_id long, payload binary",
+    )
+    vecs = {
+        r["vec_id"]: list(r["embedding"])
+        for r in E.embed_with_model(pair, spath).collect()
+    }
+    assert all(len(v) == 16 for v in vecs.values())
+    assert vecs[1] == vecs[2]  # recolor twin, linearity
+
+    # refusals: wrong inner dim, ragged, non-dense rows
+    with pytest.raises(ValueError, match="inner dim"):
+        IE.image_encoder_import(
+            spark, _weights([(0, [1.0] * 32)]), str(tmp_path / "bad1")
+        )
+    with pytest.raises(ValueError, match="inner dim"):
+        IE.image_encoder_import(
+            spark,
+            _weights([(0, [1.0] * 64), (1, [1.0] * 32)]),
+            str(tmp_path / "bad2"),
+        )
+    with pytest.raises(ValueError, match="dense"):
+        IE.image_encoder_import(
+            spark,
+            _weights([(0, [1.0] * 64), (2, [1.0] * 64)]),
+            str(tmp_path / "bad3"),
+        )
+
+
+def test_cli_import_imageenc_and_dedup(spark, tmp_path, capsys):
+    """CLI e2e: import a projection, run the semantic dedup tier in
+    its space (the dim threads into the LSH plane family); misuse of
+    --encoder-model with phash/both exits 2."""
+    from haensel_ams_data_engineer_challenge_spark.__main__ import main
+
+    weights = spark.createDataFrame(
+        [(i, [1.0 if j == i * 2 else 0.0 for j in range(64)])
+         for i in range(32)],
+        "row long, vec array<double>",
+    )
+    wpath = str(tmp_path / "weights.parquet")
+    weights.write.parquet(wpath)
+    mdir = str(tmp_path / "proj_model")
+    rc = main([
+        "import-imageenc", "--weights-parquet", wpath, "--model-dir", mdir,
+    ])
+    assert rc == 0
+    assert "imported image projection: dim=32" in capsys.readouterr().out
+
+    base = _texture(_W, _H)
+    rows = [
+        (1, bytearray(PH.png_encode_gray(base, _W, _H))),
+        (2, bytearray(PH.png_encode_gray(
+            [min(255, v + 15) for v in base], _W, _H))),
+        (3, bytearray(PH.png_encode_gray(
+            [(255 - v) for v in _texture(80, 96)], 80, 96))),
+    ]
+    src = str(tmp_path / "images.parquet")
+    spark.createDataFrame(rows, "doc_id long, payload binary").write.parquet(src)
+    work = str(tmp_path / "work")
+    rc = main([
+        "dedup-images", "--images-parquet", src, "--work-dir", work,
+        "--method", "embed", "--encoder-model", mdir,
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "method=embed images=3 survivors=2 dropped=1" in out
+    surv = {
+        r["doc_id"]: (r["component"], r["is_survivor"])
+        for r in spark.read.parquet(f"{work}/image_survivors").collect()
+    }
+    assert surv == {1: (1, True), 2: (1, False), 3: (3, True)}
+
+    # misuse: encoder with the stateless-only methods
+    for m in ("phash", "both"):
+        assert main([
+            "dedup-images", "--images-parquet", src,
+            "--work-dir", str(tmp_path / f"w_{m}"),
+            "--method", m, "--encoder-model", mdir,
+        ]) == 2
