@@ -1222,14 +1222,22 @@ def main(argv: list[str] | None = None) -> int:
             elif args.encoder_model is not None:
                 # a committed (possibly PROJECTED) encoder: the
                 # semantic tier runs in ITS space at ITS dim
-                from .operators.embed import embed_with_model
+                from .operators.embed import IMAGE_KIND, embed_with_model
                 from .operators.similarity import _read_index_params
 
-                enc_dim = int(
-                    _read_index_params(spark, args.encoder_model).get(
-                        "dim", 64
+                enc_got = _read_index_params(spark, args.encoder_model)
+                if enc_got.get("encoder") != IMAGE_KIND:
+                    # an audio/text encoder over image payloads would
+                    # silently fall to the fake rung (byte-exact-only
+                    # matching) — refuse instead (review fix)
+                    print(
+                        f"--encoder-model at {args.encoder_model} is "
+                        f"{enc_got.get('encoder') or 'missing'}, not an "
+                        "image encoder",
+                        file=sys.stderr,
                     )
-                )
+                    return 2
+                enc_dim = int(enc_got.get("dim", 64))
                 vecs = embed_with_model(
                     images, args.encoder_model
                 ).select(F.col("vec_id").alias("doc_id"), "embedding")
@@ -1267,12 +1275,16 @@ def main(argv: list[str] | None = None) -> int:
                 # occupancy trade (too many cells splits true groups
                 # across cell borders — at k=n every image is alone
                 # and nothing dedups; too few makes the in-cell pair
-                # scan quadratic). ~dozens per cell, capped at the
-                # session default.
+                # scan quadratic).  sqrt-N cells (the IVF sizing rule)
+                # floored so tiny corpora stay in one cell — a fixed
+                # cap of 10 put 100k images in 10 cells and made the
+                # in-cell scan O(n^2/10) (review fix).
+                from .operators.similarity import ivf_suggest_cells
+
                 kept = semdedup_keep(
                     featured,
                     threshold=args.cosine_threshold,
-                    k=max(1, min(10, n_feat // 4)),
+                    k=max(1, min(ivf_suggest_cells(n_feat), n_feat // 4)),
                 ).select(
                     F.col("vec_id").alias("doc_id"),
                     "component", "is_survivor",

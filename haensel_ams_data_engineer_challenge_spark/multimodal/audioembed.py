@@ -12,7 +12,8 @@ feature vector served through the round-10 encoder seam
 on audio unchanged — exactly how the ``image-v1`` kind plugged in.
 
 Feature design (deterministic integer math, so the DuckDB twin
-recomputes it bit-for-bit): mix channels to mono (integer mean),
+recomputes it bit-for-bit): mix channels to mono (channel SUM —
+exact under gain; the count factor cancels in cosine),
 partition the sample stream into ``grid`` windows with the shared
 integer partition ``(j * grid) // n``, take each window's SUM of
 absolute amplitude (the energy envelope — sums, not means: unequal
@@ -202,7 +203,13 @@ def audio_encoder_build(
     }
     if _check_index_params(spark, path, params):
         return
-    content = f"audio-v1|dim={dim}|grid={grid}"
+    # mix=sum entered the content hash when the stereo mixdown moved
+    # from integer mean to channel sum (review fix): the mixdown IS
+    # part of the feature space for multi-channel payloads, and
+    # serving new vectors under an old embedder pin would silently mix
+    # two spaces in one index
+    content = f"audio-v1|dim={dim}|grid={grid}|mix=sum"
+
     version = hashlib.md5(content.encode("utf-8")).hexdigest()[:12]
     artifact_overwrite(spark, path, {}, {**params, "version": version})
 

@@ -204,6 +204,16 @@ def image_encoder_import(
             f"image projection needs consistent inner dim {inner} "
             f"(grid {grid}); got sizes {sorted(dims)}"
         )
+    n_null = rows.filter(
+        ~F.forall("vec", lambda x: x.isNotNull())
+    ).count()
+    if n_null:
+        # a torn export must fail the import, not the first worker
+        # batch (review fix: a NULL element passed the size check and
+        # crashed at matrix load)
+        raise ValueError(
+            f"image projection has {n_null} rows with NULL components"
+        )
     n = rows.count()
     if n == 0 or n > IMG_PROJ_MAX_DIM:
         raise ValueError(
@@ -255,9 +265,19 @@ def _load_prepared_image(model_path: str, grid: int, dim: int) -> _PreparedImage
         [pq.read_table(f, filesystem=fs).to_pandas() for f in files],
         ignore_index=True,
     ).sort_values("row")
-    mat = np.empty((dim, grid * grid), dtype=np.float64)
+    mat = np.zeros((dim, grid * grid), dtype=np.float64)
+    seen = set()
     for j, v in zip(pdf["row"], pdf["vec"]):
         mat[int(j), :] = v
+        seen.add(int(j))
+    if len(seen) != dim:
+        # a torn/hand-copied weights table must fail loudly, never
+        # serve uninitialized rows (review fix: np.empty + a partial
+        # table emitted per-process garbage embeddings)
+        raise ValueError(
+            f"projected image encoder at {model_path} covers "
+            f"{len(seen)}/{dim} rows — torn artifact"
+        )
     return _PreparedImage(grid, mat)
 
 

@@ -975,6 +975,16 @@ def lsh_index_persistent(
             spark, path, art_tables,
             {**params, "quantized": str(quantize).lower(), "version": 1},
         )
+    got = _read_index_params(spark, path)
+    if got.get("dim", str(EMBEDDING_DIM)) != str(dim):
+        # the subset param check is one-directional (a default-dim
+        # caller omits the key): refuse serving a dim-pinned index to
+        # a caller hashing probes with another plane family — the
+        # queries would collapse to bucket 0 (review fix)
+        raise ValueError(
+            f"LSH index at {path} was built at dim="
+            f"{got.get('dim', EMBEDDING_DIM)}; caller expects dim={dim}"
+        )
     _check_quantized_layout(spark, path, quantize)
     return _index_table(spark, path, "buckets")
 

@@ -32,7 +32,7 @@ bands), and ~0.98 at the threshold's edge cos = 0.9.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..checkpoint import materialize
 from ..operators.components import dedup_survivors
@@ -164,9 +164,16 @@ def run_streaming_vector_ingest(
     # one driver-side probe of the corpus vector dim (round 12): raw
     # embedding feeds carry no artifact to read it from, and a
     # non-64-dim corpus under the default plane family would bucket
-    # everything to 0 (quadratic candidates, silently)
-    first = corpus.select(vec_col).first()
-    dim = len(first[0]) if first is not None and first[0] is not None else None
+    # everything to 0 (quadratic candidates, silently).  NULL rows are
+    # skipped and an EMPTY corpus defers the probe to the first batch
+    # (review fix: falling back to 64 here would rebuild the very bug,
+    # and pin a poisoned unpinned index a later corpus run refuses).
+    from pyspark.sql import functions as _F
+
+    first = (
+        corpus.filter(_F.col(vec_col).isNotNull()).select(vec_col).first()
+    )
+    dim = len(first[0]) if first is not None else None
     reader = (
         spark.readStream.schema(corpus.schema)
         .option("pathGlobFilter", feed_glob)
@@ -194,10 +201,22 @@ def run_streaming_vector_ingest(
         # probe AND the append — materialize the bounded set once,
         # then run the family's shared dedup core (build-if-absent
         # index, within-batch collapse, probe, append-before-insert)
+        batch = materialize(batch)
+        batch_dim = dim
+        if batch_dim is None:
+            # empty-corpus bootstrap: size the plane family from the
+            # batch itself (bounded; one driver-side first())
+            bf = (
+                batch.filter(F.col(vec_col).isNotNull())
+                .select(vec_col).first()
+            )
+            if bf is None:
+                return  # nothing usable in this batch either
+            batch_dim = len(bf[0])
         admitted = dedup_and_index_batch(
-            materialize(batch), existing, index_dir,
+            batch, existing, index_dir,
             threshold, bands, planes_per_band, id_col, vec_col,
-            dim=dim,
+            dim=batch_dim,
         )
         if sink_protocol == "manifest":
             from ..operators.manifest_sink import manifest_insert_if_absent

@@ -468,3 +468,49 @@ def test_cli_import_imageenc_and_dedup(spark, tmp_path, capsys):
             "--work-dir", str(tmp_path / f"w_{m}"),
             "--method", m, "--encoder-model", mdir,
         ]) == 2
+
+
+def test_projection_import_refuses_nulls_and_torn_serves_loudly(
+    spark, tmp_path
+):
+    """Second review pass: NULL weight components refuse at IMPORT
+    (not the first worker batch), and a weights table that lost rows
+    on disk fails the worker load loudly instead of serving
+    uninitialized matrix rows."""
+    bad = spark.createDataFrame(
+        [(0, [1.0] * 63 + [None])], "row long, vec array<double>"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        IE.image_encoder_import(spark, bad, str(tmp_path / "b"))
+
+    good = spark.createDataFrame(
+        [(i, [1.0 if j == i else 0.0 for j in range(64)]) for i in range(4)],
+        "row long, vec array<double>",
+    )
+    path = str(tmp_path / "proj")
+    IE.image_encoder_import(spark, good, path)
+    with pytest.raises(Exception, match="rows|torn"):
+        IE._load_prepared_image(path, 8, 64)  # claims 64, table has 4
+
+
+def test_cli_dedup_images_refuses_foreign_encoder(spark, tmp_path, capsys):
+    """An audio encoder over image payloads would silently fall to the
+    fake rung (byte-exact-only matching) — the CLI refuses instead."""
+    from haensel_ams_data_engineer_challenge_spark.__main__ import main
+    from haensel_ams_data_engineer_challenge_spark.multimodal.audioembed import (
+        audio_encoder_build,
+    )
+
+    aud = str(tmp_path / "audenc")
+    audio_encoder_build(spark, aud)
+    src = str(tmp_path / "images.parquet")
+    spark.createDataFrame(
+        [(1, bytearray(PH.png_encode_gray([1, 2, 3, 4], 2, 2)))],
+        "doc_id long, payload binary",
+    ).write.parquet(src)
+    rc = main([
+        "dedup-images", "--images-parquet", src,
+        "--work-dir", str(tmp_path / "w"),
+        "--method", "embed", "--encoder-model", aud,
+    ])
+    assert rc == 2

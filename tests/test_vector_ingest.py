@@ -333,6 +333,11 @@ def test_lsh_family_handles_non_default_dim(spark, tmp_path):
     lsh_index_persistent(v64, idx64, tables=8, planes_per_table=3)
     with pytest.raises(ValueError, match="dim"):
         lsh_index_append(v64, idx64, tables=8, planes_per_table=3, dim=100)
+    # the SERVE path refuses too (second review pass: the subset param
+    # check is one-directional — a default-dim caller omits the key
+    # and would hash its probes with the wrong plane family)
+    with pytest.raises(ValueError, match="dim"):
+        lsh_index_persistent(vecs, idx, tables=8, planes_per_table=3)
 
 
 def test_streaming_vector_ingest_non_default_dim(spark, tmp_path):
@@ -375,3 +380,41 @@ def test_streaming_vector_ingest_non_default_dim(spark, tmp_path):
         .select("bucket").distinct().count()
     )
     assert n_buckets > 4  # spread, not the bucket-0 collapse
+
+
+def test_streaming_vector_ingest_empty_corpus_bootstrap(spark, tmp_path):
+    """Second review pass: an EMPTY corpus must not fall back to the
+    64-dim default (that would rebuild the bucket-collapse bug and pin
+    a poisoned index) — the plane family sizes from the first batch."""
+    import glob as g
+    import os as o
+    import shutil as sh
+
+    from haensel_ams_data_engineer_challenge_spark.streaming.vectors import (
+        run_streaming_vector_ingest,
+    )
+
+    DIM = 100
+    schema = "vec_id long, embedding array<double>"
+    corpus_path = str(tmp_path / "corpus")
+    spark.createDataFrame([], schema).write.parquet(corpus_path)
+    feed = str(tmp_path / "feed")
+    o.makedirs(feed, exist_ok=True)
+    tmp = str(tmp_path / "__stage")
+    spark.createDataFrame(
+        [(100, _nd(0, DIM)), (101, _nd(0, DIM, eps_at=50, eps=0.02))],
+        schema,
+    ).repartition(1).write.parquet(tmp)
+    sh.copy(g.glob(f"{tmp}/part-*.parquet")[0], f"{feed}/a.parquet")
+    sink = str(tmp_path / "admitted")
+    idx = str(tmp_path / "vidx")
+    run_streaming_vector_ingest(
+        spark, corpus_path, feed, sink, str(tmp_path / "ckpt"), idx,
+    )
+    # within-batch near-dup collapsed; index pinned at the BATCH dim
+    assert {r["vec_id"] for r in spark.read.parquet(sink).collect()} == {100}
+    from haensel_ams_data_engineer_challenge_spark.operators.similarity import (
+        _read_index_params,
+    )
+
+    assert _read_index_params(spark, idx)["dim"] == str(DIM)
