@@ -915,6 +915,7 @@ def test_lsh_index_cache_identical_results(spark, sf_dir):
     ck = (
         spark.sparkContext.applicationId, key,
         S.ANN_LSH_TABLES, S.ANN_LSH_PLANES_PER_TABLE, "vec_id", "embedding",
+        S.EMBEDDING_DIM,
     )
     assert ck in S._LSH_INDEX_CACHE
 
