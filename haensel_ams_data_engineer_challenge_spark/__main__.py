@@ -413,6 +413,12 @@ def _parser() -> argparse.ArgumentParser:
         "~0.97+; false positives are impossible — every LSH candidate "
         "is verified with the exact cosine)",
     )
+    da.add_argument(
+        "--encoder-model", default=None, metavar="DIR",
+        help="use a committed AUDIO encoder artifact instead of the "
+        "stateless envelope default; the tier runs in ITS feature "
+        "space at ITS dim (non-audio kinds refused)",
+    )
 
     wv = sub.add_parser(
         "import-wordvec",
@@ -1381,8 +1387,25 @@ def main(argv: list[str] | None = None) -> int:
             # and worker caches key on it); features land as a product
             # parquet and every consumer runs off the read-back (one
             # Python decode pass — the dedup-images discipline)
-            enc = f"{args.work_dir}/audio_encoder"
-            audio_encoder_build(spark, enc)
+            enc_dim = 64
+            if args.encoder_model is not None:
+                from .operators.embed import AUDIO_KIND
+                from .operators.similarity import _read_index_params
+
+                enc = args.encoder_model
+                enc_got = _read_index_params(spark, enc)
+                if enc_got.get("encoder") != AUDIO_KIND:
+                    print(
+                        f"--encoder-model at {enc} is "
+                        f"{enc_got.get('encoder') or 'missing'}, not an "
+                        "audio encoder",
+                        file=sys.stderr,
+                    )
+                    return 2
+                enc_dim = int(enc_got.get("dim", 64))
+            else:
+                enc = f"{args.work_dir}/audio_encoder"
+                audio_encoder_build(spark, enc)
             embed_with_model(clips, enc).write.mode("overwrite").parquet(
                 f"{args.work_dir}/audio_features"
             )
@@ -1394,6 +1417,7 @@ def main(argv: list[str] | None = None) -> int:
                 threshold=args.cosine_threshold,
                 planes_per_band=10,
                 max_bucket=MAX_VECTOR_BUCKET,
+                dim=enc_dim,
             ).select("id_a", "id_b")
             n_pairs = pairs.count()
             surv = dedup_survivors(clips.select("doc_id"), pairs)

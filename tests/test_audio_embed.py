@@ -248,3 +248,35 @@ def test_cli_dedup_audio_e2e(spark, tmp_path, capsys):
         1: (1, True), 2: (1, False), 3: (1, False),
         4: (4, True), 5: (5, True),
     }
+
+
+def test_cli_dedup_audio_encoder_model_flag(spark, tmp_path, capsys, audio_model):
+    """--encoder-model: a committed audio artifact serves the tier
+    (same results as the work-dir default here — the stateless kind);
+    a non-audio artifact refuses with exit 2."""
+    from haensel_ams_data_engineer_challenge_spark.__main__ import main
+    from haensel_ams_data_engineer_challenge_spark.multimodal.imgembed import (
+        image_encoder_build,
+    )
+
+    rows = [
+        (1, bytearray(_wav(_clip(2000)))),
+        (2, bytearray(_wav(_clip(2000, gain=2)))),
+    ]
+    src = str(tmp_path / "clips.parquet")
+    spark.createDataFrame(rows, "doc_id long, payload binary").write.parquet(src)
+    work = str(tmp_path / "work")
+    rc = main([
+        "dedup-audio", "--audio-parquet", src, "--work-dir", work,
+        "--encoder-model", audio_model,
+    ])
+    assert rc == 0
+    assert "clips=2 survivors=1 dropped=1" in capsys.readouterr().out
+
+    img = str(tmp_path / "imgenc")
+    image_encoder_build(spark, img)
+    rc = main([
+        "dedup-audio", "--audio-parquet", src,
+        "--work-dir", str(tmp_path / "w2"), "--encoder-model", img,
+    ])
+    assert rc == 2
