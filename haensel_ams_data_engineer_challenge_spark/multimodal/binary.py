@@ -1108,9 +1108,18 @@ def multimodal_both_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (IDAT + CRCs) through the stdlib pixel decoder into dHash/aHash
     # band ints; the oracle re-derives the embedded pixel formula, so
     # the whole real decode->downsample->hash path is hash-checked
-    from .phash import phash_query
+    from .phash import jpeg_pixels_query, phash_query
 
     phash = phash_query(spark, sf_dir).withColumn("method", F.lit("phash"))
+    # round 13: the baseline-JPEG pixel arm — synthesized REAL JPEGs
+    # (Annex K tables, full Huffman scans, block-constant even grays
+    # at quality 50 = the lossless-decode regime) through the stdlib
+    # marker->Huffman->dequant->IDCT codec into the same hash chain;
+    # the oracle re-derives the embedded block formula, so the whole
+    # JPEG pixel rung is hash-checked end-to-end
+    jpeg = jpeg_pixels_query(spark, sf_dir).withColumn(
+        "method", F.lit("jpeg")
+    )
     # round 12: the audio SAMPLE tier — synthesized real PCM WAVs
     # (data chunk present) through the stdlib decoder into envelope
     # features; the oracle re-derives the embedded sample formula, so
@@ -1126,13 +1135,14 @@ def multimodal_both_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(audio, allowMissingColumns=True)
         .unionByName(video, allowMissingColumns=True)
         .unionByName(phash, allowMissingColumns=True)
+        .unionByName(jpeg, allowMissingColumns=True)
         .unionByName(audio_pcm, allowMissingColumns=True)
     )
 
 
 def _multimodal_both_sql() -> str:
     from .audioembed import AUDIO_EMBED_SQL
-    from .phash import PHASH_SQL
+    from .phash import JPEG_PIXELS_SQL, PHASH_SQL
 
     return f"""
 SELECT 'stub_pipeline' AS method, * FROM ({MULTIMODAL_PIPELINE_SQL})
@@ -1144,6 +1154,8 @@ UNION ALL BY NAME
 SELECT 'video_header' AS method, * FROM ({VIDEO_HEADER_SQL})
 UNION ALL BY NAME
 SELECT 'phash' AS method, * FROM ({PHASH_SQL})
+UNION ALL BY NAME
+SELECT 'jpeg' AS method, * FROM ({JPEG_PIXELS_SQL})
 UNION ALL BY NAME
 SELECT 'audio_embed' AS method, * FROM ({AUDIO_EMBED_SQL})"""
 

@@ -61,7 +61,19 @@ from ..operators.similarity import (
     EMBEDDING_DIM,
     _check_index_params,
 )
-from .phash import _fake_grays, box_grays, decode_png_pixels, png_encode_gray
+from .phash import (
+    _fake_grays,
+    box_grays,
+    decode_image_pixels,
+    png_encode_gray,
+)
+
+#: the pixel-decode ladder version baked into every image-v1 identity
+#: (round 13): adding the JPEG rung changed the feature space for
+#: JPEG bytes (they used to fall to the fake rung), so artifacts
+#: committed under the png-only ladder must REFUSE, not silently mix
+#: spaces — the `mix=sum` discipline from audio-v1.
+IMG_LADDER = "png+jpeg"
 
 #: feature grid: 8x8 box means -> 64 dims = EMBEDDING_DIM, so every
 #: embedding consumer (LSH banding at the default dim, cosine, ANN)
@@ -116,10 +128,11 @@ def image_encoder_build(
         "encoder": IMAGE_KIND,
         "dim": dim,
         "grid": grid,
+        "ladder": IMG_LADDER,
     }
     if _check_index_params(spark, path, params):
         return
-    content = f"image-v1|dim={dim}|grid={grid}"
+    content = f"image-v1|dim={dim}|grid={grid}|ladder={IMG_LADDER}"
     version = hashlib.md5(content.encode("utf-8")).hexdigest()[:12]
     # a zero-table manifest: the commit IS the params (round 12 —
     # unified artifact protocol; weight files would ride as tables)
@@ -143,9 +156,9 @@ class _PreparedImage:
     def encode_payload(self, payload) -> list[float] | None:
         if payload is None:
             payload = b""
-        decoded = decode_png_pixels(bytes(payload))
+        decoded = decode_image_pixels(bytes(payload))
         if decoded is not None:
-            w, h, grays = decoded
+            w, h, grays, _tag = decoded
         else:
             w, h = self.grid, self.grid
             grays = _fake_grays(bytes(payload), w * h)
@@ -227,6 +240,7 @@ def image_encoder_import(
             f"{ids[:5]}..."
         )
     h = _hl.md5()
+    h.update(f"ladder={IMG_LADDER}|".encode())
     for r in collected:
         h.update(repr((r["row"], tuple(r["vec"]))).encode())
     version = h.hexdigest()[:12]
@@ -235,6 +249,7 @@ def image_encoder_import(
         "encoder": IMAGE_KIND,
         "dim": n,
         "grid": grid,
+        "ladder": IMG_LADDER,
         "projected": "true",
         "version": version,
     }
@@ -293,6 +308,16 @@ def image_embed_frame(
     marker and dispatches here): (vec_id, embedding array<double>)
     from an image-payload frame through one Arrow mapInPandas —
     same output contract as every text encoder kind."""
+    if params.get("ladder") != IMG_LADDER:
+        # an artifact committed under an older pixel ladder (png-only)
+        # promises a different vector for the same JPEG bytes: serving
+        # it would silently mix feature spaces in any index keyed on
+        # its version — refuse loudly (round 13, the mix=sum rule)
+        raise ValueError(
+            f"image encoder at {model_path} was committed under pixel "
+            f"ladder {params.get('ladder') or 'png-only (pre-r13)'}; "
+            f"this build decodes {IMG_LADDER} — rebuild the artifact"
+        )
     grid = int(params.get("grid", IMG_GRID))
     version = params.get("version", "1")
     projected = params.get("projected") == "true"
@@ -382,10 +407,9 @@ def image_hash_embed(
         def one(payload):
             if payload is None:
                 payload = b""
-            decoded = decode_png_pixels(bytes(payload))
+            decoded = decode_image_pixels(bytes(payload))
             if decoded is not None:
-                w, h, grays = decoded
-                decoder = "pixels"
+                w, h, grays, decoder = decoded
                 feats = image_features(grays, w, h, grid)
             else:
                 w, h = DHASH_GRID_W, DHASH_GRID_H

@@ -23,9 +23,13 @@ Everything here is stdlib-real, not stubbed:
   the formula — byte-level round-trip pinned by equality (the round-9
   header-arm scheme, extended from headers to pixels).
 
-The decode ladder: real PNG decode (decoder='pixels') -> deterministic
-fake grays from the payload's md5 stream (decoder='fake') for formats
-the container cannot decode — same contract as decode_image_meta.
+The decode ladder (round 13 — :func:`decode_image_pixels`): real PNG
+decode (decoder='png') -> real baseline-JPEG decode (decoder='jpeg',
+:mod:`.jpeg` — closing the dominant-crawl-format hole: a quality-90
+JPEG re-encode used to fall to the fake rung whenever Pillow is
+absent) -> deterministic fake grays from the payload's md5 stream
+(decoder='fake') for formats the container cannot decode — same
+contract as decode_image_meta.
 
 Pairing: the 64-bit hash splits into 4 x 16-bit bands; any shared band
 is a candidate (a pair within hamming distance t<=... shares at least
@@ -225,6 +229,27 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, list[int]] | None:
         return None
 
 
+def decode_image_pixels(
+    payload: bytes,
+) -> tuple[int, int, list[int], str] | None:
+    """The image PIXEL ladder (round 13): (width, height, grayscale
+    values, decoder tag) through real PNG decode ('png') then real
+    baseline-JPEG decode ('jpeg', :mod:`.jpeg`); None when neither
+    codec reads the payload — callers fall to the fake rung.  The two
+    signatures are disjoint, so the order is cosmetic."""
+    if payload is None:
+        return None
+    decoded = decode_png_pixels(payload)
+    if decoded is not None:
+        return (*decoded, "png")
+    from .jpeg import decode_jpeg_pixels
+
+    decoded = decode_jpeg_pixels(payload)
+    if decoded is not None:
+        return (*decoded, "jpeg")
+    return None
+
+
 # ---------------------------------------------------------------------------
 # integer box-downsample + hashes (shared by python and the SQL twin)
 # ---------------------------------------------------------------------------
@@ -319,10 +344,11 @@ def image_phash(
     passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, phash, ahash, p0..p3, decoder): perceptual hashes per image
-    payload through the decode ladder (real PNG pixels ->
-    deterministic fake grays).  ``p0..p3`` are the dHash band integers
-    the pair scan joins on; ``phash``/``ahash`` are their 16-hex-digit
-    spellings.  Arrow-batched mapInPandas, no shuffle."""
+    payload through the decode ladder (real PNG/baseline-JPEG pixels,
+    decoder='png'/'jpeg' -> deterministic fake grays, decoder='fake').
+    ``p0..p3`` are the dHash band integers the pair scan joins on;
+    ``phash``/``ahash`` are their 16-hex-digit spellings.
+    Arrow-batched mapInPandas, no shuffle."""
     schema = (
         f"{id_col} long, phash string, ahash string, "
         "p0 long, p1 long, p2 long, p3 long, decoder string"
@@ -337,10 +363,9 @@ def image_phash(
         def one(payload: bytes):
             if payload is None:
                 payload = b""  # NULL payload: fake rung, never a crash
-            decoded = decode_png_pixels(payload)
+            decoded = decode_image_pixels(payload)
             if decoded is not None:
-                w, h, grays = decoded
-                decoder = "pixels"
+                w, h, grays, decoder = decoded
             else:
                 w, h = DHASH_GRID_W, DHASH_GRID_H
                 grays = _fake_grays(payload, w * h)
@@ -522,7 +547,7 @@ def synthesize_pixel_pngs(
 
 def phash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry arm (round 11): synthesized real PNGs -> REAL pixel
-    decode -> dHash/aHash; every row must come back decoder='pixels'
+    decode -> dHash/aHash; every row must come back decoder='png'
     (a fake-rung fallback would hash different grays and fail the
     oracle)."""
     ids = load_table(spark, sf_dir, "documents").select("doc_id")
@@ -541,20 +566,16 @@ def _band_hex_sql(table: str, pfx: str) -> str:
     return f"SELECT doc_id, {cols} FROM {table} GROUP BY doc_id"
 
 
-PHASH_SQL = f"""
-WITH pdims AS (
-    SELECT doc_id,
-           18 + (doc_id * 5) % 30 AS w,
-           16 + (doc_id * 3) % 17 AS h
-    FROM documents),
-ppix AS (
-    SELECT doc_id, w, h,
-           unnest(range(0, w * h)) % w AS x,
-           unnest(range(0, w * h)) // w AS y
-    FROM pdims),
-pgray AS (
-    SELECT doc_id, w, h, x, y, {_PIX_SQL} AS g
-    FROM ppix),
+def _hash_chain_sql(pre_ctes: str, decoder: str) -> str:
+    """The shared dHash/aHash DuckDB chain (round 13: factored out of
+    the PNG arm so the JPEG arm reuses it verbatim): ``pre_ctes`` must
+    end with a CTE ``pgray(doc_id, w, h, x, y, g)`` holding the
+    per-pixel grays the oracle re-derived from the arm's integer
+    formula; the chain recomputes box means, band bits, hex spellings
+    — the exact integer math :func:`image_phash` runs on the REAL
+    decoded bytes Spark-side."""
+    return f"""
+WITH {pre_ctes},
 dbox AS (
     SELECT doc_id, (y * {DHASH_GRID_H}) // h AS gy, (x * {DHASH_GRID_W}) // w AS gx,
            SUM(g) // COUNT(*) AS gray
@@ -588,5 +609,110 @@ SELECT d.doc_id AS doc_id,
            || lpad(to_hex(a2), 4, '0') || lpad(to_hex(a3), 4, '0') AS ahash,
        CAST(p0 AS BIGINT) AS p0, CAST(p1 AS BIGINT) AS p1,
        CAST(p2 AS BIGINT) AS p2, CAST(p3 AS BIGINT) AS p3,
-       'pixels' AS decoder
+       '{decoder}' AS decoder
 FROM dwide d JOIN awide a ON a.doc_id = d.doc_id"""
+
+
+PHASH_SQL = _hash_chain_sql(
+    f"""pdims AS (
+    SELECT doc_id,
+           18 + (doc_id * 5) % 30 AS w,
+           16 + (doc_id * 3) % 17 AS h
+    FROM documents),
+ppix AS (
+    SELECT doc_id, w, h,
+           unnest(range(0, w * h)) % w AS x,
+           unnest(range(0, w * h)) // w AS y
+    FROM pdims),
+pgray AS (
+    SELECT doc_id, w, h, x, y, {_PIX_SQL} AS g
+    FROM ppix)""",
+    "png",
+)
+
+
+# ---------------------------------------------------------------------------
+# gate arm (round 13): synthesized REAL baseline JPEGs whose 8x8
+# blocks are constant even grays from an id-derived integer formula —
+# at quality 50 the decode is bit-exact (jpeg.py module docstring), so
+# Spark runs the actual marker->Huffman->dequant->IDCT path on the
+# actual bytes and the DuckDB twin re-derives the block formula; the
+# shared hash chain certifies the whole JPEG pixel rung end-to-end.
+# ---------------------------------------------------------------------------
+
+#: block-gray formula shared (as integer math) with the DuckDB twin:
+#: bx/by are the 8x8 block coordinates; doubling keeps every gray EVEN
+#: (the lossless-decode precondition) and in [0, 254].
+_JPEG_BLOCK_SQL = (
+    "2 * ((doc_id * 31 + (x // 8) * 7 + (y // 8) * 13"
+    " + (((x // 8) * (y // 8)) % 17) * 5) % 128)"
+)
+
+
+def _jpeg_block(i: int, bx: int, by: int) -> int:
+    return 2 * ((i * 31 + bx * 7 + by * 13 + ((bx * by) % 17) * 5) % 128)
+
+
+def _jpeg_syn_dims(i: int) -> tuple[int, int]:
+    # block-aligned, id-varied: 16-40 x 16-32 — multiple MCUs in both
+    # dimensions without blowing up the oracle's pixel expansion
+    return 8 * (2 + (i * 5) % 4), 8 * (2 + (i * 3) % 3)
+
+
+def synthesize_blocky_jpegs(
+    ids_df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """One REAL baseline JPEG per id (Annex K tables, full Huffman
+    scan) whose 8x8 blocks are constant even grays from the shared
+    integer formula at quality 50 — the exact-decode regime, so the
+    gate pins the real codec's output bit-for-bit."""
+    from .jpeg import JPEG_EXACT_QUALITY, jpeg_encode_gray
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = _jpeg_syn_dims(i)
+                grays = [
+                    _jpeg_block(i, x // 8, y // 8)
+                    for y in range(h)
+                    for x in range(w)
+                ]
+                payloads.append(
+                    jpeg_encode_gray(grays, w, h, quality=JPEG_EXACT_QUALITY)
+                )
+            yield pd.DataFrame({id_col: pdf[id_col].values, "payload": payloads})
+
+    return ids_df.select(id_col).mapInPandas(
+        _build, f"{id_col} long, payload binary"
+    )
+
+
+def jpeg_pixels_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry arm (round 13): synthesized real baseline JPEGs ->
+    REAL Huffman+IDCT decode -> dHash/aHash; every row must come back
+    decoder='jpeg' (a fake-rung fallback — or any drift anywhere in
+    the codec — hashes different grays and fails the oracle)."""
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    return image_phash(synthesize_blocky_jpegs(ids)).select(
+        "doc_id", "phash", "ahash", "p0", "p1", "p2", "p3", "decoder"
+    )
+
+
+JPEG_PIXELS_SQL = _hash_chain_sql(
+    f"""pdims AS (
+    SELECT doc_id,
+           8 * (2 + (doc_id * 5) % 4) AS w,
+           8 * (2 + (doc_id * 3) % 3) AS h
+    FROM documents),
+ppix AS (
+    SELECT doc_id, w, h,
+           unnest(range(0, w * h)) % w AS x,
+           unnest(range(0, w * h)) // w AS y
+    FROM pdims),
+pgray AS (
+    SELECT doc_id, w, h, x, y, {_JPEG_BLOCK_SQL} AS g
+    FROM ppix)""",
+    "jpeg",
+)

@@ -107,7 +107,7 @@ def test_crop_pair_phash_misses_embed_catches(spark, image_model):
     hashes = PH.image_phash(imgs)
     assert {
         r["decoder"] for r in hashes.select("decoder").distinct().collect()
-    } == {"pixels"}  # all four decode for real
+    } == {"png"}  # all four decode for real
     phash_pairs = PH.phash_dup_pairs(hashes).collect()
     crop_pairs_phash = [
         r for r in phash_pairs if {r["id_a"], r["id_b"]} == {1, 2}

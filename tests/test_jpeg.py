@@ -1,0 +1,305 @@
+"""Baseline-JPEG pixel codec (multimodal/jpeg.py, round 13) and its
+integration into the image pixel ladder: re-encoded / resized JPEG
+duplicates — the dominant duplicate class of any real crawl — must be
+caught by the phash tier and image-v1 embeddings WITHOUT Pillow (this
+container has none), via the real stdlib Huffman+IDCT decode."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from haensel_ams_data_engineer_challenge_spark.multimodal import jpeg as J
+from haensel_ams_data_engineer_challenge_spark.multimodal import phash as P
+
+
+def _pattern(w, h):
+    """Smooth gradient + blocks — real signal for hashes (the
+    test_phash fixture)."""
+    return [
+        min(255, (x * 255) // w + (80 if (x // 8 + y // 8) % 2 else 0))
+        for y in range(h)
+        for x in range(w)
+    ]
+
+
+def _psnr(a, b):
+    mse = np.mean((np.asarray(a, dtype=np.float64) - np.asarray(b)) ** 2)
+    return 10 * np.log10(255.0**2 / max(mse, 1e-12))
+
+
+# ---------------------------------------------------------------------------
+# codec round trips
+# ---------------------------------------------------------------------------
+
+
+def test_block_constant_even_grays_decode_losslessly():
+    """THE gate-arm contract: every 8x8 block a constant EVEN gray,
+    quality 50 -> bit-exact decode (DC quant divisor 16; jpeg.py
+    module docstring derives why)."""
+    w, h = 40, 24
+    grays = [
+        2 * ((3 * (x // 8) + 5 * (y // 8) + 7) % 128)
+        for y in range(h)
+        for x in range(w)
+    ]
+    payload = J.jpeg_encode_gray(grays, w, h, quality=J.JPEG_EXACT_QUALITY)
+    assert payload[:2] == b"\xff\xd8" and payload[-2:] == b"\xff\xd9"
+    assert J.decode_jpeg_pixels(payload) == (w, h, grays)
+
+
+def test_gray_roundtrip_psnr_and_reencode_stability():
+    """General content at quality 90: near-transparent (PSNR > 35 dB),
+    and a re-encode at a different quality stays visually identical
+    (PSNR of q90-decode vs q75-decode > 30 dB) — the duplicate class
+    the phash tier must catch."""
+    w, h = 37, 29  # deliberately not multiples of 8
+    grays = _pattern(w, h)
+    p90 = J.jpeg_encode_gray(grays, w, h, quality=90)
+    p75 = J.jpeg_encode_gray(grays, w, h, quality=75)
+    assert p90 != p75
+    d90 = J.decode_jpeg_pixels(p90)
+    d75 = J.decode_jpeg_pixels(p75)
+    assert d90 is not None and d75 is not None
+    assert d90[:2] == (w, h) and d75[:2] == (w, h)
+    assert _psnr(grays, d90[2]) > 35
+    assert _psnr(d90[2], d75[2]) > 30
+
+
+def test_restart_interval_roundtrip():
+    """DRI + RSTn markers (the libjpeg-default-adjacent layout many
+    crawls carry): decode must resync and reset DC predictors."""
+    w, h = 48, 32
+    grays = _pattern(w, h)
+    plain = J.decode_jpeg_pixels(J.jpeg_encode_gray(grays, w, h, quality=92))
+    rst = J.decode_jpeg_pixels(
+        J.jpeg_encode_gray(grays, w, h, quality=92, restart_interval=2)
+    )
+    assert rst is not None
+    # identical pixels with and without restarts: DRI changes framing,
+    # never the DCT math
+    assert rst == plain
+
+
+@pytest.mark.parametrize("sampling", [(1, 1), (2, 2), (2, 1), (1, 2)])
+def test_color_ycbcr_decodes_luma(sampling):
+    """3-component YCbCr at every supported sampling: the decoder
+    outputs the Y plane (JFIF Y IS the 601 luma the PNG rung
+    computes), entropy-decoding chroma to stay in sync."""
+    w, h = 41, 26
+    y = _pattern(w, h)
+    cb = [((x * 3) % 160) + 40 for _ in range(h) for x in range(w)]
+    cr = [((x * 5) % 120) + 70 for _ in range(h) for x in range(w)]
+    p = J.jpeg_encode_ycbcr(y, cb, cr, w, h, quality=90, sampling=sampling)
+    out = J.decode_jpeg_pixels(p)
+    assert out is not None and out[:2] == (w, h)
+    assert _psnr(y, out[2]) > 32
+
+
+def test_malformed_payloads_fall_to_none():
+    """The never-raise contract: anything the baseline decoder cannot
+    read returns None (ladder falls to the fake rung)."""
+    w, h = 24, 16
+    grays = _pattern(w, h)
+    good = J.jpeg_encode_gray(grays, w, h, quality=80)
+    assert J.decode_jpeg_pixels(b"") is None
+    assert J.decode_jpeg_pixels(b"\xff\xd8\xff\xd9") is None
+    assert J.decode_jpeg_pixels(good[: len(good) // 2]) is None  # truncated
+    assert J.decode_jpeg_pixels(good[:-20]) is None  # scan cut short
+    # progressive: flip SOF0 -> SOF2
+    i = good.index(b"\xff\xc0")
+    prog = good[:i] + b"\xff\xc2" + good[i + 2 :]
+    assert J.decode_jpeg_pixels(prog) is None
+    # desynced entropy data (marker byte unstuffed mid-scan)
+    j = good.index(b"\xff\xda") + 30
+    bad = good[:j] + b"\xff\xc4" + good[j + 2 :]
+    assert J.decode_jpeg_pixels(bad) is None
+
+
+def test_pixel_ceiling_bounds_cpu():
+    """SOF dims are attacker-controlled and gate the Python Huffman
+    walk: a frame past the ceiling is rejected BEFORE any entropy
+    decoding."""
+    p = J.jpeg_encode_gray(_pattern(16, 16), 16, 16, quality=50)
+    assert J.decode_jpeg_pixels(p) is not None
+    assert J.decode_jpeg_pixels(p, max_pixels=255) is None
+    # a declared-huge SOF with a tiny body: rewrite dims to 30000x30000
+    i = p.index(b"\xff\xc0")
+    huge = (
+        p[: i + 5] + struct.pack(">HH", 30000, 30000) + p[i + 9 :]
+    )
+    assert J.decode_jpeg_pixels(huge) is None
+
+
+# ---------------------------------------------------------------------------
+# ladder integration: phash tier catches JPEG re-encodes/resizes
+# ---------------------------------------------------------------------------
+
+
+def test_ladder_routes_png_jpeg_fake():
+    grays = _pattern(32, 24)
+    png = P.png_encode_gray(grays, 32, 24)
+    jpg = J.jpeg_encode_gray(grays, 32, 24, quality=90)
+    assert P.decode_image_pixels(png)[3] == "png"
+    assert P.decode_image_pixels(jpg)[3] == "jpeg"
+    assert P.decode_image_pixels(b"neither") is None
+
+
+def test_jpeg_reencode_and_resize_pairs_caught(spark):
+    """The headline hole this round closes: a quality-re-encoded JPEG
+    and a mildly resized JPEG both land within the phash default
+    threshold via decoder='jpeg' — no Pillow anywhere."""
+    w, h = 48, 40
+    grays = _pattern(w, h)
+    up = [
+        grays[(y // 2) * w + (x // 2)]
+        for y in range(h * 2)
+        for x in range(w * 2)
+    ]
+    other = [(255 - g) for g in grays]
+    rows = [
+        (1, bytearray(J.jpeg_encode_gray(grays, w, h, quality=90))),
+        (2, bytearray(J.jpeg_encode_gray(grays, w, h, quality=75))),  # re-enc
+        (3, bytearray(J.jpeg_encode_gray(up, w * 2, h * 2, quality=90))),
+        (4, bytearray(J.jpeg_encode_gray(other, w, h, quality=90))),
+        (5, bytearray(P.png_encode_gray(grays, w, h))),  # cross-format dup
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    hashes = P.image_phash(df)
+    got = {r["doc_id"]: r for r in hashes.collect()}
+    assert {got[i]["decoder"] for i in (1, 2, 3, 4)} == {"jpeg"}
+    assert got[5]["decoder"] == "png"
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in P.phash_dup_pairs(hashes).collect()
+    }
+    assert (1, 2) in pairs, "JPEG re-encode not caught"
+    assert (1, 3) in pairs, "JPEG 2x resize not caught"
+    assert (1, 5) in pairs, "PNG<->JPEG cross-format duplicate not caught"
+    assert not any({a, b} == {1, 4} for a, b in pairs), "inverted image paired"
+
+
+def test_cli_dedup_images_mixed_png_jpeg(spark, tmp_path, capsys):
+    """The product surface over a mixed-format corpus (what a real
+    crawl looks like): a JPEG re-encode and a PNG-of-the-same-pixels
+    both cluster with the JPEG original; the distinct JPEG survives
+    alone.  Decoder counts prove both real codecs ran."""
+    from haensel_ams_data_engineer_challenge_spark.__main__ import main
+
+    w, h = 48, 40
+    base = _pattern(w, h)
+    other = [
+        (x * 97 + y * 13 + (x % 3) * 50) % 256
+        for y in range(h)
+        for x in range(w)
+    ]
+    rows = [
+        (1, bytearray(J.jpeg_encode_gray(base, w, h, quality=90))),
+        (2, bytearray(J.jpeg_encode_gray(base, w, h, quality=70))),
+        (3, bytearray(P.png_encode_gray(base, w, h))),
+        (4, bytearray(J.jpeg_encode_gray(other, w, h, quality=90))),
+    ]
+    src = str(tmp_path / "images.parquet")
+    spark.createDataFrame(rows, "doc_id long, payload binary").write.parquet(src)
+    work = str(tmp_path / "work")
+    rc = main(["dedup-images", "--images-parquet", src, "--work-dir", work])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "images=4 survivors=2 dropped=2" in out
+    assert "'jpeg': 3" in out and "'png': 1" in out
+    surv = {
+        r["doc_id"]: r["is_survivor"]
+        for r in spark.read.parquet(f"{work}/image_survivors").collect()
+    }
+    assert surv == {1: True, 2: False, 3: False, 4: True}
+
+
+def test_image_v1_embeds_jpeg_payloads(spark, tmp_path):
+    """image-v1 through the seam: a JPEG payload now produces box-mean
+    features from REAL pixels, consistent across image_hash_embed and
+    embed_with_model (the one-vector-per-byte-sequence identity), and
+    a JPEG brightness twin still lands at cosine 1.0."""
+    from haensel_ams_data_engineer_challenge_spark.multimodal.imgembed import (
+        image_encoder_build,
+        image_hash_embed,
+    )
+    from haensel_ams_data_engineer_challenge_spark.operators.embed import (
+        embed_with_model,
+    )
+
+    w, h = 40, 32
+    base = [
+        2 * ((3 * (x // 8) + 5 * (y // 8) + 7 * ((x // 8) * (y // 8) % 5)) % 100)
+        for y in range(h)
+        for x in range(w)
+    ]
+    shifted = [g + 20 for g in base]  # stays <= 218+20: no clamp
+    rows = [
+        (1, bytearray(J.jpeg_encode_gray(base, w, h, quality=J.JPEG_EXACT_QUALITY))),
+        (2, bytearray(J.jpeg_encode_gray(shifted, w, h, quality=J.JPEG_EXACT_QUALITY))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    model = str(tmp_path / "imgenc")
+    image_encoder_build(spark, model)
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"])
+        for r in embed_with_model(df, model).collect()
+    }
+    both = {
+        r["doc_id"]: np.asarray(r["embedding"])
+        for r in image_hash_embed(df).collect()
+    }
+    assert set(vecs) == {1, 2}
+    for i in (1, 2):
+        assert np.array_equal(vecs[i], both[i]), "seam/both-tier drift"
+    cos = float(
+        vecs[1] @ vecs[2] / (np.linalg.norm(vecs[1]) * np.linalg.norm(vecs[2]))
+    )
+    assert cos == pytest.approx(1.0, abs=1e-12), "brightness twin not exact"
+
+
+def test_image_v1_old_ladder_artifact_refuses(spark, tmp_path):
+    """An image-v1 artifact committed under the pre-r13 png-only
+    ladder must refuse to serve (silently mixing feature spaces in a
+    version-keyed index is the failure mode)."""
+    from haensel_ams_data_engineer_challenge_spark.operators.artifact_manifest import (
+        artifact_overwrite,
+    )
+    from haensel_ams_data_engineer_challenge_spark.operators.embed import (
+        embed_with_model,
+    )
+
+    path = str(tmp_path / "oldenc")
+    artifact_overwrite(
+        spark, path, {},
+        {"kind": "encoder", "encoder": "image-v1", "dim": 64, "grid": 8,
+         "version": "deadbeef0000"},
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(b"x"))], "doc_id long, payload binary"
+    )
+    with pytest.raises(ValueError, match="ladder"):
+        embed_with_model(df, path).collect()
+
+
+def test_jpeg_arm_synthesizer_matches_formula(spark):
+    """The gate arm's Spark side, pinned locally: synthesized blocky
+    JPEGs decode to exactly the block formula (the property the DuckDB
+    twin assumes), via the REAL codec."""
+    df = spark.createDataFrame([(7,), (12,), (123,)], "doc_id long")
+    rows = P.synthesize_blocky_jpegs(df).collect()
+    for r in rows:
+        i = r["doc_id"]
+        w, h = P._jpeg_syn_dims(i)
+        out = J.decode_jpeg_pixels(bytes(r["payload"]))
+        assert out is not None
+        ww, hh, grays = out
+        assert (ww, hh) == (w, h)
+        expect = [
+            P._jpeg_block(i, x // 8, y // 8)
+            for y in range(h)
+            for x in range(w)
+        ]
+        assert grays == expect, f"doc {i}: decode drifted from formula"

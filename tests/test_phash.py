@@ -176,7 +176,7 @@ def test_image_phash_operator_and_dup_pairs(spark):
     hashes = P.image_phash(df)
     got = {r["doc_id"]: r for r in hashes.collect()}
     assert got[6]["decoder"] == "fake"
-    assert all(got[i]["decoder"] == "pixels" for i in range(1, 6))
+    assert all(got[i]["decoder"] == "png" for i in range(1, 6))
     assert got[1]["phash"] == got[2]["phash"]  # re-encode: hamming 0
 
     pairs = {
@@ -230,7 +230,7 @@ def test_tiny_png_never_divides_by_zero(spark):
         "doc_id long, payload binary",
     )
     row = P.image_phash(df).collect()[0]
-    assert row["decoder"] == "pixels"
+    assert row["decoder"] == "png"
     # 3x-blocked form of the same image -> same dHash
     big, bw, bh = _upscale(small, 4, 4, 3)
     assert P.box_grays(small, 4, 4, 9, 8) == P.box_grays(big, bw, bh, 9, 8)
