@@ -406,6 +406,27 @@ def _parser() -> argparse.ArgumentParser:
     da.add_argument("--audio-parquet", required=True, metavar="PARQUET")
     da.add_argument("--work-dir", required=True)
     da.add_argument(
+        "--method", choices=["envelope", "semdedup", "both"],
+        default="envelope",
+        help="envelope = near-dup tier (banded sign-LSH + exact-cosine "
+        "verify over the envelope features — re-gains, volume "
+        "normalizations, mild trims); semdedup = the SemDeDup rule on "
+        "the same features (keep the clip FARTHEST from its k-means "
+        "cluster centroid per duplicate group — diversity-preserving "
+        "pruning of redundant-but-not-duplicate clusters the near-dup "
+        "bar admits); both = union of drops (a clip survives only if "
+        "BOTH tiers keep it; component ids come from the envelope "
+        "tier's clustering) — ONE decode/embed pass feeds every tier "
+        "(round 13, dedup-images --method parity)",
+    )
+    da.add_argument(
+        "--semdedup-threshold", type=float, default=None, metavar="C",
+        help="(semdedup/both) the DIVERSITY bar — defaults to the "
+        "SemDeDup paper regime (0.45), deliberately lower than "
+        "--cosine-threshold: the point of the tier is pruning "
+        "redundant clusters the near-dup bar admits",
+    )
+    da.add_argument(
         "--cosine-threshold", type=float, default=0.9, metavar="C",
         help="duplicate bar on the exact cosine of the mean-centered "
         "envelope features (default 0.9: a re-gained/volume-normalized "
@@ -624,10 +645,11 @@ def _parser() -> argparse.ArgumentParser:
     im.add_argument("--feed-dir", required=True)
     im.add_argument("--work-dir", required=True)
     im.add_argument(
-        "--modality", choices=("image", "audio"), default=None,
+        "--modality", choices=("image", "audio", "video"), default=None,
         help="builds the stateless feature-space artifact under the "
         "work dir; required unless --encoder-model points at a "
-        "committed encoder",
+        "committed encoder (video = the round-13 MJPEG/AVI sample "
+        "tier: sampled frames -> JPEG decode -> pooled box features)",
     )
     im.add_argument(
         "--encoder-model", default=None, metavar="DIR",
@@ -1410,25 +1432,84 @@ def main(argv: list[str] | None = None) -> int:
                 f"{args.work_dir}/audio_features"
             )
             vecs = spark.read.parquet(f"{args.work_dir}/audio_features")
-            # silence / flat clips carry no feature direction (absent
-            # from vecs): singletons below, never false-paired
-            pairs = embedding_dup_pairs_lsh(
-                vecs,
-                threshold=args.cosine_threshold,
-                planes_per_band=10,
-                max_bucket=MAX_VECTOR_BUCKET,
-                dim=enc_dim,
-            ).select("id_a", "id_b")
-            n_pairs = pairs.count()
-            surv = dedup_survivors(clips.select("doc_id"), pairs)
+            n_feat = vecs.count()
+            tier_counts = {}
+            env_surv = sem_surv = None
+            if args.method in ("envelope", "both"):
+                # silence / flat clips carry no feature direction
+                # (absent from vecs): singletons below, never
+                # false-paired
+                pairs = embedding_dup_pairs_lsh(
+                    vecs,
+                    threshold=args.cosine_threshold,
+                    planes_per_band=10,
+                    max_bucket=MAX_VECTOR_BUCKET,
+                    dim=enc_dim,
+                ).select("id_a", "id_b")
+                tier_counts["envelope_pairs"] = pairs.count()
+                env_surv = dedup_survivors(clips.select("doc_id"), pairs)
+            if args.method in ("semdedup", "both"):
+                # the diversity tier (round 13 — dedup-images parity):
+                # SemDeDup's keep-farthest-from-centroid rule over the
+                # SAME features parquet (one decode pass for every
+                # tier); sqrt-N cells, the dedup-images sizing
+                from .operators.similarity import (
+                    SEMDEDUP_THRESHOLD,
+                    ivf_suggest_cells,
+                    semdedup_keep,
+                )
+
+                kept = semdedup_keep(
+                    vecs,
+                    threshold=(
+                        args.semdedup_threshold
+                        if args.semdedup_threshold is not None
+                        else SEMDEDUP_THRESHOLD
+                    ),
+                    k=max(1, min(ivf_suggest_cells(n_feat), n_feat // 4)),
+                ).select(
+                    F.col("vec_id").alias("doc_id"),
+                    "component", "is_survivor",
+                )
+                flat = (
+                    clips.select("doc_id")
+                    .join(vecs.select(F.col("vec_id").alias("doc_id")),
+                          "doc_id", "left_anti")
+                    .withColumn("component", F.col("doc_id"))
+                    .withColumn("is_survivor", F.lit(True))
+                )
+                sem_surv = kept.unionByName(flat)
+                tier_counts["semdedup_dropped"] = sem_surv.filter(
+                    ~F.col("is_survivor")
+                ).count()
+            if args.method == "envelope":
+                surv = env_surv
+            elif args.method == "semdedup":
+                surv = sem_surv
+            else:
+                # union of drops: survive only if BOTH tiers keep you;
+                # components from the envelope tier (its pair graph is
+                # the near-dup clustering a curator inspects)
+                surv = env_surv.join(
+                    sem_surv.select(
+                        "doc_id", F.col("is_survivor").alias("__sem"),
+                    ),
+                    "doc_id",
+                ).select(
+                    "doc_id", "component",
+                    (F.col("is_survivor") & F.col("__sem")).alias(
+                        "is_survivor"
+                    ),
+                )
             out = f"{args.work_dir}/audio_survivors"
             surv.write.mode("overwrite").parquet(out)
             back = spark.read.parquet(out)
             n = back.count()
-            kept = back.filter("is_survivor").count()
+            kept_n = back.filter("is_survivor").count()
+            tier_str = "".join(f" {k}={v}" for k, v in tier_counts.items())
             print(
-                f"clips={n} survivors={kept} dropped={n - kept} "
-                f"pairs={n_pairs} featured={vecs.count()} -> {out}"
+                f"method={args.method} clips={n} survivors={kept_n} "
+                f"dropped={n - kept_n}{tier_str} featured={n_feat} -> {out}"
             )
             return 0
 
@@ -1793,6 +1874,10 @@ def main(argv: list[str] | None = None) -> int:
                     from .multimodal.imgembed import image_encoder_build
 
                     image_encoder_build(spark, enc)
+                elif args.modality == "video":
+                    from .multimodal.videoembed import video_encoder_build
+
+                    video_encoder_build(spark, enc)
                 else:
                     from .multimodal.audioembed import audio_encoder_build
 

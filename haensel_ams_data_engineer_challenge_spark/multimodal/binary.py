@@ -1130,6 +1130,16 @@ def multimodal_both_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     audio_pcm = audio_embed_query(spark, sf_dir).withColumn(
         "method", F.lit("audio_embed")
     )
+    # round 13: the video SAMPLE tier — synthesized real MJPEG AVIs
+    # (every frame a real quality-50 baseline JPEG) through the RIFF
+    # demux + frame decode + sum-pooled box features; the oracle
+    # re-derives the frame formula, and the planted brightness twins'
+    # pooled stats equal their base's exactly (centering identity)
+    from .videoembed import video_embed_query
+
+    video_pcm = video_embed_query(spark, sf_dir).withColumn(
+        "method", F.lit("video_embed")
+    )
     return (
         stub.unionByName(header, allowMissingColumns=True)
         .unionByName(audio, allowMissingColumns=True)
@@ -1137,12 +1147,14 @@ def multimodal_both_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(phash, allowMissingColumns=True)
         .unionByName(jpeg, allowMissingColumns=True)
         .unionByName(audio_pcm, allowMissingColumns=True)
+        .unionByName(video_pcm, allowMissingColumns=True)
     )
 
 
 def _multimodal_both_sql() -> str:
     from .audioembed import AUDIO_EMBED_SQL
     from .phash import JPEG_PIXELS_SQL, PHASH_SQL
+    from .videoembed import VIDEO_EMBED_SQL
 
     return f"""
 SELECT 'stub_pipeline' AS method, * FROM ({MULTIMODAL_PIPELINE_SQL})
@@ -1157,7 +1169,9 @@ SELECT 'phash' AS method, * FROM ({PHASH_SQL})
 UNION ALL BY NAME
 SELECT 'jpeg' AS method, * FROM ({JPEG_PIXELS_SQL})
 UNION ALL BY NAME
-SELECT 'audio_embed' AS method, * FROM ({AUDIO_EMBED_SQL})"""
+SELECT 'audio_embed' AS method, * FROM ({AUDIO_EMBED_SQL})
+UNION ALL BY NAME
+SELECT 'video_embed' AS method, * FROM ({VIDEO_EMBED_SQL})"""
 
 
 MULTIMODAL_BOTH_SQL = _multimodal_both_sql()

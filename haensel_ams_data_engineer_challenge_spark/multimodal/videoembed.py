@@ -1,0 +1,543 @@
+"""Video near-dup tier: the ``video-v1`` encoder kind (round 13, r12
+verdict task 2).
+
+The modality ladder had pixels for images (:mod:`.phash`, :mod:`.jpeg`)
+and samples for audio (:mod:`.audioembed`) but stopped at HEADER
+metadata for video (:func:`.binary.parse_video_header`) — no
+frame-level features, so no video near-dup beyond byte-exact /
+metadata matching.  This module adds the honest stdlib-decodable
+sample tier: **MJPEG-in-AVI**, where the container is a RIFF chunk
+walk (the WAV walker discipline) and every frame is a baseline JPEG
+the round-13 codec already decodes.  Non-MJPEG codecs (H.264 etc.)
+fall to the fake rung exactly like compressed WAV does — decoding
+them requires a codec library this container does not ship.
+
+Feature design: sample up to ``frames`` frames evenly by index
+(``(k * F) // n`` — the shared integer partition, deduplicated), run
+each through the JPEG pixel decode into the image-v1 box features
+(:func:`.imgembed.image_features` — mean-centered integer 8x8 box
+means), and pool by elementwise SUM into one fixed ``grid*grid``-dim
+clip vector.  Properties:
+
+- a re-encoded clip (same frames, different JPEG quality) moves each
+  frame's features slightly — cosine degrades gracefully, exactly the
+  image tier's regime;
+- a per-frame BRIGHTNESS shift cancels exactly (the image-v1
+  centering identity), so a re-graded duplicate lands at cosine 1.0 —
+  the gate arm's planted twins certify the exact relation;
+- a trim changes which frames are sampled — graceful degradation
+  (pinned by pytest);
+- SUM pooling (not mean) keeps the vector integer-valued and makes
+  the sampled-frame count an explicit scale factor that cancels in
+  cosine;
+- an all-constant-frames clip has no direction: encoded as absent,
+  the zero-token contract.
+
+Scale shape: one Arrow ``mapInPandas`` over (id, payload) — no
+shuffle; everything downstream (banded LSH, SemDeDup, ANN, the
+streaming media ingest) is the existing vector machinery, unchanged.
+Per-payload CPU is bounded twice: the sampled-frame COUNT by
+``frames`` and each frame's pixels by the JPEG codec's ceiling.
+
+Reference analogue: none — the reference has no media tier; the seam
+contract cites api_utils.py:68-138 (model at a boundary) like every
+other encoder kind.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.artifact_manifest import artifact_overwrite
+from ..sources import load_table
+from .imgembed import image_features
+from .jpeg import JPEG_EXACT_QUALITY, decode_jpeg_pixels, jpeg_encode_gray
+from .phash import _fake_grays
+
+#: feature grid: 8x8 box means per frame -> 64 dims = EMBEDDING_DIM.
+VID_GRID = 8
+#: default sampled-frame budget per clip.
+VID_FRAMES = 4
+#: RIFF LIST descent bound (the _MP4_MAX_DEPTH discipline): real AVI
+#: metadata nests 3 deep (RIFF/hdrl/strl); past 16 is adversarial.
+_AVI_MAX_DEPTH = 16
+#: the decode-ladder identity baked into every video-v1 artifact
+#: version (the image-v1 ``ladder`` rule).
+VID_LADDER = "mjpeg+jpeg"
+
+# -- gate-arm synthesis constants (shared, as integer math, with the
+# DuckDB twin): base block grays on % 110 (even, <= 218) so the +20
+# brightness twin never clamps and stays even (the JPEG
+# lossless-decode precondition).
+VID_PIX_MOD = 110
+VID_TWIN_SHIFT = 20
+VID_TWIN_EVERY = 5
+VID_TWIN_OFFSET = 1_000_000_000
+
+
+# ---------------------------------------------------------------------------
+# RIFF/AVI container: writer twin + MJPEG chunk walk
+# ---------------------------------------------------------------------------
+
+
+def _chunk(cid: bytes, body: bytes) -> bytes:
+    pad = b"\x00" if len(body) % 2 else b""
+    return cid + struct.pack("<I", len(body)) + body + pad
+
+
+def _list(ltype: bytes, body: bytes) -> bytes:
+    return _chunk(b"LIST", ltype + body)
+
+
+def avi_encode_mjpeg(
+    frames: list[bytes], width: int, height: int, fps: int = 10
+) -> bytes:
+    """A REAL (stdlib-only) MJPEG-in-AVI container: RIFF('AVI ') with
+    hdrl(avih + strl(strh 'vids'/'MJPG' + strf BITMAPINFOHEADER)),
+    movi('00dc' chunks holding the JPEG frame bytes) and an idx1 —
+    readable by any AVI demuxer.  The writer twin of
+    :func:`parse_avi_mjpeg`, used by the fixture synthesizer and
+    tests."""
+    if not frames:
+        raise ValueError("an MJPEG AVI needs at least one frame")
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // max(1, fps),  # dwMicroSecPerFrame
+        0, 0,
+        0x10,  # AVIF_HASINDEX
+        len(frames), 0, 1,
+        max(len(f) for f in frames),
+        width, height,
+        0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack(
+            "<IHHIIIIIIII",
+            0, 0, 0, 0,
+            1, fps,  # dwScale / dwRate
+            0, len(frames),
+            max(len(f) for f in frames),
+            0xFFFFFFFF, 0,
+        )
+        + struct.pack("<4H", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih)
+        + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
+    )
+    movi_body = b""
+    idx = b""
+    for f in frames:
+        # idx1 offsets are relative to the 'movi' fourcc position
+        idx += b"00dc" + struct.pack("<III", 0x10, 4 + len(movi_body), len(f))
+        movi_body += _chunk(b"00dc", f)
+    movi = _list(b"movi", movi_body)
+    body = b"AVI " + hdrl + movi + _chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_avi_mjpeg(
+    payload: bytes,
+) -> tuple[int, int, list[tuple[int, int]]] | None:
+    """REAL (stdlib-only) AVI demux: (width, height, [(frame_offset,
+    frame_size), ...]) for RIFF/AVI payloads whose FIRST video stream
+    is MJPEG, None otherwise (non-AVI, non-MJPEG codecs, malformed
+    sizes — callers fall to the fake rung, never raise).
+
+    Walks the RIFF LIST tree iteratively (bounded depth, the
+    _mp4_boxes discipline): avih gives the declared geometry, the
+    strh/strf pair identifies the video stream's codec and INDEX
+    (data chunk ids are '##dc'/'##db' keyed on stream order), the
+    movi list yields the frame byte spans.  Frame pixels come from
+    the JPEG bytes themselves at decode time; the header geometry is
+    metadata only."""
+    n = len(payload)
+    if n < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+    width = height = None
+    stream_types: list[bytes] = []  # fccType per strh, in file order
+    mjpeg_streams: set[int] = set()
+    spans: list[tuple[int, int]] = []
+
+    def _chunks(start: int, end: int):
+        i = start
+        while i + 8 <= end:
+            cid = payload[i : i + 4]
+            (size,) = struct.unpack("<I", payload[i + 4 : i + 8])
+            body = i + 8
+            if body + size > end:
+                return
+            yield cid, body, body + size
+            i = body + size + (size % 2)
+
+    stack = [_chunks(12, min(n, 8 + struct.unpack("<I", payload[4:8])[0]))]
+    while stack:
+        nxt = next(stack[-1], None)
+        if nxt is None:
+            stack.pop()
+            continue
+        cid, b0, b1 = nxt
+        if cid == b"LIST" and b0 + 4 <= b1:
+            if len(stack) < _AVI_MAX_DEPTH:
+                stack.append(_chunks(b0 + 4, b1))
+        elif cid == b"avih" and b1 - b0 >= 40:
+            width, height = struct.unpack("<II", payload[b0 + 32 : b0 + 40])
+        elif cid == b"strh" and b1 - b0 >= 8:
+            fcc_type = payload[b0 : b0 + 4]
+            handler = payload[b0 + 4 : b0 + 8]
+            if fcc_type == b"vids" and handler in (b"MJPG", b"mjpg"):
+                mjpeg_streams.add(len(stream_types))
+            stream_types.append(fcc_type)
+        elif (
+            len(cid) == 4
+            and cid[2:4] in (b"dc", b"db")
+            and cid[:2].isdigit()
+        ):
+            if int(cid[:2]) in mjpeg_streams and b1 > b0:
+                spans.append((b0, b1 - b0))
+    if width in (None, 0) or height in (None, 0) or not spans:
+        return None
+    if not mjpeg_streams:
+        return None
+    return int(width), int(height), spans
+
+
+def sample_frame_indices(n_total: int, n_sample: int) -> list[int]:
+    """Evenly spaced distinct frame indices — the shared integer
+    partition ``(k * F) // n`` deduplicated, so F <= n samples every
+    frame exactly once and F > n picks n spread across the clip."""
+    return sorted({(k * n_total) // n_sample for k in range(n_sample)})
+
+
+def video_features(
+    payload: bytes, grid: int = VID_GRID, n_sample: int = VID_FRAMES
+) -> list[float] | None:
+    """The video-v1 feature vector (module docstring): sampled MJPEG
+    frames -> JPEG pixel decode -> image-v1 box features -> SUM
+    pooling.  None when the container is not MJPEG/AVI (callers fall
+    to the whole-payload fake rung) or when every sampled frame is
+    featureless (constant: no direction).
+
+    A frame whose JPEG bytes fail to decode contributes the fake-gray
+    features of ITS bytes (the _fake_decode discipline scoped to the
+    frame) — a byte-exact re-upload of a clip with one corrupt frame
+    still lands at cosine 1.0."""
+    parsed = parse_avi_mjpeg(bytes(payload))
+    if parsed is None:
+        return None
+    _w, _h, spans = parsed
+    pooled: list[float] | None = None
+    for idx in sample_frame_indices(len(spans), n_sample):
+        off, size = spans[idx]
+        frame = bytes(payload[off : off + size])
+        decoded = decode_jpeg_pixels(frame)
+        if decoded is not None:
+            fw, fh, grays = decoded
+        else:
+            fw = fh = grid
+            grays = _fake_grays(frame, grid * grid)
+        feats = image_features(grays, fw, fh, grid)
+        if feats is None:
+            continue  # constant frame: zero contribution
+        if pooled is None:
+            pooled = list(feats)
+        else:
+            for i, v in enumerate(feats):
+                pooled[i] += v
+    if pooled is None or not any(pooled):
+        return None
+    return pooled
+
+
+def video_encoder_build(
+    spark: SparkSession,
+    path: str,
+    dim: int | None = None,
+    grid: int = VID_GRID,
+    frames: int = VID_FRAMES,
+) -> None:
+    """Commit a ``video-v1`` encoder artifact at ``path`` (no-op when
+    a matching one exists).  Stateless like image-v1/audio-v1: the
+    artifact is the params marker pinning the FEATURE SPACE (kind,
+    dim, grid, sampled-frame budget, pooling, decode ladder) that
+    index markers and worker caches key on."""
+    from ..operators.embed import VIDEO_KIND
+    from ..operators.similarity import _check_index_params
+
+    if dim is None:
+        dim = grid * grid
+    if dim != grid * grid:
+        raise ValueError(
+            f"video-v1 dim must equal grid*grid ({grid * grid}), got {dim}"
+        )
+    if frames < 1:
+        raise ValueError(f"video-v1 needs frames >= 1, got {frames}")
+    params = {
+        "kind": "encoder",
+        "encoder": VIDEO_KIND,
+        "dim": dim,
+        "grid": grid,
+        "frames": frames,
+        "ladder": VID_LADDER,
+    }
+    if _check_index_params(spark, path, params):
+        return
+    content = (
+        f"video-v1|dim={dim}|grid={grid}|frames={frames}"
+        f"|pool=sum|ladder={VID_LADDER}"
+    )
+    version = hashlib.md5(content.encode("utf-8")).hexdigest()[:12]
+    artifact_overwrite(spark, path, {}, {**params, "version": version})
+
+
+class _PreparedVideo:
+    """Worker-side prepared video encoder: the MJPEG/AVI ladder (real
+    frame decode -> whole-payload fake rung) + pooled box features."""
+
+    __slots__ = ("grid", "frames")
+
+    def __init__(self, grid: int, frames: int):
+        self.grid = grid
+        self.frames = frames
+
+    def encode_payload(self, payload) -> list[float] | None:
+        if payload is None:
+            payload = b""
+        feats = video_features(bytes(payload), self.grid, self.frames)
+        if feats is not None:
+            return feats
+        if parse_avi_mjpeg(bytes(payload)) is not None:
+            return None  # a real clip whose frames are all constant
+        return image_features(
+            _fake_grays(bytes(payload), self.grid * self.grid),
+            self.grid, self.grid, self.grid,
+        )
+
+
+def video_embed_frame(
+    docs: DataFrame,
+    model_path: str,
+    params: dict,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    load_log_dir: str | None = None,
+) -> DataFrame:
+    """The video branch of ``embed_with_model``: (vec_id, embedding
+    array<double>) from a video-payload frame through one Arrow
+    mapInPandas — the same output contract as every encoder kind."""
+    from ..operators.embed import _worker_encoder_cache
+
+    if params.get("ladder") != VID_LADDER:
+        raise ValueError(
+            f"video encoder at {model_path} was committed under decode "
+            f"ladder {params.get('ladder')!r}; this build decodes "
+            f"{VID_LADDER} — rebuild the artifact"
+        )
+    grid = int(params.get("grid", VID_GRID))
+    frames = int(params.get("frames", VID_FRAMES))
+    version = params.get("version", "1")
+    src = docs.select(
+        F.col(id_col).alias("vec_id"), F.col(payload_col).alias("__p")
+    )
+    id_type = dict(src.dtypes)["vec_id"]
+    cache_key = (model_path, version)
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache = _worker_encoder_cache()
+        enc = cache.get(cache_key)
+        if enc is None:
+            enc = _PreparedVideo(grid, frames)
+            cache[cache_key] = enc
+            if load_log_dir is not None:
+                import os
+                import uuid
+
+                os.makedirs(load_log_dir, exist_ok=True)
+                with open(
+                    os.path.join(
+                        load_log_dir, f"{uuid.uuid4().hex}-{os.getpid()}.loaded"
+                    ),
+                    "w",
+                ) as fh:
+                    fh.write(f"{os.getpid()}\n")
+        for pdf in batches:
+            ids, vecs = [], []
+            for i, p in zip(pdf["vec_id"], pdf["__p"]):
+                v = enc.encode_payload(p)
+                if v is not None:
+                    ids.append(i)
+                    vecs.append(v)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pd.Series(ids, dtype=pdf["vec_id"].dtype),
+                    "embedding": pd.Series(vecs, dtype=object),
+                }
+            )
+
+    return src.mapInPandas(_encode, f"vec_id {id_type}, embedding array<double>")
+
+
+# ---------------------------------------------------------------------------
+# gate arm: synthesized REAL MJPEG AVIs whose frames are block-constant
+# even-gray JPEGs from an id+frame-keyed integer formula (the
+# lossless-decode regime, jpeg.py) — Spark demuxes the actual RIFF
+# bytes and Huffman-decodes the actual frames; the DuckDB twin
+# re-derives the formula and recomputes the pooled features.  Planted
+# per-frame-brightness twins pool to EXACTLY the base's vector (the
+# centering identity), certified by the hash.
+# ---------------------------------------------------------------------------
+
+#: block-gray formula shared (as integer math) with the SQL twin:
+#: f is the frame index, bx/by the 8x8 block coordinates.
+_VGRAY_SQL = (
+    f"2 * ((base_id * 31 + f * 19 + (x // 8) * 7 + (y // 8) * 13"
+    f" + (((x // 8) * (y // 8)) % 17) * 5) % {VID_PIX_MOD}) + shift"
+)
+
+
+def _vgray(i: int, f: int, bx: int, by: int, shift: int) -> int:
+    return (
+        2 * ((i * 31 + f * 19 + bx * 7 + by * 13 + ((bx * by) % 17) * 5)
+             % VID_PIX_MOD)
+        + shift
+    )
+
+
+def _vid_syn_geom(i: int) -> tuple[int, int, int]:
+    """(n_frames, width, height): 2-4 frames, width 16/24, height 16 —
+    multiple blocks per frame, multiple frames per clip, bounded
+    oracle pixel expansion."""
+    return 2 + i % 3, 8 * (2 + (i * 5) % 2), 16
+
+
+def synthesize_mjpeg_avis(
+    ids_df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, payload): one real MJPEG AVI per id (full RIFF structure,
+    every frame a real quality-50 baseline JPEG of block-constant even
+    grays from the shared formula), plus a BRIGHTNESS-SHIFTED twin
+    (+VID_TWIN_SHIFT per pixel in every frame, id + VID_TWIN_OFFSET)
+    for ids divisible by VID_TWIN_EVERY."""
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, payloads = [], []
+            for i in pdf[id_col]:
+                i = int(i)
+                nf, w, h = _vid_syn_geom(i)
+                variants = [(i, 0)]
+                if i % VID_TWIN_EVERY == 0:
+                    variants.append((i + VID_TWIN_OFFSET, VID_TWIN_SHIFT))
+                for vid, shift in variants:
+                    frames = [
+                        jpeg_encode_gray(
+                            [
+                                _vgray(i, f, x // 8, y // 8, shift)
+                                for y in range(h)
+                                for x in range(w)
+                            ],
+                            w, h, quality=JPEG_EXACT_QUALITY,
+                        )
+                        for f in range(nf)
+                    ]
+                    out_ids.append(vid)
+                    payloads.append(avi_encode_mjpeg(frames, w, h))
+            yield pd.DataFrame({id_col: out_ids, "payload": payloads})
+
+    return ids_df.select(id_col).mapInPandas(
+        _build, f"{id_col} long, payload binary"
+    )
+
+
+def video_embed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry arm (round 13): synthesized real MJPEG AVIs -> REAL
+    RIFF demux + JPEG frame decode -> pooled video-v1 features,
+    certified by per-clip integer stats (f0 / f_min / f_max of the
+    pooled vector — any drift anywhere in demux -> sample -> decode ->
+    box -> center -> pool moves them).  Every row must come back
+    decoder='mjpeg'; the planted brightness twins' stats are exactly
+    their base's (the centering identity), so the hash certifies the
+    invariance the dedup tier relies on."""
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    syn = synthesize_mjpeg_avis(ids)
+    grid, n_sample = VID_GRID, VID_FRAMES
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "decoder": [], "n_frames": [],
+                "f0": [], "f_min": [], "f_max": [],
+            }
+            for i, p in zip(pdf["doc_id"], pdf["payload"]):
+                parsed = parse_avi_mjpeg(bytes(p))
+                decoder = "mjpeg" if parsed is not None else "fake"
+                nf = len(parsed[2]) if parsed is not None else 0
+                feats = video_features(bytes(p), grid, n_sample)
+                rows["doc_id"].append(int(i))
+                rows["decoder"].append(decoder)
+                rows["n_frames"].append(nf)
+                rows["f0"].append(int(feats[0]) if feats else None)
+                rows["f_min"].append(int(min(feats)) if feats else None)
+                rows["f_max"].append(int(max(feats)) if feats else None)
+            yield pd.DataFrame(rows)
+
+    return syn.mapInPandas(
+        _stats,
+        "doc_id long, decoder string, n_frames long, "
+        "f0 long, f_min long, f_max long",
+    )
+
+
+VIDEO_EMBED_SQL = f"""
+WITH vvids AS (
+    SELECT doc_id AS vid, doc_id AS base_id, 0 AS shift FROM documents
+    UNION ALL
+    SELECT doc_id + {VID_TWIN_OFFSET}, doc_id, {VID_TWIN_SHIFT}
+    FROM documents WHERE doc_id % {VID_TWIN_EVERY} = 0),
+vgeom AS (
+    SELECT vid, base_id, shift,
+           2 + base_id % 3 AS nf,
+           8 * (2 + (base_id * 5) % 2) AS w,
+           16 AS h
+    FROM vvids),
+vpix AS (
+    SELECT vid, base_id, shift, nf, w, h,
+           unnest(range(0, nf * w * h)) // (w * h) AS f,
+           (unnest(range(0, nf * w * h)) % (w * h)) % w AS x,
+           (unnest(range(0, nf * w * h)) % (w * h)) // w AS y
+    FROM vgeom),
+vgray AS (
+    SELECT vid, nf, f, w, h, x, y, {_VGRAY_SQL} AS g
+    FROM vpix),
+vbox AS (
+    SELECT vid, nf, f,
+           (y * {VID_GRID}) // h AS gy, (x * {VID_GRID}) // w AS gx,
+           SUM(g) // COUNT(*) AS gray
+    FROM vgray GROUP BY vid, nf, f, (y * {VID_GRID}) // h, (x * {VID_GRID}) // w),
+vtot AS (
+    SELECT vid, f, SUM(gray) AS tot FROM vbox GROUP BY vid, f),
+vfeat AS (
+    SELECT b.vid, b.nf, b.gy * {VID_GRID} + b.gx AS bidx,
+           SUM({VID_GRID * VID_GRID} * b.gray - t.tot) AS pooled
+    FROM vbox b JOIN vtot t ON t.vid = b.vid AND t.f = b.f
+    GROUP BY b.vid, b.nf, b.gy * {VID_GRID} + b.gx)
+SELECT vid AS doc_id,
+       'mjpeg' AS decoder,
+       MAX(nf) AS n_frames,
+       MAX(CASE WHEN bidx = 0 THEN pooled END) AS f0,
+       MIN(pooled) AS f_min,
+       MAX(pooled) AS f_max
+FROM vfeat
+GROUP BY vid"""

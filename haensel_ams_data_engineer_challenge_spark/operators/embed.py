@@ -79,8 +79,16 @@ IMAGE_KIND = "image-v1"
 #: header-only audio modality).
 AUDIO_KIND = "audio-v1"
 
+#: round-13 fifth encoder kind: video payloads -> sampled MJPEG frame
+#: decode (the round-13 JPEG codec) -> pooled image-v1 box features
+#: through the same seam (multimodal/videoembed.py — the video sample
+#: tier above the header-only video modality).
+VIDEO_KIND = "video-v1"
+
 #: every encoder kind ``embed_with_model`` can serve.
-SUPPORTED_ENCODERS = (ENCODER_KIND, WORDVEC_KIND, IMAGE_KIND, AUDIO_KIND)
+SUPPORTED_ENCODERS = (
+    ENCODER_KIND, WORDVEC_KIND, IMAGE_KIND, AUDIO_KIND, VIDEO_KIND,
+)
 
 #: SIF pooling constants (Arora et al. 2017, "A Simple but Tough-to-
 #: Beat Baseline"): weight(t) = a / (a + p(t)) with a = 1/SIF_A_DENOM.
@@ -463,6 +471,16 @@ def embed_with_model(
         from ..multimodal.audioembed import audio_embed_frame
 
         return audio_embed_frame(
+            docs, model_path, params,
+            id_col=id_col, payload_col=payload_col,
+            load_log_dir=load_log_dir,
+        )
+    if encoder == VIDEO_KIND:
+        # video payloads: MJPEG demux + sampled JPEG frame decode ->
+        # pooled box features — multimodal/videoembed.py owns the branch
+        from ..multimodal.videoembed import video_embed_frame
+
+        return video_embed_frame(
             docs, model_path, params,
             id_col=id_col, payload_col=payload_col,
             load_log_dir=load_log_dir,

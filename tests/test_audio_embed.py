@@ -280,3 +280,85 @@ def test_cli_dedup_audio_encoder_model_flag(spark, tmp_path, capsys, audio_model
         "--work-dir", str(tmp_path / "w2"), "--encoder-model", img,
     ])
     assert rc == 2
+
+
+def _tri_clip(peak_frac, n=2000, gain=1):
+    """Triangular envelope peaking at ``peak_frac`` of the clip: peak
+    positions 0.3/0.5/0.7 measure pairwise envelope cosines ~0.77/0.35
+    — BELOW the 0.9 near-dup bar (the envelope tier admits all three)
+    but chained ABOVE the 0.45 SemDeDup bar (one redundant group)."""
+    p = int(n * peak_frac)
+    return [
+        ((j % 5) - 2)
+        * (20 + ((j * 100) // max(p, 1) if j < p
+                 else ((n - j) * 100) // max(n - p, 1)))
+        * gain
+        for j in range(n)
+    ]
+
+
+def test_cli_dedup_audio_semdedup_and_both(spark, tmp_path, capsys):
+    """Round-13 tier parity (dedup-images --method): a planted
+    redundant cluster the near-dup tier ADMITS (three same-song-
+    different-mix envelopes at pairwise cosine < 0.9) is pruned to one
+    survivor by the SemDeDup tier; --method both is the union of
+    drops, so the gain duplicate (envelope tier) AND the redundancy
+    (semdedup tier) both go."""
+    from haensel_ams_data_engineer_challenge_spark.__main__ import main
+
+    rows = [
+        (1, bytearray(_wav(_tri_clip(0.30)))),
+        (2, bytearray(_wav(_tri_clip(0.50)))),
+        (3, bytearray(_wav(_tri_clip(0.70)))),
+        (4, bytearray(_wav(_tri_clip(0.30, gain=2)))),  # gain dup of 1
+        (5, bytearray(_wav([((j * 37) % 120 - 60) * (1 + (j // 31) % 7)
+                            for j in range(2000)]))),   # unrelated
+        (6, bytearray(_wav([0] * 800))),                # silence
+    ]
+    src = str(tmp_path / "clips.parquet")
+    spark.createDataFrame(rows, "doc_id long, payload binary").write.parquet(src)
+
+    # --method both: envelope drops the gain dup, semdedup prunes the
+    # redundant cluster to its single most-marginal member
+    work = str(tmp_path / "work_both")
+    rc = main([
+        "dedup-audio", "--audio-parquet", src, "--work-dir", work,
+        "--method", "both",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "method=both clips=6 survivors=3 dropped=3" in out
+    assert "envelope_pairs=" in out and "semdedup_dropped=3" in out
+    surv = {
+        r["doc_id"]: r["is_survivor"]
+        for r in spark.read.parquet(f"{work}/audio_survivors").collect()
+    }
+    assert surv[5] and surv[6], "unrelated + silence must survive"
+    assert not surv[4], "gain dup must drop"
+    kept_cluster = [i for i in (1, 2, 3) if surv[i]]
+    assert len(kept_cluster) == 1, (
+        f"semdedup must prune the redundant cluster to one, kept "
+        f"{kept_cluster}"
+    )
+
+    # --method envelope (the default tier) ADMITS the whole redundant
+    # cluster — the gap semdedup closes
+    work_env = str(tmp_path / "work_env")
+    rc = main([
+        "dedup-audio", "--audio-parquet", src, "--work-dir", work_env,
+    ])
+    assert rc == 0
+    assert "method=envelope clips=6 survivors=5 dropped=1" in (
+        capsys.readouterr().out
+    )
+
+    # --method semdedup alone: the diversity rule without the pair tier
+    work_sem = str(tmp_path / "work_sem")
+    rc = main([
+        "dedup-audio", "--audio-parquet", src, "--work-dir", work_sem,
+        "--method", "semdedup",
+    ])
+    assert rc == 0
+    assert "method=semdedup clips=6 survivors=3 dropped=3" in (
+        capsys.readouterr().out
+    )
