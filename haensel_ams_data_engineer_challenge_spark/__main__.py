@@ -81,6 +81,15 @@ def _parser() -> argparse.ArgumentParser:
         "do not switch a manifest sink back to swap)",
     )
     run.add_argument(
+        "--retention-minutes", type=float, default=None, metavar="M",
+        help="(manifest protocol) vacuum time floor for long-running "
+        "readers: superseded manifests younger than M keep their "
+        "files, so a reader that resolved before two quick mutations "
+        "(insert + compact) still scans complete.  Default 30 (round "
+        "13 — the two-quick-commits hazard must not bite a default "
+        "deployment); 0 = pure one-generation retention, minimal disk",
+    )
+    run.add_argument(
         "--hot-user-threshold", type=int, default=None, metavar="N",
         help="route users whose session+conversion timeline exceeds N "
         "rows through the as-of join's chunked hot-key path "
@@ -374,10 +383,19 @@ def _parser() -> argparse.ArgumentParser:
     di.add_argument(
         "--max-hamming", type=int, default=None, metavar="T",
         help="duplicate threshold on the 64-bit dHash (default 10: "
-        "re-encodes measure 0, mild resizes 0-6); recall is "
-        "GUARANTEED only at T<=3 (4x16-bit band pigeonhole) and "
-        "probabilistic-but-measured-high above it — pairs whose "
-        "differing bits spread across all 4 bands are missed",
+        "re-encodes measure 0, mild resizes 0-6); with the default "
+        "--bands 4 recall is GUARANTEED only at T<=3 (16-bit band "
+        "pigeonhole) and probabilistic-but-measured-high above it — "
+        "pairs whose differing bits spread across all 4 bands are "
+        "missed; --bands 8 raises the guarantee to T<=7",
+    )
+    di.add_argument(
+        "--bands", type=int, choices=(4, 8), default=4,
+        help="dHash banding layout (round 13): 4 = 16-bit bands "
+        "(fine buckets, guarantee at hamming<=3); 8 = 8-bit bands "
+        "(hamming<=7 pigeonhole-GUARANTEED — covers most of the "
+        "default threshold with a hard floor, at 2x band-stream rows "
+        "and coarser buckets; tools/phash_knob_bench.py prices it)",
     )
 
     ii = sub.add_parser(
@@ -393,6 +411,22 @@ def _parser() -> argparse.ArgumentParser:
     ii.add_argument("--model-dir", required=True)
     ii.add_argument("--grid", type=int, default=None,
                     help="box-feature grid (default 8 -> inner dim 64)")
+
+    ia = sub.add_parser(
+        "import-audioenc",
+        help="import a linear audio-projection matrix (row long, vec "
+        "array<double> of len grid — a PCA basis or distilled linear "
+        "head over the envelope features) as a committed PROJECTED "
+        "audio-v1 encoder artifact; output dim = row count, and every "
+        "consumer (dedup-audio --encoder-model, ingest-media) sizes "
+        "itself from the artifact (round 13 — import-imageenc parity, "
+        "so bring-your-own-weights covers every modality the seam "
+        "serves)",
+    )
+    ia.add_argument("--weights-parquet", required=True, metavar="PARQUET")
+    ia.add_argument("--model-dir", required=True)
+    ia.add_argument("--grid", type=int, default=None,
+                    help="envelope window grid (default 64 = inner dim)")
 
     da = sub.add_parser(
         "dedup-audio",
@@ -583,6 +617,12 @@ def _parser() -> argparse.ArgumentParser:
                     "always see a complete committed row set, and "
                     "--compact-sink never vacates the path; do not "
                     "switch a manifest sink back to swap")
+    ig.add_argument(
+        "--retention-minutes", type=float, default=None, metavar="M",
+        help="(manifest protocol) vacuum time floor — see pipeline "
+        "--retention-minutes; default 30, applies to the admitted "
+        "store's compaction and the band index's compaction",
+    )
     ig.add_argument("--semantic-dedup", action="store_true",
                     help="semantic tier: probe + grow the banded-LSH "
                     "bucket index over feature-hashed embeddings at "
@@ -737,9 +777,19 @@ def main(argv: list[str] | None = None) -> int:
             if args.compact_sink:
                 sink_path = f"{args.work_dir}/attribution_customer_journey"
                 if args.sink_protocol == "manifest":
-                    from .operators.manifest_sink import manifest_compact
+                    from .operators.manifest_sink import (
+                        DEFAULT_RETENTION_MINUTES,
+                        manifest_compact,
+                    )
 
-                    n_compacted = manifest_compact(spark, sink_path)
+                    n_compacted = manifest_compact(
+                        spark, sink_path,
+                        min_retention_minutes=(
+                            args.retention_minutes
+                            if args.retention_minutes is not None
+                            else DEFAULT_RETENTION_MINUTES
+                        ),
+                    )
                 else:
                     from .operators.sinks import compact_parquet_sink
 
@@ -1346,6 +1396,7 @@ def main(argv: list[str] | None = None) -> int:
                         else PHASH_MAX_HAMMING
                     ),
                     pre_materialized=True,
+                    n_bands=args.bands,
                 ).select("id_a", "id_b")
                 tier_counts["phash_pairs"] = p.count()
                 tiers.append(p)
@@ -1523,6 +1574,24 @@ def main(argv: list[str] | None = None) -> int:
             )
             print(
                 f"imported image projection: dim={params['dim']} "
+                f"grid={params['grid']} version={params['version']} "
+                f"-> {args.model_dir}"
+            )
+            return 0
+
+        if args.command == "import-audioenc":
+            from .multimodal.audioembed import (
+                AUDIO_GRID,
+                audio_encoder_import,
+            )
+
+            weights = spark.read.parquet(args.weights_parquet)
+            params = audio_encoder_import(
+                spark, weights, args.model_dir,
+                grid=args.grid if args.grid is not None else AUDIO_GRID,
+            )
+            print(
+                f"imported audio projection: dim={params['dim']} "
                 f"grid={params['grid']} version={params['version']} "
                 f"-> {args.model_dir}"
             )
@@ -1796,18 +1865,28 @@ def main(argv: list[str] | None = None) -> int:
                 max_xent=args.max_xent,
                 sink_protocol=args.sink_protocol,
             )
+            from .operators.manifest_sink import DEFAULT_RETENTION_MINUTES
+
+            retention = (
+                args.retention_minutes
+                if args.retention_minutes is not None
+                else DEFAULT_RETENTION_MINUTES
+            )
             if args.compact_index and args.near_dup:
                 from .operators.minhash_index import minhash_index_compact
 
                 n_bands = minhash_index_compact(
-                    spark, f"{args.work_dir}/minhash_index"
+                    spark, f"{args.work_dir}/minhash_index",
+                    min_retention_minutes=retention,
                 )
                 print(f"compacted_bands={n_bands}")
             if args.compact_sink:
                 if args.sink_protocol == "manifest":
                     from .operators.manifest_sink import manifest_compact
 
-                    n_rows = manifest_compact(spark, sink)
+                    n_rows = manifest_compact(
+                        spark, sink, min_retention_minutes=retention,
+                    )
                 else:
                     from .operators.sinks import compact_parquet_sink
 

@@ -216,14 +216,18 @@ def audio_encoder_build(
 
 class _PreparedAudio:
     """Worker-side prepared audio encoder: the decode ladder (real PCM
-    samples -> deterministic fake rung) + envelope features.  A
-    learned encoder holds its loaded weights here — the once-per-worker
-    cache in embed_with_model gives it the right lifetime."""
+    samples -> deterministic fake rung) + envelope features, optionally
+    followed by a LEARNED linear projection (``mat``, D x grid — the
+    bring-your-own-weights form an audio embedder's distilled/PCA'd
+    head exports; round 13, the _PreparedImage pattern).  The
+    once-per-worker cache in embed_with_model gives the loaded matrix
+    the right lifetime."""
 
-    __slots__ = ("grid",)
+    __slots__ = ("grid", "mat")
 
-    def __init__(self, grid: int):
+    def __init__(self, grid: int, mat=None):
         self.grid = grid
+        self.mat = mat
 
     def encode_payload(self, payload) -> list[float] | None:
         if payload is None:
@@ -233,7 +237,62 @@ class _PreparedAudio:
             _rate, samples = decoded
         else:
             samples = _fake_samples(bytes(payload), self.grid)
-        return audio_features(samples, self.grid)
+        feats = audio_features(samples, self.grid)
+        if feats is None or self.mat is None:
+            return feats
+        import numpy as np
+
+        out = self.mat @ np.asarray(feats, dtype=np.float64)
+        if not out.any():
+            # a projection can null a direction the raw features had:
+            # no direction -> absent (the zero-vector contract)
+            return None
+        return [float(v) for v in out]
+
+
+#: bound on an imported audio projection's OUTPUT dim (the
+#: IMG_PROJ_MAX_DIM rationale: past a few thousand rows the broadcast
+#: matrix is a model checkpoint, not a projection).
+AUD_PROJ_MAX_DIM = 4096
+
+
+def audio_encoder_import(
+    spark: SparkSession,
+    weights_df: DataFrame,
+    path: str,
+    grid: int = AUDIO_GRID,
+) -> dict:
+    """Commit a PROJECTED ``audio-v1`` encoder (round 13 — the audio
+    analogue of ``image_encoder_import``, closing the encoder-import
+    parity gap): ``weights_df`` is ``(row long, vec array<double>)``
+    — a D x ``grid`` projection matrix applied on top of the stateless
+    envelope features.  Output dim = D; every embedding consumer sizes
+    itself from the artifact's dim.  Shared validation refuses torn
+    exports (``validate_projection_matrix``); the version is a content
+    hash over the weights AND the mixdown identity, so a re-import
+    never serves a stale space."""
+    import hashlib as _hl
+
+    from ..operators.embed import AUDIO_KIND, validate_projection_matrix
+
+    rows, collected, n = validate_projection_matrix(
+        weights_df, grid, AUD_PROJ_MAX_DIM, "audio"
+    )
+    h = _hl.md5()
+    h.update(f"mix=sum|grid={grid}|".encode())
+    for r in collected:
+        h.update(repr((r["row"], tuple(r["vec"]))).encode())
+    version = h.hexdigest()[:12]
+    params = {
+        "kind": "encoder",
+        "encoder": AUDIO_KIND,
+        "dim": n,
+        "grid": grid,
+        "projected": "true",
+        "version": version,
+    }
+    artifact_overwrite(spark, path, {"weights": rows}, params)
+    return params
 
 
 def audio_embed_frame(
@@ -252,6 +311,8 @@ def audio_embed_frame(
 
     grid = int(params.get("grid", AUDIO_GRID))
     version = params.get("version", "1")
+    projected = params.get("projected") == "true"
+    proj_dim = int(params.get("dim", grid))
     src = docs.select(
         F.col(id_col).alias("vec_id"), F.col(payload_col).alias("__p")
     )
@@ -262,7 +323,14 @@ def audio_embed_frame(
         cache = _worker_encoder_cache()
         enc = cache.get(cache_key)
         if enc is None:
-            enc = _PreparedAudio(grid)
+            if projected:
+                from ..operators.embed import load_projection_matrix
+
+                enc = _PreparedAudio(
+                    grid, load_projection_matrix(model_path, proj_dim, grid)
+                )
+            else:
+                enc = _PreparedAudio(grid)
             cache[cache_key] = enc
             if load_log_dir is not None:
                 import os

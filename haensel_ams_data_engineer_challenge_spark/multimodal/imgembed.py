@@ -196,49 +196,20 @@ def image_encoder_import(
     embedding consumer sizes itself from the artifact's dim (LSH plane
     family, index markers), so D need not be 64.
 
-    Validation refuses ragged inner dims, a wrong inner dim, duplicate
-    or non-dense row ids, and D past ``IMG_PROJ_MAX_DIM`` — a torn
-    export must fail the import, not the first worker batch.  Version
-    is a content hash, so a re-import with different weights serves
-    under a new identity (index dirs keyed on it never mix spaces)."""
+    Validation (shared: ``validate_projection_matrix``, round 13)
+    refuses ragged inner dims, a wrong inner dim, NULL components,
+    duplicate or non-dense row ids, and D past ``IMG_PROJ_MAX_DIM`` —
+    a torn export must fail the import, not the first worker batch.
+    Version is a content hash, so a re-import with different weights
+    serves under a new identity (index dirs keyed on it never mix
+    spaces)."""
     import hashlib as _hl
 
-    inner = grid * grid
-    rows = weights_df.select(
-        F.col("row").cast("long").alias("row"),
-        F.col("vec").cast("array<double>").alias("vec"),
+    from ..operators.embed import validate_projection_matrix
+
+    rows, collected, n = validate_projection_matrix(
+        weights_df, grid * grid, IMG_PROJ_MAX_DIM, "image"
     )
-    dims = [
-        r["d"]
-        for r in rows.select(F.size("vec").alias("d")).distinct().collect()
-    ]
-    if len(dims) != 1 or int(dims[0]) != inner:
-        raise ValueError(
-            f"image projection needs consistent inner dim {inner} "
-            f"(grid {grid}); got sizes {sorted(dims)}"
-        )
-    n_null = rows.filter(
-        ~F.forall("vec", lambda x: x.isNotNull())
-    ).count()
-    if n_null:
-        # a torn export must fail the import, not the first worker
-        # batch (review fix: a NULL element passed the size check and
-        # crashed at matrix load)
-        raise ValueError(
-            f"image projection has {n_null} rows with NULL components"
-        )
-    n = rows.count()
-    if n == 0 or n > IMG_PROJ_MAX_DIM:
-        raise ValueError(
-            f"image projection needs 1..{IMG_PROJ_MAX_DIM} rows, got {n}"
-        )
-    collected = rows.orderBy("row").collect()
-    ids = [r["row"] for r in collected]
-    if ids != list(range(n)):
-        raise ValueError(
-            f"image projection row ids must be dense 0..{n - 1}; got "
-            f"{ids[:5]}..."
-        )
     h = _hl.md5()
     h.update(f"ladder={IMG_LADDER}|".encode())
     for r in collected:
@@ -259,41 +230,13 @@ def image_encoder_import(
 
 def _load_prepared_image(model_path: str, grid: int, dim: int) -> _PreparedImage:
     """Worker-side load of a projected image encoder's weight matrix
-    (pyarrow — workers have no SparkSession; manifest-resolved like
-    every artifact read)."""
-    import numpy as np
-    import pyarrow.fs as pafs
-    import pyarrow.parquet as pq
+    (shared ``load_projection_matrix``: pyarrow, manifest-resolved,
+    torn-table refusal)."""
+    from ..operators.embed import load_projection_matrix
 
-    from ..operators.embed import _worker_table_files
-
-    if "://" in model_path:
-        fs, root = pafs.FileSystem.from_uri(model_path)
-    else:
-        fs, root = pafs.LocalFileSystem(), model_path
-    files = _worker_table_files(fs, root, "weights")
-    if not files:
-        raise FileNotFoundError(
-            f"projected image encoder weights missing: {model_path}/weights"
-        )
-    pdf = pd.concat(
-        [pq.read_table(f, filesystem=fs).to_pandas() for f in files],
-        ignore_index=True,
-    ).sort_values("row")
-    mat = np.zeros((dim, grid * grid), dtype=np.float64)
-    seen = set()
-    for j, v in zip(pdf["row"], pdf["vec"]):
-        mat[int(j), :] = v
-        seen.add(int(j))
-    if len(seen) != dim:
-        # a torn/hand-copied weights table must fail loudly, never
-        # serve uninitialized rows (review fix: np.empty + a partial
-        # table emitted per-process garbage embeddings)
-        raise ValueError(
-            f"projected image encoder at {model_path} covers "
-            f"{len(seen)}/{dim} rows — torn artifact"
-        )
-    return _PreparedImage(grid, mat)
+    return _PreparedImage(
+        grid, load_projection_matrix(model_path, dim, grid * grid)
+    )
 
 
 def image_embed_frame(

@@ -411,21 +411,31 @@ def phash_dup_pairs(
     id_col: str = "doc_id",
     max_bucket: int | None = PHASH_MAX_BAND_BUCKET,
     pre_materialized: bool = False,
+    n_bands: int = 4,
 ) -> DataFrame:
     """(id_a, id_b, hamming) near-duplicate image pairs from
     :func:`image_phash` output: candidates share at least one exact
-    16-bit dHash band (4 bands — pigeonhole-guaranteed recall for
-    hamming <= 3, high for the re-encode/resize regime which measures
-    0-6), verified by the exact 64-bit hamming distance.
+    dHash band, verified by the exact 64-bit hamming distance.
 
-    Recall above distance 3 is PROBABILISTIC, not guaranteed (r11
-    advice): a pair at hamming 4..max_hamming whose differing bits
-    spread across all four bands shares no band and is missed.  The
-    re-encode/resize regime flips SPATIALLY CLUSTERED bits (each band
-    is two adjacent hash rows), which is why measured recall at the
-    t=10 default stays high (tools/phash_knob_bench.py); callers
-    needing a hard guarantee at t<=7 should band into 8x8-bit bands —
-    at 4x the candidate-join volume.
+    ``n_bands`` picks the banding layout (round 13, r12 verdict task
+    4) — both derive from the SAME stored p0..p3 ints, so no re-decode:
+
+    - 4 (default): 16-bit bands (two adjacent hash rows each).
+      Pigeonhole-GUARANTEED recall only at hamming <= 3; a pair at
+      4..max_hamming whose differing bits spread across all four
+      bands is missed.  The re-encode/resize regime flips SPATIALLY
+      CLUSTERED bits, which is why measured recall at the t=10
+      default stays high (tools/phash_knob_bench.py).
+    - 8: 8-bit bands (one hash row each) — hamming <= 7 is
+      pigeonhole-GUARANTEED to collide, covering most of the t=10
+      default with a hard guarantee (measured: resize recall 0.78 ->
+      0.97 on the knob-bench corpus) at ~13x the candidate volume.
+      SCALE CAVEAT: an 8-bit band has only 256 values, so average
+      bucket occupancy is n/256 — past ~256*max_bucket images every
+      bucket floods and the tier degrades to nothing; use 8 bands for
+      recall-critical passes over BOUNDED partitions (a shard, a
+      cluster re-scan), 4 bands for corpus-scale sweeps.  That
+      occupancy wall is why 4 stays the default.
 
     Shape: one (band, value) explode + self-join per band via a UNION
     — the SimHash banding plan verbatim, with the repo's flood cap
@@ -443,18 +453,37 @@ def phash_dup_pairs(
     second checkpoint."""
     from ..checkpoint import materialize
 
+    if n_bands not in (4, 8):
+        raise ValueError(f"n_bands must be 4 or 8, got {n_bands}")
     if not pre_materialized:
         hashes = materialize(hashes)
+    if n_bands == 4:
+        band_structs = [
+            F.struct(F.lit(k).alias("band"), F.col(f"p{k}").alias("v"))
+            for k in range(4)
+        ]
+    else:
+        # 8x8-bit: band 2k = rows 2k (low byte of p_k), band 2k+1 =
+        # row 2k+1 (high byte) — pure bit math on the stored ints
+        band_structs = [
+            s
+            for k in range(4)
+            for s in (
+                F.struct(
+                    F.lit(2 * k).alias("band"),
+                    F.col(f"p{k}").bitwiseAND(F.lit(255)).alias("v"),
+                ),
+                F.struct(
+                    F.lit(2 * k + 1).alias("band"),
+                    F.shiftright(F.col(f"p{k}"), 8)
+                    .bitwiseAND(F.lit(255))
+                    .alias("v"),
+                ),
+            )
+        ]
     bands = hashes.select(
         F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(k).alias("band"), F.col(f"p{k}").alias("v"))
-                    for k in range(4)
-                ]
-            )
-        ).alias("bb"),
+        F.explode(F.array(*band_structs)).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.v").alias("v"))
     if max_bucket is not None:
         flooded = (

@@ -135,17 +135,35 @@ def _stage_table(
     return staged, df.schema.jsonValue()
 
 
-def artifact_vacuum(spark: SparkSession, path: str) -> int:
+def artifact_vacuum(
+    spark: SparkSession, path: str, min_retention_minutes: float = 0.0
+) -> int:
     """Delete table files referenced by NEITHER the latest NOR the
     previous manifest, orphan staging dirs, stale manifest tmp files,
     and manifests older than the previous.  The sink vacuum's rules
     over the table-dir layout; MUST run under the writer lease (the
-    mutating ops call it on entry)."""
+    mutating ops call it on entry).
+
+    ``min_retention_minutes`` > 0 adds the sink vacuum's TIME floor
+    (round 13): any superseded manifest modified within the floor is
+    kept with every file it references, so a reader that resolved it
+    before two quick mutations still scans a complete artifact."""
     names = _list_names(spark, path)
     versions = _manifest_versions(names)
     if not versions:
         return 0
     keep_versions = set(versions[-2:])
+    if min_retention_minutes > 0:
+        import time
+
+        jvm0, fs0 = _fs(spark, path)
+        floor_ms = (time.time() - min_retention_minutes * 60.0) * 1000.0
+        for v in versions[:-2]:
+            st = fs0.getFileStatus(
+                _jpath(jvm0, f"{path}/_manifest_v{v:012d}.json")
+            )
+            if st.getModificationTime() >= floor_ms:
+                keep_versions.add(v)
     referenced: set[str] = set()  # "table/name"
     tables: set[str] = set()
     for v in keep_versions:
@@ -306,12 +324,14 @@ def artifact_compact(
     spark: SparkSession,
     path: str,
     target_partitions: int | None = None,
+    min_retention_minutes: float = 0.0,
 ) -> int:
     """Reader-stable compaction of EVERY table: rewrite each table's
     committed rows as ``target_partitions`` fresh files, one manifest
     commit covering all of them.  Returns total rows compacted.  No
     marker tear, no swap window: a reader holding the previous
-    manifest keeps complete tables (files survive one generation)."""
+    manifest keeps complete tables (files survive one generation —
+    or for ``min_retention_minutes``, whichever is longer)."""
     n_parts = target_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
@@ -321,7 +341,7 @@ def artifact_compact(
         if got is None:
             raise ValueError(f"no committed artifact manifest at {path}")
         version, man = got
-        artifact_vacuum(spark, path)
+        artifact_vacuum(spark, path, min_retention_minutes)
         body_tables = {}
         for t, entry in man["tables"].items():
             if not entry["files"]:

@@ -760,6 +760,86 @@ def wordvec_model_build(
     )
 
 
+def validate_projection_matrix(
+    weights_df: DataFrame, inner: int, max_dim: int, label: str
+):
+    """Shared bring-your-own-weights validation for linear-projection
+    encoder imports (round 13: factored from image_encoder_import so
+    the audio import reuses it verbatim): ``weights_df`` must be
+    ``(row long, vec array<double>)`` — a D x ``inner`` matrix with
+    consistent inner dim, no NULL components, dense 0..D-1 row ids,
+    and D in 1..``max_dim``.  A torn export must fail the IMPORT, not
+    the first worker batch.  Returns (rows_df, collected_rows, D)."""
+    rows = weights_df.select(
+        F.col("row").cast("long").alias("row"),
+        F.col("vec").cast("array<double>").alias("vec"),
+    )
+    dims = [
+        r["d"]
+        for r in rows.select(F.size("vec").alias("d")).distinct().collect()
+    ]
+    if not dims:
+        raise ValueError(f"{label} projection is empty (0 rows)")
+    if len(dims) != 1 or int(dims[0]) != inner:
+        raise ValueError(
+            f"{label} projection needs consistent inner dim {inner}; "
+            f"got sizes {sorted(dims)}"
+        )
+    n_null = rows.filter(~F.forall("vec", lambda x: x.isNotNull())).count()
+    if n_null:
+        raise ValueError(
+            f"{label} projection has {n_null} rows with NULL components"
+        )
+    n = rows.count()
+    if n == 0 or n > max_dim:
+        raise ValueError(
+            f"{label} projection needs 1..{max_dim} rows, got {n}"
+        )
+    collected = rows.orderBy("row").collect()
+    ids = [r["row"] for r in collected]
+    if ids != list(range(n)):
+        raise ValueError(
+            f"{label} projection row ids must be dense 0..{n - 1}; got "
+            f"{ids[:5]}..."
+        )
+    return rows, collected, n
+
+
+def load_projection_matrix(model_path: str, dim: int, inner: int):
+    """Worker-side load of an imported projection's weight matrix
+    (pyarrow — workers have no SparkSession; manifest-resolved like
+    every artifact read); refuses a torn/partial weights table rather
+    than serving uninitialized rows."""
+    import numpy as np
+    import pyarrow.fs as pafs
+    import pyarrow.parquet as pq
+
+    if "://" in model_path:
+        fs, root = pafs.FileSystem.from_uri(model_path)
+    else:
+        fs, root = pafs.LocalFileSystem(), model_path
+    files = _worker_table_files(fs, root, "weights")
+    if not files:
+        raise FileNotFoundError(
+            f"projected encoder weights missing: {model_path}/weights"
+        )
+    pdf = pd.concat(
+        [pq.read_table(f, filesystem=fs).to_pandas() for f in files],
+        ignore_index=True,
+    ).sort_values("row")
+    mat = np.zeros((dim, inner), dtype=np.float64)
+    seen = set()
+    for j, v in zip(pdf["row"], pdf["vec"]):
+        mat[int(j), :] = v
+        seen.add(int(j))
+    if len(seen) != dim:
+        raise ValueError(
+            f"projected encoder at {model_path} covers "
+            f"{len(seen)}/{dim} rows — torn artifact"
+        )
+    return mat
+
+
 def wordvec_model_import(
     vectors: DataFrame,
     path: str,

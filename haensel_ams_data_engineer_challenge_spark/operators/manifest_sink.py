@@ -37,6 +37,13 @@ Deployments with slow readers pass ``min_retention_minutes`` (threaded
 through every mutating op): vacuum then also keeps every manifest —
 and all files it references — younger than the floor, so a reader is
 safe for at least that long after resolving (round 12, r11 advice).
+The CLI mutation paths (pipeline/ingest ``--compact-sink``, the
+minhash-index compaction) default to ``DEFAULT_RETENTION_MINUTES``
+(round 13, r12 advice): the two-quick-commits hazard must not bite a
+default-config deployment.  The trade is DISK, bounded and brief —
+superseded generations persist up to the floor, so worst case is
+(mutations within the floor) x (sink size); ``--retention-minutes 0``
+restores pure one-generation retention for scratch pipelines.
 
 Appended files are recorded EXPLICITLY, never inferred: each insert
 writes its part files to a private staging directory and moves exactly
@@ -72,6 +79,11 @@ from pyspark.sql.types import StructType
 from .sinks import hold_writer_lease
 
 _MANIFEST_RE = re.compile(r"^_manifest_v(\d{12})\.json$")
+
+#: the CLI mutation paths' retention floor (round 13, r12 advice):
+#: long enough for any sane reader scan, short enough that superseded
+#: generations never pile up (module docstring on the disk trade).
+DEFAULT_RETENTION_MINUTES = 30.0
 
 
 def _fs(spark: SparkSession, path: str):

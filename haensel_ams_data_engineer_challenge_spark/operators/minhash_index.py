@@ -147,6 +147,7 @@ def minhash_index_compact(
     spark,
     path: str,
     target_partitions: int | None = None,
+    min_retention_minutes: float = 0.0,
 ) -> int:
     """Rewrite the append-fragmented band store as ``target_partitions``
     files (default: the session's shuffle parallelism) — the
@@ -166,7 +167,10 @@ def minhash_index_compact(
     # not interpret them): the only requirement is a COMMITTED artifact
     if not artifact_adopt(spark, path, ("bands",)):
         raise ValueError(f"no committed MinHash index at {path}")
-    return artifact_compact(spark, path, target_partitions)
+    return artifact_compact(
+        spark, path, target_partitions,
+        min_retention_minutes=min_retention_minutes,
+    )
 
 
 def near_dup_probe(

@@ -362,3 +362,116 @@ def test_cli_dedup_audio_semdedup_and_both(spark, tmp_path, capsys):
     assert "method=semdedup clips=6 survivors=3 dropped=3" in (
         capsys.readouterr().out
     )
+
+
+def _identity_weights(spark, dim=64):
+    return spark.createDataFrame(
+        [(i, [1.0 if j == i else 0.0 for j in range(dim)])
+         for i in range(dim)],
+        "row long, vec array<double>",
+    )
+
+
+def test_audio_encoder_import_identity_bit_equal(spark, tmp_path):
+    """import-audioenc parity (round 13): the identity projection
+    serves BIT-EQUAL vectors to the stateless encoder — the projection
+    seam adds exactly nothing when the matrix is I."""
+    plain = str(tmp_path / "plain")
+    proj = str(tmp_path / "proj")
+    A.audio_encoder_build(spark, plain)
+    params = A.audio_encoder_import(spark, _identity_weights(spark), proj)
+    assert params["dim"] == 64 and params["projected"] == "true"
+    rows = [
+        (1, bytearray(_wav(_clip(2000)))),
+        (2, bytearray(_wav(_clip(2000, gain=2)))),
+        (3, bytearray(b"opus bytes")),       # fake rung
+        (4, bytearray(_wav([0] * 500))),     # silence: absent both ways
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    a = {r["vec_id"]: list(r["embedding"])
+         for r in E.embed_with_model(df, plain).collect()}
+    b = {r["vec_id"]: list(r["embedding"])
+         for r in E.embed_with_model(df, proj).collect()}
+    assert a == b and set(a) == {1, 2, 3}
+
+
+def test_audio_encoder_import_refusal_matrix(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    good = _identity_weights(spark)
+    # ragged / wrong inner dim
+    with pytest.raises(ValueError, match="inner dim"):
+        A.audio_encoder_import(
+            spark,
+            good.withColumn("vec", F.slice("vec", 1, 32)),
+            str(tmp_path / "w1"),
+        )
+    # NULL component
+    with pytest.raises(ValueError, match="NULL components"):
+        A.audio_encoder_import(
+            spark,
+            good.withColumn(
+                "vec",
+                F.when(F.col("row") == 3, F.array(
+                    *[F.lit(None).cast("double") for _ in range(64)]
+                )).otherwise(F.col("vec")),
+            ),
+            str(tmp_path / "w2"),
+        )
+    # non-dense row ids
+    with pytest.raises(ValueError, match="dense"):
+        A.audio_encoder_import(
+            spark,
+            good.withColumn("row", F.col("row") * 2),
+            str(tmp_path / "w3"),
+        )
+    # empty
+    with pytest.raises(ValueError, match="empty"):
+        A.audio_encoder_import(
+            spark, good.filter("row < 0"), str(tmp_path / "w4")
+        )
+
+
+def test_cli_import_audioenc_and_dedup(spark, tmp_path, capsys):
+    """CLI e2e: import a 2-row projection (two envelope contrasts),
+    then dedup-audio --encoder-model runs the tier in ITS 2-dim space
+    — the gain pair still collapses (projection is linear: gain scales
+    the projected vector too)."""
+    from haensel_ams_data_engineer_challenge_spark.__main__ import main
+
+    w = spark.createDataFrame(
+        [
+            (0, [1.0] * 32 + [-1.0] * 32),
+            (1, [1.0, -1.0] * 32),
+        ],
+        "row long, vec array<double>",
+    )
+    wp = str(tmp_path / "weights.parquet")
+    w.write.parquet(wp)
+    model = str(tmp_path / "audmodel")
+    rc = main([
+        "import-audioenc", "--weights-parquet", wp, "--model-dir", model,
+    ])
+    assert rc == 0
+    assert "imported audio projection: dim=2" in capsys.readouterr().out
+
+    rows = [
+        (1, bytearray(_wav(_clip(2000)))),
+        (2, bytearray(_wav(_clip(2000, gain=3)))),
+        (3, bytearray(_wav([((j * 37) % 120 - 60) * (1 + (j // 31) % 7)
+                            for j in range(2000)]))),
+    ]
+    src = str(tmp_path / "clips.parquet")
+    spark.createDataFrame(rows, "doc_id long, payload binary").write.parquet(src)
+    work = str(tmp_path / "work")
+    rc = main([
+        "dedup-audio", "--audio-parquet", src, "--work-dir", work,
+        "--encoder-model", model,
+    ])
+    assert rc == 0
+    assert "clips=3 survivors=2 dropped=1" in capsys.readouterr().out
+    surv = {
+        r["doc_id"]: r["is_survivor"]
+        for r in spark.read.parquet(f"{work}/audio_survivors").collect()
+    }
+    assert surv == {1: True, 2: False, 3: True}

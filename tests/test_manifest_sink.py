@@ -257,3 +257,78 @@ def test_vacuum_retention_floor_keeps_young_generations(spark, tmp_path):
         kept.update(M._read_manifest(spark, path, v)["files"])
     assert M._data_files(M._list_names(spark, path)) <= kept
     assert M.read_manifest_sink(spark, path).count() == 3
+
+
+def test_default_floor_threads_through_mutation_entry_vacuums(
+    spark, tmp_path
+):
+    """Round-13 (r12 advice): the CLI mutation paths pass
+    DEFAULT_RETENTION_MINUTES into every mutating op, so a reader that
+    resolved v1 before THREE quick mutations — enough to age v1 out of
+    the two-generation window at the third's ENTRY vacuum — still
+    scans a complete file set, with no standalone vacuum call anywhere."""
+    path = str(tmp_path / "sink")
+    r = M.DEFAULT_RETENTION_MINUTES
+    assert r >= 30.0
+    M.manifest_insert_if_absent(
+        spark, _df(spark, [1, 2]), path, ["k"], min_retention_minutes=r
+    )
+    v1_files = set(M._resolve_latest(spark, path)[1]["files"])
+    M.manifest_compact(spark, path, target_partitions=1,
+                       min_retention_minutes=r)
+    M.manifest_insert_if_absent(
+        spark, _df(spark, [3]), path, ["k"], min_retention_minutes=r
+    )
+    M.manifest_compact(spark, path, target_partitions=1,
+                       min_retention_minutes=r)
+    on_disk = M._data_files(M._list_names(spark, path))
+    assert v1_files <= on_disk, (
+        "a reader holding v1 lost files inside the retention floor"
+    )
+    assert set(M._read_manifest(spark, path, 1)["files"]) == v1_files
+    # the v1 reader's rows are complete AND the latest view is right
+    v1_rows = sorted(
+        r["k"]
+        for r in spark.read.parquet(
+            *[f"{path}/{n}" for n in v1_files]
+        ).collect()
+    )
+    assert v1_rows == ["1", "2"]
+    assert _keys(spark, path) == ["1", "2", "3"]
+
+
+def test_artifact_compact_retention_floor(spark, tmp_path):
+    """The index-compaction side of the same guarantee: an artifact
+    reader holding v1 across append + two retention-floored compacts
+    keeps its complete table files."""
+    from haensel_ams_data_engineer_challenge_spark.operators import (
+        artifact_manifest as AM,
+    )
+
+    path = str(tmp_path / "art")
+    AM.artifact_overwrite(
+        spark, path, {"bands": _df(spark, [1, 2])}, {"kind": "test"}
+    )
+    _v, man1 = AM.artifact_resolve(spark, path)
+    v1_files = {
+        f"bands/{n}" for n in man1["tables"]["bands"]["files"]
+    }
+    AM.artifact_append(
+        spark, path, {"bands": _df(spark, [3])}, {"kind": "test"}
+    )
+    AM.artifact_compact(spark, path, 1, min_retention_minutes=60.0)
+    AM.artifact_compact(spark, path, 1, min_retention_minutes=60.0)
+    on_disk = {
+        f"bands/{n}"
+        for n in M._list_names(spark, f"{path}/bands")
+        if n in M._data_files([n])
+    }
+    assert v1_files <= on_disk, "v1's table files vacuumed inside floor"
+    # without the floor, a further compact reclaims them
+    AM.artifact_compact(spark, path, 1)
+    on_disk = {
+        f"bands/{n}"
+        for n in M._list_names(spark, f"{path}/bands")
+        if n in M._data_files([n])
+    }
+    assert not (v1_files & on_disk)

@@ -350,3 +350,64 @@ def test_truncated_trailer_rejected():
         + P._png_chunk(b"IEND", b"")
     )
     assert P.decode_png_pixels(ok) == (9, 9, grays)
+
+
+def test_eight_band_layout_guarantees_hamming_seven(spark):
+    """Round-13 banding knob: a pair at hamming EXACTLY 7 whose
+    differing bits touch all four 16-bit bands (the 4-band layout's
+    blind spot) is pigeonhole-caught by the 8-band layout — 7
+    differing bits cannot touch all 8 one-row bands."""
+    a = [0x1234, 0x00FF, 0x5A5A, 0x8001]
+    # flip 2 bits in p0 (one per byte), 2 in p1, 2 in p2, 1 in p3's
+    # LOW byte: every 16-bit band differs; p3's high byte survives
+    b = [
+        a[0] ^ 0x0101,
+        a[1] ^ 0x1001,
+        a[2] ^ 0x0210,
+        a[3] ^ 0x0004,
+    ]
+    rows = [(1, *a), (2, *b)]
+    hashes = spark.createDataFrame(
+        rows, "doc_id long, p0 long, p1 long, p2 long, p3 long"
+    )
+    four = P.phash_dup_pairs(
+        hashes, max_hamming=7, pre_materialized=True, n_bands=4
+    ).collect()
+    assert four == [], "all four 16-bit bands differ: no candidate"
+    eight = P.phash_dup_pairs(
+        hashes, max_hamming=7, pre_materialized=True, n_bands=8
+    ).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in eight] == [
+        (1, 2, 7)
+    ], "8-band pigeonhole must catch hamming 7"
+    # same planted pair from test_jpeg-style real payloads: both
+    # layouts agree on everything the 4-band layout DOES find
+    with pytest.raises(ValueError, match="n_bands"):
+        P.phash_dup_pairs(hashes, pre_materialized=True, n_bands=6)
+
+
+def test_band_layouts_agree_on_real_duplicates(spark):
+    """On a real re-encode/resize corpus both layouts verify with the
+    same exact hamming — the 8-band pair set is a superset."""
+    w, h = 36, 24
+    base = _pattern(w, h)
+    up, uw, uh = _upscale(base, w, h, 2)
+    rows = [
+        (1, bytearray(P.png_encode_gray(base, w, h))),
+        (2, bytearray(P.png_encode_gray(base, w, h, level=9))),
+        (3, bytearray(P.png_encode_gray(up, uw, uh))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    hashes = P.image_phash(df)
+    four = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in P.phash_dup_pairs(hashes, n_bands=4).collect()
+    }
+    eight = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in P.phash_dup_pairs(hashes, n_bands=8).collect()
+    }
+    assert set(four) <= set(eight)
+    for k, v in four.items():
+        assert eight[k] == v
+    assert (1, 2) in eight and (1, 3) in eight

@@ -7,8 +7,11 @@ pair scan at the loosest threshold, then per-threshold metrics are
 aggregated driver-side from the returned hamming distances (the knob
 only filters, so a single scan prices every setting).
 
-Usage: python tools/phash_knob_bench.py [n_images] [max_t]
-Prints one JSON line per threshold.
+Usage: python tools/phash_knob_bench.py [n_images] [max_t] [--bands]
+Prints one JSON line per threshold; with --bands also one line per
+banding layout (round 13: 4x16-bit vs 8x8-bit) pricing the
+guaranteed-recall-at-hamming<=7 layout — candidate volume (pairs at
+t=64 == every verified candidate), wall, and recall at the default t.
 """
 
 from __future__ import annotations
@@ -145,6 +148,44 @@ def main() -> None:
                         4,
                     ),
                     "total_pairs": len(got),
+                }
+            ),
+            flush=True,
+        )
+
+    if "--bands" not in sys.argv:
+        return
+    import time
+
+    t_def = P.PHASH_MAX_HAMMING
+    for nb in (4, 8):
+        t0 = time.perf_counter()
+        cand = P.phash_dup_pairs(
+            hashes, max_hamming=64, pre_materialized=True, n_bands=nb
+        ).collect()
+        wall = time.perf_counter() - t0
+        got = {
+            (r["id_a"], r["id_b"]) for r in cand if r["hamming"] <= t_def
+        }
+        print(
+            json.dumps(
+                {
+                    "bands": nb,
+                    "max_hamming": t_def,
+                    "candidates": len(cand),
+                    "pairs_at_default": len(got),
+                    "reencode_recall": round(
+                        len(got & reenc) / max(1, len(reenc)), 4
+                    ),
+                    "resize_recall": round(
+                        len(got & resized) / max(1, len(resized)), 4
+                    ),
+                    "smooth_resize_recall": round(
+                        len(got & smooth_resized)
+                        / max(1, len(smooth_resized)),
+                        4,
+                    ),
+                    "wall_sec": round(wall, 2),
                 }
             ),
             flush=True,
