@@ -475,6 +475,40 @@ def _parser() -> argparse.ArgumentParser:
         "space at ITS dim (non-audio kinds refused)",
     )
 
+    dv = sub.add_parser(
+        "dedup-video",
+        help="video near-dup over a video-payload parquet (doc_id, "
+        "payload binary): MJPEG/AVI demux + sampled real JPEG frame "
+        "decode -> pooled video-v1 clip features (round 13) -> banded "
+        "sign-LSH + exact-cosine verify -> connected components -> "
+        "one survivor per duplicate cluster; non-MJPEG containers "
+        "dedup byte-exact via the fake rung",
+    )
+    dv.add_argument("--videos-parquet", required=True, metavar="PARQUET")
+    dv.add_argument("--work-dir", required=True)
+    dv.add_argument(
+        "--method", choices=["clip", "semdedup", "both"], default="clip",
+        help="clip = near-dup tier (re-encodes ~cosine 1, per-frame "
+        "re-grades exactly 1, mild trims high); semdedup = the "
+        "diversity rule on the same features; both = union of drops "
+        "(the dedup-audio --method contract)",
+    )
+    dv.add_argument(
+        "--cosine-threshold", type=float, default=0.9, metavar="C",
+        help="duplicate bar on the exact cosine of the pooled clip "
+        "features (re-encode ~0.99+, re-grade 1.0, short trim ~0.9+)",
+    )
+    dv.add_argument(
+        "--semdedup-threshold", type=float, default=None, metavar="C",
+        help="(semdedup/both) the diversity bar — defaults to the "
+        "SemDeDup paper regime (0.45); see dedup-audio",
+    )
+    dv.add_argument(
+        "--encoder-model", default=None, metavar="DIR",
+        help="use a committed VIDEO encoder artifact instead of the "
+        "stateless work-dir default (non-video kinds refused)",
+    )
+
     wv = sub.add_parser(
         "import-wordvec",
         help="import a float word-vector table (term, vec "
@@ -723,6 +757,84 @@ def _parser() -> argparse.ArgumentParser:
     )
     mx.add_argument("--key-col", default="doc_id")
     return p
+
+
+def _payload_dedup_tiers(
+    spark,
+    clips,
+    vecs,
+    method: str,
+    cosine_threshold: float,
+    semdedup_threshold: float | None,
+    enc_dim: int,
+):
+    """Shared vector-space dedup tiers for payload modalities (round
+    13: factored from the dedup-audio handler so dedup-video reuses it
+    verbatim).  ``vecs`` is the one-decode-pass features parquet
+    read-back (vec_id, embedding); featureless payloads (absent from
+    it) are singletons, never false-paired.  Returns (survivors_df,
+    tier_counts) under the dedup_survivors contract; ``method`` is
+    'near' (LSH + exact-cosine pair tier), 'semdedup', or 'both'
+    (union of drops, components from the pair tier)."""
+    from pyspark.sql import functions as F
+
+    from .operators.components import dedup_survivors
+    from .operators.similarity import (
+        MAX_VECTOR_BUCKET,
+        SEMDEDUP_THRESHOLD,
+        embedding_dup_pairs_lsh,
+        ivf_suggest_cells,
+        semdedup_keep,
+    )
+
+    n_feat = vecs.count()
+    tier_counts = {"featured": n_feat}
+    near_surv = sem_surv = None
+    if method in ("near", "both"):
+        pairs = embedding_dup_pairs_lsh(
+            vecs,
+            threshold=cosine_threshold,
+            planes_per_band=10,
+            max_bucket=MAX_VECTOR_BUCKET,
+            dim=enc_dim,
+        ).select("id_a", "id_b")
+        tier_counts["near_pairs"] = pairs.count()
+        near_surv = dedup_survivors(clips.select("doc_id"), pairs)
+    if method in ("semdedup", "both"):
+        kept = semdedup_keep(
+            vecs,
+            threshold=(
+                semdedup_threshold
+                if semdedup_threshold is not None
+                else SEMDEDUP_THRESHOLD
+            ),
+            k=max(1, min(ivf_suggest_cells(n_feat), n_feat // 4)),
+        ).select(
+            F.col("vec_id").alias("doc_id"), "component", "is_survivor"
+        )
+        flat = (
+            clips.select("doc_id")
+            .join(vecs.select(F.col("vec_id").alias("doc_id")),
+                  "doc_id", "left_anti")
+            .withColumn("component", F.col("doc_id"))
+            .withColumn("is_survivor", F.lit(True))
+        )
+        sem_surv = kept.unionByName(flat)
+        tier_counts["semdedup_dropped"] = sem_surv.filter(
+            ~F.col("is_survivor")
+        ).count()
+    if method == "near":
+        return near_surv, tier_counts
+    if method == "semdedup":
+        return sem_surv, tier_counts
+    surv = near_surv.join(
+        sem_surv.select("doc_id", F.col("is_survivor").alias("__sem")),
+        "doc_id",
+    ).select(
+        "doc_id", "component",
+        (F.col("is_survivor") & F.col("__sem")).alias("is_survivor"),
+    )
+    return surv, tier_counts
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -1445,15 +1557,8 @@ def main(argv: list[str] | None = None) -> int:
             return 0
 
         if args.command == "dedup-audio":
-            from pyspark.sql import functions as F
-
             from .multimodal.audioembed import audio_encoder_build
-            from .operators.components import dedup_survivors
             from .operators.embed import embed_with_model
-            from .operators.similarity import (
-                MAX_VECTOR_BUCKET,
-                embedding_dup_pairs_lsh,
-            )
 
             clips = spark.read.parquet(args.audio_parquet)
             # the feature space is a committed artifact (index markers
@@ -1483,76 +1588,72 @@ def main(argv: list[str] | None = None) -> int:
                 f"{args.work_dir}/audio_features"
             )
             vecs = spark.read.parquet(f"{args.work_dir}/audio_features")
-            n_feat = vecs.count()
-            tier_counts = {}
-            env_surv = sem_surv = None
-            if args.method in ("envelope", "both"):
-                # silence / flat clips carry no feature direction
-                # (absent from vecs): singletons below, never
-                # false-paired
-                pairs = embedding_dup_pairs_lsh(
-                    vecs,
-                    threshold=args.cosine_threshold,
-                    planes_per_band=10,
-                    max_bucket=MAX_VECTOR_BUCKET,
-                    dim=enc_dim,
-                ).select("id_a", "id_b")
-                tier_counts["envelope_pairs"] = pairs.count()
-                env_surv = dedup_survivors(clips.select("doc_id"), pairs)
-            if args.method in ("semdedup", "both"):
-                # the diversity tier (round 13 — dedup-images parity):
-                # SemDeDup's keep-farthest-from-centroid rule over the
-                # SAME features parquet (one decode pass for every
-                # tier); sqrt-N cells, the dedup-images sizing
-                from .operators.similarity import (
-                    SEMDEDUP_THRESHOLD,
-                    ivf_suggest_cells,
-                    semdedup_keep,
-                )
-
-                kept = semdedup_keep(
-                    vecs,
-                    threshold=(
-                        args.semdedup_threshold
-                        if args.semdedup_threshold is not None
-                        else SEMDEDUP_THRESHOLD
-                    ),
-                    k=max(1, min(ivf_suggest_cells(n_feat), n_feat // 4)),
-                ).select(
-                    F.col("vec_id").alias("doc_id"),
-                    "component", "is_survivor",
-                )
-                flat = (
-                    clips.select("doc_id")
-                    .join(vecs.select(F.col("vec_id").alias("doc_id")),
-                          "doc_id", "left_anti")
-                    .withColumn("component", F.col("doc_id"))
-                    .withColumn("is_survivor", F.lit(True))
-                )
-                sem_surv = kept.unionByName(flat)
-                tier_counts["semdedup_dropped"] = sem_surv.filter(
-                    ~F.col("is_survivor")
-                ).count()
-            if args.method == "envelope":
-                surv = env_surv
-            elif args.method == "semdedup":
-                surv = sem_surv
-            else:
-                # union of drops: survive only if BOTH tiers keep you;
-                # components from the envelope tier (its pair graph is
-                # the near-dup clustering a curator inspects)
-                surv = env_surv.join(
-                    sem_surv.select(
-                        "doc_id", F.col("is_survivor").alias("__sem"),
-                    ),
-                    "doc_id",
-                ).select(
-                    "doc_id", "component",
-                    (F.col("is_survivor") & F.col("__sem")).alias(
-                        "is_survivor"
-                    ),
-                )
+            # the shared vector-space tiers ('envelope' is the audio
+            # spelling of the near-dup pair tier)
+            surv, tier_counts = _payload_dedup_tiers(
+                spark, clips, vecs,
+                method="near" if args.method == "envelope" else args.method,
+                cosine_threshold=args.cosine_threshold,
+                semdedup_threshold=args.semdedup_threshold,
+                enc_dim=enc_dim,
+            )
+            n_feat = tier_counts.pop("featured")
+            if "near_pairs" in tier_counts:
+                tier_counts["envelope_pairs"] = tier_counts.pop("near_pairs")
             out = f"{args.work_dir}/audio_survivors"
+            surv.write.mode("overwrite").parquet(out)
+            back = spark.read.parquet(out)
+            n = back.count()
+            kept_n = back.filter("is_survivor").count()
+            tier_str = "".join(f" {k}={v}" for k, v in tier_counts.items())
+            print(
+                f"method={args.method} clips={n} survivors={kept_n} "
+                f"dropped={n - kept_n}{tier_str} featured={n_feat} -> {out}"
+            )
+            return 0
+
+        if args.command == "dedup-video":
+            from .multimodal.videoembed import video_encoder_build
+            from .operators.embed import VIDEO_KIND, embed_with_model
+            from .operators.similarity import _read_index_params
+
+            clips = spark.read.parquet(args.videos_parquet)
+            enc_dim = 64
+            if args.encoder_model is not None:
+                enc = args.encoder_model
+                enc_got = _read_index_params(spark, enc)
+                if enc_got.get("encoder") != VIDEO_KIND:
+                    # a non-video encoder over clip payloads would
+                    # silently fall to the fake rung (byte-exact-only
+                    # matching) — refuse instead
+                    print(
+                        f"--encoder-model at {enc} is "
+                        f"{enc_got.get('encoder') or 'missing'}, not a "
+                        "video encoder",
+                        file=sys.stderr,
+                    )
+                    return 2
+                enc_dim = int(enc_got.get("dim", 64))
+            else:
+                enc = f"{args.work_dir}/video_encoder"
+                video_encoder_build(spark, enc)
+            # one demux+decode pass lands as a product parquet; every
+            # tier runs off the read-back (the dedup-images discipline)
+            embed_with_model(clips, enc).write.mode("overwrite").parquet(
+                f"{args.work_dir}/video_features"
+            )
+            vecs = spark.read.parquet(f"{args.work_dir}/video_features")
+            surv, tier_counts = _payload_dedup_tiers(
+                spark, clips, vecs,
+                method="near" if args.method == "clip" else args.method,
+                cosine_threshold=args.cosine_threshold,
+                semdedup_threshold=args.semdedup_threshold,
+                enc_dim=enc_dim,
+            )
+            n_feat = tier_counts.pop("featured")
+            if "near_pairs" in tier_counts:
+                tier_counts["clip_pairs"] = tier_counts.pop("near_pairs")
+            out = f"{args.work_dir}/video_survivors"
             surv.write.mode("overwrite").parquet(out)
             back = spark.read.parquet(out)
             n = back.count()

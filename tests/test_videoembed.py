@@ -207,3 +207,51 @@ def test_cli_ingest_media_video_e2e(spark, tmp_path, capsys):
         for r in spark.read.parquet(f"{work}/admitted_media").collect()
     }
     assert got == {201, 203, 204}
+
+
+def test_cli_dedup_video_e2e(spark, tmp_path, capsys):
+    """Product surface: dedup-video clusters the re-encode and the
+    re-grade under the base, keeps the distinct clip, the
+    constant-frame clip (no direction -> singleton) and treats a
+    non-MJPEG container byte-exactly (its re-upload drops)."""
+    from haensel_ams_data_engineer_challenge_spark.__main__ import main
+
+    flat = V.avi_encode_mjpeg(
+        [jpeg_encode_gray([90] * (W * H), W, H, 50)], W, H
+    )
+    rows = [
+        (1, bytearray(_clip(1, quality=85))),
+        (2, bytearray(_clip(1, quality=65))),   # re-encode
+        (3, bytearray(_clip(1, shift=40))),     # re-grade (cosine 1.0)
+        (4, bytearray(_clip(7))),               # distinct
+        (5, bytearray(flat)),                   # featureless
+        (6, bytearray(b"webm bytes")),          # fake rung
+        (7, bytearray(b"webm bytes")),          # byte-exact re-upload
+    ]
+    src = str(tmp_path / "clips.parquet")
+    spark.createDataFrame(rows, "doc_id long, payload binary").write.parquet(src)
+    work = str(tmp_path / "work")
+    rc = main(["dedup-video", "--videos-parquet", src, "--work-dir", work])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "method=clip clips=7 survivors=4 dropped=3" in out
+    assert "featured=6" in out  # the constant clip has no vector
+    surv = {
+        r["doc_id"]: r["is_survivor"]
+        for r in spark.read.parquet(f"{work}/video_survivors").collect()
+    }
+    assert surv == {1: True, 2: False, 3: False, 4: True,
+                    5: True, 6: True, 7: False}
+
+    # a foreign encoder kind refuses with exit 2
+    from haensel_ams_data_engineer_challenge_spark.multimodal.imgembed import (
+        image_encoder_build,
+    )
+
+    img = str(tmp_path / "imgenc")
+    image_encoder_build(spark, img)
+    rc = main([
+        "dedup-video", "--videos-parquet", src,
+        "--work-dir", str(tmp_path / "w2"), "--encoder-model", img,
+    ])
+    assert rc == 2
