@@ -257,8 +257,9 @@ def _parser() -> argparse.ArgumentParser:
         help="search MEDIA instead of the sf-dir documents (round 12): "
         "corpus (doc_id, payload binary) and queries (query_id, "
         "payload binary) embed through --encoder-model (a committed "
-        "image-v1/audio-v1 artifact — query-by-example over the same "
-        "persistent ANN index machinery); requires --method ann",
+        "image-v1/audio-v1/video-v1 artifact — query-by-example over "
+        "the same persistent ANN index machinery); requires "
+        "--method ann",
     )
     se.add_argument("--work-dir", required=True)
     se.add_argument(

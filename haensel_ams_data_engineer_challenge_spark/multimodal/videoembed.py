@@ -22,9 +22,13 @@ clip vector.  Properties:
 - a re-encoded clip (same frames, different JPEG quality) moves each
   frame's features slightly — cosine degrades gracefully, exactly the
   image tier's regime;
-- a per-frame BRIGHTNESS shift cancels exactly (the image-v1
-  centering identity), so a re-graded duplicate lands at cosine 1.0 —
-  the gate arm's planted twins certify the exact relation;
+- a per-frame BRIGHTNESS shift cancels via the image-v1 centering
+  identity: EXACTLY (cosine 1.0, equal vectors) in the lossless
+  regime the gate arm pins (block-constant even grays, quality 50),
+  and to ~1e-5 on general lossy content — the decoded delta under a
+  +c shift is 8c*t^2 = c +- ~1e-13, so a pixel sitting exactly on a
+  rounding boundary can move one gray and nudge one box mean
+  (measured in pytest; still far above any duplicate bar);
 - a trim changes which frames are sampled — graceful degradation
   (pinned by pytest);
 - SUM pooling (not mean) keeps the vector integer-valued and makes

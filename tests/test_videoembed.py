@@ -23,8 +23,10 @@ def _frame_pixels(src: int, f: int, shift: int = 0) -> list[int]:
     brightness twin peaks at 219, so DCT ringing never reaches a clamp
     bound in either variant — clamping is the one nonlinearity that
     would break the exact brightness-cancellation identity."""
+    fx, fy = 2 + src % 7, 3 + (src * 3) % 11
     return [
-        ((x * 3 + y * 5 + f * 11 + src * 37 + (x * y) % 13) % 120)
+        ((x * fx + y * fy + f * 11 + src * 37 + (x * y) % (5 + src % 5))
+         % 120)
         + 60 + shift
         for y in range(H)
         for x in range(W)
@@ -84,7 +86,13 @@ def test_duplicate_regimes():
     other = V.video_features(_clip(2, quality=85))
     assert base is not None
     assert _cos(base, reenc) > 0.99, "re-encoded clip not near-dup"
-    assert regrade == base, "per-frame brightness must cancel exactly"
+    # brightness cancels in the features, but JPEG is lossy: the
+    # decoded delta under a +c shift is 8c*t^2 = c +- ~1e-13, so a
+    # pixel sitting exactly on a rounding boundary can move one gray,
+    # moving one box mean by one and cosine by ~1e-5 (src 5 measures
+    # one such pixel; src 1 none) — exactly 1.0 only in the lossless
+    # block-constant regime the gate arm pins
+    assert _cos(base, regrade) > 0.9999, "re-grade must cancel"
     assert _cos(base, trimmed) > 0.9, "mild trim should degrade gracefully"
     assert _cos(base, other) < 0.8, "distinct clips too close"
 
@@ -134,7 +142,7 @@ def test_seam_e2e_and_ladder_refusal(spark, tmp_path):
         for r in embed_with_model(df, model).collect()
     }
     assert set(vecs) == {1, 2, 3}, "featureless clip must be absent"
-    assert vecs[1] == vecs[2]
+    assert _cos(vecs[1], vecs[2]) > 0.9999  # re-grade (see above)
     # worker-side parity with the direct function
     assert vecs[1] == V.video_features(_clip(1))
 
@@ -255,3 +263,42 @@ def test_cli_dedup_video_e2e(spark, tmp_path, capsys):
         "--work-dir", str(tmp_path / "w2"), "--encoder-model", img,
     ])
     assert rc == 2
+
+
+def test_cli_search_video_query_by_example(spark, tmp_path, capsys):
+    """Query-by-example over VIDEO (round 13): a re-graded copy of
+    corpus clip 5 finds doc 5 at rank 1 / cosine 1.0 through the
+    persistent ANN index + the video-v1 seam — the encoder-kind-
+    generic search surface needed zero changes."""
+    from haensel_ams_data_engineer_challenge_spark.__main__ import main
+
+    src = str(tmp_path / "media.parquet")
+    spark.createDataFrame(
+        [(i, bytearray(_clip(i))) for i in range(1, 25)],
+        "doc_id long, payload binary",
+    ).write.parquet(src)
+    enc = str(tmp_path / "enc")
+    V.video_encoder_build(spark, enc)
+    qp = str(tmp_path / "queries.parquet")
+    spark.createDataFrame(
+        [
+            (9001, bytearray(_clip(5, shift=40))),   # re-grade of doc 5
+            (9002, bytearray(_clip(99))),            # novel
+        ],
+        "query_id long, payload binary",
+    ).write.parquet(qp)
+    work = str(tmp_path / "wd")
+    rc = main([
+        "search", "--media-parquet", src, "--work-dir", work,
+        "--queries-parquet", qp, "--k", "3", "--method", "ann",
+        "--encoder-model", enc,
+    ])
+    assert rc == 0
+    assert "method=ann queries=2" in capsys.readouterr().out
+    hits = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+        for r in spark.read.parquet(f"{work}/search_hits").collect()
+    }
+    doc, score = hits[(9001, 1)]
+    assert doc == 5 and score > 0.9999  # lossy re-grade: ~1, not ==1
+    assert hits[(9002, 1)][1] < 0.9
