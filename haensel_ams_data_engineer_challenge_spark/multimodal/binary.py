@@ -497,6 +497,60 @@ def parse_video_header(
     return "mp4", brand, timescale, duration, n_tracks, "+".join(codecs)
 
 
+def parse_avi_header(
+    payload: bytes,
+) -> tuple[str, str, int, int, int, str] | None:
+    """REAL (stdlib-only) RIFF/AVI header decode in the
+    ``parse_video_header`` output shape: ('avi', 'AVI ', timescale,
+    duration, n_tracks, codecs) — round 13, so the metadata ladder
+    reads the container the MJPEG sample tier
+    (:mod:`.videoembed`) decodes.  Duration is expressed in avih
+    microseconds-per-frame units: timescale = 1e6 // usec_per_frame
+    (frames per second, integer) and duration = dwTotalFrames, so
+    duration_ms = frames * 1000 // fps downstream.  ``codecs`` joins
+    each strh's fourcc handler in file order."""
+    n = len(payload)
+    if n < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+    usec_pf = total = None
+    handlers: list[str] = []
+
+    def _chunks(start: int, end: int):
+        i = start
+        while i + 8 <= end:
+            cid = payload[i : i + 4]
+            (size,) = struct.unpack("<I", payload[i + 4 : i + 8])
+            body = i + 8
+            if body + size > end:
+                return
+            yield cid, body, body + size
+            i = body + size + (size % 2)
+
+    stack = [_chunks(12, min(n, 8 + struct.unpack("<I", payload[4:8])[0]))]
+    while stack:
+        nxt = next(stack[-1], None)
+        if nxt is None:
+            stack.pop()
+            continue
+        cid, b0, b1 = nxt
+        if cid == b"LIST" and b0 + 4 <= b1:
+            # descend into header lists only — movi holds frame data
+            if payload[b0 : b0 + 4] != b"movi" and len(stack) < _MP4_MAX_DEPTH:
+                stack.append(_chunks(b0 + 4, b1))
+        elif cid == b"avih" and b1 - b0 >= 20:
+            usec_pf, _mbps, _pad, _flags, total = struct.unpack(
+                "<IIIII", payload[b0 : b0 + 20]
+            )
+        elif cid == b"strh" and b1 - b0 >= 8:
+            handlers.append(payload[b0 + 4 : b0 + 8].decode("ascii", "replace"))
+    if usec_pf in (None, 0) or total is None:
+        return None
+    return (
+        "avi", "AVI ", 1_000_000 // usec_pf, total,
+        len(handlers), "+".join(handlers),
+    )
+
+
 def _fake_video_decode(payload: bytes) -> tuple[str, str, int, int, int, str]:
     """Deterministic fake video decode (md5-derived geometry) — the
     ladder's last rung for non-ISO-BMFF containers."""
@@ -534,9 +588,12 @@ def decode_video_meta(
                 # malformed-payload parse failure falls to the fake
                 # decoder — the ladder's "header decode must never
                 # crash a task" contract, enforced here and not just
-                # inside the parser.
+                # inside the parser.  Round 13: the AVI rung joins the
+                # ISO-BMFF one (disjoint signatures, order cosmetic).
                 try:
                     parsed = parse_video_header(payload)
+                    if parsed is None:
+                        parsed = parse_avi_header(payload)
                 except (struct.error, ValueError, RecursionError):
                     parsed = None
                 if parsed is not None:

@@ -479,3 +479,40 @@ def test_video_decode_ladder_catches_parser_crash(spark):
     )
     rows = binary.decode_video_meta(df).orderBy("doc_id").collect()
     assert [r["decoder"] for r in rows] == ["fake", "fake"]
+
+
+def test_avi_header_rung(spark):
+    """Round 13: decode_video_meta reads the container the MJPEG
+    sample tier decodes — a real AVI reports fps-timescale geometry
+    and per-stream codecs via decoder='header'; the ISO-BMFF rung is
+    untouched (disjoint signatures)."""
+    from haensel_ams_data_engineer_challenge_spark.multimodal.binary import (
+        decode_video_meta,
+        parse_avi_header,
+    )
+    from haensel_ams_data_engineer_challenge_spark.multimodal.jpeg import (
+        jpeg_encode_gray,
+    )
+    from haensel_ams_data_engineer_challenge_spark.multimodal.videoembed import (
+        avi_encode_mjpeg,
+    )
+
+    frames = [
+        jpeg_encode_gray([(x * 7 + y + f) % 200 for y in range(16)
+                          for x in range(16)], 16, 16, 80)
+        for f in range(5)
+    ]
+    avi = avi_encode_mjpeg(frames, 16, 16, fps=25)
+    assert parse_avi_header(avi) == ("avi", "AVI ", 25, 5, 1, "MJPG")
+    df = spark.createDataFrame(
+        [(1, bytearray(avi)), (2, bytearray(b"RIFFxxxxWAVE"))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in decode_video_meta(df).collect()}
+    assert rows[1]["decoder"] == "header"
+    assert rows[1]["format"] == "avi"
+    assert rows[1]["timescale"] == 25
+    assert rows[1]["duration"] == 5
+    assert rows[1]["duration_ms"] == 200  # 5 frames at 25 fps
+    assert rows[1]["n_tracks"] == 1 and rows[1]["codecs"] == "MJPG"
+    assert rows[2]["decoder"] == "fake"  # a WAV is not a video
