@@ -201,8 +201,11 @@ def audio_encoder_build(
         "dim": dim,
         "grid": grid,
     }
-    if _check_index_params(spark, path, params):
-        return
+    try:
+        if _check_index_params(spark, path, params):
+            return
+    except ValueError:
+        pass  # older feature-space identity: builds rebuild in place
     # mix=sum entered the content hash when the stereo mixdown moved
     # from integer mean to channel sum (review fix): the mixdown IS
     # part of the feature space for multi-channel payloads, and

@@ -130,8 +130,16 @@ def image_encoder_build(
         "grid": grid,
         "ladder": IMG_LADDER,
     }
-    if _check_index_params(spark, path, params):
-        return
+    try:
+        if _check_index_params(spark, path, params):
+            return
+    except ValueError:
+        # a committed artifact under an OLDER feature-space identity
+        # (e.g. the pre-r13 png-only ladder, round 13): a BUILD call
+        # owns the path and asked for THIS space — rebuild in place.
+        # SERVING stays strict (embed_with_model refuses old ladders);
+        # only the build self-heals.
+        pass
     content = f"image-v1|dim={dim}|grid={grid}|ladder={IMG_LADDER}"
     version = hashlib.md5(content.encode("utf-8")).hexdigest()[:12]
     # a zero-table manifest: the commit IS the params (round 12 —

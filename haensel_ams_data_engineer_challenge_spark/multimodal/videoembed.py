@@ -296,8 +296,11 @@ def video_encoder_build(
         "frames": frames,
         "ladder": VID_LADDER,
     }
-    if _check_index_params(spark, path, params):
-        return
+    try:
+        if _check_index_params(spark, path, params):
+            return
+    except ValueError:
+        pass  # older feature-space identity: builds rebuild in place
     content = (
         f"video-v1|dim={dim}|grid={grid}|frames={frames}"
         f"|pool=sum|ladder={VID_LADDER}"
