@@ -129,14 +129,17 @@ _PNG_MAX_PIXELS = 1 << 22
 
 def decode_png_pixels(payload: bytes) -> tuple[int, int, list[int]] | None:
     """REAL PNG pixel decode: (width, height, row-major GRAYSCALE
-    values) for 8-bit non-interlaced gray / gray+alpha / RGB / RGBA
-    payloads, None for anything else (other formats, other depths,
-    truncated or corrupt streams — the ladder falls to the fake rung,
-    never raises).
+    values) for 8-bit non-interlaced gray / gray+alpha / RGB / RGBA /
+    PALETTE payloads, None for anything else (other formats, other
+    depths, interlaced, truncated or corrupt streams — the ladder
+    falls to the fake rung, never raises).
 
     Grayscale conversion is the integer ITU-R 601 luma
     ``(299*r + 587*g + 114*b) // 1000`` — engine-portable exact math.
-    Alpha is ignored (hash the color, not the transparency).
+    Alpha is ignored (hash the color, not the transparency).  Palette
+    images (color type 3, round 13 — the web's icon/graphic format)
+    decode through the mandatory PLTE chunk: each index maps to its
+    entry's luma; an index past the palette is corrupt (None).
     """
     try:
         if payload is None or payload[:8] != _PNG_SIG:
@@ -144,6 +147,8 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, list[int]] | None:
         i = 8
         width = height = None
         ctype_channels = None
+        palette = None
+        is_palette = False
         idat = b""
         n = len(payload)
         while i + 8 <= n:
@@ -156,9 +161,22 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, list[int]] | None:
                 width, height, depth, color, comp, filt, ilace = struct.unpack(
                     ">IIBBBBB", body
                 )
-                if depth != 8 or ilace != 0 or color not in _PNG_CHANNELS:
+                if depth != 8 or ilace != 0 or (
+                    color != 3 and color not in _PNG_CHANNELS
+                ):
                     return None
-                ctype_channels = _PNG_CHANNELS[color]
+                is_palette = color == 3
+                ctype_channels = 1 if is_palette else _PNG_CHANNELS[color]
+            elif ctype == b"PLTE":
+                if clen % 3 or clen == 0 or clen > 768:
+                    return None
+                # precomputed per-entry luma: the index stream maps
+                # straight to grays with no per-pixel color math
+                palette = [
+                    (299 * body[3 * k] + 587 * body[3 * k + 1]
+                     + 114 * body[3 * k + 2]) // 1000
+                    for k in range(clen // 3)
+                ]
             elif ctype == b"IDAT":
                 idat += body
             elif ctype == b"IEND":
@@ -166,6 +184,8 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, list[int]] | None:
             i += 12 + clen
         if width is None or not idat or width == 0 or height == 0:
             return None
+        if is_palette and palette is None:
+            return None  # PLTE is mandatory for color type 3
         # attacker-controlled dims bound the inflate below, so THEY
         # need a ceiling first (second review pass: a bomb declaring
         # 40000x40000 made 'expected' itself multi-GB)
@@ -214,7 +234,14 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, list[int]] | None:
             elif ftype != 0:
                 return None
             prev = bytes(line)
-            if ch == 1:
+            if is_palette:
+                pal = palette
+                np_ = len(pal)
+                for idx in line:
+                    if idx >= np_:
+                        return None  # index past the palette: corrupt
+                    grays.append(pal[idx])
+            elif ch == 1:
                 grays.extend(line)
             elif ch == 2:
                 grays.extend(line[0::2])

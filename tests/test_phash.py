@@ -411,3 +411,49 @@ def test_band_layouts_agree_on_real_duplicates(spark):
     for k, v in four.items():
         assert eight[k] == v
     assert (1, 2) in eight and (1, 3) in eight
+
+
+def _png_palette(indices, w, h, palette_rgb):
+    """A REAL color-type-3 PNG (PLTE + filter-0 IDAT of indices)."""
+    raw = b"".join(
+        b"\x00" + bytes(indices[y * w : (y + 1) * w]) for y in range(h)
+    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    plte = b"".join(bytes(rgb) for rgb in palette_rgb)
+    return (
+        P._PNG_SIG
+        + P._png_chunk(b"IHDR", ihdr)
+        + P._png_chunk(b"PLTE", plte)
+        + P._png_chunk(b"IDAT", zlib.compress(raw))
+        + P._png_chunk(b"IEND", b"")
+    )
+
+
+def test_palette_png_decodes_to_entry_lumas():
+    """Round 13: color-type-3 (palette) PNGs — the web's icon/graphic
+    format — decode through PLTE to per-entry lumas, so a palette
+    image and the grayscale re-encode of the same picture hash
+    IDENTICALLY; corrupt palettes fall to None."""
+    w, h = 24, 16
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (200, 200, 200)]
+    lumas = [(299 * r + 587 * g + 114 * b) // 1000 for r, g, b in palette]
+    idx = [(x // 6 + y // 4) % 4 for y in range(h) for x in range(w)]
+    png = _png_palette(idx, w, h, palette)
+    decoded = P.decode_png_pixels(png)
+    assert decoded == (w, h, [lumas[i] for i in idx])
+    # same picture as 8-bit grayscale: identical hash input
+    gray = P.png_encode_gray([lumas[i] for i in idx], w, h)
+    assert P.decode_png_pixels(gray)[2] == decoded[2]
+    assert P.decode_image_pixels(png)[3] == "png"
+    # index past the palette -> corrupt -> None (fake rung)
+    bad = _png_palette([7] * (w * h), w, h, palette)
+    assert P.decode_png_pixels(bad) is None
+    # missing PLTE -> None
+    raw = b"".join(b"\x00" + bytes(idx[y * w:(y + 1) * w]) for y in range(h))
+    no_plte = (
+        P._PNG_SIG
+        + P._png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+        + P._png_chunk(b"IDAT", zlib.compress(raw))
+        + P._png_chunk(b"IEND", b"")
+    )
+    assert P.decode_png_pixels(no_plte) is None
