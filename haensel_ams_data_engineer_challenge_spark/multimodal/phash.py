@@ -127,28 +127,99 @@ _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 _PNG_MAX_PIXELS = 1 << 22
 
 
+#: legal (color, depth) combinations per ISO 15948 table 11.1.
+_PNG_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+
+#: Adam7 pass geometry: (x0, y0, dx, dy) per pass, ISO 15948 §8.2.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_line_grays(
+    line: bytes, width: int, ch: int, depth: int, palette
+) -> list[int] | None:
+    """One unfiltered scanline -> per-pixel grays (round 13: the depth
+    ladder).  16-bit samples take their high byte (the standard 8-bit
+    downsample); sub-byte grays scale by 255//(2^d - 1) (exact
+    left-bit replication since d divides 8); palette indices map to
+    precomputed entry lumas — an index past the palette is corrupt."""
+    if depth == 8:
+        if palette is not None:
+            np_ = len(palette)
+            out = []
+            for idx in line[:width]:
+                if idx >= np_:
+                    return None
+                out.append(palette[idx])
+            return out
+        if ch == 1:
+            return list(line)
+        if ch == 2:
+            return list(line[0::2])
+        stride = width * ch
+        return [
+            (299 * line[x] + 587 * line[x + 1] + 114 * line[x + 2]) // 1000
+            for x in range(0, stride, ch)
+        ]
+    if depth == 16:
+        bpp = 2 * ch
+        if ch in (1, 2):
+            return list(line[0 : width * bpp : bpp])
+        return [
+            (299 * line[x] + 587 * line[x + 2] + 114 * line[x + 4]) // 1000
+            for x in range(0, width * bpp, bpp)
+        ]
+    # sub-byte: gray (ch == 1, palette None) or palette indices
+    per_byte = 8 // depth
+    mask = (1 << depth) - 1
+    scale = 255 // mask
+    out = []
+    for px in range(width):
+        b = line[px // per_byte]
+        shift = 8 - depth * (px % per_byte + 1)
+        v = (b >> shift) & mask
+        if palette is not None:
+            if v >= len(palette):
+                return None
+            out.append(palette[v])
+        else:
+            out.append(v * scale)
+    return out
+
+
 def decode_png_pixels(payload: bytes) -> tuple[int, int, list[int]] | None:
     """REAL PNG pixel decode: (width, height, row-major GRAYSCALE
-    values) for 8-bit non-interlaced gray / gray+alpha / RGB / RGBA /
-    PALETTE payloads, None for anything else (other formats, other
-    depths, interlaced, truncated or corrupt streams — the ladder
-    falls to the fake rung, never raises).
+    values) for every legal (color type, bit depth) combination —
+    gray 1/2/4/8/16, gray+alpha 8/16, RGB/RGBA 8/16, palette 1/2/4/8 —
+    sequential AND Adam7-interlaced (round 13: the web's full PNG
+    surface; formerly 8-bit sequential only).  None for anything else
+    (other formats, truncated or corrupt streams — the ladder falls to
+    the fake rung, never raises).
 
     Grayscale conversion is the integer ITU-R 601 luma
-    ``(299*r + 587*g + 114*b) // 1000`` — engine-portable exact math.
-    Alpha is ignored (hash the color, not the transparency).  Palette
-    images (color type 3, round 13 — the web's icon/graphic format)
-    decode through the mandatory PLTE chunk: each index maps to its
-    entry's luma; an index past the palette is corrupt (None).
+    ``(299*r + 587*g + 114*b) // 1000`` — engine-portable exact math;
+    16-bit samples take their high byte; sub-byte grays left-bit-
+    replicate (v * 255 // (2^d - 1), exact).  Alpha is ignored (hash
+    the color, not the transparency).  Palette images decode through
+    the mandatory PLTE chunk to per-entry lumas; an out-of-range index
+    is corrupt (None).  Interlaced images unfilter each Adam7 pass as
+    its own sub-image (per spec) and scatter pixels into place.
     """
     try:
         if payload is None or payload[:8] != _PNG_SIG:
             return None
         i = 8
         width = height = None
-        ctype_channels = None
+        depth = color = ilace = None
         palette = None
-        is_palette = False
         idat = b""
         n = len(payload)
         while i + 8 <= n:
@@ -161,12 +232,12 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, list[int]] | None:
                 width, height, depth, color, comp, filt, ilace = struct.unpack(
                     ">IIBBBBB", body
                 )
-                if depth != 8 or ilace != 0 or (
-                    color != 3 and color not in _PNG_CHANNELS
+                if (
+                    ilace not in (0, 1)
+                    or color not in _PNG_DEPTHS
+                    or depth not in _PNG_DEPTHS[color]
                 ):
                     return None
-                is_palette = color == 3
-                ctype_channels = 1 if is_palette else _PNG_CHANNELS[color]
             elif ctype == b"PLTE":
                 if clen % 3 or clen == 0 or clen > 768:
                     return None
@@ -184,16 +255,36 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, list[int]] | None:
             i += 12 + clen
         if width is None or not idat or width == 0 or height == 0:
             return None
-        if is_palette and palette is None:
+        if color == 3 and palette is None:
             return None  # PLTE is mandatory for color type 3
+        if color != 3:
+            palette = None  # PLTE is a suggested-quantization hint here
         # attacker-controlled dims bound the inflate below, so THEY
         # need a ceiling first (second review pass: a bomb declaring
         # 40000x40000 made 'expected' itself multi-GB)
         if width * height > _PNG_MAX_PIXELS:
             return None
-        ch = ctype_channels
-        stride = width * ch
-        expected = height * (stride + 1)
+        ch = 1 if color == 3 else _PNG_CHANNELS[color]
+        bpp = max(1, ch * depth // 8)  # filter delta, per spec
+
+        # pass list: one full-frame pass (sequential) or the 7 Adam7
+        # sub-images; each pass filters independently
+        if ilace == 0:
+            passes = [(0, 0, 1, 1, width, height)]
+        else:
+            passes = [
+                (x0, y0, dx, dy,
+                 (width - x0 + dx - 1) // dx,
+                 (height - y0 + dy - 1) // dy)
+                for x0, y0, dx, dy in _ADAM7
+            ]
+            passes = [p for p in passes if p[4] > 0 and p[5] > 0]
+
+        def _stride(w_p: int) -> int:
+            return (w_p * ch * depth + 7) // 8
+
+        expected = sum(h_p * (1 + _stride(w_p))
+                       for *_xy, w_p, h_p in passes)
         # bounded inflate (round-11 review fix): the raw size is fully
         # determined by (capped) IHDR, so limit decompression to
         # expected+1 — a decompression-bomb IDAT can no longer
@@ -209,49 +300,45 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, list[int]] | None:
             raw += d.decompress(d.unconsumed_tail, 2)
         if len(raw) != expected or not d.eof:
             return None
+
+        full = [0] * (width * height) if ilace else None
         grays: list[int] = []
-        prev = bytes(stride)
         pos = 0
-        for _y in range(height):
-            ftype = raw[pos]
-            line = bytearray(raw[pos + 1 : pos + 1 + stride])
-            pos += 1 + stride
-            if ftype == 1:  # Sub
-                for x in range(ch, stride):
-                    line[x] = (line[x] + line[x - ch]) & 0xFF
-            elif ftype == 2:  # Up
-                for x in range(stride):
-                    line[x] = (line[x] + prev[x]) & 0xFF
-            elif ftype == 3:  # Average
-                for x in range(stride):
-                    a = line[x - ch] if x >= ch else 0
-                    line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
-            elif ftype == 4:  # Paeth
-                for x in range(stride):
-                    a = line[x - ch] if x >= ch else 0
-                    c = prev[x - ch] if x >= ch else 0
-                    line[x] = (line[x] + _paeth(a, prev[x], c)) & 0xFF
-            elif ftype != 0:
-                return None
-            prev = bytes(line)
-            if is_palette:
-                pal = palette
-                np_ = len(pal)
-                for idx in line:
-                    if idx >= np_:
-                        return None  # index past the palette: corrupt
-                    grays.append(pal[idx])
-            elif ch == 1:
-                grays.extend(line)
-            elif ch == 2:
-                grays.extend(line[0::2])
-            else:
-                for x in range(0, stride, ch):
-                    grays.append(
-                        (299 * line[x] + 587 * line[x + 1] + 114 * line[x + 2])
-                        // 1000
-                    )
-        return int(width), int(height), grays
+        for x0, y0, dx, dy, w_p, h_p in passes:
+            stride = _stride(w_p)
+            prev = bytes(stride)
+            for r in range(h_p):
+                ftype = raw[pos]
+                line = bytearray(raw[pos + 1 : pos + 1 + stride])
+                pos += 1 + stride
+                if ftype == 1:  # Sub
+                    for x in range(bpp, stride):
+                        line[x] = (line[x] + line[x - bpp]) & 0xFF
+                elif ftype == 2:  # Up
+                    for x in range(stride):
+                        line[x] = (line[x] + prev[x]) & 0xFF
+                elif ftype == 3:  # Average
+                    for x in range(stride):
+                        a = line[x - bpp] if x >= bpp else 0
+                        line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+                elif ftype == 4:  # Paeth
+                    for x in range(stride):
+                        a = line[x - bpp] if x >= bpp else 0
+                        c = prev[x - bpp] if x >= bpp else 0
+                        line[x] = (line[x] + _paeth(a, prev[x], c)) & 0xFF
+                elif ftype != 0:
+                    return None
+                prev = bytes(line)
+                row = _png_line_grays(bytes(line), w_p, ch, depth, palette)
+                if row is None:
+                    return None
+                if full is None:
+                    grays.extend(row)
+                else:
+                    base = (y0 + r * dy) * width
+                    for c_i, g in enumerate(row):
+                        full[base + x0 + c_i * dx] = g
+        return int(width), int(height), full if full is not None else grays
     except (zlib.error, struct.error, IndexError, ValueError, TypeError):
         return None
 

@@ -457,3 +457,144 @@ def test_palette_png_decodes_to_entry_lumas():
         + P._png_chunk(b"IEND", b"")
     )
     assert P.decode_png_pixels(no_plte) is None
+
+
+def _chunked_png(ihdr_tail, chunks):
+    return (
+        P._PNG_SIG
+        + P._png_chunk(b"IHDR", ihdr_tail)
+        + b"".join(P._png_chunk(t, b) for t, b in chunks)
+        + P._png_chunk(b"IEND", b"")
+    )
+
+
+def _encode_adam7_gray(grays, w, h):
+    """A REAL Adam7-interlaced 8-bit grayscale PNG (filter 0 per
+    sub-image scanline) — the writer twin for the interlace test."""
+    raw = bytearray()
+    for x0, y0, dx, dy in P._ADAM7:
+        w_p = (w - x0 + dx - 1) // dx
+        h_p = (h - y0 + dy - 1) // dy
+        if w_p <= 0 or h_p <= 0:
+            continue
+        for r in range(h_p):
+            raw.append(0)
+            raw.extend(
+                grays[(y0 + r * dy) * w + x0 + c * dx] for c in range(w_p)
+            )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 1)
+    return _chunked_png(ihdr, [(b"IDAT", zlib.compress(bytes(raw)))])
+
+
+def test_adam7_interlaced_decodes_like_sequential():
+    """Round 13: an Adam7-interlaced PNG of the same pixels decodes to
+    the identical gray array as the sequential form — so an interlaced
+    re-save of an image is a hamming-0 duplicate."""
+    w, h = 37, 23  # odd dims: every pass geometry edge case
+    grays = _pattern(w, h)
+    seq = P.png_encode_gray(grays, w, h)
+    inter = _encode_adam7_gray(grays, w, h)
+    assert P.decode_png_pixels(inter) == P.decode_png_pixels(seq) == (
+        w, h, grays
+    )
+    # tiny image: several Adam7 passes are EMPTY
+    small = [10, 200, 30, 90]
+    assert P.decode_png_pixels(_encode_adam7_gray(small, 2, 2)) == (
+        2, 2, small
+    )
+
+
+def test_png_depth_ladder():
+    """Round 13: 16-bit (high-byte downsample), sub-byte grays
+    (left-bit replication), sub-byte palette."""
+    w, h = 8, 3
+    # 16-bit gray: sample = hi<<8 | lo, decode takes hi
+    his = [(x * 30 + y * 11) % 256 for y in range(h) for x in range(w)]
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)
+        for x in range(w):
+            raw += bytes([his[y * w + x], 0xAB])
+    png16 = _chunked_png(
+        struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0),
+        [(b"IDAT", zlib.compress(bytes(raw)))],
+    )
+    assert P.decode_png_pixels(png16) == (w, h, his)
+
+    # 16-bit RGB: luma over the high bytes
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)
+        for x in range(w):
+            raw += bytes([200, 1, 100, 2, 50, 3])
+    rgb16 = _chunked_png(
+        struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0),
+        [(b"IDAT", zlib.compress(bytes(raw)))],
+    )
+    lum = (299 * 200 + 587 * 100 + 114 * 50) // 1000
+    assert P.decode_png_pixels(rgb16) == (w, h, [lum] * (w * h))
+
+    # 4-bit gray (2 px/byte): v scales by 17
+    vals = [1, 15, 7, 0, 12, 3, 9, 5] * h
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)
+        for x in range(0, w, 2):
+            raw.append((vals[y * w + x] << 4) | vals[y * w + x + 1])
+    png4 = _chunked_png(
+        struct.pack(">IIBBBBB", w, h, 4, 0, 0, 0, 0),
+        [(b"IDAT", zlib.compress(bytes(raw)))],
+    )
+    assert P.decode_png_pixels(png4) == (
+        w, h, [v * 17 for v in vals[: w * h]]
+    )
+
+    # 1-bit gray: 0/255
+    bits = [1, 0, 1, 1, 0, 0, 1, 0] * h
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)
+        b = 0
+        for x in range(w):
+            b = (b << 1) | bits[y * w + x]
+        raw.append(b)
+    png1 = _chunked_png(
+        struct.pack(">IIBBBBB", w, h, 1, 0, 0, 0, 0),
+        [(b"IDAT", zlib.compress(bytes(raw)))],
+    )
+    assert P.decode_png_pixels(png1) == (
+        w, h, [v * 255 for v in bits[: w * h]]
+    )
+
+    # 2-bit palette: indices map to entry lumas
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+    lumas = [(299 * r + 587 * g + 114 * b) // 1000 for r, g, b in palette]
+    idx = [0, 1, 2, 3, 3, 2, 1, 0] * h
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)
+        for x in range(0, w, 4):
+            raw.append(
+                (idx[y * w + x] << 6) | (idx[y * w + x + 1] << 4)
+                | (idx[y * w + x + 2] << 2) | idx[y * w + x + 3]
+            )
+    plte = b"".join(bytes(rgb) for rgb in palette)
+    png2p = _chunked_png(
+        struct.pack(">IIBBBBB", w, h, 2, 3, 0, 0, 0),
+        [(b"PLTE", plte), (b"IDAT", zlib.compress(bytes(raw)))],
+    )
+    assert P.decode_png_pixels(png2p) == (
+        w, h, [lumas[i] for i in idx[: w * h]]
+    )
+
+    # illegal combos stay on the fake rung: 4-bit RGB, 16-bit palette
+    bad = _chunked_png(
+        struct.pack(">IIBBBBB", w, h, 4, 2, 0, 0, 0),
+        [(b"IDAT", zlib.compress(b"\x00" * 99))],
+    )
+    assert P.decode_png_pixels(bad) is None
+    bad16p = _chunked_png(
+        struct.pack(">IIBBBBB", w, h, 16, 3, 0, 0, 0),
+        [(b"PLTE", plte), (b"IDAT", zlib.compress(b"\x00" * 99))],
+    )
+    assert P.decode_png_pixels(bad16p) is None
