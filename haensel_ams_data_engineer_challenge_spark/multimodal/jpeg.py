@@ -19,16 +19,23 @@ codec:
   chroma blocks are entropy-decoded to advance the bitstream and
   dropped.  Handles 1- and 3-component frames, sampling factors 1-2
   (4:4:4 / 4:2:2 / 4:4:0 / 4:2:0), restart markers, 16-bit-free
-  baseline DQTs.  Anything else — progressive (SOF2), arithmetic
-  coding, 12-bit, CMYK, truncated or desynced streams, frames past
-  the pixel ceiling — returns None and the ladder falls to the fake
-  rung, never raises.
-- :func:`jpeg_encode_gray` / :func:`jpeg_encode_ycbcr` — the writer
-  twins (Annex K quant + Huffman tables, libjpeg-style quality
-  scaling, optional restart intervals, optional 4:2:0 for the color
-  form): the fixture synthesizers and round-trip tests run on them,
-  and any external baseline encoder produces payloads the decoder
-  reads.
+  baseline DQTs — AND progressive (SOF2) frames (round 13, second
+  half): T.81 Annex G spectral-selection + successive-approximation
+  scans accumulate into per-component coefficient grids (DC
+  first/refine interleaved or single, AC first/refine with EOB runs,
+  restarts resetting predictors and EOBRUN), then the same IDCT tail
+  runs once at EOI.  Anything else — arithmetic coding, 12-bit,
+  CMYK, truncated or desynced streams, frames past the pixel ceiling
+  — returns None and the ladder falls to the fake rung, never raises.
+- :func:`jpeg_encode_gray` / :func:`jpeg_encode_ycbcr` (+ their
+  ``_progressive`` twins) — the writers (Annex K quant + Huffman
+  tables, libjpeg-style quality scaling, optional restart intervals,
+  optional 4:2:0 for the baseline color form): the fixture
+  synthesizers and round-trip tests run on them, and any external
+  encoder produces payloads the decoder reads.  Progressive encoding
+  is a LOSSLESS re-coding of the same quantized coefficients, so
+  decode(progressive) bit-equals decode(baseline) for the same
+  pixels+quality — the round-trip suite's strongest assertion.
 
 Exactness contract for the gate arm: an image whose every 8x8 block
 is a CONSTANT EVEN gray, encoded at quality 50 (DC quant divisor 16),
@@ -285,10 +292,14 @@ class _BitReader:
                 return huffval[valptr[ln] + code - mincode[ln]]
         raise _JpegError("invalid Huffman code")
 
-    def receive_extend(self, s: int) -> int:
+    def receive(self, s: int) -> int:
         v = 0
         for _ in range(s):
             v = (v << 1) | self.read_bit()
+        return v
+
+    def receive_extend(self, s: int) -> int:
+        v = self.receive(s)
         if v < (1 << (s - 1)):
             v -= (1 << s) - 1
         return v
@@ -587,6 +598,11 @@ def decode_jpeg_pixels(
         return None
 
 
+#: bound on progressive scan count (a real encoder emits ~10; an
+#: adversarial file must not loop the Python scan decoder forever).
+_MAX_PROG_SCANS = 64
+
+
 def _decode(payload: bytes, max_pixels: int):
     n = len(payload)
     if payload is None or n < 4 or payload[0:2] != b"\xff\xd8":
@@ -594,6 +610,9 @@ def _decode(payload: bytes, max_pixels: int):
     qtabs: dict[int, np.ndarray] = {}
     htabs: dict[tuple[int, int], tuple] = {}
     frame = None  # (width, height, comps); comps = [(cid, h, v, tq)]
+    progressive = False
+    prog_coefs = None  # ci -> (n_by, n_bx, 64) int32 zigzag grids
+    n_scans = 0
     dri = 0
     i = 2
     while i + 4 <= n:
@@ -606,8 +625,8 @@ def _decode(payload: bytes, max_pixels: int):
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             i += 2
             continue
-        if marker == 0xD9:  # EOI before SOS
-            return None
+        if marker == 0xD9:  # EOI
+            break
         (seg_len,) = struct.unpack(">H", payload[i + 2 : i + 4])
         if seg_len < 2 or i + 2 + seg_len > n:
             return None
@@ -639,7 +658,8 @@ def _decode(payload: bytes, max_pixels: int):
                 vals = list(body[j + 17 : j + 17 + cnt])
                 htabs[(cls, tid)] = _build_decode_table(bits, vals)
                 j += 17 + cnt
-        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):
+            # baseline / extended sequential / PROGRESSIVE (round 13)
             if len(body) < 6 or body[0] != 8:
                 return None
             height, width = struct.unpack(">HH", body[1:5])
@@ -660,8 +680,9 @@ def _decode(payload: bytes, max_pixels: int):
                 # normalizing to 1x1 keeps the MCU math simple
                 comps = [(comps[0][0], 1, 1, comps[0][3])]
             frame = (width, height, comps)
-        elif 0xC2 <= marker <= 0xCF and marker != 0xC4:
-            return None  # progressive / arithmetic / hierarchical
+            progressive = marker == 0xC2
+        elif 0xC3 <= marker <= 0xCF and marker != 0xC4:
+            return None  # arithmetic / hierarchical / lossless
         elif marker == 0xDD:
             if len(body) < 2:
                 return None
@@ -669,11 +690,64 @@ def _decode(payload: bytes, max_pixels: int):
         elif marker == 0xDA:
             if frame is None:
                 return None
-            return _decode_scan(
-                payload, i + 2 + seg_len, body, frame, qtabs, htabs, dri
+            if not progressive:
+                return _decode_scan(
+                    payload, i + 2 + seg_len, body, frame, qtabs, htabs, dri
+                )
+            n_scans += 1
+            if n_scans > _MAX_PROG_SCANS:
+                return None
+            if prog_coefs is None:
+                width, height, comps = frame
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcux = -(-width // (8 * hmax))
+                mcuy = -(-height // (8 * vmax))
+                prog_coefs = {
+                    ci: np.zeros(
+                        (mcuy * c[2], mcux * c[1], 64), dtype=np.int32
+                    )
+                    for ci, c in enumerate(comps)
+                }
+            nxt = _decode_prog_scan(
+                payload, i + 2 + seg_len, body, frame, htabs, dri,
+                prog_coefs,
             )
+            if nxt is None:
+                return None
+            i = nxt
+            continue
         i += 2 + seg_len
-    return None
+    if prog_coefs is None:
+        return None  # sequential path returns from inside the loop
+    width, height, comps = frame
+    yq = qtabs.get(comps[0][3])
+    if yq is None:
+        return None
+    return _finish_luma(prog_coefs[0], yq, width, height)
+
+
+def _finish_luma(
+    blocks_zz: np.ndarray, yq: np.ndarray, width: int, height: int
+):
+    """Shared decode tail (round 13: factored so the progressive path
+    reuses it): a RASTER-ordered (n_by, n_bx, 64) zigzag coefficient
+    grid for the luma component -> dequant -> batched float64 IDCT ->
+    level shift, half-up rounding, clamp -> cropped row-major grays."""
+    n_by, n_bx = blocks_zz.shape[:2]
+    arr = blocks_zz.reshape(-1, 64).astype(np.float64)
+    nat = np.empty_like(arr)
+    nat[:, ZIGZAG] = arr
+    nat *= yq
+    t = _dct_matrix()
+    pix = np.matmul(np.matmul(t.T, nat.reshape(-1, 8, 8)), t)
+    pix = np.floor(pix + 128.5)  # level shift + round half up
+    np.clip(pix, 0, 255, out=pix)
+    pix = pix.astype(np.int64).reshape(n_by, n_bx, 8, 8)
+    plane = pix.transpose(0, 2, 1, 3).reshape(n_by * 8, n_bx * 8)
+    return int(width), int(height), [
+        int(v) for v in plane[:height, :width].ravel()
+    ]
 
 
 def _decode_scan(payload, data_pos, sos, frame, qtabs, htabs, dri):
@@ -711,11 +785,11 @@ def _decode_scan(payload, data_pos, sos, frame, qtabs, htabs, dri):
 
     br = _BitReader(payload, data_pos)
     preds = [0] * ncomp
-    y_blocks: list[list[int]] = []
+    y_grid = np.zeros((mcuy * yv, mcux * yh, 64), dtype=np.int32)
     rst = 0
     mcu_i = 0
-    for _my in range(mcuy):
-        for _mx in range(mcux):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if dri and mcu_i and mcu_i % dri == 0:
                 br.restart(rst)
                 rst += 1
@@ -723,39 +797,13 @@ def _decode_scan(payload, data_pos, sos, frame, qtabs, htabs, dri):
             for s, ci in enumerate(order):
                 _cid, ch, cv, _tq = comps[ci]
                 dc_tab, ac_tab = tables[s]
-                for _bv in range(cv):
-                    for _bh in range(ch):
+                for bv in range(cv):
+                    for bh in range(ch):
                         zz = _decode_block_zz(br, dc_tab, ac_tab, preds, ci)
                         if ci == y_ci:
-                            y_blocks.append(zz)
+                            y_grid[my * yv + bv, mx * yh + bh] = zz
             mcu_i += 1
-
-    # batched dequant + IDCT of the luma blocks only
-    arr = np.asarray(y_blocks, dtype=np.float64)  # (N, 64) zigzag
-    nat = np.empty_like(arr)
-    nat[:, ZIGZAG] = arr
-    nat *= yq
-    t = _dct_matrix()
-    pix = np.matmul(np.matmul(t.T, nat.reshape(-1, 8, 8)), t)
-    pix = np.floor(pix + 128.5)  # level shift + round half up
-    np.clip(pix, 0, 255, out=pix)
-    pix = pix.astype(np.int64)
-
-    # assemble the luma plane: blocks arrive in MCU scan order, yh*yv
-    # per MCU (row-major within the MCU)
-    plane_w = mcux * yh * 8
-    plane = np.zeros((mcuy * yv * 8, plane_w), dtype=np.int64)
-    bi = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for bv in range(yv):
-                for bh in range(yh):
-                    py, px = (my * yv + bv) * 8, (mx * yh + bh) * 8
-                    plane[py : py + 8, px : px + 8] = pix[bi]
-                    bi += 1
-    return int(width), int(height), [
-        int(v) for v in plane[:height, :width].ravel()
-    ]
+    return _finish_luma(y_grid, yq, width, height)
 
 
 def _decode_block_zz(br, dc_tab, ac_tab, preds, ci) -> list[int]:
@@ -779,3 +827,489 @@ def _decode_block_zz(br, dc_tab, ac_tab, preds, ci) -> list[int]:
         zz[k] = br.receive_extend(s)
         k += 1
     return zz
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) scan decoding — ITU T.81 Annex G (round 13).
+# Coefficients accumulate across scans in per-component zigzag grids;
+# the shared _finish_luma tail runs once at EOI.  Spectral selection
+# (Ss..Se) and successive approximation (Ah/Al) both supported: DC
+# first/refine scans are (optionally) interleaved, AC scans are
+# single-component by spec.  Chroma scans are fully entropy-decoded
+# (their bits interleave with nothing — each scan is self-delimited —
+# but correctness is simpler to trust than a byte-skip) and only the
+# luma grid is inverse-transformed.
+# ---------------------------------------------------------------------------
+
+
+def _refine_nonzero(br: _BitReader, blk, k: int, p1: int) -> None:
+    """One correction bit for an already-nonzero coefficient (G.1.2.3:
+    append the bit to the magnitude if not already set there)."""
+    if br.read_bit():
+        c = int(blk[k])
+        if (abs(c) & p1) == 0:
+            blk[k] = c + p1 if c > 0 else c - p1
+
+
+def _ac_first_block(br, tab, blk, ss, se, al, eobrun) -> int:
+    """AC first scan, one block (G.1.2.2); returns the new EOBRUN."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = br.read_huff(tab)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.receive(r)
+            return eobrun
+        k += r
+        if k > se:
+            raise _JpegError("AC run past band end")
+        blk[k] = br.receive_extend(s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(br, tab, blk, ss, se, al, eobrun) -> int:
+    """AC refinement scan, one block (G.1.2.3): newly significant
+    coefficients arrive as +-1<<Al; every already-nonzero coefficient
+    visited emits one correction bit; EOB runs cover whole blocks
+    whose remaining coefficients are correction-only."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = br.read_huff(tab)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.receive(r)
+                    break
+                val = 0  # ZRL: skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise _JpegError("refine size must be 1")
+                val = p1 if br.read_bit() else -p1
+            while k <= se:
+                if blk[k] != 0:
+                    _refine_nonzero(br, blk, k, p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val != 0:
+                if k > se:
+                    raise _JpegError("refine placement past band end")
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0:
+                _refine_nonzero(br, blk, k, p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_prog_scan(payload, data_pos, sos, frame, htabs, dri, coefs):
+    """Decode ONE progressive scan into the per-component coefficient
+    grids; returns the payload offset of the next marker (the scan is
+    self-delimited by it), or None for a malformed scan."""
+    width, height, comps = frame
+    ncomp = len(comps)
+    ns = sos[0]
+    if ns < 1 or ns > ncomp or len(sos) < 1 + 2 * ns + 3:
+        return None
+    by_id = {c[0]: k for k, c in enumerate(comps)}
+    scomps = []
+    for s in range(ns):
+        cid, tt = sos[1 + 2 * s], sos[2 + 2 * s]
+        if cid not in by_id:
+            return None
+        scomps.append((by_id[cid], tt >> 4, tt & 15))
+    ss, se, ahal = sos[1 + 2 * ns : 4 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 15
+    if al > 13 or (ah and ah != al + 1) or se > 63:
+        return None
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    br = _BitReader(payload, data_pos)
+    rst = 0
+    unit_i = 0
+    eobrun = 0
+    preds = [0] * ncomp
+
+    def _maybe_restart():
+        nonlocal rst, preds, eobrun
+        if dri and unit_i and unit_i % dri == 0:
+            br.restart(rst)
+            rst += 1
+            preds = [0] * ncomp
+            eobrun = 0
+
+    if ss == 0:
+        if se != 0:
+            return None  # a DC scan is exactly the DC band
+        dc_tabs = {}
+        if ah == 0:
+            for ci, dtid, _a in scomps:
+                tab = htabs.get((0, dtid))
+                if tab is None:
+                    return None
+                dc_tabs[ci] = tab
+        if ns > 1:
+            # interleaved DC scan: full MCU grid of the frame
+            mcux = -(-width // (8 * hmax))
+            mcuy = -(-height // (8 * vmax))
+            for _my in range(mcuy):
+                for _mx in range(mcux):
+                    _maybe_restart()
+                    my, mx = divmod(unit_i, mcux)
+                    for ci, _d, _a in scomps:
+                        _cid, hc, vc, _tq = comps[ci]
+                        grid = coefs[ci]
+                        for bv in range(vc):
+                            for bh in range(hc):
+                                blk = grid[my * vc + bv, mx * hc + bh]
+                                if ah == 0:
+                                    s = br.read_huff(dc_tabs[ci])
+                                    diff = br.receive_extend(s) if s else 0
+                                    preds[ci] += diff
+                                    blk[0] = preds[ci] << al
+                                elif br.read_bit():
+                                    blk[0] = int(blk[0]) | (1 << al)
+                    unit_i += 1
+        else:
+            ci = scomps[0][0]
+            _cid, hc, vc, _tq = comps[ci]
+            bw = (-(-(width * hc) // hmax) + 7) // 8
+            bh = (-(-(height * vc) // vmax) + 7) // 8
+            grid = coefs[ci]
+            for by in range(bh):
+                for bx in range(bw):
+                    _maybe_restart()
+                    blk = grid[by, bx]
+                    if ah == 0:
+                        s = br.read_huff(dc_tabs[ci])
+                        diff = br.receive_extend(s) if s else 0
+                        preds[ci] += diff
+                        blk[0] = preds[ci] << al
+                    elif br.read_bit():
+                        blk[0] = int(blk[0]) | (1 << al)
+                    unit_i += 1
+    else:
+        if ns != 1:
+            return None  # AC scans are single-component by spec
+        ci, _dtid, atid = scomps[0]
+        tab = htabs.get((1, atid))
+        if tab is None:
+            return None
+        _cid, hc, vc, _tq = comps[ci]
+        bw = (-(-(width * hc) // hmax) + 7) // 8
+        bh = (-(-(height * vc) // vmax) + 7) // 8
+        grid = coefs[ci]
+        for by in range(bh):
+            for bx in range(bw):
+                _maybe_restart()
+                blk = grid[by, bx]
+                if ah == 0:
+                    eobrun = _ac_first_block(br, tab, blk, ss, se, al, eobrun)
+                else:
+                    eobrun = _ac_refine_block(br, tab, blk, ss, se, al, eobrun)
+                unit_i += 1
+
+    # the scan is self-delimited: resume the marker walk at the next
+    # real marker (skipping stuffed 0x00 and any stray RSTn)
+    p = br.pos
+    n = len(payload)
+    while p + 1 < n:
+        if payload[p] == 0xFF:
+            m2 = payload[p + 1]
+            if m2 != 0x00 and not (0xD0 <= m2 <= 0xD7):
+                return p
+            p += 2
+            continue
+        p += 1
+    return None
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder twin (round 13): the standard web progression —
+# DC first (Al=1) interleaved, per-component AC first (Al=1), DC
+# refine, per-component AC refine (Al=0) — at 4:4:4 / grayscale.
+# Progressive encoding is a LOSSLESS re-coding of the same quantized
+# coefficients, so decode(progressive) must BIT-EQUAL
+# decode(baseline) for the same pixels+quality: that identity is the
+# round-trip test's whole assertion.
+# ---------------------------------------------------------------------------
+
+
+#: the progressive AC scans' Huffman table: EOBn symbols (r<<4, s=0)
+#: do not exist in the Annex K baseline tables (real progressive
+#: encoders ship optimized custom DHTs), so the twin writes a FLAT
+#: canonical table — every (run, size<=10) symbol at 8 bits (176
+#: codes < 256: Kraft-valid) — and the decoder reads it from the DHT
+#: like any other.  Deliberately suboptimal compression; bit-valid.
+_AC_PROG = (
+    [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0],
+    [(r << 4) | s for r in range(16) for s in range(11)],
+)
+
+
+class _ScanWriter:
+    """Per-scan bit writer with EOB-run + buffered-correction-bit
+    state (T.81 G.1.2.2-3 / the jcphuff discipline)."""
+
+    def __init__(self, ac_tab: dict | None):
+        self.w = _BitWriter()
+        self.ac_tab = ac_tab
+        self.eobrun = 0
+        self.bits: list[int] = []
+
+    def flush_eob(self) -> None:
+        if self.eobrun:
+            r = self.eobrun.bit_length() - 1
+            code, ln = self.ac_tab[r << 4]
+            self.w.write(code, ln)
+            if r:
+                self.w.write(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        for b in self.bits:
+            self.w.write(b, 1)
+        self.bits = []
+
+    def bump_eob(self, pending_bits: list[int]) -> None:
+        self.eobrun += 1
+        self.bits.extend(pending_bits)
+        if self.eobrun == 0x7FFF:
+            self.flush_eob()
+
+    def finish(self) -> bytes:
+        self.flush_eob()
+        self.w.align()
+        return bytes(self.w.out)
+
+
+def _enc_dc_first(grids, comp_order, dc_tabs, al: int) -> bytes:
+    """Interleaved (1,1)-sampling DC first scan: every component's
+    block (by, bx) in MCU raster order."""
+    w = _BitWriter()
+    preds = [0] * len(grids)
+    n_by, n_bx = grids[0].shape[:2]
+    for by in range(n_by):
+        for bx in range(n_bx):
+            for c in comp_order:
+                dc = int(grids[c][by, bx, 0]) >> al
+                diff = dc - preds[c]
+                preds[c] = dc
+                s = _category(diff)
+                code, ln = dc_tabs[c][s]
+                w.write(code, ln)
+                if s:
+                    w.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    w.align()
+    return bytes(w.out)
+
+
+def _enc_dc_refine(grids, comp_order, al: int) -> bytes:
+    w = _BitWriter()
+    n_by, n_bx = grids[0].shape[:2]
+    for by in range(n_by):
+        for bx in range(n_bx):
+            for c in comp_order:
+                w.write((int(grids[c][by, bx, 0]) >> al) & 1, 1)
+    w.align()
+    return bytes(w.out)
+
+
+def _enc_ac_first(grid, ac_enc: dict, ss: int, se: int, al: int) -> bytes:
+    sw = _ScanWriter(ac_enc)
+    n_by, n_bx = grid.shape[:2]
+    for by in range(n_by):
+        for bx in range(n_bx):
+            blk = grid[by, bx]
+            tv = []
+            for k in range(ss, se + 1):
+                v = int(blk[k])
+                tv.append((v >> al) if v >= 0 else -((-v) >> al))
+            last = -1
+            for j, v in enumerate(tv):
+                if v:
+                    last = j
+            if last < 0:
+                sw.bump_eob([])
+                continue
+            sw.flush_eob()
+            run = 0
+            for j in range(last + 1):
+                v = tv[j]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_enc[0xF0]
+                    sw.w.write(code, ln)
+                    run -= 16
+                s = _category(v)
+                code, ln = ac_enc[(run << 4) | s]
+                sw.w.write(code, ln)
+                sw.w.write(v if v > 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last < se - ss:
+                sw.bump_eob([])
+    return sw.finish()
+
+
+def _enc_ac_refine(grid, ac_enc: dict, ss: int, se: int, al: int) -> bytes:
+    """G.1.2.3 refinement encoding (the jcphuff shape): newly
+    significant coefficients ((abs>>Al) == 1) emit (run|1)+sign,
+    previously significant ones buffer a correction bit that flushes
+    after the next emitted symbol; blocks with no newly-significant
+    tail fold into the EOB run with their correction bits."""
+    sw = _ScanWriter(ac_enc)
+    n_by, n_bx = grid.shape[:2]
+    for by in range(n_by):
+        for bx in range(n_bx):
+            blk = grid[by, bx]
+            absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+            eob = -1
+            for j, t in enumerate(absv):
+                if t == 1:
+                    eob = j
+            r = 0
+            br_bits: list[int] = []
+            for j, t in enumerate(absv):
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and j <= eob:
+                    sw.flush_eob()
+                    code, ln = ac_enc[0xF0]
+                    sw.w.write(code, ln)
+                    r -= 16
+                    for b in br_bits:
+                        sw.w.write(b, 1)
+                    br_bits = []
+                if t > 1:
+                    br_bits.append(t & 1)
+                    continue
+                sw.flush_eob()
+                code, ln = ac_enc[(r << 4) | 1]
+                sw.w.write(code, ln)
+                sw.w.write(1 if int(blk[ss + j]) > 0 else 0, 1)
+                for b in br_bits:
+                    sw.w.write(b, 1)
+                br_bits = []
+                r = 0
+            if r > 0 or br_bits:
+                sw.bump_eob(br_bits)
+    return sw.finish()
+
+
+def _sos_seg(scomps: list[tuple[int, int, int]], ss, se, ah, al) -> bytes:
+    body = bytes([len(scomps)])
+    for cid, dt, at in scomps:
+        body += bytes([cid, (dt << 4) | at])
+    body += bytes([ss, se, (ah << 4) | al])
+    return _seg(0xDA, body)
+
+
+def _jpeg_encode_progressive(
+    planes: list[np.ndarray], width: int, height: int, quality: int
+) -> bytes:
+    """Shared progressive core: grayscale or 4:4:4 color (the encoder
+    keeps sampling (1,1); the DECODER handles general sampling)."""
+    ncomp = len(planes)
+    q_l = quality_scaled(QUANT_LUMA, quality)
+    tabs = [np.asarray(q_l, dtype=np.float64)]
+    if ncomp == 3:
+        q_c = quality_scaled(QUANT_CHROMA, quality)
+        tabs.append(np.asarray(q_c, dtype=np.float64))
+    grids = []
+    for ci, plane in enumerate(planes):
+        sub = _pad_plane(plane.astype(np.float64), 8, 8)
+        grids.append(_fdct_quant(sub - 128.0, tabs[0 if ci == 0 else 1]))
+
+    dc_enc = [_build_encode_table(*_DC_LUMA)]
+    if ncomp == 3:
+        dc_enc += [_build_encode_table(*_DC_CHROMA)] * 2
+    ac_prog = _build_encode_table(*_AC_PROG)
+    ac_enc = [ac_prog] * ncomp
+    dc_tid = [0] + [1, 1][: ncomp - 1]
+    ac_tid = [0] * ncomp  # one shared progressive AC table
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(
+        0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    )
+    out += _dqt_seg(0, q_l)
+    if ncomp == 3:
+        out += _dqt_seg(1, q_c)
+    sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([ncomp])
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += _seg(0xC2, sof)  # SOF2: progressive
+    out += _dht_seg(0, 0, *_DC_LUMA)
+    out += _dht_seg(1, 0, *_AC_PROG)
+    if ncomp == 3:
+        out += _dht_seg(0, 1, *_DC_CHROMA)
+
+    comp_order = list(range(ncomp))
+    # scan 1: DC first, interleaved, Al=1
+    out += _sos_seg(
+        [(c + 1, dc_tid[c], 0) for c in comp_order], 0, 0, 0, 1
+    )
+    out += _enc_dc_first(grids, comp_order, [dc_enc[c] for c in comp_order], 1)
+    # per-component AC first, Al=1
+    for c in comp_order:
+        out += _sos_seg([(c + 1, 0, ac_tid[c])], 1, 63, 0, 1)
+        out += _enc_ac_first(grids[c], ac_enc[c], 1, 63, 1)
+    # DC refine to Al=0
+    out += _sos_seg(
+        [(c + 1, dc_tid[c], 0) for c in comp_order], 0, 0, 1, 0
+    )
+    out += _enc_dc_refine(grids, comp_order, 0)
+    # per-component AC refine to Al=0
+    for c in comp_order:
+        out += _sos_seg([(c + 1, 0, ac_tid[c])], 1, 63, 1, 0)
+        out += _enc_ac_refine(grids[c], ac_enc[c], 1, 63, 0)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def jpeg_encode_gray_progressive(
+    grays: list[int], width: int, height: int, quality: int = 75
+) -> bytes:
+    """A REAL progressive (SOF2) grayscale JPEG — the standard web
+    progression (spectral selection + successive approximation), a
+    lossless re-coding of exactly the coefficients the baseline
+    encoder quantizes."""
+    if len(grays) != width * height:
+        raise ValueError(f"need {width * height} grays, got {len(grays)}")
+    plane = np.asarray(grays, dtype=np.float64).reshape(height, width)
+    return _jpeg_encode_progressive([plane], width, height, quality)
+
+
+def jpeg_encode_ycbcr_progressive(
+    y: list[int], cb: list[int], cr: list[int],
+    width: int, height: int, quality: int = 75,
+) -> bytes:
+    """A REAL progressive color JPEG at 4:4:4 (interleaved DC scan
+    over three components + per-component AC scans — exercises the
+    decoder's multi-component progressive paths)."""
+    n = width * height
+    if not (len(y) == len(cb) == len(cr) == n):
+        raise ValueError("Y/Cb/Cr planes must all be width*height")
+    planes = [
+        np.asarray(p, dtype=np.float64).reshape(height, width)
+        for p in (y, cb, cr)
+    ]
+    return _jpeg_encode_progressive(planes, width, height, quality)

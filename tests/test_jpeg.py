@@ -108,7 +108,10 @@ def test_malformed_payloads_fall_to_none():
     assert J.decode_jpeg_pixels(b"\xff\xd8\xff\xd9") is None
     assert J.decode_jpeg_pixels(good[: len(good) // 2]) is None  # truncated
     assert J.decode_jpeg_pixels(good[:-20]) is None  # scan cut short
-    # progressive: flip SOF0 -> SOF2
+    # SOF0 flipped to SOF2 without progressive scan headers: the
+    # baseline scan's Ss..Se=0..63 full-band interleaved form is not
+    # a legal progressive scan -> None (round 13: real progressive
+    # files decode; see the progressive tests below)
     i = good.index(b"\xff\xc0")
     prog = good[:i] + b"\xff\xc2" + good[i + 2 :]
     assert J.decode_jpeg_pixels(prog) is None
@@ -303,3 +306,77 @@ def test_jpeg_arm_synthesizer_matches_formula(spark):
             for x in range(w)
         ]
         assert grays == expect, f"doc {i}: decode drifted from formula"
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) — round 13 second half
+# ---------------------------------------------------------------------------
+
+
+def test_progressive_decodes_bit_equal_to_baseline():
+    """Progressive encoding is a lossless re-coding of the same
+    quantized coefficients: decode(progressive) must BIT-EQUAL
+    decode(baseline) for identical pixels+quality, across textures
+    that exercise every scan mechanism (random: dense AC; smooth:
+    long zero runs; near-constant: maximal EOB runs across blocks)."""
+    import math
+
+    rng = np.random.RandomState(11)
+    cases = []
+    for w, h in ((37, 29), (48, 40), (8, 8)):
+        cases.append((w, h, [int(v) for v in rng.randint(0, 256, w * h)]))
+    w, h = 48, 40
+    cases.append((w, h, [
+        int(128 + 60 * math.sin(x / 7) + 40 * math.cos(y / 5))
+        for y in range(h) for x in range(w)
+    ]))
+    flat = [100] * (w * h)
+    flat[777] = 180  # one coefficient in a sea of EOB runs
+    cases.append((w, h, flat))
+    for w, h, img in cases:
+        for q in (50, 85, 95):
+            base = J.decode_jpeg_pixels(J.jpeg_encode_gray(img, w, h, q))
+            prog = J.decode_jpeg_pixels(
+                J.jpeg_encode_gray_progressive(img, w, h, q)
+            )
+            assert prog is not None, f"progressive decode failed {w}x{h} q{q}"
+            assert prog == base, f"prog != baseline at {w}x{h} q{q}"
+
+
+def test_progressive_color_and_ladder():
+    """Color progressive (interleaved DC scan + per-component AC
+    scans) decodes its Y plane bit-equal to the 4:4:4 baseline; the
+    pixel ladder tags it 'jpeg', so a progressive re-save of a
+    baseline image is a hamming-0 duplicate in the phash tier."""
+    w, h = 33, 18
+    rng = np.random.RandomState(5)
+    y = [int(v) for v in rng.randint(0, 256, w * h)]
+    cb = [120] * (w * h)
+    cr = [135] * (w * h)
+    base = J.decode_jpeg_pixels(
+        J.jpeg_encode_ycbcr(y, cb, cr, w, h, 85, sampling=(1, 1))
+    )
+    prog = J.decode_jpeg_pixels(
+        J.jpeg_encode_ycbcr_progressive(y, cb, cr, w, h, 85)
+    )
+    assert prog == base
+    grays = _pattern(40, 32)
+    p = J.jpeg_encode_gray_progressive(grays, 40, 32, quality=90)
+    assert P.decode_image_pixels(p)[3] == "jpeg"
+    # a progressive re-save hashes identically to its baseline twin
+    from haensel_ams_data_engineer_challenge_spark.multimodal.phash import (
+        box_grays, dhash_bands,
+    )
+    b = J.decode_jpeg_pixels(J.jpeg_encode_gray(grays, 40, 32, quality=90))
+    q = J.decode_jpeg_pixels(p)
+    assert dhash_bands(box_grays(q[2], 40, 32, 9, 8)) == dhash_bands(
+        box_grays(b[2], 40, 32, 9, 8)
+    )
+
+
+def test_progressive_malformed_falls_to_none():
+    grays = _pattern(24, 16)
+    good = J.jpeg_encode_gray_progressive(grays, 24, 16, 80)
+    assert J.decode_jpeg_pixels(good) is not None
+    assert J.decode_jpeg_pixels(good[: len(good) // 2]) is None  # truncated
+    assert J.decode_jpeg_pixels(good[:-4]) is None  # no EOI tail... still
