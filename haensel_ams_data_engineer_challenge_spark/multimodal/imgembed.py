@@ -69,11 +69,13 @@ from .phash import (
 )
 
 #: the pixel-decode ladder version baked into every image-v1 identity
-#: (round 13): adding the JPEG rung changed the feature space for
-#: JPEG bytes (they used to fall to the fake rung), so artifacts
-#: committed under the png-only ladder must REFUSE, not silently mix
-#: spaces — the `mix=sum` discipline from audio-v1.
-IMG_LADDER = "png+jpeg"
+#: (round 13): every rung/capability addition changes the feature
+#: space for SOME byte sequences (payloads that used to fall to the
+#: fake rung now decode), so artifacts committed under an older
+#: ladder must REFUSE, not silently mix spaces — the `mix=sum`
+#: discipline from audio-v1.  Current surface: full-legal PNG
+#: (Adam7 + all depths), JPEG baseline + progressive, GIF.
+IMG_LADDER = "png-full+jpeg-prog+gif"
 
 #: feature grid: 8x8 box means -> 64 dims = EMBEDDING_DIM, so every
 #: embedding consumer (LSH banding at the default dim, cosine, ANN)

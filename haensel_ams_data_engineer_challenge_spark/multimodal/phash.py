@@ -347,10 +347,13 @@ def decode_image_pixels(
     payload: bytes,
 ) -> tuple[int, int, list[int], str] | None:
     """The image PIXEL ladder (round 13): (width, height, grayscale
-    values, decoder tag) through real PNG decode ('png') then real
-    baseline-JPEG decode ('jpeg', :mod:`.jpeg`); None when neither
-    codec reads the payload — callers fall to the fake rung.  The two
-    signatures are disjoint, so the order is cosmetic."""
+    values, decoder tag) through real PNG decode ('png' — the full
+    legal surface incl. Adam7 and every depth), real JPEG decode
+    ('jpeg', :mod:`.jpeg` — baseline AND progressive), real GIF
+    decode ('gif', :mod:`.gif` — LZW + palettes + interlace, first
+    frame); None when no codec reads the payload — callers fall to
+    the fake rung.  The three signatures are disjoint, so the order
+    is cosmetic."""
     if payload is None:
         return None
     decoded = decode_png_pixels(payload)
@@ -361,6 +364,11 @@ def decode_image_pixels(
     decoded = decode_jpeg_pixels(payload)
     if decoded is not None:
         return (*decoded, "jpeg")
+    from .gif import decode_gif_pixels
+
+    decoded = decode_gif_pixels(payload)
+    if decoded is not None:
+        return (*decoded, "gif")
     return None
 
 

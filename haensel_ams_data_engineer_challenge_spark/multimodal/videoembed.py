@@ -71,8 +71,9 @@ VID_FRAMES = 4
 #: metadata nests 3 deep (RIFF/hdrl/strl); past 16 is adversarial.
 _AVI_MAX_DEPTH = 16
 #: the decode-ladder identity baked into every video-v1 artifact
-#: version (the image-v1 ``ladder`` rule).
-VID_LADDER = "mjpeg+jpeg"
+#: version (the image-v1 ``ladder`` rule): frame decode now reads
+#: progressive JPEGs too, which changes the space for such frames.
+VID_LADDER = "mjpeg+jpeg-prog"
 
 # -- gate-arm synthesis constants (shared, as integer math, with the
 # DuckDB twin): base block grays on % 110 (even, <= 218) so the +20

@@ -380,3 +380,101 @@ def test_progressive_malformed_falls_to_none():
     assert J.decode_jpeg_pixels(good) is not None
     assert J.decode_jpeg_pixels(good[: len(good) // 2]) is None  # truncated
     assert J.decode_jpeg_pixels(good[:-4]) is None  # no EOI tail... still
+
+
+# ---------------------------------------------------------------------------
+# GIF rung — round 13 second half (multimodal/gif.py)
+# ---------------------------------------------------------------------------
+
+
+def test_gif_roundtrip_and_cross_format_identity():
+    """decode(gif_encode(g)) == g exactly (LZW is lossless and the
+    grayscale table's luma is the identity), so a GIF re-save of a
+    grayscale PNG hashes identically — the cross-format duplicate."""
+    from haensel_ams_data_engineer_challenge_spark.multimodal import gif as G
+
+    w, h = 37, 23
+    grays = _pattern(w, h)
+    gif = G.gif_encode_gray(grays, w, h)
+    assert G.decode_gif_pixels(gif) == (w, h, grays)
+    assert P.decode_image_pixels(gif)[3] == "gif"
+    png = P.png_encode_gray(grays, w, h)
+    assert P.decode_image_pixels(gif)[:3] == P.decode_image_pixels(png)[:3]
+
+
+def test_gif_interlace_palette_and_composition():
+    """Interlaced frames un-shuffle through the 4-pass schedule;
+    color palettes map to entry lumas; a sub-screen first frame
+    composes onto a background-filled logical screen; out-of-range
+    indices and truncated streams fall to None."""
+    import struct as _s
+
+    from haensel_ams_data_engineer_challenge_spark.multimodal import gif as G
+
+    # hand-build: 4x4 screen, 2-entry palette, interlaced full frame
+    pal = bytes([250, 250, 250, 10, 10, 10])  # lumas 250, 10
+    idx_rows = [[0, 1, 0, 1], [1, 1, 1, 1], [0, 0, 0, 0], [1, 0, 1, 0]]
+    # interlaced row order for h=4: pass1 row0, pass3 row2, pass4 rows 1,3
+    shuffled = idx_rows[0] + idx_rows[2] + idx_rows[1] + idx_rows[3]
+    lzw = G._lzw_encode(shuffled, 2)
+    gif = (
+        b"GIF89a" + _s.pack("<HH", 4, 4) + bytes([0x80, 0, 0]) + pal
+        + b"\x2c" + _s.pack("<HHHH", 0, 0, 4, 4)
+        + bytes([0x40])  # interlaced, no LCT
+        + bytes([2, len(lzw)]) + lzw + b"\x00\x3b"
+    )
+    expect = [250 if v == 0 else 10 for row in idx_rows for v in row]
+    assert G.decode_gif_pixels(gif) == (4, 4, expect)
+
+    # sub-screen frame at (1,1) on a 4x4 screen, bg index 1 (luma 10)
+    lzw2 = G._lzw_encode([0, 0, 0, 0], 2)
+    gif2 = (
+        b"GIF89a" + _s.pack("<HH", 4, 4) + bytes([0x80, 1, 0]) + pal
+        + b"\x2c" + _s.pack("<HHHH", 1, 1, 2, 2) + b"\x00"
+        + bytes([2, len(lzw2)]) + lzw2 + b"\x00\x3b"
+    )
+    out = G.decode_gif_pixels(gif2)
+    assert out is not None
+    grid = [out[2][r * 4 : (r + 1) * 4] for r in range(4)]
+    assert grid[1][1] == grid[1][2] == grid[2][1] == grid[2][2] == 250
+    assert grid[0] == [10, 10, 10, 10] and grid[3] == [10, 10, 10, 10]
+
+    # index past the palette -> None
+    bad_lzw = G._lzw_encode([0, 1, 2, 3], 2)  # indices 2,3 past 2-entry pal
+    bad = (
+        b"GIF89a" + _s.pack("<HH", 2, 2) + bytes([0x80, 0, 0]) + pal
+        + b"\x2c" + _s.pack("<HHHH", 0, 0, 2, 2) + b"\x00"
+        + bytes([2, len(bad_lzw)]) + bad_lzw + b"\x00\x3b"
+    )
+    assert G.decode_gif_pixels(bad) is None
+    # no color table at all -> None
+    no_tab = (
+        b"GIF89a" + _s.pack("<HH", 2, 2) + bytes([0, 0, 0])
+        + b"\x2c" + _s.pack("<HHHH", 0, 0, 2, 2) + b"\x00"
+        + bytes([2, len(lzw2)]) + lzw2 + b"\x00\x3b"
+    )
+    assert G.decode_gif_pixels(no_tab) is None
+
+
+def test_gif_reencode_pair_caught(spark):
+    """A GIF re-save of a JPEG (the classic meme-laundering chain)
+    clusters with the original through the phash tier."""
+    from haensel_ams_data_engineer_challenge_spark.multimodal import gif as G
+
+    w, h = 48, 40
+    grays = _pattern(w, h)
+    jd = J.decode_jpeg_pixels(J.jpeg_encode_gray(grays, w, h, 90))[2]
+    rows = [
+        (1, bytearray(J.jpeg_encode_gray(grays, w, h, quality=90))),
+        (2, bytearray(G.gif_encode_gray(jd, w, h))),  # gif of the jpeg
+        (3, bytearray(G.gif_encode_gray([255 - g for g in grays], w, h))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    hashes = P.image_phash(df)
+    got = {r["doc_id"]: r["decoder"] for r in hashes.collect()}
+    assert got == {1: "jpeg", 2: "gif", 3: "gif"}
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in P.phash_dup_pairs(hashes).collect()
+    }
+    assert (1, 2) in pairs and not any({a, b} == {1, 3} for a, b in pairs)
