@@ -1177,6 +1177,15 @@ def multimodal_both_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     jpeg = jpeg_pixels_query(spark, sf_dir).withColumn(
         "method", F.lit("jpeg")
     )
+    # round 13 (second half): the GIF pixel arm — synthesized REAL
+    # single-frame GIFs (full LZW streams) through the stdlib
+    # sub-block/LZW/palette decode; LZW is lossless, so the oracle
+    # re-derives the pixel formula directly
+    from .phash import gif_pixels_query
+
+    gif = gif_pixels_query(spark, sf_dir).withColumn(
+        "method", F.lit("gif")
+    )
     # round 12: the audio SAMPLE tier — synthesized real PCM WAVs
     # (data chunk present) through the stdlib decoder into envelope
     # features; the oracle re-derives the embedded sample formula, so
@@ -1203,6 +1212,7 @@ def multimodal_both_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(video, allowMissingColumns=True)
         .unionByName(phash, allowMissingColumns=True)
         .unionByName(jpeg, allowMissingColumns=True)
+        .unionByName(gif, allowMissingColumns=True)
         .unionByName(audio_pcm, allowMissingColumns=True)
         .unionByName(video_pcm, allowMissingColumns=True)
     )
@@ -1210,7 +1220,7 @@ def multimodal_both_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _multimodal_both_sql() -> str:
     from .audioembed import AUDIO_EMBED_SQL
-    from .phash import JPEG_PIXELS_SQL, PHASH_SQL
+    from .phash import GIF_PIXELS_SQL, JPEG_PIXELS_SQL, PHASH_SQL
     from .videoembed import VIDEO_EMBED_SQL
 
     return f"""
@@ -1225,6 +1235,8 @@ UNION ALL BY NAME
 SELECT 'phash' AS method, * FROM ({PHASH_SQL})
 UNION ALL BY NAME
 SELECT 'jpeg' AS method, * FROM ({JPEG_PIXELS_SQL})
+UNION ALL BY NAME
+SELECT 'gif' AS method, * FROM ({GIF_PIXELS_SQL})
 UNION ALL BY NAME
 SELECT 'audio_embed' AS method, * FROM ({AUDIO_EMBED_SQL})
 UNION ALL BY NAME

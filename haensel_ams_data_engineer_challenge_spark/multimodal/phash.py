@@ -867,3 +867,78 @@ pgray AS (
     FROM ppix)""",
     "jpeg",
 )
+
+
+# ---------------------------------------------------------------------------
+# gate arm (round 13, second half): synthesized REAL GIFs — LZW is
+# LOSSLESS and the writer twin's grayscale table is the identity, so
+# ANY pixel formula decodes to exactly itself; Spark runs the real
+# sub-block/LZW/palette path on the actual bytes and the DuckDB twin
+# re-derives the formula through the shared hash chain.
+# ---------------------------------------------------------------------------
+
+#: pixel formula shared (as integer math) with the DuckDB twin — no
+#: evenness/blockiness constraints needed: GIF decode is exact.
+_GIF_PIX_SQL = "(doc_id * 37 + x * 11 + y * 23 + ((x + y) % 29) * 3) % 256"
+
+
+def _gif_pix(i: int, x: int, y: int) -> int:
+    return (i * 37 + x * 11 + y * 23 + ((x + y) % 29) * 3) % 256
+
+
+def _gif_syn_dims(i: int) -> tuple[int, int]:
+    return 20 + (i * 7) % 25, 14 + (i * 5) % 19
+
+
+def synthesize_formula_gifs(
+    ids_df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """One REAL single-frame GIF89a per id (full LZW stream, 256-entry
+    grayscale table) whose pixels follow the shared integer formula at
+    id-varied dimensions."""
+    from .gif import gif_encode_gray
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = _gif_syn_dims(i)
+                grays = [
+                    _gif_pix(i, x, y) for y in range(h) for x in range(w)
+                ]
+                payloads.append(gif_encode_gray(grays, w, h))
+            yield pd.DataFrame({id_col: pdf[id_col].values, "payload": payloads})
+
+    return ids_df.select(id_col).mapInPandas(
+        _build, f"{id_col} long, payload binary"
+    )
+
+
+def gif_pixels_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry arm (round 13): synthesized real GIFs -> REAL LZW
+    decode -> dHash/aHash; every row must come back decoder='gif'
+    (a fake-rung fallback — or any drift in the LZW/palette path —
+    hashes different grays and fails the oracle)."""
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    return image_phash(synthesize_formula_gifs(ids)).select(
+        "doc_id", "phash", "ahash", "p0", "p1", "p2", "p3", "decoder"
+    )
+
+
+GIF_PIXELS_SQL = _hash_chain_sql(
+    f"""pdims AS (
+    SELECT doc_id,
+           20 + (doc_id * 7) % 25 AS w,
+           14 + (doc_id * 5) % 19 AS h
+    FROM documents),
+ppix AS (
+    SELECT doc_id, w, h,
+           unnest(range(0, w * h)) % w AS x,
+           unnest(range(0, w * h)) // w AS y
+    FROM pdims),
+pgray AS (
+    SELECT doc_id, w, h, x, y, {_GIF_PIX_SQL} AS g
+    FROM ppix)""",
+    "gif",
+)
