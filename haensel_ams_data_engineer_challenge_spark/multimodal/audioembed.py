@@ -77,23 +77,67 @@ AUD_TWIN_OFFSET = 1_000_000_000
 AUD_RATE = 8000
 
 
+def _g711_ulaw(b: int) -> int:
+    """ITU-T G.711 mu-law byte -> linear sample (the standard
+    expansion: invert, split exponent/mantissa, remove the +33 bias).
+    Pure integer formula — no table needed."""
+    b = ~b & 0xFF
+    sign = b & 0x80
+    exp = (b >> 4) & 7
+    mant = b & 0x0F
+    v = (((mant << 3) + 0x84) << exp) - 0x84
+    return -v if sign else v
+
+
+def _g711_alaw(b: int) -> int:
+    """ITU-T G.711 A-law byte -> linear sample (even-bit inversion,
+    exponent/mantissa split)."""
+    b ^= 0x55
+    sign = b & 0x80
+    exp = (b >> 4) & 7
+    mant = b & 0x0F
+    if exp == 0:
+        v = (mant << 4) + 8
+    else:
+        v = ((mant << 4) + 0x108) << (exp - 1)
+    return -v if sign else v
+
+
+#: WAVE format tags the sample tier decodes: PCM, plus the G.711
+#: telephony companders (round 13 — 8-bit logarithmic, one byte per
+#: sample; the voice-crawl format).
+_WAV_FMT_PCM, _WAV_FMT_ALAW, _WAV_FMT_ULAW = 1, 6, 7
+
+#: the decode-ladder identity baked into every audio-v1 artifact
+#: (the image-v1 ``ladder`` rule, round 13): adding G.711 changed the
+#: feature space for mu-law/A-law bytes (they used to fall to the
+#: fake rung), so artifacts committed under the PCM-only surface must
+#: refuse to serve.
+AUD_LADDER = "pcm+g711"
+
+
 def decode_wav_samples(payload: bytes) -> tuple[int, list[int]] | None:
-    """REAL stdlib PCM decode: (sample_rate, mono samples) for a
+    """REAL stdlib audio decode: (sample_rate, mono samples) for a
     RIFF/WAVE payload whose data chunk BYTES are present, None
-    otherwise (non-WAV, compressed, header-only, or past the sample
-    ceiling — callers fall to the fake rung).
+    otherwise (non-WAV, unsupported codecs, header-only, or past the
+    sample ceiling — callers fall to the fake rung).
 
     Unlike :func:`.binary.parse_audio_header` (geometry from declared
     sizes — ranged reads suffice), the sample tier needs the actual
     bytes: only complete blocks present in the payload are decoded
     (``min(declared, available)``), so a truncated object decodes its
     prefix instead of crashing.  16-bit signed and 8-bit unsigned PCM
-    (the two classic WAV layouts); multi-channel mixes down by channel
+    (the two classic WAV layouts) plus G.711 mu-law/A-law (round 13 —
+    the telephony formats; 8-bit log-companded, expanded by the
+    standard integer formulas); multi-channel mixes down by channel
     SUM, not mean — ``(k*a + k*b) // ch`` is not ``k * ((a+b) // ch)``
     under floor division, so a mean mixdown would break the EXACT gain
     identity the feature contract promises for stereo re-gains; the
     sum scales by k exactly, and the constant channel-count factor
-    cancels in cosine like any other gain."""
+    cancels in cosine like any other gain.  (G.711 is logarithmic, so
+    a LINEAR-domain gain is not byte-representable — the exact-gain
+    identity is a PCM statement; G.711 re-encodes of the same signal
+    land near, not at, cosine 1.)"""
     n = len(payload)
     if n < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
@@ -107,9 +151,11 @@ def decode_wav_samples(payload: bytes) -> tuple[int, list[int]] | None:
             audio_fmt, ch, rate, _br, block, bits = struct.unpack(
                 "<HHIIHH", payload[i + 8 : i + 24]
             )
-            if audio_fmt != 1:  # PCM only
-                return None
-            fmt = (ch, rate, block, bits)
+            if audio_fmt not in (
+                _WAV_FMT_PCM, _WAV_FMT_ALAW, _WAV_FMT_ULAW,
+            ):
+                return None  # other codecs need real decoders
+            fmt = (audio_fmt, ch, rate, block, bits)
         elif cid == b"data":
             data_off, data_size = i + 8, size
         if fmt is not None and data_off is not None:
@@ -117,7 +163,9 @@ def decode_wav_samples(payload: bytes) -> tuple[int, list[int]] | None:
         i += 8 + size + (size % 2)
     if fmt is None or data_off is None:
         return None
-    ch, rate, block, bits = fmt
+    audio_fmt, ch, rate, block, bits = fmt
+    if audio_fmt != _WAV_FMT_PCM and bits != 8:
+        return None  # G.711 is 8 bits per sample by definition
     if ch == 0 or rate == 0 or block == 0 or bits not in (8, 16):
         return None
     if block != ch * (bits // 8):
@@ -126,7 +174,11 @@ def decode_wav_samples(payload: bytes) -> tuple[int, list[int]] | None:
     if usable == 0 or usable > _WAV_MAX_SAMPLES:
         return None
     raw = payload[data_off : data_off + usable * block]
-    if bits == 16:
+    if audio_fmt == _WAV_FMT_ULAW:
+        flat = [_g711_ulaw(b) for b in raw]
+    elif audio_fmt == _WAV_FMT_ALAW:
+        flat = [_g711_alaw(b) for b in raw]
+    elif bits == 16:
         flat = struct.unpack(f"<{usable * ch}h", raw)
     else:
         flat = [b - 128 for b in raw]
@@ -200,6 +252,7 @@ def audio_encoder_build(
         "encoder": AUDIO_KIND,
         "dim": dim,
         "grid": grid,
+        "ladder": AUD_LADDER,
     }
     try:
         if _check_index_params(spark, path, params):
@@ -211,7 +264,7 @@ def audio_encoder_build(
     # part of the feature space for multi-channel payloads, and
     # serving new vectors under an old embedder pin would silently mix
     # two spaces in one index
-    content = f"audio-v1|dim={dim}|grid={grid}|mix=sum"
+    content = f"audio-v1|dim={dim}|grid={grid}|mix=sum|ladder={AUD_LADDER}"
 
     version = hashlib.md5(content.encode("utf-8")).hexdigest()[:12]
     artifact_overwrite(spark, path, {}, {**params, "version": version})
@@ -282,7 +335,7 @@ def audio_encoder_import(
         weights_df, grid, AUD_PROJ_MAX_DIM, "audio"
     )
     h = _hl.md5()
-    h.update(f"mix=sum|grid={grid}|".encode())
+    h.update(f"mix=sum|grid={grid}|ladder={AUD_LADDER}|".encode())
     for r in collected:
         h.update(repr((r["row"], tuple(r["vec"]))).encode())
     version = h.hexdigest()[:12]
@@ -291,6 +344,7 @@ def audio_encoder_import(
         "encoder": AUDIO_KIND,
         "dim": n,
         "grid": grid,
+        "ladder": AUD_LADDER,
         "projected": "true",
         "version": version,
     }
@@ -312,6 +366,15 @@ def audio_embed_frame(
     kind."""
     from ..operators.embed import _worker_encoder_cache
 
+    if params.get("ladder") != AUD_LADDER:
+        # committed under an older decode surface (pre-G.711): the
+        # same mu-law bytes would embed differently — refuse loudly
+        # (the image-v1 ladder rule; builds self-heal, serving refuses)
+        raise ValueError(
+            f"audio encoder at {model_path} was committed under decode "
+            f"ladder {params.get('ladder') or 'pcm-only (pre-r13)'}; "
+            f"this build decodes {AUD_LADDER} — rebuild the artifact"
+        )
     grid = int(params.get("grid", AUDIO_GRID))
     version = params.get("version", "1")
     projected = params.get("projected") == "true"

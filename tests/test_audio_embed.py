@@ -475,3 +475,115 @@ def test_cli_import_audioenc_and_dedup(spark, tmp_path, capsys):
         for r in spark.read.parquet(f"{work}/audio_survivors").collect()
     }
     assert surv == {1: True, 2: False, 3: True}
+
+
+def _g711_wav(bytes_data, fmt_tag, rate=8000):
+    """A RIFF/WAVE payload with a G.711 fmt chunk (8 bits, 1 ch)."""
+    import struct as _s
+
+    return (
+        b"RIFF" + _s.pack("<I", 36 + len(bytes_data)) + b"WAVE"
+        + b"fmt " + _s.pack("<IHHIIHH", 16, fmt_tag, 1, rate, rate, 1, 8)
+        + b"data" + _s.pack("<I", len(bytes_data)) + bytes(bytes_data)
+    )
+
+
+def test_g711_expansion_formulas():
+    """Spot-pin the mu-law/A-law expansion against known points of the
+    ITU-T G.711 tables."""
+    # the canonical g711.c (16-bit-aligned) convention: mu-law spans
+    # +-32124, A-law +-32256; 0xFF/0x7F encode +-0
+    assert A._g711_ulaw(0xFF) == 0
+    assert A._g711_ulaw(0x7F) == 0
+    assert A._g711_ulaw(0x00) == -32124  # max negative magnitude
+    assert A._g711_ulaw(0x80) == 32124
+    assert A._g711_ulaw(0xFE) == 8  # smallest nonzero step
+    assert A._g711_alaw(0x55) == 8  # smallest positive band value
+    assert A._g711_alaw(0xD5) == -8
+    assert A._g711_alaw(0x2A) == 32256  # top band
+    assert A._g711_alaw(0xAA) == -32256
+
+
+def test_g711_wav_decodes_and_dedups(spark, tmp_path):
+    """Round 13: mu-law/A-law WAVs decode real samples (decoder no
+    longer fake-rungs telephony audio), and the SAME signal companded
+    two ways lands at high envelope cosine — the cross-compander
+    duplicate, impossible in the byte domain."""
+    import numpy as np
+
+    def ulaw_byte(x):
+        # standard mu-law compression (for fixture synthesis)
+        s = 0x80 if x < 0 else 0
+        x = min(abs(x), 8031) + 0x84
+        exp = x.bit_length() - 8
+        mant = (x >> (exp + 3)) & 0x0F
+        return ~(s | (exp << 4) | mant) & 0xFF
+
+    sig = _clip(2000)
+    ub = bytes(ulaw_byte(s * 4) for s in sig)  # scale into G.711 range
+    wav_u = _g711_wav(ub, 7)
+    got = A.decode_wav_samples(wav_u)
+    assert got is not None, "mu-law WAV fell to the fake rung"
+    _rate, samples = got
+    # round trip through compression is lossy but sign/shape-preserving
+    assert len(samples) == len(sig)
+    ref = np.array([s * 4 for s in sig], dtype=float)
+    dec = np.array(samples, dtype=float)
+    cos = float(ref @ dec / (np.linalg.norm(ref) * np.linalg.norm(dec)))
+    assert cos > 0.99, f"mu-law expansion destroyed the signal: {cos}"
+
+    # the envelope tier pairs the PCM original with its mu-law re-send
+    fu = A.audio_features(samples)
+    fp = A.audio_features([s * 4 for s in sig])
+    cu = float(
+        np.dot(fu, fp) / (np.linalg.norm(fu) * np.linalg.norm(fp))
+    )
+    assert cu > 0.99
+
+    # A-law variant also decodes
+    def alaw_byte(x):
+        s = 0x80 if x >= 0 else 0
+        x = min(abs(x), 0xFFF)
+        if x < 256:
+            v = x >> 4
+            exp = 0
+        else:
+            exp = x.bit_length() - 8
+            v = (x >> (exp + 3)) & 0x0F
+        return (s | (exp << 4) | v) ^ 0x55
+
+    ab = bytes(alaw_byte(s * 2) for s in sig)
+    assert A.decode_wav_samples(_g711_wav(ab, 6)) is not None
+    # unsupported codec tags still fall to None (fake rung)
+    assert A.decode_wav_samples(_g711_wav(ub, 2)) is None  # MS ADPCM
+    # G.711 with a 16-bit fmt chunk is malformed
+    import struct as _s
+    bad = (
+        b"RIFF" + _s.pack("<I", 36 + 4) + b"WAVE"
+        + b"fmt " + _s.pack("<IHHIIHH", 16, 7, 1, 8000, 16000, 2, 16)
+        + b"data" + _s.pack("<I", 4) + b"\x00\x01\x02\x03"
+    )
+    assert A.decode_wav_samples(bad) is None
+
+
+def test_audio_ladder_refusal(spark, tmp_path):
+    """An audio-v1 artifact committed under the pre-G.711 (pcm-only)
+    surface refuses to serve; the stateless build self-heals."""
+    from haensel_ams_data_engineer_challenge_spark.operators.artifact_manifest import (
+        artifact_overwrite,
+    )
+
+    old = str(tmp_path / "oldaud")
+    artifact_overwrite(
+        spark, old, {},
+        {"kind": "encoder", "encoder": "audio-v1", "dim": 64, "grid": 64,
+         "version": "feed00000000"},
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(_wav(_clip(500))))], "doc_id long, payload binary"
+    )
+    with pytest.raises(ValueError, match="ladder"):
+        E.embed_with_model(df, old).collect()
+    # the BUILD at the same path self-heals to the current identity
+    A.audio_encoder_build(spark, old)
+    assert len(E.embed_with_model(df, old).collect()) == 1
