@@ -208,13 +208,26 @@ def run_streaming_attribution(
     if stop_after_batches is None:
         query.awaitTermination()
         return
-    # kill-mid-catch-up mode: wait until >= N batches have COMMITTED
-    # (recentProgress entries are per committed batch), then stop the
-    # query — possibly interrupting a further batch in flight, which
-    # is exactly the crash the idempotent sink must absorb on restart
+    # kill-mid-catch-up mode: wait until >= N DATA-BEARING batches
+    # have reported progress (round 13 flake fix: Spark can emit
+    # zero-row progress events under load, and counting one of those
+    # stopped the query after fewer real batches than asked), then
+    # stop the query — possibly interrupting a further batch in
+    # flight, which is exactly the crash the idempotent sink must
+    # absorb on restart
     import time
 
-    while query.isActive and len(query.recentProgress) < stop_after_batches:
+    def _rows(p) -> int:
+        # StreamingQueryProgress object (pyspark >= 3.4) or plain dict
+        v = getattr(p, "numInputRows", None)
+        if v is None and isinstance(p, dict):
+            v = p.get("numInputRows")
+        return int(v or 0)
+
+    def _n_data_batches() -> int:
+        return sum(1 for p in query.recentProgress if _rows(p) > 0)
+
+    while query.isActive and _n_data_batches() < stop_after_batches:
         time.sleep(0.2)
     query.stop()
     query.awaitTermination()

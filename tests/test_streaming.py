@@ -317,9 +317,14 @@ def test_streaming_attribution_resumes_from_checkpoint(spark, sf_dir, tmp_path):
     }
     assert final == expected  # converged, and COUNT equality = no dupes
     if resumed_ids:  # empty only if the first run drained everything
-        # offsets resumed: the restart never reprocesses the >= 2
-        # batches the first run committed before stopping
-        assert min(resumed_ids) >= 2
+        # offsets resumed: batch 0's commit is sealed the moment batch
+        # 1 STARTS, so the restart must never see batch 0 again.  The
+        # LAST counted batch's commit can race query.stop() under load
+        # (its progress event precedes the final commit-log fsync), so
+        # the hard guarantee — and this assertion — is >= 1; the
+        # idempotent sink absorbs any replay of the raced batch
+        # (round 13: a loaded 29-min suite measured exactly this race)
+        assert min(resumed_ids) >= 1
 
 
 def test_streaming_ingest_incremental_dedup(spark, sf_dir, tmp_path):
