@@ -65,6 +65,47 @@ HEADLINE: dict[str, bool] = {
 }
 
 
+#: BASELINE.md 2x-bar rows (idle band, arm-inclusive).  Round 14
+#: (r13 verdict task 1a): entries whose bar sits under ~2 s are floor
+#: entries where ONE loaded attempt ruins a min-of-two — they get a
+#: third attempt; heavier entries keep best-of-two (their duration
+#: already averages transient load out, and a third run of a 5-9 s
+#: entry costs more wall than it buys in stability).
+BAR_SECONDS: dict[str, float] = {
+    "q1_pricing_summary": 1.26,
+    "q3_top_orders": 1.36,
+    "join_broadcast_dims": 0.44,
+    "window_topn_orders": 0.36,
+    "window_tumbling_hour": 0.30,
+    "json_extract_props": 0.40,
+    "journey_asof_join": 1.44,
+    "ihc_attribute": 1.05,
+    "agg_channel_report": 1.26,
+    "report_metrics": 1.23,
+    "ihc_redistributed": 1.67,
+    "dedup_exact": 1.26,
+    "dedup_minhash_lsh": 3.24,
+    "dedup_verify_candidates": 2.31,
+    "dedup_simhash": 1.60,
+    "dedup_substring_anchors": 2.86,
+    "ann_topk_bruteforce": 1.58,
+    "ann_topk_lsh": 0.97,
+    "text_stats": 6.52,
+    "doc_fingerprint": 5.13,
+    "pack_groups": 1.09,
+    "q5_region_revenue": 0.60,
+    "events_sessionize": 0.69,
+    "ann_topk_ivf": 1.63,
+    "corpus_survivors_split": 5.31,
+    "contamination_check": 3.84,
+    "salted_sum_events": 0.56,
+    "multimodal_decode_stub": 4.00,
+}
+
+#: bar threshold below which an entry gets the extra attempt.
+EXTRA_ATTEMPT_BAR = 2.0
+
+
 def _sf_from_dir(sf_dir: str) -> float:
     name = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -97,8 +138,15 @@ def main() -> None:
         # best of two: single-shot numbers swing with transient machine
         # load; the min is the reproducible figure (codegen caches warm
         # on the second run exactly as they would mid-workload).
+        # Sub-2s-bar entries get a THIRD attempt (r13 verdict task 1a):
+        # for floor entries a single loaded attempt ruins min-of-two,
+        # and the extra run is cheap exactly because they're fast.
+        n_attempts = (
+            3 if BAR_SECONDS.get(name, EXTRA_ATTEMPT_BAR) < EXTRA_ATTEMPT_BAR
+            else 2
+        )
         best = None
-        for _attempt in range(2):
+        for _attempt in range(n_attempts):
             start = time.perf_counter()
             df = fn(spark, sf_dir)
             if small:

@@ -57,6 +57,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.artifact_manifest import artifact_overwrite
 from ..sources import load_table
+from .armconf import SAMPLE_ARM_MOD
 
 #: feature grid: 64 energy windows = EMBEDDING_DIM.
 AUDIO_GRID = 64
@@ -505,8 +506,14 @@ def audio_embed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     fake-rung fallback would feature different samples and fail the
     oracle).  The planted gain twins ride along: their stats are
     exactly 2x their base's, so the hash certifies the invariance the
-    dedup tier relies on."""
-    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    dedup tier relies on.  Round 14: ids sampled at 1-in-SAMPLE_ARM_MOD
+    — the gate certifies the codec, not the corpus (oracle carries the
+    same predicate)."""
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % SAMPLE_ARM_MOD == 0)
+    )
     syn = synthesize_pcm_wavs(ids)
     grid = AUDIO_GRID
 
@@ -545,9 +552,11 @@ def audio_embed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 AUDIO_EMBED_SQL = f"""
 WITH eids AS (
     SELECT doc_id AS vid, doc_id AS base_id, 1 AS gain FROM documents
+    WHERE doc_id % {SAMPLE_ARM_MOD} = 0
     UNION ALL
     SELECT doc_id + {AUD_TWIN_OFFSET}, doc_id, {AUD_TWIN_GAIN}
-    FROM documents WHERE doc_id % {AUD_TWIN_EVERY} = 0),
+    FROM documents
+    WHERE doc_id % {AUD_TWIN_EVERY} = 0 AND doc_id % {SAMPLE_ARM_MOD} = 0),
 edims AS (
     SELECT vid, base_id, gain, 400 + (base_id * 13) % 300 AS n
     FROM eids),

@@ -292,6 +292,30 @@ def decode_audio_meta(
     return binary_df.mapInPandas(_decode, schema)
 
 
+def _wav_header_payload(i: int) -> bytes:
+    """One id's REAL RIFF/WAVE header bytes (44 bytes, data chunk
+    declared-but-absent) — shared by the standalone synthesizer and
+    the round-14 fused header arm."""
+    channels = 1 + i % 2
+    rate = (8000, 16000, 44100)[i % 3]
+    bits = 8 * (1 + i % 2)
+    n_samples = 1000 + (i * 11) % 50000
+    block = channels * (bits // 8)
+    data_size = n_samples * block
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + data_size)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack(
+            "<IHHIIHH",
+            16, 1, channels, rate, rate * block, block, bits,
+        )
+        + b"data"
+        + struct.pack("<I", data_size)
+    )
+
+
 def synthesize_wav_payloads(
     ids_df: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -306,28 +330,7 @@ def synthesize_wav_payloads(
 
     def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = []
-            for i in pdf[id_col]:
-                i = int(i)
-                channels = 1 + i % 2
-                rate = (8000, 16000, 44100)[i % 3]
-                bits = 8 * (1 + i % 2)
-                n_samples = 1000 + (i * 11) % 50000
-                block = channels * (bits // 8)
-                data_size = n_samples * block
-                p = (
-                    b"RIFF"
-                    + struct.pack("<I", 36 + data_size)
-                    + b"WAVE"
-                    + b"fmt "
-                    + struct.pack(
-                        "<IHHIIHH",
-                        16, 1, channels, rate, rate * block, block, bits,
-                    )
-                    + b"data"
-                    + struct.pack("<I", data_size)
-                )
-                payloads.append(p)
+            payloads = [_wav_header_payload(int(i)) for i in pdf[id_col]]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].values,
@@ -660,6 +663,25 @@ _MVHD_TAIL = (
 )
 
 
+def _mp4_header_payload(i: int) -> bytes:
+    """One id's REAL ISO-BMFF header bytes (ftyp + moov, mdat absent)
+    — shared by the standalone synthesizer and the round-14 fused
+    header arm."""
+    timescale = (600, 1000, 90000)[i % 3]
+    duration = 1000 + (i * 17) % 100000
+    n_tracks = 1 + i % 2
+    mvhd = _mp4_box(
+        b"mvhd",
+        b"\x00" * 4          # version 0 + flags
+        + b"\x00" * 8        # creation/modification time
+        + struct.pack(">II", timescale, duration)
+        + _MVHD_TAIL
+        + struct.pack(">I", n_tracks + 1),  # next_track_id
+    )
+    traks = _TRAK_VIDEO + (_TRAK_AUDIO if n_tracks == 2 else b"")
+    return _FTYP + _mp4_box(b"moov", mvhd + traks)
+
+
 def synthesize_mp4_payloads(
     ids_df: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -673,22 +695,7 @@ def synthesize_mp4_payloads(
 
     def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = []
-            for i in pdf[id_col]:
-                i = int(i)
-                timescale = (600, 1000, 90000)[i % 3]
-                duration = 1000 + (i * 17) % 100000
-                n_tracks = 1 + i % 2
-                mvhd = _mp4_box(
-                    b"mvhd",
-                    b"\x00" * 4          # version 0 + flags
-                    + b"\x00" * 8        # creation/modification time
-                    + struct.pack(">II", timescale, duration)
-                    + _MVHD_TAIL
-                    + struct.pack(">I", n_tracks + 1),  # next_track_id
-                )
-                traks = _TRAK_VIDEO + (_TRAK_AUDIO if n_tracks == 2 else b"")
-                payloads.append(_FTYP + _mp4_box(b"moov", mvhd + traks))
+            payloads = [_mp4_header_payload(int(i)) for i in pdf[id_col]]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].values,
@@ -884,6 +891,8 @@ FROM documents"""
 
 N_SAMPLE_FRAMES = 4
 
+from .armconf import SAMPLE_ARM_MOD  # noqa: F401  (re-export: sizing knob)
+
 
 def multimodal_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry (round 6, widens the decode-only row): the FULL
@@ -955,6 +964,32 @@ def _hex_from_hash(start: int, n: int) -> str:
     )
 
 
+def _image_header_payload(i: int) -> bytes:
+    """One id's REAL image-header bytes (PNG / JPEG / GIF by id % 3)
+    — shared by the standalone synthesizer and the round-14 fused
+    header arm."""
+    w = 16 + (i * 7) % 2000
+    h = 16 + (i * 13) % 2000
+    k = i % 3
+    if k == 0:
+        return (
+            _PNG_SIG
+            + struct.pack(">I", 13)
+            + b"IHDR"
+            + struct.pack(">II", w, h)
+            + bytes.fromhex("0806000000")  # depth/color/etc
+            + b"\x00\x00\x00\x00"  # CRC (unchecked)
+        )
+    if k == 1:
+        return (
+            bytes.fromhex("FFD8FFE000104A46494600010100004800480000")
+            + bytes.fromhex("FFC0001108")
+            + struct.pack(">HH", h, w)
+            + bytes.fromhex("03012200021101031101")
+        )
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00"
+
+
 def synthesize_image_payloads(
     ids_df: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -973,31 +1008,7 @@ def synthesize_image_payloads(
 
     def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = []
-            for i in pdf[id_col]:
-                i = int(i)
-                w = 16 + (i * 7) % 2000
-                h = 16 + (i * 13) % 2000
-                k = i % 3
-                if k == 0:
-                    p = (
-                        _PNG_SIG
-                        + struct.pack(">I", 13)
-                        + b"IHDR"
-                        + struct.pack(">II", w, h)
-                        + bytes.fromhex("0806000000")  # depth/color/etc
-                        + b"\x00\x00\x00\x00"  # CRC (unchecked)
-                    )
-                elif k == 1:
-                    p = (
-                        bytes.fromhex("FFD8FFE000104A46494600010100004800480000")
-                        + bytes.fromhex("FFC0001108")
-                        + struct.pack(">HH", h, w)
-                        + bytes.fromhex("03012200021101031101")
-                    )
-                else:
-                    p = b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00"
-                payloads.append(p)
+            payloads = [_image_header_payload(int(i)) for i in pdf[id_col]]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].values,
@@ -1142,6 +1153,171 @@ SELECT doc_id, n_bytes, format, width, height, decoder, content_hash,
 FROM dec"""
 
 
+# ---------------------------------------------------------------------------
+# fused header gate arm (round 14, r13 verdict task 1): the three
+# header-decode arms (image / audio / video) certified through ONE
+# synth mapInPandas + ONE decode mapInPandas.  Measured at sf0.1: each
+# separate arm chain cost ~0.7-0.9 s of FIXED Python-worker/stage
+# floors while the per-payload header parse is microseconds — fusing
+# the chains, not shrinking the corpora, is the lever.  Output rows
+# are identical to the three separate arms (method from the
+# synthesized kind; the per-kind decode ladders replicated exactly),
+# so the oracle twins (HEADER_DECODE_SQL / AUDIO_HEADER_SQL /
+# VIDEO_HEADER_SQL) are unchanged.
+# ---------------------------------------------------------------------------
+
+#: fused superset schema: the union-by-name shape of the three header
+#: arms (each kind fills its own columns, NULLs elsewhere).
+_FUSED_HEADER_COLS = (
+    "method", "doc_id", "n_bytes", "format", "width", "height",
+    "channels", "sample_rate", "bits_per_sample", "n_samples",
+    "duration_ms", "major_brand", "timescale", "duration", "n_tracks",
+    "codecs", "decoder", "content_hash",
+)
+
+_FUSED_HEADER_SCHEMA = (
+    "method string, doc_id long, n_bytes long, format string, "
+    "width long, height long, channels long, sample_rate long, "
+    "bits_per_sample long, n_samples long, duration_ms long, "
+    "major_brand string, timescale long, duration long, "
+    "n_tracks long, codecs string, decoder string, content_hash string"
+)
+
+
+def synthesize_header_payloads(
+    ids_df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(kind, id, payload, syn_ch): per id, the image, audio and video
+    header fixtures from the three arms' shared byte-builders — one
+    Arrow stage for all three."""
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            kinds: list[str] = []
+            out_ids: list[int] = []
+            payloads: list[bytes] = []
+            for i in pdf[id_col]:
+                i = int(i)
+                for kind, p in (
+                    ("image", _image_header_payload(i)),
+                    ("audio", _wav_header_payload(i)),
+                    ("video", _mp4_header_payload(i)),
+                ):
+                    kinds.append(kind)
+                    out_ids.append(i)
+                    payloads.append(p)
+            yield pd.DataFrame(
+                {
+                    "kind": kinds,
+                    id_col: out_ids,
+                    "payload": payloads,
+                    "syn_ch": [
+                        hashlib.md5(p.hex().upper().encode()).hexdigest()
+                        for p in payloads
+                    ],
+                }
+            )
+
+    return ids_df.select(id_col).mapInPandas(
+        _build, f"kind string, {id_col} long, payload binary, syn_ch string"
+    )
+
+
+def fused_header_arms_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fused registry arm: one synth stage -> one decode stage
+    dispatching per kind to the SAME parse ladders the standalone
+    operators run (parse_image_header -> pillow -> fake;
+    parse_audio_header -> fake; parse_video_header -> parse_avi_header
+    -> fake).  Every row must come back decoder='header' with the
+    geometry parsed from the actual bytes — the same gate the three
+    separate arms enforced."""
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    syn = synthesize_header_payloads(ids)
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            import io
+
+            from PIL import Image
+
+            def img_codec(payload: bytes) -> tuple[str, int, int, str]:
+                try:
+                    img = Image.open(io.BytesIO(payload))
+                    return (
+                        (img.format or "?").lower(),
+                        img.width, img.height, "pillow",
+                    )
+                except Exception:
+                    fmt, w, h = _fake_decode(payload)
+                    return fmt, w, h, "fake"
+        except ImportError:
+            def img_codec(payload: bytes) -> tuple[str, int, int, str]:
+                fmt, w, h = _fake_decode(payload)
+                return fmt, w, h, "fake"
+
+        def one(kind: str, payload: bytes) -> dict:
+            row: dict = dict.fromkeys(_FUSED_HEADER_COLS)
+            if kind == "image":
+                parsed = parse_image_header(payload)
+                if parsed is not None:
+                    fmt, w, h, dec = (*parsed, "header")
+                else:
+                    fmt, w, h, dec = img_codec(payload)
+                row.update(
+                    method="header_decode", format=fmt,
+                    width=w, height=h, decoder=dec,
+                )
+            elif kind == "audio":
+                parsed = parse_audio_header(payload)
+                if parsed is not None:
+                    fmt, ch, rate, bits, ns, dec = (*parsed, "header")
+                else:
+                    fmt, ch, rate, bits, ns, dec = (
+                        *_fake_audio_decode(payload), "fake",
+                    )
+                row.update(
+                    method="audio_header", format=fmt, channels=ch,
+                    sample_rate=rate, bits_per_sample=bits, n_samples=ns,
+                    duration_ms=(ns * 1000) // rate, decoder=dec,
+                )
+            else:
+                try:
+                    parsed = parse_video_header(payload)
+                    if parsed is None:
+                        parsed = parse_avi_header(payload)
+                except (struct.error, ValueError, RecursionError):
+                    parsed = None
+                if parsed is not None:
+                    fmt, brand, ts, dur, nt, codecs, dec = (*parsed, "header")
+                else:
+                    fmt, brand, ts, dur, nt, codecs, dec = (
+                        *_fake_video_decode(payload), "fake",
+                    )
+                row.update(
+                    method="video_header", format=fmt, major_brand=brand,
+                    timescale=ts, duration=dur,
+                    duration_ms=(dur * 1000) // ts,
+                    n_tracks=nt, codecs=codecs, decoder=dec,
+                )
+            return row
+
+        for pdf in batches:
+            rows = [
+                one(k, p) for k, p in zip(pdf["kind"], pdf["payload"])
+            ]
+            for r, i, p, ch in zip(
+                rows, pdf["doc_id"], pdf["payload"], pdf["syn_ch"]
+            ):
+                r["doc_id"] = int(i)
+                r["n_bytes"] = len(p)
+                r["content_hash"] = ch
+            yield pd.DataFrame(
+                {c: [r[c] for r in rows] for c in _FUSED_HEADER_COLS}
+            )
+
+    return syn.mapInPandas(_decode, _FUSED_HEADER_SCHEMA)
+
+
 def multimodal_both_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry (round 9, widens the former stub-only row): the
     stub pipeline arm PLUS the real header-decode arm, method-tagged —
@@ -1152,40 +1328,22 @@ def multimodal_both_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     stub = multimodal_pipeline_query(spark, sf_dir).withColumn(
         "method", F.lit("stub_pipeline")
     )
-    header = header_decode_query(spark, sf_dir).withColumn(
-        "method", F.lit("header_decode")
-    )
-    audio = audio_header_query(spark, sf_dir).withColumn(
-        "method", F.lit("audio_header")
-    )
-    video = video_header_query(spark, sf_dir).withColumn(
-        "method", F.lit("video_header")
-    )
+    # round 14: the three header arms (image/audio/video) ride ONE
+    # fused synth+decode chain — same rows, same oracle twins, one
+    # third the Python-stage floors (fused_header_arms_query)
+    headers = fused_header_arms_query(spark, sf_dir)
     # round 11: the perceptual-hash arm — synthesized REAL full PNGs
     # (IDAT + CRCs) through the stdlib pixel decoder into dHash/aHash
     # band ints; the oracle re-derives the embedded pixel formula, so
     # the whole real decode->downsample->hash path is hash-checked
-    from .phash import jpeg_pixels_query, phash_query
+    # round 13 added the baseline-JPEG and GIF pixel rungs beside it;
+    # round 14 fuses all three pixel arms into ONE synth stage + ONE
+    # hash stage (pixel_arms_query — per-chain fixed floors, not codec
+    # CPU, dominated the old three-chain shape); rows and oracle twins
+    # are unchanged
+    from .phash import pixel_arms_query
 
-    phash = phash_query(spark, sf_dir).withColumn("method", F.lit("phash"))
-    # round 13: the baseline-JPEG pixel arm — synthesized REAL JPEGs
-    # (Annex K tables, full Huffman scans, block-constant even grays
-    # at quality 50 = the lossless-decode regime) through the stdlib
-    # marker->Huffman->dequant->IDCT codec into the same hash chain;
-    # the oracle re-derives the embedded block formula, so the whole
-    # JPEG pixel rung is hash-checked end-to-end
-    jpeg = jpeg_pixels_query(spark, sf_dir).withColumn(
-        "method", F.lit("jpeg")
-    )
-    # round 13 (second half): the GIF pixel arm — synthesized REAL
-    # single-frame GIFs (full LZW streams) through the stdlib
-    # sub-block/LZW/palette decode; LZW is lossless, so the oracle
-    # re-derives the pixel formula directly
-    from .phash import gif_pixels_query
-
-    gif = gif_pixels_query(spark, sf_dir).withColumn(
-        "method", F.lit("gif")
-    )
+    pixels = pixel_arms_query(spark, sf_dir)
     # round 12: the audio SAMPLE tier — synthesized real PCM WAVs
     # (data chunk present) through the stdlib decoder into envelope
     # features; the oracle re-derives the embedded sample formula, so
@@ -1207,12 +1365,8 @@ def multimodal_both_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "method", F.lit("video_embed")
     )
     return (
-        stub.unionByName(header, allowMissingColumns=True)
-        .unionByName(audio, allowMissingColumns=True)
-        .unionByName(video, allowMissingColumns=True)
-        .unionByName(phash, allowMissingColumns=True)
-        .unionByName(jpeg, allowMissingColumns=True)
-        .unionByName(gif, allowMissingColumns=True)
+        stub.unionByName(headers, allowMissingColumns=True)
+        .unionByName(pixels, allowMissingColumns=True)
         .unionByName(audio_pcm, allowMissingColumns=True)
         .unionByName(video_pcm, allowMissingColumns=True)
     )

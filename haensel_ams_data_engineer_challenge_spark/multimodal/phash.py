@@ -51,6 +51,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..sources import load_table
+from .armconf import SAMPLE_ARM_MOD
 
 #: dHash grid: 9x8 grays -> 8x8 horizontal-gradient bits.
 DHASH_GRID_W, DHASH_GRID_H = 9, 8
@@ -700,8 +701,14 @@ def phash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry arm (round 11): synthesized real PNGs -> REAL pixel
     decode -> dHash/aHash; every row must come back decoder='png'
     (a fake-rung fallback would hash different grays and fail the
-    oracle)."""
-    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    oracle).  Round 14: ids sampled at 1-in-SAMPLE_ARM_MOD — the gate
+    certifies the codec, not the corpus (oracle carries the same
+    predicate)."""
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % SAMPLE_ARM_MOD == 0)
+    )
     return image_phash(synthesize_pixel_pngs(ids)).select(
         "doc_id", "phash", "ahash", "p0", "p1", "p2", "p3", "decoder"
     )
@@ -769,7 +776,7 @@ PHASH_SQL = _hash_chain_sql(
     SELECT doc_id,
            18 + (doc_id * 5) % 30 AS w,
            16 + (doc_id * 3) % 17 AS h
-    FROM documents),
+    FROM documents WHERE doc_id % {SAMPLE_ARM_MOD} = 0),
 ppix AS (
     SELECT doc_id, w, h,
            unnest(range(0, w * h)) % w AS x,
@@ -844,8 +851,13 @@ def jpeg_pixels_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry arm (round 13): synthesized real baseline JPEGs ->
     REAL Huffman+IDCT decode -> dHash/aHash; every row must come back
     decoder='jpeg' (a fake-rung fallback — or any drift anywhere in
-    the codec — hashes different grays and fails the oracle)."""
-    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    the codec — hashes different grays and fails the oracle).
+    Round 14: 1-in-SAMPLE_ARM_MOD id sample, mirrored in the oracle."""
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % SAMPLE_ARM_MOD == 0)
+    )
     return image_phash(synthesize_blocky_jpegs(ids)).select(
         "doc_id", "phash", "ahash", "p0", "p1", "p2", "p3", "decoder"
     )
@@ -856,7 +868,7 @@ JPEG_PIXELS_SQL = _hash_chain_sql(
     SELECT doc_id,
            8 * (2 + (doc_id * 5) % 4) AS w,
            8 * (2 + (doc_id * 3) % 3) AS h
-    FROM documents),
+    FROM documents WHERE doc_id % {SAMPLE_ARM_MOD} = 0),
 ppix AS (
     SELECT doc_id, w, h,
            unnest(range(0, w * h)) % w AS x,
@@ -919,8 +931,13 @@ def gif_pixels_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry arm (round 13): synthesized real GIFs -> REAL LZW
     decode -> dHash/aHash; every row must come back decoder='gif'
     (a fake-rung fallback — or any drift in the LZW/palette path —
-    hashes different grays and fails the oracle)."""
-    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    hashes different grays and fails the oracle).
+    Round 14: 1-in-SAMPLE_ARM_MOD id sample, mirrored in the oracle."""
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % SAMPLE_ARM_MOD == 0)
+    )
     return image_phash(synthesize_formula_gifs(ids)).select(
         "doc_id", "phash", "ahash", "p0", "p1", "p2", "p3", "decoder"
     )
@@ -931,7 +948,7 @@ GIF_PIXELS_SQL = _hash_chain_sql(
     SELECT doc_id,
            20 + (doc_id * 7) % 25 AS w,
            14 + (doc_id * 5) % 19 AS h
-    FROM documents),
+    FROM documents WHERE doc_id % {SAMPLE_ARM_MOD} = 0),
 ppix AS (
     SELECT doc_id, w, h,
            unnest(range(0, w * h)) % w AS x,
@@ -942,3 +959,91 @@ pgray AS (
     FROM ppix)""",
     "gif",
 )
+
+
+# ---------------------------------------------------------------------------
+# fused pixel gate arm (round 14, r13 verdict task 1): the three pixel
+# rungs (PNG, baseline JPEG, GIF) certified through ONE synth
+# mapInPandas + ONE hash mapInPandas instead of three chains of each.
+# Measured: the codec CPU itself is milliseconds-per-core at sf0.1
+# (500 GIF encode+decodes = 0.55 s single-threaded) — per-arm cost was
+# ~1 s of FIXED Python-worker/stage floors per chain, so fusing the
+# chains is the real lever.  Output rows are identical to the three
+# separate arms (method tag from the synthesized kind), so the oracle
+# twins (PHASH_SQL / JPEG_PIXELS_SQL / GIF_PIXELS_SQL) are unchanged.
+# ---------------------------------------------------------------------------
+
+
+def synthesize_pixel_arm_payloads(
+    ids_df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(method, id, payload): per id, one REAL PNG ('phash'), one REAL
+    baseline JPEG ('jpeg') and one REAL GIF ('gif') from the three
+    arms' shared integer formulas — one Arrow stage for all three."""
+    from .gif import gif_encode_gray
+    from .jpeg import JPEG_EXACT_QUALITY, jpeg_encode_gray
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            methods: list[str] = []
+            out_ids: list[int] = []
+            payloads: list[bytes] = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = _syn_dims(i)
+                payloads.append(
+                    png_encode_gray(
+                        [_pix(i, x, y) for y in range(h) for x in range(w)],
+                        w, h,
+                    )
+                )
+                methods.append("phash")
+                out_ids.append(i)
+                w, h = _jpeg_syn_dims(i)
+                payloads.append(
+                    jpeg_encode_gray(
+                        [
+                            _jpeg_block(i, x // 8, y // 8)
+                            for y in range(h)
+                            for x in range(w)
+                        ],
+                        w, h, quality=JPEG_EXACT_QUALITY,
+                    )
+                )
+                methods.append("jpeg")
+                out_ids.append(i)
+                w, h = _gif_syn_dims(i)
+                payloads.append(
+                    gif_encode_gray(
+                        [_gif_pix(i, x, y) for y in range(h) for x in range(w)],
+                        w, h,
+                    )
+                )
+                methods.append("gif")
+                out_ids.append(i)
+            yield pd.DataFrame(
+                {"method": methods, id_col: out_ids, "payload": payloads}
+            )
+
+    return ids_df.select(id_col).mapInPandas(
+        _build, f"method string, {id_col} long, payload binary"
+    )
+
+
+def pixel_arms_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fused registry arm: synth (one stage) -> image_phash (one
+    stage) with the method tag passed through.  Every row must come
+    back on its own decoder ('png'/'jpeg'/'gif' per method) — a fake
+    fall or cross-format confusion hashes different grays and fails
+    the oracle exactly as the separate arms did."""
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % SAMPLE_ARM_MOD == 0)
+    )
+    return image_phash(
+        synthesize_pixel_arm_payloads(ids), passthrough=("method",)
+    ).select(
+        "method", "doc_id", "phash", "ahash",
+        "p0", "p1", "p2", "p3", "decoder",
+    )

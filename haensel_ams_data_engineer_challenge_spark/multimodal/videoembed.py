@@ -59,6 +59,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.artifact_manifest import artifact_overwrite
 from ..sources import load_table
+from .armconf import SAMPLE_ARM_MOD
 from .imgembed import image_features
 from .jpeg import JPEG_EXACT_QUALITY, decode_jpeg_pixels, jpeg_encode_gray
 from .phash import _fake_grays
@@ -477,8 +478,14 @@ def video_embed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     box -> center -> pool moves them).  Every row must come back
     decoder='mjpeg'; the planted brightness twins' stats are exactly
     their base's (the centering identity), so the hash certifies the
-    invariance the dedup tier relies on."""
-    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    invariance the dedup tier relies on.  Round 14: ids sampled at
+    1-in-SAMPLE_ARM_MOD — the gate certifies the codec, not the corpus
+    (oracle carries the same predicate)."""
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % SAMPLE_ARM_MOD == 0)
+    )
     syn = synthesize_mjpeg_avis(ids)
     grid, n_sample = VID_GRID, VID_FRAMES
 
@@ -511,9 +518,11 @@ def video_embed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 VIDEO_EMBED_SQL = f"""
 WITH vvids AS (
     SELECT doc_id AS vid, doc_id AS base_id, 0 AS shift FROM documents
+    WHERE doc_id % {SAMPLE_ARM_MOD} = 0
     UNION ALL
     SELECT doc_id + {VID_TWIN_OFFSET}, doc_id, {VID_TWIN_SHIFT}
-    FROM documents WHERE doc_id % {VID_TWIN_EVERY} = 0),
+    FROM documents
+    WHERE doc_id % {VID_TWIN_EVERY} = 0 AND doc_id % {SAMPLE_ARM_MOD} = 0),
 vgeom AS (
     SELECT vid, base_id, shift,
            2 + base_id % 3 AS nf,

@@ -516,3 +516,83 @@ def test_avi_header_rung(spark):
     assert rows[1]["duration_ms"] == 200  # 5 frames at 25 fps
     assert rows[1]["n_tracks"] == 1 and rows[1]["codecs"] == "MJPG"
     assert rows[2]["decoder"] == "fake"  # a WAV is not a video
+
+
+def _row_set(df):
+    return {
+        tuple(
+            None if r[c] is None else r[c]
+            for c in sorted(df.columns)
+        )
+        for r in df.collect()
+    }
+
+
+def test_fused_header_arms_match_separate_arms(spark, sf_dir):
+    """Round 14: the fused one-synth/one-decode header chain must
+    produce EXACTLY the rows of the three separate arm queries
+    union-by-name'd — the refactor is a plan-shape change only."""
+    from pyspark.sql import functions as F
+
+    from haensel_ams_data_engineer_challenge_spark.multimodal.binary import (
+        audio_header_query,
+        fused_header_arms_query,
+        header_decode_query,
+        video_header_query,
+    )
+
+    fused = fused_header_arms_query(spark, sf_dir)
+    sep = (
+        header_decode_query(spark, sf_dir)
+        .withColumn("method", F.lit("header_decode"))
+        .unionByName(
+            audio_header_query(spark, sf_dir).withColumn(
+                "method", F.lit("audio_header")
+            ),
+            allowMissingColumns=True,
+        )
+        .unionByName(
+            video_header_query(spark, sf_dir).withColumn(
+                "method", F.lit("video_header")
+            ),
+            allowMissingColumns=True,
+        )
+    )
+    assert set(fused.columns) == set(sep.columns)
+    assert _row_set(fused.select(*sorted(fused.columns))) == _row_set(
+        sep.select(*sorted(fused.columns))
+    )
+
+
+def test_fused_pixel_arms_match_separate_arms(spark, sf_dir):
+    """Round 14: the fused pixel chain (PNG/JPEG/GIF through one synth
+    + one hash stage) must produce EXACTLY the rows of the three
+    separate arm queries."""
+    from pyspark.sql import functions as F
+
+    from haensel_ams_data_engineer_challenge_spark.multimodal.phash import (
+        gif_pixels_query,
+        jpeg_pixels_query,
+        phash_query,
+        pixel_arms_query,
+    )
+
+    fused = pixel_arms_query(spark, sf_dir)
+    sep = (
+        phash_query(spark, sf_dir)
+        .withColumn("method", F.lit("phash"))
+        .unionByName(
+            jpeg_pixels_query(spark, sf_dir).withColumn(
+                "method", F.lit("jpeg")
+            )
+        )
+        .unionByName(
+            gif_pixels_query(spark, sf_dir).withColumn(
+                "method", F.lit("gif")
+            )
+        )
+    )
+    assert set(fused.columns) == set(sep.columns)
+    assert _row_set(fused) == _row_set(sep)
+    decs = {r["decoder"] for r in fused.select("decoder").distinct().collect()}
+    assert decs == {"png", "jpeg", "gif"}
