@@ -92,7 +92,9 @@ def _g711_ulaw(b: int) -> int:
 
 def _g711_alaw(b: int) -> int:
     """ITU-T G.711 A-law byte -> linear sample (even-bit inversion,
-    exponent/mantissa split)."""
+    exponent/mantissa split).  Sign convention per canonical
+    alaw2linear (r13 advice): after the 0x55 XOR a SET sign bit means
+    POSITIVE — the opposite of mu-law's inverted encoding."""
     b ^= 0x55
     sign = b & 0x80
     exp = (b >> 4) & 7
@@ -101,7 +103,7 @@ def _g711_alaw(b: int) -> int:
         v = (mant << 4) + 8
     else:
         v = ((mant << 4) + 0x108) << (exp - 1)
-    return -v if sign else v
+    return v if sign else -v
 
 
 #: WAVE format tags the sample tier decodes: PCM, plus the G.711

@@ -186,7 +186,13 @@ def decode_gif_pixels(payload: bytes) -> tuple[int, int, list[int]] | None:
                         idx[dst_r * fw : (dst_r + 1) * fw] = shuffled[
                             src_r * fw : (src_r + 1) * fw
                         ]
-                bg = table[bg_idx] if (gct and bg_idx < len(gct)) else 0
+                # background index refers to the GLOBAL color table per
+                # GIF89a §18 — look it up there, not in the active
+                # (possibly local) table (r13 advice: a local table
+                # smaller than the GCT used to raise IndexError and
+                # drop a valid GIF to the fake rung; a larger one
+                # composed the wrong background luma)
+                bg = gct[bg_idx] if (gct is not None and bg_idx < len(gct)) else 0
                 if left == 0 and top == 0 and fw == sw and fh == sh:
                     return int(sw), int(sh), [table[v] for v in idx]
                 full = [bg] * (sw * sh)

@@ -498,10 +498,12 @@ def test_g711_expansion_formulas():
     assert A._g711_ulaw(0x00) == -32124  # max negative magnitude
     assert A._g711_ulaw(0x80) == 32124
     assert A._g711_ulaw(0xFE) == 8  # smallest nonzero step
-    assert A._g711_alaw(0x55) == 8  # smallest positive band value
-    assert A._g711_alaw(0xD5) == -8
-    assert A._g711_alaw(0x2A) == 32256  # top band
-    assert A._g711_alaw(0xAA) == -32256
+    # A-law sign convention per canonical alaw2linear (r13 advice):
+    # after the 0x55 XOR a SET sign bit means POSITIVE
+    assert A._g711_alaw(0xD5) == 8  # smallest positive band value
+    assert A._g711_alaw(0x55) == -8
+    assert A._g711_alaw(0xAA) == 32256  # top band
+    assert A._g711_alaw(0x2A) == -32256
 
 
 def test_g711_wav_decodes_and_dedups(spark, tmp_path):

@@ -478,3 +478,42 @@ def test_gif_reencode_pair_caught(spark):
         for r in P.phash_dup_pairs(hashes).collect()
     }
     assert (1, 2) in pairs and not any({a, b} == {1, 3} for a, b in pairs)
+
+
+def test_gif_background_uses_global_table(tmp_path):
+    """r13 advice: the background index refers to the GLOBAL color
+    table (GIF89a §18).  A partial first frame with a LOCAL table
+    smaller than the GCT must still decode (used to IndexError ->
+    None), and the composed background luma must come from the GCT,
+    not the local table."""
+    import struct as _s
+
+    from haensel_ams_data_engineer_challenge_spark.multimodal import gif as G
+
+    # 4-entry GCT (lumas 0,40,80,120), bg_idx 3 -> luma 120;
+    # frame carries a 2-entry LOCAL table (lumas 200,220)
+    gct = bytes(v for g in (0, 40, 80, 120) for v in (g, g, g))
+    lct = bytes(v for g in (200, 220) for v in (g, g, g))
+    lzw = G._lzw_encode([0, 1, 1, 0], 2)
+    gif = (
+        b"GIF89a" + _s.pack("<HH", 4, 4)
+        + bytes([0x81, 3, 0])  # GCT present, 4 entries; bg_idx 3
+        + gct
+        + b"\x2c" + _s.pack("<HHHH", 1, 1, 2, 2)
+        + bytes([0x80])  # LCT present, 2 entries
+        + lct
+        + bytes([2, len(lzw)]) + lzw + b"\x00\x3b"
+    )
+    out = G.decode_gif_pixels(gif)
+    assert out is not None, "valid GIF fell to the fake rung"
+    grid = [out[2][r * 4 : (r + 1) * 4] for r in range(4)]
+    # frame pixels map through the LOCAL table
+    assert grid[1][1] == 200 and grid[1][2] == 220
+    assert grid[2][1] == 220 and grid[2][2] == 200
+    # background comes from the GLOBAL table entry 3
+    assert grid[0] == [120] * 4 and grid[3] == [120] * 4
+    # bg_idx past the GCT -> luma 0, still decodes
+    gif_oob = gif[:11] + bytes([250]) + gif[12:]
+    out2 = G.decode_gif_pixels(gif_oob)
+    assert out2 is not None
+    assert out2[2][0] == 0
