@@ -1,0 +1,242 @@
+"""Main-content HTML extraction + charset detection (round 14, r13
+verdict task 2 — the production rung for the WARC seam).
+
+The old seam was a tag-strip: every nav link, cookie banner and footer
+line landed in ``text`` and every downstream quality/dedup tier
+inherited the noise.  This module is a pure-stdlib block-level
+extractor in the jusText / trafilatura rule family (public knowledge:
+Pomikálek 2011 "Removing boilerplate and duplicate content from web
+corpora"; Kohlschütter 2010 boilerpipe):
+
+1. parse the HTML into BLOCKS with :class:`html.parser.HTMLParser`
+   (block-level elements open/close blocks; ``script``/``style``/
+   ``noscript``/``template``/``svg``/``iframe`` subtrees are dropped
+   whole; text inside ``<a>`` is counted separately per block);
+2. structural pruning: blocks inside ``nav``/``header``/``footer``/
+   ``aside``/``form`` are boilerplate by construction;
+3. density classification: a block is a CANDIDATE if its link density
+   (link chars / chars) is at most ``MAX_LINK_DENSITY``; a candidate
+   is GOOD if it carries at least ``GOOD_MIN_CHARS`` characters —
+   link-dense lists (menus, tag clouds, related-article rails) and
+   short stubs between them never qualify;
+4. context rescue (the jusText near-good rule, simplified): when the
+   page HAS good blocks, short candidates ADJACENT to a good block in
+   block order ride along (headings above a paragraph, bylines,
+   single-sentence ledes); isolated short candidates (copyright
+   lines between footers) drop;
+5. recall fallback: a page with NO good block at all (short pages,
+   fragments, fixtures) keeps every candidate — structure + link
+   density still prune nav/menu noise, but short legitimate pages are
+   not erased.
+
+Scale shape: everything here is per-payload CPU inside the WARC
+source's ``mapInPandas`` — no shuffle, no driver work; at 100 TB the
+cost is the same "decode one record" unit the crude strip paid,
+linear in payload bytes.
+
+Charset detection (:func:`decode_html_bytes`): BOM (UTF-8/UTF-16) ->
+HTTP ``Content-Type`` charset -> ``<meta charset>`` / ``http-equiv``
+sniff in the first 2 KiB -> strict UTF-8 probe -> Latin-1 fallback
+(never fails: Latin-1 maps every byte).  The chosen label rides the
+document row as an ``encoding`` audit column.
+
+Reference analogue: none — the reference ingests CSV/SQLite
+(api_utils.py); this tier exists for the 100 TB crawl corpus the
+engine's dedup/quality operators target.
+"""
+
+from __future__ import annotations
+
+import codecs
+import re
+from html.parser import HTMLParser
+
+#: elements whose whole subtree is invisible text-wise.  ``title`` is
+#: document metadata, not body content; ``head`` itself is NOT listed
+#: — a crawl page with an unclosed <head> would otherwise suppress the
+#: whole body, and head's only text-bearing child is title.
+_SKIP_TAGS = frozenset(
+    {"script", "style", "noscript", "template", "svg", "iframe", "title"}
+)
+
+#: structural boilerplate containers (HTML5 sectioning/chrome).
+_BOILER_TAGS = frozenset({"nav", "header", "footer", "aside", "form"})
+
+#: elements that open/close a text block.
+_BLOCK_TAGS = frozenset(
+    {
+        "p", "div", "section", "article", "main", "li", "ul", "ol",
+        "h1", "h2", "h3", "h4", "h5", "h6", "td", "th", "tr", "table",
+        "blockquote", "pre", "br", "dd", "dt", "figure", "figcaption",
+        "body",
+    }
+)
+
+_HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
+
+#: a block with at least this many characters (whitespace excluded)
+#: can stand on its own as main content.
+GOOD_MIN_CHARS = 80
+
+#: maximum link density for a block to be content at all: menus and
+#: "related articles" rails are mostly anchor text.
+MAX_LINK_DENSITY = 0.4
+
+
+class _BlockParser(HTMLParser):
+    """HTML -> [(text, n_chars, n_link_chars, structural_boiler)]."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[tuple[str, int, int, bool]] = []
+        self._parts: list[str] = []
+        self._chars = 0
+        self._link_chars = 0
+        self._skip = 0
+        self._boiler = 0
+        self._link = 0
+
+    def _flush(self) -> None:
+        text = " ".join("".join(self._parts).split())
+        if text:
+            self.blocks.append(
+                (text, self._chars, self._link_chars, self._boiler > 0)
+            )
+        self._parts = []
+        self._chars = 0
+        self._link_chars = 0
+
+    def handle_starttag(self, tag, attrs):  # noqa: D102
+        if tag in _SKIP_TAGS:
+            self._skip += 1
+            return
+        if self._skip:
+            return
+        if tag in _BOILER_TAGS:
+            self._flush()
+            self._boiler += 1
+            return
+        if tag == "a":
+            self._link += 1
+        if tag in _BLOCK_TAGS:
+            self._flush()
+
+    def handle_endtag(self, tag):  # noqa: D102
+        if tag in _SKIP_TAGS:
+            self._skip = max(0, self._skip - 1)
+            return
+        if self._skip:
+            return
+        if tag in _BOILER_TAGS:
+            self._flush()
+            self._boiler = max(0, self._boiler - 1)
+            return
+        if tag == "a":
+            self._link = max(0, self._link - 1)
+        if tag in _BLOCK_TAGS:
+            self._flush()
+
+    def handle_data(self, data):  # noqa: D102
+        if self._skip or not data:
+            return
+        self._parts.append(data)
+        n = sum(1 for c in data if not c.isspace())
+        self._chars += n
+        if self._link:
+            self._link_chars += n
+
+    def close(self) -> None:  # noqa: D102
+        super().close()
+        self._flush()
+
+
+def html_blocks(html: str) -> list[tuple[str, int, int, bool]]:
+    """Parse ``html`` into text blocks: (text, n_chars, n_link_chars,
+    structural_boilerplate).  Never raises on malformed markup —
+    HTMLParser is tolerant by design; a catastrophic parser error
+    yields a single unclassified block of the raw text."""
+    p = _BlockParser()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        flat = " ".join(re.sub(r"(?s)<[^>]*>", " ", html).split())
+        return [(flat, len(flat.replace(" ", "")), 0, False)] if flat else []
+    return p.blocks
+
+
+def extract_main_text(html: str) -> str:
+    """Main-content text of an HTML page (module docstring rules):
+    blocks joined by newlines (so the line-level boilerplate pass
+    downstream still sees line units).  Empty string when the page
+    has no content blocks at all (pure chrome / link farm)."""
+    blocks = html_blocks(html)
+    # candidates: outside chrome containers, not link-dominated
+    cand = [
+        (i, text, chars)
+        for i, (text, chars, link_chars, boiler) in enumerate(blocks)
+        if not boiler
+        and chars > 0
+        and link_chars <= MAX_LINK_DENSITY * chars
+    ]
+    if not cand:
+        return ""
+    good_idx = {i for i, _t, chars in cand if chars >= GOOD_MIN_CHARS}
+    if not good_idx:
+        # recall fallback: no long-form block anywhere — keep every
+        # candidate (short pages are pages, not boilerplate)
+        return "\n".join(t for _i, t, _c in cand)
+    # adjacency rescue in BLOCK order: short candidates touching a
+    # good block (headings, bylines, short ledes) ride along
+    keep = [
+        (i, t)
+        for i, t, _c in cand
+        if i in good_idx or (i - 1) in good_idx or (i + 1) in good_idx
+    ]
+    return "\n".join(t for _i, t in keep)
+
+
+#: charset= attribute sniff (meta charset / http-equiv content / xml
+#: declaration), ASCII-compatible prefix only.
+_CHARSET_RE = re.compile(rb"charset\s*=\s*[\"']?([A-Za-z0-9_.:-]+)")
+
+
+def _try_decode(raw: bytes, enc: str) -> str | None:
+    try:
+        codecs.lookup(enc)
+    except LookupError:
+        return None
+    try:
+        return raw.decode(enc, "replace")
+    except Exception:
+        return None
+
+
+def decode_html_bytes(
+    raw: bytes, header_charset: str | None = None
+) -> tuple[str, str]:
+    """(text, encoding_label): decode crawl payload bytes through the
+    detection ladder — BOM > HTTP header charset > meta sniff in the
+    first 2 KiB > strict UTF-8 > Latin-1 (total: every byte maps).
+    The label records the rung that decoded, for the audit column."""
+    if raw[:3] == b"\xef\xbb\xbf":
+        return raw[3:].decode("utf-8", "replace"), "utf-8-sig"
+    if raw[:2] == b"\xff\xfe":
+        return raw.decode("utf-16-le", "replace"), "utf-16-le"
+    if raw[:2] == b"\xfe\xff":
+        return raw.decode("utf-16-be", "replace"), "utf-16-be"
+    if header_charset:
+        text = _try_decode(raw, header_charset.strip().lower())
+        if text is not None:
+            return text, header_charset.strip().lower()
+    m = _CHARSET_RE.search(raw[:2048])
+    if m:
+        enc = m.group(1).decode("ascii", "replace").lower()
+        if enc not in ("utf-8", "utf8"):
+            text = _try_decode(raw, enc)
+            if text is not None:
+                return text, enc
+    try:
+        return raw.decode("utf-8"), "utf-8"
+    except UnicodeDecodeError:
+        return raw.decode("latin-1"), "latin-1"

@@ -29,19 +29,27 @@ Discipline mirrors sources/jsonl.py:
 - ``source`` is the URI host; ``lang`` is the sentinel ``und`` (a
   downstream langid pass assigns it — functions/text.langid).
 
-HTML -> text here is a deliberately-documented CRUDE strip (script/
-style removal, tag removal, entity decode, whitespace collapse) in
-pure stdlib: production extraction (trafilatura/justext boilerplate
-removal) is not in this container and plugs in at the marked seam.
+HTML -> text (round 14, r13 verdict task 2): the default extractor is
+the stdlib block-level MAIN-CONTENT extractor (sources/htmltext.py —
+jusText/trafilatura rule family: structural nav/header/footer/aside
+pruning + link-density + block-length classification + adjacency
+rescue), with charset detection (BOM > HTTP header > meta sniff >
+UTF-8 > Latin-1) recorded per document in an ``encoding`` audit
+column.  The old CRUDE strip (script/style removal, tag removal,
+entity decode, whitespace collapse) is kept at the same seam
+(``extractor="crude"``) — testable, and the honest baseline the
+before/after boilerplate-share table in BASELINE.md measures against.
 """
 
 from __future__ import annotations
+
+import re
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 #: parsed-record wire schema (pre doc_id derivation)
 _REC_SCHEMA = (
-    "uri string, host string, text string, "
+    "uri string, host string, text string, encoding string, "
     "n_records long, n_rejected long, n_malformed long"
 )
 
@@ -59,10 +67,23 @@ def _extract_text(html: str) -> str:
     return re.sub(r"\s+", " ", s).strip()
 
 
-def _parse_warc_bytes(blob: bytes):
-    """Yield (uri, host, text) per usable response record plus the
-    (n_records, n_rejected, n_malformed) file audit counts."""
+#: HTTP Content-Type charset parameter (ASCII header line).
+_CT_CHARSET_RE = re.compile(
+    rb"(?im)^content-type:.*?charset=[\"']?([A-Za-z0-9_.:-]+)"
+)
+
+
+def _parse_warc_bytes(blob: bytes, extractor: str = "main"):
+    """Yield (uri, host, text, encoding) per usable response record
+    plus the (n_records, n_rejected, n_malformed) file audit counts.
+
+    ``extractor``: ``"main"`` (default) runs the block-level
+    main-content extractor with charset detection; ``"crude"`` keeps
+    the round-13 tag-strip over a replace-decoded UTF-8 view (its
+    encoding label is the constant ``utf-8/replace``)."""
     from urllib.parse import urlparse
+
+    from .htmltext import decode_html_bytes, extract_main_text
 
     n_records = n_rejected = n_malformed = 0
     docs = []
@@ -108,26 +129,42 @@ def _parse_warc_bytes(blob: bytes):
         if http_end < 0 or b" 200" not in status:
             n_rejected += 1
             continue
-        text = _extract_text(
-            body[http_end + 4 :].decode("utf-8", "replace")
-        )
+        raw_html = body[http_end + 4 :]
+        if extractor == "crude":
+            text = _extract_text(raw_html.decode("utf-8", "replace"))
+            encoding = "utf-8/replace"
+        else:
+            m = _CT_CHARSET_RE.search(body[:http_end])
+            header_charset = (
+                m.group(1).decode("ascii", "replace") if m else None
+            )
+            html, encoding = decode_html_bytes(raw_html, header_charset)
+            text = extract_main_text(html)
         if not text:
             n_rejected += 1
             continue
         uri = headers.get("warc-target-uri", "")
-        docs.append((uri, urlparse(uri).netloc if uri else "", text))
+        docs.append(
+            (uri, urlparse(uri).netloc if uri else "", text, encoding)
+        )
     return docs, (n_records, n_rejected, n_malformed)
 
 
 def read_documents_warc(
-    spark: SparkSession, path: str, glob: str = "*.warc*"
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.warc*",
+    extractor: str = "main",
 ) -> tuple[DataFrame, DataFrame]:
     """Read WARC shards -> (documents, audit).
 
     ``documents`` carries the engine schema (doc_id, text, lang,
-    source, n_chars); ``audit`` is one row per shard file
-    (path, n_records, n_rejected, n_malformed) — the observable
-    account of everything not admitted.
+    source, n_chars) plus the ``encoding`` audit column (which
+    charset-detection rung decoded the payload); ``audit`` is one row
+    per shard file (path, n_records, n_rejected, n_malformed) — the
+    observable account of everything not admitted.  ``extractor`` is
+    the HTML->text seam: ``"main"`` (block-level main-content, the
+    production default) or ``"crude"`` (the tag-strip baseline).
     """
     files = (
         spark.read.format("binaryFile")
@@ -149,19 +186,21 @@ def read_documents_warc(
                         blob = gzip.decompress(blob)
                     except OSError:
                         yield pd.DataFrame(
-                            [(None, None, None, 0, 0, 1)],
-                            columns=["uri", "host", "text", "n_records",
-                                     "n_rejected", "n_malformed"],
+                            [(None, None, None, None, 0, 0, 1)],
+                            columns=["uri", "host", "text", "encoding",
+                                     "n_records", "n_rejected",
+                                     "n_malformed"],
                         ).assign(path=row["path"])
                         continue
-                docs, (nr, nj, nm) = _parse_warc_bytes(blob)
+                docs, (nr, nj, nm) = _parse_warc_bytes(blob, extractor)
                 rows = [
-                    (uri, host, text, nr, nj, nm) for uri, host, text in docs
-                ] or [(None, None, None, nr, nj, nm)]
+                    (uri, host, text, enc, nr, nj, nm)
+                    for uri, host, text, enc in docs
+                ] or [(None, None, None, None, nr, nj, nm)]
                 yield pd.DataFrame(
                     rows,
-                    columns=["uri", "host", "text", "n_records",
-                             "n_rejected", "n_malformed"],
+                    columns=["uri", "host", "text", "encoding",
+                             "n_records", "n_rejected", "n_malformed"],
                 ).assign(path=row["path"])
 
     parsed = files.mapInPandas(parse, _REC_SCHEMA + ", path string")
@@ -183,5 +222,6 @@ def read_documents_warc(
         .otherwise(F.col("host"))
         .alias("source"),
         F.length("text").cast("long").alias("n_chars"),
+        "encoding",
     )
     return docs, audit

@@ -52,9 +52,12 @@ def test_warc_parses_responses_and_audits_rejections(spark, tmp_path):
     docs, audit = read_documents_warc(spark, str(tmp_path))
     rows = {r["source"]: r for r in docs.collect()}
     assert set(rows) == {"a.example", "c.example"}
-    assert rows["a.example"]["text"] == "Title & More Hello world."
+    # main-content extractor: blocks joined by newline (h1 + p), the
+    # title element (head metadata) excluded, entities decoded
+    assert rows["a.example"]["text"] == "Title & More\nHello world."
     assert rows["a.example"]["lang"] == "und"
-    assert rows["a.example"]["n_chars"] == len("Title & More Hello world.")
+    assert rows["a.example"]["n_chars"] == len("Title & More\nHello world.")
+    assert rows["a.example"]["encoding"] == "utf-8"
     a = audit.collect()[0]
     assert (a["n_records"], a["n_rejected"], a["n_malformed"]) == (5, 3, 0)
 
@@ -101,3 +104,110 @@ def test_warc_feeds_downstream_operators(spark, tmp_path):
     docs, _ = read_documents_warc(spark, str(tmp_path))
     by_copies = sorted(r["n_copies"] for r in dedup_exact(docs).collect())
     assert by_copies == [1, 1, 2]
+
+
+NAV_HEAVY_HTML = (
+    b"<html><head><title>Site</title><script>x()</script></head><body>"
+    b"<header><div>BigBrand</div><nav><ul>"
+    b"<li><a href=/>Home</a></li><li><a href=/a>About</a></li>"
+    b"<li><a href=/c>Contact</a></li></ul></nav></header>"
+    b"<div><ul><li><a href=/1>Popular post one</a></li>"
+    b"<li><a href=/2>Popular post two</a></li></ul></div>"
+    b"<article><h2>The actual headline</h2>"
+    b"<p>This is the first real paragraph of the article body, long "
+    b"enough to count as main content by any reasonable density rule, "
+    b"with words and words.</p>"
+    b"<p>A second substantial paragraph continues the story with more "
+    b"than eighty characters of genuine prose so it qualifies too.</p>"
+    b"</article>"
+    b"<footer><p>Copyright 2099 BigBrand. All rights reserved across "
+    b"every jurisdiction. Privacy policy. Terms and conditions.</p>"
+    b"</footer></body></html>"
+)
+
+
+def test_warc_main_extractor_drops_chrome(spark, tmp_path):
+    """r13 verdict task 2: nav/header/footer/link-list chrome is
+    pruned; only the article body (plus its heading) survives."""
+    shard = _record(b"response", b"http://news.example/story",
+                    _http(b"200 OK", NAV_HEAVY_HTML))
+    (tmp_path / "s.warc").write_bytes(shard)
+    docs, _ = read_documents_warc(spark, str(tmp_path))
+    [row] = docs.collect()
+    text = row["text"]
+    assert "The actual headline" in text
+    assert "first real paragraph" in text and "second substantial" in text
+    for noise in ("Home", "About", "Contact", "Popular post",
+                  "Copyright", "BigBrand"):
+        assert noise not in text, f"boilerplate leaked: {noise}"
+
+    # the crude seam is still live and keeps everything (the measured
+    # baseline the extractor improves on)
+    docs_crude, _ = read_documents_warc(
+        spark, str(tmp_path), extractor="crude"
+    )
+    [crude_row] = docs_crude.collect()
+    assert "Home" in crude_row["text"] and "Copyright" in crude_row["text"]
+    assert crude_row["encoding"] == "utf-8/replace"
+
+
+def test_warc_charset_detection_ladder(spark, tmp_path):
+    """Non-UTF-8 pages decode through the sniff ladder and the rung
+    is recorded in the encoding column."""
+    body = "Das Café an der Straße serviert heiße Schokolade und "
+    body += "frische Brötchen zu jeder vollen Stunde am Nachmittag."
+    meta_page = (
+        b'<html><head><meta charset="iso-8859-1"></head><body><p>'
+        + body.encode("latin-1") + b"</p></body></html>"
+    )
+    hdr_page = (
+        b"<html><body><p>" + body.encode("latin-1") + b"</p></body></html>"
+    )
+    bare_latin = (
+        b"<html><body><p>" + body.encode("latin-1") + b"</p></body></html>"
+    )
+    utf8_page = (
+        b"<html><body><p>" + body.encode("utf-8") + b"</p></body></html>"
+    )
+    shard = (
+        _record(b"response", b"http://meta.example/", _http(b"200 OK", meta_page))
+        + _record(
+            b"response", b"http://hdr.example/",
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html; "
+            b"charset=ISO-8859-1\r\n\r\n" + hdr_page,
+        )
+        + _record(b"response", b"http://bare.example/", _http(b"200 OK", bare_latin))
+        + _record(b"response", b"http://utf8.example/", _http(b"200 OK", utf8_page))
+    )
+    (tmp_path / "s.warc").write_bytes(shard)
+    docs, audit = read_documents_warc(spark, str(tmp_path))
+    rows = {r["source"]: r for r in docs.collect()}
+    assert rows["meta.example"]["encoding"] == "iso-8859-1"
+    assert rows["hdr.example"]["encoding"] == "iso-8859-1"
+    # no declaration anywhere: invalid-UTF-8 bytes fall to latin-1
+    assert rows["bare.example"]["encoding"] == "latin-1"
+    assert rows["utf8.example"]["encoding"] == "utf-8"
+    # every rung recovers the same text, mojibake-free
+    for r in rows.values():
+        assert r["text"] == body
+    assert audit.collect()[0]["n_rejected"] == 0
+
+
+def test_warc_link_farm_rejected_and_counted(spark, tmp_path):
+    """A page that is ONLY chrome/links extracts to empty text and is
+    counted as rejected, not admitted as noise."""
+    farm = (
+        b"<body><ul>"
+        + b"".join(
+            b'<li><a href="/p%d">interesting link number %d</a></li>'
+            % (i, i)
+            for i in range(30)
+        )
+        + b"</ul></body>"
+    )
+    shard = _record(b"response", b"http://farm.example/", _http(b"200 OK", farm))
+    (tmp_path / "s.warc").write_bytes(shard)
+    docs, audit = read_documents_warc(spark, str(tmp_path))
+    assert docs.count() == 0
+    a = audit.collect()[0]
+    assert (a["n_records"], a["n_rejected"]) == (1, 1)
