@@ -6,20 +6,35 @@ still falling to the md5-fake rung — a palette re-save of a PNG icon
 as GIF, or a GIF re-encode, deduped byte-exact only.  This module
 adds:
 
-- :func:`decode_gif_pixels` — GIF87a/89a logical screen + first
-  image descriptor, global/local color tables, the GIF variant of
-  LZW (little-endian bit packing across data sub-blocks, code width
-  growth to 12 bits, CLEAR/END codes, the deferred-clear rule), and
-  4-pass interlacing.  Output is row-major GRAYSCALE lumas of the
-  FIRST frame composed onto the logical screen (uncovered area takes
-  the background color): image dedup hashes the poster frame — an
-  animation's temporal axis belongs to the video tier.  Malformed
-  tables, codes past the dictionary, or truncated streams return
-  None (the fake-rung ladder contract, never a raise).
-- :func:`gif_encode_gray` — the writer twin: a real single-frame
-  GIF89a with a 256-entry grayscale table and a REAL LZW compressor
-  (the fixture generator; any external GIF encoder produces payloads
-  the decoder reads).
+- :func:`decode_gif_frames` (round 14, r13 verdict task 3) — the
+  full animation: GIF87a/89a logical screen, global/local color
+  tables, the GIF variant of LZW (little-endian bit packing across
+  data sub-blocks, code width growth to 12 bits, CLEAR/END codes,
+  the deferred-clear rule), 4-pass interlacing, Graphic Control
+  Extensions (transparency index + disposal methods 0/1 leave,
+  2 restore-to-background, 3 restore-to-previous) and frame
+  COMPOSITION onto the logical screen — each returned frame is the
+  composed full canvas, row-major grayscale.  Work is bounded twice:
+  ``GIF_MAX_FRAMES`` and a cumulative ``GIF_MAX_PIXELS`` budget
+  across frames (a bomb stops early with the frames already
+  composed).  Malformed tables, codes past the dictionary, or
+  truncated streams return None (the fake-rung ladder contract,
+  never a raise).
+- :func:`decode_gif_pixels` — the poster frame (first composed
+  frame): image dedup hashes this; an animation's temporal axis
+  belongs to the video tier (videoembed routes multi-frame GIFs
+  through the frame sampler + SUM pooling).
+- :func:`gif_frame_count` — cheap image-descriptor count (sub-block
+  skipping, no LZW work): the is-this-a-clip probe.
+- :func:`gif_encode_gray` / :func:`gif_encode_gray_animation` — the
+  writer twins: real single-frame / multi-frame GIF89a with a
+  256-entry grayscale table and a REAL LZW compressor (fixture
+  generators; any external GIF encoder produces payloads the decoder
+  reads).  The animation writer's ``delta=True`` form encodes each
+  later frame as the changed-pixel bounding rect (the classic GIF
+  optimizer output) — byte-different from the full-frame form,
+  composing to identical frames: the re-encode regime the video
+  tier's tests pin.
 
 Decoding is exact integer work end-to-end (LZW is lossless; lumas
 are the shared ITU-R 601 integer formula), so decode(encode(grays))
@@ -36,7 +51,12 @@ import struct
 
 #: pixel ceiling — the LZW loop is per-pixel Python (the PNG/JPEG
 #: bound discipline); declared dims past it fall to the fake rung.
+#: For animations the ceiling is CUMULATIVE across composed frames.
 GIF_MAX_PIXELS = 1 << 22
+
+#: frame ceiling for the animation decoder (a 64-frame sample is far
+#: past the video tier's 4-frame sampling budget).
+GIF_MAX_FRAMES = 64
 
 #: 4-pass GIF interlace row schedule: (start, step) per pass.
 _GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
@@ -119,10 +139,22 @@ def _lzw_decode(data: bytes, min_code: int, max_out: int) -> list[int] | None:
     return out[:max_out]
 
 
-def decode_gif_pixels(payload: bytes) -> tuple[int, int, list[int]] | None:
-    """REAL GIF decode: (width, height, row-major GRAYSCALE values)
-    of the first frame composed onto the logical screen, None for
-    non-GIF / malformed / oversized payloads (module docstring)."""
+def decode_gif_frames(
+    payload: bytes, max_frames: int = GIF_MAX_FRAMES
+) -> tuple[int, int, list[list[int]]] | None:
+    """REAL GIF animation decode: (width, height, [frame grays, ...])
+    where every frame is the full logical screen COMPOSED per the
+    GIF89a rendering model — Graphic Control Extension transparency
+    (transparent pixels leave the canvas as-is) and disposal methods
+    0/1 (leave in place), 2 (restore the frame rect to background)
+    and 3 (restore to the previous canvas).  The background color
+    index refers to the GLOBAL color table; absent/oversized indexes
+    compose luma 0.
+
+    Work bounds: at most ``max_frames`` frames and a cumulative
+    GIF_MAX_PIXELS pixel budget — a decompression bomb stops early
+    with the frames already composed (graceful), a malformed stream
+    before ANY frame returns None (the fake-rung contract)."""
     try:
         n = len(payload)
         if n < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
@@ -139,30 +171,51 @@ def decode_gif_pixels(payload: bytes) -> tuple[int, int, list[int]] | None:
                 return None
             gct = _luma_table(payload[i : i + 3 * size])
             i += 3 * size
+        # background index refers to the GLOBAL color table per
+        # GIF89a; out-of-range (or no GCT) composes luma 0
+        bg = gct[bg_idx] if (gct is not None and bg_idx < len(gct)) else 0
+        canvas = [bg] * (sw * sh)
+        frames: list[list[int]] = []
+        budget = GIF_MAX_PIXELS
+        disposal = 0
+        transparent: int | None = None
         while i < n:
             b = payload[i]
-            if b == 0x21:  # extension: skip its sub-blocks
+            if b == 0x21:  # extension
+                if (
+                    i + 7 < n
+                    and payload[i + 1] == 0xF9
+                    and payload[i + 2] == 4
+                ):
+                    packed = payload[i + 3]
+                    disposal = (packed >> 2) & 7
+                    transparent = payload[i + 6] if packed & 1 else None
                 i += 2
                 while i < n and payload[i] != 0:
                     i += 1 + payload[i]
                 i += 1
-            elif b == 0x2C:  # image descriptor: the first frame
+            elif b == 0x2C:  # image descriptor
                 if i + 10 > n:
-                    return None
-                left, top, fw, fh = struct.unpack("<HHHH", payload[i + 1 : i + 9])
+                    return None if not frames else _done(sw, sh, frames)
+                left, top, fw, fh = struct.unpack(
+                    "<HHHH", payload[i + 1 : i + 9]
+                )
                 iflags = payload[i + 9]
                 i += 10
                 table = gct
                 if iflags & 0x80:  # local color table
                     size = 2 << (iflags & 7)
                     if i + 3 * size > n:
-                        return None
+                        return None if not frames else _done(sw, sh, frames)
                     table = _luma_table(payload[i : i + 3 * size])
                     i += 3 * size
                 if table is None or fw == 0 or fh == 0:
-                    return None
+                    return None if not frames else _done(sw, sh, frames)
                 if left + fw > sw or top + fh > sh:
-                    return None  # frame past the screen: corrupt
+                    return None if not frames else _done(sw, sh, frames)
+                budget -= fw * fh
+                if budget < 0:  # cumulative bomb ceiling
+                    break
                 min_code = payload[i]
                 i += 1
                 data = bytearray()
@@ -170,12 +223,13 @@ def decode_gif_pixels(payload: bytes) -> tuple[int, int, list[int]] | None:
                     ln = payload[i]
                     data += payload[i + 1 : i + 1 + ln]
                     i += 1 + ln
+                i += 1  # past the sub-block terminator
                 idx = _lzw_decode(bytes(data), min_code, fw * fh)
                 if idx is None or len(idx) < fw * fh:
-                    return None
+                    return None if not frames else _done(sw, sh, frames)
                 nt = len(table)
-                if any(v >= nt for v in idx):
-                    return None
+                if any(v >= nt and v != transparent for v in idx):
+                    return None if not frames else _done(sw, sh, frames)
                 if iflags & 0x40:  # interlaced: 4-pass row shuffle
                     rows = []
                     for start, step in _GIF_INTERLACE:
@@ -186,28 +240,99 @@ def decode_gif_pixels(payload: bytes) -> tuple[int, int, list[int]] | None:
                         idx[dst_r * fw : (dst_r + 1) * fw] = shuffled[
                             src_r * fw : (src_r + 1) * fw
                         ]
-                # background index refers to the GLOBAL color table per
-                # GIF89a §18 — look it up there, not in the active
-                # (possibly local) table (r13 advice: a local table
-                # smaller than the GCT used to raise IndexError and
-                # drop a valid GIF to the fake rung; a larger one
-                # composed the wrong background luma)
-                bg = gct[bg_idx] if (gct is not None and bg_idx < len(gct)) else 0
-                if left == 0 and top == 0 and fw == sw and fh == sh:
-                    return int(sw), int(sh), [table[v] for v in idx]
-                full = [bg] * (sw * sh)
+                saved = canvas.copy() if disposal == 3 else None
                 for r in range(fh):
                     base = (top + r) * sw + left
                     row = idx[r * fw : (r + 1) * fw]
-                    full[base : base + fw] = [table[v] for v in row]
-                return int(sw), int(sh), full
-            elif b == 0x3B:  # trailer before any image
-                return None
+                    if transparent is None:
+                        canvas[base : base + fw] = [table[v] for v in row]
+                    else:
+                        for c, v in enumerate(row):
+                            if v != transparent:
+                                canvas[base + c] = table[v]
+                frames.append(canvas.copy())
+                if len(frames) >= max_frames:
+                    break
+                if disposal == 2:
+                    for r in range(fh):
+                        base = (top + r) * sw + left
+                        canvas[base : base + fw] = [bg] * fw
+                elif disposal == 3 and saved is not None:
+                    canvas = saved
+                disposal = 0
+                transparent = None
+            elif b == 0x3B:  # trailer
+                break
             else:
-                return None
-        return None
+                # lost framing: keep what composed, None if nothing
+                return None if not frames else _done(sw, sh, frames)
+        return None if not frames else _done(sw, sh, frames)
     except (struct.error, IndexError, ValueError, TypeError):
         return None
+
+
+def _done(
+    sw: int, sh: int, frames: list[list[int]]
+) -> tuple[int, int, list[list[int]]]:
+    return int(sw), int(sh), frames
+
+
+def gif_frame_count(
+    payload: bytes, max_count: int = GIF_MAX_FRAMES
+) -> int:
+    """Image-descriptor count (bounded), 0 for non-GIF/unframeable
+    payloads — sub-block skipping only, NO LZW work: the cheap
+    is-this-a-clip probe the video encoder seam uses before paying
+    for a full animation decode."""
+    try:
+        n = len(payload)
+        if n < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+            return 0
+        flags = payload[10]
+        i = 13
+        if flags & 0x80:
+            i += 3 * (2 << (flags & 7))
+        count = 0
+        while i < n and count < max_count:
+            b = payload[i]
+            if b == 0x21:
+                i += 2
+                while i < n and payload[i] != 0:
+                    i += 1 + payload[i]
+                i += 1
+            elif b == 0x2C:
+                if i + 10 > n:
+                    break
+                iflags = payload[i + 9]
+                i += 10
+                if iflags & 0x80:
+                    i += 3 * (2 << (iflags & 7))
+                i += 1  # LZW min code size
+                if i > n:
+                    break
+                while i < n and payload[i] != 0:
+                    i += 1 + payload[i]
+                i += 1
+                count += 1
+            elif b == 0x3B:
+                break
+            else:
+                break
+        return count
+    except (struct.error, IndexError, ValueError, TypeError):
+        return 0
+
+
+def decode_gif_pixels(payload: bytes) -> tuple[int, int, list[int]] | None:
+    """REAL GIF decode: (width, height, row-major GRAYSCALE values)
+    of the first frame composed onto the logical screen, None for
+    non-GIF / malformed / oversized payloads (module docstring).
+    Round 14: the poster-frame view of :func:`decode_gif_frames`."""
+    decoded = decode_gif_frames(payload, max_frames=1)
+    if decoded is None:
+        return None
+    sw, sh, frames = decoded
+    return sw, sh, frames[0]
 
 
 # ---------------------------------------------------------------------------
@@ -310,3 +435,83 @@ def gif_encode_gray(grays: list[int], width: int, height: int) -> bytes:
         + bytes(blocks)
         + b"\x3b"
     )
+
+
+def _gif_sub_blocks(lzw: bytes) -> bytes:
+    blocks = bytearray()
+    for off in range(0, len(lzw), 255):
+        chunk = lzw[off : off + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+    return bytes(blocks)
+
+
+def gif_encode_gray_animation(
+    frames: list[list[int]],
+    width: int,
+    height: int,
+    delta: bool = True,
+    delay_cs: int = 4,
+) -> bytes:
+    """A REAL multi-frame GIF89a (module docstring): 256-entry
+    grayscale global table, one Graphic Control Extension (disposal 1
+    = leave in place, ``delay_cs`` centiseconds) + image descriptor +
+    LZW stream per frame.
+
+    ``delta=True`` encodes each later frame as the bounding rect of
+    pixels that CHANGED vs the previous frame (the classic GIF
+    optimizer output; an unchanged frame encodes a 1x1 rect) —
+    byte-different from the ``delta=False`` full-canvas form while
+    composing to identical frames under :func:`decode_gif_frames`."""
+    if not frames:
+        raise ValueError("an animation needs at least one frame")
+    for f in frames:
+        if len(f) != width * height:
+            raise ValueError(f"every frame needs {width * height} grays")
+    gct = bytes(v for g in range(256) for v in (g, g, g))
+    out = bytearray(
+        b"GIF89a"
+        + struct.pack("<HH", width, height)
+        + bytes([0xF7, 0, 0])  # GCT present, 256 entries; bg 0
+        + gct
+    )
+    gce = (
+        b"\x21\xf9\x04"
+        + bytes([0x04])  # disposal 1 (leave), no transparency
+        + struct.pack("<H", delay_cs)
+        + bytes([0, 0])  # transparent index (unused) + terminator
+    )
+    prev: list[int] | None = None
+    for f in frames:
+        if prev is None or not delta:
+            left = top = 0
+            fw, fh = width, height
+            sub = f
+        else:
+            changed = [k for k in range(width * height) if f[k] != prev[k]]
+            if changed:
+                xs = [k % width for k in changed]
+                ys = [k // width for k in changed]
+                left, top = min(xs), min(ys)
+                fw = max(xs) - left + 1
+                fh = max(ys) - top + 1
+            else:
+                left = top = 0
+                fw = fh = 1  # unchanged frame: a 1x1 repaint
+            sub = [
+                f[(top + r) * width + left + c]
+                for r in range(fh)
+                for c in range(fw)
+            ]
+        out += gce
+        out += (
+            b"\x2c"
+            + struct.pack("<HHHH", left, top, fw, fh)
+            + b"\x00"  # no LCT, sequential
+            + bytes([8])
+            + _gif_sub_blocks(_lzw_encode([g & 0xFF for g in sub], 8))
+        )
+        prev = f
+    out += b"\x3b"
+    return bytes(out)

@@ -72,9 +72,12 @@ VID_FRAMES = 4
 #: metadata nests 3 deep (RIFF/hdrl/strl); past 16 is adversarial.
 _AVI_MAX_DEPTH = 16
 #: the decode-ladder identity baked into every video-v1 artifact
-#: version (the image-v1 ``ladder`` rule): frame decode now reads
-#: progressive JPEGs too, which changes the space for such frames.
-VID_LADDER = "mjpeg+jpeg-prog"
+#: version (the image-v1 ``ladder`` rule): frame decode reads
+#: progressive JPEGs, and round 14 adds ANIMATED GIFS as clips
+#: (multi-frame GIFs used to fall to the fake rung; they now ride the
+#: frame sampler + SUM pooling like MJPEG) — both changes move the
+#: feature space for such payloads, hence the ladder bump.
+VID_LADDER = "mjpeg+jpeg-prog+gif"
 
 # -- gate-arm synthesis constants (shared, as integer math, with the
 # DuckDB twin): base block grays on % 110 (even, <= 218) so the +20
@@ -230,30 +233,51 @@ def sample_frame_indices(n_total: int, n_sample: int) -> list[int]:
 def video_features(
     payload: bytes, grid: int = VID_GRID, n_sample: int = VID_FRAMES
 ) -> list[float] | None:
-    """The video-v1 feature vector (module docstring): sampled MJPEG
-    frames -> JPEG pixel decode -> image-v1 box features -> SUM
-    pooling.  None when the container is not MJPEG/AVI (callers fall
-    to the whole-payload fake rung) or when every sampled frame is
-    featureless (constant: no direction).
+    """The video-v1 feature vector (module docstring): sampled clip
+    frames -> pixel decode -> image-v1 box features -> SUM pooling.
+    Clip containers: MJPEG-in-AVI (frames demuxed by span, decoded
+    per sampled index) and — round 14, r13 verdict task 3 — ANIMATED
+    GIFs (>= 2 image descriptors; frames composed per the GIF89a
+    disposal model, then sampled — a trimmed or re-encoded animation
+    dedups exactly like an MJPEG re-wrap).  None when the payload is
+    neither (callers fall to the whole-payload fake rung; a
+    SINGLE-frame GIF stays on the image tier) or when every sampled
+    frame is featureless (constant: no direction).
 
     A frame whose JPEG bytes fail to decode contributes the fake-gray
     features of ITS bytes (the _fake_decode discipline scoped to the
     frame) — a byte-exact re-upload of a clip with one corrupt frame
     still lands at cosine 1.0."""
-    parsed = parse_avi_mjpeg(bytes(payload))
-    if parsed is None:
-        return None
-    _w, _h, spans = parsed
+    payload = bytes(payload)
+    sampled: list[tuple[int, int, list[int]]] = []
+    parsed = parse_avi_mjpeg(payload)
+    if parsed is not None:
+        _w, _h, spans = parsed
+        for idx in sample_frame_indices(len(spans), n_sample):
+            off, size = spans[idx]
+            frame = payload[off : off + size]
+            decoded = decode_jpeg_pixels(frame)
+            if decoded is not None:
+                sampled.append(decoded)
+            else:
+                sampled.append(
+                    (grid, grid, _fake_grays(frame, grid * grid))
+                )
+    else:
+        from .gif import decode_gif_frames, gif_frame_count
+
+        if gif_frame_count(payload, max_count=2) < 2:
+            return None  # not a clip: single-frame GIFs are images
+        decoded_gif = decode_gif_frames(payload)
+        if decoded_gif is None:
+            return None
+        sw, sh, frames = decoded_gif
+        if len(frames) < 2:
+            return None
+        for idx in sample_frame_indices(len(frames), n_sample):
+            sampled.append((sw, sh, frames[idx]))
     pooled: list[float] | None = None
-    for idx in sample_frame_indices(len(spans), n_sample):
-        off, size = spans[idx]
-        frame = bytes(payload[off : off + size])
-        decoded = decode_jpeg_pixels(frame)
-        if decoded is not None:
-            fw, fh, grays = decoded
-        else:
-            fw = fh = grid
-            grays = _fake_grays(frame, grid * grid)
+    for fw, fh, grays in sampled:
         feats = image_features(grays, fw, fh, grid)
         if feats is None:
             continue  # constant frame: zero contribution
@@ -324,13 +348,19 @@ class _PreparedVideo:
     def encode_payload(self, payload) -> list[float] | None:
         if payload is None:
             payload = b""
-        feats = video_features(bytes(payload), self.grid, self.frames)
+        payload = bytes(payload)
+        feats = video_features(payload, self.grid, self.frames)
         if feats is not None:
             return feats
-        if parse_avi_mjpeg(bytes(payload)) is not None:
+        from .gif import gif_frame_count
+
+        if (
+            parse_avi_mjpeg(payload) is not None
+            or gif_frame_count(payload, max_count=2) >= 2
+        ):
             return None  # a real clip whose frames are all constant
         return image_features(
-            _fake_grays(bytes(payload), self.grid * self.grid),
+            _fake_grays(payload, self.grid * self.grid),
             self.grid, self.grid, self.grid,
         )
 

@@ -302,3 +302,191 @@ def test_cli_search_video_query_by_example(spark, tmp_path, capsys):
     doc, score = hits[(9001, 1)]
     assert doc == 5 and score > 0.9999  # lossy re-grade: ~1, not ==1
     assert hits[(9002, 1)][1] < 0.9
+
+
+# ---------------------------------------------------------------------------
+# round 14 (r13 verdict task 3): animated GIFs are clips
+# ---------------------------------------------------------------------------
+
+
+def _gif_frames(src: int, n_frames: int = 3, shift: int = 0) -> list[list[int]]:
+    """Animation frames: a static textured background with a bright
+    patch moving one step per frame — only the patch region changes,
+    so the delta writer's bounding rect is a REAL sub-rect (the full
+    and delta encodings are byte-different)."""
+    base = _frame_pixels(src, 0, shift)
+    frames = []
+    for f in range(n_frames):
+        frame = list(base)
+        left, top = 2 + 3 * f, 1 + 2 * f
+        for dy in range(4):
+            for dx in range(4):
+                frame[(top + dy) * W + left + dx] = 200 + shift
+        frames.append(frame)
+    return frames
+
+
+def _gif_clip(src: int, n_frames: int = 3, delta: bool = True,
+              shift: int = 0) -> bytes:
+    from haensel_ams_data_engineer_challenge_spark.multimodal.gif import (
+        gif_encode_gray_animation,
+    )
+
+    return gif_encode_gray_animation(
+        _gif_frames(src, n_frames, shift), W, H, delta=delta
+    )
+
+
+def test_gif_animation_duplicate_regimes():
+    """Animated GIF clips ride the frame sampler: a delta-optimized
+    re-encode of the same animation is byte-different but lands at
+    cosine EXACTLY 1 (GIF is lossless, composition identical); a trim
+    degrades gracefully; distinct animations stay apart; the
+    brightness re-grade cancels exactly (lossless pixels)."""
+    base = V.video_features(_gif_clip(1, delta=False))
+    reenc = V.video_features(_gif_clip(1, delta=True))
+    regrade = V.video_features(_gif_clip(1, delta=False, shift=40))
+    trimmed = V.video_features(_gif_clip(1, n_frames=2, delta=False))
+    other = V.video_features(_gif_clip(2, delta=False))
+    assert base is not None
+    assert _gif_clip(1, delta=False) != _gif_clip(1, delta=True)
+    assert base == reenc, "delta re-encode must pool identically"
+    assert base == regrade, "lossless brightness shift must cancel"
+    assert 0.9 < _cos(base, trimmed) < 1.0
+    assert _cos(base, other) < 0.8
+
+
+def test_gif_cross_container_rewrap_near_dup():
+    """The same frame sequence wrapped as an animated GIF and as an
+    MJPEG AVI lands at high cosine — the cross-container re-wrap the
+    shared frame-sampler + pooling design exists to catch (JPEG is
+    lossy, so near, not exact)."""
+    frames = _gif_frames(3, n_frames=3)
+    gif_vec = V.video_features(_gif_clip(3, n_frames=3, delta=False))
+    avi = V.avi_encode_mjpeg(
+        [jpeg_encode_gray(f, W, H, quality=95) for f in frames], W, H
+    )
+    avi_vec = V.video_features(avi)
+    assert gif_vec is not None and avi_vec is not None
+    assert _cos(gif_vec, avi_vec) > 0.99
+
+
+def test_single_frame_gif_is_not_a_clip():
+    """A single-frame GIF belongs to the image tier: video_features
+    returns None and the encoder seam routes it to the byte-keyed
+    fake rung (not the all-constant-clip absent contract)."""
+    from haensel_ams_data_engineer_challenge_spark.multimodal.gif import (
+        gif_encode_gray,
+        gif_frame_count,
+    )
+
+    single = gif_encode_gray(_frame_pixels(1, 0), W, H)
+    assert gif_frame_count(single) == 1
+    assert V.video_features(single) is None
+    enc = V._PreparedVideo(8, 4)
+    v1 = enc.encode_payload(single)
+    v2 = enc.encode_payload(single)
+    assert v1 is not None and v1 == v2  # fake rung, byte-keyed
+
+    # an all-constant ANIMATION is a real clip with no direction
+    const = _gif_clip(1, delta=False)
+    from haensel_ams_data_engineer_challenge_spark.multimodal.gif import (
+        gif_encode_gray_animation,
+    )
+
+    const = gif_encode_gray_animation(
+        [[128] * (W * H)] * 3, W, H, delta=False
+    )
+    assert V.video_features(const) is None
+    assert enc.encode_payload(const) is None
+
+
+def test_gif_disposal_composition_matters():
+    """Disposal-method composition is live in the clip path: a frame
+    drawn with restore-to-background disposal leaves bg for the next
+    frame, changing its composed pixels (and the pooled vector) vs
+    leave-in-place."""
+    from haensel_ams_data_engineer_challenge_spark.multimodal.gif import (
+        decode_gif_frames,
+    )
+
+    def anim(disposal: int) -> bytes:
+        from haensel_ams_data_engineer_challenge_spark.multimodal.gif import (
+            _gif_sub_blocks,
+            _lzw_encode,
+        )
+        import struct as _s
+
+        gct = bytes(v for g in range(256) for v in (g, g, g))
+        full = _frame_pixels(4, 0)
+        patch = [250] * 16  # 4x4 patch frame at (2, 2)
+        out = bytearray(
+            b"GIF89a" + _s.pack("<HH", W, H) + bytes([0xF7, 7, 0]) + gct
+        )
+        for k, (l, t, fw, fh, px) in enumerate(
+            [(0, 0, W, H, full), (2, 2, 4, 4, patch), (0, 0, 1, 1, [full[0]])]
+        ):
+            out += (
+                b"\x21\xf9\x04"
+                + bytes([(disposal if k == 1 else 1) << 2])
+                + _s.pack("<H", 4) + bytes([0, 0])
+            )
+            out += (
+                b"\x2c" + _s.pack("<HHHH", l, t, fw, fh) + b"\x00"
+                + bytes([8]) + _gif_sub_blocks(_lzw_encode(px, 8))
+            )
+        out += b"\x3b"
+        return bytes(out)
+
+    leave = decode_gif_frames(anim(1))
+    tobg = decode_gif_frames(anim(2))
+    assert leave is not None and tobg is not None
+    # frame 2 (after the patch frame) differs: leave keeps the patch,
+    # restore-to-bg wipes it to the background luma (GCT entry 7 = 7)
+    f2_leave = leave[2][2]
+    f2_tobg = tobg[2][2]
+    at = 3 * W + 3  # inside the patch rect
+    assert f2_leave[at] == 250
+    assert f2_tobg[at] == 7
+
+
+def test_cli_dedup_video_accepts_gif_animations(spark, tmp_path, capsys):
+    """Product surface (r13 verdict task 3): animated GIFs flow
+    through dedup-video — the delta re-encode and the lossless
+    re-grade cluster under the base; a cross-container MJPEG re-wrap
+    of the SAME frames clusters too; a single-frame GIF stays a
+    byte-keyed singleton on the fake rung."""
+    from haensel_ams_data_engineer_challenge_spark.__main__ import main
+    from haensel_ams_data_engineer_challenge_spark.multimodal.gif import (
+        gif_encode_gray,
+    )
+
+    rewrap = V.avi_encode_mjpeg(
+        [
+            jpeg_encode_gray(f, W, H, quality=95)
+            for f in _gif_frames(1, n_frames=3)
+        ],
+        W, H,
+    )
+    rows = [
+        (1, bytearray(_gif_clip(1, delta=False))),
+        (2, bytearray(_gif_clip(1, delta=True))),    # delta re-encode
+        (3, bytearray(_gif_clip(1, shift=40))),      # lossless re-grade
+        (4, bytearray(rewrap)),                      # GIF -> AVI re-wrap
+        (5, bytearray(_gif_clip(6, delta=False))),   # distinct animation
+        (6, bytearray(gif_encode_gray(_frame_pixels(1, 0), W, H))),  # single
+    ]
+    src = str(tmp_path / "gifs.parquet")
+    spark.createDataFrame(rows, "doc_id long, payload binary").write.parquet(src)
+    work = str(tmp_path / "work")
+    rc = main(["dedup-video", "--videos-parquet", src, "--work-dir", work])
+    assert rc == 0
+    surv = {
+        r["doc_id"]: r["is_survivor"]
+        for r in spark.read.parquet(f"{work}/video_survivors").collect()
+    }
+    assert surv[1] is True
+    assert surv[2] is False and surv[3] is False  # GIF re-encodes fold in
+    assert surv[4] is False                       # cross-container re-wrap
+    assert surv[5] is True                        # distinct animation kept
+    assert surv[6] is True                        # single-frame GIF: image tier
