@@ -73,11 +73,11 @@ VID_FRAMES = 4
 _AVI_MAX_DEPTH = 16
 #: the decode-ladder identity baked into every video-v1 artifact
 #: version (the image-v1 ``ladder`` rule): frame decode reads
-#: progressive JPEGs, and round 14 adds ANIMATED GIFS as clips
-#: (multi-frame GIFs used to fall to the fake rung; they now ride the
-#: frame sampler + SUM pooling like MJPEG) — both changes move the
-#: feature space for such payloads, hence the ladder bump.
-VID_LADDER = "mjpeg+jpeg-prog+gif"
+#: progressive JPEGs, and round 14 adds ANIMATED GIFS and JPEG-coded
+#: MP4/MOV as clips (both used to fall to the fake rung; they now ride
+#: the frame sampler + SUM pooling like MJPEG-in-AVI) — these changes
+#: move the feature space for such payloads, hence the ladder bump.
+VID_LADDER = "mjpeg+jpeg-prog+gif+mp4j"
 
 # -- gate-arm synthesis constants (shared, as integer math, with the
 # DuckDB twin): base block grays on % 110 (even, <= 218) so the +20
@@ -223,6 +223,250 @@ def parse_avi_mjpeg(
     return int(width), int(height), spans
 
 
+# ---------------------------------------------------------------------------
+# ISO-BMFF (MP4/MOV) MJPEG sample tier (round 14, r13 verdict task 4):
+# the box walk already reads stsd codec fourccs for metadata; this adds
+# the stsz/stsc/stco/co64 sample-table walk (ISO 14496-12 sections
+# 8.5-8.7) resolving every JPEG-coded sample to its absolute byte span
+# — so jpeg-coded MP4/MOV clips dedup at frame level and a
+# cross-container re-wrap (same frames, AVI <-> MP4) lands at cosine 1.
+# ---------------------------------------------------------------------------
+
+#: stsd sample-entry fourccs whose samples are plain JPEG bitstreams
+#: (QuickTime 'jpeg'/'mjpa' photo-JPEG, the 'MJPG' alias some muxers
+#: write).  'mjpb' is a nonstandard bitstream and 'avc1' etc. need
+#: real codecs: both fall to the fake rung.
+_MP4_JPEG_CODECS = frozenset({b"jpeg", b"mjpa", b"MJPG"})
+
+#: sample-count ceiling for the table walk (the GIF_MAX_FRAMES
+#: discipline scaled to container indexes: a bomb table costs bounded
+#: list work, and the sampler reads at most VID_FRAMES spans anyway).
+_MP4_MAX_SAMPLES = 1 << 16
+
+
+def _trak_jpeg_tables(payload: bytes, t0: int, t1: int):
+    """(width, height, sizes, chunk_offsets, stsc_runs) for a trak
+    whose FIRST stsd entry is JPEG-coded, else None — bounded DFS over
+    the trak subtree collecting the four sample tables."""
+    from .binary import _MP4_CONTAINERS, _MP4_MAX_DEPTH, _mp4_boxes
+
+    width = height = None
+    fourcc = None
+    sizes: list[int] | None = None
+    chunk_offsets: list[int] | None = None
+    stsc_runs: list[tuple[int, int]] | None = None
+    stack = [_mp4_boxes(payload, t0, t1)]
+    while stack:
+        nxt = next(stack[-1], None)
+        if nxt is None:
+            stack.pop()
+            continue
+        btype, b0, b1 = nxt
+        if btype == b"stsd" and b0 + 16 <= b1:
+            fourcc = payload[b0 + 12 : b0 + 16]
+            # video sample entry: width/height at entry offset 32/36
+            # (16-byte entry header + 16 bytes of pre_defined/reserved)
+            e0 = b0 + 8
+            if e0 + 36 <= b1:
+                width, height = struct.unpack(
+                    ">HH", payload[e0 + 32 : e0 + 36]
+                )
+        elif btype == b"stsz" and b0 + 12 <= b1:
+            fixed, count = struct.unpack(">II", payload[b0 + 4 : b0 + 12])
+            if count == 0 or count > _MP4_MAX_SAMPLES:
+                return None
+            if fixed:
+                sizes = [fixed] * count
+            else:
+                if b0 + 12 + 4 * count > b1:
+                    return None
+                sizes = list(
+                    struct.unpack(
+                        f">{count}I", payload[b0 + 12 : b0 + 12 + 4 * count]
+                    )
+                )
+        elif btype in (b"stco", b"co64") and b0 + 8 <= b1:
+            (count,) = struct.unpack(">I", payload[b0 + 4 : b0 + 8])
+            w = 4 if btype == b"stco" else 8
+            if count > _MP4_MAX_SAMPLES or b0 + 8 + w * count > b1:
+                return None
+            fmt = "I" if btype == b"stco" else "Q"
+            chunk_offsets = list(
+                struct.unpack(
+                    f">{count}{fmt}", payload[b0 + 8 : b0 + 8 + w * count]
+                )
+            )
+        elif btype == b"stsc" and b0 + 8 <= b1:
+            (count,) = struct.unpack(">I", payload[b0 + 4 : b0 + 8])
+            if count > _MP4_MAX_SAMPLES or b0 + 8 + 12 * count > b1:
+                return None
+            stsc_runs = [
+                struct.unpack(
+                    ">II", payload[b0 + 8 + 12 * k : b0 + 16 + 12 * k]
+                )
+                for k in range(count)
+            ]
+        elif btype in _MP4_CONTAINERS:
+            if len(stack) < _MP4_MAX_DEPTH:
+                stack.append(_mp4_boxes(payload, b0, b1))
+    if (
+        fourcc not in _MP4_JPEG_CODECS
+        or None in (width, height, sizes, chunk_offsets, stsc_runs)
+        or not chunk_offsets
+        or not stsc_runs
+    ):
+        return None
+    return width, height, sizes, chunk_offsets, stsc_runs
+
+
+def parse_mp4_mjpeg(
+    payload: bytes,
+) -> tuple[int, int, list[tuple[int, int]]] | None:
+    """REAL (stdlib-only) ISO-BMFF sample demux: (width, height,
+    [(frame_offset, frame_size), ...]) for MP4/MOV payloads whose
+    FIRST JPEG-coded video track has a complete sample table, None
+    otherwise (non-BMFF, non-JPEG codecs, malformed tables, spans
+    past the payload — callers fall to the fake rung, never raise).
+
+    stsc expansion per ISO 14496-12 §8.7.4: each run (first_chunk,
+    samples_per_chunk) applies from its first_chunk until the next
+    run's; sample k's offset is its chunk's stco/co64 offset plus the
+    cumulative stsz sizes of the samples before it in that chunk."""
+    try:
+        from .binary import _mp4_boxes
+
+        n = len(payload)
+        if n < 16 or payload[4:8] != b"ftyp":
+            return None
+        for btype, b0, b1 in _mp4_boxes(payload, 0, n):
+            if btype != b"moov":
+                continue
+            for t_type, t0, t1 in _mp4_boxes(payload, b0, b1):
+                if t_type != b"trak":
+                    continue
+                tab = _trak_jpeg_tables(payload, t0, t1)
+                if tab is None:
+                    continue
+                width, height, sizes, chunk_offsets, stsc_runs = tab
+                spans: list[tuple[int, int]] = []
+                si = 0
+                n_chunks = len(chunk_offsets)
+                for ri, (first, spc) in enumerate(stsc_runs):
+                    if first < 1 or first > n_chunks:
+                        return None
+                    last = (
+                        stsc_runs[ri + 1][0] - 1
+                        if ri + 1 < len(stsc_runs)
+                        else n_chunks
+                    )
+                    for ck in range(first, last + 1):
+                        off = chunk_offsets[ck - 1]
+                        for _ in range(spc):
+                            if si >= len(sizes):
+                                break
+                            size = sizes[si]
+                            if off + size > n:
+                                return None  # span past payload
+                            spans.append((off, size))
+                            off += size
+                            si += 1
+                if not spans:
+                    return None
+                return int(width), int(height), spans
+        return None
+    except (struct.error, IndexError, ValueError, TypeError):
+        return None
+
+
+def mp4_encode_mjpeg(
+    frames: list[bytes],
+    width: int,
+    height: int,
+    fps: int = 10,
+    co64: bool = False,
+) -> bytes:
+    """A REAL (stdlib-only) photo-JPEG MP4/MOV: ftyp + mdat (the JPEG
+    frame bytes) + moov(mvhd + trak(mdia(hdlr vide + minf(stbl(stsd
+    'jpeg' + stsz + stsc + stco/co64))))) — readable by any BMFF
+    demuxer.  Frames pack TWO per chunk (a trailing odd chunk gets
+    its own stsc run) so the reader's run expansion is exercised on
+    real multi-run tables; ``co64=True`` writes 64-bit chunk offsets.
+    The writer twin of :func:`parse_mp4_mjpeg`."""
+    from .binary import _FTYP, _MVHD_TAIL, _mp4_box
+
+    if not frames:
+        raise ValueError("an MJPEG MP4 needs at least one frame")
+    mdat = _mp4_box(b"mdat", b"".join(frames))
+    base = len(_FTYP) + 8  # first frame byte (mdat body start)
+    # chunks of 2 samples; odd count -> final 1-sample run
+    chunk_offsets: list[int] = []
+    off = base
+    k = 0
+    while k < len(frames):
+        chunk_offsets.append(off)
+        take = min(2, len(frames) - k)
+        off += sum(len(f) for f in frames[k : k + take])
+        k += take
+    stsc_runs = [(1, 2, 1)]
+    if len(frames) % 2 == 1:
+        if len(frames) == 1:
+            stsc_runs = [(1, 1, 1)]
+        else:
+            stsc_runs.append((len(chunk_offsets), 1, 1))
+    vid = (
+        b"\x00" * 6
+        + struct.pack(">H", 1)            # data_ref_index
+        + b"\x00" * 16                    # pre_defined / reserved
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + b"\x00" * 4
+        + struct.pack(">H", 1)            # frame_count per sample
+        + b"\x00" * 32                    # compressor name
+        + struct.pack(">Hh", 24, -1)      # depth, color table id
+    )
+    stsd = _mp4_box(
+        b"stsd",
+        b"\x00" * 4 + struct.pack(">I", 1)
+        + struct.pack(">I", 8 + len(vid)) + b"jpeg" + vid,
+    )
+    stsz = _mp4_box(
+        b"stsz",
+        b"\x00" * 4 + struct.pack(">II", 0, len(frames))
+        + b"".join(struct.pack(">I", len(f)) for f in frames),
+    )
+    stsc = _mp4_box(
+        b"stsc",
+        b"\x00" * 4 + struct.pack(">I", len(stsc_runs))
+        + b"".join(struct.pack(">III", *r) for r in stsc_runs),
+    )
+    if co64:
+        stco = _mp4_box(
+            b"co64",
+            b"\x00" * 4 + struct.pack(">I", len(chunk_offsets))
+            + b"".join(struct.pack(">Q", o) for o in chunk_offsets),
+        )
+    else:
+        stco = _mp4_box(
+            b"stco",
+            b"\x00" * 4 + struct.pack(">I", len(chunk_offsets))
+            + b"".join(struct.pack(">I", o) for o in chunk_offsets),
+        )
+    stbl = _mp4_box(b"stbl", stsd + stsz + stsc + stco)
+    hdlr = _mp4_box(
+        b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12 + b"\x00"
+    )
+    mdia = _mp4_box(b"mdia", hdlr + _mp4_box(b"minf", stbl))
+    mvhd = _mp4_box(
+        b"mvhd",
+        b"\x00" * 4 + b"\x00" * 8
+        + struct.pack(">II", fps, len(frames))
+        + _MVHD_TAIL
+        + struct.pack(">I", 2),
+    )
+    moov = _mp4_box(b"moov", mvhd + _mp4_box(b"trak", mdia))
+    return _FTYP + mdat + moov
+
+
 def sample_frame_indices(n_total: int, n_sample: int) -> list[int]:
     """Evenly spaced distinct frame indices — the shared integer
     partition ``(k * F) // n`` deduplicated, so F <= n samples every
@@ -251,6 +495,11 @@ def video_features(
     payload = bytes(payload)
     sampled: list[tuple[int, int, list[int]]] = []
     parsed = parse_avi_mjpeg(payload)
+    if parsed is None:
+        # round 14 (r13 verdict task 4): JPEG-coded MP4/MOV clips ride
+        # the same span path — a cross-container re-wrap of the same
+        # frames (AVI <-> MP4) pools identically
+        parsed = parse_mp4_mjpeg(payload)
     if parsed is not None:
         _w, _h, spans = parsed
         for idx in sample_frame_indices(len(spans), n_sample):
@@ -356,6 +605,7 @@ class _PreparedVideo:
 
         if (
             parse_avi_mjpeg(payload) is not None
+            or parse_mp4_mjpeg(payload) is not None
             or gif_frame_count(payload, max_count=2) >= 2
         ):
             return None  # a real clip whose frames are all constant

@@ -490,3 +490,65 @@ def test_cli_dedup_video_accepts_gif_animations(spark, tmp_path, capsys):
     assert surv[4] is False                       # cross-container re-wrap
     assert surv[5] is True                        # distinct animation kept
     assert surv[6] is True                        # single-frame GIF: image tier
+
+
+def test_mp4_mjpeg_sample_tier():
+    """r13 verdict task 4: JPEG-coded MP4/MOV clips dedup at frame
+    level — the SAME frames wrapped as AVI and as MP4 pool to the
+    IDENTICAL vector (byte-identical sampled frames); stco and co64
+    parse alike; non-jpeg codecs still fall to the fake rung."""
+    frames = [
+        jpeg_encode_gray(_frame_pixels(2, f), W, H, quality=85)
+        for f in range(5)
+    ]
+    avi = V.avi_encode_mjpeg(frames, W, H)
+    mp4 = V.mp4_encode_mjpeg(frames, W, H)
+    mp4_64 = V.mp4_encode_mjpeg(frames, W, H, co64=True)
+    va = V.video_features(avi)
+    vm = V.video_features(mp4)
+    v64 = V.video_features(mp4_64)
+    assert va is not None
+    assert va == vm == v64, "cross-container re-wrap must pool equally"
+
+    # header metadata tier reads the same payload (codec visible)
+    from haensel_ams_data_engineer_challenge_spark.multimodal.binary import (
+        parse_video_header,
+    )
+
+    hdr = parse_video_header(mp4)
+    assert hdr is not None and hdr[0] == "mp4" and "jpeg" in hdr[5]
+
+    # an avc1-coded MP4 has no JPEG samples: fake rung (byte-keyed)
+    avc = mp4.replace(b"jpeg", b"avc1")
+    assert V.parse_mp4_mjpeg(avc) is None
+    enc = V._PreparedVideo(8, 4)
+    assert enc.encode_payload(avc) == enc.encode_payload(avc)
+    assert enc.encode_payload(avc) is not None
+
+    # a truncated mdat (span past payload) falls out cleanly
+    assert V.parse_mp4_mjpeg(mp4[: len(mp4) // 3]) is None
+
+
+def test_cli_dedup_video_accepts_mp4(spark, tmp_path, capsys):
+    """dedup-video clusters an MP4 re-wrap under its AVI base."""
+    from haensel_ams_data_engineer_challenge_spark.__main__ import main
+
+    frames = [
+        jpeg_encode_gray(_frame_pixels(1, f), W, H, quality=85)
+        for f in range(3)
+    ]
+    rows = [
+        (1, bytearray(V.avi_encode_mjpeg(frames, W, H))),
+        (2, bytearray(V.mp4_encode_mjpeg(frames, W, H))),  # re-wrap
+        (3, bytearray(_clip(7))),                           # distinct
+    ]
+    src = str(tmp_path / "clips.parquet")
+    spark.createDataFrame(rows, "doc_id long, payload binary").write.parquet(src)
+    work = str(tmp_path / "work")
+    rc = main(["dedup-video", "--videos-parquet", src, "--work-dir", work])
+    assert rc == 0
+    surv = {
+        r["doc_id"]: r["is_survivor"]
+        for r in spark.read.parquet(f"{work}/video_survivors").collect()
+    }
+    assert surv == {1: True, 2: False, 3: True}
