@@ -681,6 +681,13 @@ def _parser() -> argparse.ArgumentParser:
     ig.add_argument("--max-xent", type=float, default=None,
                     metavar="NATS",
                     help="cross-entropy acceptance bar for --lm-model")
+    ig.add_argument("--url-dedup-col", default=None, metavar="COL",
+                    help="URL tier (round 14): reject re-crawls of "
+                    "already-admitted URLs on canonical_url(COL) "
+                    "BEFORE any quality gate or content tier "
+                    "(utm/gclid tags, case, default ports and "
+                    "trailing slashes normalized away); rows with "
+                    "no usable URL pass through")
 
     iv = sub.add_parser(
         "ingest-vectors",
@@ -1966,6 +1973,7 @@ def main(argv: list[str] | None = None) -> int:
                 lm_model_dir=args.lm_model,
                 max_xent=args.max_xent,
                 sink_protocol=args.sink_protocol,
+                url_dedup_col=args.url_dedup_col,
             )
             from .operators.manifest_sink import DEFAULT_RETENTION_MINUTES
 

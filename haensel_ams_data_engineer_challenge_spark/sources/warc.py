@@ -223,5 +223,8 @@ def read_documents_warc(
         .alias("source"),
         F.length("text").cast("long").alias("n_chars"),
         "encoding",
+        # the target URI rides along (round 14): the ingest URL tier
+        # keys on canonical_url(uri) ahead of content dedup
+        F.nullif(F.col("uri"), F.lit("")).alias("uri"),
     )
     return docs, audit

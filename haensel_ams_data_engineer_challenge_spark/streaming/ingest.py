@@ -156,6 +156,7 @@ def run_streaming_ingest(
     lm_model_dir: str | None = None,
     max_xent: float | None = None,
     sink_protocol: str = "swap",
+    url_dedup_col: str | None = None,
 ) -> None:
     """Drain the feed with an availableNow trigger, admitting only
     genuinely-new documents into ``sink_path``.
@@ -255,6 +256,18 @@ def run_streaming_ingest(
     admitted-store slot.  Zero-token documents score as no class and
     are rejected — a document the tokenizer cannot see is not
     classifiable, and admitting it unscored would bypass the gate.
+
+    ``url_dedup_col`` (round 14, r13 verdict task 5): the URL tier —
+    the FIRST tier, ahead of every quality gate and content tier: a
+    re-crawl of an already-admitted URL (utm/gclid-tagged, case /
+    default-port / trailing-slash variants) is rejected on
+    ``functions.url.canonical_url`` of the named column before any
+    content work happens.  Within-batch keep is min doc_id (the dedup
+    tiers' shared rule); rows with no usable URL pass through to the
+    content tiers untouched.  The cross-batch probe anti-joins the
+    column-pruned canonical-URL projection of corpus+sink; at real
+    scale the same Bloom-bitmap state the exact tier uses applies
+    verbatim keyed on the canonical URL (documented scale path).
     """
     # round-11 review fix: the lm gate's two halves were validated only
     # in the CLI — API callers passing one without the other got a bare
@@ -294,6 +307,54 @@ def run_streaming_ingest(
     def admit_batch(batch: DataFrame, batch_id: int) -> None:
         nonlocal bloom_words
         ss = batch.sparkSession
+        existing = corpus
+        # probe the sink THROUGH Spark, not os.path: the sink may live
+        # on HDFS/S3/ABFS where a driver-local isdir() is always False
+        # and would silently exclude admitted docs from the dedup
+        # target, re-admitting cross-batch duplicates (round-6 advice
+        # #1).  A missing/empty sink raises AnalysisException
+        # (PATH_NOT_FOUND / UNABLE_TO_INFER_SCHEMA) at read time —
+        # exactly the "first batch" case; only those conditions are
+        # tolerated (round-7 advice #3, `_try_read`).
+        if sink_protocol == "manifest":
+            from ..operators.manifest_sink import read_manifest_sink
+
+            # committed rows only; pre-adoption (first manifest run
+            # over a legacy sink) falls back to the plain listing
+            sink = read_manifest_sink(ss, sink_path)
+            if sink is None:
+                sink = _try_read(ss, sink_path, corpus.schema)
+        else:
+            sink = _try_read(ss, sink_path, corpus.schema)
+        if sink is not None:
+            existing = existing.unionByName(sink)
+        if url_dedup_col is not None:
+            from ..functions.url import canonical_url
+
+            # URL tier (round 14): a re-crawl of an already-admitted
+            # URL is rejected before ANY content work (quality gates,
+            # hashing, decode) — utm/gclid-tagged and case / port /
+            # trailing-slash variant re-crawls of the same resource
+            # collide on canonical_url.  NULL-url rows pass through.
+            batch = batch.withColumn(
+                "__cu", canonical_url(url_dedup_col)
+            )
+            keyed = batch.filter(F.col("__cu").isNotNull())
+            survivors = keyed.join(
+                keyed.groupBy("__cu").agg(
+                    F.min("doc_id").alias("doc_id")
+                ),
+                ["__cu", "doc_id"],
+                "left_semi",
+            )
+            target_urls = existing.select(
+                canonical_url(url_dedup_col).alias("__cu")
+            ).filter(F.col("__cu").isNotNull())
+            batch = (
+                survivors.join(target_urls, "__cu", "left_anti")
+                .unionByName(batch.filter(F.col("__cu").isNull()))
+                .drop("__cu")
+            )
         if drop_gopher_fail:
             from ..functions.text import gopher_quality_pass
 
@@ -346,27 +407,6 @@ def run_streaming_ingest(
                 .select("doc_id")
             )
             batch = batch.join(keep_ids, "doc_id", "left_semi")
-        existing = corpus
-        # probe the sink THROUGH Spark, not os.path: the sink may live
-        # on HDFS/S3/ABFS where a driver-local isdir() is always False
-        # and would silently exclude admitted docs from the dedup
-        # target, re-admitting cross-batch duplicates (round-6 advice
-        # #1).  A missing/empty sink raises AnalysisException
-        # (PATH_NOT_FOUND / UNABLE_TO_INFER_SCHEMA) at read time —
-        # exactly the "first batch" case; only those conditions are
-        # tolerated (round-7 advice #3, `_try_read`).
-        if sink_protocol == "manifest":
-            from ..operators.manifest_sink import read_manifest_sink
-
-            # committed rows only; pre-adoption (first manifest run
-            # over a legacy sink) falls back to the plain listing
-            sink = read_manifest_sink(ss, sink_path)
-            if sink is None:
-                sink = _try_read(ss, sink_path, corpus.schema)
-        else:
-            sink = _try_read(ss, sink_path, corpus.schema)
-        if sink is not None:
-            existing = existing.unionByName(sink)
         once = dedup_batch_within(batch)
         bitmap = None
         if bloom_state_dir is not None:

@@ -1,0 +1,178 @@
+"""URL canonicalization (functions/url.py) + the ingest URL tier
+(round 14, r13 verdict task 5)."""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from haensel_ams_data_engineer_challenge_spark.functions.url import canonical_url
+
+
+def _canon(spark, urls: list[str | None]) -> list[str | None]:
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    return [r["c"] for r in df.select(canonical_url("u").alias("c")).collect()]
+
+
+def test_canonical_url_matrix(spark):
+    """The normalization matrix: every variant class collapses to its
+    canonical form, non-URLs fall back to lowercased trim, nulls pass."""
+    cases = {
+        # scheme/host case + default port + trailing slash
+        "HTTP://Example.COM:80/a/": "http://example.com/a",
+        "http://example.com/a": "http://example.com/a",
+        "https://Example.com:443/p": "https://example.com/p",
+        # non-default port kept
+        "http://example.com:8080/a": "http://example.com:8080/a",
+        # tracking params stripped; real params kept and SORTED
+        "http://example.com/a?utm_source=x&utm_medium=y":
+            "http://example.com/a",
+        "http://example.com/a?gclid=xyz&real=1":
+            "http://example.com/a?real=1",
+        "https://example.com/p?b=2&a=1": "https://example.com/p?a=1&b=2",
+        # fragment dropped
+        "http://example.com/a#frag": "http://example.com/a",
+        # percent-escape normalization: unreserved decode + hex upcase
+        "http://example.com/%7euser/%41bc%2fq":
+            "http://example.com/~user/Abc%2Fq",
+        "http://example.com/~user/Abc%2Fq":
+            "http://example.com/~user/Abc%2Fq",
+        # trailing-slash-only path collapses into the bare authority
+        "http://example.com/": "http://example.com",
+        # malformed escape stays literal
+        "http://example.com/a%zz": "http://example.com/a%zz",
+        # non-URL fallback: lowercased trim, deterministic
+        "Not A URL  ": "not a url",
+    }
+    got = _canon(spark, list(cases))
+    assert got == list(cases.values())
+    assert _canon(spark, [None]) == [None]
+
+
+def test_canonical_url_variant_classes_collide(spark):
+    """The dedup property itself: every re-crawl variant of one
+    resource maps to ONE key; distinct resources stay distinct."""
+    variants = [
+        "http://News.Example.com/story/42?utm_campaign=mail",
+        "HTTP://news.example.com:80/story/42/",
+        "http://news.example.com/story/42#top",
+        "http://news.example.com/story/42?fbclid=abc123",
+    ]
+    keys = set(_canon(spark, variants))
+    assert len(keys) == 1
+    other = _canon(spark, ["http://news.example.com/story/43"])[0]
+    assert other not in keys
+
+
+def test_ingest_url_tier_rejects_recrawl_before_content(spark, tmp_path):
+    """e2e (the verdict's done gate): a utm-tagged re-crawl of an
+    admitted URL is rejected BEFORE content work — proven by giving
+    the re-crawl DIFFERENT text (content dedup alone would admit it);
+    null-URL rows pass through to the content tiers."""
+    from haensel_ams_data_engineer_challenge_spark.streaming.ingest import (
+        run_streaming_ingest,
+    )
+
+    schema = (
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long, uri string"
+    )
+
+    def row(i, text, uri):
+        return (i, text, "en", "crawl", len(text), uri)
+
+    corpus_path = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [row(1, "the corpus page about rivers and stones", 
+             "http://site.example/rivers")],
+        schema,
+    ).write.parquet(corpus_path)
+
+    feed = str(tmp_path / "feed")
+
+    def drop(rows, name):
+        tmp = str(tmp_path / f"__stage_{name}")
+        spark.createDataFrame(rows, schema).repartition(1).write.parquet(tmp)
+        os.makedirs(feed, exist_ok=True)
+        shutil.copy(_glob.glob(f"{tmp}/part-*.parquet")[0], f"{feed}/{name}")
+
+    # batch A: a new page (admitted), plus a within-batch URL-variant
+    # pair with DIFFERENT texts (min doc_id survives the URL tier)
+    drop([
+        row(100, "a fresh page about boats on the lake",
+            "http://site.example/boats"),
+        row(101, "boats page rendered with a cookie banner variant",
+            "HTTP://Site.Example:80/boats/"),
+        # corpus URL re-crawl, fresh text: URL tier must reject it
+        row(102, "rivers page text changed by the ad rotation",
+            "http://site.example/rivers?utm_source=newsletter"),
+        # no URL: passes to the content tiers, novel text -> admitted
+        row(103, "a urlless document that is genuinely new", None),
+    ], "a.parquet")
+    # batch B: re-crawl of batch A's ADMITTED url, again new text
+    drop([
+        row(200, "boats page after an edit adds one sentence",
+            "http://site.example/boats?gclid=zzz"),
+        row(201, "an actually new page about clouds and roads",
+            "http://site.example/clouds"),
+    ], "b.parquet")
+
+    sink = str(tmp_path / "admitted")
+    run_streaming_ingest(
+        spark, corpus_path, feed, sink, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, url_dedup_col="uri",
+    )
+    got = {r["doc_id"] for r in spark.read.parquet(sink).collect()}
+    assert got == {100, 103, 201}, got
+
+    # CONTRAST: without the URL tier, content dedup admits every one
+    # of those texts (they are all distinct) — the tier is what did
+    # the rejecting, not the content path
+    sink2 = str(tmp_path / "admitted2")
+    run_streaming_ingest(
+        spark, corpus_path, feed, sink2, str(tmp_path / "ckpt2"),
+        max_files_per_trigger=1,
+    )
+    got2 = {r["doc_id"] for r in spark.read.parquet(sink2).collect()}
+    assert got2 == {100, 101, 102, 103, 200, 201}
+
+
+def test_cli_ingest_url_dedup(spark, tmp_path, capsys):
+    """Product surface: ingest --url-dedup-col uri."""
+    from haensel_ams_data_engineer_challenge_spark.__main__ import main
+
+    schema = (
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long, uri string"
+    )
+    corpus_path = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(1, "base page text", "en", "crawl", 14,
+          "http://a.example/base")],
+        schema,
+    ).write.parquet(corpus_path)
+    feed = str(tmp_path / "feed")
+    tmp = str(tmp_path / "__stage")
+    spark.createDataFrame(
+        [(10, "base page rendered differently", "en", "crawl", 30,
+          "http://A.Example/base?utm_medium=social"),
+         (11, "a new page entirely", "en", "crawl", 19,
+          "http://a.example/new")],
+        schema,
+    ).repartition(1).write.parquet(tmp)
+    os.makedirs(feed, exist_ok=True)
+    shutil.copy(_glob.glob(f"{tmp}/part-*.parquet")[0], f"{feed}/a.parquet")
+    work = str(tmp_path / "work")
+    rc = main([
+        "ingest", "--corpus-parquet", corpus_path, "--feed-dir", feed,
+        "--work-dir", work, "--url-dedup-col", "uri",
+    ])
+    assert rc == 0
+    got = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{work}/admitted").collect()
+    }
+    assert got == {11}
