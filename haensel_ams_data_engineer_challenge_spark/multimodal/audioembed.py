@@ -106,17 +106,153 @@ def _g711_alaw(b: int) -> int:
     return v if sign else -v
 
 
-#: WAVE format tags the sample tier decodes: PCM, plus the G.711
+#: WAVE format tags the sample tier decodes: PCM, the G.711
 #: telephony companders (round 13 — 8-bit logarithmic, one byte per
-#: sample; the voice-crawl format).
+#: sample; the voice-crawl format), and IMA/DVI ADPCM (round 14,
+#: r13 verdict task 6 — 4-bit block-compressed, the last common
+#: uncompressed-ish WAV variant).
 _WAV_FMT_PCM, _WAV_FMT_ALAW, _WAV_FMT_ULAW = 1, 6, 7
+_WAV_FMT_IMA_ADPCM = 0x11
 
 #: the decode-ladder identity baked into every audio-v1 artifact
 #: (the image-v1 ``ladder`` rule, round 13): adding G.711 changed the
 #: feature space for mu-law/A-law bytes (they used to fall to the
 #: fake rung), so artifacts committed under the PCM-only surface must
-#: refuse to serve.
-AUD_LADDER = "pcm+g711"
+#: refuse to serve.  Round 14 adds IMA-ADPCM — same rule, same bump.
+AUD_LADDER = "pcm+g711+adpcm"
+
+
+#: IMA/DVI ADPCM tables (IMA "Recommended Practices for Enhancing
+#: Digital Audio Compatibility", public knowledge — the same 89-entry
+#: step table every implementation ships).
+_IMA_INDEX_STEP = (-1, -1, -1, -1, 2, 4, 6, 8)
+_IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+    143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+    494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+    1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026,
+    4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+    11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+    27086, 29794, 32767,
+)
+
+
+def _ima_step(pred: int, idx: int, nib: int) -> tuple[int, int]:
+    """One IMA-ADPCM decode step: (new predictor, new step index)."""
+    step = _IMA_STEP_TABLE[idx]
+    diff = step >> 3
+    if nib & 1:
+        diff += step >> 2
+    if nib & 2:
+        diff += step >> 1
+    if nib & 4:
+        diff += step
+    if nib & 8:
+        diff = -diff
+    pred = max(-32768, min(32767, pred + diff))
+    idx = max(0, min(88, idx + _IMA_INDEX_STEP[nib & 7]))
+    return pred, idx
+
+
+def _ima_decode_block(
+    payload: bytes, off: int, block: int, ch: int
+) -> list[list[int]]:
+    """One IMA-ADPCM block -> per-channel samples: 4-byte header per
+    channel (predictor i16 + step index u8 + reserved), then nibble
+    data in 4-byte words round-robin across channels, low nibble
+    first — the standard WAV layout."""
+    preds: list[int] = []
+    idxs: list[int] = []
+    chans: list[list[int]] = []
+    for c in range(ch):
+        pred, idx = struct.unpack_from("<hBx", payload, off + 4 * c)
+        idx = max(0, min(88, idx))
+        preds.append(pred)
+        idxs.append(idx)
+        chans.append([pred])  # the header predictor IS sample 0
+    data0 = off + 4 * ch
+    for w in range((block - 4 * ch) // 4):
+        c = w % ch
+        for b in payload[data0 + 4 * w : data0 + 4 * w + 4]:
+            for nib in (b & 0x0F, b >> 4):
+                preds[c], idxs[c] = _ima_step(preds[c], idxs[c], nib)
+                chans[c].append(preds[c])
+    return chans
+
+
+def ima_adpcm_encode_wav(
+    samples: list[int], rate: int = AUD_RATE, block_data_bytes: int = 64
+) -> bytes:
+    """Writer twin: a REAL mono IMA-ADPCM WAV (fmt tag 0x11, 4-bit,
+    fmt-chunk extension carrying samples-per-block) — decodable by any
+    ADPCM-aware reader.  The encoder is the standard quantize-then-
+    track-the-decoder loop, so decode(encode(x)) tracks x within the
+    codec's quantization error; a short tail block pads by repeating
+    the last sample (constant tail: zero envelope contribution)."""
+    if not samples:
+        raise ValueError("need at least one sample")
+    spb = 1 + block_data_bytes * 2
+    block_align = 4 + block_data_bytes
+    # initial step index from the first sample delta (the usual
+    # encoder warm-start): starting at 0 makes the quantizer slew-rate
+    # limited for the first dozens of samples of any hot signal
+    first_diff = abs(samples[1] - samples[0]) if len(samples) > 1 else 0
+    idx = min(
+        range(len(_IMA_STEP_TABLE)),
+        key=lambda i: abs(_IMA_STEP_TABLE[i] - first_diff),
+    )
+    blocks: list[bytes] = []
+    k = 0
+    samples = [max(-32768, min(32767, int(s))) for s in samples]
+    while k < len(samples):
+        chunk = samples[k : k + spb]
+        if len(chunk) < spb:
+            chunk = chunk + [chunk[-1]] * (spb - len(chunk))
+        pred = chunk[0]
+        header = struct.pack("<hBx", pred, idx)
+        nibbles: list[int] = []
+        for s in chunk[1:]:
+            step = _IMA_STEP_TABLE[idx]
+            diff = s - pred
+            nib = 0
+            if diff < 0:
+                nib = 8
+                diff = -diff
+            if diff >= step:
+                nib |= 4
+                diff -= step
+            if diff >= step >> 1:
+                nib |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                nib |= 1
+            pred, idx = _ima_step(pred, idx, nib)
+            nibbles.append(nib)
+        data = bytes(
+            nibbles[j] | (nibbles[j + 1] << 4)
+            for j in range(0, len(nibbles), 2)
+        )
+        blocks.append(header + data)
+        k += spb
+    body = b"".join(blocks)
+    byte_rate = (rate * block_align + spb - 1) // spb
+    fmt_body = struct.pack(
+        "<HHIIHHHH",
+        _WAV_FMT_IMA_ADPCM, 1, rate, byte_rate, block_align, 4,
+        2, spb,  # cbSize=2 + wSamplesPerBlock
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt_body) + 8 + len(body))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt_body))
+        + fmt_body
+        + b"data"
+        + struct.pack("<I", len(body))
+        + body
+    )
 
 
 def decode_wav_samples(payload: bytes) -> tuple[int, list[int]] | None:
@@ -156,6 +292,7 @@ def decode_wav_samples(payload: bytes) -> tuple[int, list[int]] | None:
             )
             if audio_fmt not in (
                 _WAV_FMT_PCM, _WAV_FMT_ALAW, _WAV_FMT_ULAW,
+                _WAV_FMT_IMA_ADPCM,
             ):
                 return None  # other codecs need real decoders
             fmt = (audio_fmt, ch, rate, block, bits)
@@ -167,6 +304,32 @@ def decode_wav_samples(payload: bytes) -> tuple[int, list[int]] | None:
     if fmt is None or data_off is None:
         return None
     audio_fmt, ch, rate, block, bits = fmt
+    if audio_fmt == _WAV_FMT_IMA_ADPCM:
+        # round 14 (r13 verdict task 6): block-compressed 4-bit IMA —
+        # per-channel 4-byte headers, 4-byte-word channel interleave;
+        # only COMPLETE blocks present in the payload decode (the
+        # truncation discipline above), channel-SUM mixdown like PCM
+        if bits != 4 or ch == 0 or rate == 0:
+            return None
+        if block < 4 * ch or (block - 4 * ch) % (4 * ch) != 0:
+            return None
+        spb = 1 + (block - 4 * ch) * 2 // ch
+        avail = min(data_size, max(0, n - data_off))
+        n_blocks = avail // block
+        if n_blocks == 0 or n_blocks * spb > _WAV_MAX_SAMPLES:
+            return None
+        mono: list[int] = []
+        for kb in range(n_blocks):
+            chans = _ima_decode_block(
+                payload, data_off + kb * block, block, ch
+            )
+            if ch == 1:
+                mono.extend(chans[0])
+            else:
+                mono.extend(
+                    sum(c[j] for c in chans) for j in range(spb)
+                )
+        return rate, mono
     if audio_fmt != _WAV_FMT_PCM and bits != 8:
         return None  # G.711 is 8 bits per sample by definition
     if ch == 0 or rate == 0 or block == 0 or bits not in (8, 16):
