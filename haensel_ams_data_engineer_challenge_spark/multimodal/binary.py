@@ -214,9 +214,13 @@ def parse_audio_header(payload: bytes) -> tuple[str, int, int, int, int] | None:
             audio_fmt, ch, rate, _br, block, bits = struct.unpack(
                 "<HHIIHH", payload[i + 8 : i + 24]
             )
-            if audio_fmt != 1:  # PCM only; compressed needs a codec
+            # PCM, G.711 mu/A-law and IMA-ADPCM (round 14: the header
+            # tier reports geometry for every format the SAMPLE tier
+            # decodes — audioembed.decode_wav_samples); anything else
+            # needs a real codec and falls through
+            if audio_fmt not in (1, 6, 7, 0x11):
                 return None
-            fmt = (ch, rate, block, bits)
+            fmt = (audio_fmt, ch, rate, block, bits)
         elif cid == b"data":
             data_size = size
         if fmt is not None and data_size is not None:
@@ -224,9 +228,16 @@ def parse_audio_header(payload: bytes) -> tuple[str, int, int, int, int] | None:
         i += 8 + size + (size % 2)  # chunks are word-aligned
     if fmt is None or data_size is None:
         return None
-    ch, rate, block, bits = fmt
+    audio_fmt, ch, rate, block, bits = fmt
     if ch == 0 or rate == 0 or block == 0:
         return None
+    if audio_fmt == 0x11:
+        # block-compressed: samples per block from the block geometry
+        # (per-channel 4-byte headers + 2 samples per data byte/ch)
+        if bits != 4 or block < 4 * ch:
+            return None
+        spb = 1 + (block - 4 * ch) * 2 // ch
+        return "wav", ch, rate, bits, (data_size // block) * spb
     return "wav", ch, rate, bits, data_size // block
 
 

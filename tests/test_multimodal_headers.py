@@ -596,3 +596,36 @@ def test_fused_pixel_arms_match_separate_arms(spark, sf_dir):
     assert _row_set(fused) == _row_set(sep)
     decs = {r["decoder"] for r in fused.select("decoder").distinct().collect()}
     assert decs == {"png", "jpeg", "gif"}
+
+
+def test_audio_header_reports_g711_and_adpcm_geometry():
+    """Round 14: the header tier reports geometry for every format the
+    sample tier decodes — G.711 (tags 6/7) and IMA-ADPCM (0x11) used
+    to fall to the fake rung at the METADATA tier even though their
+    samples decode."""
+    import struct
+
+    from haensel_ams_data_engineer_challenge_spark.multimodal.audioembed import (
+        ima_adpcm_encode_wav,
+    )
+    from haensel_ams_data_engineer_challenge_spark.multimodal.binary import (
+        parse_audio_header,
+    )
+
+    def g711(tag, n):
+        return (
+            b"RIFF" + struct.pack("<I", 36 + n) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, tag, 1, 8000, 8000, 1, 8)
+            + b"data" + struct.pack("<I", n)
+        )
+
+    assert parse_audio_header(g711(7, 1234)) == ("wav", 1, 8000, 8, 1234)
+    assert parse_audio_header(g711(6, 500)) == ("wav", 1, 8000, 8, 500)
+
+    wav = ima_adpcm_encode_wav([((j * 13) % 200) - 100 for j in range(600)])
+    parsed = parse_audio_header(wav)
+    assert parsed is not None
+    fmt, ch, rate, bits, n_samples = parsed
+    assert (fmt, ch, rate, bits) == ("wav", 1, 8000, 4)
+    # 600 samples at 129 samples/block -> 5 blocks -> 645 declared
+    assert n_samples == 645

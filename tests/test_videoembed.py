@@ -552,3 +552,62 @@ def test_cli_dedup_video_accepts_mp4(spark, tmp_path, capsys):
         for r in spark.read.parquet(f"{work}/video_survivors").collect()
     }
     assert surv == {1: True, 2: False, 3: True}
+
+
+def test_cli_ingest_media_accepts_gif_clips(spark, tmp_path, capsys):
+    """ingest-media --modality video with GIF payloads (r13 verdict
+    task 3): a delta re-encode of a corpus animation is rejected via
+    the persisted index, a GIF->AVI cross-container re-wrap of batch
+    A's admission is rejected through the side-store, novel
+    animations admit."""
+    import glob as _glob
+    import os
+    import shutil
+
+    from haensel_ams_data_engineer_challenge_spark.__main__ import main
+
+    def drop(feed, rows, name):
+        tmp = str(tmp_path / f"__stage_{name}")
+        spark.createDataFrame(
+            [(i, bytearray(p)) for i, p in rows],
+            "doc_id long, payload binary",
+        ).repartition(1).write.parquet(tmp)
+        os.makedirs(feed, exist_ok=True)
+        shutil.copy(
+            _glob.glob(f"{tmp}/part-*.parquet")[0], f"{feed}/{name}"
+        )
+
+    corpus_path = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(i, bytearray(_gif_clip(i, delta=False))) for i in (1, 2)],
+        "doc_id long, payload binary",
+    ).write.parquet(corpus_path)
+    feed = str(tmp_path / "feed")
+    drop(feed, [
+        (200, _gif_clip(1, delta=True)),    # delta re-encode -> reject
+        (201, _gif_clip(9, delta=False)),   # novel animation -> admit
+    ], "a.parquet")
+    rewrap_of_201 = V.avi_encode_mjpeg(
+        [
+            jpeg_encode_gray(f, W, H, quality=95)
+            for f in _gif_frames(9, n_frames=3)
+        ],
+        W, H,
+    )
+    drop(feed, [
+        (300, rewrap_of_201),               # cross-container dup of 201
+        (301, _gif_clip(12, delta=False)),  # novel -> admit
+    ], "b.parquet")
+
+    work = str(tmp_path / "work")
+    rc = main([
+        "ingest-media", "--corpus-parquet", corpus_path,
+        "--feed-dir", feed, "--work-dir", work,
+        "--modality", "video", "--max-files-per-trigger", "1",
+    ])
+    assert rc == 0
+    got = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{work}/admitted_media").collect()
+    }
+    assert got == {201, 301}
