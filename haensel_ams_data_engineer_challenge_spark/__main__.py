@@ -681,6 +681,11 @@ def _parser() -> argparse.ArgumentParser:
     ig.add_argument("--max-xent", type=float, default=None,
                     metavar="NATS",
                     help="cross-entropy acceptance bar for --lm-model")
+    ig.add_argument("--url-bloom", action="store_true",
+                    help="persist the URL tier's Bloom bitmap at "
+                    "WORK_DIR/url_bloom_state (the scale path: per-"
+                    "batch probe + sliver verify instead of a full "
+                    "URL anti-join; requires --url-dedup-col)")
     ig.add_argument("--url-dedup-col", default=None, metavar="COL",
                     help="URL tier (round 14): reject re-crawls of "
                     "already-admitted URLs on canonical_url(COL) "
@@ -1944,6 +1949,11 @@ def main(argv: list[str] | None = None) -> int:
                 print("--quality-model and --keep-pred go together",
                       file=sys.stderr)
                 return 1
+            if args.url_bloom and not args.url_dedup_col:
+                print("--url-bloom requires --url-dedup-col "
+                      "(the bitmap is keyed on that column)",
+                      file=sys.stderr)
+                return 1
             sink = f"{args.work_dir}/admitted"
             run_streaming_ingest(
                 spark,
@@ -1974,6 +1984,10 @@ def main(argv: list[str] | None = None) -> int:
                 max_xent=args.max_xent,
                 sink_protocol=args.sink_protocol,
                 url_dedup_col=args.url_dedup_col,
+                url_bloom_state_dir=(
+                    f"{args.work_dir}/url_bloom_state"
+                    if args.url_bloom else None
+                ),
             )
             from .operators.manifest_sink import DEFAULT_RETENTION_MINUTES
 

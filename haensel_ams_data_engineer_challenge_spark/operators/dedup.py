@@ -520,15 +520,42 @@ def incremental_new_docs(
     Output: (id, text_hash) of the genuinely-new batch docs.
     """
     h = F.md5(normalize_text(text_col)).alias("text_hash")
-    corpus_h = corpus.select(h)
-    batch_h = batch.select(F.col(id_col), h)
+    return incremental_new_keys(
+        batch.select(F.col(id_col), h),
+        corpus.select(h),
+        "text_hash",
+        id_col=id_col,
+        m_bits=m_bits,
+        k=k,
+        bitmap=bitmap,
+    )
+
+
+def incremental_new_keys(
+    batch_keyed: DataFrame,
+    corpus_keyed: DataFrame,
+    key_col: str,
+    id_col: str = "doc_id",
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+    bitmap: DataFrame | None = None,
+) -> DataFrame:
+    """The Bloom-prefiltered incremental anti-join GENERALIZED to an
+    arbitrary key column (round 14) — :func:`incremental_new_docs`
+    delegates here keyed on the normalized-text hash, and the ingest
+    URL tier uses it keyed on ``canonical_url`` (the documented scale
+    path: the per-batch O(corpus) URL anti-join becomes a broadcast
+    bitmap probe + an exact verify over the maybe-dup sliver only).
+    Same contract: no false negatives by construction, a
+    caller-supplied bitmap must cover every corpus key and share
+    ``m_bits``/``k``.  Output: (id, key) of the genuinely-new rows."""
     bloom = (
         bitmap if bitmap is not None
-        else bloom_bitmap(corpus_h, "text_hash", m_bits, k)
+        else bloom_bitmap(corpus_keyed, key_col, m_bits, k)
     )
-    probes = batch_h.select(
+    probes = batch_keyed.select(
         F.col(id_col),
-        F.explode(_bloom_positions(F.col("text_hash"), m_bits, k)).alias("pos"),
+        F.explode(_bloom_positions(F.col(key_col), m_bits, k)).alias("pos"),
     ).withColumn("word_idx", (F.col("pos") / 64).cast("long"))
     hits = probes.join(F.broadcast(bloom), "word_idx", "left").select(
         F.col(id_col),
@@ -537,12 +564,12 @@ def incremental_new_docs(
         ).alias("hit"),
     )
     maybe = hits.groupBy(id_col).agg(F.min("hit").alias("maybe_dup"))
-    flagged = batch_h.join(maybe, id_col)
+    flagged = batch_keyed.join(maybe, id_col)
     definitely_new = flagged.filter(~F.col("maybe_dup"))
     verified_new = flagged.filter(F.col("maybe_dup")).join(
-        corpus_h, "text_hash", "left_anti"
+        corpus_keyed, key_col, "left_anti"
     )
-    return definitely_new.unionByName(verified_new).select(id_col, "text_hash")
+    return definitely_new.unionByName(verified_new).select(id_col, key_col)
 
 
 #: line-level boilerplate removal defaults: a line participates only

@@ -157,6 +157,7 @@ def run_streaming_ingest(
     max_xent: float | None = None,
     sink_protocol: str = "swap",
     url_dedup_col: str | None = None,
+    url_bloom_state_dir: str | None = None,
 ) -> None:
     """Drain the feed with an availableNow trigger, admitting only
     genuinely-new documents into ``sink_path``.
@@ -268,6 +269,17 @@ def run_streaming_ingest(
     column-pruned canonical-URL projection of corpus+sink; at real
     scale the same Bloom-bitmap state the exact tier uses applies
     verbatim keyed on the canonical URL (documented scale path).
+
+    ``url_bloom_state_dir`` (round 14): that scale path, real — a
+    persisted Bloom bitmap over the canonical URLs of the dedup
+    target, maintained exactly like the text tier's
+    (``bloom_state_dir``): seeded from corpus+sink on first batch,
+    OR-merged with each batch's ADMITTED urls and flushed BEFORE the
+    sink insert (orphan bits are only false positives, killed at the
+    exact verify over the maybe-dup sliver — the
+    ``incremental_new_keys`` contract).  The per-batch O(corpus) URL
+    anti-join becomes a broadcast bitmap probe + a sliver-sized
+    verify.  Requires ``url_dedup_col``.
     """
     # round-11 review fix: the lm gate's two halves were validated only
     # in the CLI — API callers passing one without the other got a bare
@@ -287,6 +299,11 @@ def run_streaming_ingest(
         raise ValueError(
             f"sink_protocol must be 'swap' or 'manifest', got {sink_protocol!r}"
         )
+    if url_bloom_state_dir is not None and url_dedup_col is None:
+        raise ValueError(
+            "url_bloom_state_dir needs url_dedup_col: the bitmap is "
+            "keyed on the canonical form of that column"
+        )
     corpus = spark.read.parquet(corpus_path)
     reader = (
         spark.readStream.schema(corpus.schema)
@@ -303,9 +320,10 @@ def run_streaming_ingest(
     # python merge replaces a union+groupBy job (the whole dict is
     # broadcast-budget class, see _load_bloom_words).
     bloom_words: dict[int, int] | None = None
+    url_bloom_words: dict[int, int] | None = None
 
     def admit_batch(batch: DataFrame, batch_id: int) -> None:
-        nonlocal bloom_words
+        nonlocal bloom_words, url_bloom_words
         ss = batch.sparkSession
         existing = corpus
         # probe the sink THROUGH Spark, not os.path: the sink may live
@@ -350,8 +368,37 @@ def run_streaming_ingest(
             target_urls = existing.select(
                 canonical_url(url_dedup_col).alias("__cu")
             ).filter(F.col("__cu").isNotNull())
+            if url_bloom_state_dir is not None:
+                from ..operators.dedup import incremental_new_keys
+
+                # the scale path (docstring): persisted bitmap probe +
+                # exact verify over the maybe-dup sliver only
+                if url_bloom_words is None:
+                    url_bloom_words = _load_bloom_words(
+                        ss, url_bloom_state_dir, m_bits, k
+                    )
+                if url_bloom_words is None:
+                    url_bloom_words = {
+                        r["word_idx"]: r["bits"]
+                        for r in bloom_bitmap(
+                            target_urls, "__cu", m_bits, k
+                        ).collect()
+                    }
+                url_bitmap = ss.createDataFrame(
+                    sorted(url_bloom_words.items()),
+                    "word_idx long, bits long",
+                )
+                new_url_ids = incremental_new_keys(
+                    survivors.select("doc_id", "__cu"), target_urls,
+                    "__cu", m_bits=m_bits, k=k, bitmap=url_bitmap,
+                ).select("doc_id")
+                survivors = survivors.join(
+                    new_url_ids, "doc_id", "left_semi"
+                )
+            else:
+                survivors = survivors.join(target_urls, "__cu", "left_anti")
             batch = (
-                survivors.join(target_urls, "__cu", "left_anti")
+                survivors
                 .unionByName(batch.filter(F.col("__cu").isNull()))
                 .drop("__cu")
             )
@@ -624,6 +671,24 @@ def run_streaming_ingest(
                     bloom_words.get(r["word_idx"], 0) | r["bits"]
                 )
             _write_bloom_state(ss, bloom_state_dir, bloom_words, m_bits, k)
+        if url_bloom_state_dir is not None and url_bloom_words is not None:
+            from ..functions.url import canonical_url
+
+            # same crash ordering as the text bitmap: flush BEFORE the
+            # sink insert; orphan URL bits are only false positives
+            # (the sliver verify anti-joins the REAL target urls)
+            for r in bloom_bitmap(
+                admitted.select(
+                    canonical_url(url_dedup_col).alias("__cu")
+                ).filter(F.col("__cu").isNotNull()),
+                "__cu", m_bits, k,
+            ).collect():
+                url_bloom_words[r["word_idx"]] = (
+                    url_bloom_words.get(r["word_idx"], 0) | r["bits"]
+                )
+            _write_bloom_state(
+                ss, url_bloom_state_dir, url_bloom_words, m_bits, k
+            )
         if sink_protocol == "manifest":
             from ..operators.manifest_sink import manifest_insert_if_absent
 
