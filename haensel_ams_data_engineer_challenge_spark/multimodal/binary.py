@@ -603,11 +603,18 @@ def decode_video_meta(
                 # decoder — the ladder's "header decode must never
                 # crash a task" contract, enforced here and not just
                 # inside the parser.  Round 13: the AVI rung joins the
-                # ISO-BMFF one (disjoint signatures, order cosmetic).
+                # ISO-BMFF one; round 14: animated GIFs report clip
+                # metadata too (single-frame GIFs stay images — the
+                # ladder agrees with the sample tier's clip split).
+                # Disjoint signatures, order cosmetic.
                 try:
+                    from .gif import gif_clip_header
+
                     parsed = parse_video_header(payload)
                     if parsed is None:
                         parsed = parse_avi_header(payload)
+                    if parsed is None:
+                        parsed = gif_clip_header(payload)
                 except (struct.error, ValueError, RecursionError):
                     parsed = None
                 if parsed is not None:
@@ -1293,9 +1300,13 @@ def fused_header_arms_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             else:
                 try:
+                    from .gif import gif_clip_header
+
                     parsed = parse_video_header(payload)
                     if parsed is None:
                         parsed = parse_avi_header(payload)
+                    if parsed is None:
+                        parsed = gif_clip_header(payload)
                 except (struct.error, ValueError, RecursionError):
                     parsed = None
                 if parsed is not None:

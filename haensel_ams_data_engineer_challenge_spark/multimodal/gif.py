@@ -515,3 +515,68 @@ def gif_encode_gray_animation(
         prev = f
     out += b"\x3b"
     return bytes(out)
+
+
+def gif_clip_header(
+    payload: bytes,
+) -> tuple[str, str, int, int, int, str] | None:
+    """Video-METADATA view of an ANIMATED GIF in the
+    ``parse_video_header`` output shape: ('gif', version, 100,
+    total_delay_cs, 1, 'gif-lzw') — timescale is the GIF clock
+    (centiseconds), duration the sum of the frames' GCE delays (a
+    delay-less frame counts the conventional 10 cs players substitute
+    for 0).  None for non-GIF payloads and for SINGLE-frame GIFs —
+    those are images; the metadata ladder must agree with the sample
+    tier's clip/image split.  Sub-block skipping only, no LZW work."""
+    try:
+        n = len(payload)
+        if n < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+            return None
+        version = payload[:6].decode("ascii")
+        flags = payload[10]
+        i = 13
+        if flags & 0x80:
+            i += 3 * (2 << (flags & 7))
+        n_frames = 0
+        total_cs = 0
+        pending_delay: int | None = None
+        while i < n and n_frames < GIF_MAX_FRAMES:
+            b = payload[i]
+            if b == 0x21:
+                if (
+                    i + 7 < n
+                    and payload[i + 1] == 0xF9
+                    and payload[i + 2] == 4
+                ):
+                    (pending_delay,) = struct.unpack(
+                        "<H", payload[i + 4 : i + 6]
+                    )
+                i += 2
+                while i < n and payload[i] != 0:
+                    i += 1 + payload[i]
+                i += 1
+            elif b == 0x2C:
+                if i + 10 > n:
+                    break
+                iflags = payload[i + 9]
+                i += 10
+                if iflags & 0x80:
+                    i += 3 * (2 << (iflags & 7))
+                i += 1  # LZW min code size
+                while i < n and payload[i] != 0:
+                    i += 1 + payload[i]
+                i += 1
+                n_frames += 1
+                total_cs += (
+                    pending_delay if pending_delay else 10
+                )  # 0/absent -> the players' conventional 10 cs
+                pending_delay = None
+            elif b == 0x3B:
+                break
+            else:
+                break
+        if n_frames < 2:
+            return None  # single frame: the image tier owns it
+        return "gif", version, 100, total_cs, 1, "gif-lzw"
+    except (struct.error, IndexError, ValueError, TypeError):
+        return None

@@ -629,3 +629,36 @@ def test_audio_header_reports_g711_and_adpcm_geometry():
     assert (fmt, ch, rate, bits) == ("wav", 1, 8000, 4)
     # 600 samples at 129 samples/block -> 5 blocks -> 645 declared
     assert n_samples == 645
+
+
+def test_video_metadata_ladder_reads_animated_gifs(spark):
+    """Round 14: the video metadata ladder agrees with the sample
+    tier's clip/image split — an animated GIF reports clip metadata
+    (centisecond clock, summed GCE delays), a single-frame GIF falls
+    to the fake rung (it is an image, not a clip)."""
+    from haensel_ams_data_engineer_challenge_spark.multimodal.binary import (
+        decode_video_meta,
+    )
+    from haensel_ams_data_engineer_challenge_spark.multimodal.gif import (
+        gif_encode_gray,
+        gif_encode_gray_animation,
+    )
+
+    frames = [
+        [(x + y + f) % 256 for y in range(6) for x in range(8)]
+        for f in range(3)
+    ]
+    anim = gif_encode_gray_animation(frames, 8, 6, delay_cs=7)
+    single = gif_encode_gray(frames[0], 8, 6)
+    df = spark.createDataFrame(
+        [(1, bytearray(anim)), (2, bytearray(single))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in decode_video_meta(df).collect()}
+    assert rows[1]["decoder"] == "header"
+    assert rows[1]["format"] == "gif"
+    assert rows[1]["timescale"] == 100
+    assert rows[1]["duration"] == 21  # 3 frames x 7 cs
+    assert rows[1]["duration_ms"] == 210
+    assert rows[1]["codecs"] == "gif-lzw"
+    assert rows[2]["decoder"] == "fake"
