@@ -539,6 +539,7 @@ def incremental_new_keys(
     m_bits: int = BLOOM_M_BITS,
     k: int = BLOOM_K,
     bitmap: DataFrame | None = None,
+    verify_short_circuit: bool = False,
 ) -> DataFrame:
     """The Bloom-prefiltered incremental anti-join GENERALIZED to an
     arbitrary key column (round 14) — :func:`incremental_new_docs`
@@ -548,7 +549,14 @@ def incremental_new_keys(
     bitmap probe + an exact verify over the maybe-dup sliver only).
     Same contract: no false negatives by construction, a
     caller-supplied bitmap must cover every corpus key and share
-    ``m_bits``/``k``.  Output: (id, key) of the genuinely-new rows."""
+    ``m_bits``/``k``.  Output: (id, key) of the genuinely-new rows.
+
+    ``verify_short_circuit=True`` EXECUTES a batch-bounded probe
+    action up front and, when NO row is a maybe-dup, returns the
+    batch directly — the corpus-side verify join never enters the
+    plan, so a novel-heavy steady-state batch costs O(batch) total.
+    Off by default: the action at plan-build time is wrong for lazy
+    callers (registry arms); the streaming URL tier opts in."""
     bloom = (
         bitmap if bitmap is not None
         else bloom_bitmap(corpus_keyed, key_col, m_bits, k)
@@ -564,6 +572,13 @@ def incremental_new_keys(
         ).alias("hit"),
     )
     maybe = hits.groupBy(id_col).agg(F.min("hit").alias("maybe_dup"))
+    if verify_short_circuit:
+        from ..checkpoint import materialize
+
+        # one batch-bounded action; reused by every downstream branch
+        maybe = materialize(maybe)
+        if maybe.filter(F.col("maybe_dup")).isEmpty():
+            return batch_keyed.select(id_col, key_col)
     flagged = batch_keyed.join(maybe, id_col)
     definitely_new = flagged.filter(~F.col("maybe_dup"))
     verified_new = flagged.filter(F.col("maybe_dup")).join(

@@ -279,7 +279,14 @@ def run_streaming_ingest(
     exact verify over the maybe-dup sliver — the
     ``incremental_new_keys`` contract).  The per-batch O(corpus) URL
     anti-join becomes a broadcast bitmap probe + a sliver-sized
-    verify.  Requires ``url_dedup_col``.
+    verify.  Requires ``url_dedup_col``.  MEASURED guidance
+    (tools/url_tier_scale_bench.py, BASELINE.md): the bitmap form
+    carries a flat ~2.5 s/batch of state-write + probe floors on
+    local[32], while the anti form's per-batch corpus projection scan
+    is <0.5 s even at a 320k-URL target — leave the bitmap OFF until
+    the target's URL projection costs more than that per batch
+    (hundreds of millions of URLs); admissions are identical either
+    way (asserted in-bench at every size).
     """
     # round-11 review fix: the lm gate's two halves were validated only
     # in the CLI — API callers passing one without the other got a bare
@@ -391,13 +398,24 @@ def run_streaming_ingest(
                 new_url_ids = incremental_new_keys(
                     survivors.select("doc_id", "__cu"), target_urls,
                     "__cu", m_bits=m_bits, k=k, bitmap=url_bitmap,
+                    verify_short_circuit=True,
                 ).select("doc_id")
                 survivors = survivors.join(
                     new_url_ids, "doc_id", "left_semi"
                 )
             else:
                 survivors = survivors.join(target_urls, "__cu", "left_anti")
-            batch = (
+            from ..checkpoint import materialize
+
+            # EITHER form's tier subtree (anti-join against the
+            # corpus-sized URL projection, or the bitmap probe's
+            # join+groupBy+semi) would otherwise re-execute inside
+            # EVERY downstream action of this micro-batch (gates,
+            # content tiers, bitmap flushes, the sink insert all
+            # re-run the batch plan) — measured 4x drain inflation on
+            # the bloom form and a per-action corpus re-scan on the
+            # anti form without this cut
+            batch = materialize(
                 survivors
                 .unionByName(batch.filter(F.col("__cu").isNull()))
                 .drop("__cu")
@@ -672,8 +690,17 @@ def run_streaming_ingest(
                 )
             _write_bloom_state(ss, bloom_state_dir, bloom_words, m_bits, k)
         if url_bloom_state_dir is not None and url_bloom_words is not None:
+            from ..checkpoint import materialize
             from ..functions.url import canonical_url
 
+            # the flush action below re-executes the admit subtree
+            # otherwise (the text tier's materialize argument)
+            if (
+                bloom_state_dir is None
+                and near_dup_index_dir is None
+                and semantic_index_dir is None
+            ):
+                admitted = materialize(admitted)
             # same crash ordering as the text bitmap: flush BEFORE the
             # sink insert; orphan URL bits are only false positives
             # (the sliver verify anti-joins the REAL target urls)
