@@ -49,6 +49,10 @@ JSONL_SCHEMA = StructType([
     StructField("text", StringType(), True),
     StructField("lang", StringType(), True),
     StructField("source", StringType(), True),
+    # the crawl URL when the dump carries one (C4/Dolma ship "url") —
+    # round 14: rides through as ``uri`` so the ingest URL tier
+    # (canonical_url dedup ahead of content work) keys on it
+    StructField("url", StringType(), True),
     StructField("_corrupt_record", StringType(), True),
 ])
 
@@ -95,5 +99,6 @@ def read_documents_jsonl(
         F.coalesce(F.col("lang"), F.lit("und")).alias("lang"),
         F.coalesce(F.col("source"), F.lit("jsonl")).alias("source"),
         F.length("text").cast("long").alias("n_chars"),
+        F.col("url").alias("uri"),
     )
     return docs, bad

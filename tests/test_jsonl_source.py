@@ -96,3 +96,24 @@ def test_feeds_the_corpus_operators(spark, tmp_path):
     # identical texts share a derived id -> one group of n_copies 2
     by_copies = sorted(r["n_copies"] for r in groups)
     assert by_copies == [1, 2]
+
+
+def test_jsonl_url_field_rides_as_uri(spark, tmp_path):
+    """Round 14: dumps that ship a crawl url (C4/Dolma) expose it as
+    the ``uri`` column the ingest URL tier keys on; absent urls are
+    null and pass the tier untouched."""
+    import json as _json
+
+    lines = [
+        _json.dumps({"id": "a", "text": "doc with a url",
+                     "url": "http://x.example/a?utm_source=t"}),
+        _json.dumps({"id": "b", "text": "doc without one"}),
+    ]
+    p = str(tmp_path / "d.jsonl")
+    with open(p, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    docs, bad = read_documents_jsonl(spark, p)
+    assert bad.count() == 0
+    rows = {r["text"]: r["uri"] for r in docs.collect()}
+    assert rows["doc with a url"] == "http://x.example/a?utm_source=t"
+    assert rows["doc without one"] is None
