@@ -14,7 +14,8 @@ any scan/filter/join without an Arrow hop:
    decoded — ``%7Euser`` == ``~user`` — via ``chr(conv(hex,16,10))``,
    all inside the expression;
 4. tracking parameters removed (``utm_*``, ``gclid``, ``fbclid``,
-   ``msclkid``, ``mc_eid``, ``igshid``, ``ref``/``ref_src``) and the
+   ``msclkid``, ``mc_eid``, ``igshid``, ``yclid``, ``spm``, ``_ga`` —
+   NOT bare ``ref``, which is content-bearing) and the
    surviving query parameters SORTED (order-insensitive compare);
 5. trailing path slashes stripped (``/a/`` == ``/a``; the root path
    collapses into the bare authority) and the fragment dropped
@@ -36,9 +37,14 @@ from pyspark.sql import Column, functions as F
 #: query parameters that identify a CRAWL VARIANT, not a resource:
 #: ad-click and analytics tags (the uBlock/adparams core set — public
 #: knowledge; extend per deployment).
+#: NOTE (review fix): bare ``ref`` (and ``ref_src``) are EXCLUDED —
+#: ``ref`` is widely content-bearing (VCS refs, pagination/category
+#: selectors), and the URL tier is a HARD reject: stripping it would
+#: permanently drop distinct pages as re-crawls.  Only parameters
+#: that are unambiguously click/analytics tags belong here.
 TRACKING_PARAM_RE = (
     "^(utm_[a-z0-9_]*|gclid|fbclid|msclkid|mc_eid|igshid|yclid|"
-    "ref|ref_src|spm|_ga)$"
+    "spm|_ga)$"
 )
 
 #: characters whose percent-escapes decode (RFC 3986 unreserved).

@@ -128,29 +128,10 @@ def decode_image_meta(
         schema += ", " + ", ".join(f"{c} {fields[c]}" for c in passthrough)
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:
-            from PIL import Image  # noqa: F401
-            import io
-
-            def codec(payload: bytes) -> tuple[str, int, int, str]:
-                try:
-                    img = Image.open(io.BytesIO(payload))
-                    return (img.format or "?").lower(), img.width, img.height, "pillow"
-                except Exception:
-                    fmt, w, h = _fake_decode(payload)
-                    return fmt, w, h, "fake"
-        except ImportError:
-            def codec(payload: bytes) -> tuple[str, int, int, str]:
-                fmt, w, h = _fake_decode(payload)
-                return fmt, w, h, "fake"
+        codec = make_image_codec()
 
         def one(payload: bytes) -> tuple[str, int, int, str]:
-            if try_header:
-                parsed = parse_image_header(payload)
-                if parsed is not None:
-                    fmt, w, h = parsed
-                    return fmt, w, h, "header"
-            return codec(payload)
+            return image_meta_ladder(payload, codec, try_header)
 
         for pdf in batches:
             meta = [one(p) for p in pdf[payload_col]]
@@ -275,9 +256,7 @@ def decode_audio_meta(
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def one(payload: bytes) -> tuple[str, int, int, int, int, str]:
             if try_header:
-                parsed = parse_audio_header(payload)
-                if parsed is not None:
-                    return (*parsed, "header")
+                return audio_meta_ladder(payload)
             return (*_fake_audio_decode(payload), "fake")
 
         for pdf in batches:
@@ -577,6 +556,87 @@ def _fake_video_decode(payload: bytes) -> tuple[str, str, int, int, int, str]:
     return fmt, "fake", timescale, duration, n_tracks, codecs
 
 
+# ---------------------------------------------------------------------------
+# shared per-kind metadata ladders (round 14 review fix: the fused
+# header arm used to copy-paste the three decode ladders, and the
+# animated-GIF rung already had to land in two places — one helper per
+# kind is now the single source of truth for decode_*_meta AND the
+# fused arm).
+# ---------------------------------------------------------------------------
+
+
+def make_image_codec():
+    """The image ladder's fallback rung, import-tried once per batch:
+    Pillow when importable, the deterministic fake otherwise."""
+    try:
+        import io
+
+        from PIL import Image
+
+        def codec(payload: bytes) -> tuple[str, int, int, str]:
+            try:
+                img = Image.open(io.BytesIO(payload))
+                return (
+                    (img.format or "?").lower(), img.width, img.height,
+                    "pillow",
+                )
+            except Exception:
+                fmt, w, h = _fake_decode(payload)
+                return fmt, w, h, "fake"
+    except ImportError:
+        def codec(payload: bytes) -> tuple[str, int, int, str]:
+            fmt, w, h = _fake_decode(payload)
+            return fmt, w, h, "fake"
+
+    return codec
+
+
+def image_meta_ladder(
+    payload: bytes, codec, try_header: bool = True
+) -> tuple[str, int, int, str]:
+    """(format, width, height, decoder): header parse -> codec
+    (pillow/fake from :func:`make_image_codec`)."""
+    if try_header:
+        parsed = parse_image_header(payload)
+        if parsed is not None:
+            return (*parsed, "header")
+    return codec(payload)
+
+
+def audio_meta_ladder(payload: bytes) -> tuple[str, int, int, int, int, str]:
+    """(format, channels, rate, bits, n_samples, decoder): header
+    parse (PCM + G.711 + IMA-ADPCM geometry) -> fake."""
+    parsed = parse_audio_header(payload)
+    if parsed is not None:
+        return (*parsed, "header")
+    return (*_fake_audio_decode(payload), "fake")
+
+
+def video_meta_ladder(
+    payload: bytes,
+) -> tuple[str, str, int, int, int, str, str]:
+    """(format, brand, timescale, duration, n_tracks, codecs,
+    decoder): ISO-BMFF -> AVI -> animated GIF -> fake.  Defensive
+    rung boundary: ANY malformed-payload parse failure falls to the
+    fake decoder — the ladder's "header decode must never crash a
+    task" contract, enforced here and not just inside the parsers.
+    Single-frame GIFs are images, not clips — they take the fake rung
+    so the metadata ladder agrees with the sample tier's split."""
+    from .gif import gif_clip_header
+
+    try:
+        parsed = parse_video_header(payload)
+        if parsed is None:
+            parsed = parse_avi_header(payload)
+        if parsed is None:
+            parsed = gif_clip_header(payload)
+    except (struct.error, ValueError, RecursionError):
+        parsed = None
+    if parsed is not None:
+        return (*parsed, "header")
+    return (*_fake_video_decode(payload), "fake")
+
+
 def decode_video_meta(
     binary_df: DataFrame,
     payload_col: str = "payload",
@@ -598,30 +658,8 @@ def decode_video_meta(
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def one(payload: bytes):
             if try_header:
-                # defensive rung boundary (round-11 review fix): ANY
-                # malformed-payload parse failure falls to the fake
-                # decoder — the ladder's "header decode must never
-                # crash a task" contract, enforced here and not just
-                # inside the parser.  Round 13: the AVI rung joins the
-                # ISO-BMFF one; round 14: animated GIFs report clip
-                # metadata too (single-frame GIFs stay images — the
-                # ladder agrees with the sample tier's clip split).
-                # Disjoint signatures, order cosmetic.
-                try:
-                    from .gif import gif_clip_header
-
-                    parsed = parse_video_header(payload)
-                    if parsed is None:
-                        parsed = parse_avi_header(payload)
-                    if parsed is None:
-                        parsed = gif_clip_header(payload)
-                except (struct.error, ValueError, RecursionError):
-                    parsed = None
-                if parsed is not None:
-                    fmt, brand, ts, dur, nt, codecs = parsed
-                    return fmt, brand, ts, dur, nt, codecs, "header"
-            fmt, brand, ts, dur, nt, codecs = _fake_video_decode(payload)
-            return fmt, brand, ts, dur, nt, codecs, "fake"
+                return video_meta_ladder(payload)
+            return (*_fake_video_decode(payload), "fake")
 
         for pdf in batches:
             meta = [one(p) for p in pdf[payload_col]]
@@ -1253,68 +1291,30 @@ def fused_header_arms_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     syn = synthesize_header_payloads(ids)
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:
-            import io
-
-            from PIL import Image
-
-            def img_codec(payload: bytes) -> tuple[str, int, int, str]:
-                try:
-                    img = Image.open(io.BytesIO(payload))
-                    return (
-                        (img.format or "?").lower(),
-                        img.width, img.height, "pillow",
-                    )
-                except Exception:
-                    fmt, w, h = _fake_decode(payload)
-                    return fmt, w, h, "fake"
-        except ImportError:
-            def img_codec(payload: bytes) -> tuple[str, int, int, str]:
-                fmt, w, h = _fake_decode(payload)
-                return fmt, w, h, "fake"
+        # the SAME per-kind ladders the standalone decode_*_meta
+        # operators run (review fix: the dispatcher used to copy-paste
+        # them, and a new rung had to land in two places)
+        img_codec = make_image_codec()
 
         def one(kind: str, payload: bytes) -> dict:
             row: dict = dict.fromkeys(_FUSED_HEADER_COLS)
             if kind == "image":
-                parsed = parse_image_header(payload)
-                if parsed is not None:
-                    fmt, w, h, dec = (*parsed, "header")
-                else:
-                    fmt, w, h, dec = img_codec(payload)
+                fmt, w, h, dec = image_meta_ladder(payload, img_codec)
                 row.update(
                     method="header_decode", format=fmt,
                     width=w, height=h, decoder=dec,
                 )
             elif kind == "audio":
-                parsed = parse_audio_header(payload)
-                if parsed is not None:
-                    fmt, ch, rate, bits, ns, dec = (*parsed, "header")
-                else:
-                    fmt, ch, rate, bits, ns, dec = (
-                        *_fake_audio_decode(payload), "fake",
-                    )
+                fmt, ch, rate, bits, ns, dec = audio_meta_ladder(payload)
                 row.update(
                     method="audio_header", format=fmt, channels=ch,
                     sample_rate=rate, bits_per_sample=bits, n_samples=ns,
                     duration_ms=(ns * 1000) // rate, decoder=dec,
                 )
             else:
-                try:
-                    from .gif import gif_clip_header
-
-                    parsed = parse_video_header(payload)
-                    if parsed is None:
-                        parsed = parse_avi_header(payload)
-                    if parsed is None:
-                        parsed = gif_clip_header(payload)
-                except (struct.error, ValueError, RecursionError):
-                    parsed = None
-                if parsed is not None:
-                    fmt, brand, ts, dur, nt, codecs, dec = (*parsed, "header")
-                else:
-                    fmt, brand, ts, dur, nt, codecs, dec = (
-                        *_fake_video_decode(payload), "fake",
-                    )
+                fmt, brand, ts, dur, nt, codecs, dec = video_meta_ladder(
+                    payload
+                )
                 row.update(
                     method="video_header", format=fmt, major_brand=brand,
                     timescale=ts, duration=dur,

@@ -216,6 +216,8 @@ def decode_gif_frames(
                 budget -= fw * fh
                 if budget < 0:  # cumulative bomb ceiling
                     break
+                if i >= n:  # truncated right after the descriptor
+                    return None if not frames else _done(sw, sh, frames)
                 min_code = payload[i]
                 i += 1
                 data = bytearray()

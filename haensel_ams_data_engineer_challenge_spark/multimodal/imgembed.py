@@ -74,8 +74,13 @@ from .phash import (
 #: fake rung now decode), so artifacts committed under an older
 #: ladder must REFUSE, not silently mix spaces — the `mix=sum`
 #: discipline from audio-v1.  Current surface: full-legal PNG
-#: (Adam7 + all depths), JPEG baseline + progressive, GIF.
-IMG_LADDER = "png-full+jpeg-prog+gif"
+#: (Adam7 + all depths), JPEG baseline + progressive, GIF with the
+#: GIF89a rendering model (round 14 bump, review fix: the animation
+#: decoder changed single-frame GCE semantics too — transparent
+#: pixels now compose as background instead of their palette luma,
+#: and a transparent out-of-range index no longer drops the payload
+#: to the fake rung — so pre-r14 artifacts must refuse).
+IMG_LADDER = "png-full+jpeg-prog+gif89a"
 
 #: feature grid: 8x8 box means -> 64 dims = EMBEDDING_DIM, so every
 #: embedding consumer (LSH banding at the default dim, cosine, ANN)

@@ -351,15 +351,29 @@ def parse_mp4_mjpeg(
                 spans: list[tuple[int, int]] = []
                 si = 0
                 n_chunks = len(chunk_offsets)
+                prev_first = 0
                 for ri, (first, spc) in enumerate(stsc_runs):
-                    if first < 1 or first > n_chunks:
+                    # run sanity (review fix: a malformed table with
+                    # repeating/zero runs cost ~4e9 loop iterations —
+                    # an executor-stalling bomb): first_chunk must be
+                    # STRICTLY increasing per ISO 14496-12 §8.7.4, a
+                    # zero samples_per_chunk run carries no samples,
+                    # and the walk ends once every sample is placed
+                    if first <= prev_first or first > n_chunks:
                         return None
+                    prev_first = first
+                    if spc == 0:
+                        continue
+                    if si >= len(sizes):
+                        break
                     last = (
                         stsc_runs[ri + 1][0] - 1
                         if ri + 1 < len(stsc_runs)
                         else n_chunks
                     )
-                    for ck in range(first, last + 1):
+                    for ck in range(first, min(last, n_chunks) + 1):
+                        if si >= len(sizes):
+                            break
                         off = chunk_offsets[ck - 1]
                         for _ in range(spc):
                             if si >= len(sizes):
@@ -492,7 +506,21 @@ def video_features(
     features of ITS bytes (the _fake_decode discipline scoped to the
     frame) — a byte-exact re-upload of a clip with one corrupt frame
     still lands at cosine 1.0."""
-    payload = bytes(payload)
+    sampled = _clip_frame_samples(bytes(payload), grid, n_sample)
+    if sampled is None:
+        return None
+    return _pool_frame_features(sampled, grid)
+
+
+def _clip_frame_samples(
+    payload: bytes, grid: int, n_sample: int
+) -> list[tuple[int, int, list[int]]] | None:
+    """The clip-container dispatch, ONE parse per payload (review fix:
+    the encoder seam used to parse every container twice — once in
+    video_features and once to distinguish not-a-clip from
+    featureless-clip): None means NOT A CLIP (fake rung); a list —
+    possibly pooling to nothing — means a real clip's sampled
+    (w, h, grays) frames."""
     sampled: list[tuple[int, int, list[int]]] = []
     parsed = parse_avi_mjpeg(payload)
     if parsed is None:
@@ -512,19 +540,25 @@ def video_features(
                 sampled.append(
                     (grid, grid, _fake_grays(frame, grid * grid))
                 )
-    else:
-        from .gif import decode_gif_frames, gif_frame_count
+        return sampled
+    from .gif import decode_gif_frames, gif_frame_count
 
-        if gif_frame_count(payload, max_count=2) < 2:
-            return None  # not a clip: single-frame GIFs are images
-        decoded_gif = decode_gif_frames(payload)
-        if decoded_gif is None:
-            return None
-        sw, sh, frames = decoded_gif
-        if len(frames) < 2:
-            return None
-        for idx in sample_frame_indices(len(frames), n_sample):
-            sampled.append((sw, sh, frames[idx]))
+    if gif_frame_count(payload, max_count=2) < 2:
+        return None  # not a clip: single-frame GIFs are images
+    decoded_gif = decode_gif_frames(payload)
+    if decoded_gif is None:
+        return None
+    sw, sh, frames = decoded_gif
+    if len(frames) < 2:
+        return None
+    for idx in sample_frame_indices(len(frames), n_sample):
+        sampled.append((sw, sh, frames[idx]))
+    return sampled
+
+
+def _pool_frame_features(
+    sampled: list[tuple[int, int, list[int]]], grid: int
+) -> list[float] | None:
     pooled: list[float] | None = None
     for fw, fh, grays in sampled:
         feats = image_features(grays, fw, fh, grid)
@@ -598,21 +632,16 @@ class _PreparedVideo:
         if payload is None:
             payload = b""
         payload = bytes(payload)
-        feats = video_features(payload, self.grid, self.frames)
-        if feats is not None:
-            return feats
-        from .gif import gif_frame_count
-
-        if (
-            parse_avi_mjpeg(payload) is not None
-            or parse_mp4_mjpeg(payload) is not None
-            or gif_frame_count(payload, max_count=2) >= 2
-        ):
-            return None  # a real clip whose frames are all constant
-        return image_features(
-            _fake_grays(payload, self.grid * self.grid),
-            self.grid, self.grid, self.grid,
-        )
+        # ONE container parse (review fix): None = not a clip -> the
+        # byte-keyed fake rung; a real clip pools (possibly to None —
+        # all-constant frames have no direction, encoded as absent)
+        sampled = _clip_frame_samples(payload, self.grid, self.frames)
+        if sampled is None:
+            return image_features(
+                _fake_grays(payload, self.grid * self.grid),
+                self.grid, self.grid, self.grid,
+            )
+        return _pool_frame_features(sampled, self.grid)
 
 
 def video_embed_frame(

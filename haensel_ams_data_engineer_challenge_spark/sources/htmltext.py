@@ -105,6 +105,11 @@ class _BlockParser(HTMLParser):
         self._parts = []
         self._chars = 0
         self._link_chars = 0
+        # anchors cannot legally span block elements — an UNCLOSED <a>
+        # (ubiquitous in real crawl HTML) must not leak link-ness into
+        # every later block, which would classify the whole document
+        # link-dense and extract it to empty (review fix)
+        self._link = 0
 
     def handle_starttag(self, tag, attrs):  # noqa: D102
         if tag in _SKIP_TAGS:
@@ -221,10 +226,18 @@ def decode_html_bytes(
     The label records the rung that decoded, for the audit column."""
     if raw[:3] == b"\xef\xbb\xbf":
         return raw[3:].decode("utf-8", "replace"), "utf-8-sig"
+    # 4-byte UTF-32 BOMs must be checked BEFORE the 2-byte UTF-16 ones
+    # (the LE UTF-32 BOM ff fe 00 00 starts with the UTF-16-LE BOM);
+    # all BOM rungs strip the BOM itself — U+FEFF is not whitespace
+    # and would otherwise lead the extracted text (review fix)
+    if raw[:4] == b"\xff\xfe\x00\x00":
+        return raw[4:].decode("utf-32-le", "replace"), "utf-32-le"
+    if raw[:4] == b"\x00\x00\xfe\xff":
+        return raw[4:].decode("utf-32-be", "replace"), "utf-32-be"
     if raw[:2] == b"\xff\xfe":
-        return raw.decode("utf-16-le", "replace"), "utf-16-le"
+        return raw[2:].decode("utf-16-le", "replace"), "utf-16-le"
     if raw[:2] == b"\xfe\xff":
-        return raw.decode("utf-16-be", "replace"), "utf-16-be"
+        return raw[2:].decode("utf-16-be", "replace"), "utf-16-be"
     if header_charset:
         text = _try_decode(raw, header_charset.strip().lower())
         if text is not None:

@@ -611,3 +611,101 @@ def test_cli_ingest_media_accepts_gif_clips(spark, tmp_path, capsys):
         for r in spark.read.parquet(f"{work}/admitted_media").collect()
     }
     assert got == {201, 301}
+
+
+def test_mp4_adversarial_stsc_table_bounded():
+    """Review fix: a malformed stsc table (repeating / zero-sample
+    runs) used to cost ~4e9 loop iterations; runs must be strictly
+    increasing and the walk ends once every sample is placed."""
+    import struct as _s
+    import time as _t
+
+    from haensel_ams_data_engineer_challenge_spark.multimodal.binary import (
+        _FTYP,
+        _MVHD_TAIL,
+        _mp4_box,
+    )
+
+    n_chunks = 65536
+    vid = (
+        b"\x00" * 6 + _s.pack(">H", 1) + b"\x00" * 16
+        + _s.pack(">HH", 24, 16)
+        + _s.pack(">II", 0x480000, 0x480000)
+        + b"\x00" * 4 + _s.pack(">H", 1) + b"\x00" * 32
+        + _s.pack(">Hh", 24, -1)
+    )
+    stsd = _mp4_box(
+        b"stsd",
+        b"\x00" * 4 + _s.pack(">I", 1)
+        + _s.pack(">I", 8 + len(vid)) + b"jpeg" + vid,
+    )
+    stsz = _mp4_box(b"stsz", b"\x00" * 4 + _s.pack(">II", 5, 100))
+    runs = b"".join(
+        _s.pack(">III", (1 if k % 2 == 0 else 65536), 0, 1)
+        for k in range(2048)
+    )
+    stsc = _mp4_box(b"stsc", b"\x00" * 4 + _s.pack(">I", 2048) + runs)
+    stco = _mp4_box(
+        b"stco",
+        b"\x00" * 4 + _s.pack(">I", n_chunks) + b"\x00" * (4 * n_chunks),
+    )
+    stbl = _mp4_box(b"stbl", stsd + stsz + stsc + stco)
+    hdlr = _mp4_box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12 + b"\x00")
+    mdia = _mp4_box(b"mdia", hdlr + _mp4_box(b"minf", stbl))
+    mvhd = _mp4_box(
+        b"mvhd",
+        b"\x00" * 12 + _s.pack(">II", 10, 5) + _MVHD_TAIL
+        + _s.pack(">I", 2),
+    )
+    evil = _FTYP + _mp4_box(b"moov", mvhd + _mp4_box(b"trak", mdia))
+    t0 = _t.perf_counter()
+    assert V.parse_mp4_mjpeg(evil) is None
+    assert _t.perf_counter() - t0 < 1.0
+
+
+def test_gif_truncated_after_descriptor_keeps_composed_frames():
+    """Review fix: a stream cut exactly after an image descriptor
+    returns the frames already composed (every other truncation point
+    already did) instead of None — so a byte-keyed fake-rung fallback
+    never replaces a decodable poster frame."""
+    from haensel_ams_data_engineer_challenge_spark.multimodal.gif import (
+        decode_gif_frames,
+        gif_encode_gray_animation,
+    )
+
+    frames = [
+        [(x + y + f) % 256 for y in range(6) for x in range(8)]
+        for f in range(2)
+    ]
+    p = gif_encode_gray_animation(frames, 8, 6, delta=False)
+
+    # structural walk to the SECOND descriptor (0x2C bytes also occur
+    # inside LZW data, so index() alone is wrong)
+    n, i = len(p), 13
+    if p[10] & 0x80:
+        i += 3 * (2 << (p[10] & 7))
+    pos = []
+    while i < n:
+        b = p[i]
+        if b == 0x21:
+            i += 2
+            while i < n and p[i] != 0:
+                i += 1 + p[i]
+            i += 1
+        elif b == 0x2C:
+            pos.append(i)
+            iflags = p[i + 9]
+            i += 10
+            if iflags & 0x80:
+                i += 3 * (2 << (iflags & 7))
+            i += 1
+            while i < n and p[i] != 0:
+                i += 1 + p[i]
+            i += 1
+        else:
+            break
+    assert len(pos) == 2
+    r = decode_gif_frames(p[: pos[1] + 10])
+    assert r is not None
+    sw, sh, got = r
+    assert len(got) == 1 and got[0] == frames[0]

@@ -211,3 +211,42 @@ def test_warc_link_farm_rejected_and_counted(spark, tmp_path):
     assert docs.count() == 0
     a = audit.collect()[0]
     assert (a["n_records"], a["n_rejected"]) == (1, 1)
+
+
+def test_extractor_survives_unclosed_anchor():
+    """Review fix: an unclosed <a> (ubiquitous in crawl HTML) must not
+    leak link-ness into every later block — that classified whole
+    documents link-dense and extracted them to empty."""
+    from haensel_ams_data_engineer_challenge_spark.sources.htmltext import (
+        extract_main_text,
+    )
+
+    h = (
+        "<p>Nav <a href=/x>link</p><p>"
+        + "long article words continue onward " * 10
+        + "</p>"
+    )
+    out = extract_main_text(h)
+    assert "long article" in out
+
+
+def test_charset_utf16_utf32_boms_stripped():
+    """Review fix: UTF-16 BOM bytes are stripped (U+FEFF is not
+    whitespace) and 4-byte UTF-32 BOMs are checked before the 2-byte
+    UTF-16 ones (the UTF-32-LE BOM starts with the UTF-16-LE BOM)."""
+    from haensel_ams_data_engineer_challenge_spark.sources.htmltext import (
+        decode_html_bytes,
+    )
+
+    t, e = decode_html_bytes(b"\xff\xfe" + "hello café".encode("utf-16-le"))
+    assert (t, e) == ("hello café", "utf-16-le")
+    t, e = decode_html_bytes(b"\xfe\xff" + "abc".encode("utf-16-be"))
+    assert (t, e) == ("abc", "utf-16-be")
+    t, e = decode_html_bytes(
+        b"\xff\xfe\x00\x00" + "abc".encode("utf-32-le")
+    )
+    assert (t, e) == ("abc", "utf-32-le")
+    t, e = decode_html_bytes(
+        b"\x00\x00\xfe\xff" + "abc".encode("utf-32-be")
+    )
+    assert (t, e) == ("abc", "utf-32-be")
