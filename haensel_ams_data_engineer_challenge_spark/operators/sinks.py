@@ -388,9 +388,18 @@ def hold_writer_lease(
 
     token = acquire_writer_lease(spark, path, ttl_ms, backend)
     stop = threading.Event()
+    owner = threading.current_thread()
 
     def _beat() -> None:
         while not stop.wait(ttl_ms / (_LEASE_HEARTBEAT_FRACTION * 1000.0)):
+            if not owner.is_alive():
+                # round 14 (review of a kill-and-resume flake): the
+                # owning thread died WITHOUT unwinding (a killed
+                # foreachBatch callback) — keep renewing and the
+                # orphaned lease looks fresh forever, blocking every
+                # restart in this process; stop beating so the TTL
+                # can lapse and a successor can take over
+                return
             try:
                 if not renew_writer_lease(spark, path, token, backend):
                     warnings.warn(
@@ -425,7 +434,11 @@ def hold_writer_lease(
 
 
 def insert_if_absent(
-    spark: SparkSession, df: DataFrame, path: str, keys: list[str]
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    keys: list[str],
+    lease_wait_ms: int = 0,
 ) -> int:
     """S5: INSERT OR IGNORE — append rows whose key is not already
     present; duplicate keys within ``df`` keep one arbitrary-but-
@@ -459,14 +472,36 @@ def insert_if_absent(
     writer's lease is taken over after its TTL.  The lease is released
     in ``finally``: a failed Spark write job leaves no committed files
     (parquet commit protocol), so releasing after a failure is safe.
+
+    ``lease_wait_ms`` (round 14): bounded patience for a FRESH lease —
+    retry acquisition until the deadline instead of failing fast.  A
+    concurrent writer from a DIFFERENT pipeline is a config error and
+    fail-fast (the default 0) is right; but a checkpointed streaming
+    RESTART can race the previous incarnation's release by
+    milliseconds (the killed query's callback is still unwinding when
+    the resumed query's first batch inserts — measured as a loaded-
+    suite flake), and there a short wait is the correct semantics.
     """
+    import time as _time
+    from contextlib import ExitStack
+
     from pyspark.sql import Observation
 
     _refuse_manifest_sink(spark, path, "manifest_insert_if_absent")
     fresh = df.dropDuplicates(keys)
     for k in keys:
         fresh = fresh.filter(F.col(k).isNotNull())
-    with hold_writer_lease(spark, path):
+    stack = ExitStack()
+    deadline = _time.monotonic() + lease_wait_ms / 1000.0
+    while True:
+        try:
+            stack.enter_context(hold_writer_lease(spark, path))
+            break
+        except ConcurrentWriterError:
+            if _time.monotonic() >= deadline:
+                raise
+            _time.sleep(0.25)
+    with stack:
         # existence probe THROUGH Spark, not os.path (round-9 fix, the
         # streaming/ingest.py round-6 lesson applied to the batch
         # sink): on HDFS/S3/ABFS a driver-local isdir() is always

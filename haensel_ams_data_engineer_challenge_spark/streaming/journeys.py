@@ -197,7 +197,14 @@ def run_streaming_attribution(
             sess = sess.join(assigned, "session_id", "left_anti")
         journeys = journey_asof_join(sess, batch)
         scored = ihc_attribute(journeys).select("conv_id", "session_id", "ihc")
-        insert_if_absent(batch.sparkSession, scored, sink_path, ["conv_id", "session_id"])
+        # lease_wait_ms (round 14): a checkpointed RESTART can race the
+        # killed incarnation's lease release by milliseconds — bounded
+        # patience instead of a hard ConcurrentWriterError (a genuine
+        # concurrent second pipeline still fails, just 30s later)
+        insert_if_absent(
+            batch.sparkSession, scored, sink_path,
+            ["conv_id", "session_id"], lease_wait_ms=30_000,
+        )
 
     query = (
         conv_stream.writeStream.foreachBatch(score_batch)

@@ -415,3 +415,86 @@ def test_conditional_put_lease_backend(spark, tmp_path):
     assert lease_key in be.objs
     sinks.release_writer_lease(spark, path, token2, backend=be)
     assert lease_key not in be.objs
+
+
+def test_insert_if_absent_lease_wait(spark, tmp_path):
+    """Round 14 (kill-and-resume flake root cause): with
+    lease_wait_ms, a FRESH lease released shortly after the attempt
+    starts is waited out instead of raising; without it (default 0)
+    the fail-fast contract stands."""
+    import threading
+    import time
+
+    from haensel_ams_data_engineer_challenge_spark.operators.sinks import (
+        ConcurrentWriterError,
+        acquire_writer_lease,
+        insert_if_absent,
+        release_writer_lease,
+    )
+
+    path = str(tmp_path / "sink")
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    token = acquire_writer_lease(spark, path)
+    # default: fail fast while the lease is held
+    import pytest as _pytest
+
+    with _pytest.raises(ConcurrentWriterError):
+        insert_if_absent(spark, df, path, ["k"])
+
+    # releases 1s in: the waiting insert acquires and proceeds
+    def _release_later():
+        time.sleep(1.0)
+        release_writer_lease(spark, path, token)
+
+    t = threading.Thread(target=_release_later)
+    t.start()
+    n = insert_if_absent(spark, df, path, ["k"], lease_wait_ms=15_000)
+    t.join()
+    assert n == 1
+    assert spark.read.parquet(path).count() == 1
+
+    # bounded: a lease that never releases still raises at deadline
+    token2 = acquire_writer_lease(spark, path)
+    t0 = time.monotonic()
+    with _pytest.raises(ConcurrentWriterError):
+        insert_if_absent(spark, df, path, ["k"], lease_wait_ms=1_200)
+    assert 1.0 <= time.monotonic() - t0 < 10.0
+    release_writer_lease(spark, path, token2)
+
+
+def test_heartbeat_stops_when_owner_thread_dies(spark, tmp_path):
+    """Round 14: a lease whose OWNING thread died without unwinding
+    (killed foreachBatch callback) must stop renewing, so the TTL can
+    lapse and a successor takes over instead of being blocked forever
+    by a zombie heartbeat."""
+    import threading
+    import time
+
+    from haensel_ams_data_engineer_challenge_spark.operators.sinks import (
+        _lease_path,
+        hold_writer_lease,
+    )
+
+    path = str(tmp_path / "sink2")
+    entered = threading.Event()
+    holder = {}  # keep the cm referenced: a killed callback's frame
+    # is exactly a still-referenced, never-exited context manager
+
+    def _owner():
+        holder["cm"] = hold_writer_lease(spark, path, ttl_ms=1_200)
+        holder["cm"].__enter__()  # deliberately never exits
+        entered.set()
+
+    t = threading.Thread(target=_owner)
+    t.start()
+    t.join()
+    assert entered.is_set()
+    import os
+
+    lease = _lease_path(path)
+    assert os.path.exists(lease)
+    m0 = os.path.getmtime(lease)
+    # > one heartbeat period (ttl/3 = 0.4s): a zombie would have
+    # renewed by now; the owner-liveness guard must not have
+    time.sleep(1.0)
+    assert os.path.getmtime(lease) == m0, "zombie heartbeat renewed"
