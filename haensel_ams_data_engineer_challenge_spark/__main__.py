@@ -188,7 +188,17 @@ def _parser() -> argparse.ArgumentParser:
         help="after building the corpus, learn N BPE merges on the "
         "train split and write them to WORK_DIR/bpe_merges.json "
         "(N <= operators.bpe.MAX_SEGMENT_MERGES so the file stays "
-        "loadable by bpe_segment)",
+        "loadable by bpe_segment; no cap with --byte-level-bpe, "
+        "which always segments via the Arrow path)",
+    )
+    co.add_argument(
+        "--byte-level-bpe",
+        action="store_true",
+        help="learn BYTE-LEVEL merges (GPT-2 dialect: regex "
+        "pre-tokenization, 256-byte alphabet, no </w>/OOV, case and "
+        "whitespace preserved) instead of lowercase word-type "
+        "merges; the merges file records the dialect and tokenize/"
+        "pack pick the matching segmenter automatically",
     )
     co.add_argument(
         "--save-near-dup-index",
@@ -1155,18 +1165,35 @@ def main(argv: list[str] | None = None) -> int:
 
                 from .operators.bpe import MAX_SEGMENT_MERGES, bpe_train
 
-                if args.learn_bpe > MAX_SEGMENT_MERGES:
-                    raise ValueError(
-                        f"--learn-bpe {args.learn_bpe} exceeds "
-                        f"MAX_SEGMENT_MERGES={MAX_SEGMENT_MERGES}"
-                    )
+                if args.byte_level_bpe:
+                    # byte dialect: the local trainer (one distributed
+                    # aggregation + driver greedy) and a dialect-tagged
+                    # merges file so consumers pick the right segmenter
+                    from .operators.bpe_bytes import bpe_train_bytes_local
 
-                merges = bpe_train(
-                    back.filter(F.col("split") == "train"), args.learn_bpe
-                )
+                    merges = bpe_train_bytes_local(
+                        back.filter(F.col("split") == "train"),
+                        args.learn_bpe,
+                    )
+                    payload: object = {
+                        "dialect": "byte-level",
+                        "merges": [list(m) for m in merges],
+                    }
+                else:
+                    if args.learn_bpe > MAX_SEGMENT_MERGES:
+                        raise ValueError(
+                            f"--learn-bpe {args.learn_bpe} exceeds "
+                            f"MAX_SEGMENT_MERGES={MAX_SEGMENT_MERGES}"
+                        )
+
+                    merges = bpe_train(
+                        back.filter(F.col("split") == "train"),
+                        args.learn_bpe,
+                    )
+                    payload = [list(m) for m in merges]
                 n_merges_learned = len(merges)
                 with open(f"{args.work_dir}/bpe_merges.json", "w") as fh:
-                    _json.dump([list(m) for m in merges], fh)
+                    _json.dump(payload, fh)
             if args.save_near_dup_index:
                 from .operators.minhash_index import minhash_index_build
 
@@ -1754,8 +1781,6 @@ def main(argv: list[str] | None = None) -> int:
             return 0
 
         if args.command == "tokenize":
-            import json as _json
-
             from pyspark.sql import functions as F
 
             from .operators.bpe import (
@@ -1763,16 +1788,21 @@ def main(argv: list[str] | None = None) -> int:
                 bpe_segment,
                 bpe_segment_arrow,
             )
-
-            merges = [
-                tuple(m) for m in _json.load(open(args.merges_json))
-            ]
-            docs = spark.read.parquet(args.docs_parquet)
-            seg = (
-                bpe_segment(docs, merges)
-                if len(merges) <= MAX_SEGMENT_MERGES
-                else bpe_segment_arrow(docs, merges)
+            from .operators.bpe_bytes import (
+                bpe_segment_bytes_arrow,
+                load_merges_json,
             )
+
+            dialect, merges = load_merges_json(args.merges_json)
+            docs = spark.read.parquet(args.docs_parquet)
+            if dialect == "byte-level":
+                seg = bpe_segment_bytes_arrow(docs, merges)
+            else:
+                seg = (
+                    bpe_segment(docs, merges)
+                    if len(merges) <= MAX_SEGMENT_MERGES
+                    else bpe_segment_arrow(docs, merges)
+                )
             out = f"{args.work_dir}/tokenized"
             seg.write.mode("overwrite").parquet(out)
             back = spark.read.parquet(out)
@@ -1782,7 +1812,7 @@ def main(argv: list[str] | None = None) -> int:
             ).collect()[0]
             print(
                 f"docs={stats['docs']} bpe_tokens={stats['tokens']} "
-                f"merges={len(merges)} -> {out}"
+                f"merges={len(merges)} dialect={dialect} -> {out}"
             )
             return 0
 
@@ -1848,22 +1878,25 @@ def main(argv: list[str] | None = None) -> int:
 
             docs = spark.read.parquet(args.docs_parquet)
             if args.merges_json:
-                import json as _json
-
                 from .operators.bpe import (
                     MAX_SEGMENT_MERGES,
                     bpe_segment,
                     bpe_segment_arrow,
                 )
-
-                merges = [
-                    tuple(m) for m in _json.load(open(args.merges_json))
-                ]
-                docs = (
-                    bpe_segment(docs, merges)
-                    if len(merges) <= MAX_SEGMENT_MERGES
-                    else bpe_segment_arrow(docs, merges)
+                from .operators.bpe_bytes import (
+                    bpe_segment_bytes_arrow,
+                    load_merges_json,
                 )
+
+                dialect, merges = load_merges_json(args.merges_json)
+                if dialect == "byte-level":
+                    docs = bpe_segment_bytes_arrow(docs, merges)
+                else:
+                    docs = (
+                        bpe_segment(docs, merges)
+                        if len(merges) <= MAX_SEGMENT_MERGES
+                        else bpe_segment_arrow(docs, merges)
+                    )
                 seqs = pack_sequences(
                     docs, seq_len=args.seq_len, tokens_col="bpe_tokens"
                 )

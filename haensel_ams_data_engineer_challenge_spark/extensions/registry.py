@@ -21,6 +21,7 @@ from ..operators import dedup as D
 from ..operators import embed as EM
 from ..operators import minhash_index as MI
 from ..operators import bpe as B
+from ..operators import bpe_bytes as BB
 from ..operators import classify as CLF
 from ..operators import lm as LM
 from ..operators import pack as PK
@@ -1593,6 +1594,21 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
         ("o", "r"), ("a", "r"),
     ]
 
+    # round 15 (r14 verdict #1): the BYTE-LEVEL dialect (GPT-2 regex
+    # pre-tokenization, 256-byte alphabet, no </w>/OOV — operators/
+    # bpe_bytes.py) rides the same key as the 'bpe_bytes' arm.  This
+    # list is bpe_train_bytes_local(docs, 16) on the sf0.01 corpus,
+    # frozen so the oracle (hex-space bracket-replace chain over the
+    # RE2 pre-tokenizer twin) is a static query; tokens hash in hex
+    # space so the twin needs no byte->unicode table.  ('Ġ' is the
+    # byte-unicode rendering of the space byte.)
+    PRETRAINED_BYTE_MERGES = [
+        ("Ġ", "s"), ("e", "r"), ("i", "n"), ("o", "w"),
+        ("o", "r"), ("m", "er"), ("a", "t"), ("l", "u"),
+        ("Ġ", "c"), ("a", "s"), ("Ġ", "b"), ("Ġ", "v"),
+        ("a", "r"), ("p", "ar"), ("Ġ", "f"), ("Ġ", "a"),
+    ]
+
     # round 7 tags in CROSS-DOCUMENT sequence packing (operators/pack.
     # pack_sequences — verdict #2, the trainer hand-off step): every
     # doc's tokens + one separator concatenated in doc_id order and
@@ -1604,6 +1620,7 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
     def _fingerprint_with_chunks(spark: SparkSession, sf: str) -> DataFrame:
         from ..checkpoint import materialize
         from ..operators.bpe import bpe_segment, bpe_segment_arrow
+        from ..operators.bpe_bytes import bpe_segment_bytes_arrow
         from ..operators.pack import chunk_sequences, pack_sequences
         from ..operators.vocab import term_pair_counts, topn_of_kind
 
@@ -1661,6 +1678,18 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
                 F.size("bpe_tokens").cast("long").alias("n_tokens"),
             )
         ).unionByName(
+            # round 15: byte-level (GPT-2 dialect) segmentation under
+            # the frozen byte merge list; fingerprint hashes the HEX
+            # rendering so the oracle works in pure-ASCII space
+            bpe_segment_bytes_arrow(
+                docs, PRETRAINED_BYTE_MERGES, hex_col="bpe_hex"
+            ).select(
+                F.lit("bpe_bytes").alias("method"), "doc_id",
+                F.md5(F.concat_ws(" ", "bpe_hex")).alias("fingerprint"),
+                nb.alias("chunk_idx"),
+                F.size("bpe_hex").cast("long").alias("n_tokens"),
+            )
+        ).unionByName(
             pack_sequences(docs, seq_len=64).select(
                 F.lit("pack").alias("method"), nb.alias("doc_id"),
                 F.md5("seq_text").alias("fingerprint"),
@@ -1705,6 +1734,8 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
         + ","
         + B.segment_sql(PRETRAINED_MERGES, R.SEARCH_TOKEN_PATTERN).strip()
         + ","
+        + BB.segment_bytes_sql(PRETRAINED_BYTE_MERGES).strip()
+        + ","
         + PK.pack_sequences_sql(BPE_SQL, seq_len=64).strip()
         + """
             SELECT 'fp' AS method, doc_id, fingerprint,
@@ -1728,6 +1759,11 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
             SELECT 'bpe_arrow', doc_id, md5(array_to_string(bpe_tokens, ' ')),
                    CAST(NULL AS BIGINT), CAST(len(bpe_tokens) AS BIGINT)
             FROM bp_seg
+            UNION ALL
+            SELECT 'bpe_bytes', doc_id,
+                   md5(array_to_string(bpe_tokens_hex, ' ')),
+                   CAST(NULL AS BIGINT), CAST(len(bpe_tokens_hex) AS BIGINT)
+            FROM bb_seg
             UNION ALL
             SELECT 'pack', CAST(NULL AS BIGINT), md5(seq_text),
                    seq_id, n_tokens

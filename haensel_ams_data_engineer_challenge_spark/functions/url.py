@@ -22,9 +22,14 @@ any scan/filter/join without an Arrow hop:
    (``#section`` never reaches the server).
 
 A string without a ``scheme://`` prefix (relative reference, garbage)
-falls back to its lowercased trim — deterministic, never null, never
-a raise (``try_parse_url``: an invalid URL yields NULL components,
-not an executor exception).
+falls back to its trim UNMODIFIED — case folding is reserved for the
+scheme/host, the only parts RFC 3986 declares case-insensitive, so
+distinct relative paths like ``/About`` vs ``/about`` do NOT collide
+in the hard-reject dedup tier.  Empty / whitespace-only input yields
+NULL (same as null in): the ingest URL tier passes NULL keys through,
+so unusable URLs never collide onto one key and silently drop rows.
+Never a raise (``try_parse_url``: an invalid URL yields NULL
+components, not an executor exception).
 
 Reference analogue: none — the reference ingests CSV/SQLite; this is
 crawl-pipeline surface like sources/warc.py.
@@ -89,7 +94,11 @@ def canonical_url(col) -> Column:
     """The canonical form of a URL column (module docstring rules) —
     the dedup key the ingest tier anti-joins on ahead of content
     dedup.  NULL-safe: null in, null out."""
-    u = F.trim(F.col(col) if isinstance(col, str) else col)
+    raw = F.col(col) if isinstance(col, str) else col
+    # full whitespace trim (F.trim strips spaces only — a URL wrapped
+    # in tabs/newlines, common in crawl metadata, must still parse and
+    # a whitespace-only field must yield NULL, not a colliding key)
+    u = F.regexp_replace(raw, r"^\s+|\s+$", "")
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
     host = F.lower(F.try_parse_url(u, F.lit("HOST")))
     authority = F.try_parse_url(u, F.lit("AUTHORITY"))
@@ -122,6 +131,6 @@ def canonical_url(col) -> Column:
         scheme, F.lit("://"), host, port_part, path, qpart
     )
     usable = (scheme != "") & host.isNotNull() & (host != "")
-    return F.when(u.isNull(), F.lit(None).cast("string")).otherwise(
-        F.when(usable, canon).otherwise(F.lower(u))
-    )
+    return F.when(
+        u.isNull() | (u == ""), F.lit(None).cast("string")
+    ).otherwise(F.when(usable, canon).otherwise(u))

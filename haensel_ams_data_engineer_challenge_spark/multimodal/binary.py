@@ -215,7 +215,12 @@ def parse_audio_header(payload: bytes) -> tuple[str, int, int, int, int] | None:
     if audio_fmt == 0x11:
         # block-compressed: samples per block from the block geometry
         # (per-channel 4-byte headers + 2 samples per data byte/ch)
-        if bits != 4 or block < 4 * ch:
+        # word-alignment: data words interleave per channel in 4-byte
+        # units, so (block - headers) must divide into whole words per
+        # channel — the SAME geometry audioembed.decode_wav_samples
+        # enforces, so the header tier never reports a payload the
+        # sample tier refuses (r14 advice)
+        if bits != 4 or block < 4 * ch or (block - 4 * ch) % (4 * ch) != 0:
             return None
         spb = 1 + (block - 4 * ch) * 2 // ch
         return "wav", ch, rate, bits, (data_size // block) * spb

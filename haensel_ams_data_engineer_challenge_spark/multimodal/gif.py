@@ -285,7 +285,11 @@ def gif_frame_count(
     """Image-descriptor count (bounded), 0 for non-GIF/unframeable
     payloads — sub-block skipping only, NO LZW work: the cheap
     is-this-a-clip probe the video encoder seam uses before paying
-    for a full animation decode."""
+    for a full animation decode.  A structural error encountered
+    AFTER descriptors were counted returns the accumulated count
+    (r14 advice: a truncated tail must not reclassify an animation
+    whose first descriptors are intact)."""
+    count = 0
     try:
         n = len(payload)
         if n < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
@@ -294,7 +298,6 @@ def gif_frame_count(
         i = 13
         if flags & 0x80:
             i += 3 * (2 << (flags & 7))
-        count = 0
         while i < n and count < max_count:
             b = payload[i]
             if b == 0x21:
@@ -322,7 +325,7 @@ def gif_frame_count(
                 break
         return count
     except (struct.error, IndexError, ValueError, TypeError):
-        return 0
+        return count
 
 
 def decode_gif_pixels(payload: bytes) -> tuple[int, int, list[int]] | None:

@@ -545,12 +545,17 @@ def _clip_frame_samples(
 
     if gif_frame_count(payload, max_count=2) < 2:
         return None  # not a clip: single-frame GIFs are images
+    # >=2 image descriptors IS the clip criterion — the same one
+    # gif_clip_header (metadata ladder) applies, so the two tiers can
+    # never disagree on the clip/image split (r14 advice).  Frames
+    # that fail LZW fall to the fake rung PER CLIP, mirroring the
+    # MJPEG span path's per-frame _fake_grays fallback.
     decoded_gif = decode_gif_frames(payload)
-    if decoded_gif is None:
-        return None
+    if decoded_gif is None or not decoded_gif[2]:
+        for _ in range(min(n_sample, 2)):
+            sampled.append((grid, grid, _fake_grays(payload, grid * grid)))
+        return sampled
     sw, sh, frames = decoded_gif
-    if len(frames) < 2:
-        return None
     for idx in sample_frame_indices(len(frames), n_sample):
         sampled.append((sw, sh, frames[idx]))
     return sampled

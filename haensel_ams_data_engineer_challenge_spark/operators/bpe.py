@@ -151,7 +151,15 @@ def bpe_train(
     """
     if n_merges < 0:
         raise ValueError(f"n_merges must be >= 0, got {n_merges}")
-    types = materialize(word_types(docs, text_col))
+    return train_merge_loop(materialize(word_types(docs, text_col)), n_merges)
+
+
+def train_merge_loop(
+    types: DataFrame, n_merges: int
+) -> list[tuple[str, str]]:
+    """The sequential greedy merge loop over ANY (freq, symbols) state
+    table — shared by :func:`bpe_train` (word types, ``</w>``-marked)
+    and ``bpe_bytes.bpe_train_bytes`` (byte pre-token types)."""
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         top: list[Row] = (
@@ -452,7 +460,17 @@ def bpe_train_local(
         [*w[:-1], w[-1] + END] for w in (r["word"] for r in rows)
     ]
     freqs = [r["freq"] for r in rows]
+    return greedy_merges(syms, freqs, n_merges)
 
+
+def greedy_merges(
+    syms: list[list[str]], freqs: list[int], n_merges: int
+) -> list[tuple[str, str]]:
+    """Driver-side exact greedy BPE with incremental pair-count
+    maintenance, over ANY seeded symbol state — shared by
+    :func:`bpe_train_local` (word types) and
+    ``bpe_bytes.bpe_train_bytes_local`` (byte pre-token types).
+    Mutates ``syms`` in place."""
     counts: dict[tuple[str, str], int] = {}
     where: dict[tuple[str, str], set[int]] = {}
     for t, s in enumerate(syms):

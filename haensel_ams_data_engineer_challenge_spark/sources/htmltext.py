@@ -207,14 +207,34 @@ _CHARSET_RE = re.compile(rb"charset\s*=\s*[\"']?([A-Za-z0-9_.:-]+)")
 
 
 def _try_decode(raw: bytes, enc: str) -> str | None:
+    """Decode STRICTLY: a header/meta charset label is a claim, not a
+    fact, and 'replace' would make every claim succeed — a page with a
+    wrong label (e.g. a shift_jis header over UTF-8 bytes) must FAIL
+    here and fall through to the UTF-8 probe instead of silently
+    mojibaking.  'replace' is reserved for the final chosen rung
+    (latin-1 never fails; BOM rungs are authoritative)."""
     try:
         codecs.lookup(enc)
     except LookupError:
         return None
     try:
-        return raw.decode(enc, "replace")
+        return raw.decode(enc)
     except Exception:
         return None
+
+
+def _utf8_wins(raw: bytes) -> str | None:
+    """Mislabel repair for ASCII-compatible single-byte labels (which
+    decode ANY byte string, so strict decode can't catch the lie):
+    when the payload contains non-ASCII bytes AND is strictly valid
+    UTF-8, the multi-byte sequences are near-certain UTF-8 — a
+    latin-1/iso-8859-* label over such bytes is the classic crawl
+    mislabel.  Pure-ASCII payloads return None (label is harmless)."""
+    try:
+        text = raw.decode("utf-8")
+    except UnicodeDecodeError:
+        return None
+    return text if any(b >= 0x80 for b in raw) else None
 
 
 def decode_html_bytes(
@@ -239,13 +259,21 @@ def decode_html_bytes(
     if raw[:2] == b"\xfe\xff":
         return raw[2:].decode("utf-16-be", "replace"), "utf-16-be"
     if header_charset:
-        text = _try_decode(raw, header_charset.strip().lower())
+        enc = header_charset.strip().lower()
+        if enc not in ("utf-8", "utf8"):
+            repaired = _utf8_wins(raw)
+            if repaired is not None:
+                return repaired, "utf-8"
+        text = _try_decode(raw, enc)
         if text is not None:
-            return text, header_charset.strip().lower()
+            return text, enc
     m = _CHARSET_RE.search(raw[:2048])
     if m:
         enc = m.group(1).decode("ascii", "replace").lower()
         if enc not in ("utf-8", "utf8"):
+            repaired = _utf8_wins(raw)
+            if repaired is not None:
+                return repaired, "utf-8"
             text = _try_decode(raw, enc)
             if text is not None:
                 return text, enc

@@ -99,6 +99,9 @@ def read_documents_jsonl(
         F.coalesce(F.col("lang"), F.lit("und")).alias("lang"),
         F.coalesce(F.col("source"), F.lit("jsonl")).alias("source"),
         F.length("text").cast("long").alias("n_chars"),
-        F.col("url").alias("uri"),
+        # empty-string urls become NULL like warc.py does, so the
+        # ingest URL tier (which only passes NULL keys through) never
+        # collides every url-less row onto one canonical key
+        F.nullif(F.col("url"), F.lit("")).alias("uri"),
     )
     return docs, bad

@@ -662,3 +662,32 @@ def test_video_metadata_ladder_reads_animated_gifs(spark):
     assert rows[1]["duration_ms"] == 210
     assert rows[1]["codecs"] == "gif-lzw"
     assert rows[2]["decoder"] == "fake"
+
+
+def test_ima_adpcm_header_sample_tier_geometry_agreement():
+    """r14 advice: the header tier mirrors decode_wav_samples' word-
+    alignment check — (block - 4*ch) must divide into whole 4-byte
+    words per channel — so it never reports geometry (with an
+    overcounted samples-per-block) for payloads the sample tier
+    refuses."""
+    from haensel_ams_data_engineer_challenge_spark.multimodal.audioembed import (
+        decode_wav_samples,
+        ima_adpcm_encode_wav,
+    )
+    from haensel_ams_data_engineer_challenge_spark.multimodal.binary import (
+        parse_audio_header,
+    )
+
+    sig = [int(3000 * ((i % 40) / 40 - 0.5)) for i in range(400)]
+    aligned = ima_adpcm_encode_wav(sig, rate=8000, block_data_bytes=64)
+    h = parse_audio_header(aligned)
+    s = decode_wav_samples(aligned)
+    assert h is not None and s is not None
+    # header's declared sample count matches the sample tier's decode
+    assert h[4] == len(s[1])
+
+    # word-misaligned block (block_align=7, (7-4)%4 != 0): BOTH tiers
+    # refuse — previously the header tier accepted it
+    misaligned = ima_adpcm_encode_wav(sig, rate=8000, block_data_bytes=3)
+    assert decode_wav_samples(misaligned) is None
+    assert parse_audio_header(misaligned) is None

@@ -44,12 +44,18 @@ def test_canonical_url_matrix(spark):
         "http://example.com/": "http://example.com",
         # malformed escape stays literal
         "http://example.com/a%zz": "http://example.com/a%zz",
-        # non-URL fallback: lowercased trim, deterministic
-        "Not A URL  ": "not a url",
+        # non-URL fallback: trim UNMODIFIED (r14 advice: case folding
+        # is scheme/host-only, so /About and /about stay distinct)
+        "Not A URL  ": "Not A URL",
+        "/About": "/About",
+        "/about": "/about",
     }
     got = _canon(spark, list(cases))
     assert got == list(cases.values())
-    assert _canon(spark, [None]) == [None]
+    # null AND empty/whitespace-only yield NULL — the ingest tier
+    # passes NULL keys through, so url-less rows never collide onto
+    # one '' key and get hard-rejected as re-crawls (r14 advice, high)
+    assert _canon(spark, [None, "", "   ", "\t\n"]) == [None] * 4
 
 
 def test_canonical_url_variant_classes_collide(spark):
@@ -138,6 +144,65 @@ def test_ingest_url_tier_rejects_recrawl_before_content(spark, tmp_path):
     )
     got2 = {r["doc_id"] for r in spark.read.parquet(sink2).collect()}
     assert got2 == {100, 101, 102, 103, 200, 201}
+
+
+def test_ingest_url_tier_empty_urls_pass_through(spark, tmp_path):
+    """r14 advice (high): empty-string URLs canonicalize to NULL, so
+    DISTINCT url-less rows all pass the URL tier to the content tiers
+    instead of colliding on one '' key and being hard-rejected."""
+    from haensel_ams_data_engineer_challenge_spark.streaming.ingest import (
+        run_streaming_ingest,
+    )
+
+    schema = (
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long, uri string"
+    )
+    corpus_path = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(1, "seed corpus page about mountains", "en", "crawl", 32,
+          "http://site.example/seed")],
+        schema,
+    ).write.parquet(corpus_path)
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed, exist_ok=True)
+    tmp = str(tmp_path / "__stage")
+    spark.createDataFrame(
+        [
+            (10, "first urlless page about harbors", "en", "crawl", 32, ""),
+            (11, "second urlless page about canyons", "en", "crawl", 33,
+             "   "),
+            (12, "third urlless page about glaciers", "en", "crawl", 33,
+             None),
+        ],
+        schema,
+    ).repartition(1).write.parquet(tmp)
+    shutil.copy(_glob.glob(f"{tmp}/part-*.parquet")[0], f"{feed}/a.parquet")
+    sink = str(tmp_path / "admitted")
+    run_streaming_ingest(
+        spark, corpus_path, feed, sink, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, url_dedup_col="uri",
+    )
+    got = {r["doc_id"] for r in spark.read.parquet(sink).collect()}
+    assert got == {10, 11, 12}, got
+
+
+def test_jsonl_empty_url_becomes_null_uri(spark, tmp_path):
+    """sources/jsonl.py nullifs '' urls like warc.py does, so the
+    URL tier's NULL-passthrough applies to C4/Dolma-style dumps."""
+    from haensel_ams_data_engineer_challenge_spark.sources.jsonl import (
+        read_documents_jsonl,
+    )
+
+    p = tmp_path / "d.jsonl"
+    p.write_text(
+        '{"id": "1", "text": "alpha doc", "url": ""}\n'
+        '{"id": "2", "text": "beta doc", "url": "http://x.example/b"}\n'
+    )
+    docs, _bad = read_documents_jsonl(spark, str(p))
+    rows = {r["text"]: r["uri"] for r in docs.collect()}
+    assert rows["alpha doc"] is None
+    assert rows["beta doc"] == "http://x.example/b"
 
 
 def test_cli_ingest_url_dedup(spark, tmp_path, capsys):

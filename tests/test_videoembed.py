@@ -709,3 +709,92 @@ def test_gif_truncated_after_descriptor_keeps_composed_frames():
     assert r is not None
     sw, sh, got = r
     assert len(got) == 1 and got[0] == frames[0]
+
+
+def _gif_descriptor_positions(p: bytes) -> list[int]:
+    """Structural walk returning every image-descriptor offset (0x2C
+    bytes inside LZW data make index() wrong)."""
+    n, i = len(p), 13
+    if p[10] & 0x80:
+        i += 3 * (2 << (p[10] & 7))
+    pos = []
+    while i < n:
+        b = p[i]
+        if b == 0x21:
+            i += 2
+            while i < n and p[i] != 0:
+                i += 1 + p[i]
+            i += 1
+        elif b == 0x2C:
+            pos.append(i)
+            iflags = p[i + 9]
+            i += 10
+            if iflags & 0x80:
+                i += 3 * (2 << (iflags & 7))
+            i += 1
+            while i < n and p[i] != 0:
+                i += 1 + p[i]
+            i += 1
+        else:
+            break
+    return pos
+
+
+def test_gif_clip_image_split_agrees_across_tiers():
+    """r14 advice: the metadata ladder (gif_clip_header, descriptor
+    count) and the sample tier (_clip_frame_samples) must make the
+    SAME clip/image call — a 2-descriptor GIF whose later (or all)
+    frames fail LZW is a clip in BOTH tiers, with the sample tier
+    falling to in-tier fake frames rather than flipping to image."""
+    from haensel_ams_data_engineer_challenge_spark.multimodal.gif import (
+        decode_gif_frames,
+        gif_clip_header,
+        gif_encode_gray_animation,
+        gif_frame_count,
+    )
+
+    frames = [
+        [(x + y + 9 * f) % 256 for y in range(H) for x in range(W)]
+        for f in range(2)
+    ]
+    p = gif_encode_gray_animation(frames, W, H, delta=False)
+    pos = _gif_descriptor_positions(p)
+    assert len(pos) == 2
+
+    # later frame truncated mid-LZW-data: its descriptor counts but
+    # only 1 frame composes — still a clip in BOTH tiers
+    cut = p[: pos[1] + 10 + 1 + 3]
+    assert gif_frame_count(cut, max_count=2) == 2  # partial count kept
+    hdr = gif_clip_header(cut)
+    assert hdr is not None and hdr[0] == "gif"
+    sampled = V._clip_frame_samples(cut, 8, 4)
+    assert sampled is not None and len(sampled) >= 1
+    d = decode_gif_frames(cut)
+    assert d is not None and sampled[0][2] == d[2][0]  # real frame rode
+
+    # ALL frames' LZW corrupted (structure intact): decode yields
+    # nothing, but both tiers still say clip; fake frames, in-tier
+    bad = bytearray(p)
+    for dpos in pos:
+        j = dpos + 10 + 1  # past descriptor + min-code byte
+        while j < len(bad) and bad[j] != 0:
+            ln = bad[j]
+            for k in range(j + 1, min(j + 1 + ln, len(bad))):
+                bad[k] = 0xFF
+            j += 1 + ln
+    bad = bytes(bad)
+    assert decode_gif_frames(bad) is None
+    assert gif_frame_count(bad, max_count=2) == 2
+    assert gif_clip_header(bad) is not None
+    sampled = V._clip_frame_samples(bad, 8, 4)
+    assert sampled is not None and len(sampled) >= 1
+    assert all(len(g) == 64 for _w, _h, g in sampled)
+
+    # the single-frame GIF stays an IMAGE in both tiers
+    from haensel_ams_data_engineer_challenge_spark.multimodal.gif import (
+        gif_encode_gray,
+    )
+
+    single = gif_encode_gray(frames[0], W, H)
+    assert gif_clip_header(single) is None
+    assert V._clip_frame_samples(single, 8, 4) is None

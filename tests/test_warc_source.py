@@ -230,6 +230,40 @@ def test_extractor_survives_unclosed_anchor():
     assert "long article" in out
 
 
+def test_charset_wrong_label_over_utf8_repaired():
+    """r14 advice: header/meta rungs decode STRICTLY and a single-byte
+    label over valid multi-byte UTF-8 is repaired to UTF-8 instead of
+    silently mojibaking — the classic crawl mislabel."""
+    from haensel_ams_data_engineer_challenge_spark.sources.htmltext import (
+        decode_html_bytes,
+    )
+
+    utf8_body = "café résumé".encode("utf-8")
+    # header claims iso-8859-1 over UTF-8 bytes: UTF-8 wins
+    t, e = decode_html_bytes(utf8_body, "iso-8859-1")
+    assert (t, e) == ("café résumé", "utf-8")
+    # meta claims iso-8859-1 over UTF-8 bytes: same repair
+    page = (
+        b'<html><head><meta charset="iso-8859-1"></head><body>'
+        + utf8_body + b"</body></html>"
+    )
+    t, e = decode_html_bytes(page)
+    assert e == "utf-8" and "café" in t
+    # a shift_jis label that strictly FAILS falls through (here the
+    # bytes are invalid UTF-8 too, so the final latin-1 rung decodes)
+    bad = b"\x81\x39 latin tail \xe9"
+    t, e = decode_html_bytes(bad, "shift_jis")
+    assert e == "latin-1"
+    # a CORRECT single-byte label over real latin-1 bytes still wins
+    # (the bytes are not valid UTF-8, so the repair never fires)
+    lat = "café".encode("latin-1")
+    t, e = decode_html_bytes(lat, "iso-8859-1")
+    assert (t, e) == ("café", "iso-8859-1")
+    # pure-ASCII payload under any label: label is harmless, kept
+    t, e = decode_html_bytes(b"plain ascii", "iso-8859-1")
+    assert (t, e) == ("plain ascii", "iso-8859-1")
+
+
 def test_charset_utf16_utf32_boms_stripped():
     """Review fix: UTF-16 BOM bytes are stripped (U+FEFF is not
     whitespace) and 4-byte UTF-32 BOMs are checked before the 2-byte
