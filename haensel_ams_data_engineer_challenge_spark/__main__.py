@@ -555,6 +555,19 @@ def _parser() -> argparse.ArgumentParser:
     tk.add_argument("--merges-json", required=True)
     tk.add_argument("--work-dir", required=True)
 
+    lg = sub.add_parser(
+        "linkgraph",
+        help="extract the crawl link graph from WARC shards, collapse "
+        "it to a host graph and rank hosts with damped PageRank "
+        "(dangling-mass redistribution); writes edge + rank tables",
+    )
+    lg.add_argument("--warc-dir", required=True)
+    lg.add_argument("--work-dir", required=True)
+    lg.add_argument("--glob", default="*.warc*")
+    lg.add_argument("--damping", type=float, default=0.85)
+    lg.add_argument("--max-iter", type=int, default=100)
+    lg.add_argument("--tol", type=float, default=1e-7)
+
     rp = sub.add_parser(
         "report",
         help="corpus statistics report: per-lang and per-source doc/"
@@ -703,6 +716,11 @@ def _parser() -> argparse.ArgumentParser:
                     "(utm/gclid tags, case, default ports and "
                     "trailing slashes normalized away); rows with "
                     "no usable URL pass through")
+    ig.add_argument("--no-unicode-normalize", action="store_true",
+                    help="skip the default text-seam normalization "
+                    "(NFC + double-encoded-UTF-8 repair + invisible-"
+                    "char strip) that runs ahead of every quality "
+                    "gate and dedup tier")
 
     iv = sub.add_parser(
         "ingest-vectors",
@@ -1816,6 +1834,37 @@ def main(argv: list[str] | None = None) -> int:
             )
             return 0
 
+        if args.command == "linkgraph":
+            from pyspark.sql import functions as F
+
+            from .operators.linkgraph import host_graph, pagerank
+            from .sources.warc import read_links_warc
+
+            links = read_links_warc(spark, args.warc_dir, glob=args.glob)
+            hg = host_graph(links)
+            hg.write.mode("overwrite").parquet(
+                f"{args.work_dir}/host_graph"
+            )
+            hg = spark.read.parquet(f"{args.work_dir}/host_graph")
+            ranks = pagerank(
+                hg, damping=args.damping, max_iter=args.max_iter,
+                tol=args.tol,
+            ).withColumnRenamed("node", "host")
+            ranks.write.mode("overwrite").parquet(
+                f"{args.work_dir}/host_rank"
+            )
+            back = spark.read.parquet(f"{args.work_dir}/host_rank")
+            top = back.orderBy(F.col("rank").desc(), "host").limit(5)
+            n_edges = hg.count()
+            n_hosts = back.count()
+            print(
+                f"edges={n_edges} hosts={n_hosts} "
+                f"damping={args.damping} -> {args.work_dir}/host_rank"
+            )
+            for r in top.collect():
+                print(f"  {r['host']}\t{r['rank']:.6f}")
+            return 0
+
         if args.command == "report":
             from pyspark.sql import functions as F
 
@@ -2021,6 +2070,7 @@ def main(argv: list[str] | None = None) -> int:
                     f"{args.work_dir}/url_bloom_state"
                     if args.url_bloom else None
                 ),
+                unicode_normalize=not args.no_unicode_normalize,
             )
             from .operators.manifest_sink import DEFAULT_RETENTION_MINUTES
 

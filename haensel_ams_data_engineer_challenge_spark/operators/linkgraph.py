@@ -1,0 +1,193 @@
+"""Crawl link graph + PageRank centrality (round 15, r14 verdict #2).
+
+Production crawl pipelines use link-graph centrality as a document
+quality / crawl-frontier signal (the Common Crawl host-level webgraph;
+Page et al. 1999): pages on well-linked hosts are worth more crawl
+and training budget than link-farm leaves.  This module turns the
+anchor edges `sources.warc.read_links_warc` emits into a host graph
+and ranks it:
+
+- :func:`link_edges` — canonicalize both endpoints with
+  ``functions.url.canonical_url`` (pure Column ops) and key out the
+  hosts; rows whose endpoints don't canonicalize (no scheme/host)
+  drop — they cannot be graph nodes.
+- :func:`host_graph` — collapse page edges onto (src_host, dst_host,
+  n_links) with self-loops removed: one groupBy shuffle; the host
+  graph is orders of magnitude smaller than the page graph (the
+  reason Common Crawl ships host- and domain-level graphs).
+- :func:`pagerank` — damped power iteration with uniform dangling-
+  mass redistribution, the textbook formulation:
+
+      r'(v) = (1-d)/N + d * (sum_{u->v} r(u)/outdeg(u) + D/N)
+
+  where D = total rank mass sitting on dangling nodes (no out-edges).
+
+Scale shape (the components.py driver-loop precedent): the state is
+one (node, out_deg, rank) table hash-partitioned by node; each round
+is ONE edges⋈ranks join (shuffle on src) + ONE groupBy(dst) sum
+(map-side combinable — hot hosts aggregate partial) + one bounded
+scalar collect (dangling mass + L1 delta in the same single-row agg),
+with a lineage-truncating materialize so round r+1 doesn't recompute
+rounds 1..r.  Convergence is geometric at rate d (|delta_t| <= d^t),
+so the default ``tol=1e-7`` lands near round 90 and ``max_iter=100``
+bounds the loop just past it;
+measured round counts/scaling are in BASELINE.md.
+
+Verification: pytest vs a transparent python power-iteration
+reference (tests/test_linkgraph.py — convergence, dangling handling,
+rank-mass conservation, WARC e2e) — the iterative-loop precedent
+(bpe_train, connected_components); no SQL twin because the loop is
+genuinely sequential.
+
+Reference analogue: none — the reference ingests CSV/SQLite; this is
+crawl-corpus surface like sources/warc.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..checkpoint import materialize
+from ..functions.url import canonical_url
+
+#: damping factor — the standard value of Page et al. 1999.
+DAMPING = 0.85
+
+
+def link_edges(
+    links: DataFrame,
+    src_col: str = "src_uri",
+    dst_col: str = "dst_uri",
+) -> DataFrame:
+    """(src, dst, src_host, dst_host, anchor_text): canonical-URL
+    endpoint keys + host keys for raw anchor rows.  Endpoints that
+    don't canonicalize to a scheme://host form drop (NULL host —
+    relative garbage, data: URIs); row-local, zero shuffles."""
+    out = links.select(
+        canonical_url(src_col).alias("src"),
+        canonical_url(dst_col).alias("dst"),
+        *(
+            [F.col("anchor_text")]
+            if "anchor_text" in links.columns
+            else []
+        ),
+    ).withColumns(
+        {
+            "src_host": F.try_parse_url("src", F.lit("HOST")),
+            "dst_host": F.try_parse_url("dst", F.lit("HOST")),
+        }
+    )
+    return out.filter(
+        F.col("src_host").isNotNull() & F.col("dst_host").isNotNull()
+    )
+
+
+def host_graph(links: DataFrame) -> DataFrame:
+    """(src_host, dst_host, n_links): the host-level multigraph edge
+    weights, self-loops removed (a host linking to itself says
+    nothing about external standing — the Common Crawl host-graph
+    convention).  ONE groupBy shuffle over the page edges."""
+    e = link_edges(links)
+    return (
+        e.filter(F.col("src_host") != F.col("dst_host"))
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_links"))
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src_host",
+    dst: str = "dst_host",
+    damping: float = DAMPING,
+    max_iter: int = 100,
+    tol: float = 1e-7,
+    round_log: list[float] | None = None,
+) -> DataFrame:
+    """(node, rank) — damped PageRank over the DISTINCT (src, dst)
+    edge set (the unweighted host-graph convention; pass a pre-
+    weighted expansion if weighted ranks are wanted).  Returns when
+    the L1 rank delta drops under ``tol`` or after ``max_iter``
+    rounds; ranks sum to 1 up to float association.
+
+    Module docstring for the per-round plan; ``max_iter=0`` returns
+    the uniform initialization (useful as a baseline).  ``round_log``
+    (the bpe_train_batched precedent) receives one L1 delta per
+    executed round — the observable convergence trace."""
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    if max_iter < 0:
+        raise ValueError(f"max_iter must be >= 0, got {max_iter}")
+    e = materialize(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    nodes = materialize(
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    out_deg = e.groupBy("src").agg(
+        F.count(F.lit(1)).cast("double").alias("out_deg")
+    )
+    # state: (node, out_deg NULL-for-dangling, rank); one partitioning
+    # by node reused round over round
+    state = materialize(
+        nodes.join(
+            out_deg, nodes["node"] == out_deg["src"], "left"
+        ).select("node", "out_deg", F.lit(1.0 / n).alias("rank"))
+    )
+    base = (1.0 - damping) / n
+    # dangling mass of the CURRENT ranks; after round 1 it rides the
+    # same single-row collect as the convergence delta, so each round
+    # pays exactly one bounded driver transfer
+    dangling = state.filter(F.col("out_deg").isNull()).agg(
+        F.coalesce(F.sum("rank"), F.lit(0.0))
+    ).collect()[0][0]
+    for _ in range(max_iter):
+        contrib = (
+            e.join(
+                state.select(
+                    F.col("node").alias("src"),
+                    (F.col("rank") / F.col("out_deg")).alias("share"),
+                ),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(F.sum("share").alias("in_share"))
+        )
+        nxt = materialize(
+            state.join(
+                contrib, state["node"] == contrib["dst"], "left"
+            ).select(
+                "node", "out_deg",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("in_share"), F.lit(0.0))
+                        + F.lit(dangling / n)
+                    )
+                ).alias("rank"),
+                F.col("rank").alias("prev_rank"),
+            )
+        )
+        delta, dangling = nxt.agg(
+            F.sum(F.abs(F.col("rank") - F.col("prev_rank"))),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("out_deg").isNull(), F.col("rank"))
+                ),
+                F.lit(0.0),
+            ),
+        ).collect()[0]
+        state = nxt.drop("prev_rank")
+        if round_log is not None:
+            round_log.append(delta)
+        if delta < tol:
+            break
+    return state.select("node", "rank")

@@ -201,6 +201,73 @@ def extract_main_text(html: str) -> str:
     return "\n".join(t for _i, t in keep)
 
 
+class _LinkParser(HTMLParser):
+    """HTML -> [(href, anchor_text)] — the edge list the block parser
+    was throwing away (round 15, r14 verdict #2).  Anchors inside
+    skip subtrees (script/svg/...) are invisible; an <a> without an
+    href contributes nothing; nested/unclosed anchors flush at the
+    next <a> or </a> (anchors cannot legally nest)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.links: list[tuple[str, str]] = []
+        self._skip = 0
+        self._href: str | None = None
+        self._parts: list[str] = []
+
+    def _flush(self) -> None:
+        if self._href is not None:
+            text = " ".join("".join(self._parts).split())
+            self.links.append((self._href, text))
+        self._href = None
+        self._parts = []
+
+    def handle_starttag(self, tag, attrs):  # noqa: D102
+        if tag in _SKIP_TAGS:
+            self._skip += 1
+            return
+        if self._skip:
+            return
+        if tag == "a":
+            self._flush()
+            href = next(
+                (v for k, v in attrs if k == "href" and v), None
+            )
+            self._href = href.strip() if href else None
+
+    def handle_endtag(self, tag):  # noqa: D102
+        if tag in _SKIP_TAGS:
+            self._skip = max(0, self._skip - 1)
+            return
+        if self._skip:
+            return
+        if tag == "a":
+            self._flush()
+
+    def handle_data(self, data):  # noqa: D102
+        if self._skip or self._href is None or not data:
+            return
+        self._parts.append(data)
+
+    def close(self) -> None:  # noqa: D102
+        super().close()
+        self._flush()
+
+
+def extract_links(html: str) -> list[tuple[str, str]]:
+    """(href, anchor_text) pairs of an HTML page, document order —
+    the crawl-graph edge list.  Malformed markup never raises; a
+    catastrophic parser error yields no links (the audit-visible
+    doc row still lands via the text path)."""
+    p = _LinkParser()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        return []
+    return p.links
+
+
 #: charset= attribute sniff (meta charset / http-equiv content / xml
 #: declaration), ASCII-compatible prefix only.
 _CHARSET_RE = re.compile(rb"charset\s*=\s*[\"']?([A-Za-z0-9_.:-]+)")

@@ -228,3 +228,107 @@ def read_documents_warc(
         F.nullif(F.col("uri"), F.lit("")).alias("uri"),
     )
     return docs, audit
+
+
+def _parse_warc_links(blob: bytes) -> list[tuple[str, str, str]]:
+    """(src_uri, dst_uri, anchor_text) edges of every usable response
+    record: the record walk of :func:`_parse_warc_bytes` with the
+    LINK view of the page (htmltext.extract_links) instead of the
+    text view.  hrefs resolve against the record's target URI
+    (urljoin), fragments drop with the resolution, and only http(s)
+    destinations survive (mailto:/javascript:/data: are not crawl
+    edges).  Records without a target URI yield no edges — an edge
+    needs a source key."""
+    from urllib.parse import urldefrag, urljoin, urlparse
+
+    from .htmltext import decode_html_bytes, extract_links
+
+    edges: list[tuple[str, str, str]] = []
+    pos = 0
+    n = len(blob)
+    while pos < n:
+        while pos < n and blob[pos : pos + 1] in (b"\r", b"\n"):
+            pos += 1
+        if pos >= n or not blob.startswith(b"WARC/", pos):
+            break
+        hdr_end = blob.find(b"\r\n\r\n", pos)
+        if hdr_end < 0:
+            break
+        headers: dict[str, str] = {}
+        for line in blob[pos:hdr_end].split(b"\r\n")[1:]:
+            key, _, val = line.partition(b":")
+            headers[key.strip().lower().decode("ascii", "replace")] = (
+                val.strip().decode("utf-8", "replace")
+            )
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            break
+        body_start = hdr_end + 4
+        if body_start + length > n:
+            break
+        body = blob[body_start : body_start + length]
+        pos = body_start + length
+        uri = headers.get("warc-target-uri", "")
+        if headers.get("warc-type") != "response" or not uri:
+            continue
+        http_end = body.find(b"\r\n\r\n")
+        status = body[: body.find(b"\r\n")] if http_end >= 0 else b""
+        if http_end < 0 or b" 200" not in status:
+            continue
+        m = _CT_CHARSET_RE.search(body[:http_end])
+        header_charset = (
+            m.group(1).decode("ascii", "replace") if m else None
+        )
+        html, _enc = decode_html_bytes(body[http_end + 4 :], header_charset)
+        for href, anchor in extract_links(html):
+            try:
+                dst = urldefrag(urljoin(uri, href))[0]
+            except ValueError:
+                continue  # unparseable href: not an edge
+            if urlparse(dst).scheme in ("http", "https") and dst:
+                edges.append((uri, dst, anchor))
+    return edges
+
+
+def read_links_warc(
+    spark: SparkSession, path: str, glob: str = "*.warc*"
+) -> DataFrame:
+    """Read WARC shards -> the crawl LINK GRAPH edge list
+    (src_uri, dst_uri, anchor_text), one row per anchor (round 15,
+    r14 verdict #2).
+
+    Same scale shape as :func:`read_documents_warc` (binaryFile scan,
+    per-payload CPU inside one Arrow stage, no shuffle); downstream
+    keying/aggregation is `operators.linkgraph`.  Corrupt gzip
+    members yield no edges here — run the documents reader for the
+    per-shard audit counts."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("content")
+    )
+
+    def parse(batches):
+        import gzip
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows: list[tuple[str, str, str]] = []
+            for blob in pdf["content"]:
+                blob = bytes(blob)
+                if blob[:2] == b"\x1f\x8b":
+                    try:
+                        blob = gzip.decompress(blob)
+                    except OSError:
+                        continue
+                rows.extend(_parse_warc_links(blob))
+            yield pd.DataFrame(
+                rows, columns=["src_uri", "dst_uri", "anchor_text"]
+            )
+
+    return files.mapInPandas(
+        parse, "src_uri string, dst_uri string, anchor_text string"
+    )

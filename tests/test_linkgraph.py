@@ -1,0 +1,260 @@
+"""Link graph + PageRank (sources/warc.read_links_warc,
+operators/linkgraph.py — round 15, r14 verdict #2): anchor extraction
+goldens, URL-keyed edges, host graph, PageRank vs a transparent python
+power-iteration reference (convergence + dangling handling + mass
+conservation), and WARC -> host-rank e2e through the CLI."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from haensel_ams_data_engineer_challenge_spark.operators.linkgraph import (
+    host_graph,
+    link_edges,
+    pagerank,
+)
+from haensel_ams_data_engineer_challenge_spark.sources.htmltext import (
+    extract_links,
+)
+
+# ---------------------------------------------------------------------------
+# python power-iteration reference
+# ---------------------------------------------------------------------------
+
+
+def _py_pagerank(edges, d=0.85, iters=60):
+    """Transparent reference: dense power iteration with uniform
+    dangling redistribution over the distinct edge set."""
+    edges = sorted(set(edges))
+    nodes = sorted({u for e in edges for u in e})
+    n = len(nodes)
+    idx = {v: i for i, v in enumerate(nodes)}
+    out = [0] * n
+    for u, _v in edges:
+        out[idx[u]] += 1
+    r = [1.0 / n] * n
+    for _ in range(iters):
+        dangling = sum(r[i] for i in range(n) if out[i] == 0)
+        nxt = [(1.0 - d) / n + d * dangling / n] * n
+        for u, v in edges:
+            nxt[idx[v]] += d * r[idx[u]] / out[idx[u]]
+        r = nxt
+    return dict(zip(nodes, r))
+
+
+# ---------------------------------------------------------------------------
+# anchor extraction
+# ---------------------------------------------------------------------------
+
+
+def test_extract_links_goldens():
+    html = (
+        '<p>See <a href="/a">first link</a> and'
+        ' <a href="https://x.example/b#frag">second</a>.'
+        "<a>no href</a>"
+        '<a href="">empty href</a>'
+        '<nav><a href="/nav">nav link</a></nav>'
+        '<script>document.write(\'<a href="/js">x</a>\')</script>'
+        '<a href="/open">unclosed <a href="/next">next</a>'
+    )
+    got = extract_links(html)
+    # nav anchors ARE edges (chrome pruning is a TEXT decision, the
+    # graph wants them); script content is CDATA, invisible; an
+    # unclosed <a> flushes at the next <a>
+    assert got == [
+        ("/a", "first link"),
+        ("https://x.example/b#frag", "second"),
+        ("/nav", "nav link"),
+        ("/open", "unclosed"),
+        ("/next", "next"),
+    ]
+    assert extract_links("") == []
+    assert extract_links("<p>no anchors here</p>") == []
+
+
+def test_link_edges_canonicalize_and_filter(spark):
+    df = spark.createDataFrame(
+        [
+            ("HTTP://A.example:80/p/", "http://b.example/q?utm_source=x",
+             "hi"),
+            ("http://a.example/p", "mailto-less /relative", "bad dst"),
+            (None, "http://b.example/q", "no src"),
+        ],
+        "src_uri string, dst_uri string, anchor_text string",
+    )
+    rows = link_edges(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["src"] == "http://a.example/p"
+    assert r["dst"] == "http://b.example/q"
+    assert (r["src_host"], r["dst_host"]) == ("a.example", "b.example")
+
+
+def test_host_graph_weights_and_self_loops(spark):
+    rows = [
+        ("http://a.example/1", "http://b.example/x", ""),
+        ("http://a.example/2", "http://b.example/y", ""),
+        ("http://a.example/1", "http://a.example/2", ""),  # self loop
+        ("http://b.example/x", "http://c.example/", ""),
+    ]
+    df = spark.createDataFrame(
+        rows, "src_uri string, dst_uri string, anchor_text string"
+    )
+    got = {
+        (r["src_host"], r["dst_host"]): r["n_links"]
+        for r in host_graph(df).collect()
+    }
+    assert got == {
+        ("a.example", "b.example"): 2,
+        ("b.example", "c.example"): 1,
+    }
+
+
+# ---------------------------------------------------------------------------
+# pagerank
+# ---------------------------------------------------------------------------
+
+
+def _spark_ranks(spark, edges, **kw):
+    df = spark.createDataFrame(
+        list(edges), "src_host string, dst_host string"
+    )
+    return {
+        r["node"]: r["rank"] for r in pagerank(df, **kw).collect()
+    }
+
+
+def test_pagerank_matches_reference_with_dangling(spark):
+    """A hub, a cycle and a SINK (dangling node d): ranks match the
+    dense reference to float tolerance and sum to 1."""
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"),  # cycle
+        ("a", "d"), ("b", "d"), ("c", "d"),  # d is a sink (dangling)
+        ("e", "a"),                          # e only points in
+    ]
+    got = _spark_ranks(spark, edges, max_iter=60, tol=0.0)
+    want = _py_pagerank(edges, iters=60)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], rel=1e-9, abs=1e-12), v
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # the sink received from everyone: top rank; e (no in-links) floor
+    top = max(got, key=got.get)
+    assert top == "d" and min(got, key=got.get) == "e"
+
+
+def test_pagerank_converges_before_max_iter(spark):
+    """tol stops the loop early: a tight tolerance run equals a
+    max_iter-exhausted run to float noise (geometric convergence)."""
+    edges = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a")]
+    fast = _spark_ranks(spark, edges, max_iter=100, tol=1e-12)
+    want = _py_pagerank(edges, iters=200)
+    for v in want:
+        assert fast[v] == pytest.approx(want[v], rel=1e-8), v
+
+
+def test_pagerank_duplicate_edges_and_validation(spark):
+    """Duplicate (src, dst) rows collapse (distinct-edge convention);
+    bad parameters refuse."""
+    once = _spark_ranks(spark, [("a", "b"), ("b", "a")], max_iter=20)
+    dup = _spark_ranks(
+        spark, [("a", "b"), ("a", "b"), ("b", "a")], max_iter=20
+    )
+    assert once == dup
+    df = _dummy_edges(pytest.importorskip("pyspark").sql.SparkSession
+                      .getActiveSession())
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(df, damping=1.0)
+    with pytest.raises(ValueError, match="max_iter"):
+        pagerank(df, max_iter=-1)
+
+
+def _dummy_edges(spark):
+    return spark.createDataFrame(
+        [("a", "b")], "src_host string, dst_host string"
+    )
+
+
+def test_pagerank_uniform_at_zero_iters(spark):
+    got = _spark_ranks(spark, [("a", "b"), ("c", "d")], max_iter=0)
+    assert all(v == pytest.approx(0.25) for v in got.values())
+
+
+# ---------------------------------------------------------------------------
+# WARC e2e
+# ---------------------------------------------------------------------------
+
+
+def _record(uri: str, payload: bytes) -> bytes:
+    hdr = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        + b"WARC-Target-URI: " + uri.encode() + b"\r\n"
+        + b"Content-Length: " + str(len(payload)).encode() + b"\r\n\r\n"
+    )
+    return hdr + payload + b"\r\n\r\n"
+
+
+def _page(uri: str, hrefs: list[str]) -> bytes:
+    body = "".join(
+        f'<p>Read <a href="{h}">about {i}</a> now.</p>'
+        for i, h in enumerate(hrefs)
+    ).encode()
+    html = b"<html><body>" + body + b"</body></html>"
+    return _record(
+        uri,
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html,
+    )
+
+
+def test_cli_linkgraph_warc_e2e(spark, tmp_path, capsys):
+    """WARC shards -> linkgraph CLI -> host_graph + host_rank tables:
+    relative hrefs resolve against the page URI, the hub host
+    everyone links to outranks the spokes, ranks match the python
+    reference on the same host edges."""
+    from haensel_ams_data_engineer_challenge_spark.__main__ import main
+
+    shard1 = (
+        _page("http://hub.example/", ["/local", "http://s1.example/a"])
+        + _page("http://s1.example/a",
+                ["http://hub.example/x", "../y",
+                 "mailto:x@example.com", "javascript:void(0)"])
+    )
+    shard2 = (
+        _page("http://s2.example/b", ["http://hub.example/", "#frag"])
+        + _page("http://s3.example/c",
+                ["http://hub.example/z", "http://s1.example/a"])
+    )
+    (tmp_path / "w1.warc").write_bytes(shard1)
+    (tmp_path / "w2.warc.gz").write_bytes(gzip.compress(shard2))
+
+    work = str(tmp_path / "wd")
+    assert main([
+        "linkgraph", "--warc-dir", str(tmp_path), "--work-dir", work,
+        "--max-iter", "200", "--tol", "1e-12",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "hosts=" in out
+
+    hg = {
+        (r["src_host"], r["dst_host"]): r["n_links"]
+        for r in spark.read.parquet(f"{work}/host_graph").collect()
+    }
+    # hub -> s1; s1 -> hub (the ../y edge is s1-internal: self loop
+    # dropped; mailto/javascript/#frag are not edges)
+    assert hg[("hub.example", "s1.example")] == 1
+    assert hg[("s1.example", "hub.example")] == 1
+    assert hg[("s2.example", "hub.example")] == 1
+    assert hg[("s3.example", "hub.example")] == 1
+    assert hg[("s3.example", "s1.example")] == 1
+    assert ("s1.example", "s1.example") not in hg
+
+    ranks = {
+        r["host"]: r["rank"]
+        for r in spark.read.parquet(f"{work}/host_rank").collect()
+    }
+    want = _py_pagerank(list(hg), iters=200)
+    for v in want:
+        assert ranks[v] == pytest.approx(want[v], rel=1e-6), v
+    assert max(ranks, key=ranks.get) == "hub.example"
