@@ -999,7 +999,23 @@ def main(argv: list[str] | None = None) -> int:
             if args.docs_jsonl:
                 from .sources.jsonl import read_documents_jsonl
 
-                docs, quarantine = read_documents_jsonl(spark, args.docs_jsonl)
+                if args.docs_jsonl.endswith(".zst"):
+                    # round 15: .jsonl.zst dumps route through the
+                    # zstd rung (stdlib/zstandard ladder, loud refusal
+                    # when neither is installed)
+                    import os as _os
+
+                    from .sources.zstdwire import read_documents_jsonl_zst
+
+                    docs, quarantine = read_documents_jsonl_zst(
+                        spark,
+                        _os.path.dirname(args.docs_jsonl) or ".",
+                        glob=_os.path.basename(args.docs_jsonl),
+                    )
+                else:
+                    docs, quarantine = read_documents_jsonl(
+                        spark, args.docs_jsonl
+                    )
                 # quarantine is observable, never silently dropped
                 quarantine.write.mode("overwrite").parquet(
                     f"{args.work_dir}/quarantine"

@@ -227,6 +227,131 @@ def parse_audio_header(payload: bytes) -> tuple[str, int, int, int, int] | None:
     return "wav", ch, rate, bits, data_size // block
 
 
+#: MPEG audio bitrate tables, kbit/s by (version-group, layer); index
+#: 0 is "free format" (refused — geometry underivable), 15 invalid.
+#: Version groups: V1 = MPEG1; V2 = MPEG2 and 2.5 (shared tables).
+_MP3_BITRATES = {
+    ("v1", 1): (0, 32, 64, 96, 128, 160, 192, 224,
+                256, 288, 320, 352, 384, 416, 448),
+    ("v1", 2): (0, 32, 48, 56, 64, 80, 96, 112,
+                128, 160, 192, 224, 256, 320, 384),
+    ("v1", 3): (0, 32, 40, 48, 56, 64, 80, 96,
+                112, 128, 160, 192, 224, 256, 320),
+    ("v2", 1): (0, 32, 48, 56, 64, 80, 96, 112,
+                128, 144, 160, 176, 192, 224, 256),
+    ("v2", 2): (0, 8, 16, 24, 32, 40, 48, 56,
+                64, 80, 96, 112, 128, 144, 160),
+    ("v2", 3): (0, 8, 16, 24, 32, 40, 48, 56,
+                64, 80, 96, 112, 128, 144, 160),
+}
+
+#: sample rates by version bits (0=MPEG2.5, 2=MPEG2, 3=MPEG1).
+_MP3_RATES = {
+    3: (44100, 48000, 32000),
+    2: (22050, 24000, 16000),
+    0: (11025, 12000, 8000),
+}
+
+
+def _mp3_frame_geometry(
+    h: bytes,
+) -> tuple[int, int, int, int, int] | None:
+    """(channels, rate, samples_per_frame, frame_bytes, version_bits)
+    of one 4-byte MPEG audio frame header, None when any field is
+    reserved/invalid (the false-positive guard: random bytes rarely
+    satisfy sync + version + layer + bitrate + rate together)."""
+    if len(h) < 4 or h[0] != 0xFF or (h[1] & 0xE0) != 0xE0:
+        return None
+    version = (h[1] >> 3) & 3
+    layer_bits = (h[1] >> 1) & 3
+    if version == 1 or layer_bits == 0:
+        return None  # reserved
+    layer = 4 - layer_bits  # 3->I, 2->II, 1->III
+    br_idx = h[2] >> 4
+    sr_idx = (h[2] >> 2) & 3
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None  # free-format / invalid
+    vgroup = "v1" if version == 3 else "v2"
+    bitrate = _MP3_BITRATES[(vgroup, layer)][br_idx] * 1000
+    rate = _MP3_RATES[version][sr_idx]
+    padding = (h[2] >> 1) & 1
+    if layer == 1:
+        spf = 384
+        frame = (12 * bitrate // rate + padding) * 4
+    else:
+        spf = 1152 if (layer == 2 or version == 3) else 576
+        frame = spf // 8 * bitrate // rate + padding
+    if frame <= 4:
+        return None
+    channels = 1 if (h[3] >> 6) == 3 else 2
+    return channels, rate, spf, frame, version
+
+
+def parse_mp3_header(
+    payload: bytes,
+) -> tuple[str, int, int, int, int] | None:
+    """REAL (stdlib-only) MP3 metadata decode: ('mp3', channels,
+    sample_rate, 0, n_samples) — the header-only rung for the
+    dominant crawl audio format (r14 verdict #4), the avc1 treatment:
+    geometry and duration from headers, SAMPLE decode stays on the
+    fake rung (an MDCT synthesis filterbank is out of scope).
+
+    Ladder: skip an ID3v2 tag (syncsafe size, optional footer), parse
+    the MPEG frame header AT that offset (version/layer/bitrate/
+    samplerate tables; free-format and reserved fields refuse), then:
+
+    - VBR: a Xing/Info block at the layer-III side-info offset with
+      the frames flag -> n_samples = frame_count x samples/frame (the
+      byte length says nothing about VBR duration);
+    - CBR: n_samples = complete frames present x samples/frame, from
+      len(payload) minus the ID3v2 prefix and an ID3v1 'TAG' trailer
+      — the declared-size discipline of the WAV rung (a truncated or
+      ranged payload reports its decodable prefix).
+
+    ``bits_per_sample`` is 0: MP3 has no PCM bit depth.  When enough
+    bytes are present, the NEXT frame's sync is verified — random
+    0xFF-lead bytes must not reach the header rung; a payload shorter
+    than one frame stays parseable (ranged header reads)."""
+    n = len(payload)
+    off = 0
+    if payload[:3] == b"ID3" and n >= 10:
+        size = 0
+        for b in payload[6:10]:
+            if b & 0x80:
+                return None  # not syncsafe: not a real ID3v2 tag
+            size = (size << 7) | b
+        off = 10 + size + (10 if payload[5] & 0x10 else 0)
+    geo = _mp3_frame_geometry(payload[off : off + 4])
+    if geo is None:
+        return None
+    channels, rate, spf, frame, version = geo
+    # second-sync verification whenever the bytes are present: the
+    # next frame must also carry a valid header (same rate/version —
+    # fields bitrate/padding may differ frame to frame)
+    if off + frame + 4 <= n:
+        nxt = _mp3_frame_geometry(payload[off + frame : off + frame + 4])
+        if nxt is None or nxt[1] != rate or nxt[4] != version:
+            return None
+    layer_bits = (payload[off + 1] >> 1) & 3
+    audio_end = n
+    if payload[-128:][:3] == b"TAG" and n - off >= 128:
+        audio_end = n - 128
+    n_samples = max(0, (audio_end - off)) // frame * spf
+    if layer_bits == 1:  # layer III: probe the Xing/Info VBR block
+        side = (
+            (17 if channels == 1 else 32)
+            if version == 3
+            else (9 if channels == 1 else 17)
+        )
+        x = off + 4 + side
+        if payload[x : x + 4] in (b"Xing", b"Info") and x + 12 <= n:
+            (flags,) = struct.unpack(">I", payload[x + 4 : x + 8])
+            if flags & 1:
+                (frames,) = struct.unpack(">I", payload[x + 8 : x + 12])
+                n_samples = frames * spf
+    return "mp3", channels, rate, 0, n_samples
+
+
 def _fake_audio_decode(payload: bytes) -> tuple[str, int, int, int, int]:
     """Deterministic fake audio decode (md5-derived geometry) — the
     ladder's last rung, same contract as ``_fake_decode``."""
@@ -610,8 +735,16 @@ def image_meta_ladder(
 
 def audio_meta_ladder(payload: bytes) -> tuple[str, int, int, int, int, str]:
     """(format, channels, rate, bits, n_samples, decoder): header
-    parse (PCM + G.711 + IMA-ADPCM geometry) -> fake."""
+    parse (PCM + G.711 + IMA-ADPCM geometry) -> MP3 header (ID3v2
+    skip + MPEG frame header + Xing/Info VBR frame count, round 15)
+    -> fake.  Defensive rung boundary like video_meta_ladder: a
+    malformed-payload parse failure falls to the next rung."""
     parsed = parse_audio_header(payload)
+    if parsed is None:
+        try:
+            parsed = parse_mp3_header(payload)
+        except (struct.error, ValueError, IndexError):
+            parsed = None
     if parsed is not None:
         return (*parsed, "header")
     return (*_fake_audio_decode(payload), "fake")

@@ -155,6 +155,7 @@ def read_documents_warc(
     path: str,
     glob: str = "*.warc*",
     extractor: str = "main",
+    _zstd_decompress=None,
 ) -> tuple[DataFrame, DataFrame]:
     """Read WARC shards -> (documents, audit).
 
@@ -165,6 +166,13 @@ def read_documents_warc(
     observable account of everything not admitted.  ``extractor`` is
     the HTML->text seam: ``"main"`` (block-level main-content, the
     production default) or ``"crude"`` (the tag-strip baseline).
+
+    Round 15 (r14 verdict #5): ``.warc.zst`` shards decompress
+    through ``sources.zstdwire.zstd_decompress`` (stdlib/zstandard
+    ladder, loud refusal when neither exists); a corrupt zstd member
+    lands the same one-row malformed audit as a corrupt gzip member.
+    ``_zstd_decompress`` is the test injection seam (executors can't
+    see driver monkeypatches).
     """
     files = (
         spark.read.format("binaryFile")
@@ -178,20 +186,35 @@ def read_documents_warc(
 
         import pandas as pd
 
+        from .zstdwire import ZSTD_MAGIC, zstd_decompress
+
+        zdec = _zstd_decompress or zstd_decompress
+
         for pdf in batches:
             for _, row in pdf.iterrows():
                 blob = bytes(row["content"])
+                bad = None
                 if row["path"].endswith(".gz") or blob[:2] == b"\x1f\x8b":
                     try:
                         blob = gzip.decompress(blob)
                     except OSError:
-                        yield pd.DataFrame(
-                            [(None, None, None, None, 0, 0, 1)],
-                            columns=["uri", "host", "text", "encoding",
-                                     "n_records", "n_rejected",
-                                     "n_malformed"],
-                        ).assign(path=row["path"])
-                        continue
+                        bad = True
+                elif (
+                    row["path"].endswith(".zst")
+                    or blob[:4] == ZSTD_MAGIC
+                ):
+                    try:
+                        blob = zdec(blob)
+                    except ValueError:
+                        bad = True
+                if bad:
+                    yield pd.DataFrame(
+                        [(None, None, None, None, 0, 0, 1)],
+                        columns=["uri", "host", "text", "encoding",
+                                 "n_records", "n_rejected",
+                                 "n_malformed"],
+                    ).assign(path=row["path"])
+                    continue
                 docs, (nr, nj, nm) = _parse_warc_bytes(blob, extractor)
                 rows = [
                     (uri, host, text, enc, nr, nj, nm)
@@ -292,7 +315,10 @@ def _parse_warc_links(blob: bytes) -> list[tuple[str, str, str]]:
 
 
 def read_links_warc(
-    spark: SparkSession, path: str, glob: str = "*.warc*"
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.warc*",
+    _zstd_decompress=None,
 ) -> DataFrame:
     """Read WARC shards -> the crawl LINK GRAPH edge list
     (src_uri, dst_uri, anchor_text), one row per anchor (round 15,
@@ -315,6 +341,10 @@ def read_links_warc(
 
         import pandas as pd
 
+        from .zstdwire import ZSTD_MAGIC, zstd_decompress
+
+        zdec = _zstd_decompress or zstd_decompress
+
         for pdf in batches:
             rows: list[tuple[str, str, str]] = []
             for blob in pdf["content"]:
@@ -323,6 +353,11 @@ def read_links_warc(
                     try:
                         blob = gzip.decompress(blob)
                     except OSError:
+                        continue
+                elif blob[:4] == ZSTD_MAGIC:
+                    try:
+                        blob = zdec(blob)
+                    except ValueError:
                         continue
                 rows.extend(_parse_warc_links(blob))
             yield pd.DataFrame(

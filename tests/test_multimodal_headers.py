@@ -691,3 +691,128 @@ def test_ima_adpcm_header_sample_tier_geometry_agreement():
     misaligned = ima_adpcm_encode_wav(sig, rate=8000, block_data_bytes=3)
     assert decode_wav_samples(misaligned) is None
     assert parse_audio_header(misaligned) is None
+
+
+# ---------------------------------------------------------------------------
+# MP3 header rung (round 15, r14 verdict #4)
+# ---------------------------------------------------------------------------
+
+
+def _mp3_frame(version=3, layer=3, br_idx=9, sr_idx=0, padding=0,
+               mode=3, fill=b"\x00"):
+    """One complete MPEG audio frame with the given header fields."""
+    from haensel_ams_data_engineer_challenge_spark.multimodal.binary import (
+        _mp3_frame_geometry,
+    )
+
+    hdr = bytes([
+        0xFF,
+        0xE0 | (version << 3) | ((4 - layer) << 1) | 1,
+        (br_idx << 4) | (sr_idx << 2) | (padding << 1),
+        mode << 6,
+    ])
+    geo = _mp3_frame_geometry(hdr)
+    assert geo is not None
+    _ch, _rate, _spf, frame_bytes, _v = geo
+    return hdr + fill * (frame_bytes - 4)
+
+
+def _id3v2(size: int, footer: bool = False) -> bytes:
+    ss = bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                (size >> 7) & 0x7F, size & 0x7F])
+    return b"ID3\x04\x00" + (b"\x10" if footer else b"\x00") + ss \
+        + b"\x00" * size + (b"3DI" + b"\x00" * 7 if footer else b"")
+
+
+def test_mp3_cbr_geometry_and_duration():
+    from haensel_ams_data_engineer_challenge_spark.multimodal.binary import (
+        parse_mp3_header,
+    )
+
+    # MPEG1 Layer III, 128 kbit/s, 44100 Hz, mono: 417-byte frames,
+    # 1152 samples each
+    f = _mp3_frame()
+    assert len(f) == 144 * 128000 // 44100
+    p = f * 5
+    assert parse_mp3_header(p) == ("mp3", 1, 44100, 0, 5 * 1152)
+    # stereo mode + padding bit lengthens the frame by one byte
+    fp = _mp3_frame(mode=0, padding=1)
+    assert len(fp) == len(f) + 1
+    assert parse_mp3_header(fp * 3) == ("mp3", 2, 44100, 0, 3 * 1152)
+    # MPEG2 Layer III: halved rate, 576 samples/frame
+    f2 = _mp3_frame(version=2, sr_idx=0)
+    assert parse_mp3_header(f2 * 4) == ("mp3", 1, 22050, 0, 4 * 576)
+    # Layer I: 384 samples, slot-of-4 frame formula
+    f1 = _mp3_frame(layer=1, br_idx=9)
+    assert len(f1) == (12 * 288000 // 44100) * 4
+    assert parse_mp3_header(f1 * 2) == ("mp3", 1, 44100, 0, 2 * 384)
+    # a trailing partial frame reports only complete frames
+    assert parse_mp3_header(f * 3 + f[:100]) == ("mp3", 1, 44100, 0, 3 * 1152)
+
+
+def test_mp3_id3_tags_skipped():
+    from haensel_ams_data_engineer_challenge_spark.multimodal.binary import (
+        parse_mp3_header,
+    )
+
+    f = _mp3_frame()
+    # ID3v2 prefix (syncsafe size crossing a 7-bit boundary) + v1 trailer
+    p = _id3v2(200) + f * 4 + b"TAG" + b"\x00" * 125
+    assert parse_mp3_header(p) == ("mp3", 1, 44100, 0, 4 * 1152)
+    p = _id3v2(300, footer=True) + f * 2
+    assert parse_mp3_header(p) == ("mp3", 1, 44100, 0, 2 * 1152)
+    # a non-syncsafe size byte means it is not a real ID3v2 tag
+    bad = b"ID3\x04\x00\x00\x00\x00\x00\xff" + f * 2
+    assert parse_mp3_header(bad) is None
+
+
+def test_mp3_vbr_xing_frame_count():
+    from haensel_ams_data_engineer_challenge_spark.multimodal.binary import (
+        parse_mp3_header,
+    )
+
+    # mono MPEG1 L3: side info 17 bytes -> Xing at frame offset 21
+    f = bytearray(_mp3_frame())
+    import struct as _s
+
+    f[21:25] = b"Xing"
+    f[25:29] = _s.pack(">I", 1)       # flags: frames present
+    f[29:33] = _s.pack(">I", 777)     # declared frame count
+    p = bytes(f) + _mp3_frame() * 2   # byte length says 3 frames
+    assert parse_mp3_header(p) == ("mp3", 1, 44100, 0, 777 * 1152)
+    # the 'Info' (CBR-by-LAME) variant parses identically
+    f[21:25] = b"Info"
+    assert parse_mp3_header(bytes(f)) == ("mp3", 1, 44100, 0, 777 * 1152)
+    # stereo side info is 32 bytes: a Xing at the MONO offset is data
+    fs = bytearray(_mp3_frame(mode=0))
+    fs[21:25] = b"Xing"
+    got = parse_mp3_header(bytes(fs) * 2)
+    assert got == ("mp3", 2, 44100, 0, 2 * 1152)
+
+
+def test_mp3_refusals_and_ladder():
+    from haensel_ams_data_engineer_challenge_spark.multimodal.binary import (
+        audio_meta_ladder,
+        parse_mp3_header,
+    )
+
+    f = _mp3_frame()
+    # free-format bitrate, invalid samplerate, reserved version/layer
+    assert parse_mp3_header(bytes([0xFF, 0xFB, 0x02, 0xC0]) * 200) is None
+    assert parse_mp3_header(bytes([0xFF, 0xFB, 0x9E, 0xC0]) * 200) is None
+    assert parse_mp3_header(bytes([0xFF, 0xEB, 0x90, 0xC0]) * 200) is None
+    assert parse_mp3_header(bytes([0xFF, 0xF9, 0x90, 0xC0]) * 200) is None
+    # sync byte + garbage: the second-sync verification refuses
+    assert parse_mp3_header(f + b"\x00" * 500) is None
+    assert parse_mp3_header(b"\xff\xfb" + b"\x90\xc0" + b"Z" * 2000) is None
+    assert parse_mp3_header(b"plain text") is None
+    assert parse_mp3_header(b"") is None
+    # a payload shorter than one frame still parses (ranged read):
+    # geometry real, zero complete frames
+    assert parse_mp3_header(f[:50]) == ("mp3", 1, 44100, 0, 0)
+    # ladder: WAV stays on the WAV rung, MP3 takes the new rung,
+    # garbage still lands on the fake rung
+    assert audio_meta_ladder(_real_wav(1, 8000, 100))[5] == "header"
+    got = audio_meta_ladder(f * 3)
+    assert got[0] == "mp3" and got[5] == "header"
+    assert audio_meta_ladder(b"not audio at all")[5] == "fake"
