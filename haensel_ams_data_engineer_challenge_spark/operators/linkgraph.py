@@ -103,10 +103,14 @@ def pagerank(
     max_iter: int = 100,
     tol: float = 1e-7,
     round_log: list[float] | None = None,
+    weight: str | None = None,
 ) -> DataFrame:
     """(node, rank) — damped PageRank over the DISTINCT (src, dst)
-    edge set (the unweighted host-graph convention; pass a pre-
-    weighted expansion if weighted ranks are wanted).  Returns when
+    edge set (the unweighted host-graph convention).  ``weight``
+    names an edge-weight column (e.g. ``host_graph``'s ``n_links``)
+    for the weighted variant: a source's rank splits across its
+    out-edges proportionally to weight instead of uniformly —
+    duplicate (src, dst) rows sum their weights.  Returns when
     the L1 rank delta drops under ``tol`` or after ``max_iter``
     rounds; ranks sum to 1 up to float association.
 
@@ -118,10 +122,18 @@ def pagerank(
         raise ValueError(f"damping must be in (0, 1), got {damping}")
     if max_iter < 0:
         raise ValueError(f"max_iter must be >= 0, got {max_iter}")
+    w = (
+        F.col(weight).cast("double")
+        if weight is not None
+        else F.lit(1.0)
+    )
     e = materialize(
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        edges.select(
+            F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
+        )
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .distinct()
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
     )
     nodes = materialize(
         e.select(F.col("src").alias("node"))
@@ -131,9 +143,9 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
-    out_deg = e.groupBy("src").agg(
-        F.count(F.lit(1)).cast("double").alias("out_deg")
-    )
+    # "out degree" generalizes to total out-weight; uniform weights
+    # reduce it to the edge count
+    out_deg = e.groupBy("src").agg(F.sum("w").alias("out_deg"))
     # state: (node, out_deg NULL-for-dangling, rank); one partitioning
     # by node reused round over round
     state = materialize(
@@ -158,7 +170,7 @@ def pagerank(
                 "src",
             )
             .groupBy("dst")
-            .agg(F.sum("share").alias("in_share"))
+            .agg(F.sum(F.col("share") * F.col("w")).alias("in_share"))
         )
         nxt = materialize(
             state.join(
@@ -191,3 +203,47 @@ def pagerank(
         if delta < tol:
             break
     return state.select("node", "rank")
+
+
+def host_rank_signal(
+    docs: DataFrame,
+    ranks: DataFrame,
+    uri_col: str = "uri",
+    out_col: str = "host_rank",
+) -> DataFrame:
+    """Attach the document's HOST centrality as a quality signal:
+    ``out_col`` = the host's PageRank score, ``{out_col}_pct`` = its
+    percentile in [0, 1] across ranked hosts (1.0 = the top host) —
+    the gate production pipelines threshold on ("keep documents from
+    hosts above the 20th centrality percentile").
+
+    ``ranks`` is :func:`pagerank` output (node = host).  Documents
+    with no usable URI or on a host absent from the graph get NULL
+    in both columns — signal ABSENT is not signal LOW; the caller
+    decides whether unranked hosts pass (`coalesce` to taste).
+
+    Scale shape: the percentile is an exact distributed rank over the
+    HOST table (rank.global_row_number — range partition + prefix
+    count, never a single-task sort), then one docs⋈hosts hash join
+    on the host key; the corpus is touched exactly once."""
+    from .rank import global_row_number
+
+    ranked = global_row_number(
+        ranks.select(F.col("node").alias("__host"), F.col("rank")),
+        ["rank", "__host"],
+        out_col="__grn",
+    )
+    n_row = ranked.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    host_tbl = ranked.crossJoin(F.broadcast(n_row)).select(
+        "__host",
+        F.col("rank").alias(out_col),
+        # percentile of the host among ranked hosts: rank 1 (lowest
+        # score) -> 1/n, rank n (top) -> 1.0
+        (F.col("__grn") / F.col("__n")).alias(f"{out_col}_pct"),
+    )
+    return docs.join(
+        host_tbl,
+        F.try_parse_url(canonical_url(uri_col), F.lit("HOST"))
+        == host_tbl["__host"],
+        "left",
+    ).drop("__host")

@@ -9,6 +9,7 @@ from __future__ import annotations
 import gzip
 
 import pytest
+from pyspark.sql import functions as F
 
 from haensel_ams_data_engineer_challenge_spark.operators.linkgraph import (
     host_graph,
@@ -258,3 +259,111 @@ def test_cli_linkgraph_warc_e2e(spark, tmp_path, capsys):
     for v in want:
         assert ranks[v] == pytest.approx(want[v], rel=1e-6), v
     assert max(ranks, key=ranks.get) == "hub.example"
+
+
+# ---------------------------------------------------------------------------
+# weighted pagerank + the host-rank quality signal
+# ---------------------------------------------------------------------------
+
+
+def _py_pagerank_weighted(wedges, d=0.85, iters=60):
+    """Dense reference with edge weights: rank splits by weight."""
+    agg: dict = {}
+    for u, v, w in wedges:
+        agg[(u, v)] = agg.get((u, v), 0.0) + float(w)
+    nodes = sorted({x for u, v in agg for x in (u, v)})
+    n = len(nodes)
+    idx = {v: i for i, v in enumerate(nodes)}
+    out_w = [0.0] * n
+    for (u, _v), w in agg.items():
+        out_w[idx[u]] += w
+    r = [1.0 / n] * n
+    for _ in range(iters):
+        dangling = sum(r[i] for i in range(n) if out_w[i] == 0.0)
+        nxt = [(1.0 - d) / n + d * dangling / n] * n
+        for (u, v), w in agg.items():
+            nxt[idx[v]] += d * r[idx[u]] * w / out_w[idx[u]]
+        r = nxt
+    return dict(zip(nodes, r))
+
+
+def test_pagerank_weighted_matches_reference(spark):
+    wedges = [
+        ("a", "b", 9), ("a", "c", 1),  # a favors b 9:1
+        ("b", "a", 1), ("c", "a", 1),
+        ("c", "d", 3),                 # d is a weighted sink
+    ]
+    df = spark.createDataFrame(
+        wedges, "src_host string, dst_host string, n_links long"
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            df, weight="n_links", max_iter=60, tol=0.0
+        ).collect()
+    }
+    want = _py_pagerank_weighted(wedges, iters=60)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], rel=1e-9), v
+    # the 9:1 preference shows: b far outranks c
+    assert got["b"] > 2 * got["c"]
+    # duplicate weighted rows SUM (not distinct-collapse)
+    dup = spark.createDataFrame(
+        [("a", "b", 5), ("a", "b", 4), ("a", "c", 1),
+         ("b", "a", 1), ("c", "a", 1), ("c", "d", 3)],
+        "src_host string, dst_host string, n_links long",
+    )
+    got_dup = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            dup, weight="n_links", max_iter=60, tol=0.0
+        ).collect()
+    }
+    for v in want:
+        assert got_dup[v] == pytest.approx(want[v], rel=1e-9), v
+    # unweighted over the same rows ignores n_links entirely
+    got_unw = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, max_iter=60, tol=0.0).collect()
+    }
+    want_unw = _py_pagerank(
+        [(u, v) for u, v, _w in wedges], iters=60
+    )
+    for v in want_unw:
+        assert got_unw[v] == pytest.approx(want_unw[v], rel=1e-9), v
+
+
+def test_host_rank_signal_join_and_percentile(spark):
+    from haensel_ams_data_engineer_challenge_spark.operators.linkgraph import (
+        host_rank_signal,
+    )
+
+    ranks = spark.createDataFrame(
+        [("low.example", 0.1), ("mid.example", 0.3),
+         ("top.example", 0.6)],
+        "node string, rank double",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "HTTP://Top.Example:80/page/"),   # canonicalizes
+            (2, "http://mid.example/x?utm_source=a"),
+            (3, "http://low.example/y"),
+            (4, "http://unranked.example/z"),     # not in the graph
+            (5, None),                            # no URI
+        ],
+        "doc_id long, uri string",
+    )
+    got = {
+        r["doc_id"]: (r["host_rank"], r["host_rank_pct"])
+        for r in host_rank_signal(docs, ranks).collect()
+    }
+    assert got[1] == (0.6, pytest.approx(1.0))
+    assert got[2] == (0.3, pytest.approx(2 / 3))
+    assert got[3] == (0.1, pytest.approx(1 / 3))
+    assert got[4] == (None, None)  # absent, not low
+    assert got[5] == (None, None)
+    # the threshold gate production pipelines run
+    kept = host_rank_signal(docs, ranks).filter(
+        F.coalesce(F.col("host_rank_pct"), F.lit(1.0)) >= 0.5
+    )
+    assert {r["doc_id"] for r in kept.collect()} == {1, 2, 4, 5}
