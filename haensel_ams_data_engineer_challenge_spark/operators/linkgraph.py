@@ -247,3 +247,54 @@ def host_rank_signal(
         == host_tbl["__host"],
         "left",
     ).drop("__host")
+
+
+#: per-destination anchor cap: group state in anchor_texts is bounded
+#: by this many distinct anchors — a hot URL (every page links "home")
+#: must not accumulate an unbounded array.
+MAX_ANCHORS_PER_DST = 64
+
+
+def anchor_texts(
+    links: DataFrame,
+    max_anchors: int = MAX_ANCHORS_PER_DST,
+) -> DataFrame:
+    """(dst, anchor_text, n_anchors): the aggregated INBOUND anchor
+    text of every canonical destination URL — the classic document-
+    expansion signal (anchors describe the TARGET page in other
+    authors' words; retrieval over them finds pages whose own body
+    never says the query terms).
+
+    Bounded group state: distinct anchors per destination, sorted for
+    determinism, capped at ``max_anchors`` (collect_set truncated by
+    slice — a navigational URL linked from every page on the web
+    stays one bounded row).  Self-descriptions are excluded
+    (src_host == dst_host edges are navigation, not description —
+    the host-graph self-loop rule at the page level).
+
+    One groupBy shuffle over the page edges; join the output to a
+    documents table on ``canonical_url(uri) == dst`` and union the
+    anchor text into the retrieval index (tests show a BM25 query
+    hitting a page whose BODY never contains the query term)."""
+    e = link_edges(links)
+    if "anchor_text" not in e.columns:
+        raise ValueError("links must carry an anchor_text column")
+    return (
+        e.filter(
+            (F.col("src_host") != F.col("dst_host"))
+            & F.col("anchor_text").isNotNull()
+            & (F.trim("anchor_text") != "")
+        )
+        .groupBy("dst")
+        .agg(
+            F.array_join(
+                F.slice(
+                    F.array_sort(F.collect_set(F.trim("anchor_text"))),
+                    1,
+                    max_anchors,
+                ),
+                " ",
+            ).alias("anchor_text"),
+            F.count(F.lit(1)).cast("long").alias("n_anchors"),
+        )
+    )

@@ -367,3 +367,73 @@ def test_host_rank_signal_join_and_percentile(spark):
         F.coalesce(F.col("host_rank_pct"), F.lit(1.0)) >= 0.5
     )
     assert {r["doc_id"] for r in kept.collect()} == {1, 2, 4, 5}
+
+
+def test_anchor_texts_aggregation_and_retrieval_expansion(spark):
+    """Inbound anchors aggregate per canonical destination (bounded,
+    deterministic, self-host excluded) and expand retrieval: a BM25
+    query term that appears ONLY in anchors still retrieves the
+    target page."""
+    from haensel_ams_data_engineer_challenge_spark.operators.linkgraph import (
+        anchor_texts,
+    )
+    from haensel_ams_data_engineer_challenge_spark.operators.retrieval import (
+        bm25_topk,
+    )
+
+    links = spark.createDataFrame(
+        [
+            ("http://a.example/", "http://t.example/paper?utm_source=x",
+             "the quasar survey results"),
+            ("http://b.example/", "HTTP://T.Example:80/paper",
+             "quasar catalog"),
+            # self-host navigation: excluded from the description
+            ("http://t.example/nav", "http://t.example/paper", "home"),
+            ("http://c.example/", "http://t.example/paper", "  "),
+            ("http://c.example/", "http://other.example/x", "boats"),
+        ],
+        "src_uri string, dst_uri string, anchor_text string",
+    )
+    got = {r["dst"]: r for r in anchor_texts(links).collect()}
+    paper = got["http://t.example/paper"]
+    assert paper["anchor_text"] == "quasar catalog the quasar survey results"
+    assert paper["n_anchors"] == 2
+    assert "home" not in paper["anchor_text"]
+    # cap bounds the group state
+    many = spark.createDataFrame(
+        [(f"http://s{i}.example/", "http://hot.example/", f"anchor {i}")
+         for i in range(30)],
+        "src_uri string, dst_uri string, anchor_text string",
+    )
+    capped = anchor_texts(many, max_anchors=5).collect()[0]
+    assert capped["n_anchors"] == 30
+    assert len(capped["anchor_text"].split(" ")) == 10  # 5 anchors x 2 words
+
+    # retrieval expansion: the page body never says "quasar"
+    docs = spark.createDataFrame(
+        [(1, "a study of compact radio sources", "http://t.example/paper"),
+         (2, "boats on the lake at dawn", "http://other.example/x")],
+        "doc_id long, text string, uri string",
+    )
+    from haensel_ams_data_engineer_challenge_spark.functions.url import (
+        canonical_url,
+    )
+
+    expanded = docs.join(
+        anchor_texts(links).withColumnRenamed("anchor_text", "__anchor"),
+        canonical_url("uri") == F.col("dst"),
+        "left",
+    ).select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.col("text"), F.coalesce(F.col("__anchor"), F.lit(""))
+        ).alias("text"),
+    )
+    queries = spark.createDataFrame(
+        [(100, "quasar survey")], "query_id long, text string"
+    )
+    plain_hits = bm25_topk(docs, queries, k=1).collect()
+    exp_hits = bm25_topk(expanded, queries, k=1).collect()
+    assert not plain_hits or plain_hits[0]["n_matched"] == 0
+    assert exp_hits and exp_hits[0]["doc_id"] == 1
+    assert exp_hits[0]["n_matched"] == 2
