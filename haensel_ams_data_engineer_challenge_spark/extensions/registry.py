@@ -1619,8 +1619,8 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
     # (tests/test_pack_sequences.py).
     def _fingerprint_with_chunks(spark: SparkSession, sf: str) -> DataFrame:
         from ..checkpoint import materialize
-        from ..operators.bpe import bpe_segment, bpe_segment_arrow
-        from ..operators.bpe_bytes import bpe_segment_bytes_arrow
+        from ..operators.bpe import bpe_segment
+        from ..operators.bpe_bytes import fused_bpe_arms
         from ..operators.pack import chunk_sequences, pack_sequences
         from ..operators.vocab import term_pair_counts, topn_of_kind
 
@@ -1666,28 +1666,19 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
                 F.size("bpe_tokens").cast("long").alias("n_tokens"),
             )
         ).unionByName(
-            # the ARROW segmentation path under the same merges: its
+            # the ARROW segmentation path under the same merges (its
             # oracle rows are the same segmentation, so the hash gate
-            # proves Arrow == expression == oracle every round (the
-            # multimodal precedent for driver-proving an Arrow
-            # contract)
-            bpe_segment_arrow(docs, PRETRAINED_MERGES).select(
-                F.lit("bpe_arrow").alias("method"), "doc_id",
-                F.md5(F.concat_ws(" ", "bpe_tokens")).alias("fingerprint"),
-                nb.alias("chunk_idx"),
-                F.size("bpe_tokens").cast("long").alias("n_tokens"),
-            )
-        ).unionByName(
-            # round 15: byte-level (GPT-2 dialect) segmentation under
-            # the frozen byte merge list; fingerprint hashes the HEX
-            # rendering so the oracle works in pure-ASCII space
-            bpe_segment_bytes_arrow(
-                docs, PRETRAINED_BYTE_MERGES, hex_col="bpe_hex"
+            # proves Arrow == expression == oracle every round) PLUS
+            # the round-15 byte-level (GPT-2 dialect) arm — hex-space
+            # fingerprints so the oracle stays pure ASCII — riding ONE
+            # fused Arrow stage (round-14 chain-fusion discipline;
+            # pytest pins fused == separate row-for-row, so the
+            # oracle twins are untouched)
+            fused_bpe_arms(
+                docs, PRETRAINED_MERGES, PRETRAINED_BYTE_MERGES
             ).select(
-                F.lit("bpe_bytes").alias("method"), "doc_id",
-                F.md5(F.concat_ws(" ", "bpe_hex")).alias("fingerprint"),
-                nb.alias("chunk_idx"),
-                F.size("bpe_hex").cast("long").alias("n_tokens"),
+                "method", "doc_id", "fingerprint",
+                nb.alias("chunk_idx"), "n_tokens",
             )
         ).unionByName(
             pack_sequences(docs, seq_len=64).select(

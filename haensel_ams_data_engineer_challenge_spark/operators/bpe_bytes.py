@@ -520,3 +520,92 @@ def load_merges_json(path: str) -> tuple[str, list[tuple[str, str]]]:
     if dialect not in ("word", "byte-level"):
         raise ValueError(f"unknown BPE dialect {dialect!r} in {path}")
     return dialect, [tuple(m) for m in merges]
+
+
+def fused_bpe_arms(
+    docs: DataFrame,
+    word_merges: list[tuple[str, str]],
+    byte_merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Registry helper (the round-14 chain-fusion discipline): the
+    ``bpe_arrow`` arm (word dialect, ``bpe.bpe_segment_arrow``
+    semantics) and the ``bpe_bytes`` arm ride ONE Arrow stage — at
+    bench scale each mapInPandas chain costs ~0.8 s of FIXED floors,
+    so two single-purpose chains over the same corpus waste one.
+
+    Output: (method, doc_id, fingerprint, n_tokens) with EXACTLY the
+    rows the two separate arms produce (md5 over the space-joined
+    token stream — word tokens for 'bpe_arrow', hex byte tokens for
+    'bpe_bytes'); tests/test_bpe_bytes.py pins fused == separate
+    row-for-row, so the oracle twins are untouched."""
+    import hashlib
+    import re as _re
+
+    import pandas as pd
+
+    from .bpe import END
+
+    word_re = _re.compile("[a-z0-9]+")
+    wlist = list(word_merges)
+    blist = list(byte_merges)
+
+    def _fold(syms: list[str], merges: list[tuple[str, str]]) -> list[str]:
+        for a, b in merges:
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            syms = out
+        return syms
+
+    def _apply(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        wcache: dict[str, list[str]] = {}
+        bcache: dict[str, list[str]] = {}
+        for pdf in batches:
+            methods: list[str] = []
+            ids: list[int] = []
+            fps: list[str] = []
+            ns: list[int] = []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                t = t or ""
+                wtoks: list[str] = []
+                for w in word_re.findall(t.lower()):
+                    got = wcache.get(w)
+                    if got is None:
+                        got = wcache[w] = _fold(
+                            [*w[:-1], w[-1] + END], wlist
+                        )
+                    wtoks.extend(got)
+                btoks: list[str] = []
+                for w in gpt2_pre_tokenize(t):
+                    bu = encode_pretoken(w)
+                    got = bcache.get(bu)
+                    if got is None:
+                        got = bcache[bu] = _fold(list(bu), blist)
+                    btoks.extend(got)
+                methods += ["bpe_arrow", "bpe_bytes"]
+                ids += [int(i), int(i)]
+                fps.append(
+                    hashlib.md5(" ".join(wtoks).encode()).hexdigest()
+                )
+                fps.append(
+                    hashlib.md5(
+                        " ".join(
+                            token_bytes(x).hex() for x in btoks
+                        ).encode()
+                    ).hexdigest()
+                )
+                ns += [len(wtoks), len(btoks)]
+            yield pd.DataFrame(
+                {"method": methods, id_col: ids,
+                 "fingerprint": fps, "n_tokens": ns}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        _apply,
+        f"method string, {id_col} long, fingerprint string, n_tokens long",
+    )

@@ -379,3 +379,51 @@ def test_cli_byte_level_learn_tokenize_pack(spark, tmp_path, capsys):
     assert "seqs=" in out and "shards" in out
     manifest = spark.read.parquet(str(tmp_path / "pk" / "manifest"))
     assert manifest.count() >= 1
+
+
+def test_fused_bpe_arms_equal_separate(spark):
+    """The registry's fused Arrow stage (bpe_arrow + bpe_bytes in one
+    chain) emits EXACTLY the rows the two separate arms produce — the
+    round-14 fusion discipline's pin, so the oracle twins stay
+    untouched."""
+    from haensel_ams_data_engineer_challenge_spark.operators.bpe import (
+        bpe_segment_arrow,
+    )
+
+    word_merges = [("e", "r</w>"), ("t", "o"), ("a", "s"), ("i", "n")]
+    byte_merges = _py_train(FIXTURES, 10)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(FIXTURES)],
+        "doc_id long, text string",
+    ).repartition(3)
+
+    fused = {
+        (r["method"], r["doc_id"]): (r["fingerprint"], r["n_tokens"])
+        for r in BB.fused_bpe_arms(
+            docs, word_merges, byte_merges
+        ).collect()
+    }
+    sep_word = {
+        ("bpe_arrow", r["doc_id"]): (r["fp"], r["n"])
+        for r in bpe_segment_arrow(docs, word_merges)
+        .select(
+            "doc_id",
+            F.md5(F.concat_ws(" ", "bpe_tokens")).alias("fp"),
+            F.size("bpe_tokens").cast("long").alias("n"),
+        )
+        .collect()
+    }
+    sep_bytes = {
+        ("bpe_bytes", r["doc_id"]): (r["fp"], r["n"])
+        for r in BB.bpe_segment_bytes_arrow(
+            docs, byte_merges, hex_col="hex"
+        )
+        .select(
+            "doc_id",
+            F.md5(F.concat_ws(" ", "hex")).alias("fp"),
+            F.size("hex").cast("long").alias("n"),
+        )
+        .collect()
+    }
+    assert fused == {**sep_word, **sep_bytes}
+    assert len(fused) == 2 * len(FIXTURES)
