@@ -1203,7 +1203,10 @@ def main(argv: list[str] | None = None) -> int:
                     # byte dialect: the local trainer (one distributed
                     # aggregation + driver greedy) and a dialect-tagged
                     # merges file so consumers pick the right segmenter
-                    from .operators.bpe_bytes import bpe_train_bytes_local
+                    from .operators.bpe_bytes import (
+                        bpe_train_bytes_local,
+                        export_gpt2_tokenizer,
+                    )
 
                     merges = bpe_train_bytes_local(
                         back.filter(F.col("split") == "train"),
@@ -1213,6 +1216,12 @@ def main(argv: list[str] | None = None) -> int:
                         "dialect": "byte-level",
                         "merges": [list(m) for m in merges],
                     }
+                    # round 15: also ship the PUBLISHED file pair
+                    # (vocab.json + merges.txt) so standard tokenizer
+                    # loaders consume the artifact without engine code
+                    export_gpt2_tokenizer(
+                        merges, f"{args.work_dir}/tokenizer"
+                    )
                 else:
                     if args.learn_bpe > MAX_SEGMENT_MERGES:
                         raise ValueError(

@@ -376,7 +376,26 @@ def bpe_train_batched(
     """
     if n_merges < 0:
         raise ValueError(f"n_merges must be >= 0, got {n_merges}")
-    types = materialize(word_types(docs, text_col))
+    return batched_merge_loop(
+        materialize(word_types(docs, text_col)), n_merges,
+        max_batch=max_batch, top_m=top_m, round_log=round_log,
+        exact=exact,
+    )
+
+
+def batched_merge_loop(
+    types: DataFrame,
+    n_merges: int,
+    max_batch: int = 64,
+    top_m: int = BATCH_TOP_M,
+    round_log: list[int] | None = None,
+    exact: bool = True,
+) -> list[tuple[str, str]]:
+    """The batched greedy loop over ANY (freq, symbols) state table —
+    shared by :func:`bpe_train_batched` (word types) and
+    ``bpe_bytes.bpe_train_bytes_batched`` (byte pre-token types); the
+    safety machinery (:func:`_select_safe_batch`, the alphabet probe)
+    is symbol-agnostic."""
     merges: list[tuple[str, str]] = []
     while len(merges) < n_merges:
         top: list[Row] = (

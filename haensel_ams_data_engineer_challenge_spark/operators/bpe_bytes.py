@@ -609,3 +609,154 @@ def fused_bpe_arms(
         _apply,
         f"method string, {id_col} long, fingerprint string, n_tokens long",
     )
+
+
+def bpe_train_bytes_batched(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    max_batch: int = 64,
+    round_log: list[int] | None = None,
+    exact: bool = True,
+) -> list[tuple[str, str]]:
+    """Batched byte-BPE training: k provably-safe merges per driver
+    round over the byte pre-token state (``bpe.batched_merge_loop`` —
+    the count-bound + alphabet-probe machinery is symbol-agnostic).
+    ``exact=True`` (default) is pytest-pinned bit-equal to
+    :func:`bpe_train_bytes`; the trade-offs of ``exact=False`` are
+    ``bpe.bpe_train_batched``'s, verbatim."""
+    from .bpe import batched_merge_loop
+
+    if n_merges < 0:
+        raise ValueError(f"n_merges must be >= 0, got {n_merges}")
+    return batched_merge_loop(
+        byte_pretoken_types(docs, text_col), n_merges,
+        max_batch=max_batch, round_log=round_log, exact=exact,
+    )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary ids + the published tokenizer file format
+# ---------------------------------------------------------------------------
+
+
+def byte_vocab(
+    merges: list[tuple[str, str]], specials: tuple[str, ...] = ()
+) -> dict[str, int]:
+    """token (byte-unicode) -> id, the GPT-2 id convention: ids
+    0..255 are the 256 single-byte symbols in BYTE order (i.e. the
+    byte value itself maps through the byte-unicode table), id 256+i
+    is merge i's concatenation, then ``specials`` (e.g.
+    ``("<|endoftext|>",)``) in order.  A merge whose concatenation
+    already exists keeps the FIRST id (duplicates cannot arise from a
+    real training run — each symbol is created once)."""
+    vocab: dict[str, int] = {
+        _B2U[b]: b for b in range(256)
+    }
+    for a, b in merges:
+        tok = a + b
+        if tok not in vocab:
+            vocab[tok] = len(vocab)
+    for s in specials:
+        if s in vocab:
+            raise ValueError(f"special token {s!r} collides with vocab")
+        vocab[s] = len(vocab)
+    return vocab
+
+
+def export_gpt2_tokenizer(
+    merges: list[tuple[str, str]],
+    out_dir: str,
+    specials: tuple[str, ...] = (),
+) -> dict[str, int]:
+    """Write the PUBLISHED GPT-2 tokenizer file pair — ``vocab.json``
+    (token -> id) and ``merges.txt`` (``#version: 0.2`` header, one
+    space-separated merge per line, learned order) — so the trainer
+    hand-off is consumable by standard tokenizer loaders without any
+    engine code.  Returns the vocab.  Driver-side file IO (tokenizer
+    artifacts are KBs, not data)."""
+    import json
+    import os
+
+    vocab = byte_vocab(merges, specials)
+    os.makedirs(out_dir, exist_ok=True)
+    with open(
+        os.path.join(out_dir, "vocab.json"), "w", encoding="utf-8"
+    ) as fh:
+        json.dump(vocab, fh, ensure_ascii=False)
+    with open(
+        os.path.join(out_dir, "merges.txt"), "w", encoding="utf-8"
+    ) as fh:
+        fh.write("#version: 0.2\n")
+        for a, b in merges:
+            fh.write(f"{a} {b}\n")
+    return vocab
+
+
+def load_gpt2_tokenizer(
+    in_dir: str,
+) -> tuple[list[tuple[str, str]], dict[str, int]]:
+    """Read a GPT-2-format tokenizer dir -> (merges, vocab); the
+    inverse of :func:`export_gpt2_tokenizer`, and a loader for
+    tokenizers produced by OTHER trainers in the same format.
+    Refuses merge pairs containing symbols outside the byte-unicode
+    alphabet closure (a corrupted file must not segment silently
+    wrong)."""
+    import json
+    import os
+
+    with open(
+        os.path.join(in_dir, "vocab.json"), encoding="utf-8"
+    ) as fh:
+        vocab = json.load(fh)
+    merges: list[tuple[str, str]] = []
+    with open(
+        os.path.join(in_dir, "merges.txt"), encoding="utf-8"
+    ) as fh:
+        for line in fh:
+            line = line.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split(" ")
+            if len(parts) != 2 or not parts[0] or not parts[1]:
+                raise ValueError(f"malformed merges.txt line {line!r}")
+            merges.append((parts[0], parts[1]))
+    alphabet = set(_U2B)
+    for a, b in merges:
+        for sym in (a, b):
+            if not set(sym) <= alphabet:
+                raise ValueError(
+                    f"merge symbol {sym!r} contains characters outside "
+                    "the byte-unicode alphabet — not a byte-level "
+                    "GPT-2 tokenizer file"
+                )
+    return merges, vocab
+
+
+def tokens_to_ids(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    tokens_col: str = "bpe_tokens",
+    out_col: str = "token_ids",
+    specials: tuple[str, ...] = (),
+) -> DataFrame:
+    """Append ``out_col`` = array<int> ids for a byte-unicode token
+    column under :func:`byte_vocab`'s id assignment — row-local JVM
+    execution via one literal map expression (the vocab is
+    KB-scale); unknown tokens raise at build time when found in the
+    merge closure check... they cannot arise from this engine's
+    segmenter under the same merges, so an unknown token maps to -1
+    and the caller's invariant check catches drift loudly."""
+    vocab = byte_vocab(merges, specials)
+    mapping = F.create_map(
+        *[F.lit(x) for kv in vocab.items() for x in kv]
+    )
+    return df.withColumn(
+        out_col,
+        F.transform(
+            F.col(tokens_col),
+            lambda t: F.coalesce(
+                F.element_at(mapping, t), F.lit(-1)
+            ).cast("int"),
+        ),
+    )

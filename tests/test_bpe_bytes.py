@@ -359,6 +359,11 @@ def test_cli_byte_level_learn_tokenize_pack(spark, tmp_path, capsys):
     payload = json.load(open(f"{work}/bpe_merges.json"))
     assert payload["dialect"] == "byte-level"
     assert len(payload["merges"]) == 8
+    # the published file pair ships alongside (round 15): standard
+    # loaders consume WORK_DIR/tokenizer without engine code
+    exp_merges, exp_vocab = BB.load_gpt2_tokenizer(f"{work}/tokenizer")
+    assert exp_merges == [tuple(m) for m in payload["merges"]]
+    assert len(exp_vocab) == 256 + 8
 
     assert main([
         "tokenize", "--docs-parquet", f"{work}/corpus",
@@ -427,3 +432,92 @@ def test_fused_bpe_arms_equal_separate(spark):
     }
     assert fused == {**sep_word, **sep_bytes}
     assert len(fused) == 2 * len(FIXTURES)
+
+
+# ---------------------------------------------------------------------------
+# batched byte trainer + vocab ids + the published file format
+# ---------------------------------------------------------------------------
+
+
+def test_train_bytes_batched_bit_equal(spark):
+    texts = [
+        "the cat sat on the mat", "the dog ate the cat's hat",
+        "don't look  back now", "ééé über 42nd",
+    ] * 3
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).repartition(4)
+    rounds: list[int] = []
+    batched = BB.bpe_train_bytes_batched(docs, 14, round_log=rounds)
+    assert batched == BB.bpe_train_bytes(docs, 14) == _py_train(texts, 14)
+    assert sum(rounds) == len(batched) and len(rounds) <= len(batched)
+    with pytest.raises(ValueError):
+        BB.bpe_train_bytes_batched(docs, -1)
+
+
+def test_byte_vocab_ids():
+    merges = [("Ġ", "s"), ("e", "r"), ("Ġs", "er")]
+    v = BB.byte_vocab(merges, specials=("<|endoftext|>",))
+    assert v["!"] == 0x21 and v["A"] == 0x41 and v["ÿ"] == 0xFF
+    assert v["Ā"] == 0x00 and v["Ġ"] == 0x20  # shifted ids ARE bytes
+    assert v["Ġs"] == 256 and v["er"] == 257 and v["Ġser"] == 258
+    assert v["<|endoftext|>"] == 259
+    assert len(v) == 260 and len(set(v.values())) == 260
+    with pytest.raises(ValueError, match="collides"):
+        BB.byte_vocab(merges, specials=("er",))
+
+
+def test_export_load_round_trip_and_segmentation(tmp_path):
+    merges = _py_train(FIXTURES, 20)
+    vocab = BB.export_gpt2_tokenizer(
+        merges, str(tmp_path), specials=("<|endoftext|>",)
+    )
+    assert (tmp_path / "vocab.json").exists()
+    lines = (tmp_path / "merges.txt").read_text(
+        encoding="utf-8"
+    ).splitlines()
+    assert lines[0] == "#version: 0.2" and len(lines) == len(merges) + 1
+    back_merges, back_vocab = BB.load_gpt2_tokenizer(str(tmp_path))
+    assert back_merges == merges and back_vocab == vocab
+    # segmentation under the loaded merges == under the trained ones
+    for t in FIXTURES:
+        assert _naive_segment(t, back_merges) == _naive_segment(t, merges)
+    # corrupted files refuse loudly
+    (tmp_path / "merges.txt").write_text(
+        "#version: 0.2\na\nxx yy zz\n", encoding="utf-8"
+    )
+    with pytest.raises(ValueError, match="malformed"):
+        BB.load_gpt2_tokenizer(str(tmp_path))
+    (tmp_path / "merges.txt").write_text(
+        "#version: 0.2\n☃ x\n", encoding="utf-8"
+    )
+    with pytest.raises(ValueError, match="alphabet"):
+        BB.load_gpt2_tokenizer(str(tmp_path))
+
+
+def test_tokens_to_ids_and_decode(spark):
+    merges = _py_train(FIXTURES, 12)
+    vocab = BB.byte_vocab(merges)
+    inv = {i: t for t, i in vocab.items()}
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(FIXTURES[:12])],
+        "doc_id long, text string",
+    )
+    seg = BB.bpe_segment_bytes_arrow(docs, merges)
+    out = {
+        r["doc_id"]: (r["bpe_tokens"], r["token_ids"])
+        for r in BB.tokens_to_ids(seg, merges).collect()
+    }
+    for i, t in enumerate(FIXTURES[:12]):
+        toks, ids = out[i]
+        assert len(toks) == len(ids)
+        assert all(x >= 0 for x in ids)
+        assert [inv[x] for x in ids] == toks
+        assert BB.decode_byte_tokens([inv[x] for x in ids]) == t
+    # a token outside the vocab maps to -1, loudly detectable
+    alien = spark.createDataFrame(
+        [(1, ["Ġ", "zzz-not-a-token"])],
+        "doc_id long, bpe_tokens array<string>",
+    )
+    got = BB.tokens_to_ids(alien, merges).collect()[0]["token_ids"]
+    assert got[0] == 0x20 and got[1] == -1
