@@ -63,14 +63,15 @@ def link_edges(
     endpoint keys + host keys for raw anchor rows.  Endpoints that
     don't canonicalize to a scheme://host form drop (NULL host —
     relative garbage, data: URIs); row-local, zero shuffles."""
+    extra = [
+        F.col(c)
+        for c in ("anchor_text", "nofollow")
+        if c in links.columns
+    ]
     out = links.select(
         canonical_url(src_col).alias("src"),
         canonical_url(dst_col).alias("dst"),
-        *(
-            [F.col("anchor_text")]
-            if "anchor_text" in links.columns
-            else []
-        ),
+        *extra,
     ).withColumns(
         {
             "src_host": F.try_parse_url("src", F.lit("HOST")),
@@ -82,12 +83,22 @@ def link_edges(
     )
 
 
-def host_graph(links: DataFrame) -> DataFrame:
+def host_graph(
+    links: DataFrame, follow_only: bool = True
+) -> DataFrame:
     """(src_host, dst_host, n_links): the host-level multigraph edge
     weights, self-loops removed (a host linking to itself says
     nothing about external standing — the Common Crawl host-graph
-    convention).  ONE groupBy shuffle over the page edges."""
+    convention).  ONE groupBy shuffle over the page edges.
+
+    ``follow_only`` (default, round 15): exclude rel=nofollow/ugc/
+    sponsored anchors when the links carry the ``nofollow`` column —
+    a disclaimed link is not an endorsement, and counting it lets
+    comment spam mint centrality (the reason the annotations exist).
+    Links without the column (pre-r15 callers) are all followed."""
     e = link_edges(links)
+    if follow_only and "nofollow" in e.columns:
+        e = e.filter(~F.coalesce(F.col("nofollow"), F.lit(False)))
     return (
         e.filter(F.col("src_host") != F.col("dst_host"))
         .groupBy("src_host", "dst_host")
@@ -297,4 +308,96 @@ def anchor_texts(
             ).alias("anchor_text"),
             F.count(F.lit(1)).cast("long").alias("n_anchors"),
         )
+    )
+
+
+#: multi-part ccTLD registries under which names register at the
+#: THIRD label (news.bbc.co.uk -> bbc.co.uk).  A bounded built-in
+#: subset of the Mozilla Public Suffix List's most common entries —
+#: the full PSL is thousands of rows and updates monthly; deployments
+#: needing exact PSL behavior pass their current list via
+#: ``extra_multipart`` (the set is data, the mechanism is here).
+MULTIPART_SUFFIXES: frozenset[str] = frozenset({
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk", "me.uk",
+    "ltd.uk", "plc.uk", "sch.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au",
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "go.jp", "ad.jp",
+    "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    "co.in", "net.in", "org.in", "gov.in", "ac.in", "edu.in",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "com.mx", "net.mx", "org.mx", "gob.mx", "edu.mx",
+    "co.za", "net.za", "org.za", "gov.za", "ac.za", "web.za",
+    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar",
+    "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr",
+    "com.tw", "net.tw", "org.tw", "gov.tw", "edu.tw",
+    "co.kr", "or.kr", "ne.kr", "go.kr", "ac.kr", "re.kr",
+    "com.sg", "net.sg", "org.sg", "gov.sg", "edu.sg",
+    "com.hk", "net.hk", "org.hk", "gov.hk", "edu.hk",
+    "com.my", "net.my", "org.my", "gov.my", "edu.my",
+    "co.id", "net.id", "or.id", "go.id", "ac.id", "web.id",
+    "com.ua", "net.ua", "org.ua", "gov.ua", "edu.ua", "in.ua",
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl",
+    "co.il", "net.il", "org.il", "gov.il", "ac.il",
+    "co.th", "or.th", "ac.th", "go.th", "in.th",
+    "com.co", "net.co", "org.co", "edu.co", "gov.co",
+    "com.sa", "com.eg", "com.pk", "com.bd", "com.vn", "com.ph",
+    "com.ng", "com.pe", "com.ve", "com.ec", "com.uy", "com.do",
+})
+
+
+def registered_domain(
+    col, extra_multipart: tuple[str, ...] = ()
+) -> "F.Column":
+    """The registered (pay-level) domain of a HOST column — the
+    Common Crawl domain-graph key (news.example.co.uk ->
+    example.co.uk, a.b.example.com -> example.com).  Pure Column
+    expression: last two labels, or last three when the two-label
+    suffix is a known multi-part registry (MULTIPART_SUFFIXES +
+    ``extra_multipart``).  IPv4 literals and single-label hosts pass
+    through whole; NULL-safe."""
+    host = F.lower(F.col(col) if isinstance(col, str) else col)
+    labels = F.split(host, r"\.")
+    nl = F.size(labels)
+    last2 = F.concat_ws(
+        ".", F.element_at(labels, -2), F.element_at(labels, -1)
+    )
+    last3 = F.concat_ws(
+        ".",
+        F.element_at(labels, -3),
+        F.element_at(labels, -2),
+        F.element_at(labels, -1),
+    )
+    multi = sorted(MULTIPART_SUFFIXES | set(extra_multipart))
+    is_ip = host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+    return F.when(
+        host.isNull() | (nl <= 1) | is_ip, host
+    ).when(
+        last2.isin(multi) & (nl >= 3), last3
+    ).otherwise(last2)
+
+
+def domain_graph(
+    links: DataFrame,
+    follow_only: bool = True,
+    extra_multipart: tuple[str, ...] = (),
+) -> DataFrame:
+    """(src_domain, dst_domain, n_links): the DOMAIN-level rollup of
+    :func:`host_graph` — the granularity Common Crawl's domain
+    webgraph ranks, where subdomain farms (user pages, tenant blogs)
+    collapse into their registrant and cannot mint centrality by
+    interlinking.  Self-loops drop at the DOMAIN level (m.example.com
+    -> www.example.com is internal navigation here even though the
+    host graph keeps it)."""
+    e = link_edges(links)
+    if follow_only and "nofollow" in e.columns:
+        e = e.filter(~F.coalesce(F.col("nofollow"), F.lit(False)))
+    e = e.select(
+        registered_domain("src_host", extra_multipart).alias("src_domain"),
+        registered_domain("dst_host", extra_multipart).alias("dst_domain"),
+    )
+    return (
+        e.filter(F.col("src_domain") != F.col("dst_domain"))
+        .groupBy("src_domain", "dst_domain")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_links"))
     )

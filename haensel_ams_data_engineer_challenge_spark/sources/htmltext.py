@@ -202,24 +202,31 @@ def extract_main_text(html: str) -> str:
 
 
 class _LinkParser(HTMLParser):
-    """HTML -> [(href, anchor_text)] — the edge list the block parser
-    was throwing away (round 15, r14 verdict #2).  Anchors inside
-    skip subtrees (script/svg/...) are invisible; an <a> without an
-    href contributes nothing; nested/unclosed anchors flush at the
-    next <a> or </a> (anchors cannot legally nest)."""
+    """HTML -> [(href, anchor_text, nofollow)] — the edge list the
+    block parser was throwing away (round 15, r14 verdict #2).
+    Anchors inside skip subtrees (script/svg/...) are invisible; an
+    <a> without an href contributes nothing; nested/unclosed anchors
+    flush at the next <a> or </a> (anchors cannot legally nest).
+    ``nofollow`` records rel="nofollow"/"ugc"/"sponsored" — the
+    link-type annotations publishers use to disclaim endorsement;
+    centrality consumers usually exclude them."""
+
+    _NOFOLLOW_RELS = frozenset({"nofollow", "ugc", "sponsored"})
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
-        self.links: list[tuple[str, str]] = []
+        self.links: list[tuple[str, str, bool]] = []
         self._skip = 0
         self._href: str | None = None
+        self._nofollow = False
         self._parts: list[str] = []
 
     def _flush(self) -> None:
         if self._href is not None:
             text = " ".join("".join(self._parts).split())
-            self.links.append((self._href, text))
+            self.links.append((self._href, text, self._nofollow))
         self._href = None
+        self._nofollow = False
         self._parts = []
 
     def handle_starttag(self, tag, attrs):  # noqa: D102
@@ -234,6 +241,10 @@ class _LinkParser(HTMLParser):
                 (v for k, v in attrs if k == "href" and v), None
             )
             self._href = href.strip() if href else None
+            rel = next((v for k, v in attrs if k == "rel" and v), "")
+            self._nofollow = bool(
+                self._NOFOLLOW_RELS & set(rel.lower().split())
+            )
 
     def handle_endtag(self, tag):  # noqa: D102
         if tag in _SKIP_TAGS:
@@ -254,11 +265,11 @@ class _LinkParser(HTMLParser):
         self._flush()
 
 
-def extract_links(html: str) -> list[tuple[str, str]]:
-    """(href, anchor_text) pairs of an HTML page, document order —
-    the crawl-graph edge list.  Malformed markup never raises; a
-    catastrophic parser error yields no links (the audit-visible
-    doc row still lands via the text path)."""
+def extract_links(html: str) -> list[tuple[str, str, bool]]:
+    """(href, anchor_text, nofollow) triples of an HTML page, document
+    order — the crawl-graph edge list.  Malformed markup never
+    raises; a catastrophic parser error yields no links (the
+    audit-visible doc row still lands via the text path)."""
     p = _LinkParser()
     try:
         p.feed(html)

@@ -253,11 +253,13 @@ def read_documents_warc(
     return docs, audit
 
 
-def _parse_warc_links(blob: bytes) -> list[tuple[str, str, str]]:
-    """(src_uri, dst_uri, anchor_text) edges of every usable response
-    record: the record walk of :func:`_parse_warc_bytes` with the
-    LINK view of the page (htmltext.extract_links) instead of the
-    text view.  hrefs resolve against the record's target URI
+def _parse_warc_links(
+    blob: bytes,
+) -> list[tuple[str, str, str, bool]]:
+    """(src_uri, dst_uri, anchor_text, nofollow) edges of every usable
+    response record: the record walk of :func:`_parse_warc_bytes`
+    with the LINK view of the page (htmltext.extract_links) instead
+    of the text view.  hrefs resolve against the record's target URI
     (urljoin), fragments drop with the resolution, and only http(s)
     destinations survive (mailto:/javascript:/data: are not crawl
     edges).  Records without a target URI yield no edges — an edge
@@ -304,13 +306,13 @@ def _parse_warc_links(blob: bytes) -> list[tuple[str, str, str]]:
             m.group(1).decode("ascii", "replace") if m else None
         )
         html, _enc = decode_html_bytes(body[http_end + 4 :], header_charset)
-        for href, anchor in extract_links(html):
+        for href, anchor, nofollow in extract_links(html):
             try:
                 dst = urldefrag(urljoin(uri, href))[0]
             except ValueError:
                 continue  # unparseable href: not an edge
             if urlparse(dst).scheme in ("http", "https") and dst:
-                edges.append((uri, dst, anchor))
+                edges.append((uri, dst, anchor, nofollow))
     return edges
 
 
@@ -321,8 +323,10 @@ def read_links_warc(
     _zstd_decompress=None,
 ) -> DataFrame:
     """Read WARC shards -> the crawl LINK GRAPH edge list
-    (src_uri, dst_uri, anchor_text), one row per anchor (round 15,
-    r14 verdict #2).
+    (src_uri, dst_uri, anchor_text, nofollow), one row per anchor
+    (round 15, r14 verdict #2); ``nofollow`` records
+    rel="nofollow"/"ugc"/"sponsored" so centrality consumers can
+    exclude disclaimed links (linkgraph.host_graph(follow_only=True)).
 
     Same scale shape as :func:`read_documents_warc` (binaryFile scan,
     per-payload CPU inside one Arrow stage, no shuffle); downstream
@@ -346,7 +350,7 @@ def read_links_warc(
         zdec = _zstd_decompress or zstd_decompress
 
         for pdf in batches:
-            rows: list[tuple[str, str, str]] = []
+            rows: list[tuple[str, str, str, bool]] = []
             for blob in pdf["content"]:
                 blob = bytes(blob)
                 if blob[:2] == b"\x1f\x8b":
@@ -361,9 +365,12 @@ def read_links_warc(
                         continue
                 rows.extend(_parse_warc_links(blob))
             yield pd.DataFrame(
-                rows, columns=["src_uri", "dst_uri", "anchor_text"]
+                rows,
+                columns=["src_uri", "dst_uri", "anchor_text", "nofollow"],
             )
 
     return files.mapInPandas(
-        parse, "src_uri string, dst_uri string, anchor_text string"
+        parse,
+        "src_uri string, dst_uri string, anchor_text string, "
+        "nofollow boolean",
     )

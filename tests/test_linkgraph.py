@@ -65,11 +65,11 @@ def test_extract_links_goldens():
     # graph wants them); script content is CDATA, invisible; an
     # unclosed <a> flushes at the next <a>
     assert got == [
-        ("/a", "first link"),
-        ("https://x.example/b#frag", "second"),
-        ("/nav", "nav link"),
-        ("/open", "unclosed"),
-        ("/next", "next"),
+        ("/a", "first link", False),
+        ("https://x.example/b#frag", "second", False),
+        ("/nav", "nav link", False),
+        ("/open", "unclosed", False),
+        ("/next", "next", False),
     ]
     assert extract_links("") == []
     assert extract_links("<p>no anchors here</p>") == []
@@ -437,3 +437,143 @@ def test_anchor_texts_aggregation_and_retrieval_expansion(spark):
     assert not plain_hits or plain_hits[0]["n_matched"] == 0
     assert exp_hits and exp_hits[0]["doc_id"] == 1
     assert exp_hits[0]["n_matched"] == 2
+
+
+# ---------------------------------------------------------------------------
+# nofollow + domain rollup (round 15 second half)
+# ---------------------------------------------------------------------------
+
+
+def test_extract_links_nofollow_flags():
+    html = (
+        '<a href="/a" rel="nofollow">spam</a>'
+        '<a href="/b" rel="ugc sponsored">comment</a>'
+        '<a href="/c" rel="noopener">fine</a>'
+        '<a href="/d">plain</a>'
+    )
+    assert extract_links(html) == [
+        ("/a", "spam", True),
+        ("/b", "comment", True),
+        ("/c", "fine", False),
+        ("/d", "plain", False),
+    ]
+
+
+def test_host_graph_excludes_nofollow_by_default(spark):
+    links = spark.createDataFrame(
+        [
+            ("http://a.example/", "http://b.example/", "ok", False),
+            ("http://a.example/", "http://spam.example/", "buy", True),
+            ("http://c.example/", "http://b.example/", "also", None),
+        ],
+        "src_uri string, dst_uri string, anchor_text string, "
+        "nofollow boolean",
+    )
+    got = {
+        (r["src_host"], r["dst_host"])
+        for r in host_graph(links).collect()
+    }
+    assert got == {
+        ("a.example", "b.example"),
+        ("c.example", "b.example"),  # NULL nofollow = followed
+    }
+    all_edges = {
+        (r["src_host"], r["dst_host"])
+        for r in host_graph(links, follow_only=False).collect()
+    }
+    assert ("a.example", "spam.example") in all_edges
+
+
+def test_warc_links_carry_nofollow(spark, tmp_path):
+    from haensel_ams_data_engineer_challenge_spark.sources.warc import (
+        read_links_warc,
+    )
+
+    html = (
+        b'<p><a href="/f">follow me</a>'
+        b'<a href="http://s.example/" rel="nofollow">not me</a></p>'
+    )
+    body = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: http://h.example/p\r\n"
+        + b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+        + body + b"\r\n\r\n"
+    )
+    (tmp_path / "n.warc").write_bytes(rec)
+    got = {
+        r["dst_uri"]: r["nofollow"]
+        for r in read_links_warc(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "http://h.example/f": False,
+        "http://s.example/": True,
+    }
+
+
+def test_registered_domain_rollup(spark):
+    from haensel_ams_data_engineer_challenge_spark.operators.linkgraph import (
+        registered_domain,
+    )
+
+    cases = {
+        "news.bbc.co.uk": "bbc.co.uk",
+        "www.example.com": "example.com",
+        "a.b.c.example.org": "example.org",
+        "Example.COM": "example.com",
+        "blogs.shop.com.au": "shop.com.au",
+        "example.com": "example.com",
+        "localhost": "localhost",
+        "192.168.10.1": "192.168.10.1",
+        "co.uk": "co.uk",  # the bare suffix has no registrant label
+    }
+    df = spark.createDataFrame([(h,) for h in cases], "h string")
+    got = [
+        r["d"]
+        for r in df.select(registered_domain("h").alias("d")).collect()
+    ]
+    assert got == list(cases.values())
+    # extra_multipart extends the registry set
+    df2 = spark.createDataFrame([("x.y.custom.zz",)], "h string")
+    assert df2.select(
+        registered_domain("h", ("custom.zz",)).alias("d")
+    ).collect()[0]["d"] == "y.custom.zz"
+    assert df2.select(
+        registered_domain("h").alias("d")
+    ).collect()[0]["d"] == "custom.zz"
+
+
+def test_domain_graph_collapses_subdomain_farms(spark):
+    from haensel_ams_data_engineer_challenge_spark.operators.linkgraph import (
+        domain_graph,
+        pagerank,
+    )
+
+    # a tenant-blog farm interlinking its own subdomains mints host-
+    # graph edges but ZERO domain-graph edges
+    links = spark.createDataFrame(
+        [
+            ("http://u1.farm.example/", "http://u2.farm.example/", "x",
+             False),
+            ("http://u2.farm.example/", "http://u3.farm.example/", "x",
+             False),
+            ("http://news.bbc.co.uk/a", "http://shop.example.com/b",
+             "real", False),
+            ("http://m.example.com/", "http://www.example.com/", "nav",
+             False),
+        ],
+        "src_uri string, dst_uri string, anchor_text string, "
+        "nofollow boolean",
+    )
+    hg = host_graph(links)
+    assert hg.count() == 4  # every host pair distinct at host level
+    dg = {
+        (r["src_domain"], r["dst_domain"]): r["n_links"]
+        for r in domain_graph(links).collect()
+    }
+    assert dg == {("bbc.co.uk", "example.com"): 1}
+    # pagerank runs over the domain rollup directly
+    ranks = pagerank(dg_df := domain_graph(links),
+                     src="src_domain", dst="dst_domain", max_iter=10)
+    assert {r["node"] for r in ranks.collect()} \
+        == {"bbc.co.uk", "example.com"}
