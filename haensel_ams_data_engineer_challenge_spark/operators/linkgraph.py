@@ -401,3 +401,166 @@ def domain_graph(
         .groupBy("src_domain", "dst_domain")
         .agg(F.count(F.lit(1)).cast("long").alias("n_links"))
     )
+
+
+# ---------------------------------------------------------------------------
+# harmonic centrality (HyperBall) — round 15 second half
+# ---------------------------------------------------------------------------
+
+#: HLL register-count exponent: m = 2^HLL_B registers per node.
+#: b=6 -> 64 registers, ~1.04/sqrt(64) = 13% relative error on ball
+#: sizes — the HyperBall paper's working range for ranking (order
+#: statistics tolerate far more error than cardinalities do).
+HLL_B = 6
+
+#: alpha_m bias constant for m=64 (Flajolet et al. 2007, HLL paper).
+_HLL_ALPHA_64 = 0.709
+
+
+def _hll_register_cols() -> list:
+    """The 64 per-node register columns for ONE element (the node
+    itself, hash in column ``h``): register index = low HLL_B hash
+    bits; register content is a BITMASK with bit ``rank`` set, rank =
+    trailing-zero count of the remaining bits + 1.
+
+    Bitmask registers are the trick that keeps HyperBall's merge
+    inside the JVM: max(rank) over a group is NOT a built-in
+    aggregate over arrays, but OR over bitmasks IS (`bit_or`, 64
+    columns, map-side combinable), and the register value recovers as
+    the highest set bit (floor(log2(mask)) — masks are < 2^60 and
+    powers of two are exact in doubles, so the floor is exact)."""
+    m = 1 << HLL_B
+    w = f"shiftrightunsigned(h, {HLL_B})"
+    rank = (
+        f"int(if({w} = 0, {64 - HLL_B}, "
+        f"floor(log2(double({w} & -{w})))) + 1)"
+    )
+    return [
+        F.expr(
+            f"if(int(h & {m - 1}) = {j}, shiftleft(1L, {rank}), 0L)"
+        ).alias(f"r{j}")
+        for j in range(m)
+    ]
+
+
+def _hll_estimate() -> "F.Column":
+    """Cardinality estimate from the 64 bitmask register columns —
+    the standard HLL estimator: alpha_m * m^2 / sum_j 2^(-M_j) with
+    the small-range correction m*ln(m/V) when the raw estimate is
+    under 2.5m and V registers are empty."""
+    m = 1 << HLL_B
+    z = None
+    v = None
+    for j in range(m):
+        rj = F.col(f"r{j}")
+        mj = F.when(rj == 0, F.lit(0.0)).otherwise(
+            F.floor(F.log2(rj.cast("double"))).cast("double")
+        )
+        term = F.pow(F.lit(2.0), -mj)
+        zero = F.when(rj == 0, F.lit(1)).otherwise(F.lit(0))
+        z = term if z is None else z + term
+        v = zero if v is None else v + zero
+    raw = F.lit(_HLL_ALPHA_64 * m * m) / z
+    return F.when(
+        (raw <= 2.5 * m) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(raw)
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    src: str = "src_host",
+    dst: str = "dst_host",
+    max_radius: int = 32,
+    round_log: list[float] | None = None,
+) -> DataFrame:
+    """(node, harmonic, n_coreachable) — approximate HARMONIC
+    centrality H(v) = sum over u != v of 1/d(u, v), the metric the
+    Common Crawl webgraph actually ranks by (Boldi & Vigna's
+    HyperBall: grow the in-ball B_r(v) = {u : d(u, v) <= r} as a
+    mergeable HLL counter per node; each radius adds
+    (|B_r| - |B_(r-1)|)/r).
+
+    Per radius: ONE edges⋈state join (shuffle on src) + ONE
+    groupBy(dst) with 64 `bit_or` aggregates (bitmask registers —
+    module helper — make the HLL merge a built-in, map-side
+    combinable aggregate; no Python anywhere in the loop) + an OR
+    with the previous registers, materialized (lineage truncation).
+    The loop stops when no register changed anywhere (one boolean
+    aggregate riding the same action) or at ``max_radius`` — real
+    webgraphs have effective diameter well under 32.
+
+    Ball estimates are MONOTONE (registers only grow), so harmonic
+    increments are clamped at 0 across the raw/small-range estimator
+    crossover.  Relative error on ball sizes is ~13% (64 registers);
+    ranking order — the consumer's need — is far more stable
+    (pytest: exact-BFS comparison + a bit-equal python twin of the
+    estimator machinery).  ``round_log`` receives the summed ball
+    estimate per executed radius."""
+    m = 1 << HLL_B
+    reg_cols = [f"r{j}" for j in range(m)]
+    e = materialize(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    state = materialize(
+        nodes.withColumn("h", F.xxhash64("node"))
+        .select("node", *_hll_register_cols())
+        .withColumn("est", _hll_estimate())
+        .withColumn("harmonic", F.lit(0.0))
+    )
+    for r in range(1, max_radius + 1):
+        incoming = (
+            e.join(
+                state.select(F.col("node").alias("src"), *reg_cols), "src"
+            )
+            .groupBy("dst")
+            .agg(*[F.bit_or(c).alias(f"i{j}")
+                   for j, c in enumerate(reg_cols)])
+        )
+        merged = state.join(
+            incoming, state["node"] == incoming["dst"], "left"
+        ).select(
+            "node", "est", "harmonic",
+            *[
+                # SQL `|` is the BITWISE or on bigint (the python
+                # Column `|` operator is boolean-only)
+                F.expr(f"r{j} | coalesce(i{j}, 0L)").alias(f"r{j}")
+                for j in range(m)
+            ],
+        )
+        nxt = materialize(
+            merged.withColumn("new_est", _hll_estimate())
+            .withColumn(
+                "harmonic",
+                F.col("harmonic")
+                + F.greatest(
+                    (F.col("new_est") - F.col("est")) / F.lit(float(r)),
+                    F.lit(0.0),
+                ),
+            )
+            .withColumn("changed", F.col("new_est") != F.col("est"))
+            .withColumn("est", F.col("new_est"))
+            .drop("new_est")
+        )
+        row = nxt.agg(
+            F.max(F.col("changed").cast("int")),
+            F.sum("est"),
+        ).collect()[0]
+        if round_log is not None:
+            round_log.append(float(row[1]))
+        state = nxt.drop("changed")
+        if not row[0]:
+            break
+    # the node itself is in its own ball: H sums over u != v, and the
+    # estimate at radius 0 already counted v — increments from r=1 on
+    # exclude it by construction, so no correction is needed here.
+    return state.select(
+        "node", "harmonic", F.col("est").alias("n_coreachable")
+    )

@@ -577,3 +577,149 @@ def test_domain_graph_collapses_subdomain_farms(spark):
                      src="src_domain", dst="dst_domain", max_iter=10)
     assert {r["node"] for r in ranks.collect()} \
         == {"bbc.co.uk", "example.com"}
+
+
+# ---------------------------------------------------------------------------
+# harmonic centrality (HyperBall)
+# ---------------------------------------------------------------------------
+
+
+def _twin_hll(edges, node_hash, max_radius=32):
+    """Python twin of the engine's HyperBall machinery — SAME register
+    convention (index = low 6 hash bits, bitmask of trailing-zero
+    rank + 1), SAME estimator (left-fold order, alpha_64, small-range
+    correction), SAME monotone-clamped harmonic accumulation — fed
+    the engine's own xxhash64 values so the runs are comparable
+    bit-for-bit."""
+    import math
+
+    m = 64
+
+    def init_regs(h):
+        hu = h & (2**64 - 1)
+        idx = hu & 63
+        w = hu >> 6
+        rank = 59 if w == 0 else ((w & -w).bit_length() - 1) + 1
+        regs = [0] * m
+        regs[idx] = 1 << rank
+        return regs
+
+    def est(regs):
+        z = 0.0
+        v = 0
+        for r in regs:
+            mj = 0 if r == 0 else r.bit_length() - 1
+            z += 2.0 ** -mj
+            v += 1 if r == 0 else 0
+        raw = 0.709 * m * m / z
+        if raw <= 2.5 * m and v > 0:
+            return m * math.log(m / v)
+        return raw
+
+    nodes = sorted({x for e in edges for x in e})
+    regs = {v: init_regs(node_hash[v]) for v in nodes}
+    estp = {v: est(regs[v]) for v in nodes}
+    harm = {v: 0.0 for v in nodes}
+    trace = []
+    for r in range(1, max_radius + 1):
+        nxt = {v: list(regs[v]) for v in nodes}
+        for u, v in edges:
+            nxt[v] = [a | b for a, b in zip(nxt[v], regs[u])]
+        changed = False
+        for v in nodes:
+            e2 = est(nxt[v])
+            if e2 != estp[v]:
+                changed = True
+            harm[v] += max((e2 - estp[v]) / r, 0.0)
+            estp[v] = e2
+        regs = nxt
+        trace.append(sum(estp.values()))
+        if not changed:
+            break
+    return harm, estp, trace
+
+
+def test_harmonic_bit_equal_to_python_twin(spark):
+    from haensel_ams_data_engineer_challenge_spark.operators.linkgraph import (
+        harmonic_centrality,
+    )
+
+    rng = __import__("random").Random(42)
+    nodes = [f"h{i}.example" for i in range(40)]
+    edges = sorted({
+        (nodes[rng.randrange(40)], nodes[rng.randrange(40)])
+        for _ in range(120)
+    })
+    edges = [(u, v) for u, v in edges if u != v]
+    df = spark.createDataFrame(edges, "src_host string, dst_host string")
+    node_hash = {
+        r["node"]: r["h"]
+        for r in df.selectExpr("src_host as node").union(
+            df.selectExpr("dst_host as node")
+        ).distinct().selectExpr("node", "xxhash64(node) as h").collect()
+    }
+    log: list[float] = []
+    got = {
+        r["node"]: (r["harmonic"], r["n_coreachable"])
+        for r in harmonic_centrality(df, round_log=log).collect()
+    }
+    want_h, want_e, trace = _twin_hll(edges, node_hash)
+    assert set(got) == set(want_h)
+    for v in want_h:
+        assert got[v][0] == pytest.approx(want_h[v], rel=1e-12, abs=1e-12), v
+        assert got[v][1] == pytest.approx(want_e[v], rel=1e-12), v
+    assert len(log) == len(trace)
+    for a, b in zip(log, trace):
+        assert a == pytest.approx(b, rel=1e-12)
+
+
+def test_harmonic_accuracy_and_hub_on_exact_bfs(spark):
+    """Against exact BFS harmonic centrality: per-node error within
+    the small-range (linear-counting) regime's tolerance, the clear
+    hub identified, and the convergence radius = diameter + 1."""
+    from haensel_ams_data_engineer_challenge_spark.operators.linkgraph import (
+        harmonic_centrality,
+    )
+
+    # a hub everyone links to (directly or via a chain)
+    edges = [(f"s{i}.example", "hub.example") for i in range(8)]
+    edges += [(f"c{i}.example", f"c{i+1}.example") for i in range(4)]
+    edges += [("c4.example", "hub.example")]
+    df = spark.createDataFrame(edges, "src_host string, dst_host string")
+
+    # exact harmonic by BFS over the reversed graph
+    from collections import deque
+
+    nodes = sorted({x for e in edges for x in e})
+    rev: dict[str, list[str]] = {v: [] for v in nodes}
+    fwd: dict[str, list[str]] = {v: [] for v in nodes}
+    for u, v in edges:
+        fwd[u].append(v)
+    exact = {}
+    for v in nodes:
+        # d(u, v) for all u: BFS over reversed edges from v
+        dist = {v: 0}
+        q = deque([v])
+        while q:
+            x = q.popleft()
+            for u in nodes:
+                if x in fwd[u] and u not in dist:
+                    dist[u] = dist[x] + 1
+                    q.append(u)
+        exact[v] = sum(1.0 / d for u, d in dist.items() if d > 0)
+
+    log: list[float] = []
+    got = {
+        r["node"]: r["harmonic"]
+        for r in harmonic_centrality(df, round_log=log).collect()
+    }
+    assert max(got, key=got.get) == "hub.example"
+    for v in nodes:
+        if exact[v] > 0:
+            assert got[v] == pytest.approx(exact[v], rel=0.25), (
+                v, exact[v], got[v]
+            )
+        else:
+            assert got[v] == 0.0, v
+    # diameter = 6 (c0 -> ... -> c4 -> hub is 6 hops); +1 confirm round
+    assert len(log) <= 8
