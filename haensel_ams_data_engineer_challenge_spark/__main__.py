@@ -567,6 +567,19 @@ def _parser() -> argparse.ArgumentParser:
     lg.add_argument("--damping", type=float, default=0.85)
     lg.add_argument("--max-iter", type=int, default=100)
     lg.add_argument("--tol", type=float, default=1e-7)
+    lg.add_argument("--level", choices=("host", "domain"),
+                    default="host",
+                    help="graph granularity: host, or the registered-"
+                    "domain rollup where subdomain farms collapse")
+    lg.add_argument("--metric", choices=("pagerank", "harmonic"),
+                    default="pagerank",
+                    help="centrality: damped PageRank, or HyperBall "
+                    "harmonic centrality (the Common Crawl webgraph "
+                    "ranking metric)")
+    lg.add_argument("--include-nofollow", action="store_true",
+                    help="count rel=nofollow/ugc/sponsored links as "
+                    "edges (excluded by default — disclaimed links "
+                    "must not mint centrality)")
 
     rp = sub.add_parser(
         "report",
@@ -1862,32 +1875,54 @@ def main(argv: list[str] | None = None) -> int:
         if args.command == "linkgraph":
             from pyspark.sql import functions as F
 
-            from .operators.linkgraph import host_graph, pagerank
+            from .operators.linkgraph import (
+                domain_graph,
+                harmonic_centrality,
+                host_graph,
+                pagerank,
+            )
             from .sources.warc import read_links_warc
 
             links = read_links_warc(spark, args.warc_dir, glob=args.glob)
-            hg = host_graph(links)
-            hg.write.mode("overwrite").parquet(
-                f"{args.work_dir}/host_graph"
+            follow_only = not args.include_nofollow
+            if args.level == "domain":
+                g = domain_graph(links, follow_only=follow_only)
+                key = ("src_domain", "dst_domain", "domain")
+            else:
+                g = host_graph(links, follow_only=follow_only)
+                key = ("src_host", "dst_host", "host")
+            g.write.mode("overwrite").parquet(
+                f"{args.work_dir}/{key[2]}_graph"
             )
-            hg = spark.read.parquet(f"{args.work_dir}/host_graph")
-            ranks = pagerank(
-                hg, damping=args.damping, max_iter=args.max_iter,
-                tol=args.tol,
-            ).withColumnRenamed("node", "host")
+            g = spark.read.parquet(f"{args.work_dir}/{key[2]}_graph")
+            if args.metric == "harmonic":
+                ranks = harmonic_centrality(
+                    g, src=key[0], dst=key[1],
+                    max_radius=args.max_iter,
+                ).select(
+                    F.col("node").alias(key[2]),
+                    F.col("harmonic").alias("rank"),
+                    "n_coreachable",
+                )
+            else:
+                ranks = pagerank(
+                    g, src=key[0], dst=key[1], damping=args.damping,
+                    max_iter=args.max_iter, tol=args.tol,
+                ).withColumnRenamed("node", key[2])
             ranks.write.mode("overwrite").parquet(
-                f"{args.work_dir}/host_rank"
+                f"{args.work_dir}/{key[2]}_rank"
             )
-            back = spark.read.parquet(f"{args.work_dir}/host_rank")
-            top = back.orderBy(F.col("rank").desc(), "host").limit(5)
-            n_edges = hg.count()
-            n_hosts = back.count()
+            back = spark.read.parquet(f"{args.work_dir}/{key[2]}_rank")
+            top = back.orderBy(F.col("rank").desc(), key[2]).limit(5)
+            n_edges = g.count()
+            n_nodes = back.count()
             print(
-                f"edges={n_edges} hosts={n_hosts} "
-                f"damping={args.damping} -> {args.work_dir}/host_rank"
+                f"edges={n_edges} {key[2]}s={n_nodes} "
+                f"metric={args.metric} -> "
+                f"{args.work_dir}/{key[2]}_rank"
             )
             for r in top.collect():
-                print(f"  {r['host']}\t{r['rank']:.6f}")
+                print(f"  {r[key[2]]}\t{r['rank']:.6f}")
             return 0
 
         if args.command == "report":

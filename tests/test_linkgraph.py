@@ -723,3 +723,38 @@ def test_harmonic_accuracy_and_hub_on_exact_bfs(spark):
             assert got[v] == 0.0, v
     # diameter = 6 (c0 -> ... -> c4 -> hub is 6 hops); +1 confirm round
     assert len(log) <= 8
+
+
+def test_cli_linkgraph_domain_harmonic(spark, tmp_path, capsys):
+    """CLI --level domain --metric harmonic: the rollup + HyperBall
+    path end-to-end, with the hub domain top-ranked."""
+    from haensel_ams_data_engineer_challenge_spark.__main__ import main
+
+    shard = (
+        _page("http://a.s1.example/", ["http://www.hub.example/x"])
+        + _page("http://b.s2.example/", ["http://hub.example/y"])
+        + _page("http://news.bbc.co.uk/", ["http://hub.example/"])
+    )
+    (tmp_path / "w.warc").write_bytes(shard)
+    work = str(tmp_path / "wd")
+    assert main([
+        "linkgraph", "--warc-dir", str(tmp_path), "--work-dir", work,
+        "--level", "domain", "--metric", "harmonic",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "metric=harmonic" in out and "domains=" in out
+    ranks = {
+        r["domain"]: r["rank"]
+        for r in spark.read.parquet(f"{work}/domain_rank").collect()
+    }
+    # www.hub.example and hub.example collapse into ONE domain node
+    assert "hub.example" in ranks
+    assert "www.hub.example" not in ranks
+    assert "bbc.co.uk" in ranks  # multi-part suffix rolled correctly
+    assert max(ranks, key=ranks.get) == "hub.example"
+    g = {
+        (r["src_domain"], r["dst_domain"])
+        for r in spark.read.parquet(f"{work}/domain_graph").collect()
+    }
+    assert ("s1.example", "hub.example") in g
+    assert ("bbc.co.uk", "hub.example") in g
