@@ -88,6 +88,24 @@ def main() -> None:
             "final_delta": rounds[-1] if rounds else None,
         }), flush=True)
 
+        # harmonic centrality: rounds should track the graph's
+        # effective diameter (small, flat-ish under preferential
+        # attachment), NOT n — the HyperBall scale claim
+        hrounds: list[float] = []
+        t0 = time.perf_counter()
+        linkgraph.harmonic_centrality(
+            df, round_log=hrounds
+        ).count()
+        hwall = time.perf_counter() - t0
+        print(json.dumps({
+            "case": "harmonic_scale",
+            "n_hosts": n,
+            "n_edges": len(edges),
+            "wall_s": round(hwall, 2),
+            "rounds": len(hrounds),
+            "s_per_round": round(hwall / max(len(hrounds), 1), 3),
+        }), flush=True)
+
     spark.stop()
 
 
