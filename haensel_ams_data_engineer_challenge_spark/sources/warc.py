@@ -374,3 +374,102 @@ def read_links_warc(
         "src_uri string, dst_uri string, anchor_text string, "
         "nofollow boolean",
     )
+
+
+def read_robots_warc(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.warc*",
+    _zstd_decompress=None,
+) -> DataFrame:
+    """Read WARC shards -> (host, robots_txt): the RAW text of every
+    ``/robots.txt`` response record (round 15 — the crawl-policy
+    input for ``functions.robots``).
+
+    The documents reader is wrong for this: robots.txt is plain text,
+    and the HTML block extractor would collapse its line structure.
+    Here the payload decodes as UTF-8-with-replacement (robots files
+    are ASCII-by-spec; stray bytes must not kill the record) and
+    rides whole.  Multiple captures of one host keep the LONGEST body
+    (the least-truncated capture) — deterministic.  Same binaryFile /
+    gzip / zstd scan shape as the other WARC readers."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("path", "content")
+    )
+
+    def parse(batches):
+        import gzip
+        from urllib.parse import urlparse
+
+        import pandas as pd
+
+        from .zstdwire import ZSTD_MAGIC, zstd_decompress
+
+        zdec = _zstd_decompress or zstd_decompress
+
+        for pdf in batches:
+            rows: list[tuple[str, str]] = []
+            for blob in pdf["content"]:
+                blob = bytes(blob)
+                if blob[:2] == b"\x1f\x8b":
+                    try:
+                        blob = gzip.decompress(blob)
+                    except OSError:
+                        continue
+                elif blob[:4] == ZSTD_MAGIC:
+                    try:
+                        blob = zdec(blob)
+                    except ValueError:
+                        continue
+                pos, n = 0, len(blob)
+                while pos < n:
+                    while pos < n and blob[pos : pos + 1] in (b"\r", b"\n"):
+                        pos += 1
+                    if pos >= n or not blob.startswith(b"WARC/", pos):
+                        break
+                    hdr_end = blob.find(b"\r\n\r\n", pos)
+                    if hdr_end < 0:
+                        break
+                    headers: dict[str, str] = {}
+                    for line in blob[pos:hdr_end].split(b"\r\n")[1:]:
+                        key, _, val = line.partition(b":")
+                        headers[
+                            key.strip().lower().decode("ascii", "replace")
+                        ] = val.strip().decode("utf-8", "replace")
+                    try:
+                        length = int(headers.get("content-length", ""))
+                    except ValueError:
+                        break
+                    body_start = hdr_end + 4
+                    if body_start + length > n:
+                        break
+                    body = blob[body_start : body_start + length]
+                    pos = body_start + length
+                    uri = headers.get("warc-target-uri", "")
+                    if headers.get("warc-type") != "response" or not uri:
+                        continue
+                    parsed = urlparse(uri)
+                    if parsed.path != "/robots.txt":
+                        continue
+                    http_end = body.find(b"\r\n\r\n")
+                    status = (
+                        body[: body.find(b"\r\n")] if http_end >= 0 else b""
+                    )
+                    if http_end < 0 or b" 200" not in status:
+                        continue
+                    rows.append((
+                        parsed.netloc,
+                        body[http_end + 4 :].decode("utf-8", "replace"),
+                    ))
+            yield pd.DataFrame(rows, columns=["host", "robots_txt"])
+
+    parsed = files.mapInPandas(parse, "host string, robots_txt string")
+    return (
+        parsed.groupBy("host")
+        .agg(F.max_by("robots_txt", F.length("robots_txt")).alias(
+            "robots_txt"
+        ))
+    )
