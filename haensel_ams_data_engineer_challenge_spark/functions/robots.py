@@ -248,3 +248,85 @@ def filter_allowed(
             unhosted.drop("__rb_host", "__rb_path")
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# sitemaps (sitemaps.org protocol) — the frontier's positive half
+# ---------------------------------------------------------------------------
+
+#: per-file entry cap, mirroring the protocol's own 50k-URL limit.
+MAX_SITEMAP_ENTRIES = 50_000
+
+
+def parse_sitemap(xml_text: str) -> tuple[str, list[tuple[str, str | None]]]:
+    """One sitemap document -> (kind, entries): kind ``"urlset"``
+    with [(loc, lastmod|None), ...] page entries, ``"sitemapindex"``
+    with [(child_sitemap_loc, lastmod|None), ...], or ``("", [])``
+    for anything unparseable/foreign — robots.txt's never-raise
+    discipline.  Namespace-agnostic (localname matching: real
+    sitemaps mix the 0.9 namespace, no namespace, and vendor
+    extensions); entries capped at the protocol's own 50k limit."""
+    import xml.etree.ElementTree as ET
+
+    def local(tag: str) -> str:
+        return tag.rsplit("}", 1)[-1].lower()
+
+    try:
+        root = ET.fromstring(xml_text)
+    except ET.ParseError:
+        return "", []
+    kind = local(root.tag)
+    if kind not in ("urlset", "sitemapindex"):
+        return "", []
+    child = "url" if kind == "urlset" else "sitemap"
+    entries: list[tuple[str, str | None]] = []
+    for el in root:
+        if local(el.tag) != child:
+            continue
+        loc = None
+        lastmod = None
+        for sub in el:
+            if local(sub.tag) == "loc" and sub.text:
+                loc = sub.text.strip()
+            elif local(sub.tag) == "lastmod" and sub.text:
+                lastmod = sub.text.strip()
+        if loc:
+            entries.append((loc, lastmod))
+        if len(entries) >= MAX_SITEMAP_ENTRIES:
+            break
+    return kind, entries
+
+
+def sitemap_entries(
+    sitemaps: DataFrame,
+    host_col: str = "host",
+    text_col: str = "sitemap_xml",
+) -> DataFrame:
+    """(host, kind, loc, lastmod): exploded sitemap entries over
+    (host, xml body) rows — ONE Arrow stage; urlset rows are frontier
+    candidates (join ``canonical_url(loc)`` against the admitted
+    store's URL tier), sitemapindex rows are fetch targets for the
+    crawler's next wave."""
+    import pandas as pd
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hosts: list[str] = []
+            kinds: list[str] = []
+            locs: list[str] = []
+            mods: list[str | None] = []
+            for h, body in zip(pdf[host_col], pdf[text_col]):
+                kind, entries = parse_sitemap(body or "")
+                for loc, lastmod in entries:
+                    hosts.append(h)
+                    kinds.append(kind)
+                    locs.append(loc)
+                    mods.append(lastmod)
+            yield pd.DataFrame({
+                "host": hosts, "kind": kinds,
+                "loc": locs, "lastmod": mods,
+            })
+
+    return sitemaps.select(host_col, text_col).mapInPandas(
+        _parse, "host string, kind string, loc string, lastmod string"
+    )

@@ -168,3 +168,78 @@ def test_read_robots_warc(spark, tmp_path):
     assert {
         r["doc_id"] for r in filter_allowed(docs, rules).collect()
     } == {1}
+
+
+# ---------------------------------------------------------------------------
+# sitemaps
+# ---------------------------------------------------------------------------
+
+
+def test_parse_sitemap_urlset_and_index():
+    from haensel_ams_data_engineer_challenge_spark.functions.robots import (
+        parse_sitemap,
+    )
+
+    urlset = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url><loc>http://x.example/a</loc><lastmod>2025-01-01</lastmod></url>
+  <url><loc> http://x.example/b </loc></url>
+  <url><priority>0.5</priority></url>
+</urlset>"""
+    kind, entries = parse_sitemap(urlset)
+    assert kind == "urlset"
+    assert entries == [
+        ("http://x.example/a", "2025-01-01"),
+        ("http://x.example/b", None),
+    ]
+    index = """<sitemapindex>
+  <sitemap><loc>http://x.example/sitemap1.xml</loc></sitemap>
+  <sitemap><loc>http://x.example/sitemap2.xml</loc>
+           <lastmod>2025-02-02</lastmod></sitemap>
+</sitemapindex>"""
+    kind, entries = parse_sitemap(index)
+    assert kind == "sitemapindex"
+    assert entries == [
+        ("http://x.example/sitemap1.xml", None),
+        ("http://x.example/sitemap2.xml", "2025-02-02"),
+    ]
+    # malformed / foreign XML: never raises
+    assert parse_sitemap("<html><body>nope</body></html>") == ("", [])
+    assert parse_sitemap("not xml at all <<<") == ("", [])
+    assert parse_sitemap("") == ("", [])
+
+
+def test_sitemap_entries_distributed_and_frontier_join(spark):
+    from haensel_ams_data_engineer_challenge_spark.functions.robots import (
+        sitemap_entries,
+    )
+    from haensel_ams_data_engineer_challenge_spark.functions.url import (
+        canonical_url,
+    )
+
+    xml = (
+        "<urlset>"
+        "<url><loc>http://s.example/new?utm_source=x</loc></url>"
+        "<url><loc>http://s.example/known/</loc></url>"
+        "</urlset>"
+    )
+    df = spark.createDataFrame(
+        [("s.example", xml), ("bad.example", "<<<")],
+        "host string, sitemap_xml string",
+    )
+    entries = sitemap_entries(df)
+    got = {(r["host"], r["loc"]) for r in entries.collect()}
+    assert got == {
+        ("s.example", "http://s.example/new?utm_source=x"),
+        ("s.example", "http://s.example/known/"),
+    }
+    # frontier prime: canonical_url collapses the tracking variant and
+    # the admitted store's URL tier rejects the known page
+    admitted = spark.createDataFrame(
+        [("http://s.example/known",)], "cu string"
+    )
+    fresh = (
+        entries.withColumn("cu", canonical_url("loc"))
+        .join(admitted, "cu", "left_anti")
+    )
+    assert [r["cu"] for r in fresh.collect()] == ["http://s.example/new"]
