@@ -1148,6 +1148,86 @@ def multimodal_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.join(resized, "doc_id").join(frames, "doc_id").join(feats, "doc_id")
 
 
+def multimodal_pipeline_fused_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``multimodal_pipeline_query``'s wide row from ONE mapInPandas
+    stage (round 15, optimization guide §4: eliminate per-chain Python
+    floors).  The four stage contracts (decode / resize / frame-pivot
+    / feature-extract) are pure per-payload functions of the SAME
+    payload bytes, so the doc_id-keyed joins of the separate form are
+    an identity re-assembly — computing all four column groups in one
+    Arrow pass yields the identical wide row while removing three
+    Python chains, three broadcast builds, one pivot shuffle and the
+    payload localCheckpoint (single consumer now reads the scan
+    directly).  Row-equality to the separate form is pytest-pinned
+    (tests/test_extensions.py), so the oracle twin
+    (MULTIMODAL_PIPELINE_SQL) is untouched.
+
+    The separate operators remain the composable API surface
+    (decode_image_meta / resize_image_meta / frame_sample /
+    feature_extract keep their own tests and callers); this fused form
+    is the gate/bench plan.
+    """
+    max_side = 256  # resize_image_meta's default, pinned by the twin
+
+    schema = (
+        DECODE_SCHEMA
+        + ", r_width long, r_height long, r_scale double, "
+        + ", ".join(f"frame_off_{i} long" for i in range(N_SAMPLE_FRAMES))
+        + ", "
+        # float here, cast to double below — the separate form routes
+        # features through an Arrow array<float>, so the fused row
+        # must take the identical float32 rounding
+        + ", ".join(f"feat_{i} float" for i in range(FEATURE_DIM))
+    )
+    cols = (
+        ["doc_id", "n_bytes", "format", "width", "height", "decoder",
+         "content_hash", "r_width", "r_height", "r_scale"]
+        + [f"frame_off_{i}" for i in range(N_SAMPLE_FRAMES)]
+        + [f"feat_{i}" for i in range(FEATURE_DIM)]
+    )
+
+    def _all(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        codec = make_image_codec()
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                digest = hashlib.md5(payload).digest()
+                # decode columns: the same ladder as decode_image_meta
+                # (try_header=False — text-bytes stand-ins, see
+                # decode_stub_query)
+                fmt, w, h, dec = image_meta_ladder(payload, codec, False)
+                # resize columns: resize_image_meta reads the FAKE
+                # dims regardless of the decode ladder — mirror that
+                _ffmt, fw, fh = _fake_decode(payload)
+                scale = min(max_side / fw, max_side / fh, 1.0)
+                n = len(payload)
+                rows.append(
+                    (
+                        doc_id, n, fmt, w, h, dec, digest.hex(),
+                        int(fw * scale), int(fh * scale), scale,
+                        *((i * n) // N_SAMPLE_FRAMES
+                          for i in range(N_SAMPLE_FRAMES)),
+                        *(int.from_bytes(digest[2 * i: 2 * i + 2], "big")
+                          / 65536.0 for i in range(FEATURE_DIM)),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    fused = docs.mapInPandas(_all, schema)
+    return fused.select(
+        *cols[: len(cols) - FEATURE_DIM],
+        *[
+            F.col(f"feat_{i}").cast("double").alias(f"feat_{i}")
+            for i in range(FEATURE_DIM)
+        ],
+    )
+
+
 def _hex_from_hash(start: int, n: int) -> str:
     """Digest bytes [start, start+n) of the decode CTE's content_hash
     (= md5(text)) as integer — same recipe as ``_hex_int`` without
@@ -1485,7 +1565,12 @@ def multimodal_both_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Arrow plumbing chain.  The header arm fills only the decode
     columns; resize/frame/feature columns are NULL there
     (unionByName allowMissingColumns)."""
-    stub = multimodal_pipeline_query(spark, sf_dir).withColumn(
+    # round 15 (optimization): the stub arm rides the FUSED one-stage
+    # form — same wide row (pytest-pinned row-equal to the separate
+    # decode ⋈ resize ⋈ frames ⋈ features plan), minus three Python
+    # chains, three broadcast builds, the pivot shuffle and the
+    # payload localCheckpoint.  Oracle twin unchanged.
+    stub = multimodal_pipeline_fused_query(spark, sf_dir).withColumn(
         "method", F.lit("stub_pipeline")
     )
     # round 14: the three header arms (image/audio/video) ride ONE

@@ -36,6 +36,21 @@ ENGINE_CONFS: dict[str, str] = {
 }
 
 
+#: Static confs (session-build time only — CANNOT_MODIFY_STATIC_CONFIG
+#: at runtime, so these go through the builder, not ensure_engine_confs).
+#: dataFrameDebugging: PySpark 4's per-DataFrame-API-call site capture
+#: (error-context aid) costs ~3 extra py4j round-trips per API call on
+#: the driver — measured 2x the construction-time socket traffic of
+#: every large query build (text_stats: 7786 -> 3416 round-trips/call;
+#: optimization guide §5: the driver should do almost no work).  The
+#: cost scales with query-graph size, not data size, so turning it off
+#: is a production setting, not a local tune; error messages lose only
+#: the Python call-site annotation.
+STATIC_CONFS: dict[str, str] = {
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
+}
+
+
 def default_parallelism() -> int:
     try:
         return int(os.environ.get("SPARK_GRAFT_CPUS", "") or 0) or (os.cpu_count() or 8)
@@ -78,6 +93,8 @@ def get_spark(app_name: str = "haensel-ams-spark", master: str | None = None,
         shuffle_partitions = default_parallelism()
     builder = SparkSession.builder.appName(app_name).master(master)
     for k, v in ENGINE_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in STATIC_CONFS.items():
         builder = builder.config(k, v)
     builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     builder = builder.config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))

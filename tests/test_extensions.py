@@ -173,6 +173,24 @@ def test_multimodal_decode_deterministic(spark, sf_dir):
     assert all(64 <= w < 2048 and 64 <= h < 2048 for (_, _, w, h) in a.values())
 
 
+def test_multimodal_fused_stub_equals_separate(spark, sf_dir):
+    """Round 15 (optimization): the fused one-stage stub-pipeline form
+    must be row-identical to the separate decode ⋈ resize ⋈ frames ⋈
+    features plan it replaces in the gate — the fusion is a plan
+    change only (guide §4: one Arrow chain instead of four)."""
+    from haensel_ams_data_engineer_challenge_spark.multimodal.binary import (
+        multimodal_pipeline_fused_query,
+        multimodal_pipeline_query,
+    )
+
+    sep = multimodal_pipeline_query(spark, sf_dir)
+    fused = multimodal_pipeline_fused_query(spark, sf_dir)
+    assert fused.schema == sep.schema
+    rows_sep = sorted(map(tuple, sep.collect()))
+    rows_fused = sorted(map(tuple, fused.collect()))
+    assert rows_fused == rows_sep and len(rows_fused) > 0
+
+
 def test_approx_count_distinct_within_tolerance(spark, sf_dir):
     """HLL sketches differ across engines, so this is tolerance-tested
     rather than oracle-hashed (see registry comment)."""
