@@ -40,12 +40,36 @@ _NANOS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 _SPREAD_TABLES = {"documents", "embeddings"}
 
 
+#: Sessions (by applicationId) whose runtime confs are already set —
+#: ensure_engine_confs issues ~8 conf round-trips per call, and every
+#: loader calls it defensively; once per session is enough (round 15,
+#: guide §5: keep the driver out of the hot path).
+_CONFS_ENSURED: set[str] = set()
+
+#: Session-scoped parquet schema cache: (appId, file path) -> schema.
+#: The testdata files are immutable within a session; passing the
+#: known schema back to the reader skips the per-call footer-read
+#: job that otherwise precedes EVERY scan of every arm (metadata
+#: caching only — the same class as Spark's own file-listing cache,
+#: guide §6; rows are always computed from the parquet inputs).
+_SCHEMA_CACHE: dict[tuple[str, str], "object"] = {}
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, spread: bool | None = None
 ) -> DataFrame:
     """Load one testdata table with normalized timestamp types."""
-    ensure_engine_confs(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    app = spark.sparkContext.applicationId
+    if app not in _CONFS_ENSURED:
+        ensure_engine_confs(spark)
+        _CONFS_ENSURED.add(app)
+    path = f"{sf_dir}/{name}.parquet"
+    cached = _SCHEMA_CACHE.get((app, path))
+    if cached is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[(app, path)] = df.schema
+    else:
+        df = spark.read.schema(cached).parquet(path)
     dtypes = dict(df.dtypes)
     for col in _NANOS_COLS.get(name, ()):
         if dtypes.get(col) == "bigint":
