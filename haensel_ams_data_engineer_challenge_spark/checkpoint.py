@@ -76,6 +76,36 @@ def ensure_checkpoint_dir(sc, checkpoint_dir: str) -> None:
         )
 
 
+def build_concurrently(builders, max_workers: int = 3) -> list:
+    """Run independent DataFrame-building thunks from a small driver
+    thread pool; results in input order (optimization guide §2.6:
+    overlap independent jobs).
+
+    Under AQE, ``materialize()``/``localCheckpoint`` runs the
+    subtree's query stages EAGERLY at call time, and trained-model
+    builders run bounded collects — so a query function that
+    constructs several independent arms serializes those jobs on the
+    driver.  2-3 in flight fills the idle tail without contending;
+    FIFO scheduling back-fills freed cores.  Thread-locals (job
+    description/group) propagate via ``inheritable_thread_target``.
+    Results are unchanged: each thunk builds exactly the DataFrame it
+    would have built sequentially, and errors re-raise on the caller.
+    """
+    if len(builders) <= 1:
+        return [b() for b in builders]
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(
+        max_workers=min(max_workers, len(builders))
+    ) as pool:
+        futures = [
+            pool.submit(inheritable_thread_target(b)) for b in builders
+        ]
+        return [f.result() for f in futures]
+
+
 def materialize(df: DataFrame, eager: bool = False) -> DataFrame:
     """Truncate ``df``'s lineage, materializing it at first action.
 

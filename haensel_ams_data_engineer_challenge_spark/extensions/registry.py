@@ -148,14 +148,22 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
     # away.
     def _dedup_exact_with_incremental(spark: SparkSession, sf: str) -> DataFrame:
         docs = _docs(spark, sf)
-        groups = D.dedup_exact(docs)
         batch = docs.select(
             (F.col("doc_id") + 10000).alias("doc_id"),
             F.when(F.col("doc_id") % 2 == 0, F.col("text"))
             .otherwise(F.concat(F.col("text"), F.lit(" v2")))
             .alias("text"),
         )
-        new = D.incremental_new_docs(batch, docs)
+        # round 15 (optimization, guide §2.6): the groups arm is lazy
+        # but the incremental arm materializes its maybe-dup sliver at
+        # build time; overlapping the two keeps the driver busy while
+        # that job runs.  Same rows.
+        from ..checkpoint import build_concurrently
+
+        groups, new = build_concurrently([
+            lambda: D.dedup_exact(docs),
+            lambda: D.incremental_new_docs(batch, docs),
+        ])
         nb = F.lit(None).cast("long")
         return groups.select(
             F.lit("groups").alias("method"), "text_hash", "keep_id", "n_copies"
@@ -203,10 +211,6 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
         recomputes both arms from scratch with the shared band CTEs —
         the artifact round-trip itself is what the arm certifies."""
         docs = _docs(spark, sf)
-        full = D.dedup_minhash_lsh(docs).select(
-            F.lit("full").alias("method"), "id_a", "id_b",
-            F.lit(None).cast("double").alias("jaccard"),
-        )
         idx_part = docs.filter("doc_id % 10 != 0")
         batch_part = docs.filter("doc_id % 10 = 0")
         # mtime-keyed index dir: build-once/probe-many (see
@@ -214,13 +218,30 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
         idx_path = _mtime_artifact_path(
             sf, "documents.parquet", "spark_graft_mhidx_"
         )
-        bands = MI.minhash_index_build(idx_part, idx_path)
-        probe = MI.near_dup_probe(batch_part, bands, idx_part).select(
-            F.lit("index").alias("method"),
-            F.col("doc_id").alias("id_a"),
-            F.col("dup_of").alias("id_b"),
-            "jaccard",
-        )
+
+        def _probe_arm() -> DataFrame:
+            bands = MI.minhash_index_build(idx_part, idx_path)
+            return MI.near_dup_probe(batch_part, bands, idx_part).select(
+                F.lit("index").alias("method"),
+                F.col("doc_id").alias("id_a"),
+                F.col("dup_of").alias("id_b"),
+                "jaccard",
+            )
+
+        # round 15 (optimization, guide §2.6): the in-frame LSH arm and
+        # the persisted-index probe arm are independent; each runs
+        # eager work at build time (the signature materialize / the
+        # index build-or-read + candidate verify materialize), so a
+        # 2-thread build overlaps their jobs.  Same rows.
+        from ..checkpoint import build_concurrently
+
+        full, probe = build_concurrently([
+            lambda: D.dedup_minhash_lsh(docs).select(
+                F.lit("full").alias("method"), "id_a", "id_b",
+                F.lit(None).cast("double").alias("jaccard"),
+            ),
+            _probe_arm,
+        ])
         return full.unionByName(probe)
 
     e["dedup_minhash_lsh"] = (
@@ -347,13 +368,43 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
         # conf-driven (session.respread_width) for cluster runs.
         kept = materialize(kept.repartition(respread_width(spark)))
         surv = kept.filter("is_survivor")
+
+        # round 15 (optimization, guide §2.6): the three survivor-flag
+        # builders below (doc cap, token cap, contamination) all
+        # consume the SAME materialized `kept` stream and are mutually
+        # independent, but each runs eager work at construction time
+        # (stratum_cap's bounded collect, token_budget_cap's prefix-sum
+        # materialize, contamination_check's hits materialize) — build
+        # them from a small thread pool so those jobs overlap instead
+        # of serializing on the driver.  Same DataFrames, same rows.
+        ev = docs.filter(CONTAM_EVAL_PRED).select("doc_id", "text")
+        from ..checkpoint import build_concurrently
+
+        cap_ids, tok_ids, contam_ids = build_concurrently([
+            lambda: (
+                stratum_cap(surv, ["lang"], CAP_PER_LANG, "doc_id")
+                .select("doc_id")
+                .withColumn("__cap", F.lit(True))
+            ),
+            lambda: (
+                token_budget_cap(
+                    surv.withColumn(
+                        "n_tokens", T.bpe_ish_count("text").cast("long")
+                    ),
+                    ["lang"], TOKEN_BUDGET, "n_tokens", "doc_id",
+                )
+                .select("doc_id")
+                .withColumn("__tb", F.lit(True))
+            ),
+            lambda: (
+                contamination_check(surv, ev, min_overlap_frac=CONTAM_FRAC)
+                .select(F.col("train_id").alias("doc_id"))
+                .distinct()
+                .withColumn("__ct", F.lit(True))
+            ),
+        ])
         # per-language cap via the REAL two-stage stratum_cap; the kept
         # id set is tiny (<= cap x n_langs) so the flag join broadcasts
-        cap_ids = (
-            stratum_cap(surv, ["lang"], CAP_PER_LANG, "doc_id")
-            .select("doc_id")
-            .withColumn("__cap", F.lit(True))
-        )
         capped = (
             kept.join(F.broadcast(cap_ids), "doc_id", "left")
             .withColumn("kept_after_cap", F.coalesce(F.col("__cap"), F.lit(False)))
@@ -366,14 +417,6 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
         # budget (bpe_ish_count, the engine's tokenizer proxy — round-5
         # verdict #3; the column is lazy, so the regex runs only on the
         # survivor branch feeding this cap)
-        tok_ids = (
-            token_budget_cap(
-                surv.withColumn("n_tokens", T.bpe_ish_count("text").cast("long")),
-                ["lang"], TOKEN_BUDGET, "n_tokens", "doc_id",
-            )
-            .select("doc_id")
-            .withColumn("__tb", F.lit(True))
-        )
         capped = (
             capped.join(F.broadcast(tok_ids), "doc_id", "left")
             .withColumn(
@@ -383,14 +426,7 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
         )
         # survivors -> decontaminate: flag survivors overlapping the
         # held-out eval slice (train side = deduped corpus, the order
-        # the corpus CLI runs the stages in)
-        ev = docs.filter(CONTAM_EVAL_PRED).select("doc_id", "text")
-        contam_ids = (
-            contamination_check(surv, ev, min_overlap_frac=CONTAM_FRAC)
-            .select(F.col("train_id").alias("doc_id"))
-            .distinct()
-            .withColumn("__ct", F.lit(True))
-        )
+        # the corpus CLI runs the stages in); contam_ids built above
         flagged = (
             capped.join(F.broadcast(contam_ids), "doc_id", "left")
             .withColumn("contaminated", F.coalesce(F.col("__ct"), F.lit(False)))
@@ -530,14 +566,22 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
 
         docs = _docs(spark, sf)
         ev = docs.filter(CONTAM_EVAL_PRED).select("doc_id", "text")
-        ngram = contamination_check(docs, ev, min_overlap_frac=CONTAM_FRAC)
         queries = docs.filter(BM25_PROBE_PRED).select(
             F.col("doc_id").alias("query_id"),
             F.concat_ws(
                 " ", F.slice(search_tokens("text"), 1, BM25_QUERY_TOKENS)
             ).alias("text"),
         )
-        bm = bm25_topk(docs, queries, k=BM25_K)
+        # round 15 (optimization, guide §2.6): the two method arms each
+        # materialize an intermediate at build time (ngram's pruned
+        # hits, bm25's pruned postings) and are independent — overlap
+        # their build-time jobs.  Same DataFrames, same rows.
+        from ..checkpoint import build_concurrently
+
+        ngram, bm = build_concurrently([
+            lambda: contamination_check(docs, ev, min_overlap_frac=CONTAM_FRAC),
+            lambda: bm25_topk(docs, queries, k=BM25_K),
+        ])
         nb = F.lit(None).cast("long")
         cols = ["method", "train_id", "eval_id", "n_shared", "score", "rank"]
         return ngram.select(
@@ -1051,7 +1095,31 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
         from ..operators.sampling import temperature_thresholds
 
         docs = _docs(spark, sf)
-        counts = {r[0]: r[1] for r in docs.groupBy("lang").count().collect()}
+        # round 15 (optimization, guide §2.6): the three eager
+        # prerequisites — the per-lang count collect (temperature
+        # thresholds), the shared word-token materialize, and the
+        # char-trigram materialize (langid NB features) — are
+        # independent; a small thread pool overlaps their jobs
+        # instead of serializing them on the driver.  Same rows.
+        from ..checkpoint import build_concurrently
+        from ..checkpoint import materialize as _mat
+
+        counts, toked, cgrams = build_concurrently([
+            lambda: {
+                r[0]: r[1]
+                for r in docs.groupBy("lang").count().collect()
+            },
+            lambda: _mat(
+                docs.select(
+                    "doc_id", "lang", R.search_tokens("text").alias("__toks")
+                )
+            ),
+            lambda: _mat(
+                CLF.char_ngram_tokens_col(docs).select(
+                    "doc_id", "lang", "__cg"
+                )
+            ),
+        ])
         thr = temperature_thresholds(counts, alpha=0.5)
         # the body's select renames lang -> actual; build the
         # temperature columns over that alias
@@ -1090,20 +1158,13 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
         # footers/templates), left-joined so <n-token docs keep NULL
         from ..operators.dedup import dup_shingle_fraction
 
-        # round 8: ONE materialized tokenize feeds the three
-        # token-keyed operators (unigram, bigram, NB) — each used to
-        # re-run the regex tokenize 2x (model + scoring passes), ~6
-        # corpus tokenizations per query.  The materialized stream is
-        # (doc_id, lang, tokens) — the LM family's own input bound;
-        # the body/dup-shingle columns keep their independent
+        # round 8: ONE materialized tokenize (`toked`, built above)
+        # feeds the three token-keyed operators (unigram, bigram, NB) —
+        # each used to re-run the regex tokenize 2x (model + scoring
+        # passes), ~6 corpus tokenizations per query.  The materialized
+        # stream is (doc_id, lang, tokens) — the LM family's own input
+        # bound; the body/dup-shingle columns keep their independent
         # text-derived expressions.
-        from ..checkpoint import materialize as _mat
-
-        toked = _mat(
-            docs.select(
-                "doc_id", "lang", R.search_tokens("text").alias("__toks")
-            )
-        )
         scores = ntile_exact(
             unigram_doc_scores(
                 toked, tokens_col="__toks", model_cache_key=sf
@@ -1167,11 +1228,7 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
             # both the crude and the trained language ID
             .join(
                 nb_classify_docs(
-                    _mat(
-                        CLF.char_ngram_tokens_col(docs).select(
-                            "doc_id", "lang", "__cg"
-                        )
-                    ),
+                    cgrams,
                     tokens_col="__cg",
                     out_prefix="cnb",
                     # char-TRIGRAM vocab is alphabet^3-bounded by
@@ -1618,7 +1675,7 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
     # n_docs column and full reconstruction are pytest-pinned
     # (tests/test_pack_sequences.py).
     def _fingerprint_with_chunks(spark: SparkSession, sf: str) -> DataFrame:
-        from ..checkpoint import materialize
+        from ..checkpoint import build_concurrently, materialize
         from ..operators.bpe import bpe_segment
         from ..operators.bpe_bytes import fused_bpe_arms
         from ..operators.pack import chunk_sequences, pack_sequences
@@ -1634,7 +1691,20 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
         ch = chunk_sequences(docs, seq_len=64, overlap=8)
         nb = F.lit(None).cast("long")
 
-        counted = materialize(term_pair_counts(docs))
+        # round 15 (optimization, guide §2.6): the three arm builders
+        # that run EAGER work at construction time (the vocab/pair
+        # count materialize, pack's prefix-sum materialize, the
+        # shuffle arm's rank materialize) are independent — build them
+        # from a small thread pool so their AQE stage jobs overlap
+        # instead of serializing on the driver.  Same DataFrames, same
+        # rows; only the build-time job schedule changes.
+        counted, packed, shuffled = build_concurrently([
+            lambda: materialize(term_pair_counts(docs)),
+            lambda: pack_sequences(docs, seq_len=64),
+            lambda: SMP.global_shuffle(
+                docs.select("doc_id"), n_shards=SHUFFLE_SHARDS, seed="r9"
+            ),
+        ])
 
         def _vocab_arm(df: DataFrame, tag: str) -> DataFrame:
             return df.select(
@@ -1681,7 +1751,7 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
                 nb.alias("chunk_idx"), "n_tokens",
             )
         ).unionByName(
-            pack_sequences(docs, seq_len=64).select(
+            packed.select(
                 F.lit("pack").alias("method"), nb.alias("doc_id"),
                 F.md5("seq_text").alias("fingerprint"),
                 F.col("seq_id").alias("chunk_idx"),
@@ -1691,9 +1761,7 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
             # round 9: deterministic global training-order shuffle —
             # the hash gate pins the ENTIRE seeded permutation
             # (doc -> shard, position-within-shard)
-            SMP.global_shuffle(
-                docs.select("doc_id"), n_shards=SHUFFLE_SHARDS, seed="r9"
-            ).select(
+            shuffled.select(
                 F.lit("shuffle").alias("method"), "doc_id",
                 F.lit(None).cast("string").alias("fingerprint"),
                 F.col("shard").alias("chunk_idx"),
