@@ -154,6 +154,7 @@ def nb_classify_docs(
         n_doc_c = tmeta
         n_docs_total = tmeta.agg(F.sum("__ndoc").alias("__ndocs"))
         ex, docs_meta = _nb_stage_score(docs, src, id_col)
+    cls_rows = None
     if model_cache_key is not None:
         full_key = (
             docs.sparkSession.sparkContext.applicationId,
@@ -166,10 +167,19 @@ def nb_classify_docs(
             hit = (materialize(cls), materialize(lnp))
             _NB_MODEL_CACHE[full_key] = hit
         cls, lnp = hit
+        # the scoring path needs the k-row class table driver-side;
+        # it is model state, so it caches with the model (round 15:
+        # the collect re-ran per scoring call — one job + py4j round
+        # trip per call for bytes that never change within a session)
+        cls_rows = _NB_CLS_ROWS_CACHE.get(full_key)
+        if cls_rows is None:
+            cls_rows = _collect_cls_rows(cls)
+            _NB_CLS_ROWS_CACHE[full_key] = cls_rows
     else:
         cls, lnp = _nb_train(train_ex, n_doc_c, n_docs_total)
     return _nb_score(
-        ex, docs_meta, cls, lnp, id_col, out_prefix, broadcast_model
+        ex, docs_meta, cls, lnp, id_col, out_prefix, broadcast_model,
+        cls_rows=cls_rows,
     )
 
 
@@ -177,6 +187,18 @@ def nb_classify_docs(
 #: precedent): (appId, caller key, label col, out prefix, feature
 #: source) -> (cls, lnp), both lineage-truncated.
 _NB_MODEL_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+
+#: Driver-side k-row class table per cached model (same lifetime/key).
+_NB_CLS_ROWS_CACHE: dict[tuple, list] = {}
+
+
+def _collect_cls_rows(cls: DataFrame) -> list:
+    """The sorted driver-side class table (label, prior, unseen-term
+    log-prob) — the broadcast-class collect precedent; k rows."""
+    return sorted(
+        (r["__lbl"], float(r["__prior_s"]), float(r["__lnp0_s"]))
+        for r in cls.collect()
+    )
 
 
 def _nb_train(
@@ -233,19 +255,17 @@ def _nb_score(
     id_col: str,
     out_prefix: str,
     broadcast_model: bool = False,
+    cls_rows: list | None = None,
 ) -> DataFrame:
     q = F.lit(1000000.0)
     # class table driver-side: k rows, the same broadcast-class
     # collect precedent as sampling.py's per-stratum counts.  Few
     # classes (the filtering regime: language/domain/quality labels)
     # take the fused one-shuffle scoring path; many classes fall back
-    # to the general (doc, class)-grid form.
-    cls_rows = sorted(
-        (
-            (r["__lbl"], float(r["__prior_s"]), float(r["__lnp0_s"]))
-            for r in cls.collect()
-        ),
-    )
+    # to the general (doc, class)-grid form.  Cached-model callers
+    # pass the rows in (collected once per session, round 15).
+    if cls_rows is None:
+        cls_rows = _collect_cls_rows(cls)
     if not cls_rows:
         raise ValueError(
             "NB scoring needs at least one trained class — the model "

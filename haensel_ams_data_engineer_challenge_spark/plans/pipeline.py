@@ -264,41 +264,44 @@ def run_pipeline(
     else:
         all_attribution = spark.read.parquet(attribution_path)
 
-    # 6c. channel report rebuild (S6 partition overwrite) + metrics
-    report = channel_report(
-        M.sessions(spark, sf_dir),
-        M.costs(spark, sf_dir),
-        all_attribution,
-        M.conversions(spark, sf_dir),
-        start_date,
-        end_date,
-    )
-    overwrite_partitions(report, report_path, "date")
-    # partitionBy moves the partition column last on read-back; restore
-    # the reference's column order (channel_reporting.csv header)
-    report_df = report_metrics(spark.read.parquet(report_path)).select(
-        "channel_name", "date", "cost", "ihc", "ihc_revenue", "CPO", "ROAS"
-    )
+    # 6b + 6c, overlapped (round 15, guide §2.6): the A2 invariant
+    # check needs only the POST-WRITE attribution sink, while the
+    # report chain (rebuild -> partition overwrite -> read-back ->
+    # row count) is the long pole — running A2 on a second driver
+    # thread back-fills cores during the report write instead of
+    # serializing a separate count job after it.  (This un-fuses the
+    # round-9 union-agg: one extra small job, but it runs entirely
+    # inside the report chain's shadow.)  Same result fields.
+    def _report_side() -> tuple[DataFrame, int]:
+        # 6c. channel report rebuild (S6 partition overwrite) + metrics
+        report = channel_report(
+            M.sessions(spark, sf_dir),
+            M.costs(spark, sf_dir),
+            all_attribution,
+            M.conversions(spark, sf_dir),
+            start_date,
+            end_date,
+        )
+        overwrite_partitions(report, report_path, "date")
+        # partitionBy moves the partition column last on read-back;
+        # restore the reference's column order (channel_reporting.csv)
+        rdf = report_metrics(spark.read.parquet(report_path)).select(
+            "channel_name", "date", "cost", "ihc", "ihc_revenue", "CPO", "ROAS"
+        )
+        return rdf, rdf.count()
 
-    # 6b. invariant check (A2) — warn-only in the reference
-    # (main.py:272-274) — fused with the report read-back count into a
-    # second union-agg job (both run over post-write sink state, so
-    # this is the earliest either can run; round-9 action-count cut).
-    post = (
-        attribution_sum_violations(all_attribution)
-        .select(F.lit(1).alias("__v"), F.lit(None).cast("int").alias("__r"))
-        .unionByName(
-            report_df.select(
-                F.lit(None).cast("int").alias("__v"), F.lit(1).alias("__r")
-            )
-        )
-        .agg(
-            F.count("__v").alias("violations"), F.count("__r").alias("rows")
-        )
-        .first()
+    def _a2_side() -> int:
+        # 6b. invariant check (A2) — warn-only in the reference
+        # (main.py:272-274)
+        return attribution_sum_violations(all_attribution).count()
+
+    from ..checkpoint import build_concurrently
+
+    (report_df, report_rows_l), sum_violations_l = build_concurrently(
+        [_report_side, _a2_side], max_workers=2
     )
-    sum_violations = int(post["violations"])
-    report_rows = int(post["rows"])
+    sum_violations = int(sum_violations_l)
+    report_rows = int(report_rows_l)
 
     # 6d. CSV export (S7) — the reference's final artifact
     if report_csv_path:
