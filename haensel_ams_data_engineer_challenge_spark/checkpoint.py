@@ -76,7 +76,9 @@ def ensure_checkpoint_dir(sc, checkpoint_dir: str) -> None:
         )
 
 
-def build_concurrently(builders, max_workers: int = 3) -> list:
+def build_concurrently(
+    builders, max_workers: int = 3, spark: SparkSession | None = None
+) -> list:
     """Run independent DataFrame-building thunks from a small driver
     thread pool; results in input order (optimization guide §2.6:
     overlap independent jobs).
@@ -87,9 +89,13 @@ def build_concurrently(builders, max_workers: int = 3) -> list:
     constructs several independent arms serializes those jobs on the
     driver.  2-3 in flight fills the idle tail without contending;
     FIFO scheduling back-fills freed cores.  Thread-locals (job
-    description/group) propagate via ``inheritable_thread_target``.
-    Results are unchanged: each thunk builds exactly the DataFrame it
-    would have built sequentially, and errors re-raise on the caller.
+    description/group AND session tags) propagate via the PySpark 4
+    session form of ``inheritable_thread_target`` — the bare-callable
+    form only copies local properties and warns that tags are lost,
+    so cancellation-by-tag and UI attribution would miss the
+    overlapped jobs.  Results are unchanged: each thunk builds exactly
+    the DataFrame it would have built sequentially, and errors
+    re-raise on the caller.
     """
     if len(builders) <= 1:
         return [b() for b in builders]
@@ -97,12 +103,17 @@ def build_concurrently(builders, max_workers: int = 3) -> list:
 
     from pyspark import inheritable_thread_target
 
+    if spark is None:
+        spark = SparkSession.getActiveSession()
+    wrap = (
+        inheritable_thread_target(spark)
+        if spark is not None
+        else inheritable_thread_target
+    )
     with ThreadPoolExecutor(
         max_workers=min(max_workers, len(builders))
     ) as pool:
-        futures = [
-            pool.submit(inheritable_thread_target(b)) for b in builders
-        ]
+        futures = [pool.submit(wrap(b)) for b in builders]
         return [f.result() for f in futures]
 
 

@@ -38,6 +38,8 @@ engines and partitionings.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, functions as F
 
 from ..checkpoint import materialize
@@ -161,20 +163,27 @@ def nb_classify_docs(
             model_cache_key, label_col, out_prefix,
             tokens_col if tokens_col is not None else text_col,
         )
-        hit = _NB_MODEL_CACHE.get(full_key)
+        with _NB_CACHE_LOCK:
+            hit = _NB_MODEL_CACHE.get(full_key)
         if hit is None:
             cls, lnp = _nb_train(train_ex, n_doc_c, n_docs_total)
             hit = (materialize(cls), materialize(lnp))
-            _NB_MODEL_CACHE[full_key] = hit
+            # setdefault: a concurrent build_concurrently thread that
+            # raced us only duplicated the training job; every caller
+            # still sees one winning model
+            with _NB_CACHE_LOCK:
+                hit = _NB_MODEL_CACHE.setdefault(full_key, hit)
         cls, lnp = hit
         # the scoring path needs the k-row class table driver-side;
         # it is model state, so it caches with the model (round 15:
         # the collect re-ran per scoring call — one job + py4j round
         # trip per call for bytes that never change within a session)
-        cls_rows = _NB_CLS_ROWS_CACHE.get(full_key)
+        with _NB_CACHE_LOCK:
+            cls_rows = _NB_CLS_ROWS_CACHE.get(full_key)
         if cls_rows is None:
             cls_rows = _collect_cls_rows(cls)
-            _NB_CLS_ROWS_CACHE[full_key] = cls_rows
+            with _NB_CACHE_LOCK:
+                cls_rows = _NB_CLS_ROWS_CACHE.setdefault(full_key, cls_rows)
     else:
         cls, lnp = _nb_train(train_ex, n_doc_c, n_docs_total)
     return _nb_score(
@@ -190,6 +199,11 @@ _NB_MODEL_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
 
 #: Driver-side k-row class table per cached model (same lifetime/key).
 _NB_CLS_ROWS_CACHE: dict[tuple, list] = {}
+
+#: Both NB caches are read from build_concurrently driver threads;
+#: the lock guards only the dict ops (never the training jobs), so a
+#: race costs at most one duplicated bounded job (r15 advice).
+_NB_CACHE_LOCK = threading.Lock()
 
 
 def _collect_cls_rows(cls: DataFrame) -> list:

@@ -48,15 +48,35 @@ ATTRIBUTION_DDL: dict[str, str] = {
 _MISSING_SINK = {"PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"}
 
 
+def hadoop_path_exists(spark: SparkSession, path: str) -> bool:
+    """Scheme-aware existence probe through the Hadoop FileSystem API
+    (works on HDFS/S3/ABFS exactly like the reads do — NOT os.path,
+    which is always False off-box; round-6 ingest lesson)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def try_read_sink(spark: SparkSession, path: str) -> DataFrame | None:
-    """Probe a sink THROUGH Spark, not os.path: on HDFS/S3/ABFS a
-    driver-local ``isdir()`` is always False, silently disabling every
-    existence-dependent behavior (round-6 ingest lesson, applied to
-    the batch sinks in round 9).  Returns the DataFrame when readable,
-    None when the path holds no data yet; an existing-yet-unreadable
-    sink re-raises."""
+    """Probe a sink THROUGH the Hadoop FileSystem, not os.path: on
+    HDFS/S3/ABFS a driver-local ``isdir()`` is always False, silently
+    disabling every existence-dependent behavior (round-6 ingest
+    lesson, applied to the batch sinks in round 9).  Returns the
+    DataFrame when readable, None when the path holds no data yet; an
+    existing-yet-unreadable sink re-raises.
+
+    The missing-path case is decided by ``fs.exists`` rather than by
+    catching PATH_NOT_FOUND from a speculative read: the failed read
+    costs a full listing attempt and the JVM logs its AnalysisException
+    stack trace to stderr even though Python catches it (the r15
+    bench-tail py4j trace — r15 verdict item 3).  The read+catch stays
+    for the exists-but-empty case (UNABLE_TO_INFER_SCHEMA) and as a
+    race guard."""
     from pyspark.errors import AnalysisException
 
+    if not hadoop_path_exists(spark, path):
+        return None
     try:
         df = spark.read.parquet(path)
         df.schema  # force resolution so missing paths surface here

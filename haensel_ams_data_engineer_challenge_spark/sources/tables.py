@@ -15,6 +15,10 @@ nanos to micros.
 
 from __future__ import annotations
 
+import os
+import threading
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..session import ensure_engine_confs
@@ -40,19 +44,44 @@ _NANOS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 _SPREAD_TABLES = {"documents", "embeddings"}
 
 
-#: Sessions (by applicationId) whose runtime confs are already set —
-#: ensure_engine_confs issues ~8 conf round-trips per call, and every
-#: loader calls it defensively; once per session is enough (round 15,
-#: guide §5: keep the driver out of the hot path).
-_CONFS_ENSURED: set[str] = set()
+#: Sessions whose runtime confs are already set — ensure_engine_confs
+#: issues ~8 conf round-trips per call, and every loader calls it
+#: defensively; once per SESSION is enough (round 15, guide §5: keep
+#: the driver out of the hot path).  Keyed by session identity, not
+#: applicationId (r15 advice): ENGINE_CONFS are per-SparkSession
+#: SQLConfs, so a second session sharing the context (spark
+#: .newSession(), an externally built driver session) must get its
+#: own application — a WeakSet so dropped sessions don't pin memory.
+_CONFS_ENSURED: "weakref.WeakSet" = weakref.WeakSet()
 
-#: Session-scoped parquet schema cache: (appId, file path) -> schema.
-#: The testdata files are immutable within a session; passing the
-#: known schema back to the reader skips the per-call footer-read
-#: job that otherwise precedes EVERY scan of every arm (metadata
-#: caching only — the same class as Spark's own file-listing cache,
-#: guide §6; rows are always computed from the parquet inputs).
-_SCHEMA_CACHE: dict[tuple[str, str], "object"] = {}
+#: Session-scoped parquet schema cache:
+#: (appId, file path, mtime-if-local) -> schema.  Parquet footer
+#: schemas are context-level metadata (identical for every session of
+#: one application); passing the known schema back to the reader
+#: skips the per-call footer-read job that otherwise precedes EVERY
+#: scan of every arm (metadata caching only — the same class as
+#: Spark's own file-listing cache, guide §6; rows are always computed
+#: from the parquet inputs).  The mtime component invalidates the
+#: entry if a local file is rewritten in-place within one
+#: application; non-local URIs fall back to the immutable-input
+#: assumption the testdata contract guarantees.
+_SCHEMA_CACHE: dict[tuple[str, str, float | None], "object"] = {}
+
+#: One lock for both caches: load_table is called from
+#: build_concurrently driver threads; a race would only duplicate a
+#: footer read, but the lock is two orders of magnitude cheaper than
+#: what it guards.
+_CACHE_LOCK = threading.Lock()
+
+
+def _local_mtime(path: str) -> float | None:
+    """st_mtime for plain local paths, None for remote URIs."""
+    if "://" in path:
+        return None
+    try:
+        return os.stat(path).st_mtime
+    except OSError:
+        return None
 
 
 def load_table(
@@ -60,14 +89,20 @@ def load_table(
 ) -> DataFrame:
     """Load one testdata table with normalized timestamp types."""
     app = spark.sparkContext.applicationId
-    if app not in _CONFS_ENSURED:
+    with _CACHE_LOCK:
+        confs_needed = spark not in _CONFS_ENSURED
+        if confs_needed:
+            _CONFS_ENSURED.add(spark)
+    if confs_needed:
         ensure_engine_confs(spark)
-        _CONFS_ENSURED.add(app)
     path = f"{sf_dir}/{name}.parquet"
-    cached = _SCHEMA_CACHE.get((app, path))
+    key = (app, path, _local_mtime(path))
+    with _CACHE_LOCK:
+        cached = _SCHEMA_CACHE.get(key)
     if cached is None:
         df = spark.read.parquet(path)
-        _SCHEMA_CACHE[(app, path)] = df.schema
+        with _CACHE_LOCK:
+            _SCHEMA_CACHE[key] = df.schema
     else:
         df = spark.read.schema(cached).parquet(path)
     dtypes = dict(df.dtypes)

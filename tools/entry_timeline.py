@@ -11,7 +11,7 @@ import json
 import sys
 import time
 import urllib.request
-from datetime import datetime
+from datetime import datetime, timezone
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -26,7 +26,14 @@ def _api(base: str, path: str):
 
 
 def _ts(s: str) -> float:
-    return datetime.strptime(s, "%Y-%m-%dT%H:%M:%S.%f%Z").timestamp()
+    # The UI reports GMT timestamps; %Z parses the suffix but leaves
+    # the datetime naive (= local time), which would skew every offset
+    # against time.time() on a non-UTC host — pin tzinfo to UTC.
+    return (
+        datetime.strptime(s, "%Y-%m-%dT%H:%M:%S.%f%Z")
+        .replace(tzinfo=timezone.utc)
+        .timestamp()
+    )
 
 
 def main() -> None:
