@@ -10,9 +10,23 @@ Tokenization contract (shared with oracles):
   char shingles   = sliding n-char substrings of the raw text
 Empty/short inputs yield empty shingle arrays (guarded — Spark's
 ``sequence(1, 0)`` counts *down*, unlike DuckDB's ``range``).
+
+Construction path (round 16, guide §5): when the input is a plain
+column NAME — every call site in the engine — each public function
+composes its WHOLE expression as one SQL string and parses it with a
+single ``F.expr`` round-trip, instead of issuing one py4j call per
+Catalyst node (the per-call Column builders made text.py the second
+largest construction-chatter source after the NB pivot: ~600
+round-trips per text_stats build).  The parsed expression tree is the
+same tree the Column API built; results are bit-identical (pinned by
+the oracle parity gate and the unit tests).  A genuine ``Column``
+input takes the original Column-API branch — THE TWO BRANCHES MUST
+STAY IN LOCK-STEP (and with the DuckDB twin in each docstring).
 """
 
 from __future__ import annotations
+
+import re
 
 from pyspark.sql import Column, functions as F
 
@@ -30,21 +44,76 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 
 EN_STOPWORDS = LANG_STOPWORDS["en"]
 
+#: names eligible for the single-parse SQL path (simple identifiers —
+#: dotted/exotic names keep F.col's nested-field semantics).
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _name(col: Column | str) -> str | None:
+    """The backtick-quoted SQL reference when ``col`` is a simple
+    column name, else None (caller falls back to the Column branch)."""
+    if isinstance(col, str) and _IDENT.match(col):
+        return f"`{col}`"
+    return None
+
+
+def _sql_s(s: str) -> str:
+    """SQL single-quoted string literal (escapedStringLiterals=false
+    parser: backslash escapes)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _sql_arr(items: tuple[str, ...]) -> str:
+    return "array(" + ", ".join(_sql_s(s) for s in items) + ")"
+
+
+_WS_PAT = _sql_s(r"\s+")
+
+
+def _tokens_sql(ref: str) -> str:
+    return f"split(trim(lower({ref})), {_WS_PAT})"
+
+
+def _word_shingles_sql(ref: str, n: int) -> str:
+    t = "t"  # lambda-bound token array (see word_shingles docstring)
+    grams = (
+        f"CASE WHEN size({t}) >= {n} THEN "
+        f"transform(sequence(1, size({t}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({t}, i, {n}))) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    return (
+        f"array_distinct(element_at("
+        f"transform(array({_tokens_sql(ref)}), {t} -> {grams}), 1))"
+    )
+
 
 def tokens(col: Column | str) -> Column:
     """Whitespace tokens of lower-cased text.
     DuckDB twin: string_split_regex(trim(lower(x)), '\\s+')."""
+    ref = _name(col)
+    if ref is not None:
+        return F.expr(_tokens_sql(ref))
     c = F.col(col) if isinstance(col, str) else col
     return F.split(F.trim(F.lower(c)), r"\s+")
 
 
 def token_count(col: Column | str) -> Column:
+    ref = _name(col)
+    if ref is not None:
+        return F.expr(f"size({_tokens_sql(ref)})")
     return F.size(tokens(col))
 
 
 def bpe_ish_count(col: Column | str) -> Column:
     """Token count under the BPE-ish regex.
     DuckDB twin: len(regexp_extract_all(x, pattern))."""
+    ref = _name(col)
+    if ref is not None:
+        return F.expr(
+            f"size(regexp_extract_all({ref}, "
+            f"{_sql_s(BPE_ISH_PATTERN)}, 0))"
+        )
     c = F.col(col) if isinstance(col, str) else col
     return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0))
 
@@ -62,6 +131,10 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     sf0.1 — the vocab.py lesson, fixed here inside the Column API so
     every call site inherits it).  Results are bit-identical.
     """
+    ref = _name(col)
+    if ref is not None:
+        return F.expr(_word_shingles_sql(ref, n))
+
     def _grams(t: Column) -> Column:
         return F.when(
             F.size(t) >= n,
@@ -80,6 +153,14 @@ def char_shingles(col: Column | str, n: int = 8) -> Column:
     """Distinct sliding n-char substrings of the raw text.
     DuckDB twin: list_distinct(list_transform(range(1,
     greatest(length(x)-n+1,0)+1), i -> substr(x, i, n)))."""
+    ref = _name(col)
+    if ref is not None:
+        return F.expr(
+            f"array_distinct(CASE WHEN length({ref}) >= {n} THEN "
+            f"transform(sequence(1, length({ref}) - {n - 1}), "
+            f"i -> substring({ref}, i, {n})) "
+            f"ELSE CAST(array() AS ARRAY<STRING>) END)"
+        )
     c = F.col(col) if isinstance(col, str) else col
     grams = F.when(
         F.length(c) >= n,
@@ -99,6 +180,15 @@ def repetition_ratio(col: Column | str, n: int = 3) -> Column:
     DuckDB twin: 1.0 - len(list_distinct(grams)) / greatest(len(toks)-n+1, 1)
     with grams = list_transform(range(1, greatest(len(toks)-n+1,0)+1),
     i -> array_to_string(toks[i:i+n-1], ' '))."""
+    ref = _name(col)
+    if ref is not None:
+        total = f"greatest(size({_tokens_sql(ref)}) - {n - 1}, 0)"
+        distinct = f"size({_word_shingles_sql(ref, n)})"
+        return F.expr(
+            f"CASE WHEN {total} > 0 THEN "
+            f"1.0D - CAST({distinct} AS DOUBLE) / CAST({total} AS DOUBLE) "
+            f"ELSE 0.0D END"
+        )
     t = tokens(col)
     total = F.greatest(F.size(t) - (n - 1), F.lit(0))
     distinct = F.size(word_shingles(col, n))
@@ -110,13 +200,39 @@ def repetition_ratio(col: Column | str, n: int = 3) -> Column:
 
 def punct_ratio(col: Column | str) -> Column:
     """Punctuation chars / total chars (0 for empty text)."""
+    ref = _name(col)
+    if ref is not None:
+        n_punct = (
+            f"length(regexp_replace({ref}, {_sql_s('[^.!?,;:]')}, ''))"
+        )
+        return F.expr(
+            f"CASE WHEN length({ref}) > 0 THEN "
+            f"CAST({n_punct} AS DOUBLE) / CAST(length({ref}) AS DOUBLE) "
+            f"ELSE 0.0D END"
+        )
     c = F.col(col) if isinstance(col, str) else col
     n_punct = F.length(F.regexp_replace(c, r"[^.!?,;:]", ""))
     return F.when(F.length(c) > 0, n_punct.cast("double") / F.length(c).cast("double")).otherwise(F.lit(0.0))
 
 
+def _distinct_hits_sql(ref: str, stopwords: tuple[str, ...]) -> str:
+    """size(array_intersect(distinct tokens, stopword array))."""
+    return (
+        f"size(array_intersect(array_distinct({_tokens_sql(ref)}), "
+        f"{_sql_arr(stopwords)}))"
+    )
+
+
 def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
     """Distinct stopwords present / distinct tokens (0 for empty)."""
+    ref = _name(col)
+    if ref is not None:
+        nt = f"size(array_distinct({_tokens_sql(ref)}))"
+        return F.expr(
+            f"CASE WHEN {nt} > 0 THEN "
+            f"CAST({_distinct_hits_sql(ref, stopwords)} AS DOUBLE)"
+            f" / CAST({nt} AS DOUBLE) ELSE 0.0D END"
+        )
     t = F.array_distinct(tokens(col))
     hits = F.size(F.array_intersect(t, F.array(*[F.lit(s) for s in stopwords])))
     return F.when(F.size(t) > 0, hits.cast("double") / F.size(t).cast("double")).otherwise(F.lit(0.0))
@@ -128,6 +244,15 @@ def mean_word_len(col: Column | str) -> Column:
     bit-for-bit.  DuckDB twin:
     CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
     / CAST(len(toks) AS DOUBLE)."""
+    ref = _name(col)
+    if ref is not None:
+        t = _tokens_sql(ref)
+        total = f"aggregate({t}, 0, (acc, x) -> acc + length(x))"
+        return F.expr(
+            f"CASE WHEN size({t}) > 0 THEN "
+            f"CAST({total} AS DOUBLE) / CAST(size({t}) AS DOUBLE) "
+            f"ELSE 0.0D END"
+        )
     t = tokens(col)
     total = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
     return F.when(
@@ -140,6 +265,15 @@ def alpha_word_frac(col: Column | str) -> Column:
     lower-cased by the tokenization contract, so [a-z] suffices).
     DuckDB twin: CAST(len(list_filter(toks, t ->
     regexp_matches(t, '[a-z]'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)."""
+    ref = _name(col)
+    if ref is not None:
+        t = _tokens_sql(ref)
+        hits = f"size(filter({t}, x -> x RLIKE '[a-z]'))"
+        return F.expr(
+            f"CASE WHEN size({t}) > 0 THEN "
+            f"CAST({hits} AS DOUBLE) / CAST(size({t}) AS DOUBLE) "
+            f"ELSE 0.0D END"
+        )
     t = tokens(col)
     hits = F.size(F.filter(t, lambda x: x.rlike("[a-z]")))
     return F.when(
@@ -149,6 +283,9 @@ def alpha_word_frac(col: Column | str) -> Column:
 
 def stopword_hits(col: Column | str, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
     """Count of distinct stopwords present in the text."""
+    ref = _name(col)
+    if ref is not None:
+        return F.expr(_distinct_hits_sql(ref, stopwords))
     t = F.array_distinct(tokens(col))
     return F.size(F.array_intersect(t, F.array(*[F.lit(s) for s in stopwords])))
 
@@ -235,6 +372,12 @@ def redact_pii(col: Column | str) -> Column:
 
 def langid_scores(col: Column | str) -> dict[str, Column]:
     """Distinct-stopword hit count per language."""
+    ref = _name(col)
+    if ref is not None:
+        return {
+            lang: F.expr(_distinct_hits_sql(ref, words))
+            for lang, words in sorted(LANG_STOPWORDS.items())
+        }
     t = F.array_distinct(tokens(col))
     return {
         lang: F.size(F.array_intersect(t, F.array(*[F.lit(s) for s in words])))
@@ -244,6 +387,23 @@ def langid_scores(col: Column | str) -> dict[str, Column]:
 
 def langid(col: Column | str) -> Column:
     """Argmax language with deterministic alphabetical tie-break."""
+    ref = _name(col)
+    if ref is not None:
+        scores = {
+            lang: _distinct_hits_sql(ref, words)
+            for lang, words in sorted(LANG_STOPWORDS.items())
+        }
+        best = "greatest(" + ", ".join(scores.values()) + ")"
+        expr = "'und'"
+        # reversed: earlier alphabetical language wins ties
+        for lang in sorted(scores, reverse=True):
+            expr = (
+                f"CASE WHEN {scores[lang]} = {best} "
+                f"THEN {_sql_s(lang)} ELSE {expr} END"
+            )
+        return F.expr(
+            f"CASE WHEN {best} > 0 THEN {expr} ELSE 'und' END"
+        )
     scores = langid_scores(col)
     best = F.greatest(*scores.values())
     expr = F.lit("und")

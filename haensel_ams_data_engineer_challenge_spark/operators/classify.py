@@ -308,46 +308,62 @@ def _nb_score(
 NB_PIVOT_MAX_CLASSES = 64
 
 
+def _sql_str(s: str) -> str:
+    """A SQL single-quoted string literal for ``s`` (backslash and
+    quote escaped — Spark's default escapedStringLiterals=false
+    parser)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _sql_dbl(v: float) -> str:
+    """An exactly-value-preserving DOUBLE literal for ``v``: repr
+    round-trips through Double.parseDouble bit-for-bit and the cast
+    constant-folds at plan time."""
+    return f"CAST('{v!r}' AS DOUBLE)"
+
+
 def _nb_score_pivot(
     ex: DataFrame, docs_meta: DataFrame, lnp: DataFrame, cls_rows
 ) -> DataFrame:
     """One-shuffle scoring for few classes: the (token x class) join
     aggregates per DOC with one conditional (sum, count) pair per
     class — map-side combinable, no (doc, class) intermediate key —
-    and the argmax folds row-locally over literal class constants."""
+    and the argmax folds row-locally over literal class constants.
+
+    The per-class expression groups are built as batched SQL strings
+    (one parse round-trip per aggregate column / one for the argmax
+    array) rather than per-node Column calls: the 2k aggregates plus
+    the k-way argmax dominated this module's py4j construction chatter
+    (~700 round-trips per text_stats build, r16 counter; guide §5 —
+    keep the driver out of the hot path).  Expressions are identical.
+    """
     j = ex.select("__did", "term").join(lnp, "term")
     aggs = []
     for i, (c, _p, _z) in enumerate(cls_rows):
-        hit = F.col("__mlbl") == c
-        aggs.append(F.sum(F.when(hit, F.col("__lnp_s"))).alias(f"__s{i}"))
-        aggs.append(
-            F.count(F.when(hit, F.lit(1))).cast("double").alias(f"__p{i}")
-        )
+        lbl = _sql_str(c)
+        aggs.append(F.expr(
+            f"sum(CASE WHEN __mlbl = {lbl} THEN __lnp_s END) AS __s{i}"
+        ))
+        aggs.append(F.expr(
+            f"CAST(count(CASE WHEN __mlbl = {lbl} THEN 1 END) AS DOUBLE)"
+            f" AS __p{i}"
+        ))
     per_doc = j.groupBy("__did").agg(*aggs)
     # left join: a doc whose every token is model-unseen still scores
     # (all-missing contributions) — impossible when self-training but
     # reachable when scoring a held-out corpus
     scored = docs_meta.select("__did", "__n").join(per_doc, "__did", "left")
-    cand = F.array(
-        *[
-            F.struct(
-                (
-                    -(
-                        F.lit(prior_s)
-                        + F.coalesce(F.col(f"__s{i}"), F.lit(0.0))
-                        + (
-                            F.col("__n")
-                            - F.coalesce(F.col(f"__p{i}"), F.lit(0.0))
-                        )
-                        * F.lit(lnp0_s)
-                    )
-                ).alias("ns"),
-                F.lit(c).alias("l"),
-            )
-            for i, (c, prior_s, lnp0_s) in enumerate(cls_rows)
-        ]
+    cand = ", ".join(
+        "named_struct('ns', -("
+        f"{_sql_dbl(prior_s)}"
+        f" + coalesce(__s{i}, 0.0D)"
+        f" + (__n - coalesce(__p{i}, 0.0D)) * {_sql_dbl(lnp0_s)}"
+        f"), 'l', {_sql_str(c)})"
+        for i, (c, prior_s, lnp0_s) in enumerate(cls_rows)
     )
-    return scored.select("__did", F.array_min(cand).alias("__b"))
+    return scored.select(
+        "__did", F.expr(f"array_min(array({cand}))").alias("__b")
+    )
 
 
 def _nb_score_grid(

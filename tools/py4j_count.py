@@ -39,10 +39,16 @@ def main() -> None:
 
     from py4j.clientserver import ClientServerConnection
 
-    state = {"n": 0, "by_site": Counter(), "sample": False}
+    state = {"n": 0, "gc": 0, "by_site": Counter(), "sample": False}
     orig = ClientServerConnection.send_command
 
     def counted(self, *a, **kw):
+        # py4j memory-management commands ("m\nd\n<id>") are issued by
+        # GC finalizers at nondeterministic times — count them apart so
+        # the API-call figure is reproducible run to run.
+        if a and isinstance(a[0], str) and a[0].startswith("m\n"):
+            state["gc"] += 1
+            return orig(self, *a, **kw)
         state["n"] += 1
         if state["sample"]:
             # deepest repo frame below the pyspark/py4j layers
@@ -63,11 +69,15 @@ def main() -> None:
         fn = reg[name][0]
         fn(spark, sf_dir)  # cold build: fills session model caches
         state["n"] = 0
+        state["gc"] = 0
         state["by_site"].clear()
         state["sample"] = True
         fn(spark, sf_dir)  # warm build: the measured one
         state["sample"] = False
-        print(f"\n=== {name}: {state['n']} round-trips (warm build)")
+        print(
+            f"\n=== {name}: {state['n']} API round-trips (warm build)"
+            f" + {state['gc']} gc-detach"
+        )
         for site, cnt in state["by_site"].most_common(25):
             print(f"  {cnt:6d}  {site}")
 
