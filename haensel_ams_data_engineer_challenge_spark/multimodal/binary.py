@@ -82,11 +82,17 @@ def parse_image_header(payload: bytes) -> tuple[str, int, int] | None:
     return None
 
 
-def _fake_decode(payload: bytes) -> tuple[str, int, int]:
+def _fake_decode(
+    payload: bytes, digest: bytes | None = None
+) -> tuple[str, int, int]:
     """Deterministic fake decode: pretend the payload is an image whose
     format/dimensions derive from its md5 — stable across runs,
-    engines and partitionings."""
-    digest = hashlib.md5(payload).digest()
+    engines and partitionings.  A caller that already holds the md5
+    digest passes it in (round 16: the fused pipeline computed the
+    same hash three times per payload — once for content_hash, once
+    per fake rung)."""
+    if digest is None:
+        digest = hashlib.md5(payload).digest()
     fmt = ("png", "jpeg", "webp")[digest[0] % 3]
     width = 64 + int.from_bytes(digest[1:3], "big") % 1984
     height = 64 + int.from_bytes(digest[3:5], "big") % 1984
@@ -703,7 +709,9 @@ def make_image_codec():
 
         from PIL import Image
 
-        def codec(payload: bytes) -> tuple[str, int, int, str]:
+        def codec(
+            payload: bytes, digest: bytes | None = None
+        ) -> tuple[str, int, int, str]:
             try:
                 img = Image.open(io.BytesIO(payload))
                 return (
@@ -711,26 +719,30 @@ def make_image_codec():
                     "pillow",
                 )
             except Exception:
-                fmt, w, h = _fake_decode(payload)
+                fmt, w, h = _fake_decode(payload, digest)
                 return fmt, w, h, "fake"
     except ImportError:
-        def codec(payload: bytes) -> tuple[str, int, int, str]:
-            fmt, w, h = _fake_decode(payload)
+        def codec(
+            payload: bytes, digest: bytes | None = None
+        ) -> tuple[str, int, int, str]:
+            fmt, w, h = _fake_decode(payload, digest)
             return fmt, w, h, "fake"
 
     return codec
 
 
 def image_meta_ladder(
-    payload: bytes, codec, try_header: bool = True
+    payload: bytes, codec, try_header: bool = True,
+    digest: bytes | None = None,
 ) -> tuple[str, int, int, str]:
     """(format, width, height, decoder): header parse -> codec
-    (pillow/fake from :func:`make_image_codec`)."""
+    (pillow/fake from :func:`make_image_codec`).  ``digest``: optional
+    precomputed md5, forwarded to the fake rung."""
     if try_header:
         parsed = parse_image_header(payload)
         if parsed is not None:
             return (*parsed, "header")
-    return codec(payload)
+    return codec(payload, digest)
 
 
 def audio_meta_ladder(payload: bytes) -> tuple[str, int, int, int, int, str]:
@@ -1189,31 +1201,57 @@ def multimodal_pipeline_fused_query(
     )
 
     def _all(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         codec = make_image_codec()
         for pdf in batches:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                digest = hashlib.md5(payload).digest()
-                # decode columns: the same ladder as decode_image_meta
-                # (try_header=False — text-bytes stand-ins, see
-                # decode_stub_query)
-                fmt, w, h, dec = image_meta_ladder(payload, codec, False)
-                # resize columns: resize_image_meta reads the FAKE
-                # dims regardless of the decode ladder — mirror that
-                _ffmt, fw, fh = _fake_decode(payload)
-                scale = min(max_side / fw, max_side / fh, 1.0)
-                n = len(payload)
-                rows.append(
-                    (
-                        doc_id, n, fmt, w, h, dec, digest.hex(),
-                        int(fw * scale), int(fh * scale), scale,
-                        *((i * n) // N_SAMPLE_FRAMES
-                          for i in range(N_SAMPLE_FRAMES)),
-                        *(int.from_bytes(digest[2 * i: 2 * i + 2], "big")
-                          / 65536.0 for i in range(FEATURE_DIM)),
-                    )
-                )
-            yield pd.DataFrame(rows, columns=cols)
+            payloads = pdf["payload"].tolist()
+            # per-row work that cannot vectorize: ONE md5 per payload
+            # (round 16 — was three: content_hash + each fake rung)
+            # and the byte-parsing decode ladder
+            digests = [hashlib.md5(p).digest() for p in payloads]
+            # decode columns: the same ladder as decode_image_meta
+            # (try_header=False — text-bytes stand-ins, see
+            # decode_stub_query)
+            meta = [
+                image_meta_ladder(p, codec, False, digest=d)
+                for p, d in zip(payloads, digests)
+            ]
+            # everything below is pure arithmetic on (digest bytes,
+            # payload length) — columnar numpy, not a Python row loop
+            # (round 16, guide §4.2)
+            n = np.fromiter(
+                (len(p) for p in payloads), np.int64, count=len(payloads)
+            )
+            # resize columns: resize_image_meta reads the FAKE dims
+            # regardless of the decode ladder — mirror that.  The
+            # fake dims are digest-byte arithmetic, so they vectorize.
+            dig = np.frombuffer(b"".join(digests), np.uint8).reshape(-1, 16)
+            # features read even-offset byte pairs [2i:2i+2]; the fake
+            # dims read the ODD-offset pairs [1:3] and [3:5]
+            u16 = (dig[:, ::2].astype(np.int64) << 8) | dig[:, 1::2]
+            fw = 64 + ((dig[:, 1].astype(np.int64) << 8) | dig[:, 2]) % 1984
+            fh = 64 + ((dig[:, 3].astype(np.int64) << 8) | dig[:, 4]) % 1984
+            scale = np.minimum(
+                np.minimum(max_side / fw, max_side / fh), 1.0
+            )
+            out = {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": n,
+                "format": [m[0] for m in meta],
+                "width": [m[1] for m in meta],
+                "height": [m[2] for m in meta],
+                "decoder": [m[3] for m in meta],
+                "content_hash": [d.hex() for d in digests],
+                "r_width": (fw * scale).astype(np.int64),
+                "r_height": (fh * scale).astype(np.int64),
+                "r_scale": scale,
+            }
+            for i in range(N_SAMPLE_FRAMES):
+                out[f"frame_off_{i}"] = (i * n) // N_SAMPLE_FRAMES
+            for i in range(FEATURE_DIM):
+                out[f"feat_{i}"] = u16[:, i] / 65536.0
+            yield pd.DataFrame(out, columns=cols)
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")

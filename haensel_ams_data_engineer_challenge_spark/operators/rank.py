@@ -50,11 +50,22 @@ def grouped_row_number(
     group_cols: list[str],
     order_cols: list[str],
     out_col: str = "global_rn",
+    total_col: str | None = None,
 ) -> DataFrame:
     """Per-group total-order rank — ``ROW_NUMBER() OVER (PARTITION BY
     group ORDER BY ...)`` — as the stratified prefix count: a dominant
     group never becomes one sort task (the sampling.token_budget_cap
-    machinery with weight 1)."""
+    machinery with weight 1).
+
+    ``total_col`` (round 16, guide §2.4/§5): when set, the output also
+    carries the exact per-group row count under that name, computed as
+    one more window over the SAME <= n_partitions-row ``totals`` table
+    the offsets come from and delivered through the SAME broadcast
+    join — so consumers that need (rank, n) pairs (NTILE, exact
+    percentiles) skip re-scanning the ranked relation just to count
+    it.  Identical integers: sum of per-partition counts == count of
+    rows.
+    """
     # explicit ASC NULLS FIRST (module docstring: the pinned contract,
     # matching repartitionByRange's null placement; twins say NULLS
     # FIRST because DuckDB defaults to NULLS LAST)
@@ -75,7 +86,21 @@ def grouped_row_number(
     )
     offsets = totals.withColumn(
         "__off", F.coalesce(F.sum("__t").over(w_off), F.lit(0))
-    ).select(*group_cols, "__pid", "__off")
+    )
+    carry = ["__off"]
+    if total_col is not None:
+        # same window shape as the offsets (ordered by __pid over the
+        # <= n_partitions-row totals), full frame: the per-group total
+        w_tot = (
+            Window.partitionBy(*group_cols)
+            .orderBy("__pid")
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        offsets = offsets.withColumn(
+            total_col, F.sum("__t").over(w_tot).cast("long")
+        )
+        carry.append(total_col)
+    offsets = offsets.select(*group_cols, "__pid", *carry)
     return (
         local.join(F.broadcast(offsets), [*group_cols, "__pid"])
         .withColumn(out_col, (F.col("__off") + F.col("__lrn")).cast("long"))
@@ -105,16 +130,16 @@ def grouped_exact_percentiles(
     values at ranks 1 and n) for free.  Output: group_cols + ps keys +
     min_value + max_value.
     """
-    ranked = grouped_row_number(
+    # per-group n rides the rank's broadcast offsets (total_col) — the
+    # old separate count aggregate re-shuffled and re-joined the whole
+    # ranked relation just for the group sizes (round 16)
+    j = grouped_row_number(
         df.select(*group_cols, value_col, key_col),
         group_cols,
         [value_col, key_col],
         out_col="__rn",
+        total_col="__n",
     )
-    counts = ranked.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).cast("long").alias("__n")
-    )
-    j = ranked.join(F.broadcast(counts), group_cols)
     v, rn, n = F.col(value_col), F.col("__rn"), F.col("__n")
     aggs = []
     for name, p in ps.items():
@@ -206,11 +231,13 @@ def ntile_exact(
     """
     if q < 1:
         raise ValueError(f"q must be >= 1, got {q}")
-    ranked = global_row_number(df, order_cols, out_col="__grn")
-    # count over RANKED (whose range-partitioned rows are materialized
-    # inside global_row_number) — counting `df` would re-execute the
-    # caller's full lineage a second time just for n
-    n_row = ranked.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    # n rides the rank's own broadcast offsets (total_col) — the old
+    # separate count-over-ranked aggregate plus crossJoin re-scanned
+    # the whole ranked relation just for one integer (round 16: one
+    # fewer query-stage job + one fewer broadcast per call)
+    ranked = grouped_row_number(
+        df, [], order_cols, out_col="__grn", total_col="__n"
+    )
     rank, n = F.col("__grn"), F.col("__n")
     s = F.floor(n / q)          # small-bucket size
     r = n % q                   # number of big (s+1) buckets
@@ -219,7 +246,7 @@ def ntile_exact(
         rank <= cut, F.floor((rank + s) / (s + F.lit(1)))
     ).otherwise(r + F.floor((rank - cut + s - F.lit(1)) / s))
     return (
-        ranked.crossJoin(F.broadcast(n_row))
+        ranked
         .withColumn(out_col, bucket.cast("long"))
         .drop("__grn", "__n")
     )
