@@ -559,20 +559,24 @@ def bpe_segment(
     """
     _check_merges(merges)
 
-    def seg_word(w: Column) -> Column:
-        chars = F.split(w, "")
-        s = F.concat(
-            F.lit("["),
-            F.array_join(chars, "]["),
-            F.lit(END + "]"),
-        )
-        for a, b in merges:
-            s = F.replace(s, F.lit(f"[{a}][{b}]"), F.lit(f"[{a + b}]"))
-        return F.split(s.substr(F.lit(2), F.length(s) - 2), re.escape("]["))
+    # the whole per-word bracket-replace chain parses as ONE expr
+    # string (round 16, guide §5): the per-merge F.replace Column
+    # calls were ~90 py4j round-trips per build; the parsed tree is
+    # identical.  Symbols are _SYMBOL_RE-validated ([a-z0-9]+ + </w>),
+    # but quote for SQL anyway.
+    def q(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
+    s = f"concat('[', array_join(split(w, ''), ']['), {q(END + ']')})"
+    for a, b in merges:
+        s = f"replace({s}, {q(f'[{a}][{b}]')}, {q(f'[{a + b}]')})"
+    seg = f"split(substr({s}, 2, length({s}) - 2), '\\\\]\\\\[')"
     return docs.withColumn(
         out_col,
-        F.flatten(F.transform(search_tokens(text_col), seg_word)),
+        F.expr(
+            f"flatten(transform(regexp_extract_all(lower({text_col}), "
+            f"'[a-z0-9]+', 0), w -> {seg}))"
+        ),
     )
 
 

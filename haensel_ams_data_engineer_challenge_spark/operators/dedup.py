@@ -80,9 +80,13 @@ def minhash_bands(
     sh = df.select(
         F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("s")
     )
+    # one parsed expr per hash instead of ~6 Column calls each: the k
+    # min-aggregates were the engine's single largest construction-
+    # chatter site (r16 py4j counter: 528 round-trips per warm
+    # dedup_minhash_lsh build; guide §5) — same expression tree
     sigs = sh.groupBy(id_col).agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"h{i}")
+            F.expr(f"min(md5(concat('{i}|', s))) AS h{i}")
             for i in range(k)
         ]
     )
@@ -97,16 +101,17 @@ def minhash_bands(
     # sf0.1: 8.7 -> 2.2 s cold, 1.6 -> 1.5 s warm.
     sigs = materialize(sigs)
     n_bands = k // band_size
-    bands = F.array(
-        *[
-            F.md5(
-                F.concat(
-                    F.lit(f"{b}|"),
-                    *[F.col(f"h{i}") for i in range(b * band_size, (b + 1) * band_size)],
-                )
+    bands = F.expr(
+        "array(" + ", ".join(
+            "md5(concat('{b}|', {hs}))".format(
+                b=b,
+                hs=", ".join(
+                    f"h{i}"
+                    for i in range(b * band_size, (b + 1) * band_size)
+                ),
             )
             for b in range(n_bands)
-        ]
+        ) + ")"
     )
     return sigs.select(F.col(id_col), F.posexplode(bands).alias("band", "band_key"))
 
@@ -350,47 +355,36 @@ def substring_dup_pairs(
     anchor bounded by max_anchor_docs per key — no all-pairs shape
     anywhere.
     """
-    c = F.col(text_col)
-    n_grams = F.greatest(F.length(c) - (gram - 1), F.lit(0))
     # chunk starts 1, 1+chunk, ... <= n_grams; docs shorter than one
-    # gram produce no chunk rows at all
-    starts = F.when(
-        n_grams > 0, F.sequence(F.lit(1), n_grams, F.lit(chunk))
-    ).otherwise(F.array().cast("array<int>"))
+    # gram produce no chunk rows at all.  Both explodes parse as ONE
+    # expr string each (round 16, guide §5 — same trees the Column
+    # lambdas built, ~100 fewer py4j round-trips per build).
+    n_grams = f"greatest(length({text_col}) - {gram - 1}, 0)"
     chunks = df.select(
         F.col(id_col),
-        F.explode(
-            F.transform(
-                starts,
-                lambda s0: F.struct(
-                    s0.alias("c0"),
-                    c.substr(s0, F.lit(chunk + gram - 1)).alias("ct"),
-                ),
-            )
-        ).alias("ch"),
+        F.explode(F.expr(
+            f"transform(CASE WHEN {n_grams} > 0 THEN "
+            f"sequence(1, {n_grams}, {chunk}) "
+            f"ELSE CAST(array() AS ARRAY<INT>) END, "
+            f"s0 -> named_struct('c0', s0, "
+            f"'ct', substr({text_col}, s0, {chunk + gram - 1})))"
+        )).alias("ch"),
     )
-    ct = F.col("ch.ct")
     # local gram starts within this chunk: 1..min(chunk, n_grams-c0+1);
     # >= 1 by construction (a chunk row exists only when c0 <= n_grams),
     # so the ascending sequence is safe.  The anchor predicate runs
     # DURING the filter — gram strings are transient, never an array.
-    npos = F.length(ct) - (gram - 1)
-    pos_arr = F.filter(
-        F.sequence(F.lit(1), npos),
-        lambda i: F.substring(F.md5(ct.substr(i, F.lit(gram))), 1, len(anchor_prefix))
-        == anchor_prefix,
-    )
+    pfx = anchor_prefix.replace("\\", "\\\\").replace("'", "\\'")
     occ = chunks.select(
         F.col(id_col),
-        F.explode(
-            F.transform(
-                pos_arr,
-                lambda i: F.struct(
-                    (F.col("ch.c0") + i - 1).cast("long").alias("off"),
-                    ct.substr(i, F.lit(gram)).alias("s"),
-                ),
-            )
-        ).alias("a"),
+        F.explode(F.expr(
+            f"transform(filter(sequence(1, length(ch.ct) - {gram - 1}), "
+            f"i -> substring(md5(substr(ch.ct, i, {gram})), 1, "
+            f"{len(anchor_prefix)}) = '{pfx}'), "
+            f"i -> named_struct("
+            f"'off', CAST(ch.c0 + i - 1 AS BIGINT), "
+            f"'s', substr(ch.ct, i, {gram})))"
+        )).alias("a"),
     ).select(F.col(id_col), F.col("a.s").alias("s"), F.col("a.off").alias("off"))
     # one row per (doc, distinct anchor), carrying the first-occurrence
     # offset; feeds the flood count and both join sides
@@ -646,22 +640,17 @@ def remove_duplicate_lines(
     return (
         marked.groupBy("__did", "__olen")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_lines"),
-            F.sum(F.when(F.col("__rm"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_lines_removed"),
-            F.array_join(
-                F.transform(
-                    F.filter(
-                        F.array_sort(
-                            F.collect_list(F.struct("pos", "ln", "__rm"))
-                        ),
-                        lambda x: ~x["__rm"],
-                    ),
-                    lambda x: x["ln"],
-                ),
-                "\n",
-            ).alias("text_cut"),
+            # batched expr strings (round 16, guide §5) — same trees
+            F.expr("CAST(count(1) AS BIGINT) AS n_lines"),
+            F.expr(
+                "CAST(sum(CASE WHEN __rm THEN 1 ELSE 0 END) AS BIGINT)"
+                " AS n_lines_removed"
+            ),
+            F.expr(
+                "array_join(transform(filter(array_sort(collect_list("
+                "struct(pos, ln, __rm))), x -> NOT x.__rm), "
+                "x -> x.ln), '\\n') AS text_cut"
+            ),
         )
         .filter(F.col("n_lines_removed") > 0)
         .select(
@@ -770,43 +759,34 @@ def cut_spans(
     t = F.col(text_col)
     # clamp each span to [1, len]; spans fully outside vanish
     # (everything long so the fold accumulator type is stable; clamping
-    # s by a monotone greatest preserves the sort order)
-    ivs = F.filter(
-        F.transform(
-            F.col("__ivs"),
-            lambda iv: F.struct(
-                F.greatest(iv["s"].cast("long"), F.lit(1).cast("long")).alias("s"),
-                F.least(iv["e"].cast("long"), F.length(t).cast("long")).alias("e"),
-            ),
-        ),
-        lambda iv: iv["s"] <= iv["e"],
-    )
+    # s by a monotone greatest preserves the sort order).
     # fold: acc.txt accumulates the kept gaps, acc.pos is the next
     # uncut char, acc.n counts disjoint islands.  Sorted by (s, e), a
     # span with s >= pos opens a new island (emits the gap before it);
     # one with s < pos overlaps or is contained (gap length clamps to
     # 0, pos only ever advances).
-    folded = F.aggregate(
-        ivs,
-        F.struct(
-            F.lit("").alias("txt"),
-            F.lit(1).cast("long").alias("pos"),
-            F.lit(0).cast("long").alias("n"),
-        ),
-        lambda acc, iv: F.struct(
-            F.concat(
-                acc["txt"], t.substr(acc["pos"], F.greatest(iv["s"] - acc["pos"], F.lit(0)))
-            ).alias("txt"),
-            F.greatest(acc["pos"], iv["e"] + 1).alias("pos"),
-            (acc["n"] + (iv["s"] >= acc["pos"]).cast("long")).alias("n"),
-        ),
-        lambda acc: F.struct(
-            F.concat(
-                acc["txt"],
-                t.substr(acc["pos"], F.greatest(F.length(t) - acc["pos"] + 1, F.lit(0))),
-            ).alias("txt"),
-            acc["n"].alias("n"),
-        ),
+    # The clamp + fold parse as ONE expr string (round 16, guide §5 —
+    # identical tree to the Column-lambda form it replaces).
+    ivs = (
+        "filter(transform(__ivs, iv -> named_struct("
+        "'s', greatest(CAST(iv.s AS BIGINT), CAST(1 AS BIGINT)), "
+        f"'e', least(CAST(iv.e AS BIGINT), "
+        f"CAST(length({text_col}) AS BIGINT)))), "
+        "iv -> iv.s <= iv.e)"
+    )
+    folded = F.expr(
+        f"aggregate({ivs}, "
+        "named_struct('txt', '', 'pos', CAST(1 AS BIGINT), "
+        "'n', CAST(0 AS BIGINT)), "
+        "(acc, iv) -> named_struct("
+        f"'txt', concat(acc.txt, substr({text_col}, acc.pos, "
+        "greatest(iv.s - acc.pos, 0))), "
+        "'pos', greatest(acc.pos, iv.e + 1), "
+        "'n', acc.n + CAST(iv.s >= acc.pos AS BIGINT)), "
+        "acc -> named_struct("
+        f"'txt', concat(acc.txt, substr({text_col}, acc.pos, "
+        f"greatest(length({text_col}) - acc.pos + 1, 0))), "
+        "'n', acc.n))"
     )
     return joined.withColumn("__folded", folded).select(
         F.col(id_col),

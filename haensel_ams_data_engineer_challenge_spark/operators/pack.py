@@ -327,20 +327,22 @@ def chunk_sequences(
     from ..functions.text import BPE_ISH_PATTERN
 
     step = seq_len - overlap
-    toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0)
-    n = F.size(toks)
-    starts = F.when(
-        n > 0,
-        F.sequence(F.lit(1), F.greatest(n - overlap, F.lit(1)), F.lit(step)),
-    ).otherwise(F.array().cast("array<int>"))
+    # single-parse expr string (round 16, guide §5) — same tree the
+    # Column lambdas built; `toks` repeats textually exactly as the
+    # Column form duplicated its subtree per reference
+    pat = BPE_ISH_PATTERN.replace("\\", "\\\\").replace("'", "\\'")
+    toks = f"regexp_extract_all({text_col}, '{pat}', 0)"
+    chunk_s = (
+        "named_struct("
+        f"'chunk_idx', CAST((s - 1) / {step} AS BIGINT), "
+        f"'n_tokens', CAST(size(slice({toks}, s, {seq_len})) AS BIGINT), "
+        f"'chunk_text', array_join(slice({toks}, s, {seq_len}), ' '))"
+    )
     chunk = F.explode(
-        F.transform(
-            starts,
-            lambda s: F.struct(
-                (((s - 1) / step).cast("long")).alias("chunk_idx"),
-                F.size(F.slice(toks, s, seq_len)).cast("long").alias("n_tokens"),
-                F.array_join(F.slice(toks, s, seq_len), " ").alias("chunk_text"),
-            ),
+        F.expr(
+            f"transform(CASE WHEN size({toks}) > 0 THEN "
+            f"sequence(1, greatest(size({toks}) - {overlap}, 1), {step}) "
+            f"ELSE CAST(array() AS ARRAY<INT>) END, s -> {chunk_s})"
         )
     )
     return df.select(F.col(id_col), chunk.alias("c")).select(
@@ -428,40 +430,36 @@ def pack_sequences(
     withstart = global_prefix_sum(base, ["__did"], "__n", out_col="__start")
 
     L = int(seq_len)
-    start, n = F.col("__start"), F.col("__n")
-    first = F.expr(f"__start div {L}")
-    last = F.expr(f"(__start + __n - 1) div {L}")
-
-    def _piece(s):
-        pos = F.greatest(start, s * L)       # global pos of the piece
-        end = F.least(start + n, (s + 1) * L)  # exclusive
-        return F.struct(
-            s.cast("long").alias("seq_id"),
-            pos.cast("long").alias("pos"),
-            (end - pos).cast("long").alias("npiece"),
-            F.array_join(
-                F.slice(
-                    F.col("__toks"),
-                    (pos - start + 1).cast("int"),
-                    (end - pos).cast("int"),
-                ),
-                " ",
-            ).alias("piece"),
-        )
-
+    # the per-doc piece emitter parses as ONE expr string (round 16,
+    # guide §5 — the lambda Column calls were ~90 py4j round-trips per
+    # build); pos/end repeat textually exactly as the Column tree
+    # duplicated their subtrees
+    pos = f"greatest(__start, s * {L})"
+    end = f"least(__start + __n, (s + 1) * {L})"
+    piece = (
+        "named_struct("
+        "'seq_id', CAST(s AS BIGINT), "
+        f"'pos', CAST({pos} AS BIGINT), "
+        f"'npiece', CAST({end} - {pos} AS BIGINT), "
+        "'piece', array_join(slice(__toks, "
+        f"CAST({pos} - __start + 1 AS INT), "
+        f"CAST({end} - {pos} AS INT)), ' '))"
+    )
     pieces = withstart.select(
-        F.explode(F.transform(F.sequence(first, last), _piece)).alias("c")
+        F.explode(
+            F.expr(
+                f"transform(sequence(__start div {L}, "
+                f"(__start + __n - 1) div {L}), s -> {piece})"
+            )
+        ).alias("c")
     ).select("c.*")
     return pieces.groupBy("seq_id").agg(
-        F.sum("npiece").cast("long").alias("n_tokens"),
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "piece"))),
-                lambda x: x["piece"],
-            ),
-            " ",
-        ).alias("seq_text"),
+        F.expr("CAST(sum(npiece) AS BIGINT) AS n_tokens"),
+        F.expr("CAST(count(1) AS BIGINT) AS n_docs"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list("
+            "struct(pos, piece))), x -> x.piece), ' ') AS seq_text"
+        ),
     )
 
 

@@ -70,13 +70,12 @@ def _topn(counted: DataFrame, n: int) -> DataFrame:
     # heap of n, driver merge) — the global-window rank then runs over
     # those n rows only, never the full vocabulary
     return (
-        counted.orderBy(F.col("n_occurrences").desc(), F.col("term").asc())
+        counted.orderBy(F.desc("n_occurrences"), F.asc("term"))
         .limit(n)
-        .withColumn(
-            "rank",
-            F.row_number()
-            .over(Window.orderBy(F.col("n_occurrences").desc(), F.col("term").asc()))
-            .cast("long"),
+        .selectExpr(
+            "*",
+            "CAST(row_number() OVER (ORDER BY n_occurrences DESC, "
+            "term ASC) AS BIGINT) AS rank",
         )
     )
 
