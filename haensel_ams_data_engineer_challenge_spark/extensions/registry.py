@@ -154,16 +154,14 @@ def extension_entries() -> dict[str, tuple[QueryFn, str | None]]:
             .otherwise(F.concat(F.col("text"), F.lit(" v2")))
             .alias("text"),
         )
-        # round 15 (optimization, guide §2.6): the groups arm is lazy
-        # but the incremental arm materializes its maybe-dup sliver at
-        # build time; overlapping the two keeps the driver busy while
-        # that job runs.  Same rows.
-        from ..checkpoint import build_concurrently
-
-        groups, new = build_concurrently([
-            lambda: D.dedup_exact(docs),
-            lambda: D.incremental_new_docs(batch, docs),
-        ])
+        # round 16: the r15 thread-pool overlap of these two builders
+        # was REVERTED after a pairwise A/B (3 alternating warm reps,
+        # one session) measured overlap 1.92/serial 1.93 s best — the
+        # groups arm is lazy, so there was nothing for the pool to
+        # overlap with the incremental arm's one bounded materialize
+        # (r15 verdict item 5: prove the win or revert).
+        groups = D.dedup_exact(docs)
+        new = D.incremental_new_docs(batch, docs)
         nb = F.lit(None).cast("long")
         return groups.select(
             F.lit("groups").alias("method"), "text_hash", "keep_id", "n_copies"

@@ -349,9 +349,12 @@ def manifest_insert_if_absent(
             fresh = fresh.join(existing.select(*keys), keys, "left_anti")
         stage = f"{path}__append_{uuid.uuid4().hex}"
         obs = Observation()
-        fresh.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
-            "overwrite"
-        ).parquet(stage)
+        # REBALANCE before the staged write (guide §6, same as
+        # insert_if_absent): size the appended files to AQE's advisory
+        # target instead of one fragment per upstream partition
+        fresh.hint("rebalance").observe(
+            obs, F.count(F.lit(1)).alias("n")
+        ).write.mode("overwrite").parquet(stage)
         n = int(obs.get["n"])
         new_files = _move_staged_files(spark, stage, path)
         _commit_manifest(

@@ -534,9 +534,16 @@ def insert_if_absent(
         if existing is not None:
             fresh = fresh.join(existing.select(*keys), keys, "left_anti")
         obs = Observation()
-        fresh.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
-            "append"
-        ).parquet(path)
+        # REBALANCE before the write (guide §6): without it the append
+        # inherits the upstream partitioning (32 x ~23 KB files per
+        # run at sf0.1 — one fragment per shuffle partition); with it
+        # AQE coalesces/splits to advisoryPartitionSizeInBytes, so a
+        # small run appends one file and a 100 TB run appends
+        # target-sized files.  Row-preserving; the Observation rides
+        # the same single write action.
+        fresh.hint("rebalance").observe(
+            obs, F.count(F.lit(1)).alias("n")
+        ).write.mode("append").parquet(path)
         return int(obs.get["n"])
 
 
