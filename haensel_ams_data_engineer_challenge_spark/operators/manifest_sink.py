@@ -408,14 +408,18 @@ def manifest_compact(
             )
         manifest_vacuum(spark, path, min_retention_minutes)
         rows = spark.read.parquet(*[f"{path}/{n}" for n in committed])
-        n_parts = target_partitions or int(
-            spark.conf.get("spark.sql.shuffle.partitions")
-        )
+        # default layout: size-targeted REBALANCE (round 16, same as
+        # sinks.compact_parquet_sink — the fixed shuffle.partitions
+        # default would fragment an already-compact generation)
+        if target_partitions is not None:
+            rows = rows.repartition(int(target_partitions))
+        else:
+            rows = rows.hint("rebalance")
         stage = f"{path}__stage_{uuid.uuid4().hex}"
         obs = Observation()
-        rows.observe(obs, F.count(F.lit(1)).alias("n")).repartition(
-            int(n_parts)
-        ).write.mode("overwrite").parquet(stage)
+        rows.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+            "overwrite"
+        ).parquet(stage)
         n_rows = int(obs.get["n"])
         staged = _move_staged_files(spark, stage, path)
         _commit_manifest(spark, path, version + 1, staged, rows.schema)

@@ -551,7 +551,7 @@ def compact_parquet_sink(
     spark: SparkSession, path: str, target_partitions: int | None = None
 ) -> int:
     """Rewrite an append-fragmented sink as ``target_partitions`` files
-    (default: the session's shuffle parallelism) — the small-files
+    (default: AQE-rebalanced to advisory-sized files) — the small-files
     remedy for a sink that grows by one parquet fragment per pipeline
     run (round 10; the reference's single SQLite file never had this).
     Returns the number of rows compacted.
@@ -594,15 +594,22 @@ def compact_parquet_sink(
         # rename is stale (the sink may have grown since) — discard
         fs.delete(p("__compact"), True)
         rows = spark.read.parquet(path)
-        n_parts = target_partitions or int(
-            spark.conf.get("spark.sql.shuffle.partitions")
-        )
+        # default layout: size-targeted REBALANCE (round 16, guide §6)
+        # — the fixed repartition(shuffle.partitions) default predates
+        # the rebalanced appends and would now FRAGMENT an
+        # already-compact sink (1 file -> 32); AQE sizes the compacted
+        # files to its advisory partition target at any scale.  An
+        # explicit target_partitions keeps the exact-count form.
+        if target_partitions is not None:
+            rows = rows.repartition(int(target_partitions))
+        else:
+            rows = rows.hint("rebalance")
         from pyspark.sql import Observation
 
         obs = Observation()
-        rows.observe(obs, F.count(F.lit(1)).alias("n")).repartition(
-            int(n_parts)
-        ).write.mode("overwrite").parquet(path + "__compact")
+        rows.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+            "overwrite"
+        ).parquet(path + "__compact")
         n_rows = int(obs.get["n"])
         # the lease is a sibling file: it survives the renames below
         # untouched, so the insert_if_absent exclusion holds through
