@@ -21,6 +21,7 @@ rewrites only affected partitions.
 
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -297,6 +298,15 @@ def acquire_writer_lease(
             # vanished between create and stat (owner released): retry
             if attempt == 0:
                 continue
+        elif attempt == 0 and _reclaim_own_orphan(be, lease):
+            # the lease belongs to a DEAD thread of THIS process (a
+            # killed foreachBatch callback that never unwound — the
+            # kill-and-resume streaming shape); waiting out the TTL
+            # would stall every restart for 15 minutes on a lease no
+            # live writer holds.  Strictly safer than the TTL
+            # takeover below: the owner is provably this process and
+            # provably dead, not merely presumed-crashed.  (round 16)
+            continue
         elif attempt == 0 and be.now_ms() - mtime > ttl_ms:
             claim = f"{lease}.takeover.{token}"
             if not be.rename(lease, claim):
@@ -386,6 +396,45 @@ def release_writer_lease(
 #: a live writer can ever look stale.
 _LEASE_HEARTBEAT_FRACTION = 3.0
 
+#: In-process lease ownership registry: lease path -> (token, owner
+#: thread).  Lets a successor in the SAME process reclaim a lease
+#: whose owner thread died without unwinding (a killed foreachBatch
+#: callback — the kill-and-resume streaming shape) instead of waiting
+#: out the 15-minute crash TTL.  Registered by hold_writer_lease,
+#: removed on release.  (round 16)
+_HELD_LEASES: dict[str, tuple[str, threading.Thread]] = {}
+_HELD_LEASES_LOCK = threading.Lock()
+
+
+def _reclaim_own_orphan(be, lease: str) -> bool:
+    """Delete ``lease`` iff it carries a token registered to a DEAD
+    thread of this process; True when reclaimed."""
+    import warnings
+
+    with _HELD_LEASES_LOCK:
+        rec = _HELD_LEASES.get(lease)
+    if rec is None:
+        return False
+    token, owner = rec
+    if owner.is_alive():
+        return False
+    if be.read_token(lease) != token:
+        # someone else's lease now (or already released) — forget ours
+        with _HELD_LEASES_LOCK:
+            if _HELD_LEASES.get(lease) == rec:
+                del _HELD_LEASES[lease]
+        return False
+    warnings.warn(
+        f"reclaiming writer lease at {lease}: its owner thread in this "
+        "process is dead (killed mid-callback) and never released",
+        stacklevel=3,
+    )
+    be.delete(lease)
+    with _HELD_LEASES_LOCK:
+        if _HELD_LEASES.get(lease) == rec:
+            del _HELD_LEASES[lease]
+    return True
+
 
 @contextmanager
 def hold_writer_lease(
@@ -409,6 +458,9 @@ def hold_writer_lease(
     token = acquire_writer_lease(spark, path, ttl_ms, backend)
     stop = threading.Event()
     owner = threading.current_thread()
+    lease = _lease_path(path)
+    with _HELD_LEASES_LOCK:
+        _HELD_LEASES[lease] = (token, owner)
 
     def _beat() -> None:
         while not stop.wait(ttl_ms / (_LEASE_HEARTBEAT_FRACTION * 1000.0)):
@@ -450,6 +502,9 @@ def hold_writer_lease(
         stop.set()
         if t is not None:
             t.join(timeout=5)
+        with _HELD_LEASES_LOCK:
+            if _HELD_LEASES.get(lease) == (token, owner):
+                del _HELD_LEASES[lease]
         release_writer_lease(spark, path, token, backend)
 
 

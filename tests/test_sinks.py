@@ -498,3 +498,53 @@ def test_heartbeat_stops_when_owner_thread_dies(spark, tmp_path):
     # renewed by now; the owner-liveness guard must not have
     time.sleep(1.0)
     assert os.path.getmtime(lease) == m0, "zombie heartbeat renewed"
+
+
+def test_dead_owner_lease_reclaimed_in_process(spark, tmp_path):
+    """A lease whose hold_writer_lease owner thread died WITHOUT
+    unwinding (the killed-foreachBatch kill-and-resume shape) is
+    reclaimed by the next acquirer in the same process instead of
+    stalling until the 15-minute crash TTL (round 16).  A lease whose
+    owner thread is alive stays protected."""
+    import threading
+
+    path = str(tmp_path / "sink")
+    entered = threading.Event()
+    release = threading.Event()
+
+    def _owner():
+        with sinks.hold_writer_lease(spark, path):
+            entered.set()
+            release.wait(30)
+
+    t = threading.Thread(target=_owner, daemon=True)
+    t.start()
+    assert entered.wait(10)
+    # owner alive: a second acquirer must refuse
+    with pytest.raises(sinks.ConcurrentWriterError):
+        sinks.acquire_writer_lease(spark, path)
+    # simulate the killed callback: mark the registry's owner as the
+    # (now dead) thread WITHOUT letting the context unwind — by
+    # letting the thread exit only after we snapshot the lease file.
+    # hold_writer_lease's finally would release; to model the
+    # never-unwound case, re-create the lease + registry entry after
+    # the thread is gone.
+    lease = sinks._lease_path(path)
+    be = sinks._lease_backend(spark, None)
+    token_on_disk = be.read_token(lease)
+    with sinks._HELD_LEASES_LOCK:
+        rec = sinks._HELD_LEASES[lease]
+    assert rec[0] == token_on_disk
+    release.set()
+    t.join(10)
+    assert not t.is_alive()
+    # the clean exit released; rebuild the orphan state exactly as a
+    # killed callback leaves it: lease file on disk + registry entry
+    # pointing at the dead thread
+    assert be.create_exclusive(lease, rec[0])
+    with sinks._HELD_LEASES_LOCK:
+        sinks._HELD_LEASES[lease] = (rec[0], t)
+    with pytest.warns(UserWarning, match="owner thread .* is dead"):
+        token2 = sinks.acquire_writer_lease(spark, path)
+    assert token2 is not None
+    sinks.release_writer_lease(spark, path, token2)
