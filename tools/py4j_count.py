@@ -53,7 +53,7 @@ def main() -> None:
         if state["sample"]:
             # deepest repo frame below the pyspark/py4j layers
             site = "?"
-            for fr in reversed(traceback.extract_stack(limit=40)):
+            for fr in reversed(traceback.extract_stack(limit=120)):
                 if fr.filename.startswith(REPO) and "/tools/" not in fr.filename:
                     site = f"{fr.filename[len(REPO) + 1:]}:{fr.lineno}:{fr.name}"
                     break
